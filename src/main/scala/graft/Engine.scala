@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Session factory + table catalog + determinism helpers.
+  *
+  * Design notes (100 TB scale): every helper here keeps plans declarative so
+  * Catalyst can push filters/prune columns to the parquet scan; aggregate
+  * helpers do exact decimal arithmetic so results are independent of
+  * partition/summation order (a correctness requirement once data is spread
+  * over thousands of tasks — double summation order is nondeterministic).
+  */
+object Engine {
+
+  /** Local session tuned for the test harness; on a real cluster the same
+    * settings minus master() apply. AQE handles skew/coalescing at scale. */
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan — the single entry point for reads, so pushdown/pruning
+    * behavior is uniform.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * we read it as raw nanos (legacy flag) and truncate to microseconds —
+    * exactly what DuckDB's ns→µs coercion does for positive epochs, so the
+    * oracle agrees. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path)
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else df
+    } else spark.read.parquet(path)
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic float aggregation.
+  //
+  // Doubles summed in task order give nondeterministic low bits; rounding a
+  // large sum to 2dp can then flip. Fix: cast every addend to DECIMAL(38,6)
+  // (exact, since the generator emits <=2 decimal digits and the per-row
+  // double arithmetic is IEEE-deterministic), sum exactly, round, and cast
+  // back to double. DuckDB oracle mirrors this with
+  //   ROUND(SUM(CAST(x AS DECIMAL(38,6))), s)::DOUBLE
+  // ---------------------------------------------------------------------
+  private val D38 = DecimalType(38, 6)
+
+  /** Exact sum of a double expression, rounded to `scale`, as double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(D38)), scale).cast(DoubleType)
+
+  /** Order-insensitive average: exact decimal sum / count, rounded. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(D38)).cast(DoubleType) / count(lit(1)), scale)
+
+  /** Oracle-side SQL fragment equivalents (kept adjacent for review). */
+  def sqlDsum(expr: String, scale: Int = 2): String =
+    s"ROUND(SUM(CAST($expr AS DECIMAL(38,6))), $scale)::DOUBLE"
+  def sqlDavg(expr: String, scale: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*), $scale)"
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + exact-value tests for the relational inventory on sf0.001.
+  * The cross-engine hash check runs via Verify + the DuckDB oracle; here we
+  * assert plan health (non-empty, schema) and a few independently-known
+  * values. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  val dir = "/root/testdata/sf0.001"
+
+  // every query with an oracle must produce rows on the smoke SF, so the
+  // driver's rows>0 check and the hash check both exercise real data
+  for ((name, q) <- SparkEntry.registry) {
+    test(s"$name runs and returns rows") {
+      val df = q.impl(spark, dir)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q01_scan returns the 5 regions in order") {
+    val rows = SparkEntry.queries("q01_scan")(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("q03_agg groups are complete and counts sum to table size") {
+    val df = SparkEntry.queries("q03_agg")(spark, dir)
+    val total = df.collect().map(_.getAs[Long]("cnt")).sum
+    val n = Engine.table(spark, dir, "lineitem").count()
+    assert(total == n)
+  }
+
+  test("q09_window_rank emits exactly one row per customer") {
+    val df = SparkEntry.queries("q09_window_rank")(spark, dir)
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+
+  test("q14_rollup grand total equals lineitem count") {
+    val rows = SparkEntry.queries("q14_rollup")(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("c") ==
+      Engine.table(spark, dir, "lineitem").count())
+  }
+}
