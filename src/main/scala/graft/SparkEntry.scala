@@ -9,7 +9,11 @@ object SparkEntry {
 
   /** All verifiable queries from every module. */
   lazy val registry: Seq[(String, Q)] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+    graft.functions.TextAnalytics.defs ++
+    graft.operators.Dedup.defs ++
+    graft.operators.Similarity.defs ++
+    graft.operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
