@@ -13,7 +13,9 @@ object SparkEntry {
     graft.functions.TextAnalytics.defs ++
     graft.operators.Dedup.defs ++
     graft.operators.Similarity.defs ++
-    graft.operators.Multimodal.defs
+    graft.operators.Multimodal.defs ++
+    graft.streaming.EventStreams.defs ++
+    graft.acid.AcidQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,52 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+
+/** Q30: transactional scenario exercising the capability-parity layer
+  * end-to-end (mirrors the reference's lifecycle test,
+  * instance.rs:599-762): create → insert+commit → update+commit →
+  * delete+commit → rollback invisibility → reopen durability.
+  * Deterministic output; no SQL oracle (driver rows-only check) —
+  * exact assertions live in AcidSpec. */
+object AcidQueries {
+
+  val schema: StructType = StructType(Seq(
+    StructField("obj_id", LongType, nullable = false),
+    StructField("value", LongType, nullable = false)))
+
+  /** Runs the scenario in a fresh temp dir; returns the final table. */
+  def scenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_acid_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+
+    val t2 = inst.begin()
+    t2.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    inst.commit(t2)
+
+    val t3 = inst.begin()
+    t3.delete(Seq(3L))
+    inst.commit(t3)
+
+    // rolled-back insert must stay invisible
+    val t4 = inst.begin()
+    t4.insert(Seq((99L, 999L)).toDF("obj_id", "value"))
+    inst.rollback(t4)
+
+    // reopen = recovery path: replay manifests from checkpoint
+    VersionedTable.open(spark, dir).read().orderBy("obj_id")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "q30_acid_scenario" -> Q.noOracle((s, _) => scenario(s)))
+}

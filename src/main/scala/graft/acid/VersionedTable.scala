@@ -1,0 +1,344 @@
+package graft.acid
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Versioned ACID table layer — capability parity with db-core's
+  * transactional storage engine (SURVEY.md §2.1), re-expressed Spark-first
+  * as a copy-on-write commit protocol over immutable parquet files plus a
+  * JSON manifest log (the idiomatic cloud/lakehouse analog of the
+  * reference's WAL + MVCC machinery):
+  *
+  *  - begin/commit/rollback with snapshot isolation
+  *    (reference: instance.rs:88-122 — TSN allocation, read CSN pinning)
+  *  - snapshot reads: a transaction reads the file set of its pinned
+  *    version; concurrent commits are invisible (reference MVCC resolve:
+  *    block_driver.rs:461-486 walks prev_version_ptr chains — here
+  *    immutability makes old versions trivially readable)
+  *  - optimistic write-conflict detection replaces the reference's
+  *    blocking object locks (tran_mgr.rs:85-127): commit fails if any
+  *    version published after the snapshot touched the same objects
+  *  - durability: manifest publish is an atomic create-if-absent
+  *    (the reference's group-commit WAL flush, log_mgr/io.rs:99-103,
+  *    collapses to one atomic rename-free file create per commit)
+  *  - rollback discards unpublished staging (reference restores
+  *    pre-images from the version store, block_driver.rs:591-601 —
+  *    copy-on-write makes undo free)
+  *  - recovery: opening a table replays manifests from the latest
+  *    checkpoint (reference: restore checkpoint + WAL replay,
+  *    instance.rs:221-304); an unpublished manifest simply never exists
+  *  - checkpoints every [[Instance.checkpointInterval]] commits compact
+  *    the log (reference fuzzy checkpointer: checkpointer.rs:86-176)
+  *  - [[Instance.vacuum]] reclaims files unreachable from retained
+  *    versions (reference version-store space reuse:
+  *    version_store.rs:252-309; README "Roadmap: implement vacuuming")
+  *
+  * Manifests are deltas `{version, tsn, added, removed, objects}`;
+  * snapshot state = latest checkpoint ≤ v + replay of (ckpt, v].
+  * All metadata is O(files-touched), data IO is O(rows-touched) — the
+  * layout scales to object stores (atomic-create is the only primitive
+  * required of the filesystem).
+  */
+object VersionedTable {
+
+  /** Width of the per-transaction sequence in an object id; the packed
+    * id mirrors the reference's structured ObjectId (defs.rs:12-18). */
+  val SeqBits = 20
+
+  final case class Manifest(
+      version: Long,
+      tsn: Long,
+      schemaDDL: String,
+      added: Seq[String],
+      removed: Seq[String],
+      objects: Seq[Long],
+      checkpoint: Boolean,
+      allFiles: Seq[String])
+
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  private[acid] def toJson(m: Manifest): String = {
+    def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    def arrL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+    s"""{"version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
+      s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
+      s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
+      s""""allFiles":${arrS(m.allFiles)}}"""
+  }
+
+  private[acid] def fromJson(s: String): Manifest = {
+    // minimal parser for the fixed shape above (keys never contain
+    // escapes; values are numbers, bools, or string arrays)
+    def strField(k: String): String = {
+      val i = s.indexOf("\"" + k + "\":\"") + k.length + 4
+      val sb = new StringBuilder; var j = i
+      while (s(j) != '"' || s(j - 1) == '\\') { sb.append(s(j)); j += 1 }
+      sb.toString.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+    }
+    def rawField(k: String): String = {
+      val i = s.indexOf("\"" + k + "\":") + k.length + 3
+      var j = i; var depth = 0
+      while (j < s.length && (depth > 0 || (s(j) != ',' && s(j) != '}'))) {
+        if (s(j) == '[') depth += 1
+        if (s(j) == ']') depth -= 1
+        j += 1
+      }
+      s.substring(i, j)
+    }
+    def strArr(k: String): Seq[String] = {
+      val raw = rawField(k).trim.stripPrefix("[").stripSuffix("]")
+      if (raw.isEmpty) Nil
+      else raw.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    def longArr(k: String): Seq[Long] = {
+      val raw = rawField(k).trim.stripPrefix("[").stripSuffix("]")
+      if (raw.isEmpty) Nil else raw.split(",").toSeq.map(_.trim.toLong)
+    }
+    Manifest(rawField("version").toLong, rawField("tsn").toLong,
+      strField("schemaDDL"), strArr("added"), strArr("removed"),
+      longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"))
+  }
+
+  /** One-time datastore initialization (reference:
+    * initialize_datastore, datastore.rs:132-178). */
+  def create(spark: SparkSession, path: String, schema: StructType): Instance = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path, "data"))
+    fs.mkdirs(new Path(path, "_manifests"))
+    val inst = new Instance(spark, path)
+    inst.publish(Manifest(0L, 0L, schema.toDDL, Nil, Nil, Nil,
+      checkpoint = true, allFiles = Nil))
+    inst
+  }
+
+  /** Open an existing datastore, resolving the committed head
+    * (reference: Instance::new + restore_state, instance.rs:42-75). */
+  def open(spark: SparkSession, path: String): Instance =
+    new Instance(spark, path)
+}
+
+/** Conflict = another transaction committed the same objects after this
+  * transaction's snapshot (optimistic analog of tran_mgr lock waits). */
+final class ConflictException(msg: String) extends RuntimeException(msg)
+
+final class Instance(val spark: SparkSession, val root: String) {
+  import VersionedTable._
+
+  val checkpointInterval = 10
+
+  private val fs: FileSystem =
+    FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+  private val manifestDir = new Path(root, "_manifests")
+  private val dataDir = new Path(root, "data")
+  private val tsnSeq = new AtomicLong(System.currentTimeMillis() << 8)
+
+  private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%020d.json")
+
+  private def readManifest(v: Long): Manifest = {
+    val in = fs.open(manifestPath(v))
+    try fromJson(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+
+  /** Latest committed version (head of the log). */
+  def latestVersion: Long = {
+    val vs = fs.listStatus(manifestDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  /** File set + schema at a version: replay from the nearest checkpoint
+    * (reference recovery replay: instance.rs:239-304). */
+  def stateAt(v: Long): (Seq[String], String) = {
+    val manifests = (0L to v).map(readManifest)
+    val ckpt = manifests.lastIndexWhere(_.checkpoint)
+    var files = manifests(ckpt).allFiles.toSet
+    var ddl = manifests(ckpt).schemaDDL
+    manifests.drop(ckpt + 1).foreach { m =>
+      files = files -- m.removed ++ m.added
+      ddl = m.schemaDDL
+    }
+    (files.toSeq.sorted, ddl)
+  }
+
+  /** Version-pinned snapshot read (reference: open_read at the txn's
+    * snapshot CSN, instance.rs:126-134). */
+  def snapshot(v: Long): DataFrame = {
+    val (files, ddl) = stateAt(v)
+    val schema = StructType.fromDDL(ddl)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(files.map(f => new Path(dataDir, f).toString): _*)
+  }
+
+  /** Current committed table contents. */
+  def read(): DataFrame = snapshot(latestVersion)
+
+  private[acid] def publish(m: Manifest): Boolean = {
+    try {
+      val out = fs.create(manifestPath(m.version), false) // put-if-absent
+      try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Begin a transaction: allocate a TSN, pin the snapshot
+    * (reference: begin_transaction, instance.rs:88-99 + tran_mgr.rs:66-73). */
+  def begin(): Txn = new Txn(this, tsnSeq.incrementAndGet(), latestVersion)
+
+  /** Refresh a transaction's snapshot to the latest commit
+    * (reference: update_read_csn, instance.rs:384-386). */
+  def refresh(txn: Txn): Unit = txn.readVersion = latestVersion
+
+  private[acid] def writeStaged(df: DataFrame, txn: Txn): Seq[String] = {
+    val sub = f"t${txn.tsn}%x-${txn.stagedBatch.incrementAndGet()}"
+    val out = new Path(dataDir, sub).toString
+    df.write.parquet(out)
+    fs.listStatus(new Path(out)).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq
+  }
+
+  /** Commit: optimistic conflict check against versions published after
+    * the snapshot, then atomic manifest create; on a losing race the
+    * check reruns at the new head (reference: commit + lock release,
+    * instance.rs:102-111, 212-219). */
+  def commit(txn: Txn): Long = this.synchronized {
+    if (txn.added.isEmpty && txn.removed.isEmpty) return txn.readVersion
+    var attempt = latestVersion + 1
+    while (true) {
+      // conflict window = versions committed after our snapshot
+      ((txn.readVersion + 1) until attempt).foreach { v =>
+        val m = readManifest(v)
+        val overlap = m.objects.toSet.intersect(txn.objects.toSet)
+        if (overlap.nonEmpty) {
+          txn.abort()
+          throw new ConflictException(
+            s"objects ${overlap.take(5).mkString(",")} committed by tsn ${m.tsn}")
+        }
+      }
+      val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
+        txn.added.toSeq, txn.removed.toSeq, txn.objects.toSeq,
+        checkpoint = attempt % checkpointInterval == 0,
+        allFiles = if (attempt % checkpointInterval == 0)
+          (stateAt(attempt - 1)._1.toSet -- txn.removed ++ txn.added).toSeq.sorted
+        else Nil)
+      if (publish(m)) return attempt
+      attempt = latestVersion + 1 // lost the race: re-check new window
+    }
+    -1L
+  }
+
+  private def currentDDL: String = stateAt(latestVersion)._2
+
+  /** Rollback: discard staged files — nothing was published, so undo is
+    * free (reference restores pre-images: block_driver.rs:591-601). */
+  def rollback(txn: Txn): Unit = txn.abort()
+
+  /** Delete data files unreachable from the last `retainVersions`
+    * versions (reference version-store extent reuse + Roadmap vacuum). */
+  def vacuum(retainVersions: Int): Int = {
+    val head = latestVersion
+    val horizon = math.max(0L, head - retainVersions + 1)
+    val live = (horizon to head).flatMap(stateAt(_)._1).toSet
+    var removed = 0
+    fs.listStatus(dataDir).foreach { d =>
+      if (d.isDirectory) {
+        fs.listStatus(d.getPath).foreach { f =>
+          val rel = s"${d.getPath.getName}/${f.getPath.getName}"
+          if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel)) {
+            fs.delete(f.getPath, false); removed += 1
+          }
+        }
+      }
+    }
+    removed
+  }
+
+  private[acid] def deleteStagingDirs(txn: Txn): Unit =
+    txn.added.map(_.split('/').head).distinct
+      .foreach(d => fs.delete(new Path(dataDir, d), true))
+}
+
+/** A transaction handle (reference: Transaction, instance.rs:369-397). */
+final class Txn private[acid] (inst: Instance, val tsn: Long,
+    @volatile private[acid] var readVersion: Long) {
+  import VersionedTable._
+
+  private[acid] val added = mutable.ArrayBuffer[String]()
+  private[acid] val removed = mutable.ArrayBuffer[String]()
+  private[acid] val objects = mutable.LinkedHashSet[Long]()
+  private[acid] var schemaDDL: Option[String] = None
+  private[acid] val stagedBatch = new AtomicLong(0)
+  private val objSeq = new AtomicLong(0)
+
+  /** Snapshot read at this transaction's pinned version. */
+  def read(): DataFrame = inst.snapshot(readVersion)
+
+  /** Allocate a globally-unique object id: (tsn << SeqBits) | seq —
+    * the structured-id analog of the reference's physical ObjectId. */
+  def newObjectId(): Long = (tsn << SeqBits) | objSeq.incrementAndGet()
+
+  /** Insert rows that already carry an `obj_id` column
+    * (reference: open_create + write_next, instance.rs:173-187). */
+  def insert(df: DataFrame): Unit = {
+    val ids = df.select("obj_id").collect().map(_.getLong(0)).toSeq
+    added ++= inst.writeStaged(df, this)
+    objects ++= ids
+    schemaDDL = Some(df.schema.toDDL)
+  }
+
+  /** Delete objects by id: copy-on-write rewrite of only the files that
+    * contain them (reference: delete chain tombstoning,
+    * block_driver.rs:210-249). */
+  def delete(ids: Seq[Long]): Unit = {
+    val snap = read().withColumn("_file", input_file_name())
+    val hit = snap.filter(col("obj_id").isin(ids: _*))
+      .select("_file").distinct().collect().map(_.getString(0))
+    if (hit.nonEmpty) {
+      val survivors = snap.filter(col("_file").isin(hit.toSeq: _*))
+        .filter(!col("obj_id").isin(ids: _*)).drop("_file")
+      if (!survivors.isEmpty) added ++= inst.writeStaged(survivors, this)
+      removed ++= hit.toSeq.map(relativize)
+    }
+    objects ++= ids
+  }
+
+  /** Update objects by id with a column transformation — copy-on-write
+    * (reference: open_write under object lock, instance.rs:141-168;
+    * blocking lock replaced by commit-time conflict detection). */
+  def update(ids: Seq[Long], transform: DataFrame => DataFrame): Unit = {
+    val snap = read().withColumn("_file", input_file_name())
+    val hit = snap.filter(col("obj_id").isin(ids: _*))
+      .select("_file").distinct().collect().map(_.getString(0))
+    if (hit.nonEmpty) {
+      val touched = snap.filter(col("_file").isin(hit.toSeq: _*)).drop("_file")
+      val untouchedRows = touched.filter(!col("obj_id").isin(ids: _*))
+      val updatedRows = transform(touched.filter(col("obj_id").isin(ids: _*)))
+      added ++= inst.writeStaged(untouchedRows.unionByName(updatedRows), this)
+      removed ++= hit.toSeq.map(relativize)
+    }
+    objects ++= ids
+  }
+
+  private def relativize(fileUri: String): String = {
+    val parts = fileUri.split('/')
+    parts.takeRight(2).mkString("/")
+  }
+
+  private[acid] def abort(): Unit = {
+    inst.deleteStagingDirs(this)
+    added.clear(); removed.clear(); objects.clear()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{Engine, Q}
+import graft.Engine.{dsum, sqlDsum}
+
+/** Structured Streaming surface (SURVEY.md §2.2 Q21–Q23): tumbling and
+  * sliding event-time windows, session windows, and stateful streaming
+  * dedup, each verified by batch equivalence — a file-source replay of
+  * the `events` table must produce exactly the batch/DuckDB result.
+  *
+  * Queries run the real streaming engine (micro-batch, memory sink,
+  * AvailableNow semantics via processAllAvailable). On a cluster the
+  * same pipelines run against a live source with `checkpointLocation`
+  * for exactly-once recovery — recovery machinery the reference builds
+  * by hand (WAL + checkpoints, reference src/log_mgr/io.rs:46-217 and
+  * src/system/checkpointer.rs) is delegated to Spark's checkpoint files.
+  */
+object EventStreams {
+
+  /** Streaming view of the events table (schema from the batch reader,
+    * including the ns→µs normalization in Engine.table). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // FileStreamSource needs a directory; expose the single fixture file
+    // through a temp dir symlink (a live pipeline would watch a real dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.read.parquet(path)
+    val st = s.readStream.schema(raw.schema).parquet(tmp.toString)
+    if (st.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      st.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else st
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * materialized table. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // tumbling window — must equal batch q21_time_window / its oracle
+    "q22_stream_tumbling" -> Q(
+      "SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS c, " +
+      s"${sqlDsum("value")} AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, dir) =>
+        val agg = eventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
+        runToTable(s, agg, "q22_tumbling_sink", "complete")
+          .select(col("window.start").as("w"), col("event_type"),
+            col("c"), col("sv"))
+          .orderBy("w", "event_type")
+    },
+
+    // sliding window (2h length, 1h slide): each event lands in 2 windows
+    "q22_stream_sliding" -> Q(
+      "SELECT w, event_type, COUNT(*) AS c FROM (" +
+      "SELECT date_trunc('hour', ts) - to_hours(i) AS w, event_type " +
+      "FROM events, (SELECT unnest(generate_series(0, 1)) AS i)) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, dir) =>
+        val agg = eventsStream(s, dir)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        runToTable(s, agg, "q22_sliding_sink", "complete")
+          .select(col("window.start").as("w"), col("event_type"), col("c"))
+          .orderBy("w", "event_type")
+    },
+
+    // batch session windows (5-minute gap) — oracle via gaps-and-islands
+    "q21_session_window" -> Q(
+      "WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts) < INTERVAL 5 MINUTE " +
+      "THEN 0 ELSE 1 END AS brk FROM events), " +
+      "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id " +
+      "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+      "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n FROM y " +
+      "GROUP BY user_id, sid ORDER BY user_id, session_start") {
+      (s, dir) =>
+        Engine.table(s, dir, "events")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"), col("n"))
+          .orderBy("user_id", "session_start")
+    },
+
+    // stateful streaming dedup on event_id; count equals batch distinct
+    "q23_stream_dedup" -> Q(
+      "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
+      (s, dir) =>
+        val dedup = eventsStream(s, dir).dropDuplicates("event_id")
+        runToTable(s, dedup, "q23_dedup_sink", "append")
+          .agg(count(lit(1)).as("c"))
+    },
+
+    // watermark-scoped dedup (state is GC'd past the watermark at scale)
+    "q23_stream_dedup_wm" -> Q(
+      "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
+      (s, dir) =>
+        val dedup = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+        runToTable(s, dedup, "q23_dedup_wm_sink", "append")
+          .agg(count(lit(1)).as("c"))
+    }
+  )
+}
