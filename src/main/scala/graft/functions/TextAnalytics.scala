@@ -77,10 +77,12 @@ object TextAnalytics {
   }
 
   /** Polynomial rolling hash over characters, mod 1e9+7 — a classic
-    * content fingerprint; left-to-right fold matches DuckDB list_reduce. */
-  def fingerprint(text: Column): Column =
-    expr("aggregate(sequence(1, length(text)), 0L, " +
-      "(h, i) -> (h * 131 + ascii(substring(text, i, 1))) % 1000000007)")
+    * content fingerprint. Uses the codegen'd
+    * [[graft.expressions.RollingHash]] expression (byte loop ==
+    * char loop for ASCII text); left-to-right fold matches DuckDB
+    * list_reduce. */
+  def fingerprint(spark: SparkSession, text: Column): Column =
+    graft.expressions.VectorExpressions.rollingHash(spark, text)
 
   private def t(s: SparkSession, dir: String) =
     Engine.table(s, dir, "documents")
@@ -130,7 +132,7 @@ object TextAnalytics {
       "FROM documents ORDER BY doc_id") {
       (s, dir) =>
         t(s, dir)
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), fingerprint(s, col("text")).as("fp"))
           .orderBy("doc_id")
     }
   )

@@ -37,21 +37,15 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  private val P = 2147483647L // 2^31-1, Mersenne prime for affine hashing
-
-  /** Deterministic affine-permutation constants (public tabulation-style
-    * minhash construction; any fixed odd multipliers work). */
-  private def hashParams(n: Int): Seq[(Long, Long)] =
-    (0 until n).map { i =>
-      val a = (2654435761L * (i + 1) + 40503L) % P
-      val c = (2246822519L * (i + 1) + 3266489917L) % P
-      (if (a == 0) 1L else a, c)
-    }
-
-  /** Docs with id + distinct shingle set + set size. */
+  /** Docs with id + distinct shingle-hash set (one-pass codegen-friendly
+    * scan, see [[graft.expressions.ShingleHashes]]) + set size. All
+    * downstream consumers need only set semantics, so 64-bit hashes
+    * replace shingle strings: smaller shuffles, cheap equality. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    docs.select(col(idCol).as("id"),
+      graft.expressions.ShingleHashes
+        .shingleHashes(docs.sparkSession, col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Exact Jaccard verification of candidate pairs (columns id_a < id_b)
@@ -69,39 +63,44 @@ object Dedup {
       .orderBy("doc_lo", "doc_hi")
   }
 
-  /** Exact n-gram Jaccard similarity join via shingle inverted index. */
+  /** Exact n-gram Jaccard similarity join via shingle inverted index.
+    * Intersection sizes come straight from the index groupBy (count per
+    * pair), so no per-pair array materialization is needed — the whole
+    * join stays in codegen'd hash aggregation. |A∪B| = |A|+|B|-|A∩B|. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, tau: Double = 0.5): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, k)
+    val cnt = ds.select(col("id"), size(col("sh")).as("n"))
     val ex = ds.select(col("id"), explode(col("sh")).as("s"))
-    val cand = ex.select(col("id").as("id_a"), col("s"))
+    ex.select(col("id").as("id_a"), col("s"))
       .join(ex.select(col("id").as("id_b"), col("s")), "s")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyPairs(cand, ds, tau)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .join(cnt.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jacx",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jacx") >= tau)
+      .select(col("id_a").as("doc_lo"), col("id_b").as("doc_hi"),
+        round(col("jacx"), 4).as("jac"))
+      .orderBy("doc_lo", "doc_hi")
   }
 
   /** MinHash-LSH near-dup join: numHashes minhashes, banded into
     * numHashes/bandRows bands; same-band collisions become candidates,
-    * then exact-verified. Recall for J≥0.85 at (128, 4) is 1-(1-J⁴)³² ≈ 1. */
+    * then exact-verified. Recall for J≥0.85 at (128, 4) is 1-(1-J⁴)³² ≈ 1.
+    *
+    * Signatures + band keys are a single map-side expression per doc
+    * ([[graft.expressions.MinHashBands]]) — no shuffle until the tiny
+    * band-collision join. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, tau: Double = 0.5,
       numHashes: Int = 128, bandRows: Int = 4): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, k)
-    val ex = ds.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("b", pmod(xxhash64(col("s")), lit(P)))
-    val params = hashParams(numHashes)
-    val sigCols = params.zipWithIndex.map { case ((a, c), i) =>
-      min((col("b") * a + c) % P).as(s"h$i")
-    }
-    val sig = ex.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-    val nBands = numHashes / bandRows
-    val bandSigs = (0 until nBands).map { j =>
-      xxhash64(concat_ws(",",
-        (lit(j) +: (0 until bandRows).map(r => col(s"h${j * bandRows + r}"))): _*))
-    }
-    val bands = sig.select(col("id"),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+    val bands = ds.select(col("id"),
+      posexplode(graft.expressions.SketchExpressions
+        .minhashBands(docs.sparkSession, col("sh"), numHashes, bandRows))
+        .as(Seq("band", "bsig")))
     val cand = bands.select(col("id").as("id_a"), col("band"), col("bsig"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("bsig")),
         Seq("band", "bsig"))
@@ -122,31 +121,25 @@ object Dedup {
       k: Int = 3, tau: Double = 0.9, maxHamming: Int = 15,
       nBands: Int = 16): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, k)
-    val ex = ds.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("b"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("b"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$j")
-    }
-    val agg = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    val sims = agg.select(col("id"), fp.as("fp"))
+    // fingerprint is a map-side expression per doc — no shuffle
+    val sims = ds.select(col("id"), graft.expressions.SketchExpressions
+      .simhashFp(docs.sparkSession, col("sh")).as("fp"))
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
     val bands = sims.select(col("id"), col("fp"),
       posexplode(array((0 until nBands).map(kk =>
         shiftright(col("fp"), kk * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "key")))
+    // hamming-filter BEFORE distinct: with narrow bands the raw
+    // candidate multiset is huge, but random pairs sit at hamming ~32
+    // so the bit_count filter kills them pre-shuffle
     val cand = bands
       .select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
       .join(bands.select(col("id").as("id_b"), col("fp").as("fp_b"),
         col("band"), col("key")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
-      .select("id_a", "id_b")
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select("id_a", "id_b").distinct()
     verifyPairs(cand, ds, tau)
   }
 

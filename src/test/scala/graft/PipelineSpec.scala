@@ -43,7 +43,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
     val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 2.0)))
-      .toDF("vec_id", "v").withColumn("nrm", Similarity.norm(col("v")))
+      .toDF("vec_id", "v")
     val out = Similarity.cosineNearDup(df, -2.0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out((1L, 2L)) == 1.0)
@@ -53,7 +53,7 @@ class PipelineSpec extends AnyFunSuite {
   test("ANN top-1 picks the true nearest neighbor") {
     val df = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(-1.0, 0.2)))
-      .toDF("vec_id", "v").withColumn("nrm", Similarity.norm(col("v")))
+      .toDF("vec_id", "v")
     val out = Similarity.annTop1(df, df.filter(col("vec_id") === 0))
       .collect().head
     assert(out.getLong(1) == 1L)
@@ -73,7 +73,7 @@ class PipelineSpec extends AnyFunSuite {
   test("fingerprint is content-sensitive and stable") {
     val df = Seq((1L, "hello world"), (2L, "hello worle"), (3L, "hello world"))
       .toDF("id", "text")
-    val fp = df.select(TextAnalytics.fingerprint(col("text"))).collect().map(_.getLong(0))
+    val fp = df.select(TextAnalytics.fingerprint(spark, col("text"))).collect().map(_.getLong(0))
     assert(fp(0) == fp(2))
     assert(fp(0) != fp(1))
   }
