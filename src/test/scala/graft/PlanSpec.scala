@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the properties that make these
+  * queries viable at 100 TB (scan pruning, predicate pushdown, broadcast
+  * selection, top-k without global sort, whole-stage codegen) are
+  * asserted on the actual executed plans so a refactor can't silently
+  * regress them. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: predicates are pushed to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0)") ||
+      p.contains("GreaterThan(l_quantity,45"), p)
+  }
+
+  test("q02: scan reads only the referenced columns") {
+    val p = plan("q02_filter")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("q04: dimension join is a broadcast hash join") {
+    assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q11: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q11_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q03: partial (map-side) aggregation + codegen in the final plan") {
+    val df = SparkEntry.queries("q03_agg")(spark, dir)
+    df.collect() // finalize the AQE plan
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("partial_sum"), exec) // map-side combine
+    val finalPlan = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // codegen stages print as "*(n) Operator" in the final AQE plan
+    assert("""\*\(\d+\)""".r.findFirstIn(finalPlan.toString).isDefined,
+      finalPlan.toString)
+  }
+
+  test("q26: per-pair cosine uses the custom codegen expression") {
+    assert(plan("q26_ann_top1").toLowerCase.contains("cosinesimilarity"))
+  }
+
+  test("q20: scalar subquery threshold is broadcast, not collected") {
+    assert(plan("q20_subquery").contains("BroadcastNestedLoopJoin") ||
+      plan("q20_subquery").contains("BroadcastHashJoin"))
+  }
+}
