@@ -10,6 +10,7 @@ object SparkEntry {
   /** All verifiable queries from every module. */
   lazy val registry: Seq[(String, Q)] =
     graft.queries.Relational.defs ++
+    graft.queries.Typed.defs ++
     graft.functions.TextAnalytics.defs ++
     graft.operators.Dedup.defs ++
     graft.operators.Similarity.defs ++

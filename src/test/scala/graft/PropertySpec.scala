@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Property-based tests (SURVEY.md §5.2): invariants over generated
+  * inputs rather than fixtures. Uses ScalaCheck generators directly with
+  * fixed seeds (a Spark job per case is expensive, so a handful of
+  * deterministic cases per property). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private val vocab =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+
+  private val docGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(5, 20)
+    base <- Gen.listOfN(30, Gen.oneOf(vocab))
+    docs <- Gen.listOfN(n, for {
+      mutate <- Gen.choose(0, 8)
+      idxs <- Gen.listOfN(mutate, Gen.choose(0, 29))
+      repl <- Gen.listOfN(mutate, Gen.oneOf(vocab))
+    } yield {
+      val arr = base.toArray
+      idxs.zip(repl).foreach { case (i, w) => arr(i) = w }
+      arr.mkString(" ")
+    })
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("exact dedup is idempotent and never increases rows") {
+    cases(docGen, 5).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val once = Dedup.exact(df, Seq("text"))
+      val twice = Dedup.exact(once, Seq("text"))
+      assert(once.count() == twice.count())
+      assert(once.count() <= df.count())
+    }
+  }
+
+  test("minhash-LSH: subset of exact pairs; full recall above the margin") {
+    // LSH recall at J just above tau is probabilistic (≈87% at J=0.5 for
+    // 32 bands x 4 rows) — the guarantee is: no false positives ever
+    // (exact verification), and pairs comfortably above the threshold
+    // (J≥0.75 → recall ≈ 1-5e-6) are always found.
+    cases(docGen, 5).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+        .collect().map(_.toSeq).toSet
+      val high = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.75)
+        .collect().map(_.toSeq).toSet
+      val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 0.5)
+        .collect().map(_.toSeq).toSet
+      assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+      assert(high.subsetOf(lsh), s"missed high-sim pairs: ${high -- lsh}")
+    }
+  }
+
+  test("jaccard pairs are well-formed: ordered ids, jac in [tau, 1]") {
+    cases(docGen, 5).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3).collect().foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        val j = r.getDouble(2)
+        assert(j >= 0.3 - 1e-9 && j <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("acid: random committed/rolled-back inserts equal the sequential model") {
+    val opsGen = Gen.listOfN(8, for {
+      v <- Gen.choose(0L, 100L)
+      commit <- Gen.oneOf(true, true, false) // ~1/3 rollback
+    } yield (v, commit))
+    cases(opsGen, 3).foreach { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_").toUri.toString
+      val inst = graft.acid.VersionedTable.create(spark, dir,
+        graft.acid.AcidQueries.schema)
+      var model = Map.empty[Long, Long]
+      var nextId = 1000L
+      ops.foreach { case (v, commit) =>
+        val txn = inst.begin()
+        val id = nextId; nextId += 1
+        txn.insert(Seq((id, v)).toDF("obj_id", "value"))
+        if (commit) { inst.commit(txn); model += id -> v }
+        else inst.rollback(txn)
+      }
+      val got = inst.read().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model)
+    }
+  }
+}
