@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.Similarity.defs ++
     graft.operators.Multimodal.defs ++
     graft.streaming.EventStreams.defs ++
+    graft.sources.Formats.defs ++
     graft.acid.AcidQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

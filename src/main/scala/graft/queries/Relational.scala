@@ -354,6 +354,36 @@ object Relational {
           .orderBy("w", "event_type")
     },
 
+    "q09_lag_lead" -> Q(
+      "SELECT o_custkey, o_orderkey, " +
+      "ROUND(o_totalprice - LAG(o_totalprice) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS d " +
+      "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500") {
+      (s, dir) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+              .as("d"))
+          .orderBy("o_custkey", "o_orderkey")
+          .limit(500)
+    },
+
+    "q13_percentile" -> Q(
+      "SELECT l_returnflag, " +
+      "ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50, " +
+      "ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90 " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+            round(expr("percentile(l_quantity, 0.9)"), 2).as("p90"))
+          .orderBy("l_returnflag")
+    },
+
     "q29_udaf_geomean" -> Q(
       "SELECT l_returnflag, ROUND(EXP(SUM(LN(l_quantity))/COUNT(*)), 6) " +
       "AS gmean FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") {

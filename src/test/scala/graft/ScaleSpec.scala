@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+/** Scale-technique tests: salting for skew and bucketing for
+  * co-located (shuffle-free) joins — the manual levers used when AQE
+  * alone isn't enough at 100 TB. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  test("salted join equals plain join on skewed keys") {
+    // 90% of rows share one hot key — the classic skew shape
+    val large = (1 to 2000).map { i =>
+      (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong)
+    }.toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (6L, "e"), (0L, "f")).toDF("k", "name")
+
+    val plain = large.join(small, "k")
+      .groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.salted(large, small, "k")
+      .groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf; use the default ./spark-warehouse.
+    // The in-memory catalog forgets tables across JVMs but leaves the
+    // directories behind — clear both.
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("orders_b", "customer_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(wh, t))
+    }
+    Engine.table(spark, dir, "orders")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Engine.table(spark, dir, "customer")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(joined.count() ==
+      Engine.table(spark, dir, "orders").count()) // FK: every order matches
+  }
+}
