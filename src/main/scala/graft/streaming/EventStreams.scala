@@ -108,6 +108,32 @@ object EventStreams {
           .agg(count(lit(1)).as("c"))
     },
 
+    // arbitrary stateful processing: per-user running counters via
+    // flatMapGroupsWithState (the engine's general state API — the
+    // analog of the reference's per-object transactional counters in
+    // its concurrency test, instance.rs:724-758). One batch processes
+    // all rows, so each user emits exactly one final update.
+    "q23_stream_custom_state" -> Q(
+      "SELECT user_id, COUNT(*) AS c FROM events " +
+      "GROUP BY user_id ORDER BY user_id") {
+      (s, dir) =>
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val users = eventsStream(s, dir).select(col("user_id")).as[Long]
+        val counted = users.groupByKey(identity)
+          .flatMapGroupsWithState(
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (uid: Long, rows: Iterator[Long],
+             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              val c = state.getOption.getOrElse(0L) + rows.size
+              state.update(c)
+              Iterator((uid, c))
+          }
+        runToTable(s, counted.toDF("user_id", "c"),
+          "q23_custom_state_sink", "update")
+          .orderBy("user_id")
+    },
+
     // watermark-scoped dedup (state is GC'd past the watermark at scale)
     "q23_stream_dedup_wm" -> Q(
       "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
