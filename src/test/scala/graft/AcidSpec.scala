@@ -95,6 +95,23 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.snapshot(head - 1).head().getLong(1) == 3L)
   }
 
+  test("checkpoint compaction: reads replay from the latest checkpoint") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    (1 to 12).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i.toLong)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    // checkpointInterval = 10 → v10 is a checkpoint manifest with the
+    // full file list; reopening replays only v10..v12
+    assert(inst.latestVersion == 12L)
+    val reopened = VersionedTable.open(spark, dir)
+    assert(reopened.read().count() == 12)
+    assert(reopened.snapshot(10).count() == 10) // the checkpoint itself
+    assert(reopened.snapshot(3).count() == 3)   // pre-checkpoint history
+  }
+
   test("time travel: every retained version is readable") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     (1 to 3).foreach { i =>
