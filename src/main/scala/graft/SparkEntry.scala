@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.Dedup.defs ++
     graft.operators.Similarity.defs ++
     graft.operators.Multimodal.defs ++
+    graft.operators.AsofJoin.defs ++
     graft.streaming.EventStreams.defs ++
     graft.sources.Formats.defs ++
     graft.acid.AcidQueries.defs
