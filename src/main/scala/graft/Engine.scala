@@ -23,6 +23,11 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // engine-wide: parquet TIMESTAMP(NANOS) reads as raw long
+      // (normalized to microseconds by normalizeEventTs) instead of
+      // failing — set at session scope so behavior never depends on
+      // which table was read first
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -44,12 +49,18 @@ object Engine {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(path)
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else df
+      normalizeEventTs(spark.read.parquet(path))
     } else spark.read.parquet(path)
   }
+
+  /** ns-epoch long `ts` → microsecond timestamp (truncation — what
+    * DuckDB's ns→µs coercion does for positive epochs). Shared by batch
+    * and streaming reads of the events table. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
 
   // ---------------------------------------------------------------------
   // Deterministic float aggregation.

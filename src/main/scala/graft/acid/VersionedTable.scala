@@ -80,9 +80,25 @@ object VersionedTable {
     // escapes; values are numbers, bools, or string arrays)
     def strField(k: String): String = {
       val i = s.indexOf("\"" + k + "\":\"") + k.length + 4
+      // escape-aware scan + single-pass unescape (handles \\ before ",
+      // and the \uXXXX forms esc() emits for control characters)
       val sb = new StringBuilder; var j = i
-      while (s(j) != '"' || s(j - 1) == '\\') { sb.append(s(j)); j += 1 }
-      sb.toString.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+      var done = false
+      while (!done) {
+        s(j) match {
+          case '"' => done = true
+          case '\\' =>
+            s(j + 1) match {
+              case 'n' => sb.append('\n'); j += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar)
+                j += 6
+              case c => sb.append(c); j += 2 // \" and \\
+            }
+          case c => sb.append(c); j += 1
+        }
+      }
+      sb.toString
     }
     def rawField(k: String): String = {
       val i = s.indexOf("\"" + k + "\":") + k.length + 3
@@ -116,8 +132,10 @@ object VersionedTable {
     fs.mkdirs(new Path(path, "data"))
     fs.mkdirs(new Path(path, "_manifests"))
     val inst = new Instance(spark, path)
-    inst.publish(Manifest(0L, 0L, schema.toDDL, Nil, Nil, Nil,
-      checkpoint = true, allFiles = Nil))
+    if (!inst.publish(Manifest(0L, 0L, schema.toDDL, Nil, Nil, Nil,
+        checkpoint = true, allFiles = Nil)))
+      throw new IllegalStateException(
+        s"datastore already initialized at $path (v0 manifest exists)")
     inst
   }
 
@@ -140,7 +158,11 @@ final class Instance(val spark: SparkSession, val root: String) {
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
   private val manifestDir = new Path(root, "_manifests")
   private val dataDir = new Path(root, "data")
-  private val tsnSeq = new AtomicLong(System.currentTimeMillis() << 8)
+  // unique within a process via the atomic; cross-process collisions made
+  // improbable by mixing wall clock and nanotime (a production deployment
+  // would allocate TSNs from the log itself)
+  private val tsnSeq = new AtomicLong(
+    (System.currentTimeMillis() << 20) ^ (System.nanoTime() & 0xFFFFF))
 
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%020d.json")
 
@@ -158,13 +180,20 @@ final class Instance(val spark: SparkSession, val root: String) {
   }
 
   /** File set + schema at a version: replay from the nearest checkpoint
-    * (reference recovery replay: instance.rs:239-304). */
+    * (reference recovery replay: instance.rs:239-304). Scans backward to
+    * the latest checkpoint <= v, so cost is O(checkpointInterval)
+    * manifest reads, not O(v). */
   def stateAt(v: Long): (Seq[String], String) = {
-    val manifests = (0L to v).map(readManifest)
-    val ckpt = manifests.lastIndexWhere(_.checkpoint)
-    var files = manifests(ckpt).allFiles.toSet
-    var ddl = manifests(ckpt).schemaDDL
-    manifests.drop(ckpt + 1).foreach { m =>
+    var tail = List.empty[Manifest]
+    var cv = v
+    var ckpt: Manifest = null
+    while (ckpt == null) {
+      val m = readManifest(cv)
+      if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
+    }
+    var files = ckpt.allFiles.toSet
+    var ddl = ckpt.schemaDDL
+    tail.foreach { m =>
       files = files -- m.removed ++ m.added
       ddl = m.schemaDDL
     }
@@ -203,7 +232,10 @@ final class Instance(val spark: SparkSession, val root: String) {
   def refresh(txn: Txn): Unit = txn.readVersion = latestVersion
 
   private[acid] def writeStaged(df: DataFrame, txn: Txn): Seq[String] = {
-    val sub = f"t${txn.tsn}%x-${txn.stagedBatch.incrementAndGet()}"
+    // UUID suffix: staging dirs can never collide even if two processes
+    // draw the same tsn
+    val sub = f"t${txn.tsn}%x-${txn.stagedBatch.incrementAndGet()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val out = new Path(dataDir, sub).toString
     df.write.parquet(out)
     fs.listStatus(new Path(out)).map(_.getPath.getName)
@@ -213,7 +245,13 @@ final class Instance(val spark: SparkSession, val root: String) {
   /** Commit: optimistic conflict check against versions published after
     * the snapshot, then atomic manifest create; on a losing race the
     * check reruns at the new head (reference: commit + lock release,
-    * instance.rs:102-111, 212-219). */
+    * instance.rs:102-111, 212-219).
+    *
+    * Conflict = an interleaved commit touched the same objects OR
+    * rewrote any of the same files. The file check is essential: the
+    * copy-on-write unit is a file, so two transactions modifying
+    * disjoint objects that live in one file would otherwise both
+    * republish stale copies of each other's rows. */
   def commit(txn: Txn): Long = this.synchronized {
     if (txn.added.isEmpty && txn.removed.isEmpty) return txn.readVersion
     var attempt = latestVersion + 1
@@ -221,11 +259,15 @@ final class Instance(val spark: SparkSession, val root: String) {
       // conflict window = versions committed after our snapshot
       ((txn.readVersion + 1) until attempt).foreach { v =>
         val m = readManifest(v)
-        val overlap = m.objects.toSet.intersect(txn.objects.toSet)
-        if (overlap.nonEmpty) {
+        val objOverlap = m.objects.toSet.intersect(txn.objects.toSet)
+        val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
+        if (objOverlap.nonEmpty || fileOverlap.nonEmpty) {
           txn.abort()
           throw new ConflictException(
-            s"objects ${overlap.take(5).mkString(",")} committed by tsn ${m.tsn}")
+            if (objOverlap.nonEmpty)
+              s"objects ${objOverlap.take(5).mkString(",")} committed by tsn ${m.tsn}"
+            else
+              s"files ${fileOverlap.take(3).mkString(",")} rewritten by tsn ${m.tsn}")
         }
       }
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
@@ -235,7 +277,15 @@ final class Instance(val spark: SparkSession, val root: String) {
           (stateAt(attempt - 1)._1.toSet -- txn.removed ++ txn.added).toSeq.sorted
         else Nil)
       if (publish(m)) return attempt
-      attempt = latestVersion + 1 // lost the race: re-check new window
+      val head = latestVersion
+      if (head + 1 == attempt) {
+        // no other writer advanced the log: the create failed for a real
+        // IO reason, not a lost race — surface it instead of spinning
+        txn.abort()
+        throw new java.io.IOException(
+          s"cannot publish manifest v$attempt at $root")
+      }
+      attempt = head + 1 // lost the race: re-check the new window
     }
     -1L
   }
@@ -247,24 +297,27 @@ final class Instance(val spark: SparkSession, val root: String) {
   def rollback(txn: Txn): Unit = txn.abort()
 
   /** Delete data files unreachable from the last `retainVersions`
-    * versions (reference version-store extent reuse + Roadmap vacuum). */
+    * versions (reference version-store extent reuse + Roadmap vacuum).
+    * Only files referenced by some committed manifest are candidates —
+    * staged files of in-flight transactions appear in no manifest and
+    * must never be reclaimed. */
   def vacuum(retainVersions: Int): Int = {
     val head = latestVersion
     val horizon = math.max(0L, head - retainVersions + 1)
     val live = (horizon to head).flatMap(stateAt(_)._1).toSet
+    val everCommitted = (0L to head).map(readManifest)
+      .flatMap(m => m.added ++ m.allFiles).toSet
     var removed = 0
-    fs.listStatus(dataDir).foreach { d =>
-      if (d.isDirectory) {
-        fs.listStatus(d.getPath).foreach { f =>
-          val rel = s"${d.getPath.getName}/${f.getPath.getName}"
-          if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel)) {
-            fs.delete(f.getPath, false); removed += 1
-          }
-        }
-      }
+    (everCommitted -- live).foreach { rel =>
+      val p = new Path(dataDir, rel)
+      if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
     }
     removed
   }
+
+  private[acid] def readStagedIds(staged: Seq[String]): Seq[Long] =
+    spark.read.parquet(staged.map(f => new Path(dataDir, f).toString): _*)
+      .select("obj_id").distinct().collect().map(_.getLong(0)).toSeq
 
   private[acid] def deleteStagingDirs(txn: Txn): Unit =
     txn.added.map(_.split('/').head).distinct
@@ -291,11 +344,16 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   def newObjectId(): Long = (tsn << SeqBits) | objSeq.incrementAndGet()
 
   /** Insert rows that already carry an `obj_id` column
-    * (reference: open_create + write_next, instance.rs:173-187). */
+    * (reference: open_create + write_next, instance.rs:173-187).
+    * Object ids for conflict tracking are read back from the STAGED
+    * files, so a nondeterministic input can't desynchronize the data
+    * from the guarded id set (and the input runs exactly once). The id
+    * list itself is driver-side metadata — bounded by transaction size;
+    * at extreme scale a min/max+bloom summary would replace it. */
   def insert(df: DataFrame): Unit = {
-    val ids = df.select("obj_id").collect().map(_.getLong(0)).toSeq
-    added ++= inst.writeStaged(df, this)
-    objects ++= ids
+    val staged = inst.writeStaged(df, this)
+    added ++= staged
+    objects ++= inst.readStagedIds(staged)
     schemaDDL = Some(df.schema.toDDL)
   }
 

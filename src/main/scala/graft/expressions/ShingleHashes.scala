@@ -45,8 +45,11 @@ case class ShingleHashes(child: Expression, k: Int)
     var ends = new Array[Int](16)
     var nTok = 0
     var i = 0
+    // exact string_split(text, ' ') semantics, including empty tokens
+    // from leading/trailing/double spaces (i == n starts the trailing
+    // empty token when the text ends with a space)
     while (i <= n) {
-      if (i == 0 || (i < n && bytes(i - 1) == ' ')) {
+      if (i == 0 || bytes(i - 1) == ' ') {
         var j = i
         while (j < n && bytes(j) != ' ') j += 1
         if (nTok == starts.length) {

@@ -32,10 +32,7 @@ object EventStreams {
     java.nio.file.Files.createSymbolicLink(
       tmp.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val raw = s.read.parquet(path)
-    val st = s.readStream.schema(raw.schema).parquet(tmp.toString)
-    if (st.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else st
+    Engine.normalizeEventTs(s.readStream.schema(raw.schema).parquet(tmp.toString))
   }
 
   /** Run a streaming DF to completion into a memory sink, return the

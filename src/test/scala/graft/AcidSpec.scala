@@ -56,6 +56,26 @@ class AcidSpec extends AnyFunSuite {
     assert(v == 1L) // exactly one increment landed
   }
 
+  test("conflict on the same FILE aborts the loser even for disjoint objects") {
+    // copy-on-write rewrites whole files: two txns touching different
+    // objects that share a file would republish stale copies of each
+    // other's rows if only object ids were compared
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value").coalesce(1))
+    inst.commit(t0)
+
+    val a = inst.begin()
+    val b = inst.begin()
+    a.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+    b.update(Seq(2L), df => df.withColumn("value", col("value") + 1))
+    inst.commit(a)
+    intercept[ConflictException] { inst.commit(b) }
+    val state = inst.read().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 11L, 2L -> 20L)) // no resurrection, no dupes
+  }
+
   test("concurrent counter: 4 threads x 10 increments with retry") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t0 = inst.begin()

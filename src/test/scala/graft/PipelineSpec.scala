@@ -21,6 +21,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == Seq("a b c", "b c d"))
   }
 
+  test("shingle hashing matches split semantics on trailing spaces") {
+    // string_split("x y z w ") has an empty trailing token, giving the
+    // extra shingle "z w " — the hashed tokenizer must agree with the
+    // SQL oracle here or Jaccard values diverge
+    val df = Seq((1L, "x y z w"), (2L, "x y z w ")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 0.6667) // |{xyz,yzw}| / |{xyz,yzw,"z w "}|
+  }
+
   test("exact dedup removes duplicate keys") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     assert(Dedup.exact(df, Seq("t")).count() == 2)
