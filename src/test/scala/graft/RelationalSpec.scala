@@ -37,6 +37,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.count() == df.select("o_custkey").distinct().count())
   }
 
+  test("q03 decimal aggregates are partition-count invariant") {
+    // the determinism contract behind every oracle hash-match: results
+    // must not depend on how data is partitioned/summed
+    val base = SparkEntry.queries("q03_agg")(spark, dir).collect().map(_.toSeq)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Seq("1", "7", "29").foreach { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        val got = SparkEntry.queries("q03_agg")(spark, dir).collect().map(_.toSeq)
+        assert(got.toSeq == base.toSeq, s"diverged at $n partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q14_rollup grand total equals lineitem count") {
     val rows = SparkEntry.queries("q14_rollup")(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

@@ -1,0 +1,42 @@
+package graft.acid
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip property for the hand-rolled manifest JSON codec —
+  * including the hostile strings (quotes, backslash runs, newlines,
+  * control characters) that a schema DDL could in principle carry. */
+class ManifestSpec extends AnyFunSuite {
+  import VersionedTable.{Manifest, fromJson, toJson}
+
+  private val hostileString: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\u0020', '\u0001', 'é')
+  )).map(_.mkString)
+
+  private val manifestGen: Gen[Manifest] = for {
+    v <- Gen.choose(0L, 1000000L)
+    tsn <- Gen.choose(0L, Long.MaxValue)
+    ddl <- hostileString
+    added <- Gen.listOf(Gen.identifier)
+    removed <- Gen.listOf(Gen.identifier)
+    objs <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    ckpt <- Gen.oneOf(true, false)
+    all <- Gen.listOf(Gen.identifier)
+  } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all)
+
+  test("manifest JSON round-trips arbitrary content exactly") {
+    (0 until 200).foreach { i =>
+      val m = manifestGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      assert(fromJson(toJson(m)) == m, s"seed ${7 + i}: ${toJson(m)}")
+    }
+  }
+
+  test("edge strings: trailing backslash, escaped quote runs, unicode") {
+    Seq("\\", "a\\", "\\\\\"", "\"\"\"", "\n\n", "\u0000\u001f", "中文 schema")
+      .foreach { ddl =>
+        val m = Manifest(1, 2, ddl, Nil, Nil, Nil, checkpoint = false, Nil)
+        assert(fromJson(toJson(m)) == m, s"ddl=<$ddl>")
+      }
+  }
+}
