@@ -204,6 +204,12 @@ final class Instance(val spark: SparkSession, val root: String) {
     * snapshot CSN, instance.rs:126-134). */
   def snapshot(v: Long): DataFrame = {
     val (files, ddl) = stateAt(v)
+    viewOf(files, ddl)
+  }
+
+  /** DataFrame over an explicit file set (shared by committed snapshots
+    * and transaction-local views). */
+  private[acid] def viewOf(files: Seq[String], ddl: String): DataFrame = {
     val schema = StructType.fromDDL(ddl)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -253,7 +259,10 @@ final class Instance(val spark: SparkSession, val root: String) {
     * disjoint objects that live in one file would otherwise both
     * republish stale copies of each other's rows. */
   def commit(txn: Txn): Long = this.synchronized {
-    if (txn.added.isEmpty && txn.removed.isEmpty) return txn.readVersion
+    if (txn.added.isEmpty && txn.removed.isEmpty) {
+      deleteRetired(txn) // e.g. insert-then-delete-all within one txn
+      return txn.readVersion
+    }
     var attempt = latestVersion + 1
     while (true) {
       // conflict window = versions committed after our snapshot
@@ -276,7 +285,7 @@ final class Instance(val spark: SparkSession, val root: String) {
         allFiles = if (attempt % checkpointInterval == 0)
           (stateAt(attempt - 1)._1.toSet -- txn.removed ++ txn.added).toSeq.sorted
         else Nil)
-      if (publish(m)) return attempt
+      if (publish(m)) { deleteRetired(txn); return attempt }
       val head = latestVersion
       if (head + 1 == attempt) {
         // no other writer advanced the log: the create failed for a real
@@ -320,8 +329,13 @@ final class Instance(val spark: SparkSession, val root: String) {
       .select("obj_id").distinct().collect().map(_.getLong(0)).toSeq
 
   private[acid] def deleteStagingDirs(txn: Txn): Unit =
-    txn.added.map(_.split('/').head).distinct
+    (txn.added ++ txn.retired).map(_.split('/').head).distinct
       .foreach(d => fs.delete(new Path(dataDir, d), true))
+
+  /** Physically reclaim staged files the transaction itself superseded
+    * (they appear in no manifest, so vacuum can never see them). */
+  private[acid] def deleteRetired(txn: Txn): Unit =
+    txn.retired.foreach(f => fs.delete(new Path(dataDir, f), false))
 }
 
 /** A transaction handle (reference: Transaction, instance.rs:369-397). */
@@ -332,16 +346,42 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] val added = mutable.ArrayBuffer[String]()
   private[acid] val removed = mutable.ArrayBuffer[String]()
   private[acid] val objects = mutable.LinkedHashSet[Long]()
+  // staged files superseded by a LATER mutation of the same transaction —
+  // never published, physically reclaimed at commit/abort
+  private[acid] val retired = mutable.ArrayBuffer[String]()
   private[acid] var schemaDDL: Option[String] = None
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
 
-  /** Snapshot read at this transaction's pinned version. */
-  def read(): DataFrame = inst.snapshot(readVersion)
+  /** Read-your-own-writes view (reference MVCC resolve accepts entries
+    * with `tsn == my_tsn`, block_driver.rs:461-486): the pinned
+    * snapshot's file set minus files this transaction removed plus its
+    * staged files. A second mutation in the same transaction therefore
+    * sees — and rewrites — the FIRST mutation's output, not the stale
+    * base files (without this, manifests could remove one base file
+    * twice while publishing both rewrites, resurrecting deleted rows). */
+  def read(): DataFrame = {
+    val (base, snapDdl) = inst.stateAt(readVersion)
+    val files = (base.toSet -- removed ++ added).toSeq.sorted
+    inst.viewOf(files, schemaDDL.getOrElse(snapDdl))
+  }
 
-  /** Allocate a globally-unique object id: (tsn << SeqBits) | seq —
-    * the structured-id analog of the reference's physical ObjectId. */
-  def newObjectId(): Long = (tsn << SeqBits) | objSeq.incrementAndGet()
+  /** Allocate a globally-unique object id: (tsn << SeqBits) | seq — the
+    * structured-id analog of the reference's physical ObjectId
+    * (defs.rs:12-18). The tsn is masked to the 43 bits that fit beside
+    * the sequence (uniqueness rests on the low 43 bits of the seeded
+    * tsn: ~23 bits of wall-clock millis xor 20 bits of nanotime — a
+    * production deployment would allocate tsns from the commit log);
+    * the sequence is bounds-checked so it can never bleed into the tsn
+    * field and collide with a neighboring transaction's ids. */
+  def newObjectId(): Long = {
+    val seq = objSeq.incrementAndGet()
+    if (seq >= (1L << SeqBits))
+      throw new IllegalStateException(
+        s"transaction $tsn exceeded ${1L << SeqBits} object allocations; " +
+        "split the load across transactions")
+    ((tsn & ((1L << (63 - SeqBits)) - 1)) << SeqBits) | seq
+  }
 
   /** Insert rows that already carry an `obj_id` column
     * (reference: open_create + write_next, instance.rs:173-187).
@@ -359,7 +399,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
 
   /** Delete objects by id: copy-on-write rewrite of only the files that
     * contain them (reference: delete chain tombstoning,
-    * block_driver.rs:210-249). */
+    * block_driver.rs:210-249). Reads the txn-local view, so repeated
+    * mutations in one transaction compose (read-your-own-writes). */
   def delete(ids: Seq[Long]): Unit = {
     val snap = read().withColumn("_file", input_file_name())
     val hit = snap.filter(col("obj_id").isin(ids: _*))
@@ -367,8 +408,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     if (hit.nonEmpty) {
       val survivors = snap.filter(col("_file").isin(hit.toSeq: _*))
         .filter(!col("obj_id").isin(ids: _*)).drop("_file")
-      if (!survivors.isEmpty) added ++= inst.writeStaged(survivors, this)
-      removed ++= hit.toSeq.map(relativize)
+      val rewritten = if (survivors.isEmpty) Nil
+        else inst.writeStaged(survivors, this)
+      retire(hit.toSeq.map(relativize))
+      added ++= rewritten
     }
     objects ++= ids
   }
@@ -384,10 +427,20 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       val touched = snap.filter(col("_file").isin(hit.toSeq: _*)).drop("_file")
       val untouchedRows = touched.filter(!col("obj_id").isin(ids: _*))
       val updatedRows = transform(touched.filter(col("obj_id").isin(ids: _*)))
-      added ++= inst.writeStaged(untouchedRows.unionByName(updatedRows), this)
-      removed ++= hit.toSeq.map(relativize)
+      val rewritten = inst.writeStaged(untouchedRows.unionByName(updatedRows), this)
+      retire(hit.toSeq.map(relativize))
+      added ++= rewritten
     }
     objects ++= ids
+  }
+
+  /** A rewritten file that this transaction itself staged is dropped
+    * from `added` (it was never published, so the manifest must not
+    * list it as removed); only base-version files go to `removed`. */
+  private def retire(files: Seq[String]): Unit = files.foreach { f =>
+    val i = added.indexOf(f)
+    if (i >= 0) { added.remove(i); retired += f }
+    else removed += f
   }
 
   private def relativize(fileUri: String): String = {
@@ -397,6 +450,6 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
 
   private[acid] def abort(): Unit = {
     inst.deleteStagingDirs(this)
-    added.clear(); removed.clear(); objects.clear()
+    added.clear(); removed.clear(); objects.clear(); retired.clear()
   }
 }

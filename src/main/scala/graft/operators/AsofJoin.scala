@@ -22,24 +22,37 @@ import graft.{Engine, Q}
 object AsofJoin {
 
   /** left gains `asofCol` = the right `valueCol` as of each left row's
-    * time (null when no prior right row exists for the key). */
+    * time (null when no prior right row exists for the key).
+    *
+    * The carried value is a single-field STRUCT, not the bare value:
+    * `last(ignoreNulls)` then selects by row PRESENCE, so a right row
+    * whose payload is NULL still wins the match (DuckDB ASOF semantics —
+    * nearest row regardless of payload nullness). Ties among right rows
+    * at the same (key, ts) are broken deterministically by ordering on
+    * the struct itself (last = greatest payload). */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCol: String, asofCol: String): DataFrame = {
     val leftCols = left.columns
-    val l = left.withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(key), col(ts), col(valueCol).as("_v"))
+    val vType = right.schema(valueCol).dataType
+    val nullMatch = lit(null).cast(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", vType))))
+    val l = left.withColumn("_side", lit(1)).withColumn("_m", nullMatch)
+    val r = right.select(col(key), col(ts),
+        struct(col(valueCol).as("v")).as("_m"))
       .withColumn("_side", lit(0))
-    val lNorm = l.select((Seq(col(key), col(ts), col("_side"), col("_v")) ++
+    val lNorm = l.select((Seq(col(key), col(ts), col("_side"), col("_m")) ++
       leftCols.filter(c => c != key && c != ts).map(col)): _*)
-    val rNorm = r.select((Seq(col(key), col(ts), col("_side"), col("_v")) ++
+    val rNorm = r.select((Seq(col(key), col(ts), col("_side"), col("_m")) ++
       leftCols.filter(c => c != key && c != ts)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_side").asc) // right first on tied ts
+      // right rows first on tied ts (ASOF >= matches same-instant rows);
+      // _m last breaks right-vs-right ties deterministically
+      .orderBy(col(ts).asc, col("_side").asc, col("_m").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
-      .withColumn(asofCol, last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn(asofCol, last(col("_m"), ignoreNulls = true).over(w)("v"))
       .filter(col("_side") === 1)
       .select((leftCols.map(col) :+ col(asofCol)): _*)
   }

@@ -22,17 +22,28 @@ object Relational {
 
   /** Geometric mean as a typed Aggregator (SURVEY Q29 — UDAF surface).
     * exp(mean(ln(x))); partial-aggregating (map-side combine) like any
-    * built-in agg, so it scales. */
-  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
-    def zero: (Double, Long) = (0.0, 0L)
-    def reduce(b: (Double, Long), x: Double): (Double, Long) =
-      (b._1 + math.log(x), b._2 + 1)
-    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
-      (a._1 + b._1, a._2 + b._2)
-    def finish(b: (Double, Long)): Double =
-      if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+    * built-in agg, so it scales.
+    *
+    * Per-row logs are rounded to 15 decimal places and summed as exact
+    * BigDecimal, so the result is independent of partition/summation
+    * order (same rule as Engine.dsum: double sums reordered across tasks
+    * flip low bits, which can flip the final ROUND). The 15 dp per-row
+    * quantization deviates from the true log by <= 5e-16 relative —
+    * far inside the 6 dp output rounding. */
+  object GeoMean extends Aggregator[Double, (java.math.BigDecimal, Long), Double] {
+    private val Scale = 15
+    private def q(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(math.log(x))
+        .setScale(Scale, java.math.RoundingMode.HALF_EVEN)
+    def zero: (java.math.BigDecimal, Long) = (java.math.BigDecimal.ZERO, 0L)
+    def reduce(b: (java.math.BigDecimal, Long), x: Double): (java.math.BigDecimal, Long) =
+      (b._1.add(q(x)), b._2 + 1)
+    def merge(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): (java.math.BigDecimal, Long) =
+      (a._1.add(b._1), a._2 + b._2)
+    def finish(b: (java.math.BigDecimal, Long)): Double =
+      if (b._2 == 0) Double.NaN else math.exp(b._1.doubleValue / b._2)
     def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.DECIMAL,
       org.apache.spark.sql.Encoders.scalaLong)
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }

@@ -99,6 +99,57 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.read().head().getLong(1) == 40L)
   }
 
+  test("read-your-own-writes: two deletes in one txn on a shared file") {
+    // regression: delete/update used to read the PINNED snapshot, so a
+    // second mutation in the same txn rewrote the original file again —
+    // manifest removed=[F,F] added=[F1,F2] resurrected deleted rows and
+    // duplicated survivors
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("obj_id", "value").coalesce(1)) // one file, three objects
+    inst.commit(t0)
+
+    val t = inst.begin()
+    t.delete(Seq(1L))
+    t.delete(Seq(2L))
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(3L)) // RYOW
+    inst.commit(t)
+    val rows = inst.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq.sorted == Seq((3L, 30L))) // no resurrection, no dupes
+  }
+
+  test("read-your-own-writes: update then delete same object in one txn") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value").coalesce(1))
+    inst.commit(t0)
+
+    val t = inst.begin()
+    t.update(Seq(1L), df => df.withColumn("value", col("value") + 5))
+    t.delete(Seq(1L))
+    inst.commit(t)
+    val state = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(2L -> 20L))
+  }
+
+  test("read-your-own-writes: insert visible to same-txn delete") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t = inst.begin()
+    t.insert(Seq((1L, 1L), (2L, 2L)).toDF("obj_id", "value").coalesce(1))
+    assert(t.read().count() == 2)
+    t.delete(Seq(1L))
+    inst.commit(t)
+    assert(inst.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("object id allocation is bounded and non-overlapping") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t = inst.begin()
+    val id = t.newObjectId()
+    assert(id > 0 && (id & 0xFFFFF) == 1) // seq occupies the low 20 bits
+  }
+
   test("vacuum reclaims unreferenced files, retained versions still read") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
