@@ -6,12 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3, round-robin
+  * so JIT warmth is spread fairly) and reports the per-query MEDIAN;
+  * "value" is the sum of medians. A single run is too noisy to compare
+  * across rounds — a loaded host or one GC pause can triple a streaming
+  * query's wall time.
+  *
   * Queries execute through a noop sink so the full plan runs (a count()
   * would let Catalyst drop sorts/projections and under-measure). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,19 +35,30 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // failed queries report the -1 sentinel (not their wall time), so the
-    // single-line JSON is machine-distinguishable from an all-pass run
-    val results = SparkEntry.registry.map { case (name, q) =>
+    def once(name: String, q: Q): Double = {
       val t0 = System.nanoTime()
-      val elapsed =
-        try {
-          q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> elapsed
+      try {
+        q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    val samples: Seq[Seq[(String, Double)]] =
+      (1 to runs).map(_ => SparkEntry.registry.map { case (n, q) => n -> once(n, q) })
+
+    // a query that failed in ANY run reports the -1 sentinel (not a
+    // median over partial data), so the JSON is machine-distinguishable
+    // from an all-pass run
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = SparkEntry.registry.map { case (name, _) =>
+      val xs = samples.map(_.toMap.apply(name))
+      name -> (if (xs.exists(_ < 0)) -1.0 else median(xs))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -48,7 +66,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,11 +39,18 @@ import org.apache.spark.sql.types.StructType
   *    versions (reference version-store space reuse:
   *    version_store.rs:252-309; README "Roadmap: implement vacuuming")
   *
-  * Manifests are deltas `{version, tsn, added, removed, objects}`;
-  * snapshot state = latest checkpoint ≤ v + replay of (ckpt, v].
-  * All metadata is O(files-touched), data IO is O(rows-touched) — the
-  * layout scales to object stores (atomic-create is the only primitive
-  * required of the filesystem).
+  * Manifests are deltas `{version, tsn, added, removed, objects}` plus
+  * per-added-file obj-id min/max ranges (read from parquet footers —
+  * the structured-id analog of the reference's "the ObjectId IS the
+  * address", instance.rs:126-134: point reads/updates prune to the
+  * files whose id range can contain the target, instead of scanning
+  * the snapshot) and a CRC32 integrity hash (reference checks every
+  * block and WAL record on load: datastore.rs:194-203, crc32.rs:73-106
+  * — a torn or bit-rotted manifest fails loudly, not by luck of the
+  * parser). Snapshot state = latest checkpoint ≤ v + replay of
+  * (ckpt, v]. All metadata is O(files-touched), data IO is
+  * O(rows-touched) — the layout scales to object stores (atomic-create
+  * is the only primitive required of the filesystem).
   */
 object VersionedTable {
 
@@ -51,6 +58,11 @@ object VersionedTable {
     * id mirrors the reference's structured ObjectId (defs.rs:12-18). */
   val SeqBits = 20
 
+  /** `stats` maps a data file to its (min, max) obj_id range: delta
+    * manifests carry stats for `added`; checkpoints carry stats for
+    * `allFiles` (rolled forward), so any snapshot's pruning index is
+    * reconstructible from O(checkpointInterval) manifests. Files from
+    * pre-stats manifests simply have no entry and are never pruned. */
   final case class Manifest(
       version: Long,
       tsn: Long,
@@ -59,23 +71,40 @@ object VersionedTable {
       removed: Seq[String],
       objects: Seq[Long],
       checkpoint: Boolean,
-      allFiles: Seq[String])
+      allFiles: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
-  private[acid] def toJson(m: Manifest): String = {
+  private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     def arrL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
-    s"""{"version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
+    // stats as three parallel arrays so the fixed-shape parser stays
+    // trivial; sorted for byte-stable output (the crc depends on it)
+    val statKeys = m.stats.keys.toSeq.sorted
+    val payload =
+      s"""{"version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      s""""allFiles":${arrS(m.allFiles)}}"""
+      s""""allFiles":${arrS(m.allFiles)},""" +
+      s""""statsFiles":${arrS(statKeys)},""" +
+      s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
+      s""""statsMax":${arrL(statKeys.map(m.stats(_)._2))}}"""
+    // integrity hash over the full payload (reference: crc32.rs:73-106);
+    // appended last so verification is a prefix-CRC + field compare
+    payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
   }
 
-  private[acid] def fromJson(s: String): Manifest = {
+  private[acid] def crc32(s: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(s.getBytes("UTF-8"))
+    c.getValue
+  }
+
+  private[graft] def fromJson(s: String): Manifest = {
     // minimal parser for the fixed shape above (keys never contain
     // escapes; values are numbers, bools, or string arrays)
     def strField(k: String): String = {
@@ -119,19 +148,36 @@ object VersionedTable {
       val raw = rawField(k).trim.stripPrefix("[").stripSuffix("]")
       if (raw.isEmpty) Nil else raw.split(",").toSeq.map(_.trim.toLong)
     }
+    // verify integrity first: strip the trailing `,"crc":N}` back to the
+    // original payload and compare CRCs (manifests from pre-crc versions
+    // of the layer have no field and skip the check)
+    val crcIdx = s.lastIndexOf(",\"crc\":")
+    if (crcIdx >= 0) {
+      val payload = s.substring(0, crcIdx) + "}"
+      val stored = s.substring(crcIdx + 7, s.lastIndexOf('}')).trim.toLong
+      if (crc32(payload) != stored)
+        throw new java.io.IOException(
+          s"manifest integrity check failed: stored crc $stored != computed ${crc32(payload)}")
+    }
+    val stats =
+      if (s.contains("\"statsFiles\":"))
+        strArr("statsFiles").zip(longArr("statsMin").zip(longArr("statsMax"))).toMap
+      else Map.empty[String, (Long, Long)]
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
-      longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"))
+      longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
+      stats)
   }
 
   /** One-time datastore initialization (reference:
     * initialize_datastore, datastore.rs:132-178). */
-  def create(spark: SparkSession, path: String, schema: StructType): Instance = {
+  def create(spark: SparkSession, path: String, schema: StructType,
+      conf: EngineConf = EngineConf()): Instance = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path, "data"))
     fs.mkdirs(new Path(path, "_manifests"))
-    val inst = new Instance(spark, path)
+    val inst = new Instance(spark, path, conf)
     if (!inst.publish(Manifest(0L, 0L, schema.toDDL, Nil, Nil, Nil,
         checkpoint = true, allFiles = Nil)))
       throw new IllegalStateException(
@@ -141,18 +187,48 @@ object VersionedTable {
 
   /** Open an existing datastore, resolving the committed head
     * (reference: Instance::new + restore_state, instance.rs:42-75). */
-  def open(spark: SparkSession, path: String): Instance =
-    new Instance(spark, path)
+  def open(spark: SparkSession, path: String,
+      conf: EngineConf = EngineConf()): Instance =
+    new Instance(spark, path, conf)
 }
+
+/** Typed engine configuration (reference: 15 typed parameters in
+  * src/system/config.rs:149-164 — the subset that survives the
+  * Spark-first narrowing; buffer/WAL sizing maps to Spark memory and
+  * has no analog here).
+  *
+  * @param checkpointInterval   commits between log-compacting checkpoints
+  *                             (reference checkpointer cadence)
+  * @param conflictMaxAttempts  [[Instance.withRetry]] attempt budget —
+  *                             the optimistic analog of the reference's
+  *                             lock-wait timeout (tran_mgr.rs:85-127)
+  * @param conflictBackoffMs    base backoff between retry attempts
+  *                             (linear: attempt * backoff)
+  * @param idBroadcastThreshold point-op id-set size above which
+  *                             delete/update switch from an `isin`
+  *                             literal predicate to a broadcast
+  *                             semi/anti join (literal lists expand
+  *                             into the plan; millions of ids would
+  *                             blow up compilation)
+  * @param orphanGraceMs        vacuum only sweeps unreferenced staging
+  *                             files older than this — protects live
+  *                             in-flight transactions' staged data */
+final case class EngineConf(
+    checkpointInterval: Int = 10,
+    conflictMaxAttempts: Int = 5,
+    conflictBackoffMs: Long = 20L,
+    idBroadcastThreshold: Int = 1000,
+    orphanGraceMs: Long = 24L * 3600 * 1000)
 
 /** Conflict = another transaction committed the same objects after this
   * transaction's snapshot (optimistic analog of tran_mgr lock waits). */
 final class ConflictException(msg: String) extends RuntimeException(msg)
 
-final class Instance(val spark: SparkSession, val root: String) {
+final class Instance(val spark: SparkSession, val root: String,
+    val conf: EngineConf = EngineConf()) {
   import VersionedTable._
 
-  val checkpointInterval = 10
+  def checkpointInterval: Int = conf.checkpointInterval
 
   private val fs: FileSystem =
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -184,6 +260,15 @@ final class Instance(val spark: SparkSession, val root: String) {
     * the latest checkpoint <= v, so cost is O(checkpointInterval)
     * manifest reads, not O(v). */
   def stateAt(v: Long): (Seq[String], String) = {
+    val (files, ddl, _) = stateWithStatsAt(v)
+    (files, ddl)
+  }
+
+  /** [[stateAt]] plus the per-file obj-id range index used for point-op
+    * file pruning (reference: the ObjectId IS the address —
+    * instance.rs:126-134 resolves an id to its block directly; here the
+    * manifest stats resolve an id to the files whose range covers it). */
+  def stateWithStatsAt(v: Long): (Seq[String], String, Map[String, (Long, Long)]) = {
     var tail = List.empty[Manifest]
     var cv = v
     var ckpt: Manifest = null
@@ -193,11 +278,13 @@ final class Instance(val spark: SparkSession, val root: String) {
     }
     var files = ckpt.allFiles.toSet
     var ddl = ckpt.schemaDDL
+    var stats = ckpt.stats
     tail.foreach { m =>
       files = files -- m.removed ++ m.added
+      stats = stats -- m.removed ++ m.stats
       ddl = m.schemaDDL
     }
-    (files.toSeq.sorted, ddl)
+    (files.toSeq.sorted, ddl, stats)
   }
 
   /** Version-pinned snapshot read (reference: open_read at the txn's
@@ -244,8 +331,45 @@ final class Instance(val spark: SparkSession, val root: String) {
       java.util.UUID.randomUUID().toString.take(8)
     val out = new Path(dataDir, sub).toString
     df.write.parquet(out)
-    fs.listStatus(new Path(out)).map(_.getPath.getName)
+    val staged = fs.listStatus(new Path(out)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq
+    // obj-id range per staged file from the parquet FOOTER — a
+    // driver-side metadata read (no Spark job), the same way lakehouse
+    // formats derive file skipping stats at write time
+    staged.foreach { f =>
+      footerIdRange(new Path(dataDir, f)).foreach(r => txn.addedStats(f) = r)
+    }
+    staged
+  }
+
+  /** (min, max) of the obj_id column from a parquet file's footer
+    * statistics; None when the column is absent or stats are missing
+    * (the file is then never pruned — conservative). */
+  private[acid] def footerIdRange(p: Path): Option[(Long, Long)] = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+        blocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == "obj_id") {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    lo = math.min(lo, mn); hi = math.max(hi, mx); seen = true
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+        if (seen) Some((lo, hi)) else None
+      } finally reader.close()
+    } catch { case _: Exception => None }
   }
 
   /** Commit: optimistic conflict check against versions published after
@@ -279,12 +403,17 @@ final class Instance(val spark: SparkSession, val root: String) {
               s"files ${fileOverlap.take(3).mkString(",")} rewritten by tsn ${m.tsn}")
         }
       }
+      val isCkpt = attempt % checkpointInterval == 0
+      val addedStats =
+        txn.added.flatMap(f => txn.addedStats.get(f).map(f -> _)).toMap
+      val (ckptFiles, ckptStats) = if (isCkpt) {
+        val (baseFiles, _, baseStats) = stateWithStatsAt(attempt - 1)
+        ((baseFiles.toSet -- txn.removed ++ txn.added).toSeq.sorted,
+          baseStats -- txn.removed ++ addedStats)
+      } else (Nil, addedStats)
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, txn.objects.toSeq,
-        checkpoint = attempt % checkpointInterval == 0,
-        allFiles = if (attempt % checkpointInterval == 0)
-          (stateAt(attempt - 1)._1.toSet -- txn.removed ++ txn.added).toSeq.sorted
-        else Nil)
+        checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats)
       if (publish(m)) { deleteRetired(txn); return attempt }
       val head = latestVersion
       if (head + 1 == attempt) {
@@ -307,21 +436,82 @@ final class Instance(val spark: SparkSession, val root: String) {
 
   /** Delete data files unreachable from the last `retainVersions`
     * versions (reference version-store extent reuse + Roadmap vacuum).
-    * Only files referenced by some committed manifest are candidates —
-    * staged files of in-flight transactions appear in no manifest and
-    * must never be reclaimed. */
-  def vacuum(retainVersions: Int): Int = {
+    *
+    * The manifest walk is BOUNDED: candidates are the horizon
+    * checkpoint's allFiles plus every `added` after it — O(retention +
+    * checkpointInterval) manifest reads, not O(head). A file retired
+    * before the horizon's checkpoint is invisible to this walk, and was
+    * reclaimable by any earlier vacuum (and is still caught by the
+    * orphan sweep below once unreferenced). Only files referenced by
+    * some committed manifest are deletion candidates — staged files of
+    * in-flight transactions appear in no manifest and must never be
+    * reclaimed by the manifest phase.
+    *
+    * Phase 2 (orphan sweep, `sweepOrphans=true`): data files present on
+    * disk but referenced by NO manifest in the bounded walk — staging
+    * left by a transaction that crashed between publish and
+    * [[deleteRetired]], or by a process that died mid-rollback — are
+    * removed once older than `conf.orphanGraceMs` (the grace shields
+    * live in-flight staging, which is also unreferenced). Empty staging
+    * dirs (incl. _SUCCESS-only) are pruned. */
+  def vacuum(retainVersions: Int, sweepOrphans: Boolean = false): Int = {
     val head = latestVersion
     val horizon = math.max(0L, head - retainVersions + 1)
     val live = (horizon to head).flatMap(stateAt(_)._1).toSet
-    val everCommitted = (0L to head).map(readManifest)
-      .flatMap(m => m.added ++ m.allFiles).toSet
+    // walk back from the horizon to its governing checkpoint
+    var cv = horizon
+    while (!readManifest(cv).checkpoint) cv -= 1
+    val referenced = readManifest(cv).allFiles.toSet ++
+      ((cv + 1) to head).flatMap(readManifest(_).added)
     var removed = 0
-    (everCommitted -- live).foreach { rel =>
+    (referenced -- live).foreach { rel =>
       val p = new Path(dataDir, rel)
       if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
     }
+    if (sweepOrphans) {
+      val cutoff = System.currentTimeMillis() - conf.orphanGraceMs
+      fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+        val entries = fs.listStatus(d.getPath)
+        entries.foreach { e =>
+          val rel = s"${d.getPath.getName}/${e.getPath.getName}"
+          if (e.isFile && !e.getPath.getName.startsWith("_") &&
+              !referenced.contains(rel) && !live.contains(rel) &&
+              e.getModificationTime < cutoff) {
+            fs.delete(e.getPath, false); removed += 1
+          }
+        }
+        val left = fs.listStatus(d.getPath)
+        if (left.forall(e => e.isFile && e.getPath.getName.startsWith("_")) &&
+            d.getModificationTime < cutoff)
+          fs.delete(d.getPath, true)
+      }
+    }
     removed
+  }
+
+  /** Run `body` in a fresh transaction, commit, and retry on conflict
+    * with bounded linear backoff — the ergonomic replacement for the
+    * reference's blocking lock wait (tran_mgr.rs:85-127: writers queue
+    * on an object lock with a timeout; here writers re-run optimistic
+    * commits). `body` must be idempotent: it re-executes per attempt
+    * against a fresh snapshot. */
+  def withRetry[A](maxAttempts: Int = conf.conflictMaxAttempts,
+      backoffMs: Long = conf.conflictBackoffMs)(body: Txn => A): A = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val t = begin()
+      try {
+        val r = body(t)
+        commit(t) // aborts the txn itself on conflict
+        return r
+      } catch {
+        case e: ConflictException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private[acid] def readStagedIds(staged: Seq[String]): Seq[Long] =
@@ -333,9 +523,21 @@ final class Instance(val spark: SparkSession, val root: String) {
       .foreach(d => fs.delete(new Path(dataDir, d), true))
 
   /** Physically reclaim staged files the transaction itself superseded
-    * (they appear in no manifest, so vacuum can never see them). */
-  private[acid] def deleteRetired(txn: Txn): Unit =
+    * (they appear in no manifest, so the manifest walk of vacuum can
+    * never see them). Staging dirs left holding only markers
+    * (_SUCCESS) are pruned too — without this every retire leaked a
+    * directory forever (vacuum's orphan sweep is the backstop for the
+    * crash-between-publish-and-here window). */
+  private[acid] def deleteRetired(txn: Txn): Unit = {
     txn.retired.foreach(f => fs.delete(new Path(dataDir, f), false))
+    txn.retired.map(_.split('/').head).distinct.foreach { d =>
+      val p = new Path(dataDir, d)
+      if (fs.exists(p) &&
+          fs.listStatus(p).forall(e =>
+            e.isFile && e.getPath.getName.startsWith("_")))
+        fs.delete(p, true)
+    }
+  }
 }
 
 /** A transaction handle (reference: Transaction, instance.rs:369-397). */
@@ -349,9 +551,20 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // staged files superseded by a LATER mutation of the same transaction —
   // never published, physically reclaimed at commit/abort
   private[acid] val retired = mutable.ArrayBuffer[String]()
+  // obj-id (min, max) per staged file, read from parquet footers at
+  // write time; published to the manifest at commit for point-op pruning
+  private[acid] val addedStats = mutable.Map[String, (Long, Long)]()
   private[acid] var schemaDDL: Option[String] = None
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
+
+  /** Txn-local (read-your-own-writes) file set, schema, and id-range
+    * index: snapshot state minus removed plus staged. */
+  private def localState(): (Seq[String], String, Map[String, (Long, Long)]) = {
+    val (base, snapDdl, baseStats) = inst.stateWithStatsAt(readVersion)
+    val files = (base.toSet -- removed ++ added).toSeq.sorted
+    (files, schemaDDL.getOrElse(snapDdl), baseStats -- removed ++ addedStats)
+  }
 
   /** Read-your-own-writes view (reference MVCC resolve accepts entries
     * with `tsn == my_tsn`, block_driver.rs:461-486): the pinned
@@ -361,9 +574,48 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * base files (without this, manifests could remove one base file
     * twice while publishing both rewrites, resurrecting deleted rows). */
   def read(): DataFrame = {
-    val (base, snapDdl) = inst.stateAt(readVersion)
-    val files = (base.toSet -- removed ++ added).toSeq.sorted
-    inst.viewOf(files, schemaDDL.getOrElse(snapDdl))
+    val (files, ddl, _) = localState()
+    inst.viewOf(files, ddl)
+  }
+
+  /** Files whose manifest obj-id range can contain one of `ids` — the
+    * point-op pruning step (reference: open_read resolves the id
+    * directly to its block, instance.rs:126-134; here the manifest
+    * stats bound the files a delete/update must even open). Files with
+    * no recorded range are always candidates. */
+  private[graft] def candidateFiles(ids: Seq[Long]): Seq[String] = {
+    val (files, _, stats) = localState()
+    val sorted = ids.distinct.sorted.toArray
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= hi
+    }
+    files.filter(f => stats.get(f) match {
+      case Some((lo, hi)) => anyIn(lo, hi)
+      case None => true
+    })
+  }
+
+  /** Rows of `df` whose obj_id is in `ids`: an `isin` literal predicate
+    * for small sets, a broadcast semi-join past
+    * [[EngineConf.idBroadcastThreshold]] (a literal list of millions of
+    * ids would be expanded into the compiled plan). */
+  private def idMatch(df: DataFrame, ids: Seq[Long]): DataFrame =
+    if (ids.size <= inst.conf.idBroadcastThreshold)
+      df.filter(col("obj_id").isin(ids: _*))
+    else df.join(broadcast(idsDf(ids)), Seq("obj_id"), "left_semi")
+
+  /** Complement of [[idMatch]] (anti-join past the threshold). */
+  private def idReject(df: DataFrame, ids: Seq[Long]): DataFrame =
+    if (ids.size <= inst.conf.idBroadcastThreshold)
+      df.filter(!col("obj_id").isin(ids: _*))
+    else df.join(broadcast(idsDf(ids)), Seq("obj_id"), "left_anti")
+
+  private def idsDf(ids: Seq[Long]): DataFrame = {
+    val s = inst.spark
+    import s.implicits._
+    ids.toDF("obj_id")
   }
 
   /** Allocate a globally-unique object id: (tsn << SeqBits) | seq — the
@@ -399,37 +651,50 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
 
   /** Delete objects by id: copy-on-write rewrite of only the files that
     * contain them (reference: delete chain tombstoning,
-    * block_driver.rs:210-249). Reads the txn-local view, so repeated
+    * block_driver.rs:210-249). Manifest id-range stats prune the scan
+    * to candidate files BEFORE any data is read — a point delete on a
+    * million-file table opens the few files whose range covers the ids,
+    * not the whole snapshot. Reads the txn-local view, so repeated
     * mutations in one transaction compose (read-your-own-writes). */
   def delete(ids: Seq[Long]): Unit = {
-    val snap = read().withColumn("_file", input_file_name())
-    val hit = snap.filter(col("obj_id").isin(ids: _*))
-      .select("_file").distinct().collect().map(_.getString(0))
-    if (hit.nonEmpty) {
-      val survivors = snap.filter(col("_file").isin(hit.toSeq: _*))
-        .filter(!col("obj_id").isin(ids: _*)).drop("_file")
-      val rewritten = if (survivors.isEmpty) Nil
-        else inst.writeStaged(survivors, this)
-      retire(hit.toSeq.map(relativize))
-      added ++= rewritten
+    val (_, ddl, _) = localState()
+    val cand = candidateFiles(ids)
+    if (cand.nonEmpty) {
+      val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+      val hit = idMatch(snap, ids)
+        .select("_file").distinct().collect().map(_.getString(0))
+      if (hit.nonEmpty) {
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+        val survivors = idReject(touched, ids)
+        val rewritten = if (survivors.isEmpty) Nil
+          else inst.writeStaged(survivors, this)
+        retire(hit.toSeq.map(relativize))
+        added ++= rewritten
+      }
     }
     objects ++= ids
   }
 
   /** Update objects by id with a column transformation — copy-on-write
     * (reference: open_write under object lock, instance.rs:141-168;
-    * blocking lock replaced by commit-time conflict detection). */
+    * blocking lock replaced by commit-time conflict detection). Same
+    * stats-pruned candidate scan as [[delete]]. */
   def update(ids: Seq[Long], transform: DataFrame => DataFrame): Unit = {
-    val snap = read().withColumn("_file", input_file_name())
-    val hit = snap.filter(col("obj_id").isin(ids: _*))
-      .select("_file").distinct().collect().map(_.getString(0))
-    if (hit.nonEmpty) {
-      val touched = snap.filter(col("_file").isin(hit.toSeq: _*)).drop("_file")
-      val untouchedRows = touched.filter(!col("obj_id").isin(ids: _*))
-      val updatedRows = transform(touched.filter(col("obj_id").isin(ids: _*)))
-      val rewritten = inst.writeStaged(untouchedRows.unionByName(updatedRows), this)
-      retire(hit.toSeq.map(relativize))
-      added ++= rewritten
+    val (_, ddl, _) = localState()
+    val cand = candidateFiles(ids)
+    if (cand.nonEmpty) {
+      val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+      val hit = idMatch(snap, ids)
+        .select("_file").distinct().collect().map(_.getString(0))
+      if (hit.nonEmpty) {
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+        val untouchedRows = idReject(touched, ids)
+        val updatedRows = transform(idMatch(touched, ids))
+        val rewritten =
+          inst.writeStaged(untouchedRows.unionByName(updatedRows), this)
+        retire(hit.toSeq.map(relativize))
+        added ++= rewritten
+      }
     }
     objects ++= ids
   }
@@ -451,5 +716,6 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] def abort(): Unit = {
     inst.deleteStagingDirs(this)
     added.clear(); removed.clear(); objects.clear(); retired.clear()
+    addedStats.clear()
   }
 }

@@ -110,6 +110,71 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd banded random-hyperplane LSH signature over ARRAY<DOUBLE>:
+  * returns ARRAY<LONG> of `nBands` band keys, where band b's key packs
+  * the sign bits of dot(v, plane) for its `rPlanes` hyperplanes.
+  *
+  * Hyperplane weights are deterministic ±1 signs drawn from an integer
+  * mix of (planeIndex, dim) — the same generator as
+  * [[graft.operators.Similarity.lshBucket]], but evaluated as one
+  * primitive loop in generated code instead of `nBands*rPlanes`
+  * interpreted zip_with/aggregate HOF trees (~25x per-row difference at
+  * 256 planes x 64 dims; the signature pass is the O(n) half of an LSH
+  * join, so it must stay cheap as the corpus scales). */
+case class HyperplaneBands(child: Expression, nBands: Int, rPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val keys = new Array[Long](nBands)
+    var j = 0
+    while (j < nBands * rPlanes) {
+      var dot = 0.0; var d = 0
+      while (d < x.length) {
+        var m = (j.toLong << 32) | d.toLong
+        m ^= m >>> 33; m *= 0xff51afd7ed558ccdL
+        m ^= m >>> 33; m *= 0xc4ceb9fe1a85ec53L
+        m ^= m >>> 33
+        dot += (if ((m & 1L) == 0L) x(d) else -x(d))
+        d += 1
+      }
+      if (dot > 0) keys(j / rPlanes) |= (1L << (j % rPlanes))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addNewFunction("graftHyperplaneBands",
+      s"""
+         |private org.apache.spark.sql.catalyst.util.GenericArrayData
+         |    graftHyperplaneBands(org.apache.spark.sql.catalyst.util.ArrayData arr) {
+         |  double[] x = arr.toDoubleArray();
+         |  long[] keys = new long[$nBands];
+         |  for (int j = 0; j < ${nBands * rPlanes}; j++) {
+         |    double dot = 0.0;
+         |    for (int d = 0; d < x.length; d++) {
+         |      long m = ((long) j << 32) | (long) d;
+         |      m ^= m >>> 33; m *= 0xff51afd7ed558ccdL;
+         |      m ^= m >>> 33; m *= 0xc4ceb9fe1a85ec53L;
+         |      m ^= m >>> 33;
+         |      dot += ((m & 1L) == 0L) ? x[d] : -x[d];
+         |    }
+         |    if (dot > 0) keys[j / $rPlanes] |= (1L << (j % $rPlanes));
+         |  }
+         |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(keys);
+         |}
+       """.stripMargin)
+    defineCodeGen(ctx, ev, c => s"$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   private def register(spark: SparkSession, name: String,
@@ -127,5 +192,14 @@ object VectorExpressions {
   def rollingHash(spark: SparkSession, c: Column): Column = {
     register(spark, "graft_rolling_hash", exprs => RollingHash(exprs(0)))
     call_function("graft_rolling_hash", c)
+  }
+
+  /** Banded LSH keys (one registered function per parameterization —
+    * the params are codegen'd constants, not runtime arguments). */
+  def hyperplaneBands(spark: SparkSession, v: Column,
+      nBands: Int, rPlanes: Int): Column = {
+    val name = s"graft_hp_bands_${nBands}_$rPlanes"
+    register(spark, name, exprs => HyperplaneBands(exprs(0), nBands, rPlanes))
+    call_function(name, v)
   }
 }

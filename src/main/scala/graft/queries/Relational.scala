@@ -24,26 +24,48 @@ object Relational {
     * exp(mean(ln(x))); partial-aggregating (map-side combine) like any
     * built-in agg, so it scales.
     *
-    * Per-row logs are rounded to 15 decimal places and summed as exact
-    * BigDecimal, so the result is independent of partition/summation
-    * order (same rule as Engine.dsum: double sums reordered across tasks
-    * flip low bits, which can flip the final ROUND). The 15 dp per-row
-    * quantization deviates from the true log by <= 5e-16 relative —
-    * far inside the 6 dp output rounding. */
-  object GeoMean extends Aggregator[Double, (java.math.BigDecimal, Long), Double] {
+    * Per-row logs are quantized to 15 decimal places as a scaled LONG
+    * (math.rint(log*1e15) — one multiply, no boxing) and summed with
+    * exact integer arithmetic, so the result is independent of
+    * partition/summation order (same rule as Engine.dsum: double sums
+    * reordered across tasks flip low bits, which can flip the final
+    * ROUND). |log(finite double)| <= 709.8, so a scaled row is
+    * <= 7.1e17; the running long spills into a BigDecimal once |sum|
+    * exceeds 2e18, keeping both reduce-adds and merge-adds provably
+    * inside Long range for any row count. Quantization deviates from
+    * the true log by <= ~1e-15 absolute — far inside the 6 dp output
+    * rounding.
+    *
+    * Non-positive or non-finite input (ln undefined) sets an invalid
+    * counter and finish returns NaN — the graceful behavior of a plain
+    * double sum (NaN propagates), without crashing the job. */
+  object GeoMean extends Aggregator[Double, (java.math.BigDecimal, Long, Long, Long), Double] {
     private val Scale = 15
-    private def q(x: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(math.log(x))
-        .setScale(Scale, java.math.RoundingMode.HALF_EVEN)
-    def zero: (java.math.BigDecimal, Long) = (java.math.BigDecimal.ZERO, 0L)
-    def reduce(b: (java.math.BigDecimal, Long), x: Double): (java.math.BigDecimal, Long) =
-      (b._1.add(q(x)), b._2 + 1)
-    def merge(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): (java.math.BigDecimal, Long) =
-      (a._1.add(b._1), a._2 + b._2)
-    def finish(b: (java.math.BigDecimal, Long)): Double =
-      if (b._2 == 0) Double.NaN else math.exp(b._1.doubleValue / b._2)
+    private val SpillAt = 2000000000000000000L // 2e18
+
+    private def norm(spill: java.math.BigDecimal, lo: Long): (java.math.BigDecimal, Long) =
+      if (lo > SpillAt || lo < -SpillAt)
+        (spill.add(java.math.BigDecimal.valueOf(lo, Scale)), 0L)
+      else (spill, lo)
+
+    def zero: (java.math.BigDecimal, Long, Long, Long) =
+      (java.math.BigDecimal.ZERO, 0L, 0L, 0L)
+    def reduce(b: (java.math.BigDecimal, Long, Long, Long), x: Double): (java.math.BigDecimal, Long, Long, Long) =
+      if (x > 0 && !x.isInfinite)
+        { val (s, lo) = norm(b._1, b._2 + math.rint(math.log(x) * 1e15).toLong)
+          (s, lo, b._3 + 1, b._4) }
+      else (b._1, b._2, b._3, b._4 + 1)
+    def merge(a: (java.math.BigDecimal, Long, Long, Long), b: (java.math.BigDecimal, Long, Long, Long)): (java.math.BigDecimal, Long, Long, Long) =
+      { val (s, lo) = norm(a._1.add(b._1), a._2 + b._2)
+        (s, lo, a._3 + b._3, a._4 + b._4) }
+    def finish(b: (java.math.BigDecimal, Long, Long, Long)): Double =
+      if (b._4 > 0 || b._3 == 0) Double.NaN
+      else math.exp(
+        b._1.add(java.math.BigDecimal.valueOf(b._2, Scale)).doubleValue / b._3)
     def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.DECIMAL,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaLong)
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }

@@ -76,7 +76,9 @@ class AcidSpec extends AnyFunSuite {
     assert(state == Map(1L -> 11L, 2L -> 20L)) // no resurrection, no dupes
   }
 
-  test("concurrent counter: 4 threads x 10 increments with retry") {
+  test("concurrent counter: 4 threads x 10 increments via withRetry") {
+    // the ergonomic path (reference: blocking lock wait with timeout,
+    // tran_mgr.rs:85-127) — callers no longer hand-roll the retry loop
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t0 = inst.begin()
     t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
@@ -84,19 +86,31 @@ class AcidSpec extends AnyFunSuite {
 
     val threads = (0 until 4).map { _ =>
       new Thread(() => {
-        var done = 0
-        while (done < 10) {
-          val t = inst.begin()
-          try {
+        (0 until 10).foreach { _ =>
+          inst.withRetry(maxAttempts = 1000, backoffMs = 2) { t =>
             t.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
-            inst.commit(t)
-            done += 1
-          } catch { case _: ConflictException => () } // retry
+          }
         }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     assert(inst.read().head().getLong(1) == 40L)
+  }
+
+  test("withRetry gives up after maxAttempts with the conflict surfaced") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    intercept[ConflictException] {
+      inst.withRetry(maxAttempts = 2, backoffMs = 1) { t =>
+        t.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+        // sabotage: another commit on the same object wins every time
+        val rival = inst.begin()
+        rival.update(Seq(1L), df => df.withColumn("value", col("value") + 10))
+        inst.commit(rival)
+      }
+    }
   }
 
   test("read-your-own-writes: two deletes in one txn on a shared file") {
@@ -191,5 +205,155 @@ class AcidSpec extends AnyFunSuite {
       inst.commit(t)
     }
     assert((0 to 3).map(inst.snapshot(_).count()).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("point ops prune to the files whose id range can hold the target") {
+    // 3 commits -> 3 files with disjoint id ranges recorded in manifests;
+    // a 1-object update must consider exactly 1 candidate file
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    Seq(1L to 10L, 100L to 110L, 200L to 210L).foreach { r =>
+      val t = inst.begin()
+      t.insert(r.map(i => (i, i)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val probe = inst.begin()
+    assert(probe.candidateFiles(Seq(105L)).size == 1,
+      "manifest id-range stats must narrow a point op to one file")
+    assert(probe.candidateFiles(Seq(105L, 205L)).size == 2)
+    assert(probe.candidateFiles(Seq(999L)).isEmpty) // out of every range
+    inst.rollback(probe)
+
+    val t = inst.begin()
+    t.update(Seq(105L), df => df.withColumn("value", col("value") * 2))
+    inst.commit(t)
+    val state = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state(105L) == 210L && state(1L) == 1L && state(205L) == 205L)
+    assert(state.size == 32) // 10 + 11 + 11 rows, none lost or duplicated
+  }
+
+  test("bulk delete (10k ids) goes through the broadcast-join path") {
+    // conf.idBroadcastThreshold default 1000 << 9000 ids: the predicate
+    // must not expand into an isin literal list
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(spark.range(1, 10001).select(col("id").as("obj_id"),
+      col("id").as("value")))
+    inst.commit(t0)
+
+    val t = inst.begin()
+    t.delete((1L to 9000L))
+    inst.commit(t)
+    assert(inst.read().count() == 1000)
+    assert(inst.read().agg(min("obj_id")).head.getLong(0) == 9001L)
+  }
+
+  test("EngineConf: checkpointInterval=2 produces checkpoint manifests at v2/v4") {
+    val dir = freshDir()
+    val conf = graft.acid.EngineConf(checkpointInterval = 2)
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    (1 to 5).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i.toLong)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    def manifest(v: Long) = VersionedTable.fromJson(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(new java.net.URI(dir).getPath,
+        "_manifests", f"v$v%020d.json")))
+    assert(manifest(2).checkpoint && manifest(4).checkpoint)
+    assert(!manifest(3).checkpoint && !manifest(5).checkpoint)
+    assert(manifest(4).allFiles.size == manifest(4).stats.size) // rolled forward
+    // a reader opened with the same conf replays from v4, full history reads
+    val reopened = VersionedTable.open(spark, dir, conf)
+    assert((0 to 5).map(reopened.snapshot(_).count()).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("vacuum with multiple checkpoints: bounded walk, retained reads intact") {
+    val dir = freshDir()
+    val conf = graft.acid.EngineConf(checkpointInterval = 2, orphanGraceMs = 0L)
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    (1 to 7).foreach { i =>
+      val t = inst.begin()
+      if (i == 1) t.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
+      else t.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+      inst.commit(t)
+    }
+    val head = inst.latestVersion // 7; checkpoints at v2, v4, v6
+    // manifest phase: retain 3 -> horizon v5, governing checkpoint v4;
+    // v4's file (retired at v5) is reclaimed without reading manifests
+    // v0..v3
+    val removed = inst.vacuum(retainVersions = 3)
+    assert(removed >= 1, "the file retired after the horizon checkpoint")
+    assert(inst.snapshot(head).head().getLong(1) == 6L)
+    assert(inst.snapshot(head - 1).head().getLong(1) == 5L)
+    assert(inst.snapshot(head - 2).head().getLong(1) == 4L)
+    // files retired BEFORE v4 are invisible to the bounded walk (they
+    // were reclaimable by earlier vacuums); the disk-listing orphan
+    // sweep is the backstop that gets them regardless of history
+    Thread.sleep(20)
+    val swept = inst.vacuum(retainVersions = 3, sweepOrphans = true)
+    assert(swept >= 3, s"v1..v3's retired files, got $swept")
+    assert(inst.snapshot(head).head().getLong(1) == 6L)
+  }
+
+  test("a corrupted on-disk manifest is detected on read (R30 integration)") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t = inst.begin()
+    t.insert(Seq((1L, 1L)).toDF("obj_id", "value"))
+    inst.commit(t)
+    val p = java.nio.file.Paths.get(new java.net.URI(dir).getPath,
+      "_manifests", f"v${1L}%020d.json")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // flip a byte inside the payload (not the crc suffix)
+    bytes(bytes.length / 3) = (bytes(bytes.length / 3) ^ 0x01).toByte
+    java.nio.file.Files.write(p, bytes)
+    intercept[Exception] { VersionedTable.open(spark, dir).read().count() }
+  }
+
+  test("vacuum orphan sweep reclaims crashed-txn staging, spares live data") {
+    val dir = freshDir()
+    val conf = graft.acid.EngineConf(orphanGraceMs = 0L)
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 1L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+
+    // simulate a crash: a txn stages data and is never committed or
+    // rolled back — its files are referenced by no manifest
+    val crashed = inst.begin()
+    crashed.insert(Seq((99L, 99L)).toDF("obj_id", "value"))
+    Thread.sleep(20) // pass the (zero) grace with mtime strictly older
+    val removed = inst.vacuum(retainVersions = 10, sweepOrphans = true)
+    assert(removed > 0, "orphaned staging should be swept")
+    assert(inst.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("streaming foreachBatch sink: one commit per micro-batch, batch-equivalent") {
+    // split sf0.001 events into 3 files -> maxFilesPerTrigger=1 gives 3
+    // micro-batches -> 3 transactional commits (group-commit analog)
+    val evDir = Files.createTempDirectory("graft_ev_split_")
+    val events = Engine.table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(3).write.mode("overwrite").parquet(evDir.toString)
+
+    val raw = spark.read.parquet(evDir.toString)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(evDir.toString)
+
+    val tableDir = freshDir()
+    val inst = VersionedTable.create(spark, tableDir,
+      raw.schema.add("obj_id", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val v0 = inst.latestVersion
+    val batches = graft.streaming.AcidSink.runInto(inst, stream, "event_id")
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+    assert(inst.latestVersion == v0 + 3) // one commit per batch
+    assert(inst.read().count() == events.count())
+    // committed table agrees with the batch aggregate over the source
+    val fromTable = inst.read().groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromBatch = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromTable == fromBatch)
   }
 }

@@ -58,4 +58,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand.head.getAs[Long]("c") ==
       Engine.table(spark, dir, "lineitem").count())
   }
+
+  test("GeoMean matches exp(mean(ln)) and is partition invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val xs = Seq(1.0, 2.5, 10.0, 40.0, 0.125)
+    val expected = math.exp(xs.map(math.log).sum / xs.size)
+    val gm = udaf(queries.Relational.GeoMean)
+    for (parts <- Seq(1, 3, 5)) {
+      val got = xs.toDF("x").repartition(parts)
+        .agg(gm(col("x"))).head.getDouble(0)
+      assert(math.abs(got - expected) < 1e-9, s"parts=$parts got=$got")
+    }
+  }
+
+  test("GeoMean returns NaN (not a crash) on non-positive or non-finite input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gm = udaf(queries.Relational.GeoMean)
+    for (bad <- Seq(0.0, -3.0, Double.NaN, Double.PositiveInfinity)) {
+      val got = Seq(1.0, 2.0, bad).toDF("x").agg(gm(col("x"))).head.getDouble(0)
+      assert(got.isNaN, s"bad=$bad got=$got")
+    }
+    // empty group is NaN too (no defined geometric mean)
+    assert(Seq.empty[Double].toDF("x").agg(gm(col("x"))).head.getDouble(0).isNaN)
+  }
 }

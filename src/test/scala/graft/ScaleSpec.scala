@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.SkewJoin
+import graft.operators.{Similarity, SkewJoin}
 
 /** Scale-technique tests: salting for skew and bucketing for
   * co-located (shuffle-free) joins — the manual levers used when AQE
@@ -58,5 +58,38 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$p")
     assert(joined.count() ==
       Engine.table(spark, dir, "orders").count()) // FK: every order matches
+  }
+
+  test("LSH near-dup is a zero-false-positive subset of exact with bounded recall loss") {
+    // deterministic hyperplanes -> this is a pinned result, not a flaky
+    // statistical check. tau=0.4 on near-orthogonal synthetic vectors is
+    // the WORST case for LSH (p^r collapses as angle -> 90 deg); the
+    // subset property must still be exact and recall stays usable.
+    val e = Engine.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = Similarity.cosineNearDup(e, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupLsh(e, 0.4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall collapsed: $recall")
+  }
+
+  test("codegen'd HyperplaneBands matches the interpreted plane generator") {
+    // the expression and Similarity.lshBucket draw signs from the same
+    // (plane, dim) integer mix — cross-check one vector end to end
+    val e = Engine.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(8)
+    val viaExpr = e.select(col("vec_id"),
+        graft.expressions.VectorExpressions
+          .hyperplaneBands(spark, col("v"), 1, 16)(0).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = e.select(col("vec_id"),
+        Similarity.lshBucket(col("v"), dim = 64, nPlanes = 16).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaHof)
   }
 }

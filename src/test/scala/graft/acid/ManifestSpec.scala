@@ -23,7 +23,9 @@ class ManifestSpec extends AnyFunSuite {
     objs <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
     ckpt <- Gen.oneOf(true, false)
     all <- Gen.listOf(Gen.identifier)
-  } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all)
+    stats <- Gen.mapOf(Gen.zip(Gen.identifier,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(1000L, 2000L))))
+  } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
@@ -38,5 +40,26 @@ class ManifestSpec extends AnyFunSuite {
         val m = Manifest(1, 2, ddl, Nil, Nil, Nil, checkpoint = false, Nil)
         assert(fromJson(toJson(m)) == m, s"ddl=<$ddl>")
       }
+  }
+
+  test("a corrupted manifest fails the crc check loudly (R30)") {
+    val m = Manifest(3, 42, "obj_id BIGINT", Seq("a/f1.parquet"), Nil,
+      Seq(1L, 2L), checkpoint = false, Nil, Map("a/f1.parquet" -> (1L, 2L)))
+    val json = toJson(m)
+    assert(fromJson(json) == m) // intact passes
+    // flip one payload byte (a digit of tsn) — the parser would still
+    // accept the shape, only the crc catches the corruption
+    val corrupted = json.replaceFirst("\"tsn\":42", "\"tsn\":43")
+    val e = intercept[java.io.IOException] { fromJson(corrupted) }
+    assert(e.getMessage.contains("integrity"))
+  }
+
+  test("pre-crc/pre-stats manifests (round-2 format) still parse") {
+    val legacy = """{"version":5,"tsn":9,"schemaDDL":"obj_id BIGINT",""" +
+      """"added":["d/f.parquet"],"removed":[],"objects":[7],""" +
+      """"checkpoint":false,"allFiles":[]}"""
+    val m = fromJson(legacy)
+    assert(m.version == 5 && m.tsn == 9 && m.added == Seq("d/f.parquet"))
+    assert(m.stats.isEmpty)
   }
 }
