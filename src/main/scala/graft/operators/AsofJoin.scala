@@ -27,9 +27,17 @@ object AsofJoin {
     * The carried value is a single-field STRUCT, not the bare value:
     * `last(ignoreNulls)` then selects by row PRESENCE, so a right row
     * whose payload is NULL still wins the match (DuckDB ASOF semantics —
-    * nearest row regardless of payload nullness). Ties among right rows
-    * at the same (key, ts) are broken deterministically by ordering on
-    * the struct itself (last = greatest payload). */
+    * nearest row regardless of payload nullness).
+    *
+    * REQUIRES an ORDERABLE `valueCol` (numeric/string/date/struct —
+    * not map): the struct participates in the window ORDER BY, which
+    * both makes the result deterministic and defines THIS operator's
+    * tie-break for duplicate right rows at the same (key, ts): the
+    * GREATEST payload wins. ASOF semantics leave that tie undefined
+    * (DuckDB picks an arbitrary one); ours is pinned by test
+    * (AsofJoinSpec) so results never depend on partitioning. Callers
+    * with an unorderable payload should join on a surrogate orderable
+    * column (e.g. a row id) and fetch the payload afterwards. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCol: String, asofCol: String): DataFrame = {
     val leftCols = left.columns
