@@ -116,7 +116,19 @@ object Dedup {
     * 5–10 — use many narrow bands (default 16×4 bits, recall guaranteed
     * to hamming 15) and let hamming filter + exact verification at `tau`
     * remove false positives. At web scale with large feature sets,
-    * 4×16-bit bands and maxHamming ≈ 3 is the cheaper classic setting. */
+    * 4×16-bit bands and maxHamming ≈ 3 is the cheaper classic setting.
+    *
+    * Candidate enumeration is per-BUCKET, not a self-join: with 4-bit
+    * band keys a bucket holds n/16 docs, and a (band,key) equi-join
+    * materializes ~n²/2 joined rows just to discard ~all of them at the
+    * hamming check (12.7M rows / 443 survivors at sf0.1 — the join
+    * machinery cost 6 s where the XOR+popcount work is milliseconds).
+    * Instead each bucket's (id, fingerprint) pairs are collected into
+    * one row and the quadratic loop runs as primitive-array flatMap
+    * with the hamming test inline, emitting only survivors. Bucket
+    * size bounds the loop: keys must be wide enough that a bucket fits
+    * in memory (at 1e9 docs use 16-bit bands; the 4-bit default is for
+    * the hamming-15 guarantee at moderate n). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, tau: Double = 0.9, maxHamming: Int = 15,
       nBands: Int = 16): DataFrame = {
@@ -130,16 +142,34 @@ object Dedup {
       posexplode(array((0 until nBands).map(kk =>
         shiftright(col("fp"), kk * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "key")))
-    // hamming-filter BEFORE distinct: with narrow bands the raw
-    // candidate multiset is huge, but random pairs sit at hamming ~32
-    // so the bit_count filter kills them pre-shuffle
-    val cand = bands
-      .select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
-      .join(bands.select(col("id").as("id_b"), col("fp").as("fp_b"),
-        col("band"), col("key")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b") &&
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
-      .select("id_a", "id_b").distinct()
+    val pairEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val cand = bands.groupBy("band", "key")
+      .agg(collect_list(struct(col("id"), col("fp"))).as("es"))
+      .select(col("es"))
+      .flatMap { (row: org.apache.spark.sql.Row) =>
+        val es = row.getSeq[org.apache.spark.sql.Row](0)
+        val n = es.size
+        val ids = new Array[Long](n)
+        val fps = new Array[Long](n)
+        var i = 0
+        es.foreach { e => ids(i) = e.getLong(0); fps(i) = e.getLong(1); i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            if (java.lang.Long.bitCount(fps(i) ^ fps(j)) <= maxHamming)
+              out += (if (ids(i) < ids(j)) (ids(i), ids(j))
+                      else (ids(j), ids(i)))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }(pairEnc)
+      .toDF("id_a", "id_b").distinct()
     verifyPairs(cand, ds, tau)
   }
 
