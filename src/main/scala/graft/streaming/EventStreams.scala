@@ -127,21 +127,38 @@ object EventStreams {
     // analog of the reference's per-object transactional counters in
     // its concurrency test, instance.rs:724-758). One batch processes
     // all rows, so each user emits exactly one final update.
+    //
+    // State is GC'd via EventTimeTimeout: each update arms a timeout at
+    // last-seen-ts + 1 hour, and once the watermark passes it the state
+    // is dropped (emitting nothing — counts were already emitted on
+    // update). On an unbounded keyspace NoTimeout would leak one state
+    // entry per user forever; this is the production-required shape.
     "q23_stream_custom_state" -> Q(
       "SELECT user_id, COUNT(*) AS c FROM events " +
       "GROUP BY user_id ORDER BY user_id") {
       (s, dir) =>
         import s.implicits._
-        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-        val users = eventsStream(s, dir).select(col("user_id")).as[Long]
-        val counted = users.groupByKey(identity)
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val events = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+        val counted = events.groupByKey(_._1)
           .flatMapGroupsWithState(
-            OutputMode.Update, GroupStateTimeout.NoTimeout) {
-            (uid: Long, rows: Iterator[Long],
-             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-              val c = state.getOption.getOrElse(0L) + rows.size
-              state.update(c)
-              Iterator((uid, c))
+            OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+            (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+             state: GroupState[Long]) =>
+              if (state.hasTimedOut) {
+                state.remove() // GC: final count was already emitted
+                Iterator.empty
+              } else {
+                var c = state.getOption.getOrElse(0L)
+                var maxTs = Long.MinValue
+                rows.foreach { r => c += 1; maxTs = math.max(maxTs, r._2.getTime) }
+                state.update(c)
+                state.setTimeoutTimestamp(maxTs + 3600 * 1000L)
+                Iterator((uid, c))
+              }
           }
         runToTable(s, counted.toDF("user_id", "c"),
           "q23_custom_state_sink", "update")

@@ -60,4 +60,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q20_subquery").contains("BroadcastNestedLoopJoin") ||
       plan("q20_subquery").contains("BroadcastHashJoin"))
   }
+
+  test("q25 embed near-dup: cosine threshold lives IN the join condition") {
+    // the 10x regression shape: cosine in a filter ABOVE the join
+    // materializes every candidate pair (two arrays each) before
+    // discarding it; keeping it in the BNLJ condition evaluates inside
+    // the codegen'd probe loop with zero row construction for misses
+    val p = plan("q25_embed_neardup")
+    val bnlj = p.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin")).getOrElse("")
+    assert(bnlj.nonEmpty, s"expected a broadcast nested-loop join:\n$p")
+    assert(bnlj.toLowerCase.contains("cosinesimilarity") ||
+      bnlj.contains("graft_cosine_sim"),
+      s"cosine threshold not in the join condition:\n$bnlj")
+  }
 }
