@@ -67,6 +67,25 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic frame sampler for video-shaped payloads: the payload
+    * is treated as a sequence of `frameBytes`-sized frames and every
+    * `stride`-th frame becomes its own row (doc, frame index, frame
+    * bytes). Byte-slicing stands in for a real demuxer (none in this
+    * container); the one-row→many-frames explode dataflow is the
+    * production shape — narrow, no shuffle, frame rows feed the same
+    * [[extractFeatures]] path as whole payloads. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val nFrames = ceil(octet_length(col("p")) / lit(frameBytes.toDouble))
+      .cast("int")
+    df.select(col(idCol), col(payloadCol).as("p"))
+      .withColumn("fidx", explode(
+        sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+      .select(col(idCol), col("fidx"),
+        col("p").substr(col("fidx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // binary round-trip: pack → meta/digest projections match DuckDB
@@ -89,6 +108,26 @@ object Multimodal {
         extractFeatures(packed, "doc_id", "payload")
           .select(col("id"), round(element_at(col("features"), 1), 4).as("f0"))
           .orderBy("id")
+    },
+
+    // frame sampling over video-shaped payloads; byte-sliced frames are
+    // digest-compared against DuckDB slicing the same content. DuckDB
+    // 1.0 has no BLOB substring, so the oracle slices the VARCHAR —
+    // equivalent byte-for-byte because the documents fixture is pure
+    // ASCII (verified octet_length == length at every SF); Spark still
+    // slices the BINARY payload
+    "q28_frame_sample" -> Q(
+      "WITH m AS (SELECT doc_id, text AS p, " +
+      "CAST(CEIL(octet_length(encode(text))/256.0) AS INT) AS nf FROM documents), " +
+      "f AS (SELECT doc_id, p, unnest(generate_series(0, " +
+      "GREATEST(nf-1, 0), 4)) AS fidx FROM m) " +
+      "SELECT doc_id, fidx, md5(substring(p, fidx*256+1, 256)) AS digest " +
+      "FROM f ORDER BY doc_id, fidx") {
+      (s, dir) =>
+        val packed = packAsMedia(Engine.table(s, dir, "documents"), "text")
+        sampleFrames(packed, "doc_id", "payload")
+          .select(col("doc_id"), col("fidx"), md5(col("frame")).as("digest"))
+          .orderBy("doc_id", "fidx")
     }
   )
 }

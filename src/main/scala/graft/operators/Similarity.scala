@@ -91,6 +91,72 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF (inverted-file) ANN: k-means cells + nProbe-cell search — the
+    * other classic sub-quadratic index besides LSH.
+    *
+    * Train: deterministic k-means over a sample — centroids init from
+    * the first `nCells` vector ids (fixed seed: results never depend on
+    * partitioning), then `iters` Lloyd rounds; each round is one
+    * broadcast-join assign + one groupBy-mean reduce, and only the
+    * nCells x dim centroid matrix ever reaches the driver (the model,
+    * not the data — same driver/executor split as Spark ML).
+    *
+    * Index: one broadcast pass assigns every corpus vector its nearest
+    * centroid cell (a shuffle-free narrow map; the cell id becomes the
+    * partition/bucket key at scale).
+    *
+    * Query: each query probes its `nProbe` nearest cells, so the
+    * scanned fraction is ~nProbe/nCells of the corpus. Recall < 1 by
+    * construction (a true neighbor can live in an unprobed cell) —
+    * approximate, declared rows-only; the exact brute-force query is
+    * the verifiable anchor. */
+  def annTop1Ivf(all: DataFrame, queries: DataFrame, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val s = all.sparkSession
+    // ---- train: Lloyd iterations; centroids live on the driver -------
+    var centroids: Array[(Int, Seq[Double])] = all
+      .orderBy("vec_id").limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    def nearestCell(v: Column): Column = {
+      // argmin over cells of (1 - cosine) == argmax cosine
+      val scored = centroids.map { case (c, w) =>
+        struct(cosine(s, v, array(w.map(lit): _*)).as("cs"),
+          lit(c).as("cell"))
+      }
+      greatest(scored: _*)("cell")
+    }
+    (1 to iters).foreach { _ =>
+      val updated = all.withColumn("cell", nearestCell(col("v")))
+        .groupBy("cell")
+        .agg(array((0 until dim).map(d =>
+          avg(col("v")(d))): _*).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // a cell that captured no vectors keeps its previous centroid
+      centroids = centroids.map { case (c, old) => (c, updated.getOrElse(c, old)) }
+    }
+    // ---- index: assign corpus vectors to cells (narrow map) ----------
+    val indexed = all.withColumn("cell", nearestCell(col("v")))
+    // ---- probe: nProbe nearest cells per query -----------------------
+    val probes = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("qid"), col("qv"), explode(array((0 until nCells).map { c =>
+        struct(cosine(s, col("qv"),
+          array(centroids(c)._2.map(lit): _*)).as("cs"), lit(c).as("cell"))
+      }: _*)).as("sc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sc.cs").desc, col("sc.cell"))))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("sc.cell").as("cell"))
+    val cand = indexed.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(s, col("qv"), col("v")), 4).as("cs"))
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("cs"))
+      .orderBy("vec_id")
+  }
+
   /** All EXACT pairs with cosine >= tau (embedding near-dup).
     *
     * The threshold lives in the JOIN CONDITION, not a post-join filter:
@@ -185,6 +251,14 @@ object Similarity {
       (s, dir) =>
         val all = emb(s, dir)
         annTop1Lsh(all, all.filter(col("vec_id") < 20), dim = 64)
+    },
+
+    // approximate (IVF, 4-of-16 cells probed): deterministic seeded
+    // k-means, rows-only; ScaleSpec pins recall vs the exact query
+    "q26_ann_ivf" -> Q.noOracle {
+      (s, dir) =>
+        val all = emb(s, dir)
+        annTop1Ivf(all, all.filter(col("vec_id") < 20), dim = 64)
     },
 
     "q25_embed_neardup" -> Q(

@@ -77,6 +77,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall collapsed: $recall")
   }
 
+  test("IVF ANN agrees with exact search on most queries (pinned, deterministic)") {
+    // seeded init + fixed Lloyd rounds -> the index is a pure function
+    // of the fixture; probing 4 of 16 cells scans ~25% of the corpus
+    val e = Engine.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.annTop1(e, q)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.annTop1Ivf(e, q, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet == exact.keySet) // every query answered
+    val agree = exact.count { case (k, v) => ivf.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.5).toInt,
+      s"IVF found the true top-1 for only $agree/${exact.size} queries")
+  }
+
   test("codegen'd HyperplaneBands matches the interpreted plane generator") {
     // the expression and Similarity.lshBucket draw signs from the same
     // (plane, dim) integer mix — cross-check one vector end to end
