@@ -111,7 +111,7 @@ object Similarity {
     * approximate, declared rows-only; the exact brute-force query is
     * the verifiable anchor. */
   def annTop1Ivf(all: DataFrame, queries: DataFrame, dim: Int,
-      nCells: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val s = all.sparkSession
     // ---- train: Lloyd iterations; centroids live on the driver -------
     var centroids: Array[(Int, Seq[Double])] = all
