@@ -218,7 +218,15 @@ final case class EngineConf(
     conflictMaxAttempts: Int = 5,
     conflictBackoffMs: Long = 20L,
     idBroadcastThreshold: Int = 1000,
-    orphanGraceMs: Long = 24L * 3600 * 1000)
+    orphanGraceMs: Long = 24L * 3600 * 1000) {
+  // fail at construction, not mid-commit (a checkpointInterval of 0
+  // would otherwise surface as ArithmeticException after staging data)
+  require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
+  require(conflictMaxAttempts >= 1, s"conflictMaxAttempts must be >= 1")
+  require(conflictBackoffMs >= 0, s"conflictBackoffMs must be >= 0")
+  require(idBroadcastThreshold >= 0, s"idBroadcastThreshold must be >= 0")
+  require(orphanGraceMs >= 0, s"orphanGraceMs must be >= 0")
+}
 
 /** Conflict = another transaction committed the same objects after this
   * transaction's snapshot (optimistic analog of tran_mgr lock waits). */
@@ -344,7 +352,12 @@ final class Instance(val spark: SparkSession, val root: String,
 
   /** (min, max) of the obj_id column from a parquet file's footer
     * statistics; None when the column is absent or stats are missing
-    * (the file is then never pruned — conservative). */
+    * (the file is then never pruned — conservative).
+    *
+    * EVERY non-empty row group must contribute stats, or the range is
+    * discarded: a partial range recorded from some blocks would let
+    * [[Txn.candidateFiles]] prune a file whose stats-less block holds
+    * the target id — a silent missed delete/update. */
   private[acid] def footerIdRange(p: Path): Option[(Long, Long)] = {
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -352,22 +365,28 @@ final class Instance(val spark: SparkSession, val root: String,
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks
-        var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        var seen = false; var complete = true
         blocks.forEach { b =>
-          b.getColumns.forEach { c =>
-            if (c.getPath.toDotString == "obj_id") {
-              val st = c.getStatistics
-              if (st != null && st.hasNonNullValue) {
-                (st.genericGetMin, st.genericGetMax) match {
-                  case (mn: java.lang.Long, mx: java.lang.Long) =>
-                    lo = math.min(lo, mn); hi = math.max(hi, mx); seen = true
-                  case _ => ()
+          if (b.getRowCount > 0) {
+            var blockHasStats = false
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "obj_id") {
+                val st = c.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      lo = math.min(lo, mn); hi = math.max(hi, mx)
+                      seen = true; blockHasStats = true
+                    case _ => ()
+                  }
                 }
               }
             }
+            if (!blockHasStats) complete = false
           }
         }
-        if (seen) Some((lo, hi)) else None
+        if (seen && complete) Some((lo, hi)) else None
       } finally reader.close()
     } catch { case _: Exception => None }
   }
@@ -447,14 +466,20 @@ final class Instance(val spark: SparkSession, val root: String,
     * in-flight transactions appear in no manifest and must never be
     * reclaimed by the manifest phase.
     *
-    * Phase 2 (orphan sweep, `sweepOrphans=true`): data files present on
+    * Phase 2 (orphan sweep, on by default): data files present on
     * disk but referenced by NO manifest in the bounded walk — staging
     * left by a transaction that crashed between publish and
-    * [[deleteRetired]], or by a process that died mid-rollback — are
-    * removed once older than `conf.orphanGraceMs` (the grace shields
-    * live in-flight staging, which is also unreferenced). Empty staging
-    * dirs (incl. _SUCCESS-only) are pruned. */
-  def vacuum(retainVersions: Int, sweepOrphans: Boolean = false): Int = {
+    * [[deleteRetired]], a process that died mid-rollback, or files
+    * retired before the horizon checkpoint that no earlier vacuum
+    * reclaimed — are removed once older than `conf.orphanGraceMs`
+    * (the grace shields live in-flight staging, which is also
+    * unreferenced; transactions open longer than the grace must not
+    * overlap a sweep). Empty staging dirs (incl. _SUCCESS-only) are
+    * pruned. The disk listing, not the log, is the ground truth for
+    * reclamation — so phase 2 keeps "everything unreferenced is
+    * eventually reclaimed" even though phase 1's manifest walk is
+    * bounded. */
+  def vacuum(retainVersions: Int, sweepOrphans: Boolean = true): Int = {
     val head = latestVersion
     val horizon = math.max(0L, head - retainVersions + 1)
     val live = (horizon to head).flatMap(stateAt(_)._1).toSet
@@ -509,6 +534,11 @@ final class Instance(val spark: SparkSession, val root: String,
         case e: ConflictException =>
           if (attempt >= maxAttempts) throw e
           Thread.sleep(backoffMs * attempt)
+        case e: Throwable =>
+          // a failing body (not a commit conflict) must not leak its
+          // staged files — vacuum's manifest phase can never see them
+          rollback(t)
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")

@@ -40,10 +40,14 @@ object Dedup {
   /** Docs with id + distinct shingle-hash set (one-pass codegen-friendly
     * scan, see [[graft.expressions.ShingleHashes]]) + set size. All
     * downstream consumers need only set semantics, so 64-bit hashes
-    * replace shingle strings: smaller shuffles, cheap equality. */
+    * replace shingle strings: smaller shuffles, cheap equality.
+    *
+    * `idCol` must be NUMERIC (it is normalized to LONG here — the
+    * per-bucket simhash pair loop and the `<` pair ordering both
+    * operate on primitive longs); non-numeric ids need a surrogate. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).cast("long").as("id"),
       graft.expressions.ShingleHashes
         .shingleHashes(docs.sparkSession, col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -114,16 +114,19 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val s = all.sparkSession
     // ---- train: Lloyd iterations; centroids live on the driver -------
+    // a corpus smaller than nCells just gets one cell per vector
     var centroids: Array[(Int, Seq[Double])] = all
       .orderBy("vec_id").limit(nCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    require(centroids.nonEmpty, "IVF index over an empty corpus")
     def nearestCell(v: Column): Column = {
       // argmin over cells of (1 - cosine) == argmax cosine
       val scored = centroids.map { case (c, w) =>
         struct(cosine(s, v, array(w.map(lit): _*)).as("cs"),
           lit(c).as("cell"))
       }
-      greatest(scored: _*)("cell")
+      if (scored.length == 1) scored.head("cell")
+      else greatest(scored.toIndexedSeq: _*)("cell")
     }
     (1 to iters).foreach { _ =>
       val updated = all.withColumn("cell", nearestCell(col("v")))
@@ -139,10 +142,10 @@ object Similarity {
     val indexed = all.withColumn("cell", nearestCell(col("v")))
     // ---- probe: nProbe nearest cells per query -----------------------
     val probes = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
-      .select(col("qid"), col("qv"), explode(array((0 until nCells).map { c =>
+      .select(col("qid"), col("qv"), explode(array(centroids.map { case (c, w) =>
         struct(cosine(s, col("qv"),
-          array(centroids(c)._2.map(lit): _*)).as("cs"), lit(c).as("cell"))
-      }: _*)).as("sc"))
+          array(w.map(lit): _*)).as("cs"), lit(c).as("cell"))
+      }.toIndexedSeq: _*)).as("sc"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sc.cs").desc, col("sc.cell"))))
       .filter(col("rnk") <= nProbe)
@@ -175,7 +178,11 @@ object Similarity {
     val s = all.sparkSession
     val a = all.select(col("vec_id").as("id_a"), col("v").as("va"))
     val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(broadcast(b),
+    // no broadcast hint: a non-equi join picks BNLJ while a side fits
+    // the broadcast threshold and degrades to a partitioned cartesian
+    // (condition still evaluated in-loop) beyond it — a forced hint
+    // would instead fail outright at the 8 GB broadcast limit
+    a.join(b,
         col("id_a") < col("id_b") &&
         cosine(s, col("va"), col("vb")) >= tau)
       .select(col("id_a").as("vec_lo"), col("id_b").as("vec_hi"),

@@ -279,10 +279,10 @@ class AcidSpec extends AnyFunSuite {
       inst.commit(t)
     }
     val head = inst.latestVersion // 7; checkpoints at v2, v4, v6
-    // manifest phase: retain 3 -> horizon v5, governing checkpoint v4;
-    // v4's file (retired at v5) is reclaimed without reading manifests
-    // v0..v3
-    val removed = inst.vacuum(retainVersions = 3)
+    // manifest phase alone (sweep off): retain 3 -> horizon v5,
+    // governing checkpoint v4; v4's file (retired at v5) is reclaimed
+    // without reading manifests v0..v3
+    val removed = inst.vacuum(retainVersions = 3, sweepOrphans = false)
     assert(removed >= 1, "the file retired after the horizon checkpoint")
     assert(inst.snapshot(head).head().getLong(1) == 6L)
     assert(inst.snapshot(head - 1).head().getLong(1) == 5L)
