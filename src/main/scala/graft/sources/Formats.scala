@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 
 import graft.{Engine, Q}
 
-/** Source/sink formats beyond parquet: CSV and JSON-lines round-trips.
-  * The reference stores opaque byte streams; the Spark engine's
-  * equivalent surface is "read/write any columnar interchange format
-  * losslessly". Verified by re-aggregating the round-tripped data
-  * against the DuckDB oracle over the original table. */
+/** Source/sink formats beyond parquet: CSV, JSON-lines, and ORC
+  * round-trips. The reference stores opaque byte streams; the Spark
+  * engine's equivalent surface is "read/write any columnar interchange
+  * format losslessly". Verified by re-aggregating the round-tripped
+  * data against the DuckDB oracle over the original table. */
 object Formats {
 
   def writeRead(df: DataFrame, format: String, path: String): DataFrame = {
@@ -46,6 +46,17 @@ object Formats {
         val tmp = Files.createTempDirectory("graft_json_").toString
         val back = writeRead(Engine.table(s, dir, "documents"), "json", tmp)
         back.agg(count(lit(1)).as("c"), countDistinct(col("text")).as("d"))
+    },
+
+    // ORC: the binary columnar interchange besides parquet — digest the
+    // full text column through the round-trip to prove losslessness
+    "q32_orc_roundtrip" -> Q(
+      "SELECT COUNT(*) AS c, COUNT(DISTINCT md5(text)) AS d FROM documents") {
+      (s, dir) =>
+        val tmp = Files.createTempDirectory("graft_orc_").toString
+        val back = writeRead(Engine.table(s, dir, "documents"), "orc", tmp)
+        back.agg(count(lit(1)).as("c"),
+          countDistinct(md5(col("text"))).as("d"))
     }
   )
 }
