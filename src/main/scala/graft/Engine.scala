@@ -53,6 +53,15 @@ object Engine {
     } else spark.read.parquet(path)
   }
 
+  /** Register every fixture table as a temp view so `spark.sql(...)`
+    * works directly against the catalog — the SQL front door next to
+    * the DataFrame API (same plans: a view is just a named logical
+    * plan, so pushdown/pruning/AQE behave identically). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   /** ns-epoch long `ts` → microsecond timestamp (truncation — what
     * DuckDB's ns→µs coercion does for positive epochs). Shared by batch
     * and streaming reads of the events table. */

@@ -127,18 +127,48 @@ case class HyperplaneBands(child: Expression, nBands: Int, rPlanes: Int)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
+  // the ±1 signs depend only on (plane, dim), never on the row — mix
+  // them once per operator instance and reuse across every row (the
+  // inner loop drops from a 6-op integer mix per element to one byte
+  // load). signs(0) holds the dim the table was built for; a benign
+  // race can at worst rebuild the same deterministic table.
+  @transient private var signCache: (Int, Array[Byte]) = _
+
+  /** (stride, table) from one consistent cache read. */
+  private def signsFor(dim: Int): (Int, Array[Byte]) = {
+    val cached = signCache
+    if (cached != null && cached._1 >= dim) cached
+    else {
+      val total = nBands * rPlanes
+      val s = new Array[Byte](total * dim)
+      var j = 0
+      while (j < total) {
+        var d = 0
+        while (d < dim) {
+          var m = (j.toLong << 32) | d.toLong
+          m ^= m >>> 33; m *= 0xff51afd7ed558ccdL
+          m ^= m >>> 33; m *= 0xc4ceb9fe1a85ec53L
+          m ^= m >>> 33
+          s(j * dim + d) = if ((m & 1L) == 0L) 0 else 1
+          d += 1
+        }
+        j += 1
+      }
+      val built = (dim, s)
+      signCache = built
+      built
+    }
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val (dim, signs) = signsFor(x.length)
     val keys = new Array[Long](nBands)
     var j = 0
     while (j < nBands * rPlanes) {
       var dot = 0.0; var d = 0
       while (d < x.length) {
-        var m = (j.toLong << 32) | d.toLong
-        m ^= m >>> 33; m *= 0xff51afd7ed558ccdL
-        m ^= m >>> 33; m *= 0xc4ceb9fe1a85ec53L
-        m ^= m >>> 33
-        dot += (if ((m & 1L) == 0L) x(d) else -x(d))
+        dot += (if (signs(j * dim + d) == 0) x(d) else -x(d))
         d += 1
       }
       if (dot > 0) keys(j / rPlanes) |= (1L << (j % rPlanes))
@@ -148,20 +178,32 @@ case class HyperplaneBands(child: Expression, nBands: Int, rPlanes: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signs = ctx.addMutableState("byte[]", "graftHpSigns")
+    val signsDim = ctx.addMutableState("int", "graftHpSignsDim")
     val fn = ctx.addNewFunction("graftHyperplaneBands",
       s"""
          |private org.apache.spark.sql.catalyst.util.GenericArrayData
          |    graftHyperplaneBands(org.apache.spark.sql.catalyst.util.ArrayData arr) {
          |  double[] x = arr.toDoubleArray();
+         |  if ($signs == null || $signsDim < x.length) {
+         |    $signsDim = x.length;
+         |    $signs = new byte[${nBands * rPlanes} * $signsDim];
+         |    for (int j = 0; j < ${nBands * rPlanes}; j++) {
+         |      for (int d = 0; d < $signsDim; d++) {
+         |        long m = ((long) j << 32) | (long) d;
+         |        m ^= m >>> 33; m *= 0xff51afd7ed558ccdL;
+         |        m ^= m >>> 33; m *= 0xc4ceb9fe1a85ec53L;
+         |        m ^= m >>> 33;
+         |        $signs[j * $signsDim + d] = (byte) (((m & 1L) == 0L) ? 0 : 1);
+         |      }
+         |    }
+         |  }
          |  long[] keys = new long[$nBands];
          |  for (int j = 0; j < ${nBands * rPlanes}; j++) {
          |    double dot = 0.0;
+         |    int base = j * $signsDim;
          |    for (int d = 0; d < x.length; d++) {
-         |      long m = ((long) j << 32) | (long) d;
-         |      m ^= m >>> 33; m *= 0xff51afd7ed558ccdL;
-         |      m ^= m >>> 33; m *= 0xc4ceb9fe1a85ec53L;
-         |      m ^= m >>> 33;
-         |      dot += ((m & 1L) == 0L) ? x[d] : -x[d];
+         |      dot += ($signs[base + d] == 0) ? x[d] : -x[d];
          |    }
          |    if (dot > 0) keys[j / $rPlanes] |= (1L << (j % $rPlanes));
          |  }

@@ -426,6 +426,28 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(round(gm(col("l_quantity")), 6).as("gmean"))
           .orderBy("l_returnflag")
+    },
+
+    // the SQL front door: the same engine driven entirely through
+    // spark.sql over registered views — a multi-join pricing summary in
+    // the TPC-H idiom; the DataFrame and SQL paths share Catalyst, so
+    // every plan property (pushdown, broadcast, AQE) carries over
+    "q34_sql_api" -> Q(
+      "SELECT n_name, COUNT(*) AS orders, " +
+      s"${sqlDsum("l_quantity")} AS qty " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderstatus = 'F' GROUP BY n_name ORDER BY n_name") {
+      (s, dir) =>
+        Engine.registerAll(s, dir)
+        s.sql(
+          "SELECT n_name, COUNT(*) AS orders, " +
+          "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS qty " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "WHERE o_orderstatus = 'F' GROUP BY n_name ORDER BY n_name")
     }
   )
 }
