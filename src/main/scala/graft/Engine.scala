@@ -53,12 +53,15 @@ object Engine {
     } else spark.read.parquet(path)
   }
 
-  /** Register every fixture table as a temp view so `spark.sql(...)`
-    * works directly against the catalog — the SQL front door next to
-    * the DataFrame API (same plans: a view is just a named logical
-    * plan, so pushdown/pruning/AQE behave identically). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach { n =>
+  /** Register fixture tables as temp views so `spark.sql(...)` works
+    * directly against the catalog — the SQL front door next to the
+    * DataFrame API (same plans: a view is just a named logical plan,
+    * so pushdown/pruning/AQE behave identically). Pass only the
+    * tables a query needs; each registration is a driver-side schema
+    * read. */
+  def registerAll(spark: SparkSession, dir: String,
+      names: Seq[String] = tableNames): Unit =
+    names.foreach { n =>
       table(spark, dir, n).createOrReplaceTempView(n)
     }
 

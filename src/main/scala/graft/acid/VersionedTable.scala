@@ -210,9 +210,15 @@ object VersionedTable {
   *                             semi/anti join (literal lists expand
   *                             into the plan; millions of ids would
   *                             blow up compilation)
-  * @param orphanGraceMs        vacuum only sweeps unreferenced staging
-  *                             files older than this — protects live
-  *                             in-flight transactions' staged data */
+  * @param orphanGraceMs        vacuum's orphan sweep (on by default)
+  *                             only deletes unreferenced staging files
+  *                             older than this. HARD CONSTRAINT: no
+  *                             transaction may stay open longer than
+  *                             the grace while vacuums run, or its
+  *                             uncommitted staging is reclaimable —
+  *                             the same retention-vs-writer contract
+  *                             every copy-on-write table format has;
+  *                             size it above the longest write job */
 final case class EngineConf(
     checkpointInterval: Int = 10,
     conflictMaxAttempts: Int = 5,
@@ -250,9 +256,33 @@ final class Instance(val spark: SparkSession, val root: String,
 
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%020d.json")
 
+  /** Read + parse a manifest, tolerating the torn-read window of
+    * non-atomic filesystems: `publish` claims the version with an
+    * atomic create-if-absent, but on POSIX/HDFS the subsequent write
+    * is visible mid-flight, so a concurrent reader can observe an
+    * empty or partial file for a few milliseconds (object-store PUTs
+    * don't have this window). A parse/crc failure is therefore
+    * retried briefly; only a PERSISTENT failure is surfaced — that is
+    * real corruption (R30), not a racing writer. */
   private def readManifest(v: Long): Manifest = {
-    val in = fs.open(manifestPath(v))
-    try fromJson(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    var attempt = 0
+    while (true) {
+      val text =
+        try {
+          val in = fs.open(manifestPath(v))
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch {
+          case e: java.io.FileNotFoundException => throw e // never torn
+        }
+      try return fromJson(text)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= 50) throw e // ~500ms grace exhausted: corrupt
+          Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Latest committed version (head of the log). */
@@ -532,6 +562,11 @@ final class Instance(val spark: SparkSession, val root: String,
         return r
       } catch {
         case e: ConflictException =>
+          // rollback is idempotent: commit(t) already aborted t when
+          // the conflict came from OUR commit, but a conflict thrown
+          // by the body itself (e.g. it committed a rival txn) would
+          // otherwise leak this txn's staging
+          rollback(t)
           if (attempt >= maxAttempts) throw e
           Thread.sleep(backoffMs * attempt)
         case e: Throwable =>

@@ -130,8 +130,9 @@ case class HyperplaneBands(child: Expression, nBands: Int, rPlanes: Int)
   // the ±1 signs depend only on (plane, dim), never on the row — mix
   // them once per operator instance and reuse across every row (the
   // inner loop drops from a 6-op integer mix per element to one byte
-  // load). signs(0) holds the dim the table was built for; a benign
-  // race can at worst rebuild the same deterministic table.
+  // load). The cache tuple is (stride = dim the table was built for,
+  // sign table indexed j*stride+d); a benign race can at worst
+  // rebuild the same deterministic table.
   @transient private var signCache: (Int, Array[Byte]) = _
 
   /** (stride, table) from one consistent cache read. */

@@ -42,15 +42,27 @@ object Dedup {
     * downstream consumers need only set semantics, so 64-bit hashes
     * replace shingle strings: smaller shuffles, cheap equality.
     *
-    * `idCol` must be NUMERIC (it is normalized to LONG here — the
-    * per-bucket simhash pair loop and the `<` pair ordering both
-    * operate on primitive longs); non-numeric ids need a surrogate. */
+    * `idCol` must be an INTEGRAL type (it is normalized to LONG here —
+    * the per-bucket simhash pair loop and the `<` pair ordering both
+    * operate on primitive longs). Rejected loudly rather than cast:
+    * a string id would cast to null (silently empty output) and a
+    * fractional id would truncate (distinct docs collapsing onto one
+    * id) — non-integral ids need a surrogate (e.g. monotonically
+    * increasing id or a 64-bit hash). */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"dedup id column '$idCol' must be integral, got ${other.simpleString}; " +
+        "derive a surrogate long id first")
+    }
     docs.select(col(idCol).cast("long").as("id"),
       graft.expressions.ShingleHashes
         .shingleHashes(docs.sparkSession, col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** Exact Jaccard verification of candidate pairs (columns id_a < id_b)
     * against the shingle sets; emits (doc_lo, doc_hi, jac) for jac >= tau. */

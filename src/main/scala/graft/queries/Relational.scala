@@ -440,7 +440,8 @@ object Relational {
       "JOIN nation ON c_nationkey = n_nationkey " +
       "WHERE o_orderstatus = 'F' GROUP BY n_name ORDER BY n_name") {
       (s, dir) =>
-        Engine.registerAll(s, dir)
+        Engine.registerAll(s, dir,
+          Seq("lineitem", "orders", "customer", "nation"))
         s.sql(
           "SELECT n_name, COUNT(*) AS orders, " +
           "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS qty " +

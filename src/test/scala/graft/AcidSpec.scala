@@ -84,16 +84,24 @@ class AcidSpec extends AnyFunSuite {
     t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
     inst.commit(t0)
 
+    // surface any thread-side failure: a silently dead thread would
+    // otherwise read as "lost increments" with zero diagnostics
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 4).map { _ =>
       new Thread(() => {
-        (0 until 10).foreach { _ =>
-          inst.withRetry(maxAttempts = 1000, backoffMs = 2) { t =>
-            t.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+        try {
+          (0 until 10).foreach { _ =>
+            inst.withRetry(maxAttempts = 1000, backoffMs = 2) { t =>
+              t.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+            }
           }
-        }
+        } catch { case e: Throwable => errors.add(e) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"worker failed: ${Option(errors.peek()).map { e =>
+      e.toString + "\n" + e.getStackTrace.take(8).mkString("\n")
+    }}")
     assert(inst.read().head().getLong(1) == 40L)
   }
 
