@@ -337,6 +337,40 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("readers never observe torn manifests while writers commit") {
+    // regression for the create-then-write visibility window on POSIX:
+    // a reader listing the log can open a manifest the writer has
+    // created but not yet filled; readManifest must absorb that
+    // transient instead of surfacing a parse/crc error
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var writing = true
+    val writer = new Thread(() => {
+      try {
+        (0 until 12).foreach { i =>
+          val t = inst.begin()
+          t.insert(Seq((100L + i, i.toLong)).toDF("obj_id", "value"))
+          inst.commit(t)
+        }
+      } catch { case e: Throwable => errors.add(e) }
+      finally writing = false
+    })
+    val readers = (0 until 3).map { _ =>
+      new Thread(() => {
+        try while (writing) { inst.read().count(); () }
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    (readers :+ writer).foreach(_.start())
+    (readers :+ writer).foreach(_.join())
+    assert(errors.isEmpty, s"torn read surfaced: ${Option(errors.peek())}")
+    assert(inst.read().count() == 13)
+  }
+
   test("streaming foreachBatch sink: one commit per micro-batch, batch-equivalent") {
     // split sf0.001 events into 3 files -> maxFilesPerTrigger=1 gives 3
     // micro-batches -> 3 transactional commits (group-commit analog)
