@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.StructType
   *  - optimistic write-conflict detection replaces the reference's
   *    blocking object locks (tran_mgr.rs:85-127): commit fails if any
   *    version published after the snapshot touched the same objects
-  *  - durability: manifest publish is an atomic create-if-absent
-  *    (the reference's group-commit WAL flush, log_mgr/io.rs:99-103,
-  *    collapses to one atomic rename-free file create per commit)
+  *  - durability: manifest publish is an atomic fails-if-exists
+  *    link/rename of a fully-written temp file — the version is
+  *    claimed only with complete content in place (the reference's
+  *    group-commit WAL flush, log_mgr/io.rs:99-103, collapses to one
+  *    atomic file publish per commit)
   *  - rollback discards unpublished staging (reference restores
   *    pre-images from the version store, block_driver.rs:591-601 —
   *    copy-on-write makes undo free)
@@ -49,8 +51,10 @@ import org.apache.spark.sql.types.StructType
   * — a torn or bit-rotted manifest fails loudly, not by luck of the
   * parser). Snapshot state = latest checkpoint ≤ v + replay of
   * (ckpt, v]. All metadata is O(files-touched), data IO is
-  * O(rows-touched) — the layout scales to object stores (atomic-create
-  * is the only primitive required of the filesystem).
+  * O(rows-touched) — the layout scales to object stores (an atomic
+  * fails-if-exists publish is the only primitive required of the
+  * store: link(2) locally, rename on HDFS, conditional PUT on S3-class
+  * stores, where a PUT is content-atomic to begin with).
   */
 object VersionedTable {
 
@@ -149,12 +153,25 @@ object VersionedTable {
       if (raw.isEmpty) Nil else raw.split(",").toSeq.map(_.trim.toLong)
     }
     // verify integrity first: strip the trailing `,"crc":N}` back to the
-    // original payload and compare CRCs (manifests from pre-crc versions
-    // of the layer have no field and skip the check)
+    // original payload and compare CRCs. The match must be in TRAILING
+    // position — `,"crc":<digits>}` running to end-of-text — so a
+    // pre-crc legacy manifest whose schemaDDL happens to contain the
+    // literal substring can't false-trigger the check (lastIndexOf +
+    // the trailing test also keeps a current-format manifest with that
+    // substring in content anchored to its real integrity field).
+    // Manifests with no trailing field skip the check entirely.
     val crcIdx = s.lastIndexOf(",\"crc\":")
-    if (crcIdx >= 0) {
+    val digits =
+      if (crcIdx < 0) "" else {
+        val tail = s.substring(crcIdx + 7).trim
+        if (tail.length >= 2 && tail.endsWith("}") &&
+            tail.dropRight(1).nonEmpty && tail.dropRight(1).forall(_.isDigit))
+          tail.dropRight(1)
+        else ""
+      }
+    if (digits.nonEmpty) {
       val payload = s.substring(0, crcIdx) + "}"
-      val stored = s.substring(crcIdx + 7, s.lastIndexOf('}')).trim.toLong
+      val stored = digits.toLong
       if (crc32(payload) != stored)
         throw new java.io.IOException(
           s"manifest integrity check failed: stored crc $stored != computed ${crc32(payload)}")
@@ -256,14 +273,13 @@ final class Instance(val spark: SparkSession, val root: String,
 
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%020d.json")
 
-  /** Read + parse a manifest, tolerating the torn-read window of
-    * non-atomic filesystems: `publish` claims the version with an
-    * atomic create-if-absent, but on POSIX/HDFS the subsequent write
-    * is visible mid-flight, so a concurrent reader can observe an
-    * empty or partial file for a few milliseconds (object-store PUTs
-    * don't have this window). A parse/crc failure is therefore
-    * retried briefly; only a PERSISTENT failure is surfaced — that is
-    * real corruption (R30), not a racing writer. */
+  /** Read + parse a manifest. [[publish]] is content-atomic (link /
+    * rename of a fully-written temp file), so a racing writer can
+    * never expose partial content — but manifests written by pre-link
+    * versions of the layer, NFS-style caching, or misbehaving mounts
+    * still justify a brief retry before declaring corruption. Only a
+    * PERSISTENT failure is surfaced — that is real bit-rot (R30), not
+    * a racing writer. */
   private def readManifest(v: Long): Manifest = {
     var attempt = 0
     while (true) {
@@ -346,12 +362,45 @@ final class Instance(val spark: SparkSession, val root: String,
   /** Current committed table contents. */
   def read(): DataFrame = snapshot(latestVersion)
 
+  /** Atomically publish a manifest: the version is claimed ONLY with its
+    * complete content in place, so a writer crash can never leave a torn
+    * manifest at a claimed version (which would otherwise poison every
+    * subsequent read/commit with no recovery path).
+    *
+    * Protocol: write the full body to a hidden temp file in _manifests
+    * (invisible to [[latestVersion]]'s `v*` filter), then claim the
+    * version with an atomic fails-if-exists publish of that content:
+    *  - local fs: hard link (link(2) is atomic and EEXISTs on a lost
+    *    race — POSIX rename would silently replace the winner);
+    *  - HDFS-like stores: rename (atomic, false when the target exists);
+    *  - object stores never had the torn window (PUT is content-atomic).
+    * The temp file is removed on every non-crash path; a crashed
+    * writer's temp is swept by [[vacuum]]. */
   private[acid] def publish(m: Manifest): Boolean = {
+    val target = manifestPath(m.version)
+    val tmp = new Path(manifestDir,
+      s".tmp-v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
     try {
-      val out = fs.create(manifestPath(m.version), false) // put-if-absent
-      try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try fs.rename(tmp, target)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    } catch {
+      case _: java.io.IOException => false
+    } finally {
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Begin a transaction: allocate a TSN, pin the snapshot
@@ -524,7 +573,22 @@ final class Instance(val spark: SparkSession, val root: String,
       if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
     }
     if (sweepOrphans) {
-      val cutoff = System.currentTimeMillis() - conf.orphanGraceMs
+      // "now" comes from the STORE's clock, not the driver's: the grace
+      // is compared against filesystem mtimes, and driver/store clock
+      // skew would silently erode it (a driver running fast could
+      // reclaim live in-flight staging). A just-written probe file's
+      // mtime is the store's own notion of now; falls back to the
+      // driver clock only if the probe can't be written.
+      val cutoff = storeNow() - conf.orphanGraceMs
+      // publish() temps from crashed writers (never claimed a version,
+      // invisible to readers) are ordinary orphans once past the grace
+      fs.listStatus(manifestDir)
+        .filter(e => e.isFile && e.getPath.getName.startsWith(".tmp-"))
+        .foreach { e =>
+          if (e.getModificationTime < cutoff) {
+            fs.delete(e.getPath, false); removed += 1
+          }
+        }
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
         val entries = fs.listStatus(d.getPath)
         entries.foreach { e =>
@@ -542,6 +606,22 @@ final class Instance(val spark: SparkSession, val root: String,
       }
     }
     removed
+  }
+
+  /** The store's clock, read as the mtime of a freshly-written probe
+    * file (deleted immediately). See [[vacuum]]'s orphan sweep. */
+  private def storeNow(): Long = {
+    val probe = new Path(root,
+      s"._clockprobe-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val out = fs.create(probe, true)
+      try out.write('t') finally out.close()
+      fs.getFileStatus(probe).getModificationTime
+    } catch {
+      case _: java.io.IOException => System.currentTimeMillis()
+    } finally {
+      try fs.delete(probe, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Run `body` in a fresh transaction, commit, and retry on conflict

@@ -147,7 +147,7 @@ object Dedup {
     * the hamming-15 guarantee at moderate n). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, tau: Double = 0.9, maxHamming: Int = 15,
-      nBands: Int = 16): DataFrame = {
+      nBands: Int = 16, maxBucket: Int = 1 << 20): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, k)
     // fingerprint is a map-side expression per doc — no shuffle
     val sims = ds.select(col("id"), graft.expressions.SketchExpressions
@@ -167,6 +167,14 @@ object Dedup {
       .flatMap { (row: org.apache.spark.sql.Row) =>
         val es = row.getSeq[org.apache.spark.sql.Row](0)
         val n = es.size
+        // a skewed or too-narrow band key piles a large fraction of the
+        // corpus into ONE collect_list row — fail loudly before the
+        // quadratic loop (and the single-row materialization) melts an
+        // executor; the fix is wider bands (e.g. 16-bit at 1e9 docs)
+        if (n > maxBucket) throw new IllegalStateException(
+          s"simhash bucket holds $n docs (> maxBucket=$maxBucket); " +
+          "band keys are too narrow for this corpus — increase band " +
+          "width (fewer, wider bands) or raise maxBucket")
         val ids = new Array[Long](n)
         val fps = new Array[Long](n)
         var i = 0
@@ -176,7 +184,12 @@ object Dedup {
         while (i < n) {
           var j = i + 1
           while (j < n) {
-            if (java.lang.Long.bitCount(fps(i) ^ fps(j)) <= maxHamming)
+            // ids(i) == ids(j) happens when the input carries duplicate
+            // doc ids; a (id,id) self-pair would pass the hamming test
+            // (distance 0) yet was never a candidate under the join
+            // formulation's strict id_a < id_b
+            if (ids(i) != ids(j) &&
+                java.lang.Long.bitCount(fps(i) ^ fps(j)) <= maxHamming)
               out += (if (ids(i) < ids(j)) (ids(i), ids(j))
                       else (ids(j), ids(i)))
             j += 1

@@ -11,38 +11,58 @@ import graft.acid.Instance
   * ONE atomic commit of the [[graft.acid.Instance]] — the Spark-first
   * analog of the reference's group commit, which flushes a whole batch
   * of transactions' WAL records with a single durable write
-  * (log_mgr/io.rs:99-103). Exactly-once composition: with a
-  * checkpointLocation, a replayed batch re-runs `withRetry` and
-  * re-inserts — idempotence at scale comes from keying obj_id off the
-  * batch's own ids (as here, obj_id := event_id), so a re-commit of
-  * batch N is detectable/collapsible downstream; the reference gets the
-  * same property from its WAL sequence numbers.
+  * (log_mgr/io.rs:99-103).
+  *
+  * Exactly-once: `foreachBatch` is at-least-once (an engine restart
+  * replays the last uncommitted batch), so each batch's commit is an
+  * idempotent UPSERT — delete the batch's obj_ids, then insert — inside
+  * one transaction. A replayed batch therefore converges to the same
+  * table state instead of double-inserting; the reference gets the same
+  * property from WAL sequence numbers deduplicating replayed records.
+  * Pass `checkpointLocation` so the engine tracks batch progress across
+  * restarts; without it a restarted query re-reads the source from
+  * scratch (still convergent here — ids collapse — but wasteful).
   *
   * 100 TB notes: the commit itself is metadata-only (one manifest
-  * create), the data write is the batch's parallel parquet write — no
-  * driver bottleneck beyond the id-range footer reads (O(files), not
-  * O(rows)).
+  * publish), the data write is the batch's parallel parquet write — no
+  * driver bottleneck beyond the id-range footer reads and the batch's
+  * id list (O(batch), not O(table); the delete side prunes to candidate
+  * files via manifest id-range stats, so the upsert never scans the
+  * whole table).
   */
 object AcidSink {
 
   /** Run `stream` to completion (AvailableNow), committing each
     * micro-batch transactionally into `inst`. `idCol` becomes the
-    * table's obj_id. Returns the number of micro-batches committed. */
-  def runInto(inst: Instance, stream: DataFrame, idCol: String): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = stream.writeStream
+    * table's obj_id. Returns the number of DISTINCT micro-batches
+    * committed (a replayed batch id is counted once). */
+  def runInto(inst: Instance, stream: DataFrame, idCol: String,
+      checkpointLocation: Option[String] = None): Long = {
+    val batchIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val writer = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        inst.withRetry() { t =>
-          t.insert(batch.withColumn("obj_id", col(idCol)))
-        }
-        batches.incrementAndGet()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.withColumn("obj_id", col(idCol))
+        // the batch is consumed twice (id collect + insert) and a
+        // streaming batch's lineage must not re-read the source
+        keyed.persist()
+        try {
+          val ids = keyed.select("obj_id").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          inst.withRetry() { t =>
+            t.delete(ids) // no-op on first delivery, undo on replay
+            t.insert(keyed)
+          }
+        } finally keyed.unpersist()
+        batchIds.add(batchId)
         ()
       }
+    val q = checkpointLocation
+      .fold(writer)(writer.option("checkpointLocation", _))
       .start()
     q.processAllAvailable()
     q.stop()
-    batches.get()
+    batchIds.size().toLong
   }
 }

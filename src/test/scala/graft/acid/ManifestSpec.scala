@@ -54,6 +54,24 @@ class ManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integrity"))
   }
 
+  test("a schemaDDL containing the literal crc-suffix text round-trips") {
+    // the integrity check must anchor to the TRAILING `,"crc":N}` field,
+    // not a lookalike substring inside content
+    val m = Manifest(1, 2, """x STRUCT<`,"crc":123}` : INT>""", Nil, Nil,
+      Nil, checkpoint = false, Nil)
+    assert(fromJson(toJson(m)) == m)
+  }
+
+  test("a legacy manifest with a non-trailing crc-lookalike field parses") {
+    // hypothetical pre-crc writer that carried an unrelated `crc` field
+    // mid-object: the lookalike is NOT in trailing position, so the
+    // integrity check must be skipped, not failed
+    val legacy = """{"version":5,"crc":999,"tsn":9,"schemaDDL":"obj_id BIGINT",""" +
+      """"added":[],"removed":[],"objects":[],"checkpoint":false,"allFiles":[]}"""
+    val m = fromJson(legacy)
+    assert(m.version == 5 && m.tsn == 9)
+  }
+
   test("pre-crc/pre-stats manifests (round-2 format) still parse") {
     val legacy = """{"version":5,"tsn":9,"schemaDDL":"obj_id BIGINT",""" +
       """"added":["d/f.parquet"],"removed":[],"objects":[7],""" +
