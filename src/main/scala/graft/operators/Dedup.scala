@@ -58,19 +58,28 @@ object Dedup {
         s"dedup id column '$idCol' must be integral, got ${other.simpleString}; " +
         "derive a surrogate long id first")
     }
+    // sorted ascending: the exact-verify kernel
+    // ([[graft.expressions.SortedIntersectSize]]) is a merge over the
+    // two sorted arrays; MinHash/SimHash sketches are order-independent
     docs.select(col(idCol).cast("long").as("id"),
-      graft.expressions.ShingleHashes
-        .shingleHashes(docs.sparkSession, col(textCol), k).as("sh"))
+      sort_array(graft.expressions.ShingleHashes
+        .shingleHashes(docs.sparkSession, col(textCol), k)).as("sh"))
       .filter(size(col("sh")) > 0)
   }
 
   /** Exact Jaccard verification of candidate pairs (columns id_a < id_b)
-    * against the shingle sets; emits (doc_lo, doc_hi, jac) for jac >= tau. */
+    * against the (sorted) shingle sets; emits (doc_lo, doc_hi, jac) for
+    * jac >= tau. Intersection is a primitive merge
+    * ([[graft.expressions.SortedIntersectSize]]); the two array-fetch
+    * joins are plain equi joins on id — AQE broadcasts the doc side
+    * while it is small, hash-joins at scale. */
   private def verifyPairs(cand: DataFrame, ds: DataFrame, tau: Double): DataFrame = {
+    val s = ds.sparkSession
     val a = ds.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = ds.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("i", graft.expressions.SketchExpressions
+        .sortedIntersectSize(s, col("sh_a"), col("sh_b")))
       .withColumn("jacx", col("i").cast("double")
         / (size(col("sh_a")) + size(col("sh_b")) - col("i")))
       .filter(col("jacx") >= tau)
@@ -79,27 +88,66 @@ object Dedup {
       .orderBy("doc_lo", "doc_hi")
   }
 
-  /** Exact n-gram Jaccard similarity join via shingle inverted index.
-    * Intersection sizes come straight from the index groupBy (count per
-    * pair), so no per-pair array materialization is needed — the whole
-    * join stays in codegen'd hash aggregation. |A∪B| = |A|+|B|-|A∩B|. */
+  /** Exact n-gram Jaccard similarity join via PREFIX-FILTERED inverted
+    * index (the All-Pairs/PPJoin principle): under a GLOBAL total order
+    * on shingles, index only each doc's first `n - ceil(tau*n) + 1`
+    * shingles. Any pair with jac >= tau must share a PREFIX shingle —
+    * jac >= tau implies overlap >= ceil(tau*n) on both sides (via the
+    * tau*n <= |B| length bound), and two sets whose overlap >= t must
+    * collide within their (n-t+1)-prefixes under a common total order.
+    * Surviving candidates are exact-verified against the full sets
+    * (sorted-merge intersection — see [[verifyPairs]]). Exact for ANY
+    * choice of the global order; the order only shapes candidate count.
+    *
+    * Why not the plain inverted-index count: counting intersections per
+    * co-occurring pair shuffles one row per (doc,doc,shingle)
+    * co-occurrence — the hottest shingles contribute df² rows and the
+    * per-pair count barely compresses (measured at sf0.1: 1.27M
+    * co-occurrence rows into 1.13M groups — the shuffle IS the output).
+    * The prefix drops ~half of each side up front (1.13M -> ~0.4M
+    * candidates at tau 0.5) and verification is a near-free merge.
+    *
+    * `orderByDf = false` (default): global order = hash ascending. The
+    * docs' arrays are already hash-sorted, so the prefix is literally
+    * `slice(sh, 1, L)` — a narrow map-side pass, no extra shuffle.
+    * `orderByDf = true`: global order = (document frequency asc, hash
+    * asc) — rare shingles first, which evicts high-df shingles from
+    * every prefix. Costs a df-count aggregate plus a per-doc ranking
+    * window. On a flat synthetic vocabulary this buys nothing (df is
+    * uniformly small), but on a Zipfian web corpus at 100 TB it is the
+    * difference between prefix collisions tracking true near-dups and
+    * one stop-phrase shingle contributing df²/4 candidate pairs —
+    * turn it on for natural-language corpora at scale. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, tau: Double = 0.5): DataFrame = {
+      k: Int = 3, tau: Double = 0.5,
+      orderByDf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ds = docShingles(docs, idCol, textCol, k)
-    val cnt = ds.select(col("id"), size(col("sh")).as("n"))
-    val ex = ds.select(col("id"), explode(col("sh")).as("s"))
-    ex.select(col("id").as("id_a"), col("s"))
-      .join(ex.select(col("id").as("id_b"), col("s")), "s")
+    val prefix =
+      if (!orderByDf) {
+        // sh is sorted ascending: its first L elements ARE the prefix
+        // under the hash-asc global order
+        val L = (size(col("sh")) - ceil(size(col("sh")) * lit(tau))
+          + lit(1)).cast("int")
+        ds.select(col("id"), explode(slice(col("sh"), lit(1), L)).as("s"))
+      } else {
+        // carry the set size through the explode so ranking needs only
+        // ONE window function (row_number); n as a second windowed
+        // count would buffer every partition twice
+        val ex = ds.select(col("id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+        val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        ex.join(dfreq, "s")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("s"))))
+          .filter(col("pos") <= col("n") - ceil(col("n") * lit(tau)) + lit(1))
+          .select("id", "s")
+      }
+    val cand = prefix.select(col("id").as("id_a"), col("s"))
+      .join(prefix.select(col("id").as("id_b"), col("s")), "s")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-      .join(cnt.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(cnt.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jacx",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jacx") >= tau)
-      .select(col("id_a").as("doc_lo"), col("id_b").as("doc_hi"),
-        round(col("jacx"), 4).as("jac"))
-      .orderBy("doc_lo", "doc_hi")
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, ds, tau)
   }
 
   /** MinHash-LSH near-dup join: numHashes minhashes, banded into

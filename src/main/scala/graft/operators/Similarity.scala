@@ -37,17 +37,28 @@ object Similarity {
     Engine.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Per-query argmax as a PARTIAL-AGGREGATABLE `max(struct(cs, -nid))`
+    * instead of a row_number window: a window sorts and shuffles every
+    * candidate score, while the struct-max combines map-side, so only
+    * one partial row per (query, partition) reaches the shuffle — at
+    * corpus scale the reduction input is O(queries · partitions), not
+    * O(queries · corpus). Tie-break matches the oracle's
+    * ORDER BY cs DESC, nid ASC: max on (cs, -nid) picks the smallest
+    * neighbor id among equal scores. */
+  private def top1(cand: DataFrame): DataFrame =
+    cand.groupBy("qid")
+      .agg(max(struct(col("cs"), (-col("nid")).as("nn"))).as("m"))
+      .select(col("qid").as("vec_id"), (-col("m.nn")).as("neighbor_id"),
+        col("m.cs").as("cs"))
+      .orderBy("vec_id")
+
   /** Exact top-1 cosine neighbor for each query vector (brute force). */
   def annTop1(all: DataFrame, queries: DataFrame): DataFrame = {
     val s = all.sparkSession
     val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
-    val cand = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+    top1(all.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(s, col("qv"), col("v")), 4).as("cs"))
-    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid").asc)
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("cs"))
-      .orderBy("vec_id")
+        round(cosine(s, col("qv"), col("v")), 4).as("cs")))
   }
 
   /** Deterministic ±1 hyperplanes: sign from a small integer mix of
@@ -81,14 +92,10 @@ object Similarity {
     val bAll = all.withColumn("bkt", lshBucket(col("v"), dim, nPlanes))
     val q = queries.withColumn("bkt", lshBucket(col("v"), dim, nPlanes))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt"))
-    val cand = bAll.join(broadcast(q), Seq("bkt"))
+    top1(bAll.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(s, col("qv"), col("v")), 4).as("cs"))
-    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid").asc)
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("cs"))
-      .orderBy("vec_id")
+        round(cosine(s, col("qv"), col("v")), 4).as("cs")))
   }
 
   /** IVF (inverted-file) ANN: k-means cells + nProbe-cell search — the
@@ -150,14 +157,10 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("sc.cs").desc, col("sc.cell"))))
       .filter(col("rnk") <= nProbe)
       .select(col("qid"), col("qv"), col("sc.cell").as("cell"))
-    val cand = indexed.join(probes, Seq("cell"))
+    top1(indexed.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(s, col("qv"), col("v")), 4).as("cs"))
-    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid").asc)
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("cs"))
-      .orderBy("vec_id")
+        round(cosine(s, col("qv"), col("v")), 4).as("cs")))
   }
 
   /** All EXACT pairs with cosine >= tau (embedding near-dup).

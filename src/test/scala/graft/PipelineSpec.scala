@@ -44,6 +44,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.map(_.toSeq).toSet == exact.map(_.toSeq).toSet)
   }
 
+  test("jaccard prefix filter is exact under either global order") {
+    // the prefix-filter theorem holds for ANY global total order on
+    // shingles; hash-asc (slice, default) and df-asc (windowed) must
+    // produce identical pairs — and tie out with the tau=0.5 oracle set
+    val docs = Engine.table(spark, dir, "documents")
+    val byHash = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq)
+    val byDf = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      orderByDf = true).collect().map(_.toSeq)
+    assert(byHash.nonEmpty)
+    assert(byHash.toSeq == byDf.toSeq)
+  }
+
   test("simhash pairs equal exact Jaccard pairs at tau=0.9") {
     val docs = Engine.table(spark, dir, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9).collect()
