@@ -608,6 +608,40 @@ final class Instance(val spark: SparkSession, val root: String,
     removed
   }
 
+  /** Compact the current snapshot's data files into at most
+    * `targetFiles` files, as ONE ordinary commit (reference analog:
+    * extent merge / space reuse, version_store.rs:252-309 — here the
+    * copy-on-write unit is a whole file, so compaction is just a
+    * rewrite-commit). The natural companion of the streaming sink,
+    * whose one-commit-per-micro-batch discipline accretes small files
+    * (the classic lakehouse small-file problem): compact periodically
+    * and [[vacuum]] reclaims the replaced originals once they fall off
+    * the retention horizon — older snapshots keep reading the
+    * pre-compaction files until then (time travel is unaffected).
+    *
+    * Concurrency: the commit declares NO objects (content is
+    * untouched), so a concurrent insert of new objects wins cleanly;
+    * a concurrent delete/update that rewrote one of the files being
+    * compacted collides on the file-overlap check and one side
+    * retries — exactly the protection that prevents either side from
+    * resurrecting the other's removed rows.
+    *
+    * Returns the number of files replaced (0 = nothing to do). */
+  def compact(targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val txn = begin()
+    val (files, ddl, _) = stateWithStatsAt(txn.readVersion)
+    if (files.size <= targetFiles) { rollback(txn); return 0 }
+    // coalesce, not repartition: compaction is a bin-pack of existing
+    // files into fewer write tasks — a narrow dependency, no shuffle
+    val staged = writeStaged(
+      viewOf(files, ddl).coalesce(targetFiles), txn)
+    txn.added ++= staged
+    txn.removed ++= files
+    commit(txn)
+    files.size
+  }
+
   /** The store's clock, read as the mtime of a freshly-written probe
     * file (deleted immediately). See [[vacuum]]'s orphan sweep. */
   private def storeNow(): Long = {

@@ -61,6 +61,27 @@ object Similarity {
         round(cosine(s, col("qv"), col("v")), 4).as("cs")))
   }
 
+  /** Exact top-k cosine neighbors per query (brute force), ranked. For
+    * k = 1 prefer [[annTop1]] (partial-aggregatable — no sort at all).
+    * Here a per-query ranking window is the right tool: its input is
+    * the CANDIDATE set, which at scale is already bounded by the index
+    * (LSH bucket or IVF probe list), not the corpus — so the window
+    * sorts O(queries x bucket) rows, and the brute-force form is the
+    * verification anchor at moderate n. Tie-break: score desc, then
+    * neighbor id asc (deterministic, matches the SQL oracle). */
+  def annTopK(all: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = all.sparkSession
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cand = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(s, col("qv"), col("v")), 4).as("cs"))
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        col("cs"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Deterministic ±1 hyperplanes: sign from a small integer mix of
     * (plane, dim) — engine-version independent. */
   private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
@@ -254,6 +275,20 @@ object Similarity {
       (s, dir) =>
         val all = emb(s, dir)
         annTop1(all, all.filter(col("vec_id") < 20))
+    },
+
+    "q26_ann_topk" -> Q(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      "p AS (SELECT qid, e.vec_id AS nid, " +
+      s"ROUND($cosSql, 4) AS cs FROM q, e WHERE e.vec_id <> qid) " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, cs, rank FROM (" +
+      "SELECT qid, nid, cs, ROW_NUMBER() OVER (" +
+      "PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM p) t " +
+      "WHERE rank <= 5 ORDER BY vec_id, rank") {
+      (s, dir) =>
+        val all = emb(s, dir)
+        annTopK(all, all.filter(col("vec_id") < 20), 5)
     },
 
     // approximate (single-probe LSH): deterministic but not SQL-derivable

@@ -426,6 +426,62 @@ class AcidSpec extends AnyFunSuite {
     assert(fromTable == fromBatch)
   }
 
+  test("compact: folds small files into one commit, history intact") {
+    val dir = freshDir()
+    val conf = graft.acid.EngineConf(orphanGraceMs = 0L)
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    (1 to 4).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val preCompact = inst.latestVersion
+    assert(inst.stateAt(preCompact)._1.size == 4)
+    val replaced = inst.compact()
+    assert(replaced == 4)
+    val head = inst.latestVersion
+    assert(inst.stateAt(head)._1.size == 1, "one compacted file")
+    // content identical, pre-compaction snapshot still time-travels
+    val now = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(now == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    assert(inst.snapshot(preCompact).count() == 4)
+    assert(inst.snapshot(2).count() == 2)
+    // compacting a compacted table is a no-op
+    assert(inst.compact() == 0)
+    assert(inst.latestVersion == head)
+    // obj-id range stats carry over: point ops still prune to 1 file
+    val probe = inst.begin()
+    assert(probe.candidateFiles(Seq(2L)).size == 1)
+    inst.rollback(probe)
+    // once retention passes the compaction, vacuum reclaims the originals
+    Thread.sleep(20)
+    val removed = inst.vacuum(retainVersions = 1)
+    assert(removed >= 4, s"pre-compaction files reclaimed, got $removed")
+    assert(inst.read().count() == 4)
+  }
+
+  test("compact conflicts with a concurrent rewrite of the same files") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 1L), (2L, 2L)).toDF("obj_id", "value").coalesce(1))
+    inst.commit(t0)
+    val t1 = inst.begin()
+    t1.insert(Seq((3L, 3L)).toDF("obj_id", "value").coalesce(1))
+    inst.commit(t1)
+
+    // a rewriting txn pinned BEFORE the compaction commit must lose:
+    // its file set was republished by compact
+    val rewriter = inst.begin()
+    assert(inst.compact() == 2)
+    rewriter.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+    intercept[ConflictException] { inst.commit(rewriter) }
+    // a concurrent INSERT (disjoint objects, no removed files) is fine
+    val t2 = inst.begin()
+    t2.insert(Seq((4L, 4L)).toDF("obj_id", "value"))
+    inst.commit(t2)
+    assert(inst.read().count() == 4)
+  }
+
   test("streaming sink checkpoint: a restarted query re-delivers nothing") {
     val evDir = Files.createTempDirectory("graft_ev_ckpt_")
     val events = Engine.table(spark, "/root/testdata/sf0.001", "events")
