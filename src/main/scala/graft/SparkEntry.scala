@@ -14,6 +14,7 @@ object SparkEntry {
     graft.functions.TextAnalytics.defs ++
     graft.operators.Dedup.defs ++
     graft.operators.Similarity.defs ++
+    graft.operators.Sampling.defs ++
     graft.operators.Multimodal.defs ++
     graft.operators.AsofJoin.defs ++
     graft.streaming.EventStreams.defs ++

@@ -828,6 +828,25 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     schemaDDL = Some(df.schema.toDDL)
   }
 
+  /** Idempotent upsert (MERGE by key): replace any existing rows whose
+    * obj_id appears in `df`, then insert `df` — re-running the same
+    * upsert converges instead of duplicating (the property the
+    * streaming sink's exactly-once contract rests on). The id set is
+    * driver-side metadata bounded by the batch, and the delete side
+    * prunes to candidate files via manifest id-range stats, so an
+    * upsert never scans the table. */
+  def upsert(df: DataFrame): Unit = {
+    // consumed twice (id read + insert): persist so a nondeterministic
+    // input can't desynchronize the deleted ids from the inserted rows
+    df.persist()
+    try {
+      val ids = df.select("obj_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      delete(ids)
+      insert(df)
+    } finally df.unpersist()
+  }
+
   /** Delete objects by id: copy-on-write rewrite of only the files that
     * contain them (reference: delete chain tombstoning,
     * block_driver.rs:210-249). Manifest id-range stats prune the scan

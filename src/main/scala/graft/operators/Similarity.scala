@@ -122,16 +122,20 @@ object Similarity {
   /** IVF (inverted-file) ANN: k-means cells + nProbe-cell search — the
     * other classic sub-quadratic index besides LSH.
     *
-    * Train: deterministic k-means over a sample — centroids init from
-    * the first `nCells` vector ids (fixed seed: results never depend on
-    * partitioning), then `iters` Lloyd rounds; each round is one
-    * broadcast-join assign + one groupBy-mean reduce, and only the
-    * nCells x dim centroid matrix ever reaches the driver (the model,
-    * not the data — same driver/executor split as Spark ML).
+    * Train: deterministic Lloyd k-means over a BOUNDED driver-side
+    * sample (first `trainSample` vector ids — fixed rule, so results
+    * never depend on partitioning). Training an IVF coarse quantizer
+    * on a sample is the standard practice at any corpus size: the
+    * model is nCells x dim; its quality needs only a representative
+    * sample, not the corpus — so training costs ONE bounded collect
+    * and pure driver arithmetic, instead of `iters` distributed
+    * assign+reduce jobs over the full data (which at 100 TB would
+    * read the corpus `iters` extra times for no recall gain).
     *
-    * Index: one broadcast pass assigns every corpus vector its nearest
-    * centroid cell (a shuffle-free narrow map; the cell id becomes the
-    * partition/bucket key at scale).
+    * Index: one pass assigns every corpus vector its nearest centroid
+    * cell (a shuffle-free narrow map against the broadcast-sized
+    * centroid matrix; the cell id becomes the partition/bucket key at
+    * scale).
     *
     * Query: each query probes its `nProbe` nearest cells, so the
     * scanned fraction is ~nProbe/nCells of the corpus. Recall < 1 by
@@ -139,14 +143,45 @@ object Similarity {
     * approximate, declared rows-only; the exact brute-force query is
     * the verifiable anchor. */
   def annTop1Ivf(all: DataFrame, queries: DataFrame, dim: Int,
-      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      trainSample: Int = 4096): DataFrame = {
     val s = all.sparkSession
-    // ---- train: Lloyd iterations; centroids live on the driver -------
+    // ---- train: Lloyd on the driver over a bounded sample ------------
     // a corpus smaller than nCells just gets one cell per vector
-    var centroids: Array[(Int, Seq[Double])] = all
-      .orderBy("vec_id").limit(nCells).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-    require(centroids.nonEmpty, "IVF index over an empty corpus")
+    val sample: Array[Array[Double]] = all
+      .orderBy("vec_id").limit(math.max(nCells, trainSample)).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "IVF index over an empty corpus")
+    var centroids: Array[(Int, Seq[Double])] =
+      sample.take(nCells).zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    def cosSim(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestCs = Double.NegativeInfinity
+        centroids.foreach { case (c, w) =>
+          val cs = cosSim(v, w)
+          // strict > = first-wins argmax over a fixed scan order:
+          // deterministic regardless of float ties
+          if (cs > bestCs) { bestCs = cs; best = c }
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      // a cell that captured no vectors keeps its previous centroid
+      centroids = centroids.map { case (c, old) =>
+        if (counts(c) == 0) (c, old)
+        else (c, sums(c).map(_ / counts(c)).toSeq)
+      }
+    }
     def nearestCell(v: Column): Column = {
       // argmin over cells of (1 - cosine) == argmax cosine
       val scored = centroids.map { case (c, w) =>
@@ -155,16 +190,6 @@ object Similarity {
       }
       if (scored.length == 1) scored.head("cell")
       else greatest(scored.toIndexedSeq: _*)("cell")
-    }
-    (1 to iters).foreach { _ =>
-      val updated = all.withColumn("cell", nearestCell(col("v")))
-        .groupBy("cell")
-        .agg(array((0 until dim).map(d =>
-          avg(col("v")(d))): _*).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // a cell that captured no vectors keeps its previous centroid
-      centroids = centroids.map { case (c, old) => (c, updated.getOrElse(c, old)) }
     }
     // ---- index: assign corpus vectors to cells (narrow map) ----------
     val indexed = all.withColumn("cell", nearestCell(col("v")))

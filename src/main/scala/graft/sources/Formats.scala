@@ -48,6 +48,26 @@ object Formats {
         back.agg(count(lit(1)).as("c"), countDistinct(col("text")).as("d"))
     },
 
+    // hive-partitioned parquet: THE 100 TB layout lever — a filter on
+    // the partition column prunes entire directories before any file
+    // is opened (PlanSpec asserts PartitionFilters on this exact
+    // pattern). Round-trip: write documents partitioned by lang, read
+    // back one partition, re-aggregate against the oracle's WHERE over
+    // the original table.
+    "q32_partitioned_roundtrip" -> Q(
+      "SELECT source, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS s " +
+      "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source") {
+      (s, dir) =>
+        val tmp = Files.createTempDirectory("graft_part_").toString
+        Engine.table(s, dir, "documents")
+          .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("s"))
+          .orderBy("source")
+    },
+
     // ORC: the binary columnar interchange besides parquet — digest the
     // full text column through the round-trip to prove losslessness
     "q32_orc_roundtrip" -> Q(

@@ -44,17 +44,9 @@ object AcidSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val keyed = batch.withColumn("obj_id", col(idCol))
-        // the batch is consumed twice (id collect + insert) and a
-        // streaming batch's lineage must not re-read the source
-        keyed.persist()
-        try {
-          val ids = keyed.select("obj_id").distinct()
-            .collect().map(_.getLong(0)).toSeq
-          inst.withRetry() { t =>
-            t.delete(ids) // no-op on first delivery, undo on replay
-            t.insert(keyed)
-          }
-        } finally keyed.unpersist()
+        // upsert = delete-by-batch-ids + insert in ONE transaction:
+        // a no-op on first delivery, the undo half on replay
+        inst.withRetry() { t => t.upsert(keyed) }
         batchIds.add(batchId)
         ()
       }

@@ -426,6 +426,27 @@ class AcidSpec extends AnyFunSuite {
     assert(fromTable == fromBatch)
   }
 
+  test("upsert merges by key: replaces overlaps, inserts new, idempotent") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+
+    val t1 = inst.begin()
+    t1.upsert(Seq((2L, 99L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val state = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 10L, 2L -> 99L, 3L -> 30L))
+
+    // replaying the identical upsert converges to the same state
+    val t2 = inst.begin()
+    t2.upsert(Seq((2L, 99L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t2)
+    val replayed = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == state)
+    assert(inst.read().count() == 3)
+  }
+
   test("compact: folds small files into one commit, history intact") {
     val dir = freshDir()
     val conf = graft.acid.EngineConf(orphanGraceMs = 0L)

@@ -61,6 +61,30 @@ class PlanSpec extends AnyFunSuite {
       plan("q20_subquery").contains("BroadcastHashJoin"))
   }
 
+  test("partitioned layout: partition filter prunes before any file opens") {
+    // the q32_partitioned_roundtrip pattern: filter on the hive
+    // partition column must become a PartitionFilters entry (directory
+    // pruning), NOT a data filter evaluated per row
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    Engine.table(spark, dir, "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"no partition filter on lang:\n$p")
+  }
+
+  test("sampling filter stays in the scan stage and prunes columns") {
+    val df = graft.operators.Sampling.sampleByKey(
+      Engine.table(spark, dir, "documents"), "doc_id", 10).select("doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"sample decision must read only the id column: $read")
+  }
+
   test("q25 embed near-dup: cosine threshold lives IN the join condition") {
     // the 10x regression shape: cosine in a filter ABOVE the join
     // materializes every candidate pair (two arrays each) before
