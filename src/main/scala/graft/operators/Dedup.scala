@@ -195,7 +195,7 @@ object Dedup {
     * the hamming-15 guarantee at moderate n). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, tau: Double = 0.9, maxHamming: Int = 15,
-      nBands: Int = 16, maxBucket: Int = 1 << 20): DataFrame = {
+      nBands: Int = 16, maxBucket: Int = 1 << 16): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, k)
     // fingerprint is a map-side expression per doc — no shuffle
     val sims = ds.select(col("id"), graft.expressions.SketchExpressions
@@ -218,7 +218,9 @@ object Dedup {
         // a skewed or too-narrow band key piles a large fraction of the
         // corpus into ONE collect_list row — fail loudly before the
         // quadratic loop (and the single-row materialization) melts an
-        // executor; the fix is wider bands (e.g. 16-bit at 1e9 docs)
+        // executor; the fix is wider bands (e.g. 16-bit at 1e9 docs).
+        // 64k is already ~2e9 hamming checks (~seconds) for one bucket
+        // — past that the loop is the problem, not just the memory
         if (n > maxBucket) throw new IllegalStateException(
           s"simhash bucket holds $n docs (> maxBucket=$maxBucket); " +
           "band keys are too narrow for this corpus — increase band " +

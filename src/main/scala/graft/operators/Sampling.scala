@@ -32,13 +32,18 @@ object Sampling {
   val Mersenne31 = 2147483647L // 2^31 - 1
   val Minstd = 48271L
 
-  /** Uniform bucket in [0, buckets) as a deterministic function of an
-    * integral id column. */
+  /** Uniform bucket in [0, buckets) as a deterministic function of a
+    * NON-NEGATIVE integral id column. Uses `%` (truncated division,
+    * identical semantics in Spark and ANSI SQL engines) rather than
+    * `pmod`, so the Scala and oracle computations are the same
+    * expression symbol-for-symbol; a negative id would get a negative
+    * bucket on both sides alike — derive a non-negative surrogate
+    * first. */
   def splitBucket(id: Column, buckets: Int = 100): Column = {
-    val x0 = pmod(id.cast("long"), lit(Mersenne31))
-    val x1 = pmod(x0 * lit(Minstd), lit(Mersenne31))
-    val x2 = pmod(x1 * lit(Minstd), lit(Mersenne31))
-    pmod(x2, lit(buckets))
+    val x0 = id.cast("long") % lit(Mersenne31)
+    val x1 = (x0 * lit(Minstd)) % lit(Mersenne31)
+    val x2 = (x1 * lit(Minstd)) % lit(Mersenne31)
+    x2 % lit(buckets)
   }
 
   /** SQL fragment computing [[splitBucket]] verbatim (oracle parity). */

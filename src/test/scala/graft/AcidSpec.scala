@@ -426,6 +426,27 @@ class AcidSpec extends AnyFunSuite {
     assert(fromTable == fromBatch)
   }
 
+  test("schema evolution: a widening insert adds a column, history keeps its schema") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val narrowVersion = inst.latestVersion
+
+    // widening insert: manifests record the new DDL; earlier files
+    // simply lack the column and read as null (parquet schema merge)
+    val t1 = inst.begin()
+    t1.insert(Seq((2L, 20L, "tagged")).toDF("obj_id", "value", "tag"))
+    inst.commit(t1)
+
+    val now = inst.read().orderBy("obj_id").collect()
+    assert(now.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(now(0).isNullAt(2) && now(1).getString(2) == "tagged")
+    // time travel reads the OLD schema at the old version
+    assert(!inst.snapshot(narrowVersion).columns.contains("tag"))
+    assert(inst.snapshot(narrowVersion).count() == 1)
+  }
+
   test("upsert merges by key: replaces overlaps, inserts new, idempotent") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t0 = inst.begin()
