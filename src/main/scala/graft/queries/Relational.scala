@@ -361,6 +361,53 @@ object Relational {
           .limit(100)
     },
 
+    // GROUPING SETS: the general form rollup/cube specialize — Spark
+    // plans one Expand + one hash aggregation, not one job per set
+    "q14_grouping_sets" -> Q(
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem " +
+      "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST") {
+      (s, dir) => {
+        Engine.registerAll(s, dir, Seq("lineitem"))
+        s.sql(
+          "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem " +
+          "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+          "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+      }
+    },
+
+    // pivot: wide one-row-per-group reshaping; the oracle spells the
+    // same thing as portable conditional aggregation (engine PIVOT
+    // syntaxes differ, CASE-WHEN sums are ANSI)
+    "q37_pivot" -> Q(
+      "SELECT source, " +
+      "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en, " +
+      "CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de, " +
+      "CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr " +
+      "FROM documents GROUP BY source ORDER BY source") {
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source").pivot("lang", Seq("en", "de", "fr"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("en", "de", "fr")) // absent cells: null -> 0
+          .orderBy("source")
+    },
+
+    // correlated EXISTS: Catalyst decorrelates it into a left-semi hash
+    // join — no per-row subquery execution at any scale
+    "q20_exists_subquery" -> Q(
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (" +
+      "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+      "AND o.o_totalprice > 300000) ORDER BY c_custkey") {
+      (s, dir) => {
+        Engine.registerAll(s, dir, Seq("customer", "orders"))
+        s.sql(
+          "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (" +
+          "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 300000) ORDER BY c_custkey")
+      }
+    },
+
     "q20_subquery" -> Q(
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (" +
       "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)" +
