@@ -113,6 +113,30 @@ object EventStreams {
           .orderBy("user_id", "session_start")
     },
 
+    // STREAMING session windows: the stateful merging-window aggregation
+    // (sessions grow/merge as events arrive; state closes once the
+    // watermark passes gap + session end). AvailableNow over the full
+    // fixture must equal the batch session query — so the same
+    // gaps-and-islands oracle verifies the streaming state machine.
+    "q21_session_window_stream" -> Q(
+      "WITH x AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts) < INTERVAL 5 MINUTE " +
+      "THEN 0 ELSE 1 END AS brk FROM events), " +
+      "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id " +
+      "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+      "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n FROM y " +
+      "GROUP BY user_id, sid ORDER BY user_id, session_start") {
+      (s, dir) =>
+        val agg = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        runToTable(s, agg, "q21_session_stream_sink", "complete")
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"), col("n"))
+          .orderBy("user_id", "session_start")
+    },
+
     // stateful streaming dedup on event_id; count equals batch distinct
     "q23_stream_dedup" -> Q(
       "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
