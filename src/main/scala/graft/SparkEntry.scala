@@ -11,6 +11,7 @@ object SparkEntry {
   lazy val registry: Seq[(String, Q)] =
     graft.queries.Relational.defs ++
     graft.queries.Typed.defs ++
+    graft.queries.TrainingPipeline.defs ++
     graft.functions.TextAnalytics.defs ++
     graft.operators.Dedup.defs ++
     graft.operators.Similarity.defs ++
