@@ -25,9 +25,11 @@ import graft.operators.{Dedup, Sampling}
   *
   * 100 TB shape: filter pushes to the scan; exact dedup is one
   * hash-shuffle on text; near-dup pairs come from the prefix-filtered
-  * inverted index (sub-quadratic); removal is a left-anti broadcast of
-  * the (small) near-dup id set; split assignment is a narrow per-row
-  * projection.
+  * inverted index (sub-quadratic); removal is a left-anti join on the
+  * near-dup id set — NOT hint-broadcast, because a heavily duplicated
+  * corpus makes that set a large fraction of the data (AQE broadcasts
+  * it when it measures small, hash-joins otherwise); split assignment
+  * is a narrow per-row projection.
   */
 object TrainingPipeline {
 
@@ -67,7 +69,7 @@ object TrainingPipeline {
         val nearDupIds = Dedup
           .jaccardPairs(uniq, "doc_id", "text", 3, 0.5)
           .select(col("doc_hi").as("doc_id")).distinct()
-        val kept = uniq.join(broadcast(nearDupIds), Seq("doc_id"), "left_anti")
+        val kept = uniq.join(nearDupIds, Seq("doc_id"), "left_anti")
         kept.select(Sampling.assignSplit(col("doc_id")).as("split"),
             col("n_chars"))
           .groupBy("split")

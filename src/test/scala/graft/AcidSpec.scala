@@ -524,6 +524,42 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.read().count() == 4)
   }
 
+  test("maintenance loop: stream in, compact, vacuum — data identical throughout") {
+    // the lakehouse operating cycle the pieces exist for: micro-batch
+    // commits accrete small files, compact folds them, vacuum reclaims
+    // the replaced originals once retention passes
+    val evDir = Files.createTempDirectory("graft_ev_loop_")
+    val events = Engine.table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(3).write.mode("overwrite").parquet(evDir.toString)
+    val raw = spark.read.parquet(evDir.toString)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(evDir.toString)
+
+    val conf = graft.acid.EngineConf(orphanGraceMs = 0L)
+    val inst = VersionedTable.create(spark, freshDir(),
+      raw.schema.add("obj_id", org.apache.spark.sql.types.LongType,
+        nullable = false), conf)
+    graft.streaming.AcidSink.runInto(inst, stream, "event_id")
+    val total = events.count()
+    assert(inst.read().count() == total)
+    val filesBefore = inst.stateAt(inst.latestVersion)._1.size
+    assert(filesBefore >= 3, s"expected >=3 small files, got $filesBefore")
+
+    assert(inst.compact() == filesBefore)
+    assert(inst.stateAt(inst.latestVersion)._1.size == 1)
+    assert(inst.read().count() == total)
+
+    Thread.sleep(20)
+    val reclaimed = inst.vacuum(retainVersions = 1)
+    assert(reclaimed >= filesBefore, s"originals reclaimed, got $reclaimed")
+    assert(inst.read().count() == total)
+    // and the table still accepts new commits afterwards
+    inst.withRetry() { txn =>
+      txn.delete(Seq(inst.read().select("obj_id").head().getLong(0)))
+    }
+    assert(inst.read().count() == total - 1)
+  }
+
   test("streaming sink checkpoint: a restarted query re-delivers nothing") {
     val evDir = Files.createTempDirectory("graft_ev_ckpt_")
     val events = Engine.table(spark, "/root/testdata/sf0.001", "events")

@@ -96,4 +96,31 @@ class PropertySpec extends AnyFunSuite {
       assert(got == model)
     }
   }
+
+  test("split mixer: uniform buckets, frozen membership, scan-order free") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 20000).select(col("id").as("doc_id"))
+    val buckets = ids
+      .select(graft.operators.Sampling.splitBucket(col("doc_id")).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(buckets.length == 100, "every bucket of 100 is hit")
+    // uniformity: each bucket expects 200; allow a generous +-35% band
+    // (the mixer is an LCG, not crypto — but splits must not skew)
+    buckets.foreach { case (b, c) =>
+      assert(c > 130 && c < 270, s"bucket $b count $c outside [130,270]")
+    }
+    // frozen membership: pinned values can never drift across versions
+    // (a changed mixer silently reshuffles every downstream eval set)
+    val pinned = Seq(0L, 1L, 42L, 9999L, 123456789L).map { id =>
+      ids.sparkSession.range(id, id + 1)
+        .select(graft.operators.Sampling.splitBucket(col("id")).as("b"))
+        .head().getLong(0)
+    }
+    assert(pinned == Seq(0L, 94L, 7L, 56L, 15L), s"mixer drifted: $pinned")
+    // partitioning independence: same buckets at any parallelism
+    val repart = ids.repartition(7)
+      .select(graft.operators.Sampling.splitBucket(col("doc_id")).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(repart.sorted.toSeq == buckets.sorted.toSeq)
+  }
 }
