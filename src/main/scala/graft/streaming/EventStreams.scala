@@ -189,6 +189,37 @@ object EventStreams {
           .orderBy("user_id")
     },
 
+    // STREAM-STREAM inner join with event-time bounds: clicks joined to
+    // the purchases they convert into within 30 minutes. Both sides
+    // carry watermarks and the join condition bounds the buffered state
+    // (a click older than watermark+30min can never match and is
+    // evicted) — the state-bounding discipline that makes stream-stream
+    // joins runnable forever. Inner join + AvailableNow replay ==
+    // batch join, so the batch oracle hash-verifies it.
+    "q23_stream_stream_join" -> Q(
+      "SELECT a.user_id, COUNT(*) AS c FROM events a JOIN events b " +
+      "ON a.user_id = b.user_id AND a.event_type = 'click' " +
+      "AND b.event_type = 'purchase' " +
+      "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE " +
+      "GROUP BY a.user_id ORDER BY a.user_id") {
+      (s, dir) =>
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "10 minutes")
+        val purchases = eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        val out = runToTable(s, joined, "q23_ss_join_sink", "append")
+        out.groupBy("user_id").agg(count(lit(1)).as("c"))
+          .orderBy("user_id")
+    },
+
     // streaming -> ACID table: every micro-batch is one transactional
     // commit (reference group commit, log_mgr/io.rs:99-103); the final
     // committed table must agree with the batch oracle over the same
