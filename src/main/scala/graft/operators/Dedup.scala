@@ -252,6 +252,60 @@ object Dedup {
     verifyPairs(cand, ds, tau)
   }
 
+  /** Connected components of an undirected pair graph — the clustering
+    * step a real dedup pipeline runs on the near-dup pairs (greedy
+    * "drop doc_hi" under-merges transitive chains A~B, B~C where A~C
+    * was never a candidate). Labels converge to the MINIMUM id
+    * reachable from each node.
+    *
+    * Algorithm: iterative min-label propagation — each round joins
+    * labels across edges and keeps the per-node minimum, until a round
+    * changes nothing. Rounds = graph diameter (near-dup clusters are
+    * shallow: dozens of rounds would mean pathological chains). Each
+    * round is two hash-shuffles over the EDGE set, not the corpus, and
+    * the loop is driver-coordinated exactly like Pregel/GraphX — the
+    * driver holds only the changed-count. At web scale the large-star/
+    * small-star variant halves round count; min-propagation is the
+    * verifiable baseline.
+    *
+    * Input: (id_a, id_b) pairs. Output: (doc_id, component) for every
+    * node that appears in some pair, component = min id of its cluster. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // candidate label for each node: min of its own and its
+      // neighbors' current labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("component", "nbr"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nbr")).as("nbr"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds — " +
+      "pathological chain structure; raise maxIters")
+    labels.orderBy("id").select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Shared oracle: exact word-3-shingle Jaccard pairs at tau, pure SQL. */
   def jaccardOracle(tau: Double): String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
@@ -298,6 +352,34 @@ object Dedup {
 
     "q25_simhash" -> Q(jaccardOracle(0.9)) {
       (s, dir) => simhashPairs(docs(s, dir), "doc_id", "text", 3, 0.9)
+    },
+
+    // transitive near-dup clusters: connected components over the exact
+    // Jaccard pair graph; the oracle recomputes them with recursive SQL
+    // (min reachable id per node), so the iterative label propagation
+    // is hash-verified end to end
+    "q39_dedup_clusters" -> Q(
+      "WITH RECURSIVE " +
+      "toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, " +
+      "(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s " +
+      "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks)), " +
+      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pj AS (SELECT da, db FROM inter " +
+      "JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+      "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5), " +
+      "e AS (SELECT da AS a, db AS b FROM pj UNION SELECT db, da FROM pj), " +
+      "n AS (SELECT DISTINCT a AS id FROM e), " +
+      "r(src, dst) AS (SELECT id, id FROM n " +
+      "UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a) " +
+      "SELECT src AS doc_id, MIN(dst) AS component FROM r " +
+      "GROUP BY src ORDER BY doc_id") {
+      (s, dir) =>
+        connectedComponents(
+          jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+            .select(col("doc_lo").as("id_a"), col("doc_hi").as("id_b")))
     }
   )
 }

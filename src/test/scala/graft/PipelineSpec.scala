@@ -64,6 +64,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(sim.map(_.toSeq).toSet == exact.map(_.toSeq).toSet)
   }
 
+  test("connected components: transitive chains merge, islands stay apart") {
+    // A~B, B~C (no direct A~C) must land in ONE component — the case
+    // greedy drop-doc_hi dedup under-merges
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain exercises multi-round propagation
+    val chain = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(labels.toSeq == Seq(1L))
+  }
+
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
     val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 2.0)))
       .toDF("vec_id", "v")
