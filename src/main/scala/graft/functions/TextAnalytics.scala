@@ -84,6 +84,28 @@ object TextAnalytics {
   def fingerprint(spark: SparkSession, text: Column): Column =
     graft.expressions.VectorExpressions.rollingHash(spark, text)
 
+  /** Fixed-window token chunking with overlap — the doc→training-chunk
+    * splitter: windows of `chunkTokens` tokens starting every `stride`
+    * tokens, emitting a window while its start is inside the doc, so
+    * every token lands in ≥1 chunk and the per-doc chunk count is
+    * ceil(n/stride). Output: (doc_id, chunk_idx, chunk, chunk_tokens).
+    *
+    * 100 TB shape: per-row explode of an arithmetic sequence + array
+    * slice — narrow, codegen'd, no shuffle. */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens/stride must be >= 1")
+    df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("i", explode(
+        sequence(lit(0L), ceil(col("n") / lit(stride.toDouble)).cast("long") - 1)))
+      .select(col("doc_id"), col("i").as("chunk_idx"),
+        concat_ws(" ",
+          expr(s"slice(w, CAST(i*$stride+1 AS INT), $chunkTokens)")).as("chunk"),
+        least(col("n") - col("i") * stride, lit(chunkTokens.toLong))
+          .as("chunk_tokens"))
+  }
+
   private def t(s: SparkSession, dir: String) =
     Engine.table(s, dir, "documents")
 

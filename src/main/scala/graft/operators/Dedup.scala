@@ -150,6 +150,28 @@ object Dedup {
     verifyPairs(cand, ds, tau)
   }
 
+  /** Train/heldout decontamination (eval-set integrity): `train` docs
+    * sharing at least one word-k-gram with any `heldout` doc, with the
+    * count of distinct leaked k-grams — the audit artifact a training
+    * pipeline keeps before dropping the hits. k=8 is the conventional
+    * contamination n-gram.
+    *
+    * 100 TB shape: explode k-grams both sides, hash-join on the gram,
+    * per-doc aggregate — sub-quadratic, one shuffle keyed on the gram;
+    * the heldout gram set (eval corpora are small) is distinct-ed
+    * first and AQE broadcasts it while it fits. At scale join on the
+    * 64-bit shingle hash ([[graft.expressions.ShingleHashes]]); gram
+    * strings are used here so a SQL oracle can compute identical keys. */
+  def contaminated(train: DataFrame, heldout: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val tr = train.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    val hd = heldout.select(explode(shingles(col(textCol), k)).as("s"))
+      .distinct()
+    tr.join(hd, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+  }
+
   /** MinHash-LSH near-dup join: numHashes minhashes, banded into
     * numHashes/bandRows bands; same-band collisions become candidates,
     * then exact-verified. Recall for J≥0.85 at (128, 4) is 1-(1-J⁴)³² ≈ 1.

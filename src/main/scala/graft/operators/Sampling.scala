@@ -65,6 +65,28 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Deterministic weighted resampling for domain/language mixture
+    * control: each row is repeated `floor(weight)` times plus one extra
+    * copy for the `frac(weight)` share of ids the frozen mixer selects
+    * (weight 2.5 → 2 copies, +1 for half the ids; weight 0.25 → kept
+    * once for a quarter of the ids, dropped otherwise). Membership of
+    * the fractional copy is a pure id function — bit-stable across
+    * runs, engines, and retries, where a `rand()` draw resamples every
+    * re-execution. Adds a `copy` column (1..reps); rows with 0 repeats
+    * disappear.
+    *
+    * 100 TB shape: narrow per-row explode — no shuffle, no state;
+    * bucket arithmetic IS the Bernoulli draw. */
+  def upsample(df: DataFrame, id: Column, weight: Column): DataFrame = {
+    val fracPct = round(weight * 100).cast("long") % 100
+    val reps = floor(weight).cast("long") +
+      when(splitBucket(id) < fracPct, 1L).otherwise(0L)
+    // sequence(1, 0) would DESCEND in Spark — guard the empty case
+    df.withColumn("copy", explode(
+      when(reps >= 1, sequence(lit(1L), reps))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // 10%-bucket deterministic sample: membership must be a pure id

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Engine, Q}
+import graft.functions.TextAnalytics
 import graft.operators.{Dedup, Sampling}
 
 /** End-to-end LLM training-data pipeline as ONE deterministic,
@@ -68,7 +69,95 @@ object TrainingPipeline {
     "CAST(SUM(n_chars) AS BIGINT) AS chars FROM kept " +
     "GROUP BY split ORDER BY split"
 
+  /** DuckDB fragment for the word-8-gram used by decontamination. */
+  private val gram8: String =
+    (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+
   val defs: Seq[(String, Q)] = Seq(
+
+    // ---- q40: train/heldout decontamination ------------------------
+    // The canonical eval-integrity op: any train doc sharing a word
+    // 8-gram with an eval/test doc is contaminated and must be dropped
+    // before training. Output = contaminated train doc ids with the
+    // count of distinct leaked 8-grams (the audit artifact a pipeline
+    // keeps).
+    //
+    // 100 TB shape: explode 8-grams on both sides, hash-join on the
+    // gram, aggregate per doc — sub-quadratic, one shuffle keyed on the
+    // gram. The heldout side (eval+test = 10% here, typically far less)
+    // is distinct-ed first so the join probes a set, and AQE broadcasts
+    // it while it fits. At scale, join on the 64-bit shingle HASH
+    // ([[graft.expressions.ShingleHashes]]) instead of the gram string
+    // — string grams here only because the oracle must compute the
+    // identical key.
+    "q40_decontaminate" -> Q(
+      "WITH sp AS (SELECT doc_id, text, CASE " +
+      s"WHEN ${Sampling.splitBucketSql("doc_id")} < 90 THEN 'train' " +
+      "ELSE 'held' END AS split FROM documents), " +
+      "toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM sp), " +
+      s"sh AS (SELECT DISTINCT doc_id, split, ($gram8) AS s " +
+      "FROM (SELECT doc_id, split, w, unnest(generate_series(1, len(w)-7)) AS i FROM toks)), " +
+      "hd AS (SELECT DISTINCT s FROM sh WHERE split = 'held') " +
+      "SELECT doc_id, COUNT(*) AS n_leaked FROM sh JOIN hd USING (s) " +
+      "WHERE split = 'train' GROUP BY doc_id ORDER BY doc_id") {
+      (s, dir) =>
+        val docs = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            (Sampling.splitBucket(col("doc_id")) < 90).as("is_train"))
+        Dedup.contaminated(
+            docs.filter(col("is_train")), docs.filter(!col("is_train")),
+            "doc_id", "text", 8)
+          .orderBy("doc_id")
+    },
+
+    // ---- q41: deterministic domain/language mixture ----------------
+    // Rebalance the corpus toward a target language mixture by
+    // integer-repeating rows: en stays at 1 copy, every other language
+    // gets 2.5x — 2 copies plus a 3rd for the half of ids the frozen
+    // [[Sampling.splitBucket]] mixer selects. Membership of the extra
+    // copy is a pure id function, so the mixed corpus is bit-stable
+    // across runs/engines (a rand()-based upsample resamples every
+    // retry — poison for reproducible training data).
+    //
+    // 100 TB shape: narrow per-row explode, no shuffle, no state; the
+    // output is written straight back out. Fractional weights never
+    // need rand(): bucket arithmetic IS the Bernoulli draw.
+    "q41_domain_mix" -> Q(
+      "SELECT doc_id, lang, unnest(generate_series(1, reps)) AS copy " +
+      "FROM (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 2 + " +
+      s"(CASE WHEN ${Sampling.splitBucketSql("doc_id")} < 50 THEN 1 ELSE 0 END) " +
+      "END AS reps FROM documents) ORDER BY doc_id, copy") {
+      (s, dir) =>
+        val weight = when(col("lang") === "en", lit(1.0)).otherwise(lit(2.5))
+        Sampling.upsample(
+            Engine.table(s, dir, "documents").select("doc_id", "lang"),
+            col("doc_id"), weight)
+          .orderBy("doc_id", "copy")
+    },
+
+    // ---- q42: fixed-window chunking with overlap -------------------
+    // Split each document into 32-token training chunks on a 24-token
+    // stride (8-token overlap keeps boundary context); chunk starts at
+    // i*stride while that is inside the doc, so every token lands in at
+    // least one chunk and the per-doc chunk count is ceil(n/24).
+    //
+    // 100 TB shape: per-row explode of an arithmetic sequence + array
+    // slice — narrow, codegen'd, no shuffle; downstream packing/batching
+    // consumes (doc_id, chunk_idx) ordered output.
+    "q42_chunk" -> Q(
+      "WITH c AS (SELECT doc_id, w, n, " +
+      "unnest(generate_series(0, CAST(ceil(n/24.0) AS BIGINT) - 1)) AS i " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)) " +
+      "SELECT doc_id, i AS chunk_idx, " +
+      "array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk, " +
+      "CAST(LEAST(n - i*24, 32) AS BIGINT) AS chunk_tokens " +
+      "FROM c ORDER BY doc_id, chunk_idx") {
+      (s, dir) =>
+        TextAnalytics.chunk(Engine.table(s, dir, "documents"),
+            col("doc_id"), col("text"), 32, 24)
+          .orderBy("doc_id", "chunk_idx")
+    },
 
     "q38_training_pipeline" -> Q(pipelineOracle) {
       (s, dir) =>

@@ -116,6 +116,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
+  test("decontamination flags exactly the train docs leaking an 8-gram") {
+    val gram = "one two three four five six seven eight"
+    val train = Seq(
+      (1L, s"prefix $gram suffix"),        // leaks the heldout 8-gram
+      (2L, "totally unrelated training text with many distinct words"),
+      (3L, s"$gram and then $gram again")) // leaks it too (counted once)
+      .toDF("doc_id", "text")
+    val held = Seq((100L, s"held out doc containing $gram here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminated(train, held, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(1L) == 1L && hits(3L) == 1L)
+  }
+
+  test("upsample: integer + fractional weights, deterministic across runs") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 1000).toDF("id")
+    def mixed() = Sampling.upsample(df, col("id"),
+      when(col("id") < 500, lit(2.5)).otherwise(lit(0.25)))
+    val rows = mixed().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perId = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // weight 2.5: every id has 2 or 3 copies; ~half get the 3rd
+    val hi = (0L until 500L).map(id => perId.getOrElse(id, 0))
+    assert(hi.forall(c => c == 2 || c == 3))
+    assert(hi.count(_ == 3) > 150 && hi.count(_ == 3) < 350)
+    // weight 0.25: kept once or dropped; ~quarter survive
+    val lo = (500L until 1000L).map(id => perId.getOrElse(id, 0))
+    assert(lo.forall(c => c == 0 || c == 1))
+    assert(lo.count(_ == 1) > 75 && lo.count(_ == 1) < 175)
+    // frozen: a second run reproduces the exact multiset
+    assert(mixed().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq == rows.sorted.toSeq)
+  }
+
+  test("chunking covers every token; window and tail sizes are exact") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val out = TextAnalytics.chunk(Seq((7L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 32, 24)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 3) // ceil(50/24)
+    assert(out.map(_.getLong(3)).toSeq == Seq(32L, 26L, 2L))
+    assert(out(0).getString(2).startsWith("t1 ") &&
+      out(0).getString(2).endsWith(" t32"))
+    assert(out(2).getString(2) == "t49 t50")
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 50).map(i => s"t$i").toSet)
+    // short doc: exactly one chunk, whole text
+    val one = TextAnalytics.chunk(Seq((8L, "a b c")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), 32, 24).collect()
+    assert(one.length == 1 && one(0).getString(2) == "a b c")
+  }
+
   test("multimodal: payload round-trips bytes and features normalize") {
     val docs = Engine.table(spark, dir, "documents").limit(20)
     val packed = Multimodal.packAsMedia(docs, "text")
