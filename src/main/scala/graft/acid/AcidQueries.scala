@@ -47,6 +47,29 @@ object AcidQueries {
     VersionedTable.open(spark, dir).read().orderBy("obj_id")
   }
 
+  /** Change-data-feed scenario: the same insert→update→delete history,
+    * read back as a row-level change feed (WAL-tailing analog,
+    * log_mgr/io.rs:354-373). Deterministic; exact assertions in
+    * AcidSpec ("change feed: ..."). */
+  def changeFeedScenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_acid_cdf_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    inst.commit(t2)
+    val t3 = inst.begin()
+    t3.delete(Seq(3L))
+    inst.commit(t3)
+    inst.compact() // layout-only commit: must contribute nothing
+    inst.changes(0, inst.latestVersion)
+      .orderBy("_version", "_change", "obj_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
-    "q30_acid_scenario" -> Q.noOracle((s, _) => scenario(s)))
+    "q30_acid_scenario" -> Q.noOracle((s, _) => scenario(s)),
+    "q43_acid_changes" -> Q.noOracle((s, _) => changeFeedScenario(s)))
 }

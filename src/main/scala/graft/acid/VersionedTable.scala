@@ -362,6 +362,66 @@ final class Instance(val spark: SparkSession, val root: String,
   /** Current committed table contents. */
   def read(): DataFrame = snapshot(latestVersion)
 
+  /** Row-level change data feed for the commit interval `(fromV, toV]`
+    * — the lakehouse analog of tailing the reference's WAL/commit log
+    * (log records are read back by LSN for replay and downstream
+    * consumption, log_mgr/io.rs:354-373; here the manifest log IS the
+    * change log). Output: the table's columns plus `_version` and
+    * `_change` ∈ {insert, delete, update_preimage, update_postimage}.
+    *
+    * Per commit, changed rows are recovered from ONLY that commit's
+    * added/removed files filtered to its declared object set — CoW
+    * rewrites copy untouched neighbor rows into new files, and the
+    * manifest's object list is exactly the filter that separates the
+    * two. An object on both sides of a commit is an update (pre +
+    * post image); only-after = insert; only-before = delete. Layout
+    * commits (compaction/checkpoint with no objects) emit nothing:
+    * they change bytes, not content.
+    *
+    * Scale: IO is O(files touched per commit) — never a snapshot scan;
+    * classification is a per-commit obj_id equi join (AQE broadcasts
+    * the small side). Schema evolution across the interval is unioned
+    * by name with nulls for columns a version didn't have. */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
+      s"invalid change interval ($fromV, $toV]")
+    val perVersion = ((fromV + 1) to toV).flatMap { v =>
+      val m = readManifest(v)
+      if (m.objects.isEmpty) None
+      else {
+        val ids = m.objects
+        def touched(df: DataFrame): DataFrame =
+          if (ids.size <= conf.idBroadcastThreshold)
+            df.filter(col("obj_id").isin(ids: _*))
+          else {
+            val s = spark; import s.implicits._
+            df.join(broadcast(ids.toDF("obj_id")), Seq("obj_id"), "left_semi")
+          }
+        val pre = touched(viewOf(m.removed, stateAt(v - 1)._2))
+        val post = touched(viewOf(m.added, m.schemaDDL))
+        val preIds = pre.select("obj_id").distinct()
+        val postIds = post.select("obj_id").distinct()
+        def tag(df: DataFrame, other: DataFrame, join: String,
+            change: String): DataFrame =
+          df.join(other, Seq("obj_id"), join)
+            .withColumn("_version", lit(v))
+            .withColumn("_change", lit(change))
+        Some(Seq(
+          tag(post, preIds, "left_anti", "insert"),
+          tag(pre, postIds, "left_anti", "delete"),
+          tag(pre, postIds, "left_semi", "update_preimage"),
+          tag(post, preIds, "left_semi", "update_postimage"))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
+    }
+    if (perVersion.isEmpty)
+      viewOf(Nil, stateAt(toV)._2)
+        .withColumn("_version", lit(null).cast("long"))
+        .withColumn("_change", lit(null).cast("string"))
+        .limit(0)
+    else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Atomically publish a manifest: the version is claimed ONLY with its
     * complete content in place, so a writer crash can never leave a torn
     * manifest at a claimed version (which would otherwise poison every

@@ -426,6 +426,52 @@ class AcidSpec extends AnyFunSuite {
     assert(fromTable == fromBatch)
   }
 
+  test("change feed: insert/update/delete recovered per version, compaction silent") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t1)                                  // v1: 3 inserts
+    val t2 = inst.begin()
+    t2.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    inst.commit(t2)                                  // v2: update of 2
+    val t3 = inst.begin()
+    t3.delete(Seq(3L))
+    inst.commit(t3)                                  // v3: delete of 3
+    inst.compact()                                   // v4: layout only
+    val head = inst.latestVersion
+
+    def feed(from: Long, to: Long) =
+      inst.changes(from, to).collect()
+        .map(r => (r.getAs[Long]("_version"), r.getAs[String]("_change"),
+          r.getAs[Long]("obj_id"), r.getAs[Long]("value"))).toSet
+
+    assert(feed(0, head) == Set(
+      (1L, "insert", 1L, 10L), (1L, "insert", 2L, 20L), (1L, "insert", 3L, 30L),
+      (2L, "update_preimage", 2L, 20L), (2L, "update_postimage", 2L, 200L),
+      (3L, "delete", 3L, 30L)))
+    // tail from the middle: only later commits appear
+    assert(feed(2, head) == Set((3L, "delete", 3L, 30L)))
+    // compaction-only interval is empty but keeps the table's schema
+    assert(feed(3, head).isEmpty)
+    assert(inst.changes(3, head).columns.toSeq ==
+      Seq("obj_id", "value", "_version", "_change"))
+  }
+
+  test("change feed spans schema evolution with nulls for missing columns") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val t1 = inst.begin()
+    t1.insert(Seq((2L, 20L, "tagged")).toDF("obj_id", "value", "tag"))
+    inst.commit(t1)
+    val rows = inst.changes(0, inst.latestVersion)
+      .orderBy("obj_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("tag")))
+    assert(rows(1).getAs[String]("tag") == "tagged")
+  }
+
   test("schema evolution: a widening insert adds a column, history keeps its schema") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t0 = inst.begin()
