@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Engine, Q}
@@ -104,6 +105,34 @@ object TextAnalytics {
           expr(s"slice(w, CAST(i*$stride+1 AS INT), $chunkTokens)")).as("chunk"),
         least(col("n") - col("i") * stride, lit(chunkTokens.toLong))
           .as("chunk_tokens"))
+  }
+
+  /** Offset-based sequence packing (concat-then-split): lay the chunks
+    * of each shard end-to-end in (doc_id, chunk_idx) order and cut the
+    * token stream every `ctxTokens` — each chunk is assigned to the
+    * context window (`bin`) where it STARTS, at `offset` tokens into
+    * it. This is the packing strategy that concatenates docs with an
+    * EOS separator and slices fixed windows; unlike first-fit bin
+    * packing it is a pure prefix-sum, so the layout is deterministic
+    * and cross-engine verifiable.
+    *
+    * Input must carry (doc_id, chunk_idx, chunk_tokens) — e.g.
+    * [[chunk]]'s output.
+    *
+    * 100 TB shape: one shuffle keyed on the shard, then a per-shard
+    * sorted window prefix-sum — no global sort, no driver state; shard
+    * count scales with the cluster (shard by [[graft.operators
+    * .Sampling.splitBucket]] at scale; `doc_id % shards` here keeps the
+    * oracle SQL trivial). */
+  def packChunks(chunks: DataFrame, ctxTokens: Int = 256,
+      shards: Int = 8): DataFrame = {
+    require(ctxTokens >= 1 && shards >= 1, "ctxTokens/shards must be >= 1")
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("shard", col("doc_id") % shards)
+      .withColumn("start", sum(col("chunk_tokens")).over(w) - col("chunk_tokens"))
+      .withColumn("bin", floor(col("start") / ctxTokens))
+      .withColumn("offset", col("start") - col("bin") * ctxTokens)
+      .drop("start")
   }
 
   private def t(s: SparkSession, dir: String) =

@@ -159,6 +159,35 @@ object TrainingPipeline {
           .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- q44: sequence packing into context windows ----------------
+    // Pack the 32/24 chunk stream into 256-token context windows per
+    // shard (offset-based concat-then-split — [[TextAnalytics
+    // .packChunks]]); report each window's chunk count and token fill.
+    // The per-shard prefix-sum layout is deterministic, so the whole
+    // packed corpus shape hash-matches the oracle's window SQL.
+    "q44_pack" -> Q(
+      "WITH ch AS (SELECT doc_id, i AS chunk_idx, " +
+      "CAST(LEAST(n - i*24, 32) AS BIGINT) AS chunk_tokens " +
+      "FROM (SELECT doc_id, n, " +
+      "unnest(generate_series(0, CAST(ceil(n/24.0) AS BIGINT) - 1)) AS i " +
+      "FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n " +
+      "FROM documents))), " +
+      "p AS (SELECT doc_id % 8 AS shard, chunk_tokens, " +
+      "SUM(chunk_tokens) OVER (PARTITION BY doc_id % 8 " +
+      "ORDER BY doc_id, chunk_idx) - chunk_tokens AS start FROM ch) " +
+      "SELECT shard, CAST(FLOOR(start / 256) AS BIGINT) AS bin, " +
+      "COUNT(*) AS n_chunks, CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens " +
+      "FROM p GROUP BY shard, bin ORDER BY shard, bin") {
+      (s, dir) =>
+        val chunks = TextAnalytics.chunk(Engine.table(s, dir, "documents"),
+          col("doc_id"), col("text"), 32, 24)
+        TextAnalytics.packChunks(chunks, 256, 8)
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("chunk_tokens").as("bin_tokens"))
+          .orderBy("shard", "bin")
+    },
+
     "q38_training_pipeline" -> Q(pipelineOracle) {
       (s, dir) =>
         val en = Engine.table(s, dir, "documents")

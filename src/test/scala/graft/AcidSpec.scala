@@ -457,6 +457,39 @@ class AcidSpec extends AnyFunSuite {
       Seq("obj_id", "value", "_version", "_change"))
   }
 
+  test("change feed maintains an incremental aggregate equal to recompute") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("obj_id", "value"))
+    inst.commit(t1)
+    val viewedAt = inst.latestVersion
+    // materialize the view once at viewedAt
+    var viewSum = inst.snapshot(viewedAt).agg(sum("value")).collect()(0).getLong(0)
+
+    val t2 = inst.begin()
+    t2.update(Seq(2L, 3L), df => df.withColumn("value", col("value") + 5))
+    inst.commit(t2)
+    val t3 = inst.begin()
+    t3.delete(Seq(1L))
+    inst.commit(t3)
+    val t4 = inst.begin()
+    t4.insert(Seq((5L, 500L)).toDF("obj_id", "value"))
+    inst.commit(t4)
+    inst.compact()
+
+    // refresh incrementally: +postimages/inserts, -preimages/deletes —
+    // the CDF consumer pattern (no snapshot rescan)
+    val delta = inst.changes(viewedAt, inst.latestVersion)
+      .withColumn("signed", when(
+        col("_change").isin("insert", "update_postimage"), col("value"))
+        .otherwise(-col("value")))
+      .agg(sum("signed")).collect()(0).getLong(0)
+    viewSum += delta
+    val recomputed = inst.read().agg(sum("value")).collect()(0).getLong(0)
+    assert(viewSum == recomputed)
+  }
+
   test("change feed spans schema evolution with nulls for missing columns") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t0 = inst.begin()

@@ -170,6 +170,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getString(2) == "a b c")
   }
 
+  test("packing: contiguous offsets per shard, bins advance every ctxTokens") {
+    // 1 shard, ctx=100; chunks of 40/40/40 tokens from consecutive docs:
+    // starts 0,40,80 → bins 0,0,0 at offsets 0,40,80 (the 3rd STARTS
+    // inside bin 0 even though it crosses into bin 1 — concat-then-split)
+    val chunks = Seq(
+      (1L, 0L, 40L), (2L, 0L, 40L), (3L, 0L, 40L), (4L, 0L, 40L))
+      .toDF("doc_id", "chunk_idx", "chunk_tokens")
+    val out = TextAnalytics.packChunks(chunks, 100, 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("offset")))
+    assert(out.toSeq == Seq((0L, 0L), (0L, 40L), (0L, 80L), (1L, 20L)))
+    // shards partition independently: same stream over 2 shards
+    val sharded = TextAnalytics.packChunks(chunks, 100, 2).collect()
+    assert(sharded.map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
+    // within each shard offsets restart at 0
+    val perShard = sharded.groupBy(_.getAs[Long]("shard"))
+    perShard.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("offset")).min == 0L)
+    }
+  }
+
   test("multimodal: payload round-trips bytes and features normalize") {
     val docs = Engine.table(spark, dir, "documents").limit(20)
     val packed = Multimodal.packAsMedia(docs, "text")
