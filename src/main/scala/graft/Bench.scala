@@ -47,8 +47,15 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_ONLY=q23,q25 times a subset (local iteration aid;
+    // the driver leaves it unset and benches the full registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.registry.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
+
     val samples: Seq[Seq[(String, Double)]] =
-      (1 to runs).map(_ => SparkEntry.registry.map { case (n, q) => n -> once(n, q) })
+      (1 to runs).map(_ => selected.map { case (n, q) => n -> once(n, q) })
 
     // a query that failed in ANY run reports the -1 sentinel (not a
     // median over partial data), so the JSON is machine-distinguishable
@@ -57,7 +64,7 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.registry.map { case (name, _) =>
+    val results = selected.map { case (name, _) =>
       val xs = samples.map(_.toMap.apply(name))
       name -> (if (xs.exists(_ < 0)) -1.0 else median(xs))
     }

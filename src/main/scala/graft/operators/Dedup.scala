@@ -159,15 +159,18 @@ object Dedup {
     * 100 TB shape: explode k-grams both sides, hash-join on the gram,
     * per-doc aggregate — sub-quadratic, one shuffle keyed on the gram;
     * the heldout gram set (eval corpora are small) is distinct-ed
-    * first and AQE broadcasts it while it fits. At scale join on the
-    * 64-bit shingle hash ([[graft.expressions.ShingleHashes]]); gram
-    * strings are used here so a SQL oracle can compute identical keys. */
+    * first and AQE broadcasts it while it fits. Grams travel as their
+    * 64-bit hash ([[graft.expressions.ShingleHashes]], one codegen'd
+    * pass, ~100x cheaper than the string-HOF pipeline and an 8x
+    * narrower shuffle than 8-word gram strings); set-membership is all
+    * the join needs, exactly as in [[jaccardPairs]]. */
   def contaminated(train: DataFrame, heldout: DataFrame,
       idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = graft.expressions.ShingleHashes
+      .shingleHashes(df.sparkSession, col(textCol), k)
     val tr = train.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k)).as("s"))
-    val hd = heldout.select(explode(shingles(col(textCol), k)).as("s"))
-      .distinct()
+      explode(grams(train)).as("s"))
+    val hd = heldout.select(explode(grams(heldout)).as("s")).distinct()
     tr.join(hd, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
   }
@@ -291,9 +294,48 @@ object Dedup {
     * verifiable baseline.
     *
     * Input: (id_a, id_b) pairs. Output: (doc_id, component) for every
-    * node that appears in some pair, component = min id of its cluster. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    * node that appears in some pair, component = min id of its cluster.
+    *
+    * Fast path: the pair graph is orders of magnitude smaller than the
+    * corpus (it holds only near-duplicates), so up to `driverEdgeLimit`
+    * edges (default 4M ≈ 64 MB of longs) the component labels are
+    * computed in one pass of driver union-find instead of ~diameter
+    * Spark rounds — the same bounded-metadata trade the ACID layer
+    * makes for its id lists. Larger graphs take the distributed loop
+    * unchanged; both paths produce identical labels. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      driverEdgeLimit: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val undirected = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    // one job fetches limit+1 rows: under the limit that IS the whole
+    // edge set (no second pass over the expensive pair computation);
+    // over it, fall back to the distributed loop
+    val fetchCap = math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt
+    val fetched = undirected.limit(fetchCap).collect()
+    if (fetched.length <= driverEdgeLimit)
+      return {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        fetched.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN root: the final root IS the component label
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet.forEach(id => labels += ((id, find(id))))
+        import spark.implicits._
+        labels.sortBy(_._1).toSeq.toDF("doc_id", "component")
+      }
+    val edges = undirected
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
       .persist()

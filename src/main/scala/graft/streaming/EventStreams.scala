@@ -53,14 +53,29 @@ object EventStreams {
   }
 
   /** Run a streaming DF to completion into a memory sink, return the
-    * materialized table. */
+    * materialized table.
+    *
+    * Stateful operators allocate one state store per shuffle partition
+    * per stateful stage (a stream-stream join keeps four per
+    * partition), and every micro-batch commits every store — so the
+    * partition count must track STATE THROUGHPUT, not the batch
+    * shuffle default. The fixture replay is a single micro-batch of
+    * ~100k events: 8 partitions keeps all 32 cores busy inside the
+    * stores while cutting per-batch store-commit overhead 4x. A
+    * production deployment sizes this to keys/sec (it is fixed at
+    * first checkpoint). */
   def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -77,6 +77,17 @@ class PipelineSpec extends AnyFunSuite {
     val labels = Dedup.connectedComponents(chain).collect()
       .map(r => r.getLong(1)).distinct
     assert(labels.toSeq == Seq(1L))
+    // driver union-find fast path and distributed loop agree exactly
+    // (driverEdgeLimit = 0 forces the distributed path)
+    val messy = Seq((5L, 9L), (2L, 7L), (9L, 2L), (30L, 31L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(messy).collect().map(_.toSeq)
+    val viaLoop = Dedup.connectedComponents(messy, driverEdgeLimit = 0L)
+      .collect().map(_.toSeq)
+    assert(viaDriver.toSeq == viaLoop.toSeq)
+    assert(viaDriver.map(r => r.head -> r(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L,
+          30L -> 30L, 31L -> 30L))
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
