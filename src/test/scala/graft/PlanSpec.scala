@@ -85,6 +85,35 @@ class PlanSpec extends AnyFunSuite {
       s"sample decision must read only the id column: $read")
   }
 
+  test("q40: gram keys are hashed longs and the heldout side broadcasts") {
+    val df = SparkEntry.queries("q40_decontaminate")(spark, dir)
+    df.collect() // finalize AQE join selection
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    // join on the codegen'd 64-bit gram hash, not 8-word strings
+    assert(exec.contains("shinglehashes(text"), exec)
+    // a gram side measured small — AQE must broadcast it, not
+    // sort-merge two exploded gram streams
+    assert(exec.contains("BroadcastHashJoin"), exec)
+  }
+
+  test("q44: packing shuffles once on the shard, never a global sort") {
+    val df = SparkEntry.queries("q44_pack")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the window must partition by shard (per-shard local sort)...
+    assert(p.contains("windowspecdefinition(shard"), p)
+    // ...and the only whole-dataset Sort allowed is the final ORDER BY
+    // (which follows the aggregate, over per-bin rows, not chunks);
+    // a Sort directly over the chunk stream without a partitioning key
+    // would mean a degenerate empty-frame window
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("Sort") && l.contains("global=true")
+        && l.contains("chunk_idx")), p)
+  }
+
   test("q25 embed near-dup: cosine threshold lives IN the join condition") {
     // the 10x regression shape: cosine in a filter ABOVE the join
     // materializes every candidate pair (two arrays each) before
