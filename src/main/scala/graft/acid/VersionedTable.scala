@@ -382,6 +382,22 @@ final class Instance(val spark: SparkSession, val root: String,
     * classification is a per-commit obj_id equi join (AQE broadcasts
     * the small side). Schema evolution across the interval is unioned
     * by name with nulls for columns a version didn't have. */
+  /** The commit log as a queryable table — one row per version with
+    * its transaction id, file/object deltas, and checkpoint flag (the
+    * reference's log inspection surface; SURVEY §2.1 R21–R24). Driver
+    * metadata only: O(versions) manifest reads, and vacuum never
+    * deletes manifests, so the full history stays readable. */
+  def history(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L to latestVersion).map { v =>
+      val m = readManifest(v)
+      (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
+        m.objects.size.toLong, m.checkpoint)
+    }.toDF("version", "tsn", "n_added_files", "n_removed_files",
+      "n_objects", "checkpoint")
+  }
+
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
       s"invalid change interval ($fromV, $toV]")
@@ -686,16 +702,30 @@ final class Instance(val spark: SparkSession, val root: String,
     * retries — exactly the protection that prevents either side from
     * resurrecting the other's removed rows.
     *
+    * `clusterByObjId = true` additionally RANGE-partitions the rewrite
+    * on obj_id (the lakehouse OPTIMIZE/cluster-by analog): output files
+    * get DISJOINT id ranges, so the manifest pruning index resolves a
+    * point op to exactly one file — restoring the reference's
+    * id-is-the-address access cost (instance.rs:126-134) even after
+    * interleaved writers scattered each id range across every file.
+    * Costs one shuffle (plain compaction stays a narrow coalesce);
+    * clustering always rewrites, even when the file count is already
+    * at target.
+    *
     * Returns the number of files replaced (0 = nothing to do). */
-  def compact(targetFiles: Int = 1): Int = {
+  def compact(targetFiles: Int = 1, clusterByObjId: Boolean = false): Int = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val txn = begin()
     val (files, ddl, _) = stateWithStatsAt(txn.readVersion)
-    if (files.size <= targetFiles) { rollback(txn); return 0 }
+    if (files.isEmpty || (files.size <= targetFiles && !clusterByObjId)) {
+      rollback(txn); return 0
+    }
     // coalesce, not repartition: compaction is a bin-pack of existing
     // files into fewer write tasks — a narrow dependency, no shuffle
+    val view = viewOf(files, ddl)
     val staged = writeStaged(
-      viewOf(files, ddl).coalesce(targetFiles), txn)
+      if (clusterByObjId) view.repartitionByRange(targetFiles, col("obj_id"))
+      else view.coalesce(targetFiles), txn)
     txn.added ++= staged
     txn.removed ++= files
     commit(txn)

@@ -457,6 +457,55 @@ class AcidSpec extends AnyFunSuite {
       Seq("obj_id", "value", "_version", "_change"))
   }
 
+  test("clustered compaction makes point-op pruning exact (one file per id)") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    // two interleaved single-file inserts: BOTH files span nearly the
+    // full id range, so range pruning can never narrow a point op
+    // below 2 files
+    val t1 = inst.begin()
+    t1.insert((1L to 99L by 2).map(i => (i, i * 10))
+      .toDF("obj_id", "value").repartition(1))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.insert((2L to 100L by 2).map(i => (i, i * 10))
+      .toDF("obj_id", "value").repartition(1))
+    inst.commit(t2)
+    val before = inst.begin()
+    assert(before.candidateFiles(Seq(50L)).size >= 2)
+    inst.rollback(before)
+
+    assert(inst.compact(4, clusterByObjId = true) > 0)
+    // disjoint ranges: any single id now resolves to exactly one file
+    val after = inst.begin()
+    Seq(1L, 50L, 100L).foreach { id =>
+      assert(after.candidateFiles(Seq(id)).size == 1,
+        s"id $id not pruned to one file")
+    }
+    inst.rollback(after)
+    // content unchanged
+    assert(inst.read().count() == 100)
+    assert(inst.read().agg(sum("value")).collect()(0).getLong(0) ==
+      (1L to 100L).map(_ * 10).sum)
+  }
+
+  test("history lists every commit with its deltas and checkpoint flag") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t2)
+    inst.compact()
+    val h = inst.history().orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h(0).getAs[Boolean]("checkpoint")) // create = initial checkpoint
+    assert(h(1).getAs[Long]("n_objects") == 2L) // first insert
+    assert(h(2).getAs[Long]("n_objects") == 1L) // second insert
+    assert(h(3).getAs[Long]("n_objects") == 0L) // compaction: layout only
+    assert(h(3).getAs[Long]("n_removed_files") > 0L)
+  }
+
   test("change feed maintains an incremental aggregate equal to recompute") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t1 = inst.begin()
