@@ -30,6 +30,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("runtime bloom filter prunes the fact scan under a selective dim filter") {
+    // the 100 TB shape: a selective dimension predicate should reach
+    // the fact side BEFORE the shuffle via an injected bloom filter
+    // (row-level runtime filtering), not be applied only at the join.
+    // Thresholds are lowered to fixture scale; on a cluster the
+    // defaults (10M rows / scan-size gates) trigger on real facts.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join shape
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = "/root/testdata/sf0.01"
+      def query() = {
+        val orders = Engine.table(spark, d, "orders")
+          .filter(col("o_totalprice") > 400000)
+        val li = Engine.table(spark, d, "lineitem")
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("c"), sum("l_quantity").as("q"))
+      }
+      val withBloom = query()
+      val rows = withBloom.collect().map(_.toSeq).toSet
+      assert(withBloom.queryExecution.executedPlan.toString
+        .contains("bloom_filter"), "no runtime bloom filter injected")
+      // semantics unchanged vs the unfiltered plan
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(query().collect().map(_.toSeq).toSet == rows)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf; use the default ./spark-warehouse.
     // The in-memory catalog forgets tables across JVMs but leaves the
