@@ -152,6 +152,29 @@ object EventStreams {
           .orderBy("user_id", "session_start")
     },
 
+    // stream-static enrichment: each micro-batch joins the live event
+    // stream against a STATIC dimension snapshot (no state, no
+    // watermark needed — the dim is re-broadcast per batch, the
+    // standard shape for enriching a firehose with reference data).
+    // Inner join + replay == batch join, so the batch oracle
+    // hash-verifies it.
+    "q23_stream_static_join" -> Q(
+      "SELECT c.c_mktsegment AS seg, COUNT(*) AS c, " +
+      s"${sqlDsum("e.value")} AS sv " +
+      "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+      "GROUP BY 1 ORDER BY 1") {
+      (s, dir) =>
+        val dim = Engine.table(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("seg"))
+        val agg = eventsStream(s, dir).select("user_id", "value")
+          .join(broadcast(dim), "user_id")
+          .groupBy("seg")
+          .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
+        runToTable(s, agg, "q23_static_join_sink", "complete")
+          .orderBy("seg")
+    },
+
     // stateful streaming dedup on event_id; count equals batch distinct
     "q23_stream_dedup" -> Q(
       "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
