@@ -382,6 +382,50 @@ final class Instance(val spark: SparkSession, val root: String,
     * classification is a per-commit obj_id equi join (AQE broadcasts
     * the small side). Schema evolution across the interval is unioned
     * by name with nulls for columns a version didn't have. */
+  /** Roll the table back to the contents of version `v` as a NEW
+    * commit (never rewriting history): the manifest delta re-adds the
+    * files of `v` that the current head dropped and removes the files
+    * added since — pure metadata, zero data IO, because copy-on-write
+    * kept `v`'s files on disk (the recovery half of the reference's
+    * undo machinery, block_driver.rs:591-601, where pre-images restore
+    * an aborted object; here whole snapshots are the pre-images).
+    * Time travel across the restore still sees the undone versions.
+    *
+    * The commit declares every object touched in `(v, head]` so it
+    * conflicts with any concurrent writer of those objects, and the
+    * restored files must not have been vacuumed (guarded by the same
+    * retention discipline as any time-travel read).
+    *
+    * Returns the new head version (== head when already at `v`'s
+    * state, no empty commit). */
+  def restore(v: Long): Long = {
+    val txn = begin()
+    require(v >= 0 && v <= txn.readVersion,
+      s"cannot restore to v$v from v${txn.readVersion}")
+    val (oldFiles, oldDdl, oldStats) = stateWithStatsAt(v)
+    val (curFiles, _, _) = stateWithStatsAt(txn.readVersion)
+    val reAdd = oldFiles.toSet -- curFiles
+    val drop = curFiles.toSet -- oldFiles
+    if (reAdd.isEmpty && drop.isEmpty) { rollback(txn); return txn.readVersion }
+    // a vacuumed target must fail loudly before publishing a manifest
+    // that references ghost files
+    val gone = reAdd.filterNot(f => fs.exists(new Path(dataDir, f)))
+    if (gone.nonEmpty) {
+      rollback(txn)
+      throw new IllegalStateException(
+        s"cannot restore to v$v: ${gone.size} of its files were vacuumed " +
+        s"(first: ${gone.head}); raise vacuum retention to keep restore targets")
+    }
+    txn.added ++= reAdd.toSeq.sorted
+    txn.adopted ++= reAdd // committed files re-referenced, not staged
+    txn.removed ++= drop.toSeq.sorted
+    reAdd.foreach(f => oldStats.get(f).foreach(r => txn.addedStats(f) = r))
+    txn.objects ++= ((v + 1) to txn.readVersion)
+      .flatMap(readManifest(_).objects)
+    txn.schemaDDL = Some(oldDdl)
+    commit(txn)
+  }
+
   /** The commit log as a queryable table — one row per version with
     * its transaction id, file/object deltas, and checkpoint flag (the
     * reference's log inspection surface; SURVEY §2.1 R21–R24). Driver
@@ -787,8 +831,13 @@ final class Instance(val spark: SparkSession, val root: String,
     spark.read.parquet(staged.map(f => new Path(dataDir, f).toString): _*)
       .select("obj_id").distinct().collect().map(_.getLong(0)).toSeq
 
+  /** Reclaim dirs staged BY this transaction. Files the transaction
+    * merely re-references ([[Txn.adopted]] — e.g. a [[restore]]
+    * re-adding an old snapshot's files) belong to committed history
+    * and must survive an abort. */
   private[acid] def deleteStagingDirs(txn: Txn): Unit =
-    (txn.added ++ txn.retired).map(_.split('/').head).distinct
+    (txn.added.filterNot(txn.adopted.contains) ++ txn.retired)
+      .map(_.split('/').head).distinct
       .foreach(d => fs.delete(new Path(dataDir, d), true))
 
   /** Physically reclaim staged files the transaction itself superseded
@@ -817,6 +866,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] val added = mutable.ArrayBuffer[String]()
   private[acid] val removed = mutable.ArrayBuffer[String]()
   private[acid] val objects = mutable.LinkedHashSet[Long]()
+  // added entries that are pre-existing committed files (re-referenced,
+  // not written, by this txn — see restore): NEVER reclaimed on abort
+  private[acid] val adopted = mutable.Set[String]()
   // staged files superseded by a LATER mutation of the same transaction —
   // never published, physically reclaimed at commit/abort
   private[acid] val retired = mutable.ArrayBuffer[String]()
@@ -1004,6 +1056,6 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] def abort(): Unit = {
     inst.deleteStagingDirs(this)
     added.clear(); removed.clear(); objects.clear(); retired.clear()
-    addedStats.clear()
+    addedStats.clear(); adopted.clear()
   }
 }

@@ -457,6 +457,55 @@ class AcidSpec extends AnyFunSuite {
       Seq("obj_id", "value", "_version", "_change"))
   }
 
+  test("restore rolls back to an old version as a new commit, history intact") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val good = inst.latestVersion
+    val t2 = inst.begin()
+    t2.update(Seq(1L), df => df.withColumn("value", lit(-1L)))
+    inst.commit(t2)
+    val t3 = inst.begin()
+    t3.delete(Seq(2L))
+    inst.commit(t3)
+    assert(inst.read().count() == 1)
+
+    val restored = inst.restore(good)
+    assert(restored > inst.snapshot(good).count()) // new head, not a rewrite
+    val now = inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(now.toSeq == Seq((1L, 10L), (2L, 20L)))
+    // the undone versions remain time-travelable (history not rewritten)
+    assert(inst.snapshot(good + 1).filter(col("obj_id") === 1L)
+      .collect()(0).getLong(1) == -1L)
+    // restoring again is a no-op (already at the target state)
+    assert(inst.restore(good) == restored)
+    // reopen: the restore survives recovery
+    assert(VersionedTable.open(spark, inst.root).read().count() == 2)
+  }
+
+  test("restore refuses a vacuumed target loudly") {
+    val conf = graft.acid.EngineConf(checkpointInterval = 100)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
+      conf)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val old = inst.latestVersion
+    val t2 = inst.begin()
+    t2.update(Seq(1L), df => df.withColumn("value", lit(2L)))
+    inst.commit(t2)
+    val t3 = inst.begin()
+    t3.update(Seq(1L), df => df.withColumn("value", lit(3L)))
+    inst.commit(t3)
+    inst.vacuum(retainVersions = 1)
+    val e = intercept[IllegalStateException] { inst.restore(old) }
+    assert(e.getMessage.contains("vacuumed"))
+    // the failed restore must not have disturbed the head
+    assert(inst.read().collect()(0).getLong(1) == 3L)
+  }
+
   test("clustered compaction makes point-op pruning exact (one file per id)") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     // two interleaved single-file inserts: BOTH files span nearly the

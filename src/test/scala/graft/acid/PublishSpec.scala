@@ -27,6 +27,33 @@ class PublishSpec extends AnyFunSuite {
     } finally s.close()
   }
 
+  test("abort spares adopted files but reclaims the txn's own staging") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 1L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val committedFile = inst.stateAt(inst.latestVersion)._1.head
+
+    // a restore-shaped transaction: re-references the committed file
+    // (adopted) AND stages a file of its own — an abort must reclaim
+    // only the latter
+    val t2 = inst.begin()
+    t2.insert(Seq((2L, 2L)).toDF("obj_id", "value"))
+    val ownStaged = t2.added.filterNot(_ == committedFile).head
+    t2.added += committedFile
+    t2.adopted += committedFile
+    inst.rollback(t2)
+
+    val dataRoot = java.nio.file.Paths.get(new java.net.URI(dir).getPath, "data")
+    assert(java.nio.file.Files.exists(dataRoot.resolve(committedFile)),
+      "abort reclaimed a committed file the txn had merely adopted")
+    assert(!java.nio.file.Files.exists(dataRoot.resolve(ownStaged)),
+      "abort failed to reclaim the txn's own staging")
+    // table still reads
+    assert(inst.read().count() == 1)
+  }
+
   test("publish leaves no temp files and the claimed content is complete") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
