@@ -97,6 +97,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corpus ops are partition-count invariant (upsample/chunk/pack/decontaminate)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalytics
+    import graft.operators.Sampling
+    cases(docGen, 3).foreach { docs =>
+      val langs = Vector("en", "de", "fr")
+      val base = docs.map { case (id, t) => (id, t, langs((id % 3).toInt)) }
+        .toDF("doc_id", "text", "lang")
+      def allOf(parts: Int): Seq[Seq[Any]] = {
+        val df = if (parts == 0) base else base.repartition(parts)
+        val up = Sampling.upsample(df, col("doc_id"),
+            when(col("lang") === "en", lit(1.0)).otherwise(lit(2.5)))
+          .select("doc_id", "copy")
+        val ch = TextAnalytics.chunk(df, col("doc_id"), col("text"), 8, 6)
+        val pk = TextAnalytics.packChunks(ch, ctxTokens = 16, shards = 4)
+          .select("doc_id", "chunk_idx", "shard", "bin", "offset")
+        val held = df.filter(col("doc_id") % 5 === 0)
+        val tr = df.filter(col("doc_id") % 5 =!= 0)
+        val cont = Dedup.contaminated(tr, held, "doc_id", "text", 3)
+        (up.collect() ++ ch.collect() ++ pk.collect() ++ cont.collect())
+          .map(_.toSeq).toSeq
+      }
+      val one = allOf(0).sortBy(_.toString)
+      Seq(2, 7).foreach { p =>
+        assert(allOf(p).sortBy(_.toString) == one,
+          s"corpus op output drifted at $p partitions")
+      }
+    }
+  }
+
+  test("packing conservation: every chunk lands in exactly one window, tokens add up") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalytics
+    cases(docGen, 3).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val ch = TextAnalytics.chunk(df, col("doc_id"), col("text"), 8, 6)
+      val packed = TextAnalytics.packChunks(ch, ctxTokens = 16, shards = 2)
+      assert(packed.count() == ch.count(), "packing dropped or duplicated chunks")
+      // per shard the layout is gapless: the furthest stream position
+      // (start + tokens over all chunks) is exactly the shard's total
+      // token count
+      packed.groupBy("shard").agg(
+          sum("chunk_tokens").as("toks"),
+          max(expr("bin * 16 + offset + chunk_tokens")).as("streamEnd"))
+        .collect().foreach { r =>
+          assert(r.getLong(1) == r.getLong(2),
+            s"shard ${r.get(0)}: token stream inconsistent with window layout")
+        }
+      // offsets are within the window
+      assert(packed.filter(col("offset") >= 16 || col("offset") < 0).count() == 0)
+    }
+  }
+
   test("split mixer: uniform buckets, frozen membership, scan-order free") {
     import org.apache.spark.sql.functions._
     val ids = spark.range(0, 20000).select(col("id").as("doc_id"))
