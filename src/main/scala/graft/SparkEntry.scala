@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.Sampling.defs ++
     graft.operators.Multimodal.defs ++
     graft.operators.AsofJoin.defs ++
+    graft.operators.Resample.defs ++
     graft.streaming.EventStreams.defs ++
     graft.sources.Formats.defs ++
     graft.acid.AcidQueries.defs

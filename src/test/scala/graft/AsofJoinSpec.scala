@@ -13,6 +13,31 @@ class AsofJoinSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("gap-fill: grid covers the key's span, LOCF carries across holes") {
+    import org.apache.spark.sql.functions._
+    val day = 86400L
+    val e = Seq(
+      (1L, ts(0), 10.0),            // day 0
+      (1L, ts(day * 3 + 5), 30.0),  // day 3 — days 1,2 are holes
+      (1L, ts(day * 3 + 9), 31.0),  // same day, later ts wins LOCF
+      (2L, ts(day), 99.0))          // single-day key
+      .toDF("user_id", "t", "v")
+    val got = graft.operators.Resample
+      .gapFill(e, col("user_id"), col("t"), col("v"), "day")
+      .orderBy("key", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10.0), // day 0: one event
+      (1L, 0L, 10.0), // day 1: hole, carried
+      (1L, 0L, 10.0), // day 2: hole, carried
+      (1L, 2L, 31.0), // day 3: two events, latest wins
+      (2L, 1L, 99.0)))
+    // hourly grid on the same data spans 73 hours for key 1
+    val hourly = graft.operators.Resample
+      .gapFill(e, col("user_id"), col("t"), col("v"), "hour")
+    assert(hourly.filter(col("key") === 1L).count() == day * 3 / 3600 + 1)
+  }
+
   test("asof picks the latest right row at or before each left ts") {
     val left = Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (2L, ts(5), "c"))
       .toDF("k", "t", "tag")
