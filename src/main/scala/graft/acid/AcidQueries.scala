@@ -71,5 +71,29 @@ object AcidQueries {
 
   val defs: Seq[(String, Q)] = Seq(
     "q30_acid_scenario" -> Q.noOracle((s, _) => scenario(s)),
-    "q43_acid_changes" -> Q.noOracle((s, _) => changeFeedScenario(s)))
+    "q43_acid_changes" -> Q.noOracle((s, _) => changeFeedScenario(s)),
+
+    // hive-partitioned ACID roundtrip: documents land in a versioned
+    // table partitioned by lang; the partition-filtered read must
+    // reproduce the source aggregate exactly (and the lang!='en'
+    // groups' files are pruned from the plan — AcidSpec asserts the
+    // single surviving scan)
+    "q46_acid_partitioned" -> Q(
+      "SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS chars " +
+      "FROM documents WHERE lang IN ('en', 'de') " +
+      "GROUP BY lang ORDER BY lang") {
+      (s, dir) =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("obj_id"), col("lang"), col("n_chars"))
+        val tmp = Files.createTempDirectory("graft_acid_part_").toUri.toString
+        val inst = VersionedTable.create(s, tmp, docs.schema)
+        val t = inst.begin()
+        t.insertPartitioned(docs, Seq("lang"))
+        inst.commit(t)
+        inst.read().filter(col("lang").isin("en", "de"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("c"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+    })
 }

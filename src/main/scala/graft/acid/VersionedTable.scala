@@ -261,10 +261,10 @@ final class Instance(val spark: SparkSession, val root: String,
 
   def checkpointInterval: Int = conf.checkpointInterval
 
-  private val fs: FileSystem =
+  private[acid] val fs: FileSystem =
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
   private val manifestDir = new Path(root, "_manifests")
-  private val dataDir = new Path(root, "data")
+  private[acid] val dataDir = new Path(root, "data")
   // unique within a process via the atomic; cross-process collisions made
   // improbable by mixing wall clock and nanotime (a production deployment
   // would allocate TSNs from the log itself)
@@ -349,14 +349,53 @@ final class Instance(val spark: SparkSession, val root: String,
   }
 
   /** DataFrame over an explicit file set (shared by committed snapshots
-    * and transaction-local views). */
+    * and transaction-local views).
+    *
+    * Partition-aware: files staged by a partitioned insert carry their
+    * partition values as `k=v` path segments (hive layout inside the
+    * staging dir — the manifest's file list is the partition index, no
+    * format change). Files are grouped by partition tuple; each group
+    * is read without the partition columns, which come back as CAST
+    * literals — so a `filter(lang === "en")` CONSTANT-FOLDS to false
+    * on every other group and Catalyst prunes those scans from the
+    * plan entirely: manifest-level partition pruning with zero file
+    * opens. Unpartitioned files (no k=v segments) read exactly as
+    * before; CoW rewrites materialize the column physically, which
+    * degrades pruning for the rewritten files but never correctness. */
   private[acid] def viewOf(files: Seq[String], ddl: String): DataFrame = {
     val schema = StructType.fromDDL(ddl)
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def partsOf(f: String): Seq[(String, String)] =
+      f.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+      }
+    val groups = files.groupBy(partsOf)
+    def readGroup(parts: Seq[(String, String)], fs_ : Seq[String]): DataFrame = {
+      val partCols = parts.map(_._1).toSet
+      val fileSchema = StructType(schema.filterNot(f => partCols(f.name)))
+      var df = spark.read.schema(fileSchema)
+        .parquet(fs_.map(f => new Path(dataDir, f).toString): _*)
+      parts.foreach { case (k, raw) =>
+        val dt = schema.find(_.name == k).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
+        val c = if (v == "__HIVE_DEFAULT_PARTITION__") lit(null).cast(dt)
+        else lit(v).cast(dt)
+        df = df.withColumn(k, c)
+      }
+      df.select(schema.map(f => col(f.name)): _*)
+    }
+    if (groups.size == 1 && groups.keys.head.isEmpty)
       spark.read.schema(schema)
         .parquet(files.map(f => new Path(dataDir, f).toString): _*)
+    else
+      groups.toSeq.sortBy(_._2.min)
+        .map { case (p, fs_) => readGroup(p, fs_) }
+        .reduce(_.unionByName(_))
   }
 
   /** Current committed table contents. */
@@ -531,15 +570,30 @@ final class Instance(val spark: SparkSession, val root: String,
     * (reference: update_read_csn, instance.rs:384-386). */
   def refresh(txn: Txn): Unit = txn.readVersion = latestVersion
 
-  private[acid] def writeStaged(df: DataFrame, txn: Txn): Seq[String] = {
+  private[acid] def writeStaged(df: DataFrame, txn: Txn,
+      partitionBy: Seq[String] = Nil): Seq[String] = {
     // UUID suffix: staging dirs can never collide even if two processes
     // draw the same tsn
     val sub = f"t${txn.tsn}%x-${txn.stagedBatch.incrementAndGet()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val out = new Path(dataDir, sub).toString
-    df.write.parquet(out)
-    val staged = fs.listStatus(new Path(out)).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq
+    if (partitionBy.isEmpty) df.write.parquet(out)
+    else df.write.partitionBy(partitionBy: _*).parquet(out)
+    // recursive listing: a partitioned write nests k=v dirs, and the
+    // relative path (with its k=v segments) IS how the manifest carries
+    // each file's partition values — no format change needed
+    def leaves(p: Path): Seq[Path] = {
+      fs.listStatus(p).toSeq.flatMap { e =>
+        if (e.isDirectory) leaves(e.getPath)
+        else if (e.getPath.getName.endsWith(".parquet")) Seq(e.getPath)
+        else Nil
+      }
+    }
+    val outPath = new Path(out)
+    val outUri = fs.makeQualified(outPath).toUri
+    val staged = leaves(outPath).map { p =>
+      s"$sub/${outUri.relativize(fs.makeQualified(p).toUri)}"
+    }
     // obj-id range per staged file from the parquet FOOTER — a
     // driver-side metadata read (no Spark job), the same way lakehouse
     // formats derive file skipping stats at write time
@@ -970,6 +1024,25 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     schemaDDL = Some(df.schema.toDDL)
   }
 
+  /** [[insert]] with hive-style partitioning on low-cardinality domain
+    * columns (lang, source, date): rows land in `k=v` subdirs of the
+    * staging dir, and those path segments — carried verbatim in the
+    * manifest's file list — become the partition index. Reads
+    * reconstruct the columns as literals per file group, so partition
+    * predicates prune whole groups at plan time with zero file opens
+    * (see [[Instance.viewOf]]). Callers should partition every insert
+    * of a table the same way; mixing is safe (unpartitioned files just
+    * never prune). */
+  def insertPartitioned(df: DataFrame, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "partitionBy must be non-empty")
+    require(!partitionBy.contains("obj_id"),
+      "obj_id cannot be a partition column (footer stats need it in-file)")
+    val staged = inst.writeStaged(df, this, partitionBy)
+    added ++= staged
+    objects ++= inst.readStagedIds(staged)
+    schemaDDL = Some(df.schema.toDDL)
+  }
+
   /** Idempotent upsert (MERGE by key): replace any existing rows whose
     * obj_id appears in `df`, then insert `df` — re-running the same
     * upsert converges instead of duplicating (the property the
@@ -1049,8 +1122,20 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   }
 
   private def relativize(fileUri: String): String = {
-    val parts = fileUri.split('/')
-    parts.takeRight(2).mkString("/")
+    // strip the qualified data-dir prefix so the relative path keeps
+    // EVERY segment below it — partitioned files sit at depth 2+
+    // (staging/k=v/file) and a fixed take-last-2 would drop the
+    // staging dir
+    // compare scheme-independent PATHS (file:/ vs file:/// spellings
+    // differ between makeQualified and input_file_name); URI.getPath
+    // also undoes percent-encoding
+    val base = inst.fs.makeQualified(inst.dataDir).toUri.getPath + "/"
+    val filePath =
+      try new java.net.URI(fileUri).getPath
+      catch { case _: java.net.URISyntaxException => fileUri }
+    if (filePath != null && filePath.startsWith(base))
+      filePath.substring(base.length)
+    else fileUri.split('/').takeRight(2).mkString("/")
   }
 
   private[acid] def abort(): Unit = {

@@ -457,6 +457,45 @@ class AcidSpec extends AnyFunSuite {
       Seq("obj_id", "value", "_version", "_change"))
   }
 
+  test("partitioned insert: values reconstructed, partition filter prunes to one scan") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    val t1 = inst.begin()
+    t1.insertPartitioned(Seq(
+      (1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L))
+      .toDF("obj_id", "lang", "v"), Seq("lang"))
+    inst.commit(t1)
+
+    // full read reconstructs the partition column
+    val all = inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[String]("lang")))
+    assert(all.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr")))
+
+    // a partition predicate folds every other group to empty: exactly
+    // ONE parquet scan survives in the plan (manifest-level pruning —
+    // the pruned partitions' files are never even opened)
+    val en = inst.read().filter(col("lang") === "en")
+    assert(en.collect().map(_.getAs[Long]("obj_id")).sorted.toSeq == Seq(1L, 3L))
+    val plan = en.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one surviving scan, plan:\n$plan")
+
+    // point update still prunes by footer stats and rewrites correctly
+    val t2 = inst.begin()
+    t2.update(Seq(2L), df => df.withColumn("v", col("v") + 1))
+    inst.commit(t2)
+    assert(inst.read().filter(col("obj_id") === 2L).collect()(0)
+      .getAs[Long]("v") == 21L)
+    assert(inst.read().count() == 4)
+    // reopen: partition reconstruction survives recovery
+    val again = VersionedTable.open(spark, inst.root).read()
+    assert(again.filter(col("lang") === "en").count() == 2)
+  }
+
   test("restore rolls back to an old version as a new commit, history intact") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t1 = inst.begin()
