@@ -763,19 +763,28 @@ final class Instance(val spark: SparkSession, val root: String,
             fs.delete(e.getPath, false); removed += 1
           }
         }
+      val baseUri = fs.makeQualified(dataDir).toUri
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
-        val entries = fs.listStatus(d.getPath)
-        entries.foreach { e =>
-          val rel = s"${d.getPath.getName}/${e.getPath.getName}"
-          if (e.isFile && !e.getPath.getName.startsWith("_") &&
-              !referenced.contains(rel) && !live.contains(rel) &&
-              e.getModificationTime < cutoff) {
-            fs.delete(e.getPath, false); removed += 1
+        // recursive: partitioned staging nests k=v dirs, and their
+        // orphans must be reclaimable too
+        def sweep(p: Path): Unit = fs.listStatus(p).foreach { e =>
+          if (e.isDirectory) sweep(e.getPath)
+          else {
+            val rel = baseUri.relativize(
+              fs.makeQualified(e.getPath).toUri).toString
+            if (!e.getPath.getName.startsWith("_") &&
+                !referenced.contains(rel) && !live.contains(rel) &&
+                e.getModificationTime < cutoff) {
+              fs.delete(e.getPath, false); removed += 1
+            }
           }
         }
-        val left = fs.listStatus(d.getPath)
-        if (left.forall(e => e.isFile && e.getPath.getName.startsWith("_")) &&
-            d.getModificationTime < cutoff)
+        sweep(d.getPath)
+        // prune the dir once nothing but markers remains anywhere below
+        def onlyMarkers(p: Path): Boolean = fs.listStatus(p).forall(e =>
+          if (e.isDirectory) onlyMarkers(e.getPath)
+          else e.getPath.getName.startsWith("_"))
+        if (onlyMarkers(d.getPath) && d.getModificationTime < cutoff)
           fs.delete(d.getPath, true)
       }
     }

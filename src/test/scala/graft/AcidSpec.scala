@@ -337,6 +337,30 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("vacuum orphan sweep reaches nested (partitioned) staging") {
+    val dir = freshDir()
+    val conf = graft.acid.EngineConf(orphanGraceMs = 0L)
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 1L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+
+    // a crashed PARTITIONED stage: orphan parquet nested in k=v dirs
+    val crashed = inst.begin()
+    crashed.insertPartitioned(
+      Seq((99L, 99L)).toDF("obj_id", "value")
+        .withColumn("lang", lit("xx")), Seq("lang"))
+    val orphan = new java.io.File(new java.net.URI(dir).getPath, "data")
+      .listFiles.filter(_.getName.startsWith(f"t${crashed.tsn}%x-")).head
+    assert(orphan.listFiles.exists(f => f.isDirectory &&
+      f.getName.startsWith("lang=")), "premise: nested staging exists")
+    Thread.sleep(20)
+    val removed = inst.vacuum(retainVersions = 10, sweepOrphans = true)
+    assert(removed > 0, "nested orphan parquet should be swept")
+    assert(!orphan.exists, "the partitioned staging dir should be pruned")
+    assert(inst.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("readers never observe torn manifests while writers commit") {
     // regression for the create-then-write visibility window on POSIX:
     // a reader listing the log can open a manifest the writer has
