@@ -520,6 +520,26 @@ class AcidSpec extends AnyFunSuite {
     assert(again.filter(col("lang") === "en").count() == 2)
   }
 
+  test("concurrent partitioned inserts of disjoint partitions both commit") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    val a = inst.begin()
+    val b = inst.begin()
+    a.insertPartitioned(Seq((1L, "en", 10L)).toDF("obj_id", "lang", "v"),
+      Seq("lang"))
+    b.insertPartitioned(Seq((2L, "de", 20L)).toDF("obj_id", "lang", "v"),
+      Seq("lang"))
+    inst.commit(a)
+    inst.commit(b) // disjoint objects and files: no conflict
+    val rows = inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[String]("lang")))
+    assert(rows.toSeq == Seq((1L, "en"), (2L, "de")))
+  }
+
   test("restore rolls back to an old version as a new commit, history intact") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t1 = inst.begin()

@@ -14,12 +14,21 @@ class ManifestSpec extends AnyFunSuite {
     Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\u0020', '\u0001', 'é')
   )).map(_.mkString)
 
+  // file paths now carry hive partition segments (staging/k=v/file) —
+  // the codec must round-trip '=', '/', and '-' in path strings
+  private val pathGen: Gen[String] = for {
+    stage <- Gen.identifier
+    mid <- Gen.oneOf(Gen.const(""), Gen.identifier.map(k => s"/$k=v"),
+      Gen.identifier.map(k => s"/$k=__HIVE_DEFAULT_PARTITION__"))
+    leaf <- Gen.identifier
+  } yield s"$stage$mid/part-$leaf.parquet"
+
   private val manifestGen: Gen[Manifest] = for {
     v <- Gen.choose(0L, 1000000L)
     tsn <- Gen.choose(0L, Long.MaxValue)
     ddl <- hostileString
-    added <- Gen.listOf(Gen.identifier)
-    removed <- Gen.listOf(Gen.identifier)
+    added <- Gen.listOf(pathGen)
+    removed <- Gen.listOf(pathGen)
     objs <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
     ckpt <- Gen.oneOf(true, false)
     all <- Gen.listOf(Gen.identifier)
