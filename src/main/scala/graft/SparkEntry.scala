@@ -12,6 +12,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++
     graft.queries.Typed.defs ++
     graft.queries.TrainingPipeline.defs ++
+    graft.queries.Funnel.defs ++
     graft.functions.TextAnalytics.defs ++
     graft.operators.Dedup.defs ++
     graft.operators.Similarity.defs ++
