@@ -828,11 +828,20 @@ final class Instance(val spark: SparkSession, val root: String,
       rollback(txn); return 0
     }
     // coalesce, not repartition: compaction is a bin-pack of existing
-    // files into fewer write tasks — a narrow dependency, no shuffle
+    // files into fewer write tasks — a narrow dependency, no shuffle.
+    // Partition columns seen in any current file path are re-applied to
+    // the rewrite, so compaction RESTORES the partition layout that CoW
+    // rewrites physicalized (pruning degrades between compactions, then
+    // heals).
+    val partCols = files.flatMap(_.split('/').drop(1).dropRight(1))
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i)) else None
+      }.distinct.sorted
     val view = viewOf(files, ddl)
     val staged = writeStaged(
       if (clusterByObjId) view.repartitionByRange(targetFiles, col("obj_id"))
-      else view.coalesce(targetFiles), txn)
+      else view.coalesce(targetFiles), txn, partitionBy = partCols)
     txn.added ++= staged
     txn.removed ++= files
     commit(txn)

@@ -520,6 +520,38 @@ class AcidSpec extends AnyFunSuite {
     assert(again.filter(col("lang") === "en").count() == 2)
   }
 
+  test("compaction restores partition layout after a CoW rewrite degraded it") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    val t1 = inst.begin()
+    t1.insertPartitioned(Seq(
+      (1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("obj_id", "lang", "v"), Seq("lang"))
+    inst.commit(t1)
+    // CoW update physicalizes lang in the rewritten file
+    val t2 = inst.begin()
+    t2.update(Seq(1L), df => df.withColumn("v", col("v") + 1))
+    inst.commit(t2)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("FileScan parquet"))
+    // the rewritten (unpartitioned) file joins every partition filter
+    assert(scans(inst.read().filter(col("lang") === "de")) >= 2)
+
+    inst.compact()
+    // compaction re-applied partitionBy(lang): pruning is exact again
+    val de = inst.read().filter(col("lang") === "de")
+    assert(scans(de) == 1, de.queryExecution.executedPlan.toString)
+    assert(de.collect().map(_.getAs[Long]("obj_id")).toSeq == Seq(2L))
+    assert(inst.read().count() == 3)
+    assert(inst.read().filter(col("obj_id") === 1L).collect()(0)
+      .getAs[Long]("v") == 11L)
+  }
+
   test("concurrent partitioned inserts of disjoint partitions both commit") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
