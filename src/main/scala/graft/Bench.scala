@@ -47,12 +47,7 @@ object Bench {
       }
     }
 
-    // SPARK_GRAFT_ONLY=q23,q25 times a subset (local iteration aid;
-    // the driver leaves it unset and benches the full registry)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = SparkEntry.registry.filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith)) }
+    val selected = SparkEntry.selectedRegistry
 
     val samples: Seq[Seq[(String, Double)]] =
       (1 to runs).map(_ => selected.map { case (n, q) => n -> once(n, q) })

@@ -32,6 +32,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.impl }.toMap
 
+  /** Registry filtered by the SPARK_GRAFT_ONLY comma-separated key
+    * prefixes (local iteration aid shared by Verify and Bench; the
+    * driver leaves it unset and gets everything). */
+  def selectedRegistry: Seq[(String, Q)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    registry.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

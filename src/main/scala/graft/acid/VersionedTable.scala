@@ -401,26 +401,6 @@ final class Instance(val spark: SparkSession, val root: String,
   /** Current committed table contents. */
   def read(): DataFrame = snapshot(latestVersion)
 
-  /** Row-level change data feed for the commit interval `(fromV, toV]`
-    * — the lakehouse analog of tailing the reference's WAL/commit log
-    * (log records are read back by LSN for replay and downstream
-    * consumption, log_mgr/io.rs:354-373; here the manifest log IS the
-    * change log). Output: the table's columns plus `_version` and
-    * `_change` ∈ {insert, delete, update_preimage, update_postimage}.
-    *
-    * Per commit, changed rows are recovered from ONLY that commit's
-    * added/removed files filtered to its declared object set — CoW
-    * rewrites copy untouched neighbor rows into new files, and the
-    * manifest's object list is exactly the filter that separates the
-    * two. An object on both sides of a commit is an update (pre +
-    * post image); only-after = insert; only-before = delete. Layout
-    * commits (compaction/checkpoint with no objects) emit nothing:
-    * they change bytes, not content.
-    *
-    * Scale: IO is O(files touched per commit) — never a snapshot scan;
-    * classification is a per-commit obj_id equi join (AQE broadcasts
-    * the small side). Schema evolution across the interval is unioned
-    * by name with nulls for columns a version didn't have. */
   /** Roll the table back to the contents of version `v` as a NEW
     * commit (never rewriting history): the manifest delta re-adds the
     * files of `v` that the current head dropped and removes the files
@@ -481,6 +461,26 @@ final class Instance(val spark: SparkSession, val root: String,
       "n_objects", "checkpoint")
   }
 
+  /** Row-level change data feed for the commit interval `(fromV, toV]`
+    * — the lakehouse analog of tailing the reference's WAL/commit log
+    * (log records are read back by LSN for replay and downstream
+    * consumption, log_mgr/io.rs:354-373; here the manifest log IS the
+    * change log). Output: the table's columns plus `_version` and
+    * `_change` ∈ {insert, delete, update_preimage, update_postimage}.
+    *
+    * Per commit, changed rows are recovered from ONLY that commit's
+    * added/removed files filtered to its declared object set — CoW
+    * rewrites copy untouched neighbor rows into new files, and the
+    * manifest's object list is exactly the filter that separates the
+    * two. An object on both sides of a commit is an update (pre +
+    * post image); only-after = insert; only-before = delete. Layout
+    * commits (compaction/checkpoint with no objects) emit nothing:
+    * they change bytes, not content.
+    *
+    * Scale: IO is O(files touched per commit) — never a snapshot scan;
+    * classification is a per-commit obj_id equi join (AQE broadcasts
+    * the small side). Schema evolution across the interval is unioned
+    * by name with nulls for columns a version didn't have. */
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
       s"invalid change interval ($fromV, $toV]")
@@ -550,6 +550,14 @@ final class Instance(val spark: SparkSession, val root: String,
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+            if !fs.exists(target) =>
+            // local mount without hard-link support (exFAT, some FUSE):
+            // fall back to rename — still fails-if-exists via the guard
+            // above plus rename's own target check, merely without
+            // link(2)'s cross-process atomicity on those filesystems
+            try fs.rename(tmp, target)
+            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
         }
       } else {
         try fs.rename(tmp, target)
@@ -581,19 +589,19 @@ final class Instance(val spark: SparkSession, val root: String,
     else df.write.partitionBy(partitionBy: _*).parquet(out)
     // recursive listing: a partitioned write nests k=v dirs, and the
     // relative path (with its k=v segments) IS how the manifest carries
-    // each file's partition values — no format change needed
-    def leaves(p: Path): Seq[Path] = {
+    // each file's partition values — no format change needed. Segments
+    // come from raw on-disk NAMES (never URIs, whose percent-encoding
+    // would diverge from the disk spelling for values hive escapes or
+    // that contain spaces).
+    def leaves(p: Path, prefix: String): Seq[String] = {
       fs.listStatus(p).toSeq.flatMap { e =>
-        if (e.isDirectory) leaves(e.getPath)
-        else if (e.getPath.getName.endsWith(".parquet")) Seq(e.getPath)
+        val rel = s"$prefix/${e.getPath.getName}"
+        if (e.isDirectory) leaves(e.getPath, rel)
+        else if (e.getPath.getName.endsWith(".parquet")) Seq(rel)
         else Nil
       }
     }
-    val outPath = new Path(out)
-    val outUri = fs.makeQualified(outPath).toUri
-    val staged = leaves(outPath).map { p =>
-      s"$sub/${outUri.relativize(fs.makeQualified(p).toUri)}"
-    }
+    val staged = leaves(new Path(out), sub)
     // obj-id range per staged file from the parquet FOOTER — a
     // driver-side metadata read (no Spark job), the same way lakehouse
     // formats derive file skipping stats at write time
@@ -757,29 +765,31 @@ final class Instance(val spark: SparkSession, val root: String,
       // publish() temps from crashed writers (never claimed a version,
       // invisible to readers) are ordinary orphans once past the grace
       fs.listStatus(manifestDir)
-        .filter(e => e.isFile && e.getPath.getName.startsWith(".tmp-"))
+        .filter(e => e.isFile && (e.getPath.getName.startsWith(".tmp-") ||
+          // ChecksumFileSystem sidecars of crashed publish temps
+          e.getPath.getName.startsWith("..tmp-")))
         .foreach { e =>
           if (e.getModificationTime < cutoff) {
             fs.delete(e.getPath, false); removed += 1
           }
         }
-      val baseUri = fs.makeQualified(dataDir).toUri
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
         // recursive: partitioned staging nests k=v dirs, and their
-        // orphans must be reclaimable too
-        def sweep(p: Path): Unit = fs.listStatus(p).foreach { e =>
-          if (e.isDirectory) sweep(e.getPath)
-          else {
-            val rel = baseUri.relativize(
-              fs.makeQualified(e.getPath).toUri).toString
-            if (!e.getPath.getName.startsWith("_") &&
+        // orphans must be reclaimable too. Relative paths accumulate
+        // raw on-disk NAMES — matching the manifest spelling exactly;
+        // a URI-derived path would percent-encode and silently treat
+        // every special-char partition file as unreferenced.
+        def sweep(p: Path, prefix: String): Unit =
+          fs.listStatus(p).foreach { e =>
+            val rel = s"$prefix/${e.getPath.getName}"
+            if (e.isDirectory) sweep(e.getPath, rel)
+            else if (!e.getPath.getName.startsWith("_") &&
                 !referenced.contains(rel) && !live.contains(rel) &&
                 e.getModificationTime < cutoff) {
               fs.delete(e.getPath, false); removed += 1
             }
           }
-        }
-        sweep(d.getPath)
+        sweep(d.getPath, d.getPath.getName)
         // prune the dir once nothing but markers remains anywhere below
         def onlyMarkers(p: Path): Boolean = fs.listStatus(p).forall(e =>
           if (e.isDirectory) onlyMarkers(e.getPath)

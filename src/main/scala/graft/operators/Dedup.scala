@@ -307,28 +307,41 @@ object Dedup {
       driverEdgeLimit: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     val undirected = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-    // one job fetches limit+1 rows: under the limit that IS the whole
-    // edge set (no second pass over the expensive pair computation);
-    // over it, fall back to the distributed loop
+    // one streamed pass fetches limit+1 rows: under the limit that IS
+    // the whole edge set (no second pass over the expensive pair
+    // computation); over it, fall back to the distributed loop. The
+    // iterator keeps driver residency at two primitive long arrays
+    // (~16 B/edge — boxed Rows held all at once would cost ~10x that)
     val fetchCap = math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt
-    val fetched = undirected.limit(fetchCap).collect()
-    if (fetched.length <= driverEdgeLimit)
+    var ea = new Array[Long](1024); var eb = new Array[Long](1024); var n = 0
+    val edgeIt = undirected.limit(fetchCap).toLocalIterator()
+    while (edgeIt.hasNext) {
+      val row = edgeIt.next()
+      if (n == ea.length) {
+        ea = java.util.Arrays.copyOf(ea, n * 2)
+        eb = java.util.Arrays.copyOf(eb, n * 2)
+      }
+      ea(n) = row.getLong(0); eb(n) = row.getLong(1); n += 1
+    }
+    if (n <= driverEdgeLimit)
       return {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
           while (parent.get(r) != r) r = parent.get(r)
           var c = x // path compression
-          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
           r
         }
-        fetched.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
+        var i = 0
+        while (i < n) {
+          val a = ea(i); val b = eb(i)
           parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
           val ra = find(a); val rb = find(b)
           // union by MIN root: the final root IS the component label
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
+          i += 1
         }
         val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
         parent.keySet.forEach(id => labels += ((id, find(id))))
@@ -364,10 +377,20 @@ object Dedup {
       converged = changed == 0
     }
     edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxIters rounds — " +
-      "pathological chain structure; raise maxIters")
-    labels.orderBy("id").select(col("id").as("doc_id"), col("component"))
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+        "pathological chain structure; raise maxIters")
+    }
+    // cut the iterative lineage into checkpointed blocks (freed by the
+    // context cleaner once unreferenced), then drop the loop's cache —
+    // a plain persist here would pin one label set in the CacheManager
+    // per invocation forever
+    val out = labels.localCheckpoint(true)
+      .orderBy("id").select(col("id").as("doc_id"), col("component"))
+    labels.unpersist()
+    out
   }
 
   /** Shared oracle: exact word-3-shingle Jaccard pairs at tau, pure SQL. */

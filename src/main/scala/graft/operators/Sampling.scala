@@ -78,7 +78,11 @@ object Sampling {
     * 100 TB shape: narrow per-row explode — no shuffle, no state;
     * bucket arithmetic IS the Bernoulli draw. */
   def upsample(df: DataFrame, id: Column, weight: Column): DataFrame = {
-    val fracPct = round(weight * 100).cast("long") % 100
+    // frac derived from the FRACTIONAL PART alone: a `% 100` on the
+    // rounded total would carry weight 0.999 to fracPct 0 (dropping
+    // every row) instead of ~1 extra copy for ~all ids; here it rounds
+    // to 100 and `bucket < 100` is simply always true
+    val fracPct = round((weight - floor(weight)) * 100).cast("long")
     val reps = floor(weight).cast("long") +
       when(splitBucket(id) < fracPct, 1L).otherwise(0L)
     // sequence(1, 0) would DESCEND in Spark — guard the empty case

@@ -160,6 +160,13 @@ class PipelineSpec extends AnyFunSuite {
     // frozen: a second run reproduces the exact multiset
     assert(mixed().collect().map(r => (r.getLong(0), r.getLong(1)))
       .sorted.toSeq == rows.sorted.toSeq)
+    // rounding-carry regression: weight 0.999 must keep ~every row
+    // once (fracPct rounds to 100), never drop the dataset
+    val nearOne = Sampling.upsample(df, col("id"), lit(0.999)).count()
+    assert(nearOne == 1000L, s"weight 0.999 kept $nearOne of 1000")
+    // and weight 1.995 gives 2 copies for ~all ids (never 1 for all)
+    val nearTwo = Sampling.upsample(df, col("id"), lit(1.995)).count()
+    assert(nearTwo > 1980 && nearTwo <= 2000, s"weight 1.995 -> $nearTwo")
   }
 
   test("chunking covers every token; window and tail sizes are exact") {
