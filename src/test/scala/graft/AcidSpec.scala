@@ -552,6 +552,34 @@ class AcidSpec extends AnyFunSuite {
       .getAs[Long]("v") == 11L)
   }
 
+  test("partition values with spaces and hive-escaped chars round-trip") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    val t1 = inst.begin()
+    t1.insertPartitioned(Seq(
+      (1L, "common crawl", 10L),   // space in the dir name
+      (2L, "web:2024", 20L),       // ':' — hive-escaped to %3A on disk
+      (3L, null, 30L))             // __HIVE_DEFAULT_PARTITION__
+      .toDF("obj_id", "source", "v"), Seq("source"))
+    inst.commit(t1)
+    val rows = inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), Option(r.getAs[String]("source"))))
+    assert(rows.toSeq == Seq(
+      (1L, Some("common crawl")), (2L, Some("web:2024")), (3L, None)))
+    // the special-char files survive a vacuum (referenced = on-disk name)
+    inst.vacuum(retainVersions = 10)
+    assert(inst.read().count() == 3)
+    // and a point op on them still works
+    val t2 = inst.begin()
+    t2.delete(Seq(2L))
+    inst.commit(t2)
+    assert(inst.read().count() == 2)
+  }
+
   test("concurrent partitioned inserts of disjoint partitions both commit") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
