@@ -17,6 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a narrowed run leaves a marker file so its partial artifacts can
+    // never be mistaken for a full-suite dump (round-4 ADVICE)
+    sys.env.get("SPARK_GRAFT_ONLY").foreach { f =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY='$f' is narrowing this run " +
+        s"to ${SparkEntry.selectedRegistry.size} of ${SparkEntry.registry.size} queries")
+      Files.writeString(Paths.get(s"$outDir/_filtered.txt"), f)
+    }
     SparkEntry.selectedRegistry.foreach { case (name, q) =>
       val fn = q.impl
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -51,10 +51,14 @@ import org.apache.spark.sql.types.StructType
   * — a torn or bit-rotted manifest fails loudly, not by luck of the
   * parser). Snapshot state = latest checkpoint ≤ v + replay of
   * (ckpt, v]. All metadata is O(files-touched), data IO is
-  * O(rows-touched) — the layout scales to object stores (an atomic
-  * fails-if-exists publish is the only primitive required of the
-  * store: link(2) locally, rename on HDFS, conditional PUT on S3-class
-  * stores, where a PUT is content-atomic to begin with).
+  * O(rows-touched). An atomic fails-if-exists publish is the only
+  * primitive required of the store: link(2) locally, rename on
+  * HDFS-class filesystems. NOTE the guarantee as shipped holds for
+  * link/rename filesystems ONLY — on S3-class object stores a Hadoop
+  * `rename` is a non-atomic check-then-copy, so running there requires
+  * a conditional-PUT adapter (If-None-Match / putIfAbsent) plugged
+  * into [[Instance.publish]]; every lakehouse format has the same
+  * requirement (Delta's LogStore, Iceberg's commit lock).
   */
 object VersionedTable {
 
@@ -199,6 +203,7 @@ object VersionedTable {
         checkpoint = true, allFiles = Nil)))
       throw new IllegalStateException(
         s"datastore already initialized at $path (v0 manifest exists)")
+    inst.writeHead(0L)
     inst
   }
 
@@ -255,6 +260,18 @@ final case class EngineConf(
   * transaction's snapshot (optimistic analog of tran_mgr lock waits). */
 final class ConflictException(msg: String) extends RuntimeException(msg)
 
+/** An insert tried to change the table schema without
+  * [[Txn.evolveSchema]], or the change is structurally incompatible
+  * (existing column's type changed). */
+final class SchemaEvolutionException(msg: String) extends RuntimeException(msg)
+
+object Instance {
+  /** [[Instance.changes]] folds its per-version union every this many
+    * versions (4 plan branches per version → ≤128 branches per analyzed
+    * subplan, well inside analyzer comfort). */
+  val ChangesBatchVersions = 32
+}
+
 final class Instance(val spark: SparkSession, val root: String,
     val conf: EngineConf = EngineConf()) {
   import VersionedTable._
@@ -272,6 +289,7 @@ final class Instance(val spark: SparkSession, val root: String,
     (System.currentTimeMillis() << 20) ^ (System.nanoTime() & 0xFFFFF))
 
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%020d.json")
+  private val headPath = new Path(manifestDir, "_head")
 
   /** Read + parse a manifest. [[publish]] is content-atomic (link /
     * rename of a fully-written temp file), so a racing writer can
@@ -302,12 +320,62 @@ final class Instance(val spark: SparkSession, val root: String,
   }
 
   /** Latest committed version (head of the log). */
-  def latestVersion: Long = {
-    val vs = fs.listStatus(manifestDir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
-    if (vs.isEmpty) -1L else vs.max
+  def latestVersion: Long = resolveHead()._1
+
+  /** Head resolution without a full directory listing: read the `_head`
+    * hint (rewritten on every checkpoint commit), then probe FORWARD one
+    * version at a time until the first missing manifest — versions are
+    * dense, so the probe count is bounded by commits-since-checkpoint
+    * (≈ [[EngineConf.checkpointInterval]]), not O(versions). This is
+    * what keeps begin/commit/read at O(interval) metadata RPCs on a
+    * table with 10⁵–10⁶ commits (a streaming sink produces one commit
+    * per micro-batch; a full `listStatus` per transaction would
+    * dominate everything — the lakehouse `_last_checkpoint` pattern).
+    *
+    * The hint is advisory only: a missing, torn, or stale `_head`
+    * (crashed writer, clock-skewed copy) falls back to the full
+    * listing, and a stale-but-valid hint merely probes further.
+    * Returns (head, probes) — probes = -1 marks the listing fallback
+    * (observable by tests asserting the O(interval) contract). */
+  private[graft] def resolveHead(): (Long, Int) = {
+    readHeadHint() match {
+      case Some(hint) =>
+        var v = hint
+        var probes = 0
+        while (fs.exists(manifestPath(v + 1))) { v += 1; probes += 1 }
+        (v, probes)
+      case None =>
+        val vs = fs.listStatus(manifestDir).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .map(_.stripPrefix("v").stripSuffix(".json").toLong)
+        (if (vs.isEmpty) -1L else vs.max, -1)
+    }
   }
+
+  /** Best-effort head hint write (see [[resolveHead]]): plain overwrite
+    * — a torn read is caught by the embedded crc and falls back to the
+    * listing, so the write needs no atomicity of its own. */
+  private[acid] def writeHead(v: Long): Unit =
+    try {
+      val body = v.toString
+      val out = fs.create(headPath, true)
+      try out.write(s"$body ${crc32(body)}".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // hint only
+
+  private def readHeadHint(): Option[Long] =
+    try {
+      val in = fs.open(headPath)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val parts = text.trim.split(' ')
+      if (parts.length == 2 && parts(0).nonEmpty &&
+          parts(0).forall(_.isDigit) && crc32(parts(0)).toString == parts(1)) {
+        val v = parts(0).toLong
+        // the hinted manifest must exist (guards a hint copied into an
+        // empty/foreign table dir); probing forward handles staleness
+        if (fs.exists(manifestPath(v))) Some(v) else None
+      } else None
+    } catch { case _: Exception => None }
 
   /** File set + schema at a version: replay from the nearest checkpoint
     * (reference recovery replay: instance.rs:239-304). Scans backward to
@@ -422,7 +490,7 @@ final class Instance(val spark: SparkSession, val root: String,
     require(v >= 0 && v <= txn.readVersion,
       s"cannot restore to v$v from v${txn.readVersion}")
     val (oldFiles, oldDdl, oldStats) = stateWithStatsAt(v)
-    val (curFiles, _, _) = stateWithStatsAt(txn.readVersion)
+    val (curFiles, curDdl, _) = stateWithStatsAt(txn.readVersion)
     val reAdd = oldFiles.toSet -- curFiles
     val drop = curFiles.toSet -- oldFiles
     if (reAdd.isEmpty && drop.isEmpty) { rollback(txn); return txn.readVersion }
@@ -442,6 +510,9 @@ final class Instance(val spark: SparkSession, val root: String,
     txn.objects ++= ((v + 1) to txn.readVersion)
       .flatMap(readManifest(_).objects)
     txn.schemaDDL = Some(oldDdl)
+    // restoring across a schema evolution republishes the old schema —
+    // a table-wide change that must conflict with any interleaved commit
+    txn.schemaEvolved = oldDdl != curDdl
     commit(txn)
   }
 
@@ -449,15 +520,35 @@ final class Instance(val spark: SparkSession, val root: String,
     * its transaction id, file/object deltas, and checkpoint flag (the
     * reference's log inspection surface; SURVEY §2.1 R21–R24). Driver
     * metadata only: O(versions) manifest reads, and vacuum never
-    * deletes manifests, so the full history stays readable. */
+    * deletes manifests, so the full history stays readable.
+    *
+    * Manifests are immutable once published, so the reads are issued
+    * CONCURRENTLY on a bounded driver pool — on an object store each
+    * read is a ~10ms RPC and the serial walk was the latency bottleneck
+    * (100 commits = 1s, 10⁴ = 100s); 16-way overlap makes history an
+    * admin-interactive surface again. invokeAll preserves input order,
+    * so the output is deterministic version-ascending. */
   def history(): DataFrame = {
     val s = spark
     import s.implicits._
-    (0L to latestVersion).map { v =>
-      val m = readManifest(v)
-      (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
-        m.objects.size.toLong, m.checkpoint)
-    }.toDF("version", "tsn", "n_added_files", "n_removed_files",
+    import scala.jdk.CollectionConverters._
+    val head = latestVersion
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+    val rows =
+      try {
+        val tasks: Seq[java.util.concurrent.Callable[
+            (Long, Long, Long, Long, Long, Boolean)]] =
+          (0L to head).map { v =>
+            () => {
+              val m = readManifest(v)
+              (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
+                m.objects.size.toLong, m.checkpoint)
+            }
+          }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    rows.toDF("version", "tsn", "n_added_files", "n_removed_files",
       "n_objects", "checkpoint")
   }
 
@@ -480,7 +571,17 @@ final class Instance(val spark: SparkSession, val root: String,
     * Scale: IO is O(files touched per commit) — never a snapshot scan;
     * classification is a per-commit obj_id equi join (AQE broadcasts
     * the small side). Schema evolution across the interval is unioned
-    * by name with nulls for columns a version didn't have. */
+    * by name with nulls for columns a version didn't have.
+    *
+    * Plan width is BOUNDED: each commit contributes 4 plan branches, so
+    * a naive union over 10k commits is a ~40k-branch plan that stalls
+    * the analyzer long before any data is read. Intervals wider than
+    * [[ChangesBatchVersions]] versions are folded incrementally — every
+    * batch's union is materialized via `localCheckpoint` (eagerly, at
+    * call time) into a single leaf, mirroring how the reference's WAL
+    * reader consumes the log in bounded buffers rather than one
+    * unbounded scan (log_mgr/io.rs:221-441). Narrow intervals (the
+    * common CDC tail-read) stay fully lazy. */
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
       s"invalid change interval ($fromV, $toV]")
@@ -518,7 +619,13 @@ final class Instance(val spark: SparkSession, val root: String,
         .withColumn("_version", lit(null).cast("long"))
         .withColumn("_change", lit(null).cast("string"))
         .limit(0)
-    else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val batches = perVersion.grouped(Instance.ChangesBatchVersions)
+        .map(_.reduce(_.unionByName(_, allowMissingColumns = true))).toSeq
+      if (batches.size == 1) batches.head
+      else batches.map(_.localCheckpoint())
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Atomically publish a manifest: the version is claimed ONLY with its
@@ -531,8 +638,13 @@ final class Instance(val spark: SparkSession, val root: String,
     * version with an atomic fails-if-exists publish of that content:
     *  - local fs: hard link (link(2) is atomic and EEXISTs on a lost
     *    race — POSIX rename would silently replace the winner);
-    *  - HDFS-like stores: rename (atomic, false when the target exists);
-    *  - object stores never had the torn window (PUT is content-atomic).
+    *  - HDFS-like stores: rename (atomic, false when the target exists).
+    * S3-class object stores are NOT covered by the rename branch: s3a
+    * `rename` is a non-atomic existence-check-then-copy, so two racing
+    * writers could both claim one version — deploying on an object
+    * store requires swapping this method's claim step for a true
+    * conditional write (S3 If-None-Match PUT / GCS precondition), the
+    * same adapter every lakehouse commit protocol needs there.
     * The temp file is removed on every non-crash path; a crashed
     * writer's temp is swept by [[vacuum]]. */
   private[acid] def publish(m: Manifest): Boolean = {
@@ -670,7 +782,14 @@ final class Instance(val spark: SparkSession, val root: String,
     var attempt = latestVersion + 1
     while (true) {
       // conflict window = versions committed after our snapshot
-      ((txn.readVersion + 1) until attempt).foreach { v =>
+      val window = (txn.readVersion + 1) until attempt
+      // schema changes are table-wide: a txn that evolves the schema
+      // conflicts with EVERY interleaved commit, and an interleaved
+      // schema change conflicts with this txn (whose reads and staged
+      // rewrites were planned against the old schema)
+      var prevDdl =
+        if (window.nonEmpty) stateAt(txn.readVersion)._2 else ""
+      window.foreach { v =>
         val m = readManifest(v)
         val objOverlap = m.objects.toSet.intersect(txn.objects.toSet)
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
@@ -682,6 +801,15 @@ final class Instance(val spark: SparkSession, val root: String,
             else
               s"files ${fileOverlap.take(3).mkString(",")} rewritten by tsn ${m.tsn}")
         }
+        if (txn.schemaEvolved || m.schemaDDL != prevDdl) {
+          txn.abort()
+          throw new ConflictException(
+            if (txn.schemaEvolved)
+              s"schema evolution conflicts with interleaved commit by tsn ${m.tsn}"
+            else
+              s"schema changed by interleaved commit tsn ${m.tsn}")
+        }
+        prevDdl = m.schemaDDL
       }
       val isCkpt = attempt % checkpointInterval == 0
       val addedStats =
@@ -694,7 +822,13 @@ final class Instance(val spark: SparkSession, val root: String,
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, txn.objects.toSeq,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats)
-      if (publish(m)) { deleteRetired(txn); return attempt }
+      if (publish(m)) {
+        // checkpoint commits refresh the head hint, so resolveHead's
+        // forward probe stays bounded by the checkpoint interval
+        if (isCkpt) writeHead(attempt)
+        deleteRetired(txn)
+        return attempt
+      }
       val head = latestVersion
       if (head + 1 == attempt) {
         // no other writer advanced the log: the create failed for a real
@@ -958,6 +1092,11 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // write time; published to the manifest at commit for point-op pruning
   private[acid] val addedStats = mutable.Map[String, (Long, Long)]()
   private[acid] var schemaDDL: Option[String] = None
+  // set when this txn will publish a DIFFERENT schema than its snapshot:
+  // schema changes are table-wide, so commit treats one like a conflict
+  // with EVERY interleaved commit (see Instance.commit)
+  private[acid] var schemaEvolved = false
+  private var allowEvolve = false
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
 
@@ -1046,10 +1185,57 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * list itself is driver-side metadata — bounded by transaction size;
     * at extreme scale a min/max+bloom summary would replace it. */
   def insert(df: DataFrame): Unit = {
+    adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this)
     added ++= staged
     objects ++= inst.readStagedIds(staged)
-    schemaDDL = Some(df.schema.toDDL)
+  }
+
+  /** Opt this transaction into schema evolution: without it, an insert
+    * whose schema adds or drops columns throws — a typo'd column rename
+    * must never become a silent full-schema swap (the guard every
+    * lakehouse table format ships; the reference is schema-less so the
+    * burden lands here). Even with the flag, changing an EXISTING
+    * column's type is rejected: old files are read with the table
+    * schema, and a type flip would mis-read every pre-evolution file —
+    * rewrite the table instead. */
+  def evolveSchema(): Unit = allowEvolve = true
+
+  /** Validate `df`'s schema against the txn-local table schema and
+    * record the evolution when sanctioned. Same shape (ignoring column
+    * order and nullability — parquet reads are name-based) keeps the
+    * table's canonical DDL, so a reordered insert can't churn the
+    * manifest schema. Added columns read as nulls from old files;
+    * dropped columns are simply no longer selected. */
+  private def adoptSchema(df: DataFrame): Unit = {
+    val (_, cur, _) = localState()
+    val next = df.schema.toDDL
+    if (next == cur) { if (schemaDDL.isEmpty) schemaDDL = Some(cur); return }
+    val curMap = StructType.fromDDL(cur).map(f => f.name -> f.dataType).toMap
+    val nextMap = df.schema.map(f => f.name -> f.dataType).toMap
+    val retyped = curMap.keySet.intersect(nextMap.keySet)
+      .filter(k => curMap(k) != nextMap(k))
+    if (retyped.nonEmpty)
+      throw new SchemaEvolutionException(
+        s"incompatible type change for column(s) ${retyped.mkString(", ")} " +
+        s"(${retyped.map(k => s"$k: ${curMap(k)} -> ${nextMap(k)}").mkString("; ")}); " +
+        "existing files would be mis-read — rewrite the table instead")
+    if (curMap.keySet == nextMap.keySet) {
+      // order/nullability-only difference: keep the canonical DDL
+      if (schemaDDL.isEmpty) schemaDDL = Some(cur)
+      return
+    }
+    if (!allowEvolve) {
+      val addedCols = nextMap.keySet -- curMap.keySet
+      val dropped = curMap.keySet -- nextMap.keySet
+      throw new SchemaEvolutionException(
+        s"insert schema differs from table schema (adds: " +
+        s"${addedCols.toSeq.sorted.mkString(",")}; drops: " +
+        s"${dropped.toSeq.sorted.mkString(",")}); call txn.evolveSchema() " +
+        "to sanction the change")
+    }
+    schemaDDL = Some(next)
+    schemaEvolved = true
   }
 
   /** [[insert]] with hive-style partitioning on low-cardinality domain
@@ -1065,10 +1251,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     require(partitionBy.nonEmpty, "partitionBy must be non-empty")
     require(!partitionBy.contains("obj_id"),
       "obj_id cannot be a partition column (footer stats need it in-file)")
+    adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this, partitionBy)
     added ++= staged
     objects ++= inst.readStagedIds(staged)
-    schemaDDL = Some(df.schema.toDDL)
   }
 
   /** Idempotent upsert (MERGE by key): replace any existing rows whose
@@ -1170,5 +1356,6 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     inst.deleteStagingDirs(this)
     added.clear(); removed.clear(); objects.clear(); retired.clear()
     addedStats.clear(); adopted.clear()
+    schemaDDL = None; schemaEvolved = false
   }
 }

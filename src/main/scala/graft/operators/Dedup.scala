@@ -123,11 +123,19 @@ object Dedup {
       orderByDf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ds = docShingles(docs, idCol, textCol, k)
+    // ceil(n*tau) must be the RATIONAL ceiling: for taus not exactly
+    // representable in binary (0.9*10 evaluates to 9.000000000000002,
+    // ceil = 10 instead of 9) the naive form shortens the prefix by one
+    // and silently drops pairs sitting exactly at the threshold. The
+    // epsilon nudge keeps the ceiling exact for any realistic tau (it
+    // would take |n*tau - k| < 1e-9 ≠ 0 to fool it, impossible for
+    // doc sizes < ~1e8 at rational taus).
+    def overlapCeil(n: Column): Column = ceil(n * lit(tau) - lit(1e-9))
     val prefix =
       if (!orderByDf) {
         // sh is sorted ascending: its first L elements ARE the prefix
         // under the hash-asc global order
-        val L = (size(col("sh")) - ceil(size(col("sh")) * lit(tau))
+        val L = (size(col("sh")) - overlapCeil(size(col("sh")))
           + lit(1)).cast("int")
         ds.select(col("id"), explode(slice(col("sh"), lit(1), L)).as("s"))
       } else {
@@ -140,7 +148,7 @@ object Dedup {
         ex.join(dfreq, "s")
           .withColumn("pos", row_number().over(
             Window.partitionBy("id").orderBy(col("df"), col("s"))))
-          .filter(col("pos") <= col("n") - ceil(col("n") * lit(tau)) + lit(1))
+          .filter(col("pos") <= col("n") - overlapCeil(col("n")) + lit(1))
           .select("id", "s")
       }
     val cand = prefix.select(col("id").as("id_a"), col("s"))
@@ -431,6 +439,20 @@ object Dedup {
 
     "q25_jaccard_join" -> Q(jaccardOracle(0.5)) {
       (s, dir) => jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+    },
+
+    // same oracle through the document-frequency-ordered prefix — the
+    // flag that matters on Zipfian corpora must also be EXACT, not just
+    // plausible (the global order shapes candidates, never results)
+    "q25_jaccard_join_df" -> Q(jaccardOracle(0.5)) {
+      (s, dir) => jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5,
+        orderByDf = true)
+    },
+
+    // tau = 0.9 is not binary-representable: this key pins the rational
+    // prefix-ceiling fix (a pair at exactly the threshold must survive)
+    "q25_jaccard_tau9" -> Q(jaccardOracle(0.9)) {
+      (s, dir) => jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.9)
     },
 
     "q25_minhash_lsh" -> Q(jaccardOracle(0.5)) {

@@ -147,9 +147,15 @@ object Similarity {
       trainSample: Int = 4096): DataFrame = {
     val s = all.sparkSession
     // ---- train: Lloyd on the driver over a bounded sample ------------
-    // a corpus smaller than nCells just gets one cell per vector
+    // a corpus smaller than nCells just gets one cell per vector.
+    // Sampled by a deterministic hash PERMUTATION of the id (top-k by
+    // MINSTD rank — [[Sampling.splitBucket]]'s generator at full
+    // width), not lowest-ids: on a corpus where id correlates with
+    // time/domain the first-N rows would train skewed centroids, while
+    // the hash rank is id-order-free yet reproducible run to run.
     val sample: Array[Array[Double]] = all
-      .orderBy("vec_id").limit(math.max(nCells, trainSample)).collect()
+      .orderBy(Sampling.splitBucket(col("vec_id"), Int.MaxValue), col("vec_id"))
+      .limit(math.max(nCells, trainSample)).collect()
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "IVF index over an empty corpus")
     var centroids: Array[(Int, Seq[Double])] =

@@ -52,8 +52,8 @@ object EventStreams {
     Engine.normalizeEventTs(s.readStream.schema(raw.schema).parquet(tmp.toString))
   }
 
-  /** Run a streaming DF to completion into a memory sink, return the
-    * materialized table.
+  /** Dedicated streaming session per base session (SparkSession
+    * .newSession: same SparkContext and warehouse, ISOLATED SQLConf).
     *
     * Stateful operators allocate one state store per shuffle partition
     * per stateful stage (a stream-stream join keeps four per
@@ -63,20 +63,37 @@ object EventStreams {
     * ~100k events: 8 partitions keeps all 32 cores busy inside the
     * stores while cutting per-batch store-commit overhead 4x. A
     * production deployment sizes this to keys/sec (it is fixed at
-    * first checkpoint). */
+    * first checkpoint).
+    *
+    * Scoping the override to a separate session (instead of mutating
+    * and restoring the caller's session-global conf) means a batch
+    * query running CONCURRENTLY in the base session can never observe
+    * the streaming partition count — the round-4 ADVICE coupling. */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[graft] def streamSession(s: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(s, { base =>
+      val ss = base.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      ss.conf.set("spark.sql.session.timeZone", "UTC")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ss
+    })
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * materialized table. The memory sink registers its view in the
+    * session that BUILT `df` (the [[streamSession]] in every caller),
+    * so the table is read back from there. */
   def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    s.streams.active.filter(_.name == name).foreach(_.stop())
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable()
-      q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    val ss = df.sparkSession
+    ss.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
   }
 
   val defs: Seq[(String, Q)] = Seq(
@@ -86,10 +103,11 @@ object EventStreams {
       "SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS c, " +
       s"${sqlDsum("value")} AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2") {
       (s, dir) =>
-        val agg = eventsStream(s, dir)
+        val ss = streamSession(s)
+        val agg = eventsStream(ss, dir)
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
-        runToTable(s, agg, "q22_tumbling_sink", "complete")
+        runToTable(ss, agg, "q22_tumbling_sink", "complete")
           .select(col("window.start").as("w"), col("event_type"),
             col("c"), col("sv"))
           .orderBy("w", "event_type")
@@ -102,10 +120,11 @@ object EventStreams {
       "FROM events, (SELECT unnest(generate_series(0, 1)) AS i)) " +
       "GROUP BY 1, 2 ORDER BY 1, 2") {
       (s, dir) =>
-        val agg = eventsStream(s, dir)
+        val ss = streamSession(s)
+        val agg = eventsStream(ss, dir)
           .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("c"))
-        runToTable(s, agg, "q22_sliding_sink", "complete")
+        runToTable(ss, agg, "q22_sliding_sink", "complete")
           .select(col("window.start").as("w"), col("event_type"), col("c"))
           .orderBy("w", "event_type")
     },
@@ -142,11 +161,12 @@ object EventStreams {
       "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n FROM y " +
       "GROUP BY user_id, sid ORDER BY user_id, session_start") {
       (s, dir) =>
-        val agg = eventsStream(s, dir)
+        val ss = streamSession(s)
+        val agg = eventsStream(ss, dir)
           .withWatermark("ts", "10 minutes")
           .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
-        runToTable(s, agg, "q21_session_stream_sink", "complete")
+        runToTable(ss, agg, "q21_session_stream_sink", "complete")
           .select(col("user_id"),
             col("session_window.start").as("session_start"), col("n"))
           .orderBy("user_id", "session_start")
@@ -164,14 +184,15 @@ object EventStreams {
       "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
       "GROUP BY 1 ORDER BY 1") {
       (s, dir) =>
-        val dim = Engine.table(s, dir, "customer")
+        val ss = streamSession(s)
+        val dim = Engine.table(ss, dir, "customer")
           .select(col("c_custkey").as("user_id"),
             col("c_mktsegment").as("seg"))
-        val agg = eventsStream(s, dir).select("user_id", "value")
+        val agg = eventsStream(ss, dir).select("user_id", "value")
           .join(broadcast(dim), "user_id")
           .groupBy("seg")
           .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
-        runToTable(s, agg, "q23_static_join_sink", "complete")
+        runToTable(ss, agg, "q23_static_join_sink", "complete")
           .orderBy("seg")
     },
 
@@ -179,8 +200,9 @@ object EventStreams {
     "q23_stream_dedup" -> Q(
       "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
       (s, dir) =>
-        val dedup = eventsStream(s, dir).dropDuplicates("event_id")
-        runToTable(s, dedup, "q23_dedup_sink", "append")
+        val ss = streamSession(s)
+        val dedup = eventsStream(ss, dir).dropDuplicates("event_id")
+        runToTable(ss, dedup, "q23_dedup_sink", "append")
           .agg(count(lit(1)).as("c"))
     },
 
@@ -199,9 +221,10 @@ object EventStreams {
       "SELECT user_id, COUNT(*) AS c FROM events " +
       "GROUP BY user_id ORDER BY user_id") {
       (s, dir) =>
-        import s.implicits._
+        val ss = streamSession(s)
+        import ss.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-        val events = eventsStream(s, dir)
+        val events = eventsStream(ss, dir)
           .withWatermark("ts", "10 minutes")
           .select(col("user_id"), col("ts"))
           .as[(Long, java.sql.Timestamp)]
@@ -222,7 +245,7 @@ object EventStreams {
                 Iterator((uid, c))
               }
           }
-        runToTable(s, counted.toDF("user_id", "c"),
+        runToTable(ss, counted.toDF("user_id", "c"),
           "q23_custom_state_sink", "update")
           .orderBy("user_id")
     },
@@ -241,11 +264,12 @@ object EventStreams {
       "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE " +
       "GROUP BY a.user_id ORDER BY a.user_id") {
       (s, dir) =>
-        val clicks = eventsStream(s, dir)
+        val ss = streamSession(s)
+        val clicks = eventsStream(ss, dir)
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"))
           .withWatermark("click_ts", "10 minutes")
-        val purchases = eventsStream(s, dir)
+        val purchases = eventsStream(ss, dir)
           .filter(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "10 minutes")
@@ -253,7 +277,7 @@ object EventStreams {
           col("user_id") === col("p_user") &&
           col("p_ts") >= col("click_ts") &&
           col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-        val out = runToTable(s, joined, "q23_ss_join_sink", "append")
+        val out = runToTable(ss, joined, "q23_ss_join_sink", "append")
         out.groupBy("user_id").agg(count(lit(1)).as("c"))
           .orderBy("user_id")
     },
@@ -284,10 +308,11 @@ object EventStreams {
     "q23_stream_dedup_wm" -> Q(
       "SELECT COUNT(DISTINCT event_id) AS c FROM events") {
       (s, dir) =>
-        val dedup = eventsStream(s, dir)
+        val ss = streamSession(s)
+        val dedup = eventsStream(ss, dir)
           .withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("event_id")
-        runToTable(s, dedup, "q23_dedup_wm_sink", "append")
+        runToTable(ss, dedup, "q23_dedup_wm_sink", "append")
           .agg(count(lit(1)).as("c"))
     }
   )

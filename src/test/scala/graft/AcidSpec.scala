@@ -347,6 +347,7 @@ class AcidSpec extends AnyFunSuite {
 
     // a crashed PARTITIONED stage: orphan parquet nested in k=v dirs
     val crashed = inst.begin()
+    crashed.evolveSchema() // the staged schema adds the partition column
     crashed.insertPartitioned(
       Seq((99L, 99L)).toDF("obj_id", "value")
         .withColumn("lang", lit("xx")), Seq("lang"))
@@ -737,6 +738,7 @@ class AcidSpec extends AnyFunSuite {
     t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
     inst.commit(t0)
     val t1 = inst.begin()
+    t1.evolveSchema()
     t1.insert(Seq((2L, 20L, "tagged")).toDF("obj_id", "value", "tag"))
     inst.commit(t1)
     val rows = inst.changes(0, inst.latestVersion)
@@ -754,8 +756,11 @@ class AcidSpec extends AnyFunSuite {
     val narrowVersion = inst.latestVersion
 
     // widening insert: manifests record the new DDL; earlier files
-    // simply lack the column and read as null (parquet schema merge)
+    // simply lack the column and read as null (parquet schema merge).
+    // Evolution is opt-in (a typo'd rename must never silently swap
+    // the schema), so the txn declares it.
     val t1 = inst.begin()
+    t1.evolveSchema()
     t1.insert(Seq((2L, 20L, "tagged")).toDF("obj_id", "value", "tag"))
     inst.commit(t1)
 
@@ -903,5 +908,241 @@ class AcidSpec extends AnyFunSuite {
     assert(second == 0, s"restart redelivered $second batches")
     assert(inst.latestVersion == vHead)
     assert(inst.read().count() == events.count())
+  }
+
+  test("streaming restart: checkpoint resume processes only appended data, exactly-once") {
+    // the reference's raison d'être — recovery replay (instance.rs:
+    // 221-304): a stopped stream restarted from its checkpoint must
+    // pick up exactly where it left off, and the final ACID table must
+    // equal the all-at-once batch result with no duplicate obj_ids
+    val srcDir = Files.createTempDirectory("graft_resume_src_")
+    val ckpt = Files.createTempDirectory("graft_resume_ckpt_").toString
+    def writeFile(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong)).toDF("event_id", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    writeFile(1 to 50)
+    writeFile(51 to 100)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+
+    val inst = VersionedTable.create(spark, freshDir(),
+      schema.add("obj_id", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    // run 1: processes the two files present, then stops
+    val run1 = graft.streaming.AcidSink
+      .runInto(inst, stream(), "event_id", Some(ckpt))
+    assert(run1 == 2, s"expected 2 micro-batches, got $run1")
+    assert(inst.read().count() == 100)
+    val vAfterRun1 = inst.latestVersion
+
+    // append more source files AFTER the stream stopped, then restart
+    // from the same checkpoint: only the suffix is (re)delivered
+    writeFile(101 to 150)
+    val run2 = graft.streaming.AcidSink
+      .runInto(inst, stream(), "event_id", Some(ckpt))
+    assert(run2 == 1, s"resume should deliver exactly the new file, got $run2")
+    assert(inst.latestVersion == vAfterRun1 + 1,
+      "exactly one commit for the one resumed batch")
+
+    // final table == the full batch result: every id once, correct sum
+    val rows = inst.read()
+    assert(rows.count() == 150)
+    assert(rows.select("obj_id").distinct().count() == 150, "no duplicate obj_ids")
+    val got = rows.agg(sum("value")).collect()(0).getLong(0)
+    assert(got == (1 to 150).map(_.toLong).sum)
+  }
+
+  test("streaming restart: a crash mid-run replays the unfinished batch and converges") {
+    // crash injected AFTER the table commit but BEFORE the engine logs
+    // the batch as complete — the at-least-once window foreachBatch
+    // leaves open. Restart must replay that batch; the idempotent
+    // upsert makes the replay converge instead of double-inserting
+    // (reference analog: WAL replay of records past the last
+    // checkpoint, log_mgr/io.rs:260-289).
+    val srcDir = Files.createTempDirectory("graft_crash_src_")
+    val ckpt = Files.createTempDirectory("graft_crash_ckpt_").toString
+    (0 until 3).foreach { f =>
+      val lo = f * 10 + 1
+      (lo until lo + 10).map(i => (i.toLong, i.toLong))
+        .toDF("event_id", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val inst = VersionedTable.create(spark, freshDir(),
+      schema.add("obj_id", org.apache.spark.sql.types.LongType,
+        nullable = false))
+
+    // run 1: commit each batch to the table, then die inside batch 1 —
+    // after its table commit, before its checkpoint commit
+    val q = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        inst.withRetry() { t =>
+          t.upsert(batch.withColumn("obj_id", col("event_id")))
+        }
+        if (batchId == 1) throw new RuntimeException("injected crash")
+        ()
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // batch 1's rows ARE in the table (commit preceded the crash) but
+    // the engine never marked the batch done
+    assert(inst.read().count() == 20)
+
+    // restart from the checkpoint: batch 1 replays (converging via
+    // upsert), batch 2 runs fresh
+    val resumed = graft.streaming.AcidSink
+      .runInto(inst, stream(), "event_id", Some(ckpt))
+    assert(resumed == 2, s"replay of batch 1 + fresh batch 2, got $resumed")
+    val rows = inst.read()
+    assert(rows.count() == 30)
+    assert(rows.select("obj_id").distinct().count() == 30, "no duplicate obj_ids")
+    assert(rows.agg(sum("value")).collect()(0).getLong(0)
+      == (1 to 30).map(_.toLong).sum)
+  }
+
+  // shared 110-commit table: head-pointer, history, and change-feed
+  // scale tests all read it (built once — each commit is a real insert)
+  private lazy val manyCommits: (graft.acid.Instance, Int) = {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val n = 110
+    (1 to n).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i.toLong)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    (inst, n)
+  }
+
+  test("head pointer: resolution probes O(checkpointInterval), never a full listing") {
+    val (inst, n) = manyCommits
+    val (head, probes) = inst.resolveHead()
+    assert(head == n.toLong)
+    assert(probes >= 0, "the _head hint must be used (probes = -1 marks the listing fallback)")
+    assert(probes <= inst.checkpointInterval + 1,
+      s"head resolution probed $probes manifests — the hint is stale beyond one interval")
+  }
+
+  test("head pointer: a missing or corrupt _head falls back to the listing") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    (1 to 5).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i.toLong)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val headFile = new java.io.File(
+      new java.net.URI(dir).getPath, "_manifests/_head")
+    assert(headFile.exists, "premise: create wrote the hint")
+    assert(headFile.delete())
+    assert(inst.resolveHead() == (5L, -1), "missing hint -> listing fallback")
+    java.nio.file.Files.writeString(headFile.toPath, "garbage not-a-crc")
+    assert(inst.resolveHead() == (5L, -1), "corrupt hint -> listing fallback")
+    assert(inst.read().count() == 5)
+  }
+
+  test("history on a 100+-commit table is correct (reads issued in parallel)") {
+    val (inst, n) = manyCommits
+    val h = inst.history().collect()
+    assert(h.length == n + 1) // v0 .. vN
+    assert(h.map(_.getLong(0)).toSeq == (0L to n.toLong))
+    val ckpts = h.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(ckpts == (0L to n.toLong by inst.checkpointInterval).toSet)
+  }
+
+  test("change feed over 100+ commits: bounded plan width, correct rows") {
+    val (inst, n) = manyCommits
+    val feed = inst.changes(0, n)
+    // 4 plan branches per commit would be a ~440-leaf plan; batching
+    // folds every ChangesBatchVersions versions into ONE materialized
+    // leaf, so the analyzed plan stays narrow at any history length
+    val leaves = feed.queryExecution.logical.collectLeaves().size
+    val maxLeaves = n / graft.acid.Instance.ChangesBatchVersions + 1
+    assert(leaves <= maxLeaves,
+      s"change-feed plan has $leaves leaves (cap $maxLeaves)")
+    assert(feed.count() == n.toLong) // one inserted row per commit
+    assert(feed.filter(col("_change") === "insert").count() == n.toLong)
+    assert(feed.select("obj_id").distinct().count() == n.toLong)
+  }
+
+  test("schema guard: an unsanctioned shape change throws before staging") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val t = inst.begin()
+    val widened = Seq((2L, 20L, "oops")).toDF("obj_id", "value", "tag")
+    intercept[graft.acid.SchemaEvolutionException] { t.insert(widened) }
+    // the guard fired BEFORE staging: no files written by this txn
+    val dataDir = new java.io.File(new java.net.URI(dir).getPath, "data")
+    assert(!dataDir.listFiles
+      .exists(_.getName.startsWith(f"t${t.tsn}%x-")), "nothing staged")
+    inst.rollback(t)
+    assert(inst.read().count() == 1)
+  }
+
+  test("schema guard: type change of an existing column is rejected even when sanctioned") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val t = inst.begin()
+    t.evolveSchema()
+    val retyped = Seq((2L, "not-a-long")).toDF("obj_id", "value")
+    val e = intercept[graft.acid.SchemaEvolutionException] { t.insert(retyped) }
+    assert(e.getMessage.contains("value"))
+    inst.rollback(t)
+  }
+
+  test("schema guard: column order and nullability differences are not evolution") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    // reordered columns, same (name -> type) set: accepted without the
+    // flag, and the table keeps its canonical column order
+    val t = inst.begin()
+    t.insert(Seq((20L, 2L)).toDF("value", "obj_id").select("value", "obj_id"))
+    inst.commit(t)
+    val out = inst.read()
+    assert(out.columns.toSeq == Seq("obj_id", "value"), "canonical order kept")
+    assert(out.orderBy("obj_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("schema guard: a schema change conflicts with concurrent writers") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+
+    // leg 1: a plain writer pinned before an interleaved EVOLUTION loses
+    val plain = inst.begin()
+    val evolver = inst.begin()
+    evolver.evolveSchema()
+    evolver.insert(Seq((2L, 20L, "t")).toDF("obj_id", "value", "tag"))
+    inst.commit(evolver)
+    plain.insert(Seq((3L, 30L)).toDF("obj_id", "value")) // old shape — stale
+    intercept[ConflictException] { inst.commit(plain) }
+
+    // leg 2: an EVOLVER pinned before an interleaved plain commit loses
+    // (its staged files carry a schema the table has moved past)
+    val evolver2 = inst.begin()
+    val plain2 = inst.begin()
+    plain2.evolveSchema() // matches the post-leg-1 widened schema
+    plain2.insert(Seq((4L, 40L, "x")).toDF("obj_id", "value", "tag"))
+    inst.commit(plain2)
+    evolver2.evolveSchema()
+    evolver2.insert(Seq((5L, 50L, "y", 1L))
+      .toDF("obj_id", "value", "tag", "extra"))
+    intercept[ConflictException] { inst.commit(evolver2) }
+    assert(inst.read().count() == 3) // t0 + evolver + plain2 only
   }
 }

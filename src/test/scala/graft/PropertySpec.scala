@@ -73,6 +73,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard prefix is exact at non-binary tau (0.9): threshold pairs survive") {
+    // |A| = 10 shingles, |B| = 9, overlap 9 -> jac = 9/10 = exactly tau.
+    // The naive ceil(n*tau) evaluates 0.9*10 to 9.000000000000002 ->
+    // ceil 10 -> prefix one element short -> this pair silently dropped
+    // (round-4 ADVICE); the rational ceiling keeps it.
+    val words = (1 to 12).map(i => s"w$i")
+    val a = words.mkString(" ")          // 10 distinct shingles
+    val b = words.take(11).mkString(" ") // 9 shingles, all shared with a
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    for (byDf <- Seq(false, true)) {
+      val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.9, byDf).collect()
+      assert(got.length == 1, s"orderByDf=$byDf missed the exact-threshold pair")
+      assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+      assert(math.abs(got(0).getDouble(2) - 0.9) < 1e-9)
+    }
+  }
+
+  test("jaccard pairs at tau=0.9 equal the brute-force oracle under either order") {
+    cases(docGen, 3).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val sets = docs.map { case (id, t) =>
+        val w = t.split(" ")
+        id -> (if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+               else Set.empty[String])
+      }.filter(_._2.nonEmpty)
+      val expect = (for {
+        (ia, sa) <- sets
+        (ib, sb) <- sets
+        if ia < ib
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= 0.9
+      } yield (ia, ib)).toSet
+      for (byDf <- Seq(false, true)) {
+        val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.9, byDf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect,
+          s"orderByDf=$byDf: extra=${got -- expect} missing=${expect -- got}")
+      }
+    }
+  }
+
   test("acid: random committed/rolled-back inserts equal the sequential model") {
     val opsGen = Gen.listOfN(8, for {
       v <- Gen.choose(0L, 100L)
