@@ -71,6 +71,12 @@ object VersionedTable {
     * `allFiles` (rolled forward), so any snapshot's pruning index is
     * reconstructible from O(checkpointInterval) manifests. Files from
     * pre-stats manifests simply have no entry and are never pruned. */
+  /** `objects` is the commit's literal touched-id list; past
+    * [[EngineConf.objectListThreshold]] ids it is replaced by
+    * `objSummary` (exact count/min/max + bloom — see [[ObjSummary]]),
+    * so manifest size is BOUNDED at any batch size: a 10^7-key
+    * streaming micro-batch commits ~1 MiB of summary instead of
+    * ~150 MB of id list. */
   final case class Manifest(
       version: Long,
       tsn: Long,
@@ -80,7 +86,8 @@ object VersionedTable {
       objects: Seq[Long],
       checkpoint: Boolean,
       allFiles: Seq[String],
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      objSummary: Option[ObjSummary] = None)
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -93,10 +100,15 @@ object VersionedTable {
     // stats as three parallel arrays so the fixed-shape parser stays
     // trivial; sorted for byte-stable output (the crc depends on it)
     val statKeys = m.stats.keys.toSeq.sorted
+    val summary = m.objSummary.map { s =>
+      s""""objCount":${s.count},"objMin":${s.min},"objMax":${s.max},""" +
+      s""""objBloomK":${s.bloom.k},"objBloom":"${s.bloom.toBase64}","""
+    }.getOrElse("")
     val payload =
       s"""{"version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
+      summary +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -184,10 +196,16 @@ object VersionedTable {
       if (s.contains("\"statsFiles\":"))
         strArr("statsFiles").zip(longArr("statsMin").zip(longArr("statsMax"))).toMap
       else Map.empty[String, (Long, Long)]
+    val summary =
+      if (s.contains("\"objCount\":"))
+        Some(ObjSummary(rawField("objCount").toLong, rawField("objMin").toLong,
+          rawField("objMax").toLong,
+          IdBloom.fromBase64(strField("objBloom"), rawField("objBloomK").toInt)))
+      else None
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
       longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
-      stats)
+      stats, summary)
   }
 
   /** One-time datastore initialization (reference:
@@ -240,13 +258,27 @@ object VersionedTable {
   *                             uncommitted staging is reclaimable —
   *                             the same retention-vs-writer contract
   *                             every copy-on-write table format has;
-  *                             size it above the longest write job */
+  *                             size it above the longest write job
+  * @param objectListThreshold  touched-id count past which a txn stops
+  *                             materializing its id list on the driver
+  *                             and carries an [[ObjSummary]]
+  *                             (min/max + bloom) instead — manifests
+  *                             and driver memory stay bounded at any
+  *                             batch size; conflict checks against a
+  *                             summary may be pessimistic (spurious
+  *                             retry), never lossy
+  * @param bloomBits            FIXED bloom geometry for every summary
+  *                             (summaries must union bit-for-bit);
+  *                             default 2^23 bits = 1 MiB ≈ 2% fp at
+  *                             10^6 distinct ids per commit */
 final case class EngineConf(
     checkpointInterval: Int = 10,
     conflictMaxAttempts: Int = 5,
     conflictBackoffMs: Long = 20L,
     idBroadcastThreshold: Int = 1000,
-    orphanGraceMs: Long = 24L * 3600 * 1000) {
+    orphanGraceMs: Long = 24L * 3600 * 1000,
+    objectListThreshold: Int = 100000,
+    bloomBits: Long = 1L << 23) {
   // fail at construction, not mid-commit (a checkpointInterval of 0
   // would otherwise surface as ArithmeticException after staging data)
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
@@ -254,6 +286,9 @@ final case class EngineConf(
   require(conflictBackoffMs >= 0, s"conflictBackoffMs must be >= 0")
   require(idBroadcastThreshold >= 0, s"idBroadcastThreshold must be >= 0")
   require(orphanGraceMs >= 0, s"orphanGraceMs must be >= 0")
+  require(objectListThreshold >= 1, s"objectListThreshold must be >= 1")
+  require(bloomBits >= 64 && bloomBits % 64 == 0,
+    s"bloomBits must be a positive multiple of 64")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -507,8 +542,12 @@ final class Instance(val spark: SparkSession, val root: String,
     txn.adopted ++= reAdd // committed files re-referenced, not staged
     txn.removed ++= drop.toSeq.sorted
     reAdd.foreach(f => oldStats.get(f).foreach(r => txn.addedStats(f) = r))
-    txn.objects ++= ((v + 1) to txn.readVersion)
-      .flatMap(readManifest(_).objects)
+    val undone = ((v + 1) to txn.readVersion).map(readManifest)
+    txn.objects ++= undone.flatMap(_.objects)
+    // undoing a summary commit (no literal id list): the restore's
+    // blast radius is not enumerable, so it conflicts with EVERY
+    // interleaved commit — restore already declares table-wide intent
+    if (undone.exists(_.objSummary.isDefined)) txn.wideConflict = true
     txn.schemaDDL = Some(oldDdl)
     // restoring across a schema evolution republishes the old schema —
     // a table-wide change that must conflict with any interleaved commit
@@ -543,7 +582,8 @@ final class Instance(val spark: SparkSession, val root: String,
             () => {
               val m = readManifest(v)
               (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
-                m.objects.size.toLong, m.checkpoint)
+                m.objSummary.map(_.count).getOrElse(m.objects.size.toLong),
+                m.checkpoint)
             }
           }
         pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
@@ -587,8 +627,7 @@ final class Instance(val spark: SparkSession, val root: String,
       s"invalid change interval ($fromV, $toV]")
     val perVersion = ((fromV + 1) to toV).flatMap { v =>
       val m = readManifest(v)
-      if (m.objects.isEmpty) None
-      else {
+      if (m.objects.nonEmpty) {
         val ids = m.objects
         def touched(df: DataFrame): DataFrame =
           if (ids.size <= conf.idBroadcastThreshold)
@@ -612,7 +651,45 @@ final class Instance(val spark: SparkSession, val root: String,
           tag(pre, postIds, "left_semi", "update_preimage"),
           tag(post, preIds, "left_semi", "update_postimage"))
           .reduce(_.unionByName(_, allowMissingColumns = true)))
-      }
+      } else if (m.objSummary.isDefined) {
+        // summary commit: the id list was too large for the manifest,
+        // so changed rows are recovered by DIFFING pre vs post content
+        // (a bloom filter would misclassify copied neighbors on its
+        // false positives — the diff is exact). CoW copies untouched
+        // rows byte-identically: one-side-only ids are inserts/deletes,
+        // both-sides rows that differ are updates, identical rows are
+        // copies and emit nothing. Consequence: a no-op update (same
+        // values rewritten) is indistinguishable from a copy and is not
+        // emitted; the feed assumes the layer's id contract (obj_id
+        // unique per snapshot — guaranteed by the upsert/point-op API).
+        val pre = viewOf(m.removed, stateAt(v - 1)._2)
+        val post = viewOf(m.added, m.schemaDDL)
+        // one column layout across both sides (schema evolution within
+        // the commit appears as typed nulls, same as the union path)
+        val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+          (post.schema ++ pre.schema.filterNot(f =>
+            post.columns.contains(f.name)))
+            .filterNot(_.name == "obj_id").map(f => f.name -> f.dataType).toSeq
+        def keyed(df: DataFrame, as: String): DataFrame =
+          df.select(col("obj_id"), struct(allCols.map { case (n, dt) =>
+            (if (df.columns.contains(n)) col(n) else lit(null).cast(dt)).as(n)
+          }: _*).as(as))
+        val joined = keyed(pre, "_pre")
+          .join(keyed(post, "_post"), Seq("obj_id"), "full_outer")
+        def unpack(side: String, rows: DataFrame, change: String): DataFrame =
+          rows.select(col("obj_id") +: allCols.map { case (n, _) =>
+            col(s"$side.$n").as(n) }: _*)
+            .withColumn("_version", lit(v))
+            .withColumn("_change", lit(change))
+        val updated = joined.filter(col("_pre").isNotNull &&
+          col("_post").isNotNull && !(col("_pre") <=> col("_post")))
+        Some(Seq(
+          unpack("_post", joined.filter(col("_pre").isNull), "insert"),
+          unpack("_pre", joined.filter(col("_post").isNull), "delete"),
+          unpack("_pre", updated, "update_preimage"),
+          unpack("_post", updated, "update_postimage"))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
+      } else None
     }
     if (perVersion.isEmpty)
       viewOf(Nil, stateAt(toV)._2)
@@ -789,17 +866,28 @@ final class Instance(val spark: SparkSession, val root: String,
       // rewrites were planned against the old schema)
       var prevDdl =
         if (window.nonEmpty) stateAt(txn.readVersion)._2 else ""
+      val txnIds = txn.objects.toSet
+      // object overlap across the list/summary combinations: exact when
+      // either side carries a literal id list (bloom membership has no
+      // false negatives), range-conservative when both are summaries —
+      // a false positive costs one retry, a false negative would lose
+      // an update, so every approximation errs toward conflict
+      def objConflict(m: Manifest): Boolean =
+        m.objects.exists(txnIds) ||
+        txn.objSummary.exists(t => m.objects.exists(t.mayContain)) ||
+        m.objSummary.exists(s => txn.objects.exists(s.mayContain)) ||
+        (for (a <- m.objSummary; b <- txn.objSummary) yield a.mayOverlap(b))
+          .getOrElse(false)
       window.foreach { v =>
         val m = readManifest(v)
-        val objOverlap = m.objects.toSet.intersect(txn.objects.toSet)
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
-        if (objOverlap.nonEmpty || fileOverlap.nonEmpty) {
+        if (txn.wideConflict || objConflict(m) || fileOverlap.nonEmpty) {
           txn.abort()
           throw new ConflictException(
-            if (objOverlap.nonEmpty)
-              s"objects ${objOverlap.take(5).mkString(",")} committed by tsn ${m.tsn}"
+            if (fileOverlap.nonEmpty)
+              s"files ${fileOverlap.take(3).mkString(",")} rewritten by tsn ${m.tsn}"
             else
-              s"files ${fileOverlap.take(3).mkString(",")} rewritten by tsn ${m.tsn}")
+              s"objects touched by interleaved commit tsn ${m.tsn} overlap this transaction")
         }
         if (txn.schemaEvolved || m.schemaDDL != prevDdl) {
           txn.abort()
@@ -821,7 +909,8 @@ final class Instance(val spark: SparkSession, val root: String,
       } else (Nil, addedStats)
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, txn.objects.toSeq,
-        checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats)
+        checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
+        objSummary = txn.objSummary)
       if (publish(m)) {
         // checkpoint commits refresh the head hint, so resolveHead's
         // forward probe stays bounded by the checkpoint interval
@@ -1043,9 +1132,35 @@ final class Instance(val spark: SparkSession, val root: String,
     throw new IllegalStateException("unreachable")
   }
 
-  private[acid] def readStagedIds(staged: Seq[String]): Seq[Long] =
+  /** Distinct obj_ids of a staged file set, as a DataFrame (never
+    * materialized on the driver here — the caller decides whether the
+    * cardinality permits a literal list or requires a summary). */
+  private[acid] def stagedIdsDf(staged: Seq[String]): DataFrame =
     spark.read.parquet(staged.map(f => new Path(dataDir, f).toString): _*)
-      .select("obj_id").distinct().collect().map(_.getLong(0)).toSeq
+      .select("obj_id").distinct()
+
+  /** Build an [[ObjSummary]] from an id column DISTRIBUTED: each
+    * partition folds its ids into a local bloom bitset + count/range,
+    * partials merge by bitwise OR — one pass, no id ever collected.
+    * Geometry is pinned by [[EngineConf.bloomBits]] so summaries from
+    * any transaction union bit-for-bit. */
+  private[acid] def buildSummary(ids: DataFrame): ObjSummary = {
+    val mBits = conf.bloomBits
+    val parts = ids.select(col("obj_id").cast("long"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val bloom = IdBloom.empty(mBits)
+        var cnt = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        it.foreach { row =>
+          val id = row.getLong(0)
+          bloom.add(id); cnt += 1
+          if (id < mn) mn = id
+          if (id > mx) mx = id
+        }
+        if (cnt == 0) Iterator.empty
+        else Iterator.single(ObjSummary(cnt, mn, mx, bloom))
+      }
+    parts.reduce(_ merge _)
+  }
 
   /** Reclaim dirs staged BY this transaction. Files the transaction
     * merely re-references ([[Txn.adopted]] — e.g. a [[restore]]
@@ -1082,6 +1197,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] val added = mutable.ArrayBuffer[String]()
   private[acid] val removed = mutable.ArrayBuffer[String]()
   private[acid] val objects = mutable.LinkedHashSet[Long]()
+  // bounded replacement for `objects` once a staging round passes
+  // EngineConf.objectListThreshold ids — see ObjSummary
+  private[acid] var objSummary: Option[ObjSummary] = None
+  // set when this txn's blast radius is not enumerable (e.g. restore
+  // across a summary commit): conflicts with EVERY interleaved commit
+  private[acid] var wideConflict = false
   // added entries that are pre-existing committed files (re-referenced,
   // not written, by this txn — see restore): NEVER reclaimed on abort
   private[acid] val adopted = mutable.Set[String]()
@@ -1188,8 +1309,24 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this)
     added ++= staged
-    objects ++= inst.readStagedIds(staged)
+    recordStagedObjects(staged)
   }
+
+  /** Track the ids a staging round touched: a literal list while it
+    * fits [[EngineConf.objectListThreshold]] (exact conflicts, exact
+    * CDC), a distributed-built [[ObjSummary]] past it — so neither the
+    * driver nor the manifest ever holds O(batch) ids. The limit-probe
+    * costs the same single job the old collect did. */
+  private def recordStagedObjects(staged: Seq[String]): Unit = {
+    val idsDf = inst.stagedIdsDf(staged)
+    val th = inst.conf.objectListThreshold
+    val probe = idsDf.limit(th + 1).collect().map(_.getLong(0))
+    if (probe.length <= th) objects ++= probe
+    else mergeSummary(inst.buildSummary(idsDf))
+  }
+
+  private def mergeSummary(s: ObjSummary): Unit =
+    objSummary = Some(objSummary.fold(s)(_.merge(s)))
 
   /** Opt this transaction into schema evolution: without it, an insert
     * whose schema adds or drops columns throws — a typo'd column rename
@@ -1254,26 +1391,66 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this, partitionBy)
     added ++= staged
-    objects ++= inst.readStagedIds(staged)
+    recordStagedObjects(staged)
   }
 
   /** Idempotent upsert (MERGE by key): replace any existing rows whose
     * obj_id appears in `df`, then insert `df` — re-running the same
     * upsert converges instead of duplicating (the property the
-    * streaming sink's exactly-once contract rests on). The id set is
-    * driver-side metadata bounded by the batch, and the delete side
-    * prunes to candidate files via manifest id-range stats, so an
-    * upsert never scans the table. */
+    * streaming sink's exactly-once contract rests on). Batches up to
+    * [[EngineConf.objectListThreshold]] keys take the exact path (id
+    * list on the driver, per-id file pruning); larger batches go fully
+    * distributed ([[deleteMatching]] + an [[ObjSummary]] in the
+    * manifest), so NOTHING here is O(batch) on the driver or in
+    * metadata. Either way the delete side prunes to candidate files
+    * via manifest id-range stats — an upsert never scans the table. */
   def upsert(df: DataFrame): Unit = {
-    // consumed twice (id read + insert): persist so a nondeterministic
-    // input can't desynchronize the deleted ids from the inserted rows
+    // consumed multiple times (key probe + delete + insert): persist so
+    // a nondeterministic input can't desynchronize the deleted keys
+    // from the inserted rows
     df.persist()
     try {
-      val ids = df.select("obj_id").distinct()
-        .collect().map(_.getLong(0)).toSeq
-      delete(ids)
+      val keys = df.select("obj_id").distinct()
+      val th = inst.conf.objectListThreshold
+      val probe = keys.limit(th + 1).collect().map(_.getLong(0))
+      if (probe.length <= th) delete(probe.toSeq)
+      else deleteMatching(keys)
       insert(df)
     } finally df.unpersist()
+  }
+
+  /** Distributed DELETE by key DataFrame — the unbounded-batch twin of
+    * [[delete]]: no id ever lands on the driver. Candidate files are
+    * pruned by the keys' global [min, max] against the manifest ranges
+    * (coarser than the per-id check, still skips every file outside
+    * the batch's id span); hit files resolve via a semi join, survivor
+    * rows via an anti join, and conflict tracking records the keys'
+    * bloom summary. */
+  def deleteMatching(keys: DataFrame): Unit = {
+    val (files, ddl, stats) = localState()
+    val bounds = keys.agg(
+      org.apache.spark.sql.functions.min(col("obj_id")),
+      org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
+    if (bounds.isNullAt(0)) return // empty key set
+    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val cand = files.filter(f => stats.get(f) match {
+      case Some((mn, mx)) => mn <= hi && lo <= mx
+      case None => true
+    })
+    if (cand.nonEmpty) {
+      val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+      val hit = snap.join(keys, Seq("obj_id"), "left_semi")
+        .select("_file").distinct().collect().map(_.getString(0))
+      if (hit.nonEmpty) {
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+        val survivors = touched.join(keys, Seq("obj_id"), "left_anti")
+        val rewritten = if (survivors.isEmpty) Nil
+          else inst.writeStaged(survivors, this)
+        retire(hit.toSeq.map(relativize))
+        added ++= rewritten
+      }
+    }
+    mergeSummary(inst.buildSummary(keys))
   }
 
   /** Delete objects by id: copy-on-write rewrite of only the files that
@@ -1357,5 +1534,6 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     added.clear(); removed.clear(); objects.clear(); retired.clear()
     addedStats.clear(); adopted.clear()
     schemaDDL = None; schemaEvolved = false
+    objSummary = None; wideConflict = false
   }
 }

@@ -24,11 +24,14 @@ import graft.acid.Instance
   * scratch (still convergent here — ids collapse — but wasteful).
   *
   * 100 TB notes: the commit itself is metadata-only (one manifest
-  * publish), the data write is the batch's parallel parquet write — no
-  * driver bottleneck beyond the id-range footer reads and the batch's
-  * id list (O(batch), not O(table); the delete side prunes to candidate
-  * files via manifest id-range stats, so the upsert never scans the
-  * whole table).
+  * publish), the data write is the batch's parallel parquet write. No
+  * driver- or metadata-side structure is O(batch): small batches carry
+  * a literal id list, and past [[graft.acid.EngineConf
+  * .objectListThreshold]] keys the upsert switches to a fully
+  * distributed delete (`Txn.deleteMatching`) with a bounded
+  * min/max+bloom summary in the manifest. Either way the delete side
+  * prunes to candidate files via manifest id-range stats, so the
+  * upsert never scans the whole table.
   */
 object AcidSink {
 

@@ -1117,6 +1117,97 @@ class AcidSpec extends AnyFunSuite {
       .toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("object summary: large txns commit min/max+bloom, not an id list") {
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 4, bloomBits = 1L << 12)
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    val t0 = inst.begin()
+    t0.insert((1 to 10).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    // history reports the summarized count
+    assert(inst.history().filter(col("version") === 1)
+      .head().getLong(4) == 10L)
+    // the manifest literally carries no id list (bounded metadata)
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      new java.net.URI(dir).getPath,
+      "_manifests/" + f"v${1L}%020d.json"))
+    assert(raw.contains("\"objects\":[]") && raw.contains("\"objCount\":10"))
+
+    // a small txn pinned before an interleaved SUMMARY commit loses
+    // when its id falls in the summary (bloom has no false negatives);
+    // insert-only on the small side so no FILE overlap can mask the
+    // object-summary check
+    val small = inst.begin()
+    val big = inst.begin()
+    big.upsert((6 to 20).map(i => (i.toLong, i * 10L)).toDF("obj_id", "value"))
+    inst.commit(big)
+    small.insert(Seq((7L, 777L)).toDF("obj_id", "value"))
+    intercept[ConflictException] { inst.commit(small) }
+
+    // disjoint ranges commit cleanly past a summary
+    val c = inst.begin()
+    val d = inst.begin()
+    d.upsert((100 to 120).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(d)
+    c.update(Seq(1L), df => df.withColumn("value", col("value") + 1))
+    inst.commit(c)
+    assert(inst.read().filter(col("obj_id") === 1).head().getLong(1) == 2L)
+  }
+
+  test("distributed upsert: replaces overlaps, converges on replay, exact CDC") {
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 4, bloomBits = 1L << 12)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
+    val t0 = inst.begin()
+    t0.insert((1 to 6).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(t0)
+
+    // 9 keys > threshold: the delete side runs fully distributed
+    // (deleteMatching), no key ever collected to the driver
+    def batch() = (4 to 12).map(i => (i.toLong, i * 100L)).toDF("obj_id", "value")
+    inst.withRetry() { t => t.upsert(batch()) }
+    val state = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == ((1 to 3).map(i => i.toLong -> i.toLong) ++
+      (4 to 12).map(i => i.toLong -> i * 100L)).toMap)
+
+    // the summary commit's change feed is EXACT via row-diff: copied
+    // neighbors (1..3 share a file with 4..6) emit nothing
+    val feed = inst.changes(1, 2).collect()
+    val byChange = feed.groupBy(_.getAs[String]("_change"))
+      .map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+    assert(byChange("insert") == (7 to 12).map(_.toLong).toSet)
+    assert(byChange("update_preimage") == (4 to 6).map(_.toLong).toSet)
+    assert(byChange("update_postimage") == (4 to 6).map(_.toLong).toSet)
+    assert(!byChange.contains("delete"))
+    assert(feed.forall(_.getLong(0) > 3L), "copied neighbors must not appear")
+
+    // replaying the identical upsert converges AND its change feed is
+    // empty — every row it rewrote is byte-identical to the preimage
+    inst.withRetry() { t => t.upsert(batch()) }
+    val replayed = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == state)
+    assert(inst.changes(2, 3).isEmpty, "no-op replay emits no changes")
+  }
+
+  test("restore across a summary commit is metadata-only and exact") {
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 4, bloomBits = 1L << 12)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
+    val t0 = inst.begin()
+    t0.insert((1 to 5).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    inst.withRetry() { t =>
+      t.upsert((3 to 14).map(i => (i.toLong, i * 7L)).toDF("obj_id", "value"))
+    }
+    assert(inst.read().count() == 14)
+    val v = inst.restore(1)
+    assert(v == 3)
+    val rows = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == (1 to 5).map(i => i.toLong -> i.toLong).toMap)
+    assert(inst.snapshot(2).count() == 14, "time travel across the restore intact")
+  }
+
   test("schema guard: a schema change conflicts with concurrent writers") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t0 = inst.begin()
