@@ -856,6 +856,20 @@ final class Instance(val spark: SparkSession, val root: String,
       deleteRetired(txn) // e.g. insert-then-delete-all within one txn
       return txn.readVersion
     }
+    // a txn that mixed small (literal ids) and large (summary) staging
+    // rounds folds the literals INTO the summary: a manifest carries
+    // one or the other, so changes() never half-classifies a commit by
+    // its list while the summary ids go unseen. Computed ONCE, outside
+    // the publish-race retry loop (the fold mutates the bloom and
+    // accumulates the count).
+    val (objList, objSum) = txn.objSummary match {
+      case Some(s0) if txn.objects.nonEmpty =>
+        txn.objects.foreach(s0.bloom.add)
+        (Nil, Some(ObjSummary(s0.count + txn.objects.size,
+          math.min(s0.min, txn.objects.min),
+          math.max(s0.max, txn.objects.max), s0.bloom)))
+      case other => (txn.objects.toSeq, other)
+    }
     var attempt = latestVersion + 1
     while (true) {
       // conflict window = versions committed after our snapshot
@@ -908,9 +922,9 @@ final class Instance(val spark: SparkSession, val root: String,
           baseStats -- txn.removed ++ addedStats)
       } else (Nil, addedStats)
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
-        txn.added.toSeq, txn.removed.toSeq, txn.objects.toSeq,
+        txn.added.toSeq, txn.removed.toSeq, objList,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
-        objSummary = txn.objSummary)
+        objSummary = objSum)
       if (publish(m)) {
         // checkpoint commits refresh the head hint, so resolveHead's
         // forward probe stays bounded by the checkpoint interval

@@ -1190,6 +1190,36 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.changes(2, 3).isEmpty, "no-op replay emits no changes")
   }
 
+  test("mixed staging rounds fold literal ids into the summary at commit") {
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 4, bloomBits = 1L << 12)
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    // one txn, two rounds: a small insert (literal ids) then a large
+    // one (summary) — the manifest must carry ONE representation, or
+    // changes() would classify the commit by its list and silently
+    // skip the summary rows
+    val t = inst.begin()
+    t.insert(Seq((1L, 1L), (2L, 2L)).toDF("obj_id", "value"))
+    t.insert((10 to 20).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(t)
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      new java.net.URI(dir).getPath, "_manifests/" + f"v${1L}%020d.json"))
+    assert(raw.contains("\"objects\":[]"), "no literal list beside the summary")
+    assert(raw.contains("\"objCount\":13"))
+    val feed = inst.changes(0, 1)
+    assert(feed.filter(col("_change") === "insert").count() == 13)
+
+    // a pinned writer touching one of the FOLDED literal ids must lose
+    val p = inst.begin()
+    val q2 = inst.begin()
+    q2.insert(Seq((30L, 1L)).toDF("obj_id", "value"))
+    q2.insert((40 to 50).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(q2)
+    p.insert(Seq((30L, 9L)).toDF("obj_id", "value"))
+    intercept[ConflictException] { inst.commit(p) }
+  }
+
   test("restore across a summary commit is metadata-only and exact") {
     val conf = graft.acid.EngineConf(
       objectListThreshold = 4, bloomBits = 1L << 12)
