@@ -72,8 +72,11 @@ object Bench {
     // a SPARK_GRAFT_ONLY-narrowed run must be machine-distinguishable
     // from a full-suite run — a leaked filter would otherwise produce a
     // partial artifact indistinguishable from an all-pass bench
+    // sanitized to the key-prefix alphabet: a stray backslash or quote
+    // in the env value must not corrupt the JSON line
     val filtered = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(f => s""","filtered":"${f.replace("\"", "")}"""").getOrElse("")
+      .map(f => s""","filtered":"${f.replaceAll("[^A-Za-z0-9_,-]", "")}"""")
+      .getOrElse("")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s}""")
     spark.stop()
   }

@@ -73,6 +73,17 @@ object IdBloom {
     new IdBloom(new Array[Long]((mBits / 64).toInt), k)
   }
 
+  /** All-ones filter: `contains` is true for every id. The conservative
+    * stand-in when a summary must cover ids that can no longer be
+    * enumerated (e.g. re-summarizing a manifest written under a
+    * different bloom geometry) — membership degrades to the range
+    * check, which can only over-report conflicts. */
+  def saturated(mBits: Long, k: Int = 6): IdBloom = {
+    val b = empty(mBits, k)
+    java.util.Arrays.fill(b.bits, -1L)
+    b
+  }
+
   def fromBase64(s: String, k: Int): IdBloom = {
     val bytes = java.util.Base64.getDecoder.decode(s)
     val bb = java.nio.ByteBuffer.wrap(bytes)

@@ -5,9 +5,9 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Versioned ACID table layer — capability parity with db-core's
   * transactional storage engine (SURVEY.md §2.1), re-expressed Spark-first
@@ -544,10 +544,22 @@ final class Instance(val spark: SparkSession, val root: String,
     reAdd.foreach(f => oldStats.get(f).foreach(r => txn.addedStats(f) = r))
     val undone = ((v + 1) to txn.readVersion).map(readManifest)
     txn.objects ++= undone.flatMap(_.objects)
-    // undoing a summary commit (no literal id list): the restore's
-    // blast radius is not enumerable, so it conflicts with EVERY
-    // interleaved commit — restore already declares table-wide intent
-    if (undone.exists(_.objSummary.isDefined)) txn.wideConflict = true
+    txn.spillObjectsIfNeeded()
+    // undoing summary commits: their id coverage must SURVIVE into the
+    // restore's own manifest (a txn pinned before the restore commit
+    // checks conflicts against that manifest, and the change feed
+    // classifies the restore by it) — so the summaries are merged into
+    // the restore txn. A summary written under a different bloom
+    // geometry cannot be unioned and its ids cannot be re-enumerated;
+    // it degrades to a SATURATED bloom over its range (conservative:
+    // may over-report conflicts, never under-reports).
+    undone.flatMap(_.objSummary).foreach { s =>
+      val compat =
+        if (s.bloom.mBits == conf.bloomBits) s
+        else ObjSummary(s.count, s.min, s.max,
+          IdBloom.saturated(conf.bloomBits))
+      txn.mergeSummary(compat)
+    }
     txn.schemaDDL = Some(oldDdl)
     // restoring across a schema evolution republishes the old schema —
     // a table-wide change that must conflict with any interleaved commit
@@ -666,14 +678,28 @@ final class Instance(val spark: SparkSession, val root: String,
         val post = viewOf(m.added, m.schemaDDL)
         // one column layout across both sides (schema evolution within
         // the commit appears as typed nulls, same as the union path)
-        val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        val allCols: Seq[(String, DataType)] =
           (post.schema ++ pre.schema.filterNot(f =>
             post.columns.contains(f.name)))
             .filterNot(_.name == "obj_id").map(f => f.name -> f.dataType).toSeq
-        def keyed(df: DataFrame, as: String): DataFrame =
-          df.select(col("obj_id"), struct(allCols.map { case (n, dt) =>
-            (if (df.columns.contains(n)) col(n) else lit(null).cast(dt)).as(n)
-          }: _*).as(as))
+        // maps are not orderable, so <=> rejects structs containing
+        // them: the COMPARISON struct carries map columns as key-sorted
+        // entry arrays while the output struct keeps the original
+        // types. (Maps nested inside other types remain unsupported —
+        // same limitation as every sort-based operator.)
+        def comparable(c: Column, dt: DataType): Column = dt match {
+          case _: MapType => array_sort(map_entries(c))
+          case _ => c
+        }
+        def keyed(df: DataFrame, as: String): DataFrame = {
+          def field(n: String, dt: DataType) =
+            if (df.columns.contains(n)) col(n) else lit(null).cast(dt)
+          df.select(col("obj_id"),
+            struct(allCols.map { case (n, dt) => field(n, dt).as(n) }: _*)
+              .as(as),
+            struct(allCols.map { case (n, dt) =>
+              comparable(field(n, dt), dt).as(n) }: _*).as(as + "C"))
+        }
         val joined = keyed(pre, "_pre")
           .join(keyed(post, "_post"), Seq("obj_id"), "full_outer")
         def unpack(side: String, rows: DataFrame, change: String): DataFrame =
@@ -682,7 +708,7 @@ final class Instance(val spark: SparkSession, val root: String,
             .withColumn("_version", lit(v))
             .withColumn("_change", lit(change))
         val updated = joined.filter(col("_pre").isNotNull &&
-          col("_post").isNotNull && !(col("_pre") <=> col("_post")))
+          col("_post").isNotNull && !(col("_preC") <=> col("_postC")))
         Some(Seq(
           unpack("_post", joined.filter(col("_pre").isNull), "insert"),
           unpack("_pre", joined.filter(col("_post").isNull), "delete"),
@@ -870,6 +896,7 @@ final class Instance(val spark: SparkSession, val root: String,
           math.max(s0.max, txn.objects.max), s0.bloom)))
       case other => (txn.objects.toSeq, other)
     }
+    lazy val snapshotDdl = stateAt(txn.readVersion)._2
     var attempt = latestVersion + 1
     while (true) {
       // conflict window = versions committed after our snapshot
@@ -877,9 +904,11 @@ final class Instance(val spark: SparkSession, val root: String,
       // schema changes are table-wide: a txn that evolves the schema
       // conflicts with EVERY interleaved commit, and an interleaved
       // schema change conflicts with this txn (whose reads and staged
-      // rewrites were planned against the old schema)
-      var prevDdl =
-        if (window.nonEmpty) stateAt(txn.readVersion)._2 else ""
+      // rewrites were planned against the old schema). The snapshot
+      // DDL is fixed for the txn's lifetime — computed once, not per
+      // publish-race retry (each retry would re-pay an
+      // O(checkpointInterval) manifest walk on an object store).
+      var prevDdl = if (window.nonEmpty) snapshotDdl else ""
       val txnIds = txn.objects.toSet
       // object overlap across the list/summary combinations: exact when
       // either side carries a literal id list (bloom membership has no
@@ -895,7 +924,7 @@ final class Instance(val spark: SparkSession, val root: String,
       window.foreach { v =>
         val m = readManifest(v)
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
-        if (txn.wideConflict || objConflict(m) || fileOverlap.nonEmpty) {
+        if (objConflict(m) || fileOverlap.nonEmpty) {
           txn.abort()
           throw new ConflictException(
             if (fileOverlap.nonEmpty)
@@ -926,10 +955,16 @@ final class Instance(val spark: SparkSession, val root: String,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
         objSummary = objSum)
       if (publish(m)) {
-        // checkpoint commits refresh the head hint, so resolveHead's
-        // forward probe stays bounded by the checkpoint interval
-        if (isCkpt) writeHead(attempt)
-        deleteRetired(txn)
+        // the commit IS durable from this point: hint writes and
+        // staging cleanup are best-effort and must never surface as a
+        // commit failure (the caller would roll back and delete data
+        // files the published manifest references)
+        try {
+          // checkpoint commits refresh the head hint, so resolveHead's
+          // forward probe stays bounded by the checkpoint interval
+          if (isCkpt) writeHead(attempt)
+          deleteRetired(txn)
+        } catch { case scala.util.control.NonFatal(_) => () }
         return attempt
       }
       val head = latestVersion
@@ -1211,12 +1246,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] val added = mutable.ArrayBuffer[String]()
   private[acid] val removed = mutable.ArrayBuffer[String]()
   private[acid] val objects = mutable.LinkedHashSet[Long]()
-  // bounded replacement for `objects` once a staging round passes
-  // EngineConf.objectListThreshold ids — see ObjSummary
+  // bounded replacement for `objects` once the touched-id count passes
+  // EngineConf.objectListThreshold — see ObjSummary
   private[acid] var objSummary: Option[ObjSummary] = None
-  // set when this txn's blast radius is not enumerable (e.g. restore
-  // across a summary commit): conflicts with EVERY interleaved commit
-  private[acid] var wideConflict = false
   // added entries that are pre-existing committed files (re-referenced,
   // not written, by this txn — see restore): NEVER reclaimed on abort
   private[acid] val adopted = mutable.Set[String]()
@@ -1235,10 +1267,24 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
 
+  // base snapshot state cached per pinned version: every mutation in a
+  // txn replans against the same readVersion, so the repeated
+  // O(checkpointInterval) manifest walks collapse to ONE read per
+  // version (refresh() invalidates by bumping readVersion). Committed
+  // state at a fixed version is immutable, so the cache can never go
+  // stale.
+  @volatile private var baseCache:
+      (Long, (Seq[String], String, Map[String, (Long, Long)])) = null
+
   /** Txn-local (read-your-own-writes) file set, schema, and id-range
     * index: snapshot state minus removed plus staged. */
   private def localState(): (Seq[String], String, Map[String, (Long, Long)]) = {
-    val (base, snapDdl, baseStats) = inst.stateWithStatsAt(readVersion)
+    var cached = baseCache
+    if (cached == null || cached._1 != readVersion) {
+      cached = (readVersion, inst.stateWithStatsAt(readVersion))
+      baseCache = cached
+    }
+    val (base, snapDdl, baseStats) = cached._2
     val files = (base.toSet -- removed ++ added).toSeq.sorted
     (files, schemaDDL.getOrElse(snapDdl), baseStats -- removed ++ addedStats)
   }
@@ -1335,12 +1381,26 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val idsDf = inst.stagedIdsDf(staged)
     val th = inst.conf.objectListThreshold
     val probe = idsDf.limit(th + 1).collect().map(_.getLong(0))
-    if (probe.length <= th) objects ++= probe
+    if (probe.length <= th) { objects ++= probe; spillObjectsIfNeeded() }
     else mergeSummary(inst.buildSummary(idsDf))
   }
 
-  private def mergeSummary(s: ObjSummary): Unit =
+  private[acid] def mergeSummary(s: ObjSummary): Unit =
     objSummary = Some(objSummary.fold(s)(_.merge(s)))
+
+  /** The threshold bounds the literal set PER TRANSACTION, not per
+    * staging round: many small rounds (or a wide [[graft.acid
+    * .Instance.restore]]) must not accumulate an unbounded driver-side
+    * list that then serializes into the manifest. Once the set passes
+    * the threshold it spills into the bloom summary and is cleared —
+    * commit folds any later literals in the same way. */
+  private[acid] def spillObjectsIfNeeded(): Unit =
+    if (objects.size > inst.conf.objectListThreshold) {
+      val b = IdBloom.empty(inst.conf.bloomBits)
+      objects.foreach(b.add)
+      mergeSummary(ObjSummary(objects.size, objects.min, objects.max, b))
+      objects.clear()
+    }
 
   /** Opt this transaction into schema evolution: without it, an insert
     * whose schema adds or drops columns throws — a typo'd column rename
@@ -1364,8 +1424,23 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     if (next == cur) { if (schemaDDL.isEmpty) schemaDDL = Some(cur); return }
     val curMap = StructType.fromDDL(cur).map(f => f.name -> f.dataType).toMap
     val nextMap = df.schema.map(f => f.name -> f.dataType).toMap
+    // nested nullability (array containsNull, inner struct fields) is
+    // as irrelevant to parquet compatibility as top-level nullability —
+    // an exact DataType == would misreport ARRAY<BIGINT> built from
+    // Seq[Long] (containsNull=false) against the DDL's default (true)
+    // as a type change
+    def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameType(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameType(x.keyType, y.keyType) && sameType(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameType(f.dataType, g.dataType) }
+      case _ => a == b
+    }
     val retyped = curMap.keySet.intersect(nextMap.keySet)
-      .filter(k => curMap(k) != nextMap(k))
+      .filter(k => !sameType(curMap(k), nextMap(k)))
     if (retyped.nonEmpty)
       throw new SchemaEvolutionException(
         s"incompatible type change for column(s) ${retyped.mkString(", ")} " +
@@ -1440,31 +1515,37 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * the batch's id span); hit files resolve via a semi join, survivor
     * rows via an anti join, and conflict tracking records the keys'
     * bloom summary. */
-  def deleteMatching(keys: DataFrame): Unit = {
-    val (files, ddl, stats) = localState()
-    val bounds = keys.agg(
-      org.apache.spark.sql.functions.min(col("obj_id")),
-      org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
-    if (bounds.isNullAt(0)) return // empty key set
-    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
-    val cand = files.filter(f => stats.get(f) match {
-      case Some((mn, mx)) => mn <= hi && lo <= mx
-      case None => true
-    })
-    if (cand.nonEmpty) {
-      val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
-      val hit = snap.join(keys, Seq("obj_id"), "left_semi")
-        .select("_file").distinct().collect().map(_.getString(0))
-      if (hit.nonEmpty) {
-        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
-        val survivors = touched.join(keys, Seq("obj_id"), "left_anti")
-        val rewritten = if (survivors.isEmpty) Nil
-          else inst.writeStaged(survivors, this)
-        retire(hit.toSeq.map(relativize))
-        added ++= rewritten
+  def deleteMatching(keys0: DataFrame): Unit = {
+    // consumed four times (bounds, hit files, survivors, summary):
+    // persist so a nondeterministic input can't delete one key set
+    // while the conflict summary records another
+    val keys = keys0.select("obj_id").persist()
+    try {
+      val (files, ddl, stats) = localState()
+      val bounds = keys.agg(
+        org.apache.spark.sql.functions.min(col("obj_id")),
+        org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
+      if (bounds.isNullAt(0)) return // empty key set
+      val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+      val cand = files.filter(f => stats.get(f) match {
+        case Some((mn, mx)) => mn <= hi && lo <= mx
+        case None => true
+      })
+      if (cand.nonEmpty) {
+        val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+        val hit = snap.join(keys, Seq("obj_id"), "left_semi")
+          .select("_file").distinct().collect().map(_.getString(0))
+        if (hit.nonEmpty) {
+          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+          val survivors = touched.join(keys, Seq("obj_id"), "left_anti")
+          val rewritten = if (survivors.isEmpty) Nil
+            else inst.writeStaged(survivors, this)
+          retire(hit.toSeq.map(relativize))
+          added ++= rewritten
+        }
       }
-    }
-    mergeSummary(inst.buildSummary(keys))
+      mergeSummary(inst.buildSummary(keys))
+    } finally keys.unpersist()
   }
 
   /** Delete objects by id: copy-on-write rewrite of only the files that
@@ -1491,6 +1572,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       }
     }
     objects ++= ids
+    spillObjectsIfNeeded()
   }
 
   /** Update objects by id with a column transformation — copy-on-write
@@ -1515,6 +1597,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       }
     }
     objects ++= ids
+    spillObjectsIfNeeded()
   }
 
   /** A rewritten file that this transaction itself staged is dropped
@@ -1548,6 +1631,6 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     added.clear(); removed.clear(); objects.clear(); retired.clear()
     addedStats.clear(); adopted.clear()
     schemaDDL = None; schemaEvolved = false
-    objSummary = None; wideConflict = false
+    objSummary = None
   }
 }

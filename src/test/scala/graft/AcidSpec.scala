@@ -1220,6 +1220,56 @@ class AcidSpec extends AnyFunSuite {
     intercept[ConflictException] { inst.commit(p) }
   }
 
+  test("literal ids spill to a summary across staging rounds, not just within one") {
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 4, bloomBits = 1L << 12)
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    // three rounds of 3 ids: each round is under the threshold, but the
+    // TRANSACTION total (9) is not — the manifest must carry a summary,
+    // not an accumulated 9-id list
+    val t = inst.begin()
+    Seq(1 to 3, 4 to 6, 7 to 9).foreach { r =>
+      t.insert(r.map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    }
+    inst.commit(t)
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      new java.net.URI(dir).getPath, "_manifests/" + f"v${1L}%020d.json"))
+    assert(raw.contains("\"objects\":[]"), "literal list must have spilled")
+    assert(raw.contains("\"objCount\":9"))
+    assert(inst.read().count() == 9)
+    assert(inst.changes(0, 1).filter(col("_change") === "insert").count() == 9)
+  }
+
+  test("restore republishes undone summary coverage: late writers still conflict") {
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 10, bloomBits = 1L << 12)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
+    val t0 = inst.begin()
+    t0.insert((1 to 5).map(i => (i.toLong, i.toLong)).toDF("obj_id", "value"))
+    inst.commit(t0) // v1: literal ids
+    inst.withRetry() { t =>
+      t.upsert((3 to 20).map(i => (i.toLong, i * 9L)).toDF("obj_id", "value"))
+    } // v2: summary commit (18 keys)
+
+    // pinned BEFORE the restore commit: its conflict window sees only
+    // the restore manifest, which must still cover the undone v2 ids
+    val pinned = inst.begin()
+    assert(inst.restore(1) == 3L)
+    pinned.insert(Seq((15L, 1L)).toDF("obj_id", "value"))
+    intercept[ConflictException] { inst.commit(pinned) }
+
+    // and the restore version's change feed classifies by row-diff:
+    // 3..5 revert (updates), 6..20 disappear (deletes), 1..2 are
+    // byte-identical copies and emit nothing
+    val feed = inst.changes(2, 3).collect()
+    val byChange = feed.groupBy(_.getAs[String]("_change"))
+      .map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+    assert(byChange("delete") == (6 to 20).map(_.toLong).toSet)
+    assert(byChange("update_postimage") == (3 to 5).map(_.toLong).toSet)
+    assert(!byChange.contains("insert"))
+  }
+
   test("restore across a summary commit is metadata-only and exact") {
     val conf = graft.acid.EngineConf(
       objectListThreshold = 4, bloomBits = 1L << 12)
