@@ -305,6 +305,12 @@ object Instance {
     * versions (4 plan branches per version → ≤128 branches per analyzed
     * subplan, well inside analyzer comfort). */
   val ChangesBatchVersions = 32
+
+  /** Partition-tuple count past which [[Instance.viewOf]] switches from
+    * per-group literal-column branches to one native hive-layout scan
+    * (below it, the literal branches give plan-time whole-scan pruning
+    * with zero file index cost; above it, plan width dominates). */
+  val PartitionGroupFanout = 32
 }
 
 final class Instance(val spark: SparkSession, val root: String,
@@ -495,6 +501,24 @@ final class Instance(val spark: SparkSession, val root: String,
     if (groups.size == 1 && groups.keys.head.isEmpty)
       spark.read.schema(schema)
         .parquet(files.map(f => new Path(dataDir, f).toString): _*)
+    else if (groups.size > Instance.PartitionGroupFanout &&
+        groups.keys.forall(_.nonEmpty) &&
+        groups.keys.map(_.map(_._1).toSet).toSet.size == 1)
+      // Wide-fanout fast path: one literal-column branch per partition
+      // tuple is ideal for a handful of groups (constant-folding prunes
+      // whole scans at plan time) but a 10^4-partition snapshot would
+      // analyze a 10^4-branch union. When EVERY file is partitioned on
+      // the same columns, hand the k=v suffixes to Spark's own
+      // partition discovery instead: basePath anchors parsing, the
+      // staging segment above the k=v dirs is ignored (discovery walks
+      // leaf-up and stops at the first non-k=v segment), values
+      // unescape identically, and the whole snapshot is ONE relation
+      // with native partition pruning at any fanout. Mixed snapshots
+      // (CoW rewrites physicalize the columns) keep the literal path.
+      spark.read.schema(schema)
+        .option("basePath", fs.makeQualified(dataDir).toString)
+        .parquet(files.map(f => new Path(dataDir, f).toString): _*)
+        .select(schema.map(f => col(f.name)): _*)
     else
       groups.toSeq.sortBy(_._2.min)
         .map { case (p, fs_) => readGroup(p, fs_) }

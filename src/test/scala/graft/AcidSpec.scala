@@ -1071,6 +1071,40 @@ class AcidSpec extends AnyFunSuite {
     assert(feed.select("obj_id").distinct().count() == n.toLong)
   }
 
+  test("wide partition fanout reads as ONE native partitioned scan") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "obj_id BIGINT, value BIGINT, lang STRING")
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    val t = inst.begin()
+    t.insertPartitioned((1 to 200).map(i =>
+      (i.toLong, i.toLong, s"l${i % 40}")).toDF("obj_id", "value", "lang"),
+      Seq("lang"))
+    inst.commit(t)
+    val out = inst.read()
+    // 40 partition tuples > PartitionGroupFanout: the snapshot must be
+    // one hive-layout relation, not a 40-branch union
+    assert(out.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "expected a single native partitioned scan")
+    assert(out.count() == 200)
+    assert(out.columns.toSeq == Seq("obj_id", "value", "lang"))
+    val one = out.filter(col("lang") === "l7")
+    val rows = one.orderBy("obj_id").collect()
+    assert(rows.length == 5 && rows.forall(_.getString(2) == "l7"))
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (1 to 200).filter(_ % 40 == 7).map(_.toLong))
+    // the predicate reaches the scan as a PARTITION filter (pruned by
+    // the file index, not evaluated per row)
+    val planStr = one.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") && planStr.contains("lang"),
+      s"partition filter missing from scan:\n$planStr")
+    // a delete (CoW rewrite physicalizes the column) flips the snapshot
+    // back to the literal path — content must be identical
+    inst.withRetry() { txn => txn.delete(Seq(7L)) }
+    val after = inst.read()
+    assert(after.count() == 199)
+    assert(after.filter(col("lang") === "l7").count() == 4)
+  }
+
   test("schema guard: an unsanctioned shape change throws before staging") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
