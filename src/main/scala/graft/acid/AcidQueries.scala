@@ -95,5 +95,30 @@ object AcidQueries {
           .groupBy("lang")
           .agg(count(lit(1)).as("c"), sum("n_chars").as("chars"))
           .orderBy("lang")
+    },
+
+    // WIDE partition fanout through the driver oracle: (lang, source)
+    // is ~100 distinct tuples, past Instance.PartitionGroupFanout, so
+    // the snapshot takes the single-native-scan path (one hive-layout
+    // relation, partition pruning by Spark's own file index) — and the
+    // partition-filtered aggregate must still match DuckDB exactly
+    "q46_acid_fanout" -> Q(
+      "SELECT source, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS chars " +
+      "FROM documents WHERE lang = 'en' " +
+      "GROUP BY source ORDER BY source") {
+      (s, dir) =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("obj_id"), col("lang"), col("source"),
+            col("n_chars"))
+        val tmp = Files.createTempDirectory("graft_acid_fanout_").toUri.toString
+        val inst = VersionedTable.create(s, tmp, docs.schema)
+        val t = inst.begin()
+        t.insertPartitioned(docs, Seq("lang", "source"))
+        inst.commit(t)
+        inst.read().filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("c"), sum("n_chars").as("chars"))
+          .orderBy("source")
     })
 }
