@@ -501,28 +501,41 @@ final class Instance(val spark: SparkSession, val root: String,
     if (groups.size == 1 && groups.keys.head.isEmpty)
       spark.read.schema(schema)
         .parquet(files.map(f => new Path(dataDir, f).toString): _*)
-    else if (groups.size > Instance.PartitionGroupFanout &&
-        groups.keys.forall(_.nonEmpty) &&
-        groups.keys.map(_.map(_._1).toSet).toSet.size == 1)
+    else {
       // Wide-fanout fast path: one literal-column branch per partition
       // tuple is ideal for a handful of groups (constant-folding prunes
       // whole scans at plan time) but a 10^4-partition snapshot would
-      // analyze a 10^4-branch union. When EVERY file is partitioned on
-      // the same columns, hand the k=v suffixes to Spark's own
-      // partition discovery instead: basePath anchors parsing, the
-      // staging segment above the k=v dirs is ignored (discovery walks
-      // leaf-up and stops at the first non-k=v segment), values
-      // unescape identically, and the whole snapshot is ONE relation
-      // with native partition pruning at any fanout. Mixed snapshots
-      // (CoW rewrites physicalize the columns) keep the literal path.
-      spark.read.schema(schema)
-        .option("basePath", fs.makeQualified(dataDir).toString)
-        .parquet(files.map(f => new Path(dataDir, f).toString): _*)
-        .select(schema.map(f => col(f.name)): _*)
-    else
-      groups.toSeq.sortBy(_._2.min)
-        .map { case (p, fs_) => readGroup(p, fs_) }
-        .reduce(_.unionByName(_))
+      // analyze a 10^4-branch union. Files sharing the DOMINANT
+      // partition column sequence — the exact nesting ORDER, which is
+      // what Spark's discovery requires to be consistent — are handed
+      // to Spark's own hive-layout parsing as ONE relation (basePath
+      // anchors it; the staging segment above the k=v dirs is ignored
+      // because discovery walks leaf-up and stops at the first non-k=v
+      // segment; values unescape identically). Odd files — CoW
+      // rewrites that physicalized the columns (they all share the
+      // empty tuple: one branch) or a minority nesting order — union
+      // beside it as literal branches, so a single point delete can't
+      // flip a 10^4-partition table back to a 10^4-branch plan.
+      val bySeq = groups.keys.filter(_.nonEmpty).groupBy(_.map(_._1))
+      val domSeq: Seq[String] =
+        if (bySeq.isEmpty) Nil
+        else bySeq.maxBy { case (s, ks) => (ks.size, s.mkString(",")) }._1
+      val (native, literal) = groups.partition { case (parts, _) =>
+        parts.nonEmpty && parts.map(_._1) == domSeq }
+      val branches =
+        if (native.size > Instance.PartitionGroupFanout) {
+          val nativeDf = spark.read.schema(schema)
+            .option("basePath", fs.makeQualified(dataDir).toString)
+            .parquet(native.values.flatten.toSeq.sorted
+              .map(f => new Path(dataDir, f).toString): _*)
+            .select(schema.map(f => col(f.name)): _*)
+          nativeDf +: literal.toSeq.sortBy(_._2.min)
+            .map { case (p, fs_) => readGroup(p, fs_) }
+        } else
+          groups.toSeq.sortBy(_._2.min)
+            .map { case (p, fs_) => readGroup(p, fs_) }
+      branches.reduce(_.unionByName(_))
+    }
   }
 
   /** Current committed table contents. */

@@ -1097,12 +1097,41 @@ class AcidSpec extends AnyFunSuite {
     val planStr = one.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters: [") && planStr.contains("lang"),
       s"partition filter missing from scan:\n$planStr")
-    // a delete (CoW rewrite physicalizes the column) flips the snapshot
-    // back to the literal path — content must be identical
+    // a delete (CoW rewrite physicalizes the column for ONE file) must
+    // NOT flip the table back to a 40-branch plan: the rewritten file
+    // unions beside the native scan as a single literal branch
     inst.withRetry() { txn => txn.delete(Seq(7L)) }
     val after = inst.read()
+    assert(after.queryExecution.optimizedPlan.collectLeaves().size <= 2,
+      "one native scan + one physicalized-rewrite branch, not per-partition branches")
     assert(after.count() == 199)
     assert(after.filter(col("lang") === "l7").count() == 4)
+  }
+
+  test("mixed partition nesting orders read correctly at any fanout") {
+    // two inserts partitioned on the same COLUMNS in different ORDER:
+    // Spark's discovery cannot mix lang=/source= with source=/lang=
+    // nestings in one relation, so only the dominant exact sequence
+    // goes native and the minority order stays on literal branches —
+    // never an analyzer error, always the right rows
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "obj_id BIGINT, value BIGINT, lang STRING, source STRING")
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    def batch(r: Range) = r.map(i =>
+      (i.toLong, i.toLong, s"l${i % 10}", s"s${(i / 10) % 5}"))
+      .toDF("obj_id", "value", "lang", "source")
+    val t1 = inst.begin()
+    t1.insertPartitioned(batch(1 to 100), Seq("lang", "source"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.insertPartitioned(batch(101 to 200), Seq("source", "lang"))
+    inst.commit(t2)
+    val out = inst.read()
+    assert(out.count() == 200)
+    assert(out.filter(col("lang") === "l3").count() ==
+      (1 to 200).count(_ % 10 == 3))
+    assert(out.filter(col("lang") === "l3" && col("source") === "s2")
+      .collect().forall(r => r.getString(2) == "l3" && r.getString(3) == "s2"))
   }
 
   test("schema guard: an unsanctioned shape change throws before staging") {
