@@ -114,7 +114,12 @@ object AcidQueries {
         val tmp = Files.createTempDirectory("graft_acid_fanout_").toUri.toString
         val inst = VersionedTable.create(s, tmp, docs.schema)
         val t = inst.begin()
-        t.insertPartitioned(docs, Seq("lang", "source"))
+        // cluster rows by partition tuple BEFORE the partitioned write:
+        // without it every task fans across all ~100 tuples and the
+        // stage emits tasks x tuples tiny files (the standard
+        // repartition-before-partitionBy discipline)
+        t.insertPartitioned(docs.repartition(col("lang"), col("source")),
+          Seq("lang", "source"))
         inst.commit(t)
         inst.read().filter(col("lang") === "en")
           .groupBy("source")

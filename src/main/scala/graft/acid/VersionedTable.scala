@@ -856,9 +856,26 @@ final class Instance(val spark: SparkSession, val root: String,
     val staged = leaves(new Path(out), sub)
     // obj-id range per staged file from the parquet FOOTER — a
     // driver-side metadata read (no Spark job), the same way lakehouse
-    // formats derive file skipping stats at write time
-    staged.foreach { f =>
-      footerIdRange(new Path(dataDir, f)).foreach(r => txn.addedStats(f) = r)
+    // formats derive file skipping stats at write time. A partitioned
+    // insert stages up to (tasks x partition tuples) files, so the
+    // footers are read on a bounded pool, not serially.
+    if (staged.size <= 4) {
+      staged.foreach { f =>
+        footerIdRange(new Path(dataDir, f)).foreach(r => txn.addedStats(f) = r)
+      }
+    } else {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+      try {
+        val tasks: Seq[java.util.concurrent.Callable[
+            (String, Option[(Long, Long)])]] =
+          staged.map { f => () => (f, footerIdRange(new Path(dataDir, f))) }
+        pool.invokeAll(tasks.asJava).asScala.foreach { fut =>
+          val (f, r) = fut.get()
+          r.foreach(txn.addedStats(f) = _)
+        }
+      } finally pool.shutdown()
     }
     staged
   }
