@@ -505,36 +505,34 @@ final class Instance(val spark: SparkSession, val root: String,
       // Wide-fanout fast path: one literal-column branch per partition
       // tuple is ideal for a handful of groups (constant-folding prunes
       // whole scans at plan time) but a 10^4-partition snapshot would
-      // analyze a 10^4-branch union. Files sharing the DOMINANT
-      // partition column sequence — the exact nesting ORDER, which is
-      // what Spark's discovery requires to be consistent — are handed
-      // to Spark's own hive-layout parsing as ONE relation (basePath
+      // analyze a 10^4-branch union. Files are bucketed by their exact
+      // partition column SEQUENCE — the nesting ORDER, which is what
+      // Spark's discovery requires to be consistent — and EVERY
+      // sequence with more than PartitionGroupFanout tuples is handed
+      // to Spark's own hive-layout parsing as one relation (basePath
       // anchors it; the staging segment above the k=v dirs is ignored
       // because discovery walks leaf-up and stops at the first non-k=v
-      // segment; values unescape identically). Odd files — CoW
-      // rewrites that physicalized the columns (they all share the
-      // empty tuple: one branch) or a minority nesting order — union
-      // beside it as literal branches, so a single point delete can't
-      // flip a 10^4-partition table back to a 10^4-branch plan.
-      val bySeq = groups.keys.filter(_.nonEmpty).groupBy(_.map(_._1))
-      val domSeq: Seq[String] =
-        if (bySeq.isEmpty) Nil
-        else bySeq.maxBy { case (s, ks) => (ks.size, s.mkString(",")) }._1
-      val (native, literal) = groups.partition { case (parts, _) =>
-        parts.nonEmpty && parts.map(_._1) == domSeq }
-      val branches =
-        if (native.size > Instance.PartitionGroupFanout) {
-          val nativeDf = spark.read.schema(schema)
+      // segment; values unescape identically). One native relation per
+      // wide order matters because compact() rewrites with its own
+      // sorted order: a table alternating insert order and compacted
+      // order must not regrow a per-tuple union for either. The rest —
+      // CoW rewrites that physicalized the columns (all share the
+      // empty tuple: one branch), narrow minority orders — union
+      // beside them as literal branches.
+      val bySeq = groups.groupBy { case (parts, _) => parts.map(_._1) }
+      val (wide, narrow) = bySeq.partition { case (sq, gs) =>
+        sq.nonEmpty && gs.size > Instance.PartitionGroupFanout }
+      val nativeBranches = wide.toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, gs) =>
+          spark.read.schema(schema)
             .option("basePath", fs.makeQualified(dataDir).toString)
-            .parquet(native.values.flatten.toSeq.sorted
+            .parquet(gs.values.flatten.toSeq.sorted
               .map(f => new Path(dataDir, f).toString): _*)
             .select(schema.map(f => col(f.name)): _*)
-          nativeDf +: literal.toSeq.sortBy(_._2.min)
-            .map { case (p, fs_) => readGroup(p, fs_) }
-        } else
-          groups.toSeq.sortBy(_._2.min)
-            .map { case (p, fs_) => readGroup(p, fs_) }
-      branches.reduce(_.unionByName(_))
+        }
+      val literalBranches = narrow.values.flatten.toSeq.sortBy(_._2.min)
+        .map { case (p, fs_) => readGroup(p, fs_) }
+      (nativeBranches ++ literalBranches).reduce(_.unionByName(_))
     }
   }
 
@@ -611,32 +609,20 @@ final class Instance(val spark: SparkSession, val root: String,
     * deletes manifests, so the full history stays readable.
     *
     * Manifests are immutable once published, so the reads are issued
-    * CONCURRENTLY on a bounded driver pool — on an object store each
-    * read is a ~10ms RPC and the serial walk was the latency bottleneck
-    * (100 commits = 1s, 10⁴ = 100s); 16-way overlap makes history an
-    * admin-interactive surface again. invokeAll preserves input order,
-    * so the output is deterministic version-ascending. */
+    * CONCURRENTLY on a bounded driver pool ([[pooledMap]]) — on an
+    * object store each read is a ~10ms RPC and the serial walk was the
+    * latency bottleneck (100 commits = 1s, 10⁴ = 100s); 16-way overlap
+    * makes history an admin-interactive surface again, with
+    * deterministic version-ascending output. */
   def history(): DataFrame = {
     val s = spark
     import s.implicits._
-    import scala.jdk.CollectionConverters._
-    val head = latestVersion
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
-    val rows =
-      try {
-        val tasks: Seq[java.util.concurrent.Callable[
-            (Long, Long, Long, Long, Long, Boolean)]] =
-          (0L to head).map { v =>
-            () => {
-              val m = readManifest(v)
-              (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
-                m.objSummary.map(_.count).getOrElse(m.objects.size.toLong),
-                m.checkpoint)
-            }
-          }
-        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
-      } finally pool.shutdown()
+    val rows = pooledMap((0L to latestVersion).toSeq) { v =>
+      val m = readManifest(v)
+      (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
+        m.objSummary.map(_.count).getOrElse(m.objects.size.toLong),
+        m.checkpoint)
+    }
     rows.toDF("version", "tsn", "n_added_files", "n_removed_files",
       "n_objects", "checkpoint")
   }
@@ -859,26 +845,28 @@ final class Instance(val spark: SparkSession, val root: String,
     // formats derive file skipping stats at write time. A partitioned
     // insert stages up to (tasks x partition tuples) files, so the
     // footers are read on a bounded pool, not serially.
-    if (staged.size <= 4) {
-      staged.foreach { f =>
-        footerIdRange(new Path(dataDir, f)).foreach(r => txn.addedStats(f) = r)
-      }
-    } else {
+    pooledMap(staged)(f => f -> footerIdRange(new Path(dataDir, f)))
+      .foreach { case (f, r) => r.foreach(txn.addedStats(f) = _) }
+    staged
+  }
+
+  /** Map driver-side metadata reads over a bounded thread pool,
+    * preserving input order (manifest reads, parquet footers — each a
+    * ~10ms RPC on an object store, where 16-way overlap is the
+    * difference between an interactive surface and a serial crawl).
+    * Small inputs stay serial: pool setup costs more than the reads. */
+  private[acid] def pooledMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.size <= 4) items.map(f)
+    else {
       import scala.jdk.CollectionConverters._
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
       try {
-        val tasks: Seq[java.util.concurrent.Callable[
-            (String, Option[(Long, Long)])]] =
-          staged.map { f => () => (f, footerIdRange(new Path(dataDir, f))) }
-        pool.invokeAll(tasks.asJava).asScala.foreach { fut =>
-          val (f, r) = fut.get()
-          r.foreach(txn.addedStats(f) = _)
-        }
+        val tasks: Seq[java.util.concurrent.Callable[B]] =
+          items.map(a => () => f(a))
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
       } finally pool.shutdown()
     }
-    staged
-  }
 
   /** (min, max) of the obj_id column from a parquet file's footer
     * statistics; None when the column is absent or stats are missing

@@ -1127,6 +1127,10 @@ class AcidSpec extends AnyFunSuite {
     t2.insertPartitioned(batch(101 to 200), Seq("source", "lang"))
     inst.commit(t2)
     val out = inst.read()
+    // both orders are wide (50 tuples each > fanout threshold): each
+    // reads as its OWN native relation — two leaves, not 100 branches
+    assert(out.queryExecution.optimizedPlan.collectLeaves().size == 2,
+      "one native scan per wide nesting order")
     assert(out.count() == 200)
     assert(out.filter(col("lang") === "l3").count() ==
       (1 to 200).count(_ % 10 == 3))
