@@ -70,8 +70,26 @@ object AcidQueries {
   }
 
   val defs: Seq[(String, Q)] = Seq(
-    "q30_acid_scenario" -> Q.noOracle((s, _) => scenario(s)),
-    "q43_acid_changes" -> Q.noOracle((s, _) => changeFeedScenario(s)),
+    // the scenario's final state is a hand-computable constant, so the
+    // oracle is a literal VALUES table — the full lifecycle (insert,
+    // update, delete, rollback, reopen) is hash-gated, not rows-only
+    "q30_acid_scenario" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES (1, 10), (2, 200)) AS t(obj_id, value) " +
+      "ORDER BY obj_id")((s, _) => scenario(s)),
+
+    // same for the change feed: 3 inserts, one update pre+post pair,
+    // one delete, and the compaction commit contributes NOTHING
+    "q43_acid_changes" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value, " +
+      "CAST(_version AS BIGINT) AS _version, _change " +
+      "FROM (VALUES " +
+      "(1, 10, 1, 'insert'), (2, 20, 1, 'insert'), (3, 30, 1, 'insert'), " +
+      "(2, 20, 2, 'update_preimage'), (2, 200, 2, 'update_postimage'), " +
+      "(3, 30, 3, 'delete')) AS t(obj_id, value, _version, _change) " +
+      "ORDER BY _version, _change, obj_id")((s, _) => changeFeedScenario(s)),
 
     // hive-partitioned ACID roundtrip: documents land in a versioned
     // table partitioned by lang; the partition-filtered read must

@@ -102,11 +102,19 @@ object Multimodal {
 
     // feature extraction through the mapPartitions stub — deterministic,
     // not SQL-expressible → rows-only check; exactness covered in tests
-    "q28_features" -> Q.noOracle {
+    // the stub decoder is a deterministic byte histogram, so its output
+    // IS SQL-recomputable: bin 3 counts bytes in [0x60, 0x7F] (lowercase
+    // letters on the ASCII fixture) — hash-gating the whole pack →
+    // BINARY → mapPartitions-decode dataflow, not just its row count
+    "q28_features" -> Q(
+      "SELECT doc_id AS id, ROUND(CAST(length(text) - " +
+      "length(regexp_replace(text, '[\\x60-\\x7f]', '', 'g')) AS DOUBLE) " +
+      "/ GREATEST(length(text), 1), 4) AS f3 " +
+      "FROM documents ORDER BY id") {
       (s, dir) =>
         val packed = packAsMedia(Engine.table(s, dir, "documents"), "text")
         extractFeatures(packed, "doc_id", "payload")
-          .select(col("id"), round(element_at(col("features"), 1), 4).as("f0"))
+          .select(col("id"), round(element_at(col("features"), 4), 4).as("f3"))
           .orderBy("id")
     },
 
