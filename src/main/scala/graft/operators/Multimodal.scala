@@ -104,12 +104,16 @@ object Multimodal {
     // not SQL-expressible → rows-only check; exactness covered in tests
     // the stub decoder is a deterministic byte histogram, so its output
     // IS SQL-recomputable: bin 3 counts bytes in [0x60, 0x7F] (lowercase
-    // letters on the ASCII fixture) — hash-gating the whole pack →
-    // BINARY → mapPartitions-decode dataflow, not just its row count
+    // letters) — hash-gating the whole pack → BINARY →
+    // mapPartitions-decode dataflow, not just its row count. The
+    // denominator is octet_length(encode(..)) — BYTES, matching the
+    // stub's payload.length even if a fixture ever grows non-ASCII
+    // text (multi-byte sequences contribute no 0x60-0x7F bytes, so the
+    // numerator is byte-safe as-is)
     "q28_features" -> Q(
       "SELECT doc_id AS id, ROUND(CAST(length(text) - " +
       "length(regexp_replace(text, '[\\x60-\\x7f]', '', 'g')) AS DOUBLE) " +
-      "/ GREATEST(length(text), 1), 4) AS f3 " +
+      "/ GREATEST(octet_length(encode(text)), 1), 4) AS f3 " +
       "FROM documents ORDER BY id") {
       (s, dir) =>
         val packed = packAsMedia(Engine.table(s, dir, "documents"), "text")

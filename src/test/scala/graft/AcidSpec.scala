@@ -1111,9 +1111,9 @@ class AcidSpec extends AnyFunSuite {
   test("mixed partition nesting orders read correctly at any fanout") {
     // two inserts partitioned on the same COLUMNS in different ORDER:
     // Spark's discovery cannot mix lang=/source= with source=/lang=
-    // nestings in one relation, so only the dominant exact sequence
-    // goes native and the minority order stays on literal branches —
-    // never an analyzer error, always the right rows
+    // nestings in one relation, so each wide order gets its OWN native
+    // scan (narrow orders would stay on literal branches) — never an
+    // analyzer error, always the right rows
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "obj_id BIGINT, value BIGINT, lang STRING, source STRING")
     val inst = VersionedTable.create(spark, freshDir(), schema)
