@@ -1337,6 +1337,37 @@ class AcidSpec extends AnyFunSuite {
     assert(!byChange.contains("insert"))
   }
 
+  test("concurrent summary upserts converge: no duplicate ids, no lost ranges") {
+    // 4 threads race overlapping key ranges through the SUMMARY path
+    // (threshold 8 < 30 keys per batch): bloom-based conflict detection
+    // must serialize the overlaps — blooms have no false negatives, so
+    // a lost update is impossible and the only acceptable outcome is
+    // every key present exactly once with one of the writers' values
+    val conf = graft.acid.EngineConf(
+      objectListThreshold = 8, bloomBits = 1L << 12,
+      conflictMaxAttempts = 30, conflictBackoffMs = 5L)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val keys = (1 + t * 15) to (30 + t * 15) // overlaps both neighbors
+        inst.withRetry() { txn =>
+          txn.upsert(keys.map(i => (i.toLong, (1000 * (t + 1) + i).toLong))
+            .toDF("obj_id", "value"))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rows = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 75, s"expected keys 1..75 once, got ${rows.length}")
+    assert(rows.map(_._1).toSet == (1L to 75L).toSet)
+    assert(rows.map(_._1).distinct.length == 75, "no duplicate obj_ids")
+    // every surviving value was written by the thread owning that key
+    // in SOME batch (value encodes writer + key)
+    assert(rows.forall { case (k, v) =>
+      (1 to 4).exists(t => v == 1000 * t + k) })
+  }
+
   test("restore across a summary commit is metadata-only and exact") {
     val conf = graft.acid.EngineConf(
       objectListThreshold = 4, bloomBits = 1L << 12)
