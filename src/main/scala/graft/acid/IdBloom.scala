@@ -60,6 +60,24 @@ final class IdBloom private (private[acid] val bits: Array[Long], val k: Int)
     this
   }
 
+  /** Independent copy of this filter's bitset (same geometry). */
+  def copy(): IdBloom = new IdBloom(bits.clone(), k)
+
+  /** True iff the two bitsets share ANY set bit. An all-zero bitwise
+    * AND PROVES the underlying id sets are disjoint: hashing is a pure
+    * function of (id, geometry), so an id present in both sets lights
+    * the same k positions in both filters — a shared id implies shared
+    * bits. Shared bits without a shared id remain possible (hash
+    * collision → spurious conflict), which errs in the safe direction.
+    * Requires identical geometry. */
+  def intersects(o: IdBloom): Boolean = {
+    require(o.bits.length == bits.length && o.k == k,
+      s"bloom geometry mismatch: ${o.mBits}/${o.k} vs $mBits/$k")
+    var i = 0
+    while (i < bits.length) { if ((bits(i) & o.bits(i)) != 0L) return true; i += 1 }
+    false
+  }
+
   def toBase64: String = {
     val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)
@@ -68,7 +86,12 @@ final class IdBloom private (private[acid] val bits: Array[Long], val k: Int)
 }
 
 object IdBloom {
-  def empty(mBits: Long, k: Int = 6): IdBloom = {
+  /** The deployment-wide probe count. Geometry (mBits, k) must match
+    * for summaries to union or intersect; k is pinned here so every
+    * construction site and compatibility check agrees. */
+  val DefaultK = 6
+
+  def empty(mBits: Long, k: Int = DefaultK): IdBloom = {
     require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     new IdBloom(new Array[Long]((mBits / 64).toInt), k)
   }
@@ -78,7 +101,7 @@ object IdBloom {
     * enumerated (e.g. re-summarizing a manifest written under a
     * different bloom geometry) — membership degrades to the range
     * check, which can only over-report conflicts. */
-  def saturated(mBits: Long, k: Int = 6): IdBloom = {
+  def saturated(mBits: Long, k: Int = DefaultK): IdBloom = {
     val b = empty(mBits, k)
     java.util.Arrays.fill(b.bits, -1L)
     b
@@ -103,12 +126,22 @@ object IdBloom {
 final case class ObjSummary(count: Long, min: Long, max: Long, bloom: IdBloom) {
   def mayContain(id: Long): Boolean =
     id >= min && id <= max && bloom.contains(id)
+  /** Pure merge: neither operand is mutated (the union runs on a copied
+    * bitset), so callers holding a reference to a parsed manifest's
+    * summary never see it silently widened. */
   def merge(o: ObjSummary): ObjSummary =
     ObjSummary(count + o.count, math.min(min, o.min), math.max(max, o.max),
-      bloom.unionInPlace(o.bloom))
+      bloom.copy().unionInPlace(o.bloom))
   /** Conservative overlap test between two summaries: range
-    * intersection (bloom-vs-bloom emptiness is not testable without
-    * enumerating one side). May be pessimistic — pessimism costs a
-    * retry, never a lost update. */
-  def mayOverlap(o: ObjSummary): Boolean = min <= o.max && o.min <= max
+    * intersection AND bloom intersection — an all-zero bitwise AND of
+    * the two bitsets PROVES the id sets disjoint ([[IdBloom
+    * .intersects]]), so two bulk writers on interleaved-but-disjoint
+    * ranges no longer spuriously conflict. Still pessimistic on hash
+    * collisions — pessimism costs a retry, never a lost update. Blooms
+    * of differing geometry can't be intersected; those fall back to
+    * the range-only verdict. */
+  def mayOverlap(o: ObjSummary): Boolean =
+    min <= o.max && o.min <= max &&
+    (bloom.mBits != o.bloom.mBits || bloom.k != o.bloom.k ||
+      bloom.intersects(o.bloom))
 }

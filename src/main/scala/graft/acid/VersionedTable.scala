@@ -51,14 +51,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * — a torn or bit-rotted manifest fails loudly, not by luck of the
   * parser). Snapshot state = latest checkpoint ≤ v + replay of
   * (ckpt, v]. All metadata is O(files-touched), data IO is
-  * O(rows-touched). An atomic fails-if-exists publish is the only
-  * primitive required of the store: link(2) locally, rename on
-  * HDFS-class filesystems. NOTE the guarantee as shipped holds for
-  * link/rename filesystems ONLY — on S3-class object stores a Hadoop
-  * `rename` is a non-atomic check-then-copy, so running there requires
-  * a conditional-PUT adapter (If-None-Match / putIfAbsent) plugged
-  * into [[Instance.publish]]; every lakehouse format has the same
-  * requirement (Delta's LogStore, Iceberg's commit lock).
+  * O(rows-touched). An atomic fails-if-exists publish is the ONLY
+  * primitive required of the store, and it is PLUGGABLE
+  * ([[ManifestClaimer]], [[EngineConf.claimer]]): link(2) locally and
+  * rename on HDFS-class filesystems by default, a conditional-PUT
+  * claimer (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`) on
+  * object stores whose rename is a non-atomic check-then-copy — so the
+  * commit invariant (two racing writers never both claim a version)
+  * holds on every store class; PublishSpec races writers over a
+  * deliberately non-atomic-rename filesystem to pin it. Every
+  * lakehouse format has the same seam (Delta's LogStore, Iceberg's
+  * commit lock).
   */
 object VersionedTable {
 
@@ -94,6 +97,16 @@ object VersionedTable {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
+  /** Manifest format generation this reader understands. 1 = the
+    * pre-summary shape (no field written — absence implies it); 2 added
+    * `objSummary`, whose SILENT omission by an older reader would skip
+    * conflict detection and empty the change feed — exactly the class
+    * of change that must fail loudly in a mixed-version deployment, so
+    * [[fromJson]] rejects any manifest declaring a NEWER generation.
+    * Additive fields an old reader can safely ignore (e.g. per-column
+    * cluster stats — losing them only loses pruning) do NOT bump this. */
+  val FormatVersion = 2
+
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     def arrL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
@@ -105,7 +118,8 @@ object VersionedTable {
       s""""objBloomK":${s.bloom.k},"objBloom":"${s.bloom.toBase64}","""
     }.getOrElse("")
     val payload =
-      s"""{"version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
+      s"""{"formatVersion":$FormatVersion,""" +
+      s""""version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
       summary +
@@ -167,6 +181,18 @@ object VersionedTable {
     def longArr(k: String): Seq[Long] = {
       val raw = rawField(k).trim.stripPrefix("[").stripSuffix("]")
       if (raw.isEmpty) Nil else raw.split(",").toSeq.map(_.trim.toLong)
+    }
+    // format gate FIRST (before crc — a future generation may hash
+    // differently): a manifest declaring a newer generation than this
+    // reader understands must fail loudly, never parse-with-defaults
+    // (an old reader treating a summary commit as touching nothing
+    // would silently skip conflict detection). Absence = generation 1.
+    if (s.contains("\"formatVersion\":")) {
+      val declared = rawField("formatVersion").toLong
+      if (declared > FormatVersion)
+        throw new ManifestFormatException(
+          s"manifest formatVersion $declared is newer than this reader " +
+          s"supports ($FormatVersion); upgrade before reading this table")
     }
     // verify integrity first: strip the trailing `,"crc":N}` back to the
     // original payload and compare CRCs. The match must be in TRAILING
@@ -270,7 +296,13 @@ object VersionedTable {
   * @param bloomBits            FIXED bloom geometry for every summary
   *                             (summaries must union bit-for-bit);
   *                             default 2^23 bits = 1 MiB ≈ 2% fp at
-  *                             10^6 distinct ids per commit */
+  *                             10^6 distinct ids per commit
+  * @param claimer              the store's atomic publish primitive
+  *                             ([[ManifestClaimer]]): link/rename by
+  *                             default (local/HDFS); plug a
+  *                             [[ConditionalPutClaimer]] on S3-class
+  *                             object stores, whose rename is not
+  *                             atomic */
 final case class EngineConf(
     checkpointInterval: Int = 10,
     conflictMaxAttempts: Int = 5,
@@ -278,7 +310,8 @@ final case class EngineConf(
     idBroadcastThreshold: Int = 1000,
     orphanGraceMs: Long = 24L * 3600 * 1000,
     objectListThreshold: Int = 100000,
-    bloomBits: Long = 1L << 23) {
+    bloomBits: Long = 1L << 23,
+    claimer: ManifestClaimer = LinkRenameClaimer) {
   // fail at construction, not mid-commit (a checkpointInterval of 0
   // would otherwise surface as ArithmeticException after staging data)
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
@@ -294,6 +327,11 @@ final case class EngineConf(
 /** Conflict = another transaction committed the same objects after this
   * transaction's snapshot (optimistic analog of tran_mgr lock waits). */
 final class ConflictException(msg: String) extends RuntimeException(msg)
+
+/** The manifest declares a format generation newer than this reader —
+  * a mixed-version deployment must upgrade, not parse-with-defaults.
+  * Deterministic (not a torn read), so [[Instance]] never retries it. */
+final class ManifestFormatException(msg: String) extends java.io.IOException(msg)
 
 /** An insert tried to change the table schema without
   * [[Txn.evolveSchema]], or the change is structurally incompatible
@@ -351,6 +389,7 @@ final class Instance(val spark: SparkSession, val root: String,
         }
       try return fromJson(text)
       catch {
+        case e: ManifestFormatException => throw e // deterministic: no retry
         case e: Exception =>
           attempt += 1
           if (attempt >= 50) throw e // ~500ms grace exhausted: corrupt
@@ -589,8 +628,10 @@ final class Instance(val spark: SparkSession, val root: String,
     // it degrades to a SATURATED bloom over its range (conservative:
     // may over-report conflicts, never under-reports).
     undone.flatMap(_.objSummary).foreach { s =>
+      // geometry = (mBits, k): a matching bit count under a different
+      // probe count is just as un-unionable as a different size
       val compat =
-        if (s.bloom.mBits == conf.bloomBits) s
+        if (s.bloom.mBits == conf.bloomBits && s.bloom.k == IdBloom.DefaultK) s
         else ObjSummary(s.count, s.min, s.max,
           IdBloom.saturated(conf.bloomBits))
       txn.mergeSummary(compat)
@@ -759,52 +800,32 @@ final class Instance(val spark: SparkSession, val root: String,
     * manifest at a claimed version (which would otherwise poison every
     * subsequent read/commit with no recovery path).
     *
-    * Protocol: write the full body to a hidden temp file in _manifests
-    * (invisible to [[latestVersion]]'s `v*` filter), then claim the
-    * version with an atomic fails-if-exists publish of that content:
-    *  - local fs: hard link (link(2) is atomic and EEXISTs on a lost
-    *    race — POSIX rename would silently replace the winner);
-    *  - HDFS-like stores: rename (atomic, false when the target exists).
-    * S3-class object stores are NOT covered by the rename branch: s3a
-    * `rename` is a non-atomic existence-check-then-copy, so two racing
-    * writers could both claim one version — deploying on an object
-    * store requires swapping this method's claim step for a true
-    * conditional write (S3 If-None-Match PUT / GCS precondition), the
-    * same adapter every lakehouse commit protocol needs there.
-    * The temp file is removed on every non-crash path; a crashed
-    * writer's temp is swept by [[vacuum]]. */
+    * The atomic step itself is the PLUGGABLE [[EngineConf.claimer]]
+    * (link/rename default, conditional-PUT for object stores — see
+    * [[ManifestClaimer]]). For claimers that publish by file ([[
+    * ManifestClaimer.needsTemp]]), the body is first fully written to
+    * a hidden temp in _manifests (invisible to [[latestVersion]]'s
+    * `v*` filter), removed on every non-crash path and swept by
+    * [[vacuum]] after a crash; conditional-PUT claimers carry the body
+    * in the request and skip the temp entirely. */
   private[acid] def publish(m: Manifest): Boolean = {
     val target = manifestPath(m.version)
-    val tmp = new Path(manifestDir,
-      s".tmp-v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
-    try {
-      if (fs.getUri.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
-            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
-            if !fs.exists(target) =>
-            // local mount without hard-link support (exFAT, some FUSE):
-            // fall back to rename — still fails-if-exists via the guard
-            // above plus rename's own target check, merely without
-            // link(2)'s cross-process atomicity on those filesystems
-            try fs.rename(tmp, target)
-            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-        }
-      } else {
-        try fs.rename(tmp, target)
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    val body = toJson(m).getBytes("UTF-8")
+    val claimer = conf.claimer
+    if (!claimer.needsTemp) {
+      try claimer.claim(fs, null, target, body)
+      catch { case _: java.io.IOException => false }
+    } else {
+      val tmp = new Path(manifestDir,
+        s".tmp-v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      try claimer.claim(fs, tmp, target, body)
+      catch {
+        case _: java.io.IOException => false
+      } finally {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
       }
-    } catch {
-      case _: java.io.IOException => false
-    } finally {
-      try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
     }
   }
 
@@ -864,7 +885,16 @@ final class Instance(val spark: SparkSession, val root: String,
       try {
         val tasks: Seq[java.util.concurrent.Callable[B]] =
           items.map(a => () => f(a))
-        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+        // unwrap ExecutionException so a corrupt-manifest crc error (or
+        // any worker failure) surfaces with the same exception type the
+        // serial path throws — callers and tests match on the cause
+        pool.invokeAll(tasks.asJava).asScala.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }.toSeq
       } finally pool.shutdown()
     }
 
@@ -932,10 +962,14 @@ final class Instance(val spark: SparkSession, val root: String,
     // accumulates the count).
     val (objList, objSum) = txn.objSummary match {
       case Some(s0) if txn.objects.nonEmpty =>
-        txn.objects.foreach(s0.bloom.add)
+        // fold into a COPY: s0 may alias a parsed manifest's summary
+        // (restore path), and widening it in place would corrupt any
+        // other holder's view of that manifest
+        val folded = s0.bloom.copy()
+        txn.objects.foreach(folded.add)
         (Nil, Some(ObjSummary(s0.count + txn.objects.size,
           math.min(s0.min, txn.objects.min),
-          math.max(s0.max, txn.objects.max), s0.bloom)))
+          math.max(s0.max, txn.objects.max), folded)))
       case other => (txn.objects.toSeq, other)
     }
     lazy val snapshotDdl = stateAt(txn.readVersion)._2

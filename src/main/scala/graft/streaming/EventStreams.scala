@@ -69,8 +69,11 @@ object EventStreams {
     * and restoring the caller's session-global conf) means a batch
     * query running CONCURRENTLY in the base session can never observe
     * the streaming partition count — the round-4 ADVICE coupling. */
-  private val streamSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // WEAK keys: an entry dies with its base session instead of pinning
+  // stopped sessions forever (the map is consulted per query, so the
+  // synchronized wrapper's lock is never contended on a hot path)
+  private val streamSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
   private[graft] def streamSession(s: SparkSession): SparkSession =
     streamSessions.computeIfAbsent(s, { base =>
       val ss = base.newSession()
@@ -78,15 +81,29 @@ object EventStreams {
         sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
       ss.conf.set("spark.sql.session.timeZone", "UTC")
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      configureStateStore(ss)
       ss
     })
+
+  /** Stateful-operator state store for the dedicated stream session:
+    * RocksDB, the scale-correct default. The HDFS-backed provider keeps
+    * every key's state on the EXECUTOR HEAP — at a 100 TB event stream
+    * the watermark-bounded state (dedup keys, session windows, join
+    * buffers) outgrows the heap long before throughput is a problem;
+    * RocksDB spills state to local disk with bounded block-cache memory
+    * and adds changelog/snapshot files to the same checkpoint contract
+    * (restart tests pin resume-under-RocksDB). Overridable for
+    * environments without a writable local disk. */
+  private[graft] def configureStateStore(ss: SparkSession): Unit =
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
   /** Run a streaming DF to completion into a memory sink, return the
     * materialized table. The memory sink registers its view in the
     * session that BUILT `df` (the [[streamSession]] in every caller),
     * so the table is read back from there. */
-  def runToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
+  def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val ss = df.sparkSession
     ss.streams.active.filter(_.name == name).foreach(_.stop())
     val q = df.writeStream.format("memory").queryName(name)
@@ -107,7 +124,7 @@ object EventStreams {
         val agg = eventsStream(ss, dir)
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
-        runToTable(ss, agg, "q22_tumbling_sink", "complete")
+        runToTable(agg, "q22_tumbling_sink", "complete")
           .select(col("window.start").as("w"), col("event_type"),
             col("c"), col("sv"))
           .orderBy("w", "event_type")
@@ -124,7 +141,7 @@ object EventStreams {
         val agg = eventsStream(ss, dir)
           .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("c"))
-        runToTable(ss, agg, "q22_sliding_sink", "complete")
+        runToTable(agg, "q22_sliding_sink", "complete")
           .select(col("window.start").as("w"), col("event_type"), col("c"))
           .orderBy("w", "event_type")
     },
@@ -166,7 +183,7 @@ object EventStreams {
           .withWatermark("ts", "10 minutes")
           .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))
-        runToTable(ss, agg, "q21_session_stream_sink", "complete")
+        runToTable(agg, "q21_session_stream_sink", "complete")
           .select(col("user_id"),
             col("session_window.start").as("session_start"), col("n"))
           .orderBy("user_id", "session_start")
@@ -192,7 +209,7 @@ object EventStreams {
           .join(broadcast(dim), "user_id")
           .groupBy("seg")
           .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
-        runToTable(ss, agg, "q23_static_join_sink", "complete")
+        runToTable(agg, "q23_static_join_sink", "complete")
           .orderBy("seg")
     },
 
@@ -202,7 +219,7 @@ object EventStreams {
       (s, dir) =>
         val ss = streamSession(s)
         val dedup = eventsStream(ss, dir).dropDuplicates("event_id")
-        runToTable(ss, dedup, "q23_dedup_sink", "append")
+        runToTable(dedup, "q23_dedup_sink", "append")
           .agg(count(lit(1)).as("c"))
     },
 
@@ -245,7 +262,7 @@ object EventStreams {
                 Iterator((uid, c))
               }
           }
-        runToTable(ss, counted.toDF("user_id", "c"),
+        runToTable(counted.toDF("user_id", "c"),
           "q23_custom_state_sink", "update")
           .orderBy("user_id")
     },
@@ -277,7 +294,7 @@ object EventStreams {
           col("user_id") === col("p_user") &&
           col("p_ts") >= col("click_ts") &&
           col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-        val out = runToTable(ss, joined, "q23_ss_join_sink", "append")
+        val out = runToTable(joined, "q23_ss_join_sink", "append")
         out.groupBy("user_id").agg(count(lit(1)).as("c"))
           .orderBy("user_id")
     },
@@ -312,7 +329,7 @@ object EventStreams {
         val dedup = eventsStream(ss, dir)
           .withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("event_id")
-        runToTable(ss, dedup, "q23_dedup_wm_sink", "append")
+        runToTable(dedup, "q23_dedup_wm_sink", "append")
           .agg(count(lit(1)).as("c"))
     }
   )

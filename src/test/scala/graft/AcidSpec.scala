@@ -1007,6 +1007,58 @@ class AcidSpec extends AnyFunSuite {
       == (1 to 30).map(_.toLong).sum)
   }
 
+  test("stateful streaming: RocksDB state store active, checkpoint resume keeps state") {
+    // the stream session's stateful operators must run on RocksDB (the
+    // scale-correct default — executor-heap state dies first at 100 TB)
+    // AND a restarted query must RELOAD that state from the checkpoint:
+    // keys deduped before the stop stay suppressed after the resume.
+    val ss = graft.streaming.EventStreams.streamSession(spark)
+    assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val srcDir = Files.createTempDirectory("graft_rocks_src_")
+    val ckpt = Files.createTempDirectory("graft_rocks_ckpt_").toString
+    def writeFile(ids: Seq[Long]): Unit =
+      ids.map(i => (i, i)).toDF("event_id", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    writeFile((1L to 50L) ++ (1L to 10L)) // in-run duplicates too
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val redelivered = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): Unit = {
+      val q = ss.readStream.schema(schema).parquet(srcDir.toString)
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            if (!seen.add(r.getLong(0))) redelivered.incrementAndGet()
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(seen.size == 50, s"expected ids 1..50 once, got ${seen.size}")
+    // the checkpoint really carries RocksDB artifacts (zip snapshots /
+    // changelogs), not the HDFS provider's flat .delta files
+    val stateDir = java.nio.file.Paths.get(ckpt, "state")
+    val walk = java.nio.file.Files.walk(stateDir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally walk.close()
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB snapshot artifacts under $stateDir: $names")
+
+    writeFile(30L to 80L) // 30..50 were already delivered before the stop
+    run()
+    assert(redelivered.get() == 0,
+      "resumed RocksDB state failed to suppress keys deduped before the restart")
+    assert(seen.size == 80, s"expected ids 1..80 once, got ${seen.size}")
+  }
+
   // shared 110-commit table: head-pointer, history, and change-feed
   // scale tests all read it (built once — each commit is a real insert)
   private lazy val manyCommits: (graft.acid.Instance, Int) = {
@@ -1366,6 +1418,35 @@ class AcidSpec extends AnyFunSuite {
     // in SOME batch (value encodes writer + key)
     assert(rows.forall { case (k, v) =>
       (1 to 4).exists(t => v == 1000 * t + k) })
+  }
+
+  test("bloom-AND disjointness: interleaved disjoint bulk txns commit with zero retries") {
+    // two >threshold transactions whose id RANGES interleave but whose
+    // id SETS are disjoint: the old range-only summary check forced one
+    // into a spurious retry storm; the bloom bitwise-AND proves them
+    // disjoint (IdBloom.intersects) so BOTH must commit first-try.
+    // Default 2^23-bit geometry: 30 ids light ~180 bits, expected
+    // cross-collisions ~0.004 (same fixture the IdBloomSpec unit pins).
+    val conf = graft.acid.EngineConf(objectListThreshold = 8)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
+    val t1 = inst.begin()
+    val t2 = inst.begin() // pinned BEFORE t1 commits: t1 is in t2's window
+    // insert-only (fresh ids) so no FILE overlap can mask the check
+    t1.insert((0L until 30L).map(i => (2 * i, 1L)).toDF("obj_id", "value"))
+    inst.commit(t1) // v1: summary (30 > threshold 8)
+    t2.insert((0L until 30L).map(i => (2 * i + 1, 2L)).toDF("obj_id", "value"))
+    inst.commit(t2) // must NOT throw: disjoint despite interleaved ranges
+    assert(inst.read().count() == 60)
+    // both manifests really carried summaries (the path under test)
+    assert(inst.history().filter(col("n_objects") === 30).count() == 2)
+
+    // one genuinely shared id still conflicts (bloom has that bit set)
+    val t3 = inst.begin()
+    val t4 = inst.begin()
+    t3.insert(((100L until 130L) :+ 143L).map(i => (i, 3L)).toDF("obj_id", "value"))
+    inst.commit(t3)
+    t4.insert((131L until 161L).map(i => (i, 4L)).toDF("obj_id", "value"))
+    intercept[ConflictException] { inst.commit(t4) } // 143 is in both
   }
 
   test("restore across a summary commit is metadata-only and exact") {

@@ -57,4 +57,60 @@ class IdBloomSpec extends AnyFunSuite {
     assert(sum(Seq(1L, 2L)).mayOverlap(sum(Seq(2L, 9L))))
     assert(!sum(Seq(1L, 2L)).mayOverlap(sum(Seq(30L, 40L))))
   }
+
+  // Disjointness-by-AND is load-sensitive: at the default 2^23-bit
+  // geometry two 30-id sets light ~180 bits each, so the expected
+  // cross-collision count is ~0.004 — the fixture sets below verifiably
+  // share zero bits (deterministic hash: checked once, true forever).
+  // Heavily-loaded filters degrade toward always-intersecting, which
+  // only re-creates the old range-only pessimism, never a lost update.
+
+  test("intersects: an all-zero AND proves the id sets disjoint") {
+    val a = IdBloom.empty(1L << 23); val b = IdBloom.empty(1L << 23)
+    (0L until 30L).foreach(i => a.add(2 * i))     // evens
+    (0L until 30L).foreach(i => b.add(2 * i + 1)) // odds
+    assert(!a.intersects(b),
+      "disjoint 30-id sets must AND to zero at 2^23 bits")
+    b.add(42L) // now shares one id with a
+    assert(a.intersects(b), "a shared id always lights shared bits")
+    intercept[IllegalArgumentException] {
+      a.intersects(IdBloom.empty(1L << 12))
+    }
+  }
+
+  test("mayOverlap: interleaved-but-disjoint ranges no longer conflict") {
+    def sum(ids: Seq[Long]) = {
+      val b = IdBloom.empty(1L << 23); ids.foreach(b.add)
+      ObjSummary(ids.size, ids.min, ids.max, b)
+    }
+    val evens = sum((0L until 30L).map(2 * _))
+    val odds = sum((0L until 30L).map(2 * _ + 1))
+    // ranges interleave ([0,198] vs [1,199]) but the sets are disjoint:
+    // the bloom AND must clear what the range check alone cannot
+    assert(!evens.mayOverlap(odds))
+    assert(!odds.mayOverlap(evens))
+    // one genuinely shared id flips it back to conflict
+    val oddsPlus = sum((0L until 30L).map(2 * _ + 1) :+ 42L)
+    assert(evens.mayOverlap(oddsPlus))
+    // differing geometry degrades to the range-only verdict (never throws)
+    val small = {
+      val b = IdBloom.empty(1L << 12); b.add(1L)
+      ObjSummary(1, 1L, 1L, b)
+    }
+    assert(evens.mayOverlap(small), "range overlap + unmergeable geometry")
+  }
+
+  test("merge is pure: neither operand's bitset is mutated") {
+    def sum(ids: Seq[Long]) = {
+      val b = IdBloom.empty(1L << 12); ids.foreach(b.add)
+      ObjSummary(ids.size, ids.min, ids.max, b)
+    }
+    val a = sum(Seq(1L, 2L)); val b = sum(Seq(500L, 600L))
+    val aBits = a.bloom.toBase64; val bBits = b.bloom.toBase64
+    val m = a.merge(b)
+    assert(a.bloom.toBase64 == aBits, "left operand widened in place")
+    assert(b.bloom.toBase64 == bBits, "right operand widened in place")
+    assert(Seq(1L, 2L, 500L, 600L).forall(m.mayContain))
+    assert(!a.bloom.contains(500L), "membership leaked back into the operand")
+  }
 }
