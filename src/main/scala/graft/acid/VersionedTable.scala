@@ -80,6 +80,11 @@ object VersionedTable {
     * so manifest size is BOUNDED at any batch size: a 10^7-key
     * streaming micro-batch commits ~1 MiB of summary instead of
     * ~150 MB of id list. */
+  /** `colStats` maps file -> (column -> (min, max)) for SECONDARY
+    * cluster columns recorded by a multi-column [[Instance.compact]]
+    * (obj_id ranges stay in `stats`). Additive-optional: a reader that
+    * ignores it only loses secondary-key pruning, never correctness —
+    * so it does not bump [[FormatVersion]]. */
   final case class Manifest(
       version: Long,
       tsn: Long,
@@ -90,7 +95,8 @@ object VersionedTable {
       checkpoint: Boolean,
       allFiles: Seq[String],
       stats: Map[String, (Long, Long)] = Map.empty,
-      objSummary: Option[ObjSummary] = None)
+      objSummary: Option[ObjSummary] = None,
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -117,12 +123,23 @@ object VersionedTable {
       s""""objCount":${s.count},"objMin":${s.min},"objMax":${s.max},""" +
       s""""objBloomK":${s.bloom.k},"objBloom":"${s.bloom.toBase64}","""
     }.getOrElse("")
+    // colStats flattened to four parallel arrays (file, col, min, max)
+    // — same trivial-parser shape as stats; emitted only when present
+    val cstatKeys = m.colStats.toSeq.sortBy(_._1).flatMap { case (f, cs) =>
+      cs.toSeq.sortBy(_._1).map { case (c, r) => (f, c, r._1, r._2) }
+    }
+    val cstats =
+      if (cstatKeys.isEmpty) ""
+      else s""""cstatsFiles":${arrS(cstatKeys.map(_._1))},""" +
+        s""""cstatsCols":${arrS(cstatKeys.map(_._2))},""" +
+        s""""cstatsMin":${arrL(cstatKeys.map(_._3))},""" +
+        s""""cstatsMax":${arrL(cstatKeys.map(_._4))},"""
     val payload =
       s"""{"formatVersion":$FormatVersion,""" +
       s""""version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary +
+      summary + cstats +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -228,10 +245,18 @@ object VersionedTable {
           rawField("objMax").toLong,
           IdBloom.fromBase64(strField("objBloom"), rawField("objBloomK").toInt)))
       else None
+    val colStats =
+      if (s.contains("\"cstatsFiles\":"))
+        strArr("cstatsFiles").zip(strArr("cstatsCols"))
+          .zip(longArr("cstatsMin").zip(longArr("cstatsMax")))
+          .groupBy(_._1._1)
+          .map { case (f, rows) =>
+            f -> rows.map { case ((_, c), r) => c -> r }.toMap }
+      else Map.empty[String, Map[String, (Long, Long)]]
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
       longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
-      stats, summary)
+      stats, summary, colStats)
   }
 
   /** One-time datastore initialization (reference:
@@ -403,27 +428,39 @@ final class Instance(val spark: SparkSession, val root: String,
   def latestVersion: Long = resolveHead()._1
 
   /** Head resolution without a full directory listing: read the `_head`
-    * hint (rewritten on every checkpoint commit), then probe FORWARD one
-    * version at a time until the first missing manifest — versions are
-    * dense, so the probe count is bounded by commits-since-checkpoint
-    * (≈ [[EngineConf.checkpointInterval]]), not O(versions). This is
-    * what keeps begin/commit/read at O(interval) metadata RPCs on a
-    * table with 10⁵–10⁶ commits (a streaming sink produces one commit
-    * per micro-batch; a full `listStatus` per transaction would
-    * dominate everything — the lakehouse `_last_checkpoint` pattern).
+    * hint (rewritten on every checkpoint commit), then GALLOP forward —
+    * manifests are dense and never deleted, so `exists(hint + d)` is
+    * monotone in d: probe distances 1, 2, 4, … to bracket the first
+    * missing version, then bisect. Probe count is O(log
+    * commits-since-checkpoint) instead of the previous serial
+    * O(commits-since-checkpoint) — on a high-latency object store each
+    * probe is an RPC, and a streaming sink's hint goes
+    * checkpointInterval commits stale between checkpoints (the
+    * lakehouse `_last_checkpoint` pattern, with the probe halved).
     *
     * The hint is advisory only: a missing, torn, or stale `_head`
     * (crashed writer, clock-skewed copy) falls back to the full
     * listing, and a stale-but-valid hint merely probes further.
     * Returns (head, probes) — probes = -1 marks the listing fallback
-    * (observable by tests asserting the O(interval) contract). */
+    * (observable by tests asserting the O(log interval) contract). */
   private[graft] def resolveHead(): (Long, Int) = {
     readHeadHint() match {
       case Some(hint) =>
-        var v = hint
         var probes = 0
-        while (fs.exists(manifestPath(v + 1))) { v += 1; probes += 1 }
-        (v, probes)
+        def existsAt(d: Long): Boolean = {
+          probes += 1; fs.exists(manifestPath(hint + d))
+        }
+        if (!existsAt(1L)) (hint, probes)
+        else {
+          var lo = 1L // exists
+          var hi = 2L
+          while (existsAt(hi)) { lo = hi; hi *= 2 } // now !exists(hi)
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            if (existsAt(mid)) lo = mid else hi = mid
+          }
+          (hint + lo, probes)
+        }
       case None =>
         val vs = fs.listStatus(manifestDir).map(_.getPath.getName)
           .filter(n => n.startsWith("v") && n.endsWith(".json"))
@@ -471,6 +508,16 @@ final class Instance(val spark: SparkSession, val root: String,
     * instance.rs:126-134 resolves an id to its block directly; here the
     * manifest stats resolve an id to the files whose range covers it). */
   def stateWithStatsAt(v: Long): (Seq[String], String, Map[String, (Long, Long)]) = {
+    val (files, ddl, stats, _) = stateFullAt(v)
+    (files, ddl, stats)
+  }
+
+  /** [[stateWithStatsAt]] plus the per-column secondary cluster-stats
+    * index ([[VersionedTable.Manifest.colStats]]), rolled forward the
+    * same way: checkpoints carry the full map, deltas add their files,
+    * removal drops the file's entry. */
+  private[acid] def stateFullAt(v: Long): (Seq[String], String,
+      Map[String, (Long, Long)], Map[String, Map[String, (Long, Long)]]) = {
     var tail = List.empty[Manifest]
     var cv = v
     var ckpt: Manifest = null
@@ -481,12 +528,14 @@ final class Instance(val spark: SparkSession, val root: String,
     var files = ckpt.allFiles.toSet
     var ddl = ckpt.schemaDDL
     var stats = ckpt.stats
+    var colStats = ckpt.colStats
     tail.foreach { m =>
       files = files -- m.removed ++ m.added
       stats = stats -- m.removed ++ m.stats
+      colStats = colStats -- m.removed ++ m.colStats
       ddl = m.schemaDDL
     }
-    (files.toSeq.sorted, ddl, stats)
+    (files.toSeq.sorted, ddl, stats, colStats)
   }
 
   /** Version-pinned snapshot read (reference: open_read at the txn's
@@ -598,7 +647,7 @@ final class Instance(val spark: SparkSession, val root: String,
     val txn = begin()
     require(v >= 0 && v <= txn.readVersion,
       s"cannot restore to v$v from v${txn.readVersion}")
-    val (oldFiles, oldDdl, oldStats) = stateWithStatsAt(v)
+    val (oldFiles, oldDdl, oldStats, oldColStats) = stateFullAt(v)
     val (curFiles, curDdl, _) = stateWithStatsAt(txn.readVersion)
     val reAdd = oldFiles.toSet -- curFiles
     val drop = curFiles.toSet -- oldFiles
@@ -616,6 +665,7 @@ final class Instance(val spark: SparkSession, val root: String,
     txn.adopted ++= reAdd // committed files re-referenced, not staged
     txn.removed ++= drop.toSeq.sorted
     reAdd.foreach(f => oldStats.get(f).foreach(r => txn.addedStats(f) = r))
+    reAdd.foreach(f => oldColStats.get(f).foreach(r => txn.addedColStats(f) = r))
     val undone = ((v + 1) to txn.readVersion).map(readManifest)
     txn.objects ++= undone.flatMap(_.objects)
     txn.spillObjectsIfNeeded()
@@ -655,10 +705,19 @@ final class Instance(val spark: SparkSession, val root: String,
     * latency bottleneck (100 commits = 1s, 10⁴ = 100s); 16-way overlap
     * makes history an admin-interactive surface again, with
     * deterministic version-ascending output. */
-  def history(): DataFrame = {
+  def history(): DataFrame = history(0L, latestVersion)
+
+  /** [[history]] over the version interval [fromV, toV] only — the
+    * admin tail-read (`history(head - 20, head)`) reads exactly
+    * toV − fromV + 1 manifests plus the O(log interval) head probe,
+    * never the whole log (a 10⁵-commit table's full history is a
+    * deliberate, not accidental, cost). */
+  def history(fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"invalid history interval [$fromV, $toV]")
     val s = spark
     import s.implicits._
-    val rows = pooledMap((0L to latestVersion).toSeq) { v =>
+    val rows = pooledMap((fromV to toV).toSeq) { v =>
       val m = readManifest(v)
       (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
         m.objSummary.map(_.count).getOrElse(m.objects.size.toLong),
@@ -701,8 +760,18 @@ final class Instance(val spark: SparkSession, val root: String,
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
       s"invalid change interval ($fromV, $toV]")
+    // the pre-image schema ROLLS FORWARD across the interval: one
+    // O(checkpointInterval) replay seeds it at fromV, then each
+    // manifest (already read once for its deltas) advances it — total
+    // manifest reads are O(interval + range), where the per-version
+    // stateAt(v-1) this replaces cost O(interval) EACH (a 1000-commit
+    // CDC interval read ~10^4 manifests; on an object store that is
+    // the difference between a tail-read and a crawl)
+    var prevDdl = stateAt(fromV)._2
     val perVersion = ((fromV + 1) to toV).flatMap { v =>
       val m = readManifest(v)
+      val preDdl = prevDdl
+      prevDdl = m.schemaDDL
       if (m.objects.nonEmpty) {
         val ids = m.objects
         def touched(df: DataFrame): DataFrame =
@@ -712,7 +781,7 @@ final class Instance(val spark: SparkSession, val root: String,
             val s = spark; import s.implicits._
             df.join(broadcast(ids.toDF("obj_id")), Seq("obj_id"), "left_semi")
           }
-        val pre = touched(viewOf(m.removed, stateAt(v - 1)._2))
+        val pre = touched(viewOf(m.removed, preDdl))
         val post = touched(viewOf(m.added, m.schemaDDL))
         val preIds = pre.select("obj_id").distinct()
         val postIds = post.select("obj_id").distinct()
@@ -738,7 +807,7 @@ final class Instance(val spark: SparkSession, val root: String,
         // values rewritten) is indistinguishable from a copy and is not
         // emitted; the feed assumes the layer's id contract (obj_id
         // unique per snapshot — guaranteed by the upsert/point-op API).
-        val pre = viewOf(m.removed, stateAt(v - 1)._2)
+        val pre = viewOf(m.removed, preDdl)
         val post = viewOf(m.added, m.schemaDDL)
         // one column layout across both sides (schema evolution within
         // the commit appears as typed nulls, same as the union path)
@@ -900,13 +969,20 @@ final class Instance(val spark: SparkSession, val root: String,
 
   /** (min, max) of the obj_id column from a parquet file's footer
     * statistics; None when the column is absent or stats are missing
-    * (the file is then never pruned — conservative).
+    * (the file is then never pruned — conservative). */
+  private[acid] def footerIdRange(p: Path): Option[(Long, Long)] =
+    footerLongRange(p, "obj_id")
+
+  /** (min, max) of any INT64 `column` from a parquet footer — obj_id
+    * for the primary pruning index, secondary cluster columns for
+    * [[compact]]'s multi-column stats.
     *
     * EVERY non-empty row group must contribute stats, or the range is
     * discarded: a partial range recorded from some blocks would let
     * [[Txn.candidateFiles]] prune a file whose stats-less block holds
     * the target id — a silent missed delete/update. */
-  private[acid] def footerIdRange(p: Path): Option[(Long, Long)] = {
+  private[acid] def footerLongRange(p: Path, column: String)
+      : Option[(Long, Long)] = {
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, spark.sparkContext.hadoopConfiguration)
@@ -919,7 +995,7 @@ final class Instance(val spark: SparkSession, val root: String,
           if (b.getRowCount > 0) {
             var blockHasStats = false
             b.getColumns.forEach { c =>
-              if (c.getPath.toDotString == "obj_id") {
+              if (c.getPath.toDotString == column) {
                 val st = c.getStatistics
                 if (st != null && st.hasNonNullValue) {
                   (st.genericGetMin, st.genericGetMax) match {
@@ -1021,15 +1097,18 @@ final class Instance(val spark: SparkSession, val root: String,
       val isCkpt = attempt % checkpointInterval == 0
       val addedStats =
         txn.added.flatMap(f => txn.addedStats.get(f).map(f -> _)).toMap
-      val (ckptFiles, ckptStats) = if (isCkpt) {
-        val (baseFiles, _, baseStats) = stateWithStatsAt(attempt - 1)
+      val addedColStats =
+        txn.added.flatMap(f => txn.addedColStats.get(f).map(f -> _)).toMap
+      val (ckptFiles, ckptStats, ckptColStats) = if (isCkpt) {
+        val (baseFiles, _, baseStats, baseColStats) = stateFullAt(attempt - 1)
         ((baseFiles.toSet -- txn.removed ++ txn.added).toSeq.sorted,
-          baseStats -- txn.removed ++ addedStats)
-      } else (Nil, addedStats)
+          baseStats -- txn.removed ++ addedStats,
+          baseColStats -- txn.removed ++ addedColStats)
+      } else (Nil, addedStats, addedColStats)
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, objList,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
-        objSummary = objSum)
+        objSummary = objSum, colStats = ckptColStats)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -1177,12 +1256,27 @@ final class Instance(val spark: SparkSession, val root: String,
     * clustering always rewrites, even when the file count is already
     * at target.
     *
+    * `clusterBy` with MULTIPLE integral columns Z-ORDERS the rewrite
+    * (bit-interleaved range partition, the Delta OPTIMIZE ZORDER BY
+    * analog): each output file covers a bounded extent in EVERY
+    * cluster dimension, so point/range ops on the SECONDARY column
+    * also prune to O(sqrt(files)) files via the manifest's per-column
+    * stats ([[VersionedTable.Manifest.colStats]], consulted by
+    * [[Txn.candidateFilesBy]]) — instead of scanning every file
+    * because only obj_id ranges were indexed. A single-column
+    * `clusterBy` is a plain range cluster on that column.
+    *
     * Returns the number of files replaced (0 = nothing to do). */
-  def compact(targetFiles: Int = 1, clusterByObjId: Boolean = false): Int = {
+  def compact(targetFiles: Int = 1, clusterByObjId: Boolean = false,
+      clusterBy: Seq[String] = Nil): Int = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
+    val cluster =
+      if (clusterBy.nonEmpty) clusterBy
+      else if (clusterByObjId) Seq("obj_id")
+      else Nil
     val txn = begin()
     val (files, ddl, _) = stateWithStatsAt(txn.readVersion)
-    if (files.isEmpty || (files.size <= targetFiles && !clusterByObjId)) {
+    if (files.isEmpty || (files.size <= targetFiles && cluster.isEmpty)) {
       rollback(txn); return 0
     }
     // coalesce, not repartition: compaction is a bin-pack of existing
@@ -1197,9 +1291,48 @@ final class Instance(val spark: SparkSession, val root: String,
         if (i > 0) Some(seg.substring(0, i)) else None
       }.distinct.sorted
     val view = viewOf(files, ddl)
-    val staged = writeStaged(
-      if (clusterByObjId) view.repartitionByRange(targetFiles, col("obj_id"))
-      else view.coalesce(targetFiles), txn, partitionBy = partCols)
+    val clustered = cluster match {
+      case Nil => view.coalesce(targetFiles)
+      case Seq(c) => view.repartitionByRange(targetFiles, col(c))
+      case cols =>
+        // Z-order: scale each column to a fixed-width bucket over its
+        // global [min, max] (one tiny agg job), bit-interleave the
+        // buckets into one key, range-partition + locally sort on it.
+        // The interleave keeps every output file's extent bounded in
+        // ALL dimensions — a lexicographic sort would leave the
+        // trailing columns spanning their full range in every file.
+        val bits = math.min(16, 63 / cols.size)
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val bounds = view.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val z = cols.zipWithIndex.flatMap { case (c, j) =>
+          val (mn, mx) =
+            if (bounds.isNullAt(2 * j)) (0L, 1L)
+            else (bounds.getLong(2 * j), bounds.getLong(2 * j + 1))
+          val range = math.max(1L, mx - mn)
+          // double scaling: 53-bit mantissa is exact for bucketing and
+          // immune to (value * 2^bits) long overflow on wide ranges
+          val scaled = ((col(c).cast("long") - mn).cast("double")
+            / range * ((1L << bits) - 1)).cast("long")
+          (0 until bits).map(i =>
+            shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)),
+              i * cols.size + j))
+        }.reduce(_ + _)
+        view.withColumn("_z", z)
+          .repartitionByRange(targetFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+    }
+    val staged = writeStaged(clustered, txn, partitionBy = partCols)
+    // secondary cluster columns get per-file footer ranges into the
+    // manifest (obj_id already rides the primary stats index)
+    val secondary = cluster.filterNot(_ == "obj_id")
+      .filterNot(partCols.contains) // partition cols aren't in-file
+    if (secondary.nonEmpty)
+      pooledMap(staged) { f =>
+        f -> secondary.flatMap(c =>
+          footerLongRange(new Path(dataDir, f), c).map(c -> _)).toMap
+      }.foreach { case (f, cs) => if (cs.nonEmpty) txn.addedColStats(f) = cs }
     txn.added ++= staged
     txn.removed ++= files
     commit(txn)
@@ -1334,6 +1467,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // obj-id (min, max) per staged file, read from parquet footers at
   // write time; published to the manifest at commit for point-op pruning
   private[acid] val addedStats = mutable.Map[String, (Long, Long)]()
+  // secondary cluster-column ranges per staged file (multi-column
+  // compact) — the manifest's colStats delta
+  private[acid] val addedColStats =
+    mutable.Map[String, Map[String, (Long, Long)]]()
   private[acid] var schemaDDL: Option[String] = None
   // set when this txn will publish a DIFFERENT schema than its snapshot:
   // schema changes are table-wide, so commit treats one like a conflict
@@ -1350,17 +1487,22 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // state at a fixed version is immutable, so the cache can never go
   // stale.
   @volatile private var baseCache:
-      (Long, (Seq[String], String, Map[String, (Long, Long)])) = null
+      (Long, (Seq[String], String, Map[String, (Long, Long)],
+        Map[String, Map[String, (Long, Long)]])) = null
+
+  private def cachedBase() = {
+    var cached = baseCache
+    if (cached == null || cached._1 != readVersion) {
+      cached = (readVersion, inst.stateFullAt(readVersion))
+      baseCache = cached
+    }
+    cached._2
+  }
 
   /** Txn-local (read-your-own-writes) file set, schema, and id-range
     * index: snapshot state minus removed plus staged. */
   private def localState(): (Seq[String], String, Map[String, (Long, Long)]) = {
-    var cached = baseCache
-    if (cached == null || cached._1 != readVersion) {
-      cached = (readVersion, inst.stateWithStatsAt(readVersion))
-      baseCache = cached
-    }
-    val (base, snapDdl, baseStats) = cached._2
+    val (base, snapDdl, baseStats, _) = cachedBase()
     val files = (base.toSet -- removed ++ added).toSeq.sorted
     (files, schemaDDL.getOrElse(snapDdl), baseStats -- removed ++ addedStats)
   }
@@ -1391,6 +1533,32 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       i < sorted.length && sorted(i) <= hi
     }
     files.filter(f => stats.get(f) match {
+      case Some((lo, hi)) => anyIn(lo, hi)
+      case None => true
+    })
+  }
+
+  /** [[candidateFiles]] generalized to ANY indexed column: files whose
+    * recorded range for `column` can contain one of `values`. Columns
+    * get ranges from a multi-column [[Instance.compact]] (manifest
+    * colStats); obj_id consults the primary stats index. Files with no
+    * recorded range for the column are always candidates — a
+    * Z-order-clustered table prunes a secondary-key point op to
+    * O(sqrt(files)) instead of all of them, and an unclustered table
+    * degrades to the full set, never to a wrong answer. */
+  private[graft] def candidateFilesBy(column: String,
+      values: Seq[Long]): Seq[String] = {
+    if (column == "obj_id") return candidateFiles(values)
+    val (base, _, _, baseColStats) = cachedBase()
+    val files = (base.toSet -- removed ++ added).toSeq.sorted
+    val colStats = baseColStats -- removed ++ addedColStats
+    val sorted = values.distinct.sorted.toArray
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= hi
+    }
+    files.filter(f => colStats.get(f).flatMap(_.get(column)) match {
       case Some((lo, hi)) => anyIn(lo, hi)
       case None => true
     })
@@ -1705,7 +1873,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] def abort(): Unit = {
     inst.deleteStagingDirs(this)
     added.clear(); removed.clear(); objects.clear(); retired.clear()
-    addedStats.clear(); adopted.clear()
+    addedStats.clear(); addedColStats.clear(); adopted.clear()
     schemaDDL = None; schemaEvolved = false
     objSummary = None
   }

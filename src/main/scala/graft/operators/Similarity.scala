@@ -144,22 +144,33 @@ object Similarity {
     * the verifiable anchor. */
   def annTop1Ivf(all: DataFrame, queries: DataFrame, dim: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
-      trainSample: Int = 4096): DataFrame = {
+      trainSample: Int = 4096, distributedTrain: Boolean = false): DataFrame = {
     val s = all.sparkSession
-    // ---- train: Lloyd on the driver over a bounded sample ------------
-    // a corpus smaller than nCells just gets one cell per vector.
-    // Sampled by a deterministic hash PERMUTATION of the id (top-k by
-    // MINSTD rank — [[Sampling.splitBucket]]'s generator at full
-    // width), not lowest-ids: on a corpus where id correlates with
-    // time/domain the first-N rows would train skewed centroids, while
-    // the hash rank is id-order-free yet reproducible run to run.
+    // ---- train: deterministic Lloyd k-means --------------------------
+    // Two regimes, one seed rule. Seeds (and the driver regime's whole
+    // training set) are drawn by a deterministic hash PERMUTATION of
+    // the id (top-k by MINSTD rank — [[Sampling.splitBucket]]'s
+    // generator at full width), not lowest-ids: on a corpus where id
+    // correlates with time/domain the first-N rows would train skewed
+    // centroids, while the hash rank is id-order-free yet reproducible
+    // run to run.
+    //  - driver (default): Lloyd over a bounded `trainSample` collect —
+    //    the standard practice while nCells is small (the model is
+    //    nCells x dim; quality needs a representative sample, not the
+    //    corpus), costing ONE bounded collect and driver arithmetic.
+    //  - distributed (`distributedTrain`): once nCells grows past a
+    //    few hundred, a 4096-row sample starves cells (<16 rows each);
+    //    each Lloyd round becomes one mapPartitions pass computing
+    //    per-cell partial (sum, count) against broadcast centroids,
+    //    tree-merged to the driver — O(nCells·dim) per partial, no
+    //    vector ever collected, `iters` passes over the corpus.
+    val seedCount =
+      if (distributedTrain) nCells else math.max(nCells, trainSample)
     val sample: Array[Array[Double]] = all
       .orderBy(Sampling.splitBucket(col("vec_id"), Int.MaxValue), col("vec_id"))
-      .limit(math.max(nCells, trainSample)).collect()
+      .limit(seedCount).collect()
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "IVF index over an empty corpus")
-    var centroids: Array[(Int, Seq[Double])] =
-      sample.take(nCells).zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     def cosSim(a: Array[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -167,27 +178,69 @@ object Similarity {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    (1 to iters).foreach { _ =>
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { v =>
-        var best = 0; var bestCs = Double.NegativeInfinity
-        centroids.foreach { case (c, w) =>
-          val cs = cosSim(v, w)
-          // strict > = first-wins argmax over a fixed scan order:
-          // deterministic regardless of float ties
-          if (cs > bestCs) { bestCs = cs; best = c }
-        }
-        var d = 0
-        while (d < dim) { sums(best)(d) += v(d); d += 1 }
-        counts(best) += 1
+    // strict > = first-wins argmax over a fixed scan order:
+    // deterministic regardless of float ties
+    def nearestIdx(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestCs = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val cs = cosSim(v, scala.collection.immutable.ArraySeq.unsafeWrapArray(cents(c)))
+        if (cs > bestCs) { bestCs = cs; best = c }
+        c += 1
       }
-      // a cell that captured no vectors keeps its previous centroid
-      centroids = centroids.map { case (c, old) =>
-        if (counts(c) == 0) (c, old)
-        else (c, sums(c).map(_ / counts(c)).toSeq)
+      best
+    }
+    var cents: Array[Array[Double]] = sample.take(nCells)
+    if (distributedTrain) {
+      val vecs = all.select(col("v")).rdd
+        .map(_.getSeq[Double](0).toArray)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        (1 to iters).foreach { _ =>
+          val bc = s.sparkContext.broadcast(cents)
+          val (sums, counts) = vecs.mapPartitions { it =>
+            val cs = bc.value
+            val pSums = Array.fill(cs.length)(new Array[Double](dim))
+            val pCounts = new Array[Long](cs.length)
+            it.foreach { v =>
+              val best = nearestIdx(v, cs)
+              var d = 0
+              while (d < dim) { pSums(best)(d) += v(d); d += 1 }
+              pCounts(best) += 1
+            }
+            Iterator.single((pSums, pCounts))
+          }.treeReduce { case ((s1, c1), (s2, c2)) =>
+            var c = 0
+            while (c < s1.length) {
+              var d = 0
+              while (d < dim) { s1(c)(d) += s2(c)(d); d += 1 }
+              c1(c) += c2(c); c += 1
+            }
+            (s1, c1)
+          }
+          bc.destroy()
+          // a cell that captured no vectors keeps its previous centroid
+          cents = cents.zipWithIndex.map { case (old, c) =>
+            if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+          }
+        }
+      } finally vecs.unpersist()
+    } else {
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        val counts = new Array[Long](cents.length)
+        sample.foreach { v =>
+          val best = nearestIdx(v, cents)
+          var d = 0
+          while (d < dim) { sums(best)(d) += v(d); d += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
       }
     }
+    val centroids: Array[(Int, Seq[Double])] =
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     def nearestCell(v: Column): Column = {
       // argmin over cells of (1 - cosine) == argmax cosine
       val scored = centroids.map { case (c, w) =>

@@ -681,6 +681,64 @@ class AcidSpec extends AnyFunSuite {
       (1L to 100L).map(_ * 10).sum)
   }
 
+  test("Z-order compaction: point-ops prune on the SECONDARY key too") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "obj_id BIGINT, k2 BIGINT, value BIGINT")
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    // k2 decorrelated from obj_id (Knuth multiplicative hash), so a
+    // plain obj_id cluster leaves every file spanning k2's full range
+    val n = 4096
+    def k2Of(i: Long): Long = (i * 2654435761L) % 4096
+    val t0 = inst.begin()
+    t0.insert((1L to n).map(i => (i, k2Of(i), i * 10))
+      .toDF("obj_id", "k2", "value").repartition(4))
+    inst.commit(t0)
+
+    val replaced = inst.compact(targetFiles = 8, clusterBy = Seq("obj_id", "k2"))
+    assert(replaced == 4)
+    val snap = inst.read()
+    assert(snap.count() == n.toLong, "clustering must not change content")
+    val files = inst.stateAt(inst.latestVersion)._1
+    assert(files.size == 8)
+
+    val t = inst.begin()
+    try {
+      // PRIMARY pruning intact: an obj_id point op opens few files
+      val byId = t.candidateFiles(Seq(1234L))
+      assert(byId.size <= 6, s"obj_id prune gave ${byId.size}/8 files")
+      // SECONDARY pruning now works: a k2 point op must NOT need every
+      // file (Z-order bounds each file's k2 extent; the manifest's
+      // colStats carry it)
+      val byK2 = t.candidateFilesBy("k2", Seq(2000L))
+      assert(byK2.size < 8, s"k2 prune gave ${byK2.size}/8 files — no pruning")
+      assert(byK2.size <= 5, s"k2 prune gave ${byK2.size}/8 files — Z-extent too wide")
+      // and the pruned set is SOUND: the k2 rows all live in candidates
+      val withFile = inst.read()
+        .withColumn("_f", org.apache.spark.sql.functions.input_file_name())
+        .filter(col("k2") === 2000L).select("_f").distinct()
+        .collect().map(_.getString(0))
+      assert(withFile.forall(uri => byK2.exists(uri.contains)),
+        "a file holding k2=2000 was wrongly pruned")
+    } finally inst.rollback(t)
+
+    // the stats survive a checkpoint roll-forward (colStats compose
+    // like the primary index across later commits)
+    (1 to 12).foreach { i =>
+      val tx = inst.begin()
+      tx.insert(Seq((100000L + i, 9999L, 0L)).toDF("obj_id", "k2", "value")
+        .coalesce(1))
+      inst.commit(tx)
+    }
+    val t2 = inst.begin()
+    try {
+      val byK2 = t2.candidateFilesBy("k2", Seq(2000L))
+      // 8 clustered files still pruned; the 12 new un-clustered files
+      // have no k2 stats and stay candidates (sound, not wrong)
+      assert(byK2.count(files.contains) <= 5,
+        "colStats lost across checkpoint roll-forward")
+    } finally inst.rollback(t2)
+  }
+
   test("history lists every commit with its deltas and checkpoint flag") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t1 = inst.begin()
@@ -1072,13 +1130,59 @@ class AcidSpec extends AnyFunSuite {
     (inst, n)
   }
 
-  test("head pointer: resolution probes O(checkpointInterval), never a full listing") {
+  test("head pointer: resolution probes O(log checkpointInterval), never a full listing") {
     val (inst, n) = manyCommits
     val (head, probes) = inst.resolveHead()
     assert(head == n.toLong)
     assert(probes >= 0, "the _head hint must be used (probes = -1 marks the listing fallback)")
-    assert(probes <= inst.checkpointInterval + 1,
-      s"head resolution probed $probes manifests — the hint is stale beyond one interval")
+    // galloping probe: ~2*log2(distance)+2, distance <= interval
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(
+      inst.checkpointInterval.toLong)) + 2
+    assert(probes <= bound,
+      s"head resolution probed $probes manifests (log-probe bound $bound)")
+  }
+
+  test("metadata RPC contracts: ranged history, roll-forward changes, galloping probe") {
+    // counted by a wrapping FS — on an object store each manifest open
+    // is a ~10ms RPC, so these bounds ARE the admin-surface latency
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[graft.acid.CountingManifestFs].getName)
+    val dir = "cfs://" + Files.createTempDirectory("graft_cfs_").toString
+    val conf = graft.acid.EngineConf(checkpointInterval = 10)
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema, conf)
+    (1 to 55).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i.toLong)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val opens = graft.acid.CountingManifestFs.manifestOpens
+
+    // ranged history: exactly the asked manifests, zero prefix reads
+    opens.set(0)
+    val h = inst.history(50, 55).collect()
+    assert(h.map(_.getLong(0)).sorted.toSeq == (50L to 55L))
+    assert(opens.get == 6, s"history(50,55) opened ${opens.get} manifests, expected 6")
+
+    // changes: ONE checkpoint walk seeds the pre-image schema, then one
+    // read per version — O(interval + range), not O(range * interval)
+    opens.set(0)
+    val feed = inst.changes(44, 54)
+    val expected = conf.checkpointInterval + (54 - 44) + 1
+    assert(opens.get <= expected,
+      s"changes(44,54) opened ${opens.get} manifests (bound $expected; " +
+      "the old per-version stateAt walk cost ~60)")
+    assert(feed.filter(col("_change") === "insert").count() == 10)
+    assert(feed.select("obj_id").distinct().count() == 10)
+
+    // galloping head probe: force a MAXIMALLY stale (but valid) hint and
+    // resolve — O(log distance) exists-probes, where serial cost 56
+    val headFile = java.nio.file.Paths.get(
+      dir.stripPrefix("cfs://"), "_manifests", "_head")
+    val crc = { val c = new java.util.zip.CRC32; c.update("0".getBytes); c.getValue }
+    java.nio.file.Files.writeString(headFile, s"0 $crc")
+    val (head, probes) = inst.resolveHead()
+    assert(head == 55L)
+    assert(probes <= 14, s"stale-hint gallop probed $probes times (~2*log2(55)+2)")
   }
 
   test("head pointer: a missing or corrupt _head falls back to the listing") {

@@ -209,17 +209,71 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: payload round-trips bytes and features normalize") {
+  test("multimodal: PGM/WAV containers round-trip through the real decoders") {
     val docs = Engine.table(spark, dir, "documents").limit(20)
+    // blob pack round-trips bytes exactly
     val packed = Multimodal.packAsMedia(docs, "text")
     val back = packed.select(col("text"),
       decode(col("payload"), "UTF-8").as("rt")).collect()
     assert(back.forall(r => r.getString(0) == r.getString(1)))
-    val feats = Multimodal.extractFeatures(packed, "doc_id", "payload").collect()
+    // PGM: the decoder's parsed geometry must MATCH the packer's meta
+    // (header actually read, not assumed), and features are normalized
+    val img = Multimodal.packAsImage(docs, "text")
+    val feats = Multimodal
+      .extractFeatures(img, "doc_id", "payload", Multimodal.decodePgm)
+      .join(img.select(col("doc_id").as("id"), col("meta.height").as("mh")), "id")
+      .collect()
     assert(feats.length == 20)
     feats.foreach { r =>
       val f = r.getSeq[Double](1)
-      assert(f.length == 8 && math.abs(f.sum - 1.0) < 1e-9)
+      assert(f.length == 4 && f(0) == 16.0, "parsed width")
+      assert(f(1) == r.getAs[Int]("mh").toDouble, "parsed height == meta height")
+      assert(f(2) > 0 && f(2) <= 1.0 && f(3) >= 0 && f(3) <= 1.0)
+    }
+    // WAV: parsed sample count equals the packed byte count
+    val wav = Multimodal.packAsWav(docs, "text")
+    val af = Multimodal
+      .extractFeatures(wav, "doc_id", "payload", Multimodal.decodeWav)
+      .join(docs.select(col("doc_id").as("id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("double").as("nb")), "id")
+      .collect()
+    assert(af.length == 20)
+    af.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(f.length == 3 && f(0) == r.getAs[Double]("nb"), "parsed n_samples")
+      assert(f(1) == f(0) / 8000.0 && f(2) > 0 && f(2) <= 1.0)
+    }
+  }
+
+  test("multimodal decoders parse real container structure, reject malformed") {
+    import Multimodal.{decodePgm, decodeWav}
+    // PGM with a header comment (netpbm spec) — 2x2, known samples
+    val pgm = ("P5\n# a comment\n2 2\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](0x10, 0x60, 0x7F, 0x20.toByte))
+    val f = decodePgm(pgm)
+    assert(f(0) == 2.0 && f(1) == 2.0)
+    assert(f(2) == (0x10 + 0x60 + 0x7F + 0x20).toDouble / (4 * 255))
+    assert(f(3) == 0.5) // 0x60 and 0x7F are in-band
+    intercept[IllegalArgumentException] {
+      decodePgm("P6\n2 2\n255\n....".getBytes("US-ASCII")) // wrong magic
+    }
+    intercept[IllegalArgumentException] {
+      decodePgm("P5\n4 4\n255\nxx".getBytes("US-ASCII")) // truncated raster
+    }
+    // WAV: canonical header + an UNKNOWN chunk before data — the chunk
+    // walk must skip it by its LE size, not assume a fixed layout
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val samples = Array[Byte](10, 20, 30, 40)
+    val wav = "RIFF".getBytes ++ le(4 + 24 + 12 + 12, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(8000, 4) ++ le(8000, 4) ++ le(1, 2) ++ le(8, 2) ++
+      "LIST".getBytes ++ le(4, 4) ++ "INFO".getBytes ++ // decoy chunk
+      "data".getBytes ++ le(samples.length, 4) ++ samples
+    val w = decodeWav(wav)
+    assert(w(0) == 4.0 && w(1) == 4.0 / 8000 && w(2) == 100.0 / (4 * 255))
+    intercept[IllegalArgumentException] {
+      decodeWav("RIFX1234WAVE".getBytes) // wrong magic
     }
   }
 }

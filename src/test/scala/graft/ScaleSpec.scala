@@ -128,6 +128,26 @@ class ScaleSpec extends AnyFunSuite {
       s"IVF found the true top-1 for only $agree/${exact.size} queries")
   }
 
+  test("distributed IVF training: nCells=256 recall pinned, no vector ever collected") {
+    // past a few hundred cells a 4096-row driver sample starves cells;
+    // distributedTrain runs each Lloyd round as a mapPartitions pass
+    // with tree-merged per-cell partials. Deterministic (seeded by the
+    // same hash permutation, fixed partitioning) -> pinned, not flaky.
+    // nProbe scales with nCells to keep the scanned fraction ~25%.
+    val e = Engine.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.annTop1(e, q)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.annTop1Ivf(e, q, dim = 64, nCells = 256,
+      nProbe = 64, distributedTrain = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet == exact.keySet) // every query answered
+    val agree = exact.count { case (k, v) => ivf.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.5).toInt,
+      s"distributed-trained IVF matched exact top-1 on only $agree/${exact.size}")
+  }
+
   test("codegen'd HyperplaneBands matches the interpreted plane generator") {
     // the expression and Similarity.lshBucket draw signs from the same
     // (plane, dim) integer mix — cross-check one vector end to end

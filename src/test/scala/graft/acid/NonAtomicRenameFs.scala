@@ -59,3 +59,22 @@ object TestConditionalPutClaimer {
   val claimed: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
+
+/** Test filesystem (`cfs://`) that counts manifest opens — the
+  * observable for the O(interval + asked-range) metadata contracts of
+  * ranged history(), roll-forward changes(), and the galloping head
+  * probe (each manifest open is an RPC on an object store). */
+class CountingManifestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: URI = URI.create("cfs:///")
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    val n = f.getName
+    if (n.startsWith("v") && n.endsWith(".json"))
+      CountingManifestFs.manifestOpens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+
+object CountingManifestFs {
+  val manifestOpens = new java.util.concurrent.atomic.AtomicLong(0)
+}
