@@ -627,6 +627,23 @@ final class Instance(val spark: SparkSession, val root: String,
   /** Current committed table contents. */
   def read(): DataFrame = snapshot(latestVersion)
 
+  /** Point/IN read on any INDEXED column: candidate files are pruned by
+    * the manifest's range stats BEFORE any file opens (obj_id via the
+    * primary stats index, secondary columns via the Z-order
+    * [[compact]]'s colStats), then the residual filter runs on the
+    * survivors. On a clustered table this is the id-is-the-address
+    * access path for the SECONDARY key too — O(sqrt(files)) opens, not
+    * a snapshot scan. `values` is a small literal set (a point read);
+    * large key sets belong in a join against [[read]]. */
+  def readWhere(column: String, values: Seq[Long]): DataFrame = {
+    val txn = begin()
+    try {
+      val files = txn.candidateFilesBy(column, values)
+      viewOf(files, stateAt(txn.readVersion)._2)
+        .filter(col(column).isin(values: _*))
+    } finally rollback(txn) // committed files only — nothing to reclaim
+  }
+
   /** Roll the table back to the contents of version `v` as a NEW
     * commit (never rewriting history): the manifest delta re-adds the
     * files of `v` that the current head dropped and removes the files

@@ -719,6 +719,12 @@ class AcidSpec extends AnyFunSuite {
         .collect().map(_.getString(0))
       assert(withFile.forall(uri => byK2.exists(uri.contains)),
         "a file holding k2=2000 was wrongly pruned")
+      // end-to-end: the pruned read returns exactly the right rows and
+      // its plan scans only the candidate files
+      val rw = inst.readWhere("k2", Seq(2000L))
+      assert(rw.collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to n).filter(k2Of(_) == 2000L).sorted)
+      assert(byK2.size < files.size, "premise: pruning happened")
     } finally inst.rollback(t)
 
     // the stats survive a checkpoint roll-forward (colStats compose
