@@ -1296,6 +1296,17 @@ final class Instance(val spark: SparkSession, val root: String,
     if (files.isEmpty || (files.size <= targetFiles && cluster.isEmpty)) {
       rollback(txn); return 0
     }
+    // a typo'd cluster column must fail HERE, not silently produce a
+    // degenerate all-null Z key and an unclustered rewrite
+    if (cluster.nonEmpty) {
+      val cols = StructType.fromDDL(ddl).map(_.name).toSet
+      val missing = cluster.filterNot(cols)
+      if (missing.nonEmpty) {
+        rollback(txn)
+        throw new IllegalArgumentException(
+          s"clusterBy column(s) ${missing.mkString(", ")} not in table schema")
+      }
+    }
     // coalesce, not repartition: compaction is a bin-pack of existing
     // files into fewer write tasks — a narrow dependency, no shuffle.
     // Partition columns seen in any current file path are re-applied to

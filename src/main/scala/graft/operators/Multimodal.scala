@@ -150,6 +150,10 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0L
     while (off + 8 <= payload.length) {
       val id = tag(off); val size = le(off + 4, 4)
+      // a corrupt 32-bit size (> 2 GiB) would wrap toInt negative and
+      // stall or reverse the walk — reject it before advancing
+      require(size >= 0 && size <= payload.length.toLong,
+        s"corrupt $id chunk size $size")
       if (id == "fmt ") {
         require(le(off + 8, 2) == 1, "only PCM WAV is supported")
         channels = le(off + 10, 2)

@@ -743,6 +743,22 @@ class AcidSpec extends AnyFunSuite {
       assert(byK2.count(files.contains) <= 5,
         "colStats lost across checkpoint roll-forward")
     } finally inst.rollback(t2)
+
+    // colStats survive a RESTORE (re-added files bring their secondary
+    // ranges back, like the primary stats)
+    val clusteredV = 1L + 1L // v1 insert, v2 = compact commit
+    inst.restore(clusteredV)
+    val t3 = inst.begin()
+    try {
+      assert(t3.candidateFilesBy("k2", Seq(2000L)).size <= 5,
+        "restore dropped the secondary cluster stats")
+    } finally inst.rollback(t3)
+
+    // a typo'd cluster column fails loudly, nothing staged
+    val e = intercept[IllegalArgumentException] {
+      inst.compact(targetFiles = 4, clusterBy = Seq("obj_id", "nope"))
+    }
+    assert(e.getMessage.contains("nope"))
   }
 
   test("history lists every commit with its deltas and checkpoint flag") {
