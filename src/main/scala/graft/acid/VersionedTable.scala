@@ -1187,17 +1187,33 @@ final class Instance(val spark: SparkSession, val root: String,
   def vacuum(retainVersions: Int, sweepOrphans: Boolean = true): Int = {
     val head = latestVersion
     val horizon = math.max(0L, head - retainVersions + 1)
-    val live = (horizon to head).flatMap(stateAt(_)._1).toSet
-    // walk back from the horizon to its governing checkpoint
+    // EVERY manifest is read exactly ONCE: one backward walk from the
+    // horizon to its governing checkpoint, one pooled forward read of
+    // (horizon, head]. The live set is the horizon snapshot plus every
+    // file added inside the window (a file added then removed within
+    // the window was live at some retained version — union keeps it),
+    // so the per-version stateAt replays the old code did — O(retention
+    // x interval) manifest reads — collapse to O(interval + retention).
     var cv = horizon
-    while (!readManifest(cv).checkpoint) cv -= 1
-    val referenced = readManifest(cv).allFiles.toSet ++
-      ((cv + 1) to head).flatMap(readManifest(_).added)
-    var removed = 0
-    (referenced -- live).foreach { rel =>
-      val p = new Path(dataDir, rel)
-      if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
+    var tail = List.empty[Manifest] // (cv, horizon], oldest first
+    var ckpt: Manifest = null
+    while (ckpt == null) {
+      val m = readManifest(cv)
+      if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
     }
+    val above = pooledMap(((horizon + 1) to head).toSeq)(readManifest)
+    var horizonFiles = ckpt.allFiles.toSet
+    tail.foreach(m => horizonFiles = horizonFiles -- m.removed ++ m.added)
+    val live = horizonFiles ++ above.flatMap(_.added)
+    val referenced = ckpt.allFiles.toSet ++ tail.flatMap(_.added) ++
+      above.flatMap(_.added)
+    // deletes issued on the bounded pool too — each is an RPC on an
+    // object store, and a big retirement batch is exactly when vacuum
+    // latency matters
+    var removed = pooledMap((referenced -- live).toSeq) { rel =>
+      val p = new Path(dataDir, rel)
+      if (fs.exists(p)) { fs.delete(p, false); true } else false
+    }.count(identity)
     if (sweepOrphans) {
       // "now" comes from the STORE's clock, not the driver's: the grace
       // is compared against filesystem mtimes, and driver/store clock
