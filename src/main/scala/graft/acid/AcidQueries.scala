@@ -143,5 +143,38 @@ object AcidQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("c"), sum("n_chars").as("chars"))
           .orderBy("source")
-    })
+    },
+
+    // conditional three-clause MERGE: one statement exercises delete-
+    // where, update-where (with a row that matches but fails the
+    // condition and must keep its pre-image), and insert-unmatched —
+    // the final state is a hand-computable constant, so the whole
+    // clause-precedence contract is hash-gated
+    "q48_acid_merge" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES (1, 10), (2, 20), (4, 140), (5, 50)) " +
+      "AS t(obj_id, value) ORDER BY obj_id")((s, _) => mergeScenario(s)))
+
+  /** MERGE scenario: base {1→10, 2→20, 3→30, 4→40}; source rows
+    * (2,5) matches but fails the update condition (keeps 20),
+    * (3,-1) hits the delete clause, (4,100) updates to 40+100=140,
+    * (5,50) matches nothing and inserts. */
+  def mergeScenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_acid_merge_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("obj_id", "value"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.merge(
+      Seq((2L, 5L), (3L, -1L), (4L, 100L), (5L, 50L)).toDF("obj_id", "value"),
+      matchedDelete = Some(col("s.value") < 0),
+      matchedUpdate = Map("value" -> (col("t.value") + col("s.value"))),
+      matchedUpdateCond = Some(col("s.value") >= 10))
+    inst.commit(t2)
+    inst.read().orderBy("obj_id")
+  }
 }

@@ -1796,6 +1796,110 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     } finally df.unpersist()
   }
 
+  /** Conditional MERGE by key (the full three-clause form of
+    * [[upsert]], mirroring SQL `MERGE INTO`): for every source row
+    * whose `obj_id` matches a target row, apply — in clause order —
+    * `matchedDelete` (drop the target row where the condition holds),
+    * then `matchedUpdate` (recompute the listed columns where
+    * `matchedUpdateCond` holds — or unconditionally when it is None);
+    * matched rows hit by neither clause keep their pre-image. Source
+    * rows matching nothing are inserted when `insertUnmatched`.
+    * Conditions and update expressions resolve against the aliases
+    * `t` (target pre-image) and `s` (source): e.g.
+    * `matchedUpdate = Map("value" -> (col("t.value") + col("s.value")))`,
+    * `matchedDelete = Some(col("s.value") < 0)`.
+    *
+    * Same CoW + pruning shape as [[deleteMatching]]: candidate files
+    * by the source keys' [min, max] against manifest ranges, hit
+    * files via a semi join, one rewrite per hit file set — a merge
+    * never scans files outside the key span, and no id lands on the
+    * driver past [[EngineConf.objectListThreshold]]. A NULL condition
+    * value counts as not-matched-by-the-clause (SQL semantics).
+    * Duplicate source keys are rejected: two source rows matching one
+    * target row would make the rewrite nondeterministic (the same
+    * rule SQL MERGE enforces at runtime). */
+  def merge(source: DataFrame,
+      matchedDelete: Option[Column] = None,
+      matchedUpdate: Map[String, Column] = Map.empty,
+      matchedUpdateCond: Option[Column] = None,
+      insertUnmatched: Boolean = true): Unit = {
+    require(source.columns.contains("obj_id"), "merge source needs obj_id")
+    require(matchedUpdateCond.isEmpty || matchedUpdate.nonEmpty,
+      "matchedUpdateCond without matchedUpdate assignments")
+    // consumed several times (dup check, key probe, join, insert):
+    // persist so a nondeterministic source can't update one row set
+    // while the conflict summary records another
+    val src = source.persist()
+    try {
+      val dup = src.groupBy("obj_id").count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge source has duplicate obj_id ${dup.head.getLong(0)}: " +
+          "a target row may match at most one source row")
+      val keys = src.select("obj_id")
+      val bounds = keys.agg(
+        org.apache.spark.sql.functions.min(col("obj_id")),
+        org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
+      if (bounds.isNullAt(0)) return // empty source: no-op
+      val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+      val (files, ddl, stats) = localState()
+      val tCols = StructType.fromDDL(ddl).fieldNames.toSeq
+      val cand = files.filter(f => stats.get(f) match {
+        case Some((mn, mx)) => mn <= hi && lo <= mx
+        case None => true
+      })
+      // base∩src rows live only in candidate files (a pruned file's id
+      // range misses the whole source span), so this snapshot is the
+      // exact match side for both the rewrite and the insert anti join
+      val snap = if (cand.isEmpty) null
+        else inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+      val mutates = matchedDelete.isDefined || matchedUpdate.nonEmpty
+      if (snap != null && mutates) {
+        val hit = snap.join(keys, Seq("obj_id"), "left_semi")
+          .select("_file").distinct().collect().map(_.getString(0))
+        if (hit.nonEmpty) {
+          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+          val kept = touched.join(keys, Seq("obj_id"), "left_anti")
+            .select(tCols.map(col): _*)
+          val joined = touched.alias("t")
+            .join(src.alias("s"), col("t.obj_id") === col("s.obj_id"))
+          val afterDelete = matchedDelete.fold(joined)(c =>
+            joined.filter(!coalesce(c, lit(false))))
+          val updCond = matchedUpdateCond.map(c => coalesce(c, lit(false)))
+          val assigned = tCols.map { n =>
+            val pre = col(s"t.$n")
+            matchedUpdate.get(n) match {
+              case Some(expr) =>
+                updCond.fold(expr)(c => when(c, expr).otherwise(pre)).as(n)
+              case None => pre.as(n)
+            }
+          }
+          val rewrite = kept.unionByName(afterDelete.select(assigned: _*))
+          val rewritten = if (rewrite.isEmpty) Nil
+            else inst.writeStaged(rewrite, this)
+          retire(hit.toSeq.map(relativize))
+          added ++= rewritten
+        }
+      }
+      if (insertUnmatched) {
+        val unmatched = if (snap == null) src
+          else src.join(snap.select("obj_id"), Seq("obj_id"), "left_anti")
+        val inserts = unmatched.select(tCols.map(col): _*)
+        if (!inserts.isEmpty) insert(inserts)
+      }
+      // conflict tracking over the full source key set (a superset of
+      // the rows actually modified — conservative, never unsound);
+      // insert() already recorded the inserted ids, but ids only ever
+      // widen the conflict set, so double-recording is harmless
+      if (mutates) {
+        val th = inst.conf.objectListThreshold
+        val probe = keys.limit(th + 1).collect().map(_.getLong(0))
+        if (probe.length <= th) { objects ++= probe; spillObjectsIfNeeded() }
+        else mergeSummary(inst.buildSummary(keys))
+      }
+    } finally src.unpersist()
+  }
+
   /** Distributed DELETE by key DataFrame — the unbounded-batch twin of
     * [[delete]]: no id ever lands on the driver. Candidate files are
     * pruned by the keys' global [min, max] against the manifest ranges

@@ -37,6 +37,47 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** C4-style repeated-span removal: tile each document into
+    * consecutive `width`-word spans, drop every full-width span whose
+    * text already occurred earlier in the corpus (first occurrence in
+    * (doc, position) order survives), and reassemble the remaining
+    * spans. Short tail tiles (the last < `width` words) are never
+    * deduplicated — a one-word tail is not a meaningful span. A doc
+    * whose every tile was removed drops out of the output.
+    *
+    * 100 TB notes: the winner per span is `min(struct(id, idx))` under
+    * a `groupBy(span)` — a partially-aggregatable hash aggregate with
+    * map-side combine, NOT a window sort (a window would sort-shuffle
+    * every occurrence of a hyper-common span onto one task; the
+    * aggregate reduces them map-side). Reassembly state is per-doc
+    * (`collect_list` bounded by doc length), never global. */
+  def dedupSpans(docs: DataFrame, width: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(width >= 1, "span width must be >= 1")
+    val words = split(col(textCol), " ")
+    val nTiles = ceil(size(words).cast("double") / width).cast("int")
+    val tiles = docs
+      .select(col(idCol), size(words).as("_nw"),
+        posexplode(transform(sequence(lit(0), nTiles - 1),
+          i => concat_ws(" ", slice(words, i * width + 1, lit(width))))))
+      .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_span")
+      .withColumn("_full", (col("_idx") + 1) * width <= col("_nw"))
+    val full = tiles.filter(col("_full"))
+    val winners = full.groupBy("_span")
+      .agg(min(struct(col(idCol), col("_idx"))).as("_w"))
+      .select(col("_span"), col("_w")(idCol).as(idCol),
+        col("_w")("_idx").as("_idx"))
+    val kept = tiles.filter(!col("_full")).select(idCol, "_idx", "_span")
+      .unionByName(
+        full.select(idCol, "_idx", "_span")
+          .join(winners, Seq("_span", idCol, "_idx"), "left_semi"))
+    kept.groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("_idx"), col("_span"))))
+        .as("_a"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("_a"), t => t("_span"))).as(textCol))
+  }
+
   /** Docs with id + distinct shingle-hash set (one-pass codegen-friendly
     * scan, see [[graft.expressions.ShingleHashes]]) + set size. All
     * downstream consumers need only set semantics, so 64-bit hashes
@@ -489,6 +530,29 @@ object Dedup {
         connectedComponents(
           jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
             .select(col("doc_lo").as("id_a"), col("doc_hi").as("id_b")))
+    },
+
+    // C4-style repeated-span removal over 3-word tiles (~19 % of tiles
+    // in the fixture corpus are repeats): the survivor choice, tail
+    // handling, and reassembly order are all hash-gated against a
+    // window-based SQL restatement
+    "q49_span_dedup" -> Q(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "t AS (SELECT doc_id, i - 1 AS tile_idx, " +
+      "array_to_string(ws[(i-1)*3+1 : i*3], ' ') AS tile, " +
+      "len(ws) >= i*3 AS isfull " +
+      "FROM (SELECT doc_id, ws, " +
+      "unnest(generate_series(1, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS i " +
+      "FROM w)), " +
+      "keep AS (" +
+      "SELECT doc_id, tile_idx, tile FROM (" +
+      "SELECT doc_id, tile_idx, tile, " +
+      "ROW_NUMBER() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn " +
+      "FROM t WHERE isfull) WHERE rn = 1 " +
+      "UNION ALL SELECT doc_id, tile_idx, tile FROM t WHERE NOT isfull) " +
+      "SELECT doc_id, string_agg(tile, ' ' ORDER BY tile_idx) AS text " +
+      "FROM keep GROUP BY doc_id ORDER BY doc_id") {
+      (s, dir) => dedupSpans(docs(s, dir), 3).orderBy("doc_id")
     }
   )
 }

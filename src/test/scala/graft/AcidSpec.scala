@@ -873,6 +873,91 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.read().count() == 3)
   }
 
+  test("merge: clause precedence — delete-where, update-where, keep, insert") {
+    val out = AcidQueries.mergeScenario(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 2 matched but failed the update condition (pre-image kept),
+    // 3 hit the delete clause, 4 updated 40+100=140, 5 inserted
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (4L, 140L), (5L, 50L)))
+  }
+
+  test("merge: duplicate source keys are rejected before any write") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val t1 = inst.begin()
+    val e = intercept[IllegalArgumentException] {
+      t1.merge(Seq((1L, 1L), (1L, 2L)).toDF("obj_id", "value"),
+        matchedUpdate = Map("value" -> col("s.value")))
+    }
+    assert(e.getMessage.contains("duplicate obj_id"))
+    inst.rollback(t1)
+    assert(inst.read().head().getLong(1) == 10L) // nothing landed
+  }
+
+  test("merge: concurrent merges of the same key conflict, loser retries clean") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val a = inst.begin(); val b = inst.begin()
+    def inc(t: graft.acid.Txn): Unit = t.merge(
+      Seq((1L, 1L)).toDF("obj_id", "value"),
+      matchedUpdate = Map("value" -> (col("t.value") + col("s.value"))))
+    inc(a); inc(b)
+    inst.commit(a)
+    intercept[ConflictException] { inst.commit(b) }
+    assert(inst.read().head().getLong(1) == 1L) // exactly one increment
+  }
+
+  test("merge: insert-only form (no matched clauses) rewrites no base file") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val t1 = inst.begin()
+    // 1 matches (and must survive untouched), 9 inserts
+    t1.merge(Seq((1L, 111L), (9L, 90L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val state = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 10L, 2L -> 20L, 9L -> 90L))
+    // insert-if-absent must be append-only: the merge commit removed nothing
+    val h = inst.history().filter(col("version") === 2).head()
+    assert(h.getAs[Long]("n_removed_files") == 0L)
+  }
+
+  test("merge: change feed classifies update/delete/insert per clause") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    val t1 = inst.begin()
+    t1.merge(Seq((2L, 5L), (3L, -1L), (4L, 40L)).toDF("obj_id", "value"),
+      matchedDelete = Some(col("s.value") < 0),
+      matchedUpdate = Map("value" -> col("s.value")))
+    inst.commit(t1)
+    val feed = inst.changes(1, 2).collect()
+      .map(r => (r.getAs[String]("_change"), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    assert(feed.toSeq == Seq(
+      ("delete", 3L, 30L),
+      ("insert", 4L, 40L),
+      ("update_postimage", 2L, 5L),
+      ("update_preimage", 2L, 20L)))
+  }
+
+  test("merge: read-your-own-writes — same-txn insert is merge-visible") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t = inst.begin()
+    t.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    t.merge(Seq((1L, 5L), (2L, 20L)).toDF("obj_id", "value"),
+      matchedUpdate = Map("value" -> (col("t.value") + col("s.value"))))
+    inst.commit(t)
+    val state = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 15L, 2L -> 20L)) // update saw the staged row
+  }
+
   test("compact: folds small files into one commit, history intact") {
     val dir = freshDir()
     val conf = graft.acid.EngineConf(orphanGraceMs = 0L)
