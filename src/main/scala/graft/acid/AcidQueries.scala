@@ -154,7 +154,41 @@ object AcidQueries {
       "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
       "CAST(value AS BIGINT) AS value " +
       "FROM (VALUES (1, 10), (2, 20), (4, 140), (5, 50)) " +
-      "AS t(obj_id, value) ORDER BY obj_id")((s, _) => mergeScenario(s)))
+      "AS t(obj_id, value) ORDER BY obj_id")((s, _) => mergeScenario(s)),
+
+    // the streaming change feed (DSv2 source over the commit log):
+    // three insert commits + one silent compaction drained with
+    // Trigger.AvailableNow — delivered rows and their versions are a
+    // hand-computable constant, so offset planning, the executor-side
+    // parquet read, and layout-commit suppression are all hash-gated
+    "q50_cdf_stream" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value, " +
+      "CAST(_version AS BIGINT) AS _version " +
+      "FROM (VALUES (1, 10, 1), (2, 20, 2), (3, 30, 3)) " +
+      "AS t(obj_id, value, _version) ORDER BY obj_id")(
+      (s, _) => cdfStreamScenario(s)))
+
+  /** Streaming change-feed scenario: per-commit inserts, a compaction
+    * that must stream nothing, one AvailableNow drain. */
+  def cdfStreamScenario(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_acid_cdf_src_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    (1 to 3).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    inst.compact() // layout-only: contributes nothing to the stream
+    val name = "graft_q50_cdf_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = inst.readChangesStream().writeStream
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("obj_id")
+  }
 
   /** MERGE scenario: base {1→10, 2→20, 3→30, 4→40}; source rows
     * (2,5) matches but fails the update condition (keeps 20),

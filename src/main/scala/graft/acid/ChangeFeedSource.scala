@@ -1,0 +1,251 @@
+package graft.acid
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Structured-Streaming source over a [[VersionedTable]]'s commit log —
+  * the Spark-native analog of tailing the reference's WAL for new data
+  * (log records are consumed downstream by LSN order,
+  * log_mgr/io.rs:354-373; here the manifest log IS the log, and stream
+  * offsets ARE table versions).
+  *
+  * `spark.readStream.format("graft-cdf").option("path", root).load()`
+  * delivers the rows each data commit APPENDED, tagged `_version`, in
+  * commit order — Delta-`readStream` semantics:
+  *  - pure-insert commits stream their inserted rows exactly;
+  *  - layout-only commits (compaction, checkpointing) stream NOTHING —
+  *    they change bytes, not content;
+  *  - commits that remove files (update/delete/restore) FAIL the
+  *    stream by default (an append stream cannot represent them);
+  *    `.option("ignoreChanges", true)` streams their added files'
+  *    rows instead (post-images plus CoW-copied neighbors — the same
+  *    documented caveat as Delta's `ignoreChanges`), and exact
+  *    row-level CDC remains available as the batch
+  *    [[Instance.changes]];
+  *  - `.option("startingVersion", v)` begins at commit v (default 1).
+  *
+  * Exactly-once: offsets are table versions checkpointed by the
+  * engine's offset log, and a replayed `(start, end]` batch re-plans
+  * from immutable manifests, so re-delivery is byte-identical.
+  * [[Instance.vacuum]] retention must cover the stream's maximum lag —
+  * the same contract every lakehouse streaming source carries.
+  *
+  * Scale: the driver reads ONE manifest per commit per batch (plus a
+  * file-status per added file); rows never touch the driver. Each
+  * added file is one [[InputPartition]] read by Spark's own vectorized
+  * parquet reader on the executors ([[ParquetFileFormat
+  * .buildReaderWithPartitionValues]] — the exact machinery behind
+  * `FileSourceScanExec`), with hive-partition values (k=v staging
+  * segments) rebuilt as constant partition columns, never scanned. */
+final class ChangeFeedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdf"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-cdf requires .option(\"path\", tableRoot)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeFeedSource.outputSchema(
+      VersionedTable.open(SparkSession.active, rootOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ChangeFeedTable(schema,
+      rootOf(new CaseInsensitiveStringMap(properties)))
+}
+
+private[acid] object ChangeFeedSource {
+  def outputSchema(inst: Instance): StructType = {
+    val (_, ddl) = inst.stateAt(inst.latestVersion)
+    StructType.fromDDL(ddl)
+      .add(StructField("_version", LongType, nullable = false))
+  }
+}
+
+private[acid] final class ChangeFeedTable(schema: StructType, root: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-cdf `$root`"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ChangeFeedScan(schema, root,
+        startingVersion = Option(options.get("startingVersion"))
+          .map(_.toLong).getOrElse(1L),
+        ignoreChanges = options.getBoolean("ignoreChanges", false))
+    }
+}
+
+private[acid] final class ChangeFeedScan(schema: StructType, root: String,
+    startingVersion: Long, ignoreChanges: Boolean) extends Scan {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "graft-cdf is a streaming source; batch-read the table with Instance.read()")
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeFeedStream(schema, root, startingVersion, ignoreChanges)
+}
+
+private[acid] final case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** One added data file of one commit; `partValues` are the hive `k=v`
+  * pairs parsed from its staging path (raw, still hive-escaped). */
+private[acid] final case class CdfPartition(
+    file: PartitionedFile, layout: Seq[String]) extends InputPartition
+
+private[acid] final class ChangeFeedStream(schema: StructType, root: String,
+    startingVersion: Long, ignoreChanges: Boolean)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @transient private lazy val spark = SparkSession.active
+  @transient private lazy val inst = VersionedTable.open(spark, root)
+  // planInputPartitions -> createReaderFactory run in sequence on the
+  // driver for the same batch; the factory needs the batch's distinct
+  // partition layouts to prepare one reader per layout
+  @transient @volatile private var planned: Array[CdfPartition] = Array.empty
+  // Trigger.AvailableNow pins the head at trigger start so the run
+  // terminates even while writers keep committing
+  @transient @volatile private var availableNowCap: Long = -1L
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+  override def latestOffset(): Offset = VersionOffset(inst.latestVersion)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = inst.latestVersion
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = inst.latestVersion
+    VersionOffset(if (availableNowCap >= 0) math.min(head, availableNowCap)
+      else head)
+  }
+  override def reportLatestOffset(): Offset = VersionOffset(inst.latestVersion)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def partPairs(rel: String): Seq[(String, String)] =
+    rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[VersionOffset].v
+    val hi = end.asInstanceOf[VersionOffset].v
+    val out = Array.newBuilder[CdfPartition]
+    ((lo + 1) to hi).foreach { v =>
+      val m = inst.readManifest(v)
+      val isData = m.objects.nonEmpty || m.objSummary.isDefined
+      if (isData) {
+        if (m.removed.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft-cdf: version $v of $root removes files (update/delete/" +
+            "restore) — an append stream cannot represent it. Set " +
+            ".option(\"ignoreChanges\", true) to stream post-image rows, " +
+            "or consume Instance.changes() for exact row-level CDC.")
+        m.added.foreach { rel =>
+          val pairs = partPairs(rel)
+          val status = inst.fs.getFileStatus(new Path(inst.dataDir, rel))
+          val partRow = new GenericInternalRow(
+            (pairs.map { case (k, raw) =>
+              val dt = schema.find(_.name == k).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.StringType)
+              val s = ExternalCatalogUtils.unescapePathName(raw)
+              if (s == "__HIVE_DEFAULT_PARTITION__") null
+              else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(s), org.apache.spark.sql.types.StringType), dt,
+                Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
+            } :+ (v: Any)).toArray)
+          out += CdfPartition(
+            PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
+              0L, status.getLen, Array.empty, status.getModificationTime,
+              status.getLen),
+            pairs.map(_._1))
+        }
+      }
+    }
+    val ps = out.result()
+    planned = ps
+    ps.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fmt = new ParquetFileFormat
+    val conf = spark.sessionState.newHadoopConf()
+    // one prepared reader per distinct partition layout in the batch:
+    // requiredSchema = the columns physically in those files,
+    // partitionSchema = the path-encoded columns + _version (appended
+    // to every row by the reader itself, never scanned)
+    val layouts = planned.map(_.layout).distinct.map { layout =>
+      val partFields = layout.map(k =>
+        schema.find(_.name == k).getOrElse(StructField(k,
+          org.apache.spark.sql.types.StringType))) :+
+        StructField("_version", LongType, nullable = false)
+      val fileSchema = StructType(
+        schema.filterNot(f => layout.contains(f.name) || f.name == "_version"))
+      // row-based output: the DSv2 PartitionReader contract here is
+      // InternalRow, so vectorized batches are explicitly declined
+      val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
+        StructType(partFields), fileSchema, Nil,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"), conf)
+      // physical row = fileSchema ++ partFields; project to readSchema
+      val physical = StructType(fileSchema ++ partFields)
+      val order = schema.map(f => physical.fieldIndex(f.name)).toArray
+      layout -> (reader, physical, order)
+    }.toMap
+    new CdfReaderFactory(layouts)
+  }
+}
+
+private[acid] final class CdfReaderFactory(
+    layouts: Map[Seq[String], (PartitionedFile => Iterator[InternalRow],
+      StructType, Array[Int])]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdfPartition]
+    val (reader, physical, order) = layouts(cp.layout)
+    // the prepared reader may hand back vectorized ColumnarBatches
+    // disguised as InternalRow (the FileScanRDD contract) — unwrap;
+    // then reorder physical (file ++ partition) columns to the source
+    // schema with a codegen'd projection built HERE, on the executor
+    val proj = UnsafeProjection.create(order.map(i =>
+      BoundReference(i, physical(i).dataType, nullable = true)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]))
+    val rows: Iterator[InternalRow] = reader(cp.file).flatMap { r =>
+      (r: Any) match {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case row: InternalRow => Iterator.single(row)
+      }
+    }.map(proj)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

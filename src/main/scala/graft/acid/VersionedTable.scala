@@ -402,7 +402,7 @@ final class Instance(val spark: SparkSession, val root: String,
     * still justify a brief retry before declaring corruption. Only a
     * PERSISTENT failure is surfaced — that is real bit-rot (R30), not
     * a racing writer. */
-  private def readManifest(v: Long): Manifest = {
+  private[acid] def readManifest(v: Long): Manifest = {
     var attempt = 0
     while (true) {
       val text =
@@ -722,6 +722,20 @@ final class Instance(val spark: SparkSession, val root: String,
     * latency bottleneck (100 commits = 1s, 10⁴ = 100s); 16-way overlap
     * makes history an admin-interactive surface again, with
     * deterministic version-ascending output. */
+  /** Streaming tail of this table's commit log — appended rows per
+    * data commit, tagged `_version` (see [[ChangeFeedProvider]] for
+    * the full semantics: layout commits silent, update/delete commits
+    * fail unless `ignoreChanges`, offsets are versions, replay is
+    * exact). Pair with `.trigger(Trigger.AvailableNow)` for catch-up
+    * reads or leave continuous for live tailing. */
+  def readChangesStream(startingVersion: Long = 1L,
+      ignoreChanges: Boolean = false): DataFrame =
+    spark.readStream.format("graft-cdf")
+      .option("path", root)
+      .option("startingVersion", startingVersion)
+      .option("ignoreChanges", ignoreChanges)
+      .load()
+
   def history(): DataFrame = history(0L, latestVersion)
 
   /** [[history]] over the version interval [fromV, toV] only — the

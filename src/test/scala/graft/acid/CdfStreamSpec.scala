@@ -1,0 +1,165 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Streaming change-feed source (graft-cdf): the commit log consumed
+  * as a Structured Streaming source — appended rows per data commit,
+  * versioned offsets, exact checkpoint replay, layout commits silent.
+  * Mirrors the reference's WAL-tailing consumption path
+  * (log_mgr/io.rs:354-373) at the manifest level. */
+class CdfStreamSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft_cdf_").toUri.toString
+
+  /** Drain the stream with AvailableNow into an in-memory table. */
+  private def drain(df: DataFrame, name: String, checkpoint: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("append stream: insert commits delivered with versions, resume is incremental") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t2)
+
+    // file sink + checkpoint (the memory sink cannot recover one):
+    // the sink dir accumulates exactly what was ever delivered
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    val sink = Files.createTempDirectory("graft_cdf_sink_").toString
+    def drainToSink(): Unit = {
+      val q = inst.readChangesStream().writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainToSink()
+    val got = spark.read.parquet(sink).orderBy("obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+        r.getAs[Long]("_version")))
+    assert(got.toSeq == Seq((1L, 10L, 1L), (2L, 20L, 1L), (3L, 30L, 2L)))
+
+    // new commit, same checkpoint: ONLY the new rows arrive
+    val t3 = inst.begin()
+    t3.insert(Seq((4L, 40L)).toDF("obj_id", "value"))
+    inst.commit(t3)
+    drainToSink()
+    val after = spark.read.parquet(sink).orderBy("obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("_version")))
+    assert(after.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L)),
+      "resume must deliver v3 once and re-deliver nothing")
+  }
+
+  test("layout-only commits (compaction) stream nothing") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    (1 to 3).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    inst.compact() // v4: bytes move, content does not
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    drain(inst.readChangesStream(), "cdf_compacted", ckpt)
+    val got = spark.table("cdf_compacted").orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("_version")))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(inst.latestVersion == 4L) // compaction committed, yet silent
+  }
+
+  test("update/delete commits fail strict, stream post-images with ignoreChanges") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    inst.commit(t2)
+
+    val strictCkpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    val e = intercept[StreamingQueryException] {
+      drain(inst.readChangesStream(), "cdf_strict", strictCkpt)
+    }
+    assert(e.getCause.getMessage.contains("removes files"))
+
+    // ignoreChanges: the update's rewritten file streams ALL its rows
+    // (post-image + CoW-copied neighbor) — the documented caveat
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    drain(inst.readChangesStream(ignoreChanges = true), "cdf_ignore", ckpt)
+    val got = spark.table("cdf_ignore")
+      .filter(col("_version") === 2).orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((2L, 200L))) // the post-image is present
+  }
+
+  test("startingVersion skips history before it") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    (1 to 3).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    drain(inst.readChangesStream(startingVersion = 3L), "cdf_from3", ckpt)
+    val got = spark.table("cdf_from3").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("_version")))
+    assert(got.toSeq == Seq((3L, 3L)))
+  }
+
+  test("partitioned table: path-encoded columns rebuilt per row") {
+    val docs = Engine.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("obj_id"), col("lang"), col("n_chars"))
+    val inst = VersionedTable.create(spark, freshDir(), docs.schema)
+    val t = inst.begin()
+    t.insertPartitioned(docs, Seq("lang"))
+    inst.commit(t)
+
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    drain(inst.readChangesStream(), "cdf_part", ckpt)
+    val streamed = spark.table("cdf_part")
+    assert(streamed.columns.toSeq ==
+      Seq("obj_id", "lang", "n_chars", "_version"))
+    val byLang = streamed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == expected)
+    assert(streamed.count() == docs.count())
+  }
+
+  test("a mid-stream commit is picked up by the next trigger (live tail)") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    val q = inst.readChangesStream().writeStream.format("memory")
+      .queryName("cdf_live").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_live").count() == 1)
+      val t2 = inst.begin()
+      t2.insert(Seq((2L, 20L)).toDF("obj_id", "value"))
+      inst.commit(t2)
+      q.processAllAvailable()
+      val got = spark.table("cdf_live").orderBy("obj_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("_version")))
+      assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+    } finally q.stop()
+  }
+}
