@@ -92,18 +92,22 @@ private[acid] final class ChangeFeedTable(schema: StructType, root: String)
       override def build(): Scan = new ChangeFeedScan(schema, root,
         startingVersion = Option(options.get("startingVersion"))
           .map(_.toLong).getOrElse(1L),
-        ignoreChanges = options.getBoolean("ignoreChanges", false))
+        ignoreChanges = options.getBoolean("ignoreChanges", false),
+        maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
+          .map(_.toLong))
     }
 }
 
 private[acid] final class ChangeFeedScan(schema: StructType, root: String,
-    startingVersion: Long, ignoreChanges: Boolean) extends Scan {
+    startingVersion: Long, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = schema
   override def toBatch: Batch =
     throw new UnsupportedOperationException(
       "graft-cdf is a streaming source; batch-read the table with Instance.read()")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedStream(schema, root, startingVersion, ignoreChanges)
+    new ChangeFeedStream(schema, root, startingVersion, ignoreChanges,
+      maxVersionsPerTrigger)
 }
 
 private[acid] final case class VersionOffset(v: Long) extends Offset {
@@ -116,7 +120,8 @@ private[acid] final case class CdfPartition(
     file: PartitionedFile, layout: Seq[String]) extends InputPartition
 
 private[acid] final class ChangeFeedStream(schema: StructType, root: String,
-    startingVersion: Long, ignoreChanges: Boolean)
+    startingVersion: Long, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @transient private lazy val spark = SparkSession.active
@@ -138,8 +143,14 @@ private[acid] final class ChangeFeedStream(schema: StructType, root: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = inst.latestVersion
-    VersionOffset(if (availableNowCap >= 0) math.min(head, availableNowCap)
-      else head)
+    val capped = if (availableNowCap >= 0) math.min(head, availableNowCap)
+      else head
+    // maxVersionsPerTrigger bounds each micro-batch's commit span so a
+    // long catch-up (or a bursty writer) drains as steady bounded
+    // batches instead of one giant replay — the planner's IO is
+    // O(versions per batch), so this is the knob that caps it
+    VersionOffset(maxVersionsPerTrigger.fold(capped)(n =>
+      math.min(capped, start.asInstanceOf[VersionOffset].v + math.max(1L, n))))
   }
   override def reportLatestOffset(): Offset = VersionOffset(inst.latestVersion)
   override def commit(end: Offset): Unit = ()

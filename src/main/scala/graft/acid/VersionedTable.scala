@@ -729,12 +729,15 @@ final class Instance(val spark: SparkSession, val root: String,
     * exact). Pair with `.trigger(Trigger.AvailableNow)` for catch-up
     * reads or leave continuous for live tailing. */
   def readChangesStream(startingVersion: Long = 1L,
-      ignoreChanges: Boolean = false): DataFrame =
-    spark.readStream.format("graft-cdf")
+      ignoreChanges: Boolean = false,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-cdf")
       .option("path", root)
       .option("startingVersion", startingVersion)
       .option("ignoreChanges", ignoreChanges)
-      .load()
+    maxVersionsPerTrigger.foreach(n => r.option("maxVersionsPerTrigger", n))
+    r.load()
+  }
 
   def history(): DataFrame = history(0L, latestVersion)
 

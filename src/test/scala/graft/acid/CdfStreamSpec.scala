@@ -141,6 +141,26 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(streamed.count() == docs.count())
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch's commit span") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    (1 to 3).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt_").toString
+    val q = inst.readChangesStream(maxVersionsPerTrigger = Some(1L))
+      .writeStream.format("memory").queryName("cdf_throttled")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_throttled").orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("_version")))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // one commit per micro-batch: three data-carrying batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+  }
+
   test("a mid-stream commit is picked up by the next trigger (live tail)") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     val t1 = inst.begin()
