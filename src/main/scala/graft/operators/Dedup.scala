@@ -45,11 +45,15 @@ object Dedup {
     * deduplicated — a one-word tail is not a meaningful span. A doc
     * whose every tile was removed drops out of the output.
     *
-    * 100 TB notes: the winner per span is `min(struct(id, idx))` under
-    * a `groupBy(span)` — a partially-aggregatable hash aggregate with
-    * map-side combine, NOT a window sort (a window would sort-shuffle
-    * every occurrence of a hyper-common span onto one task; the
-    * aggregate reduces them map-side). Reassembly state is per-doc
+    * 100 TB notes: the whole keep-decision is ONE hash aggregate —
+    * the winner per full-width span is `min(struct(id, idx))` under
+    * `groupBy(span)`, and tail tiles (which are all kept) get a
+    * per-row-unique group key so the same aggregate passes them
+    * through. Partially aggregatable with map-side combine, so a
+    * hyper-common span reduces on the mappers instead of sort-shuffling
+    * every occurrence onto one window task; the tiling explode is
+    * evaluated exactly once (no self-join back to pick the winner row —
+    * the min-struct already carries it). Reassembly state is per-doc
     * (`collect_list` bounded by doc length), never global. */
   def dedupSpans(docs: DataFrame, width: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -62,15 +66,14 @@ object Dedup {
           i => concat_ws(" ", slice(words, i * width + 1, lit(width))))))
       .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_span")
       .withColumn("_full", (col("_idx") + 1) * width <= col("_nw"))
-    val full = tiles.filter(col("_full"))
-    val winners = full.groupBy("_span")
+    // full tiles group per span (winner = min struct); tail tiles get a
+    // unique key (their own (id, idx)) so every one survives the agg
+    val kept = tiles
+      .groupBy(col("_full"), col("_span"),
+        when(!col("_full"), struct(col(idCol), col("_idx"))).as("_tk"))
       .agg(min(struct(col(idCol), col("_idx"))).as("_w"))
-      .select(col("_span"), col("_w")(idCol).as(idCol),
-        col("_w")("_idx").as("_idx"))
-    val kept = tiles.filter(!col("_full")).select(idCol, "_idx", "_span")
-      .unionByName(
-        full.select(idCol, "_idx", "_span")
-          .join(winners, Seq("_span", idCol, "_idx"), "left_semi"))
+      .select(col("_w")(idCol).as(idCol), col("_w")("_idx").as("_idx"),
+        col("_span"))
     kept.groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("_idx"), col("_span"))))
         .as("_a"))

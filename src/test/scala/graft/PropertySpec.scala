@@ -217,4 +217,51 @@ class PropertySpec extends AnyFunSuite {
       .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(repart.sorted.toSeq == buckets.sorted.toSeq)
   }
+
+  /** Sequential model of C4 span dedup: first (doc, idx) occurrence of
+    * each full-width span survives, tails always survive, docs whose
+    * every tile was removed drop out. */
+  private def spanModel(docs: Seq[(Long, String)], width: Int)
+      : Map[Long, String] = {
+    val tiles = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val n = ws.length
+      val nt = math.ceil(n.toDouble / width).toInt
+      (0 until nt).map { i =>
+        val span = ws.slice(i * width, math.min((i + 1) * width, n))
+          .mkString(" ")
+        (id, i, span, (i + 1) * width <= n)
+      }
+    }
+    val winners = tiles.filter(_._4).groupBy(_._3)
+      .map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSet
+    val kept = tiles.filter(t => !t._4 || winners(t))
+    kept.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.sortBy(_._2).map(_._3).mkString(" ")
+    }
+  }
+
+  test("span dedup matches the sequential first-occurrence model") {
+    for (width <- Seq(1, 3, 4); docs <- cases(docGen, 3)) {
+      val got = Dedup.dedupSpans(docs.toDF("doc_id", "text"), width)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == spanModel(docs, width), s"width=$width")
+    }
+  }
+
+  test("span dedup edge cases: exact duplicate doc, width > doc, empty-ish") {
+    // doc 2 duplicates doc 1 exactly (6 words = 2 full 3-tiles): every
+    // tile loses to doc 1, so doc 2 drops out entirely. doc 3 shares
+    // only its first tile with doc 1 and keeps its tail. doc 4 is
+    // shorter than the width: single tail tile, always kept verbatim.
+    val docs = Seq(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",
+      3L -> "a b c x y",
+      4L -> "solo pair")
+    val got = Dedup.dedupSpans(docs.toDF("doc_id", "text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b c d e f", 3L -> "x y", 4L -> "solo pair"))
+    assert(got == spanModel(docs, 3))
+  }
 }
