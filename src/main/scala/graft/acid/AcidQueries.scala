@@ -156,6 +156,22 @@ object AcidQueries {
       "FROM (VALUES (1, 10), (2, 20), (4, 140), (5, 50)) " +
       "AS t(obj_id, value) ORDER BY obj_id")((s, _) => mergeScenario(s)),
 
+    // the batch DSv2 front door (format("graft")): fixture documents
+    // committed in two versions (en then de), read back through the
+    // data-source path at head AND via versionAsOf time travel — the
+    // aggregate over each snapshot is recomputable by DuckDB from the
+    // fixture alone, so version pinning, the vectorized reader, and
+    // the time-travel file set are all hash-gated
+    "q51_dsv2_read" -> Q(
+      "SELECT 'head' AS snap, COUNT(*) AS c, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS chars " +
+      "FROM documents WHERE lang IN ('en', 'de') " +
+      "UNION ALL " +
+      "SELECT 'v1' AS snap, COUNT(*) AS c, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS chars " +
+      "FROM documents WHERE lang = 'en' " +
+      "ORDER BY snap")((s, dir) => dsv2Scenario(s, dir)),
+
     // the streaming change feed (DSv2 source over the commit log):
     // three insert commits + one silent compaction drained with
     // Trigger.AvailableNow — delivered rows and their versions are a
@@ -210,5 +226,29 @@ object AcidQueries {
       matchedUpdateCond = Some(col("s.value") >= 10))
     inst.commit(t2)
     inst.read().orderBy("obj_id")
+  }
+
+  /** Batch DSv2 scenario: fixture documents land in two commits (en at
+    * v1, de at v2); the head relation and a `versionAsOf 1` relation
+    * are aggregated side by side through `format("graft")`. */
+  def dsv2Scenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Engine.table(spark, dir, "documents")
+      .select(col("doc_id").as("obj_id"), col("lang"), col("n_chars"))
+    val tmp = Files.createTempDirectory("graft_acid_dsv2_").toUri.toString
+    val inst = VersionedTable.create(spark, tmp, docs.schema)
+    val t1 = inst.begin()
+    t1.insert(docs.filter(col("lang") === "en"))
+    inst.commit(t1)
+    val t2 = inst.begin()
+    t2.insert(docs.filter(col("lang") === "de"))
+    inst.commit(t2)
+    def agg(df: DataFrame, snap: String) = df
+      .agg(count(lit(1)).as("c"), sum("n_chars").as("chars"))
+      .select(lit(snap).as("snap"), col("c"), col("chars"))
+    val head = spark.read.format("graft").option("path", tmp).load()
+    val v1 = spark.read.format("graft").option("path", tmp)
+      .option("versionAsOf", 1).load()
+    agg(head, "head").unionByName(agg(v1, "v1")).orderBy("snap")
   }
 }

@@ -1,0 +1,408 @@
+package graft.acid
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, GenericInternalRow, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Batch DSv2 front door over a [[VersionedTable]] — the SQL-user
+  * counterpart of [[Instance.read]]/[[Instance.snapshot]] (reference:
+  * open_read at the transaction's snapshot CSN, instance.rs:126-134):
+  *
+  * {{{
+  *   spark.read.format("graft").option("path", root).load()
+  *   spark.read.format("graft").option("path", root)
+  *     .option("versionAsOf", 7).load()               // time travel
+  *   sql("CREATE TEMPORARY VIEW t USING graft OPTIONS (path '...')")
+  * }}}
+  *
+  * The version is pinned ONCE, at table resolution — every scan of the
+  * relation (re-used across a multi-stage plan, AQE re-optimization,
+  * retries) plans the same immutable manifest state, so a concurrent
+  * writer can never tear a query half-old/half-new: snapshot isolation
+  * at the plan level, the same guarantee `begin()` gives programmatic
+  * readers.
+  *
+  * Scale — the three prunings a 100 TB table needs all happen BEFORE
+  * any data file is opened, from manifest metadata alone:
+  *  - COLUMN pruning: Catalyst pushes the required schema down
+  *    ([[SupportsPushDownRequiredColumns]]); only those columns reach
+  *    the parquet reader.
+  *  - FILE skipping: pushed filters on `obj_id` consult the manifest's
+  *    per-file id-range stats (the id IS the address), filters on
+  *    Z-order cluster columns consult `colStats`, and filters on
+  *    hive-partition path columns compare against the `k=v` path
+  *    values — a point read on a clustered table opens O(1) of the
+  *    snapshot's files. Files with no stats entry are never skipped.
+  *  - ROW-GROUP skipping: the surviving filters are handed to Spark's
+  *    parquet reader, which prunes row groups by footer min/max.
+  *  All pushed filters are ALSO left in the plan for re-evaluation
+  *  (`pushFilters` returns them as residual), so skipping can only
+  *  drop provably-dead IO, never change results.
+  *
+  * Files are bin-packed into input partitions up to
+  * `spark.sql.files.maxPartitionBytes` (oversized files are split by
+  * range — parquet is splittable at row-group boundaries), and read by
+  * Spark's own vectorized parquet machinery: when every required type
+  * supports batches the reader streams [[ColumnarBatch]]es end to end
+  * (whole-stage codegen consumes them exactly as it does a native
+  * file scan), falling back to rows otherwise. */
+final class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft requires .option(\"path\", tableRoot)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val inst = VersionedTable.open(SparkSession.active, rootOf(options))
+    val v = GraftTableSource.resolveVersion(inst, options)
+    StructType.fromDDL(inst.stateAt(v)._2)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val root = rootOf(options)
+    val inst = VersionedTable.open(SparkSession.active, root)
+    // pin here: schema and every later scan agree on one version even
+    // if writers commit between resolution and execution
+    val v = GraftTableSource.resolveVersion(inst, options)
+    new GraftTable(root, v, StructType.fromDDL(inst.stateAt(v)._2),
+      timeTraveled = options.containsKey("versionAsOf"),
+      partitionByOpt = Option(options.get("partitionBy")))
+  }
+}
+
+private[acid] object GraftTableSource {
+  def resolveVersion(inst: Instance, options: CaseInsensitiveStringMap): Long =
+    Option(options.get("versionAsOf")) match {
+      case Some(s) =>
+        val v = s.trim.toLong
+        val head = inst.latestVersion
+        require(v >= 0 && v <= head,
+          s"versionAsOf $v out of range [0, $head] for ${inst.root}")
+        v
+      case None => inst.latestVersion
+    }
+
+  /** Hive `k=v` path segments of a staged file (raw, still escaped). */
+  def partPairs(rel: String): Seq[(String, String)] =
+    rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+    }
+
+  /** Decoded partition value in EXTERNAL Scala form (null for the hive
+    * default-partition marker), for comparing against filter literals. */
+  def partValue(raw: String, dt: DataType): Any = {
+    val s = ExternalCatalogUtils.unescapePathName(raw)
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else CatalystTypeConverters.convertToScala(
+      Cast(Literal(UTF8String.fromString(s), StringType), dt,
+        Option(SQLConf.get.sessionLocalTimeZone)).eval(null), dt)
+  }
+
+  /** Decoded partition value in CATALYST internal form (for the
+    * constant partition columns the reader appends to every row). */
+  def partValueInternal(raw: String, dt: DataType): Any = {
+    val s = ExternalCatalogUtils.unescapePathName(raw)
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
+  }
+
+  /** Does `range` (a file's min/max for some column) possibly satisfy
+    * the filter? Conservative: unknown shapes keep the file. */
+  def rangeMayMatch(f: sources.Filter, range: (Long, Long)): Boolean = {
+    val (lo, hi) = range
+    def asL(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo(_, v) => asL(v).forall(x => x >= lo && x <= hi)
+      case sources.In(_, vs) => vs.flatMap(asL(_)).exists(x => x >= lo && x <= hi)
+      case sources.GreaterThan(_, v) => asL(v).forall(hi > _)
+      case sources.GreaterThanOrEqual(_, v) => asL(v).forall(hi >= _)
+      case sources.LessThan(_, v) => asL(v).forall(lo < _)
+      case sources.LessThanOrEqual(_, v) => asL(v).forall(lo <= _)
+      case _ => true
+    }
+  }
+
+  /** Does a partition-path value satisfy the filter? `value` is the
+    * decoded external value (null = hive default partition). */
+  def partMayMatch(f: sources.Filter, value: Any): Boolean = f match {
+    case sources.EqualTo(_, v) => value != null && value == v
+    case sources.In(_, vs) => value != null && vs.contains(value)
+    case sources.IsNull(_) => value == null
+    case sources.IsNotNull(_) => value != null
+    case _ => true
+  }
+}
+
+private[acid] final class GraftTable(root: String, version: Long,
+    tableSchema: StructType, timeTraveled: Boolean = false,
+    partitionByOpt: Option[String] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"graft `$root` @v$version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.V1_BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, version, tableSchema)
+
+  /** Writes ride the V1 fallback ([[V1Write]]): the resolved input
+    * DataFrame maps onto the existing transactional machinery — one
+    * ACID commit per write, `mode("append")` = [[Txn.insert]] (or
+    * [[Txn.insertPartitioned]] under `.option("partitionBy", "a,b")`),
+    * `mode("overwrite")` / SQL `INSERT OVERWRITE` = [[Txn.truncate]] +
+    * insert in the SAME transaction (atomic replace; the pre-overwrite
+    * version stays time-travelable because copy-on-write never deletes
+    * bytes). Conflicts with concurrent writers surface as
+    * [[ConflictException]] exactly like programmatic commits. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (timeTraveled) throw new IllegalArgumentException(
+      s"cannot write to time-traveled snapshot $name — drop versionAsOf")
+    new GraftWriteBuilder(root, partitionByOpt)
+  }
+}
+
+private[acid] final class GraftWriteBuilder(root: String,
+    partitionByOpt: Option[String]) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        val inst = VersionedTable.open(data.sparkSession, root)
+        val txn = inst.begin()
+        if (overwrite) txn.truncate()
+        partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty) match {
+          case Some(cols) => txn.insertPartitioned(data, cols)
+          case None => txn.insert(data)
+        }
+        inst.commit(txn)
+      }
+  }
+}
+
+private[acid] final class GraftScanBuilder(root: String, version: Long,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var skipFilters: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve table column order (partition-constant columns must
+    // follow physical ones per layout; order is restored per reader)
+    required = StructType(tableSchema.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    // every filter is kept in the plan (returned = residual); the
+    // single-column ones drive manifest-stats / partition-path file
+    // skipping and parquet row-group pruning — monotone prunings that
+    // can only remove provably-dead IO
+    skipFilters = filters.filter(_.references.length == 1)
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = skipFilters
+
+  override def build(): Scan =
+    new GraftScan(root, version, tableSchema, required, skipFilters)
+}
+
+/** One bin-packed input split: files (or file ranges) sharing one
+  * partition-column layout, plus the pre-decoded partition row. */
+private[acid] final case class GraftInputPartition(
+    files: Seq[PartitionedFile], layout: Seq[String]) extends InputPartition
+
+private[acid] final class GraftScan(root: String, version: Long,
+    tableSchema: StructType, required: StructType,
+    filters: Array[sources.Filter]) extends Scan with Batch {
+
+  @transient private lazy val spark = SparkSession.active
+  @transient private lazy val inst = VersionedTable.open(spark, root)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val fs = if (filters.isEmpty) "" else
+      filters.mkString(" PushedFilters: [", ", ", "]")
+    s"graft $root @v$version$fs"
+  }
+
+  /** Snapshot file list after manifest-stats + partition-path skipping
+    * (exposed for plan assertions; computed once per scan). */
+  @transient lazy val prunedFiles: Seq[String] = {
+    val (files, _, stats, colStats) = inst.stateFullAt(version)
+    files.filter { rel =>
+      val parts = GraftTableSource.partPairs(rel).toMap
+      filters.forall { f =>
+        val c = f.references.head
+        if (parts.contains(c)) {
+          val dt = tableSchema.find(_.name == c).map(_.dataType)
+            .getOrElse(StringType)
+          GraftTableSource.partMayMatch(f,
+            GraftTableSource.partValue(parts(c), dt))
+        } else {
+          val range =
+            if (c == "obj_id") stats.get(rel)
+            else colStats.get(rel).flatMap(_.get(c))
+          range.forall(GraftTableSource.rangeMayMatch(f, _))
+        }
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    // file statuses on the bounded driver pool — on an object store
+    // each is a ~10ms RPC; serial statting would dominate planning
+    val statuses = inst.pooledMap(prunedFiles)(rel =>
+      rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
+    val byLayout = prunedFiles.groupBy(r =>
+      GraftTableSource.partPairs(r).map(_._1))
+    byLayout.toSeq.sortBy(_._1.mkString(",")).flatMap { case (layout, rels) =>
+      // required partition columns of this layout, in required order
+      val partFields = required.filter(f => layout.contains(f.name))
+      val chunks = rels.sorted.flatMap { rel =>
+        val pairs = GraftTableSource.partPairs(rel).toMap
+        val partRow = new GenericInternalRow(partFields.map(f =>
+          GraftTableSource.partValueInternal(pairs(f.name), f.dataType))
+          .toArray[Any])
+        val st = statuses(rel)
+        (0L until st.getLen by math.max(1L, maxSplit)).map { off =>
+          PartitionedFile(partRow, SparkPath.fromPath(st.getPath), off,
+            math.min(maxSplit, st.getLen - off), Array.empty,
+            st.getModificationTime, st.getLen)
+        }
+      }
+      // first-fit bin-pack (descending) up to maxSplit per partition —
+      // the same shape FileSourceScan's FilePartition packing produces
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(scala.collection.mutable.ArrayBuffer[PartitionedFile], Long)]
+      chunks.sortBy(-_.length).foreach { pf =>
+        bins.indexWhere(_._2 + pf.length <= maxSplit) match {
+          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(pf), pf.length))
+          case i => bins(i) = ((bins(i)._1 += pf, bins(i)._2 + pf.length))
+        }
+      }
+      bins.map(b => GraftInputPartition(b._1.toSeq, layout))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fmt = new ParquetFileFormat
+    val layouts = prunedFiles.map(r =>
+      GraftTableSource.partPairs(r).map(_._1)).distinct.map { layout =>
+      val partFields = StructType(required.filter(f => layout.contains(f.name)))
+      val fileSchema = StructType(required.filterNot(f => layout.contains(f.name)))
+      val physical = StructType(fileSchema ++ partFields)
+      val columnar = fmt.supportBatch(spark, physical)
+      // filters on physical columns reach the parquet reader for
+      // row-group skipping; partition-column filters were already
+      // applied file-level and must not be pushed into the file read
+      val fileFilters = filters.filter(f =>
+        fileSchema.fieldNames.contains(f.references.head)).toSeq
+      val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
+        partFields, fileSchema, fileFilters,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
+        spark.sessionState.newHadoopConf())
+      val order = required.map(f => physical.fieldIndex(f.name)).toArray
+      layout -> GraftLayoutReader(reader, physical, order, columnar)
+    }.toMap
+    new GraftReaderFactory(layouts)
+  }
+}
+
+private[acid] final case class GraftLayoutReader(
+    reader: PartitionedFile => Iterator[InternalRow],
+    physical: StructType, order: Array[Int], columnar: Boolean)
+
+private[acid] final class GraftReaderFactory(
+    layouts: Map[Seq[String], GraftLayoutReader])
+    extends PartitionReaderFactory {
+
+  // BatchScanExec requires a uniform answer across partitions
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    layouts.values.forall(_.columnar)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    val lr = layouts(gp.layout)
+    // physical (file ++ partition) columns -> required order, with a
+    // codegen'd projection built on the executor
+    val proj = UnsafeProjection.create(lr.order.map(i =>
+      BoundReference(i, lr.physical(i).dataType, nullable = true)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]))
+    // the prepared reader yields ColumnarBatch disguised as InternalRow
+    // when vectorized (the FileScanRDD contract) — erase the element
+    // type BEFORE any lambda binds it, or scalac's parameter cast
+    // fires ahead of the match
+    val rows: Iterator[InternalRow] =
+      gp.files.iterator.flatMap(f =>
+        lr.reader(f).asInstanceOf[Iterator[Any]]).flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case row: InternalRow => Iterator.single(row)
+      }.map(proj)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    val lr = layouts(gp.layout)
+    // zero-copy column reorder: wrap the reader's (file ++ partition)
+    // batch with its vectors permuted to the required order
+    val batches: Iterator[ColumnarBatch] =
+      gp.files.iterator.flatMap(f =>
+        lr.reader(f).asInstanceOf[Iterator[Any]]).map { r =>
+        val b = r.asInstanceOf[ColumnarBatch]
+        new ColumnarBatch(
+          lr.order.map(i => b.column(i)).toArray[ColumnVector], b.numRows())
+      }
+    new PartitionReader[ColumnarBatch] {
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { cur = batches.next(); true } else false
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
+}

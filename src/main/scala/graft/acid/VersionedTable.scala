@@ -2009,6 +2009,27 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     spillObjectsIfNeeded()
   }
 
+  /** Remove every row of the txn-local snapshot (SQL TRUNCATE): retires
+    * all current files as one metadata-only delta — copy-on-write keeps
+    * the bytes, so the pre-truncate version stays time-travelable.
+    * Conflict metadata is a saturated summary over the PRE-truncate id
+    * range: truncation logically touches every object that could exist
+    * in its snapshot, so any concurrent writer of an id in that range
+    * conflicts (the saturated bloom contains every id, the range gates
+    * it). A writer of brand-new ids OUTSIDE the range commutes with
+    * truncate — the history serializes as truncate-then-insert — and
+    * is deliberately allowed through. */
+  def truncate(): Unit = {
+    val (files, _, stats) = localState()
+    if (files.nonEmpty) {
+      retire(files)
+      val lo = if (stats.isEmpty) Long.MinValue else stats.values.map(_._1).min
+      val hi = if (stats.isEmpty) Long.MaxValue else stats.values.map(_._2).max
+      mergeSummary(ObjSummary(0L, lo, hi,
+        IdBloom.saturated(inst.conf.bloomBits)))
+    }
+  }
+
   /** A rewritten file that this transaction itself staged is dropped
     * from `added` (it was never published, so the manifest must not
     * list it as removed); only base-version files go to `removed`. */

@@ -1,0 +1,239 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Batch DSv2 source (`format("graft")`): snapshot reads with version
+  * pinning, time travel, column pruning, and manifest-stats file
+  * skipping — the SQL front door over the ACID table. */
+class BatchSourceSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft_batch_").toUri.toString
+
+  private def readGraft(root: String, version: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft").option("path", root)
+    version.foreach(v => r.option("versionAsOf", v))
+    r.load()
+  }
+
+  private def graftScan(df: DataFrame): GraftScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan:\n" +
+      df.queryExecution.executedPlan)
+    scans.head.asInstanceOf[GraftScan]
+  }
+
+  private def lifecycleTable(): (Instance, String) = {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t1) // v1
+    val t2 = inst.begin()
+    t2.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    inst.commit(t2) // v2
+    val t3 = inst.begin()
+    t3.delete(Seq(3L))
+    inst.commit(t3) // v3
+    (inst, dir)
+  }
+
+  test("head read equals Instance.read(); versionAsOf time-travels") {
+    val (inst, dir) = lifecycleTable()
+    def rows(df: DataFrame) = df.orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(readGraft(dir)) == rows(inst.read()))
+    assert(rows(readGraft(dir)) == Seq((1L, 10L), (2L, 200L)))
+    assert(rows(readGraft(dir, Some(1L))) == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(rows(readGraft(dir, Some(2L))) == Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+    // out-of-range version fails loudly
+    val e = intercept[Exception](readGraft(dir, Some(99L)).collect())
+    assert(e.getMessage.contains("out of range"))
+  }
+
+  test("SQL front door: CREATE TEMPORARY VIEW USING graft, with time travel") {
+    val (_, dir) = lifecycleTable()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_head USING graft " +
+      s"OPTIONS (path '$dir')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_v1 USING graft " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    val head = spark.sql(
+      "SELECT sum(value) AS s, count(*) AS n FROM graft_head").head()
+    assert((head.getLong(0), head.getLong(1)) == (210L, 2L))
+    val v1 = spark.sql(
+      "SELECT sum(value) AS s, count(*) AS n FROM graft_v1").head()
+    assert((v1.getLong(0), v1.getLong(1)) == (60L, 3L))
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val (_, dir) = lifecycleTable()
+    val df = readGraft(dir).select("value")
+    assert(graftScan(df).readSchema().fieldNames.toSeq == Seq("value"))
+    assert(df.orderBy("value").collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 200L))
+  }
+
+  test("obj_id point read skips files via manifest stats") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    // four commits with disjoint id ranges -> four files with stats
+    (0 until 4).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 100).map(j =>
+        (i * 100L + j, i * 100L + j)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val all = readGraft(dir)
+    assert(graftScan(all).prunedFiles.size == 4)
+    val point = readGraft(dir).filter(col("obj_id") === 250L)
+    val scan = graftScan(point)
+    assert(scan.prunedFiles.size == 1, s"expected 1 file, got ${scan.prunedFiles}")
+    assert(point.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((250L, 250L)))
+    // range filter prunes to the overlapping files only
+    val range = readGraft(dir).filter(col("obj_id") >= 150L && col("obj_id") < 320L)
+    assert(graftScan(range).prunedFiles.size == 3) // [100,199] [200,299] [300,399]
+    assert(range.count() == 170L)
+  }
+
+  test("secondary Z-order colStats prune point reads after compaction") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t = inst.begin()
+    // value anti-correlated with obj_id so only a secondary index helps
+    t.insert((0 until 400).map(i => (i.toLong, 399L - i)).toDF("obj_id", "value"))
+    inst.commit(t)
+    assert(inst.compact(targetFiles = 4, clusterBy = Seq("obj_id", "value")) > 0)
+    val point = readGraft(dir).filter(col("value") === 7L)
+    val scan = graftScan(point)
+    assert(scan.prunedFiles.size < 4,
+      s"colStats should prune, got ${scan.prunedFiles}")
+    assert(point.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((392L, 7L)))
+  }
+
+  test("partition-path filters skip files; partition columns rebuilt per row") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "obj_id BIGINT, lang STRING, value BIGINT"))
+    val t = inst.begin()
+    t.insertPartitioned(
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L))
+        .toDF("obj_id", "lang", "value"),
+      partitionBy = Seq("lang"))
+    inst.commit(t)
+    val en = readGraft(dir).filter(col("lang") === "en")
+    val scan = graftScan(en)
+    assert(scan.prunedFiles.nonEmpty &&
+      scan.prunedFiles.forall(_.contains("lang=en")),
+      s"partition skipping failed: ${scan.prunedFiles}")
+    assert(en.orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "en", 10L), (3L, "en", 30L)))
+    // IN + IsNotNull shapes prune too; unsupported shapes keep files
+    val two = readGraft(dir).filter(col("lang").isin("en", "fr"))
+    assert(graftScan(two).prunedFiles.forall(f =>
+      f.contains("lang=en") || f.contains("lang=fr")))
+    assert(two.count() == 3L)
+  }
+
+  test("residual filters re-evaluate exactly (skipping is IO-only)") {
+    val (_, dir) = lifecycleTable()
+    // value has no stats index -> no file skipped, rows still exact
+    val df = readGraft(dir).filter(col("value") > 50L)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 200L)))
+  }
+
+  test("version pinned at resolution: concurrent commit invisible to the relation") {
+    val (inst, dir) = lifecycleTable()
+    val df = readGraft(dir) // resolves + pins v3
+    val t = inst.begin()
+    t.insert(Seq((9L, 90L)).toDF("obj_id", "value"))
+    inst.commit(t) // v4
+    assert(df.count() == 2L) // still the v3 snapshot
+    assert(readGraft(dir).count() == 3L) // a fresh relation sees v4
+  }
+
+  test("write path: append and overwrite are single ACID commits") {
+    val (inst, dir) = lifecycleTable() // v3 head: (1,10),(2,200)
+    Seq((7L, 70L)).toDF("obj_id", "value")
+      .write.format("graft").option("path", dir).mode("append").save()
+    assert(inst.latestVersion == 4L)
+    assert(readGraft(dir).count() == 3L)
+    // overwrite = truncate + insert in ONE transaction / ONE version
+    Seq((100L, 1L), (101L, 2L)).toDF("obj_id", "value")
+      .write.format("graft").option("path", dir).mode("overwrite").save()
+    assert(inst.latestVersion == 5L)
+    assert(readGraft(dir).orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((100L, 1L), (101L, 2L)))
+    // the pre-overwrite state stays time-travelable (CoW keeps bytes)
+    assert(readGraft(dir, Some(4L)).count() == 3L)
+  }
+
+  test("write path: SQL INSERT INTO the view; time-traveled views reject writes") {
+    val (_, dir) = lifecycleTable()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_w USING graft " +
+      s"OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft_w VALUES (8, 80)")
+    assert(readGraft(dir).count() == 3L)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_w1 USING graft " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    val e = intercept[Exception](spark.sql("INSERT INTO graft_w1 VALUES (9, 90)"))
+    assert(e.getMessage.contains("time-traveled"))
+  }
+
+  test("write path: partitionBy option stages hive layout, reads prune on it") {
+    val dir = freshDir()
+    VersionedTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "obj_id BIGINT, lang STRING, value BIGINT"))
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("obj_id", "lang", "value")
+      .write.format("graft").option("path", dir)
+      .option("partitionBy", "lang").mode("append").save()
+    val en = readGraft(dir).filter(col("lang") === "en")
+    assert(graftScan(en).prunedFiles.forall(_.contains("lang=en")))
+    assert(en.count() == 2L)
+  }
+
+  test("overwrite conflicts with concurrent writers of snapshot ids") {
+    val (inst, dir) = lifecycleTable()
+    val t = inst.begin()
+    t.insert(Seq((2L, 999L)).toDF("obj_id", "value")) // id 2 exists
+    // overwrite commits first; the interleaved write of a snapshot id
+    // must conflict (saturated bloom over the pre-truncate range)
+    Seq((200L, 2L)).toDF("obj_id", "value")
+      .write.format("graft").option("path", dir).mode("overwrite").save()
+    intercept[ConflictException](inst.commit(t))
+  }
+
+  test("columnar path active for atomic schemas; schema evolution time-travels") {
+    val (inst, dir) = lifecycleTable()
+    val df = readGraft(dir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.head.supportsColumnar,
+      "vectorized read path should be active for flat long columns")
+    // evolve: add a column at v4; old version still reads old schema
+    val t = inst.begin()
+    t.evolveSchema()
+    t.insert(Seq((5L, 50L, "x")).toDF("obj_id", "value", "tag"))
+    inst.commit(t)
+    assert(readGraft(dir).columns.toSeq == Seq("obj_id", "value", "tag"))
+    assert(readGraft(dir, Some(3L)).columns.toSeq == Seq("obj_id", "value"))
+  }
+}
