@@ -31,6 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.read.format("graft").option("path", root).load()
   *   spark.read.format("graft").option("path", root)
   *     .option("versionAsOf", 7).load()               // time travel
+  *   spark.read.format("graft").option("path", root)
+  *     .option("timestampAsOf", "2026-08-13T05:00:00Z").load()
   *   sql("CREATE TEMPORARY VIEW t USING graft OPTIONS (path '...')")
   * }}}
   *
@@ -89,21 +91,37 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     // if writers commit between resolution and execution
     val v = GraftTableSource.resolveVersion(inst, options)
     new GraftTable(root, v, StructType.fromDDL(inst.stateAt(v)._2),
-      timeTraveled = options.containsKey("versionAsOf"),
+      timeTraveled = options.containsKey("versionAsOf") ||
+        options.containsKey("timestampAsOf"),
       partitionByOpt = Option(options.get("partitionBy")))
   }
 }
 
 private[acid] object GraftTableSource {
   def resolveVersion(inst: Instance, options: CaseInsensitiveStringMap): Long =
-    Option(options.get("versionAsOf")) match {
-      case Some(s) =>
+    (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(s), None) =>
         val v = s.trim.toLong
         val head = inst.latestVersion
         require(v >= 0 && v <= head,
           s"versionAsOf $v out of range [0, $head] for ${inst.root}")
         v
-      case None => inst.latestVersion
+      case (None, Some(s)) => inst.versionAtTimestamp(parseTimestamp(s.trim))
+      case (None, None) => inst.latestVersion
+    }
+
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
+    * (`2026-08-13T05:00:00Z`), or the SQL form
+    * (`2026-08-13 05:00:00[.fff]`, session-zone-free: interpreted as
+    * the JVM default zone, same as `java.sql.Timestamp.valueOf`). */
+  def parseTimestamp(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(s).getTime
     }
 
   /** Hive `k=v` path segments of a staged file (raw, still escaped). */

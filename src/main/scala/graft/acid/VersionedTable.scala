@@ -96,7 +96,8 @@ object VersionedTable {
       allFiles: Seq[String],
       stats: Map[String, (Long, Long)] = Map.empty,
       objSummary: Option[ObjSummary] = None,
-      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      tsMillis: Long = 0L)
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -136,7 +137,8 @@ object VersionedTable {
         s""""cstatsMax":${arrL(cstatKeys.map(_._4))},"""
     val payload =
       s"""{"formatVersion":$FormatVersion,""" +
-      s""""version":${m.version},"tsn":${m.tsn},"schemaDDL":"${esc(m.schemaDDL)}",""" +
+      s""""version":${m.version},"tsn":${m.tsn},""" +
+      s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
       summary + cstats +
@@ -256,7 +258,12 @@ object VersionedTable {
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
       longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
-      stats, summary, colStats)
+      stats, summary, colStats,
+      // additive wall-clock commit stamp (no FormatVersion bump: a
+      // reader without it only loses timestamp time travel); absent
+      // in legacy manifests -> 0 = "unknown, infinitely old"
+      tsMillis = if (s.contains("\"tsMillis\":")) rawField("tsMillis").toLong
+        else 0L)
   }
 
   /** One-time datastore initialization (reference:
@@ -269,7 +276,8 @@ object VersionedTable {
     fs.mkdirs(new Path(path, "_manifests"))
     val inst = new Instance(spark, path, conf)
     if (!inst.publish(Manifest(0L, 0L, schema.toDDL, Nil, Nil, Nil,
-        checkpoint = true, allFiles = Nil)))
+        checkpoint = true, allFiles = Nil,
+        tsMillis = System.currentTimeMillis())))
       throw new IllegalStateException(
         s"datastore already initialized at $path (v0 manifest exists)")
     inst.writeHead(0L)
@@ -755,10 +763,41 @@ final class Instance(val spark: SparkSession, val root: String,
       val m = readManifest(v)
       (m.version, m.tsn, m.added.size.toLong, m.removed.size.toLong,
         m.objSummary.map(_.count).getOrElse(m.objects.size.toLong),
-        m.checkpoint)
+        m.checkpoint, m.tsMillis)
     }
     rows.toDF("version", "tsn", "n_added_files", "n_removed_files",
-      "n_objects", "checkpoint")
+        "n_objects", "checkpoint", "ts_millis")
+      .withColumn("timestamp",
+        org.apache.spark.sql.functions.timestamp_millis(col("ts_millis")))
+  }
+
+  /** Latest version whose commit wall-clock stamp is <= `tsMillis` —
+    * the resolution behind `timestampAsOf` time travel. Walks the log
+    * BACKWARD from `latestVersion` in pooled chunks, so a recent
+    * target reads O(commits-since-target) manifests, not the whole
+    * log. Commit stamps come from writer clocks: with skewed
+    * concurrent writers the result is the latest such commit in
+    * COMMIT order (the same contract Delta documents). Legacy
+    * manifests without a stamp read as 0 ("infinitely old"), so
+    * timestamp travel over a pre-stamp prefix resolves to its newest
+    * version rather than failing. */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val head = latestVersion
+    var hi = head
+    while (hi >= 0) {
+      val lo = math.max(0L, hi - 63)
+      val chunk = pooledMap((lo to hi).toSeq)(v =>
+        v -> readManifest(v).tsMillis)
+      chunk.sortBy(-_._1).collectFirst {
+        case (v, ts) if ts <= tsMillis => v
+      } match {
+        case Some(v) => return v
+        case None => hi = lo - 1
+      }
+    }
+    throw new IllegalArgumentException(
+      s"timestampAsOf $tsMillis is before the table's earliest commit " +
+      s"(${readManifest(0L).tsMillis}) at $root")
   }
 
   /** Row-level change data feed for the commit interval `(fromV, toV]`
@@ -1142,7 +1181,8 @@ final class Instance(val spark: SparkSession, val root: String,
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, objList,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
-        objSummary = objSum, colStats = ckptColStats)
+        objSummary = objSum, colStats = ckptColStats,
+        tsMillis = System.currentTimeMillis())
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a

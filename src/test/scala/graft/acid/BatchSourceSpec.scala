@@ -167,6 +167,38 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(readGraft(dir).count() == 3L) // a fresh relation sees v4
   }
 
+  test("timestampAsOf time travel resolves by commit wall-clock") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    (1 to 3).foreach { i =>
+      Thread.sleep(15) // force distinct commit stamps
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    val ts = inst.history().orderBy("version").collect()
+      .map(_.getAs[Long]("ts_millis"))
+    assert(ts.length == 4 && ts.sliding(2).forall(p => p(0) < p(1)),
+      s"expected strictly increasing stamps, got ${ts.toSeq}")
+    def cnt(t: Long) = spark.read.format("graft").option("path", dir)
+      .option("timestampAsOf", t).load().count()
+    assert(cnt(ts(1)) == 1L) // exactly v1's stamp
+    assert(cnt(ts(2)) == 2L)
+    assert(cnt(ts(3) + 60000L) == 3L) // after head -> head
+    assert(cnt((ts(1) + ts(2)) / 2) == 1L) // between commits -> earlier
+    val e = intercept[Exception](cnt(ts(0) - 60000L))
+    assert(e.getMessage.contains("before the table's earliest commit"))
+    // ISO instant form parses too
+    val iso = java.time.Instant.ofEpochMilli(ts(2)).toString
+    assert(spark.read.format("graft").option("path", dir)
+      .option("timestampAsOf", iso).load().count() == 2L)
+    // mutually exclusive with versionAsOf
+    val e2 = intercept[Exception](spark.read.format("graft")
+      .option("path", dir).option("versionAsOf", 1)
+      .option("timestampAsOf", ts(1)).load())
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("write path: append and overwrite are single ACID commits") {
     val (inst, dir) = lifecycleTable() // v3 head: (1,10),(2,200)
     Seq((7L, 70L)).toDF("obj_id", "value")

@@ -34,7 +34,9 @@ class ManifestSpec extends AnyFunSuite {
     all <- Gen.listOf(Gen.identifier)
     stats <- Gen.mapOf(Gen.zip(Gen.identifier,
       Gen.zip(Gen.choose(0L, 1000L), Gen.choose(1000L, 2000L))))
-  } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats)
+    ts <- Gen.choose(0L, Long.MaxValue)
+  } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats,
+    tsMillis = ts)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
@@ -88,5 +90,8 @@ class ManifestSpec extends AnyFunSuite {
     val m = fromJson(legacy)
     assert(m.version == 5 && m.tsn == 9 && m.added == Seq("d/f.parquet"))
     assert(m.stats.isEmpty)
+    // pre-stamp manifests read as tsMillis=0 ("infinitely old"), so
+    // timestamp travel over a legacy prefix resolves instead of failing
+    assert(m.tsMillis == 0L)
   }
 }
