@@ -166,6 +166,10 @@ object Dedup {
       k: Int = 3, tau: Double = 0.5,
       orderByDf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ds is consumed by the prefix and the verify joins; it is NOT
+    // materialized — re-running the codegen shingle hash is cheaper
+    // than writing the wide hash arrays (measured: a localCheckpoint
+    // here costs ~10% on both keys)
     val ds = docShingles(docs, idCol, textCol, k)
     // ceil(n*tau) must be the RATIONAL ceiling: for taus not exactly
     // representable in binary (0.9*10 evaluates to 9.000000000000002,
@@ -189,11 +193,18 @@ object Dedup {
         val ex = ds.select(col("id"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
         val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        // the ranked prefix is consumed twice by the candidate
+        // self-join below; without a cut each side re-runs the whole
+        // explode -> dfreq-join -> window chain (4-5 subtree
+        // evaluations end to end). localCheckpoint materializes the
+        // narrow (id, s) prefix once — same bounded-lineage pattern
+        // as Instance.changes()
         ex.join(dfreq, "s")
           .withColumn("pos", row_number().over(
             Window.partitionBy("id").orderBy(col("df"), col("s"))))
           .filter(col("pos") <= col("n") - overlapCeil(col("n")) + lit(1))
           .select("id", "s")
+          .localCheckpoint()
       }
     val cand = prefix.select(col("id").as("id_a"), col("s"))
       .join(prefix.select(col("id").as("id_b"), col("s")), "s")
