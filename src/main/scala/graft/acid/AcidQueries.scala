@@ -172,6 +172,21 @@ object AcidQueries {
       "FROM documents WHERE lang = 'en' " +
       "ORDER BY snap")((s, dir) => dsv2Scenario(s, dir)),
 
+    // the SQL catalog front door: CTAS from the fixture, INSERT,
+    // point DELETE, and VERSION AS OF — every statement pure SQL
+    // through a GraftCatalog, every aggregate recomputable by DuckDB
+    // from the fixture alone
+    "q52_sql_catalog" -> Q(
+      "SELECT 'head' AS snap, COUNT(*) AS c, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS chars " +
+      "FROM documents WHERE lang IN ('en', 'de') " +
+      "AND doc_id <> (SELECT MIN(doc_id) FROM documents WHERE lang = 'en') " +
+      "UNION ALL " +
+      "SELECT 'v1' AS snap, COUNT(*) AS c, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS chars " +
+      "FROM documents WHERE lang = 'en' " +
+      "ORDER BY snap")((s, dir) => sqlCatalogScenario(s, dir)),
+
     // the streaming change feed (DSv2 source over the commit log):
     // three insert commits + one silent compaction drained with
     // Trigger.AvailableNow — delivered rows and their versions are a
@@ -226,6 +241,35 @@ object AcidQueries {
       matchedUpdateCond = Some(col("s.value") >= 10))
     inst.commit(t2)
     inst.read().orderBy("obj_id")
+  }
+
+  /** SQL-catalog scenario: a uniquely-named [[GraftCatalog]] per run
+    * (catalog instances cache by name for the session's lifetime, and
+    * the bench invokes this several times), then CTAS -> INSERT ->
+    * point DELETE -> head + VERSION AS OF aggregates, all spark.sql. */
+  def sqlCatalogScenario(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq52$tag"
+    val wh = Files.createTempDirectory("graft_wh_q52_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"docs_src_$tag"
+    graft.Engine.table(spark, dir, "documents").createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE $cat.corpus.docs AS " +
+      s"SELECT doc_id AS obj_id, lang, n_chars FROM $src WHERE lang = 'en'")
+    spark.sql(s"INSERT INTO $cat.corpus.docs " +
+      s"SELECT doc_id, lang, n_chars FROM $src WHERE lang = 'de'")
+    val minEn = spark.sql(
+      s"SELECT MIN(doc_id) FROM $src WHERE lang = 'en'").head().getLong(0)
+    spark.sql(s"DELETE FROM $cat.corpus.docs WHERE obj_id = $minEn")
+    spark.sql(
+      s"SELECT 'head' AS snap, COUNT(*) AS c, SUM(n_chars) AS chars " +
+      s"FROM $cat.corpus.docs " +
+      "UNION ALL " +
+      s"SELECT 'v1' AS snap, COUNT(*) AS c, SUM(n_chars) AS chars " +
+      s"FROM $cat.corpus.docs VERSION AS OF 1 " +
+      "ORDER BY snap")
   }
 
   /** Batch DSv2 scenario: fixture documents land in two commits (en at

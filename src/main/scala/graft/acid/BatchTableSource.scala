@@ -172,6 +172,42 @@ private[acid] object GraftTableSource {
     }
   }
 
+  /** What a SQL DELETE's filter set pins exactly, or None when the
+    * shape is unsupported (arbitrary predicates belong to
+    * [[Txn.deleteMatching]]/MERGE, never a silent full rewrite):
+    * Some(None) = unconditional full delete (truncate);
+    * Some(Some(ids)) = the intersection of conjunctive EqualTo/In
+    * constraints on `obj_id`. */
+  def deletePlan(filters: Array[sources.Filter]): Option[Option[Seq[Long]]] = {
+    def asL(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    var sets = List.empty[Set[Long]]
+    filters.foreach {
+      case sources.EqualTo("obj_id", v) => asL(v) match {
+        case Some(x) => sets ::= Set(x)
+        case None => return None
+      }
+      case sources.EqualNullSafe("obj_id", v) => asL(v) match {
+        case Some(x) => sets ::= Set(x)
+        case None => return None
+      }
+      case sources.In("obj_id", vs) =>
+        val ls = vs.toSeq.map(asL)
+        if (ls.exists(_.isEmpty)) return None
+        sets ::= ls.flatten.toSet
+      case sources.IsNotNull("obj_id") => ()
+      case _: sources.AlwaysTrue => ()
+      case _ => return None
+    }
+    if (sets.isEmpty) Some(None) // no constraint: delete everything
+    else Some(Some(sets.reduce(_ intersect _).toSeq.sorted))
+  }
+
   /** Does a partition-path value satisfy the filter? `value` is the
     * decoded external value (null = hive default partition). */
   def partMayMatch(f: sources.Filter, value: Any): Boolean = f match {
@@ -187,7 +223,9 @@ private[acid] final class GraftTable(root: String, version: Long,
     tableSchema: StructType, timeTraveled: Boolean = false,
     partitionByOpt: Option[String] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.sources.InsertableRelation {
   override def name(): String = s"graft `$root` @v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -196,6 +234,33 @@ private[acid] final class GraftTable(root: String, version: Long,
       TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, version, tableSchema)
+
+  /** SQL `TRUNCATE TABLE`: one metadata-only ACID commit; the
+    * pre-truncate version stays time-travelable. */
+  override def truncateTable(): Boolean = {
+    if (timeTraveled) throw new IllegalArgumentException(
+      s"cannot write to time-traveled snapshot ${name()}")
+    val inst = VersionedTable.open(SparkSession.active, root)
+    val txn = inst.begin()
+    txn.truncate()
+    inst.commit(txn)
+    true
+  }
+
+  // InsertableRelation makes this table its OWN V1 write fallback, so
+  // the same code path serves DataFrame writes and catalog INSERTs
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    val inst = VersionedTable.open(data.sparkSession, root)
+    val txn = inst.begin()
+    if (overwrite) txn.truncate()
+    partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) match {
+      case Some(cols) => txn.insertPartitioned(data, cols)
+      case None => txn.insert(data)
+    }
+    inst.commit(txn)
+  }
 
   /** Writes ride the V1 fallback ([[V1Write]]): the resolved input
     * DataFrame maps onto the existing transactional machinery — one
@@ -209,27 +274,41 @@ private[acid] final class GraftTable(root: String, version: Long,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (timeTraveled) throw new IllegalArgumentException(
       s"cannot write to time-traveled snapshot $name — drop versionAsOf")
-    new GraftWriteBuilder(root, partitionByOpt)
+    new GraftWriteBuilder(this)
+  }
+
+  /** SQL `DELETE FROM t WHERE ...` for the shapes the manifest index
+    * serves exactly: equality / IN on `obj_id` (optionally AND-ed), or
+    * no predicate at all (= truncate). Arbitrary predicates are
+    * declined — they belong to [[Txn.deleteMatching]] or a MERGE, not
+    * a silent full rewrite. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    GraftTableSource.deletePlan(filters).isDefined
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    if (timeTraveled) throw new IllegalArgumentException(
+      s"cannot write to time-traveled snapshot ${name()}")
+    val plan = GraftTableSource.deletePlan(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported DELETE predicate ${filters.mkString(", ")}: only " +
+        "obj_id = k / obj_id IN (...) deletes are supported in SQL"))
+    val inst = VersionedTable.open(SparkSession.active, root)
+    val txn = inst.begin()
+    plan match {
+      case Some(ids) => txn.delete(ids)
+      case None => txn.truncate()
+    }
+    inst.commit(txn)
   }
 }
 
-private[acid] final class GraftWriteBuilder(root: String,
-    partitionByOpt: Option[String]) extends WriteBuilder with SupportsTruncate {
+private[acid] final class GraftWriteBuilder(table: GraftTable)
+    extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-        val inst = VersionedTable.open(data.sparkSession, root)
-        val txn = inst.begin()
-        if (overwrite) txn.truncate()
-        partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-          .filter(_.nonEmpty) match {
-          case Some(cols) => txn.insertPartitioned(data, cols)
-          case None => txn.insert(data)
-        }
-        inst.commit(txn)
-      }
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
+        table.insert(data, overwrite)
   }
 }
 

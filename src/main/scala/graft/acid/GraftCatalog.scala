@@ -1,0 +1,211 @@
+package graft.acid
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark SQL catalog over a warehouse directory of [[VersionedTable]]s
+  * — the full-SQL front door (the DSv2 relation is [[GraftTable]], so
+  * every catalog table reads pruned/vectorized and writes as one ACID
+  * commit):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/graft")
+  *
+  *   sql("CREATE TABLE graft.corpus.docs (obj_id BIGINT, lang STRING, " +
+  *       "text STRING) PARTITIONED BY (lang)")
+  *   sql("INSERT INTO graft.corpus.docs SELECT ...")
+  *   sql("SELECT * FROM graft.corpus.docs WHERE lang = 'en'")
+  *   sql("SELECT * FROM graft.corpus.docs VERSION AS OF 3")
+  *   sql("SELECT * FROM graft.corpus.docs TIMESTAMP AS OF '2026-08-13'")
+  *   sql("DELETE FROM graft.corpus.docs WHERE obj_id = 42")
+  *   sql("TRUNCATE TABLE graft.corpus.docs")
+  * }}}
+  *
+  * Layout: `warehouse/ns1[/ns2...]/tableName` is one table root
+  * (recognized by its `_manifests` dir); any other directory is a
+  * namespace. `PARTITIONED BY` columns (identity transforms only) are
+  * recorded in `_catalog.json` at create time so every later INSERT
+  * stages the hive `k=v` layout and reads prune on the partition
+  * columns. All DDL here is driver-side metadata — O(1) RPCs plus one
+  * [[VersionedTable.create]]/delete — never a data scan. */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  @transient private lazy val fs: FileSystem =
+    warehouse.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  private def tablePath(ident: Identifier): Path =
+    new Path((warehouse.toString +: ident.namespace().toSeq :+ ident.name())
+      .mkString("/"))
+
+  private def nsPath(ns: Seq[String]): Path =
+    if (ns.isEmpty) warehouse
+    else new Path((warehouse.toString +: ns).mkString("/"))
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_manifests"))
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  private def graftTable(ident: Identifier, version: Long,
+      timeTraveled: Boolean): GraftTable = {
+    val root = tablePath(ident).toString
+    val inst = VersionedTable.open(SparkSession.active, root)
+    new GraftTable(root, version,
+      StructType.fromDDL(inst.stateAt(version)._2), timeTraveled,
+      partitionByOpt = readPartitionBy(ident))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val inst = VersionedTable.open(SparkSession.active,
+      tablePath(ident).toString)
+    graftTable(ident, inst.latestVersion, timeTraveled = false)
+  }
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    graftTable(ident, version.trim.toLong, timeTraveled = true)
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val inst = VersionedTable.open(SparkSession.active,
+      tablePath(ident).toString)
+    graftTable(ident, inst.versionAtTimestamp(timestampMicros / 1000L),
+      timeTraveled = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references()(0).fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft tables support only identity partitioning, got $t")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    val root = tablePath(ident)
+    fs.mkdirs(root.getParent)
+    VersionedTable.create(SparkSession.active, root.toString, schema)
+    if (partCols.nonEmpty) {
+      val out = fs.create(new Path(root, "_catalog.json"), false)
+      out.write(s"""{"partitionBy":"${partCols.mkString(",")}"}"""
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    graftTable(ident, 0L, timeTraveled = false)
+  }
+
+  private def readPartitionBy(ident: Identifier): Option[String] = {
+    val p = new Path(tablePath(ident), "_catalog.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val m = """"partitionBy":"([^"]*)"""".r.findFirstMatchIn(s)
+      m.map(_.group(1)).filter(_.nonEmpty)
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; evolve the schema through " +
+      "Txn.evolveSchema on an explicit transaction")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(tablePath(newIdent).getParent)
+    if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
+      throw new IllegalStateException(
+        s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).sortBy(_.mkString)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName).sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace.toSeq)) && !isTableDir(nsPath(namespace.toSeq)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace.toSeq))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) false
+    else {
+      val dir = nsPath(namespace.toSeq)
+      if (!cascade && fs.listStatus(dir).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(dir, true)
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** SQL catalog over a warehouse of versioned tables: DDL + DML +
+  * time travel, all through `spark.sql` — the full-SQL user surface. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = Engine.session("4")
+    val wh = Files.createTempDirectory("graft_wh_").toUri.toString
+    s.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE / INSERT / SELECT / DROP round-trip through pure SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.corpus")
+    sql("CREATE TABLE gcat.corpus.t1 (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.corpus.t1 VALUES (1, 10), (2, 20)")
+    sql("INSERT INTO gcat.corpus.t1 VALUES (3, 30)")
+    assert(sql("SELECT sum(value) FROM gcat.corpus.t1").head().getLong(0) == 60L)
+    assert(sql("SHOW TABLES IN gcat.corpus").collect()
+      .map(_.getString(1)).toSeq.contains("t1"))
+    // duplicate create fails; IF NOT EXISTS doesn't
+    intercept[Exception](
+      sql("CREATE TABLE gcat.corpus.t1 (obj_id BIGINT, value BIGINT)"))
+    sql("CREATE TABLE IF NOT EXISTS gcat.corpus.t1 (obj_id BIGINT, value BIGINT)")
+    sql("DROP TABLE gcat.corpus.t1")
+    assert(!sql("SHOW TABLES IN gcat.corpus").collect()
+      .map(_.getString(1)).toSeq.contains("t1"))
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.tt")
+    sql("CREATE TABLE gcat.tt.t (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.tt.t VALUES (1, 10)")
+    Thread.sleep(15)
+    sql("INSERT INTO gcat.tt.t VALUES (2, 20)")
+    assert(sql("SELECT count(*) FROM gcat.tt.t").head().getLong(0) == 2L)
+    assert(sql("SELECT count(*) FROM gcat.tt.t VERSION AS OF 1")
+      .head().getLong(0) == 1L)
+    val warehouse = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val inst = VersionedTable.open(spark, warehouse + "/tt/t")
+    val ts1 = inst.history().filter(org.apache.spark.sql.functions
+      .col("version") === 1).head().getAs[Long]("ts_millis")
+    val lit = new java.sql.Timestamp(ts1).toString
+    assert(sql(s"SELECT count(*) FROM gcat.tt.t TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) == 1L)
+    // time-traveled relations reject writes
+    val e = intercept[Exception](
+      sql("INSERT INTO gcat.tt.t VERSION AS OF 1 VALUES (9, 90)"))
+    assert(e.getMessage.toLowerCase.contains("time") ||
+      e.getMessage.contains("VERSION"))
+  }
+
+  test("PARTITIONED BY stages hive layout; INSERT OVERWRITE; DELETE; TRUNCATE") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.part")
+    sql("CREATE TABLE gcat.part.docs (obj_id BIGINT, lang STRING, " +
+      "value BIGINT) PARTITIONED BY (lang)")
+    sql("INSERT INTO gcat.part.docs VALUES (1, 'en', 10), (2, 'de', 20), " +
+      "(3, 'en', 30)")
+    // partition pruning flows through the catalog table's scan
+    val en = sql("SELECT * FROM gcat.part.docs WHERE lang = 'en'")
+    val scans = en.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.head.prunedFiles.nonEmpty &&
+      scans.head.prunedFiles.forall(_.contains("lang=en")))
+    assert(en.count() == 2L)
+    // SQL point DELETE rides the manifest index
+    sql("DELETE FROM gcat.part.docs WHERE obj_id = 1")
+    assert(sql("SELECT count(*) FROM gcat.part.docs").head().getLong(0) == 2L)
+    // arbitrary-predicate DELETE is declined loudly, not rewritten
+    intercept[Exception](sql("DELETE FROM gcat.part.docs WHERE value > 5"))
+    // INSERT OVERWRITE = truncate + insert in one commit
+    sql("INSERT OVERWRITE gcat.part.docs VALUES (7, 'fr', 70)")
+    assert(sql("SELECT * FROM gcat.part.docs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((7L, "fr", 70L)))
+    sql("TRUNCATE TABLE gcat.part.docs")
+    assert(sql("SELECT count(*) FROM gcat.part.docs").head().getLong(0) == 0L)
+    // history is intact: pre-truncate version still readable
+    assert(sql("SELECT count(*) FROM gcat.part.docs VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+  }
+
+  test("CTAS, rename, and namespace listing") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.misc")
+    sql("CREATE TABLE gcat.misc.src (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.misc.src VALUES (1, 1), (2, 4), (3, 9)")
+    sql("CREATE TABLE gcat.misc.squares AS " +
+      "SELECT obj_id, value * value AS value FROM gcat.misc.src")
+    assert(sql("SELECT sum(value) FROM gcat.misc.squares")
+      .head().getLong(0) == 98L)
+    // RENAME TO takes a catalog-less target (the source catalog is kept)
+    sql("ALTER TABLE gcat.misc.squares RENAME TO misc.sq2")
+    assert(sql("SELECT count(*) FROM gcat.misc.sq2").head().getLong(0) == 3L)
+    assert(sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("misc"))
+  }
+}
