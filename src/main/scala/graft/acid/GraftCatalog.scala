@@ -4,10 +4,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Spark SQL catalog over a warehouse directory of [[VersionedTable]]s
@@ -36,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stages the hive `k=v` layout and reads prune on the partition
   * columns. All DDL here is driver-side metadata — O(1) RPCs plus one
   * [[VersionedTable.create]]/delete — never a data scan. */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -161,6 +166,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"rename ${oldIdent} -> ${newIdent} failed")
   }
 
+  // ---- procedures ------------------------------------------------------
+
+  /** Maintenance surface as SQL `CALL`s — the admin operations a
+    * lakehouse needs without leaving SQL:
+    * `CALL cat.system.vacuum('ns.table', retain_versions => 10)` and
+    * `CALL cat.system.compact('ns.table', target_files => 8,
+    * cluster_by => 'obj_id,value')`. Each returns its metric row. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      Array("vacuum", "compact").map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (ident.namespace().toSeq != Seq("system"))
+      throw new NoSuchElementException(s"no procedure $ident")
+    ident.name() match {
+      case "vacuum" => new VacuumProcedure(this)
+      case "compact" => new CompactProcedure(this)
+      case other => throw new NoSuchElementException(
+        s"no procedure system.$other (have: vacuum, compact)")
+    }
+  }
+
+  private[acid] def openInstance(dotted: String): Instance = {
+    val parts = dotted.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    VersionedTable.open(SparkSession.active, tablePath(ident).toString)
+  }
+
   // ---- namespaces ------------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -207,5 +242,61 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"namespace ${namespace.mkString(".")} is not empty")
       fs.delete(dir, true)
     }
+  }
+}
+
+/** One-row local result for a maintenance CALL. */
+private[acid] final class MetricScan(field: String, value: Long)
+    extends LocalScan {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField(field, LongType, nullable = false)))
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(Array[Any](value)))
+}
+
+private[acid] final class VacuumProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "Bounded GC: drop data files only referenced by versions older than " +
+    "the retention horizon, plus orphaned staging files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("retain_versions", IntegerType).build(),
+    ProcedureParameter.in("sweep_orphans", BooleanType)
+      .defaultValue("true").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val deleted = inst.vacuum(input.getInt(1), input.getBoolean(2))
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("deleted_files", deleted.toLong)).iterator()
+  }
+}
+
+private[acid] final class CompactProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "Fold small files into target_files, optionally range/Z-order " +
+    "clustered by cluster_by columns, as one layout-only commit"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_files", IntegerType)
+      .defaultValue("1").build(),
+    ProcedureParameter.in("cluster_by", StringType)
+      .comment("comma-separated cluster columns; empty = none")
+      .defaultValue("''").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val cluster = input.getUTF8String(2).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val replaced = inst.compact(input.getInt(1), clusterBy = cluster)
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("replaced_files", replaced.toLong)).iterator()
   }
 }

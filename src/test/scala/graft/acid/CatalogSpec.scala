@@ -91,6 +91,32 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 3L)
   }
 
+  test("CALL system.compact and system.vacuum return their metric rows") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.maint")
+    sql("CREATE TABLE gcat.maint.t (obj_id BIGINT, value BIGINT)")
+    (1 to 4).foreach(i => sql(s"INSERT INTO gcat.maint.t VALUES ($i, $i)"))
+    // 4 single-row commits -> 4 files; compact folds them into 1
+    val replaced = sql(
+      "CALL gcat.system.compact('maint.t', target_files => 1)")
+      .head().getLong(0)
+    assert(replaced == 4L, s"expected 4 files replaced, got $replaced")
+    assert(sql("SELECT sum(value) FROM gcat.maint.t").head().getLong(0) == 10L)
+    // vacuum with a tight horizon drops the pre-compaction files
+    val deleted = sql(
+      "CALL gcat.system.vacuum('maint.t', retain_versions => 1)")
+      .head().getLong(0)
+    assert(deleted >= 4L, s"expected >=4 files deleted, got $deleted")
+    assert(sql("SELECT sum(value) FROM gcat.maint.t").head().getLong(0) == 10L)
+    // cluster_by compaction wires through and keeps results identical
+    sql("INSERT INTO gcat.maint.t VALUES (9, 9)")
+    val z = sql("CALL gcat.system.compact('maint.t', target_files => 2, " +
+      "cluster_by => 'obj_id,value')").head().getLong(0)
+    assert(z >= 1L)
+    assert(sql("SELECT sum(value) FROM gcat.maint.t").head().getLong(0) == 19L)
+    // unknown table fails loudly
+    intercept[Exception](sql("CALL gcat.system.vacuum('maint.nope', 1)"))
+  }
+
   test("CTAS, rename, and namespace listing") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.misc")
     sql("CREATE TABLE gcat.misc.src (obj_id BIGINT, value BIGINT)")
