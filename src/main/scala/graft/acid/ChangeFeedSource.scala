@@ -79,6 +79,78 @@ private[acid] object ChangeFeedSource {
     StructType.fromDDL(ddl)
       .add(StructField("_version", LongType, nullable = false))
   }
+
+  def partPairs(rel: String): Seq[(String, String)] =
+    rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+    }
+
+  /** One [[CdfPartition]] per file appended by each data commit in
+    * `(lo, hi]` — shared by the micro-batch stream and the bounded
+    * batch read; manifests are immutable, so planning the same range
+    * twice is byte-identical (the replay guarantee). */
+  def planRange(inst: Instance, schema: StructType, lo: Long, hi: Long,
+      ignoreChanges: Boolean): Array[CdfPartition] = {
+    val out = Array.newBuilder[CdfPartition]
+    ((lo + 1) to hi).foreach { v =>
+      val m = inst.readManifest(v)
+      val isData = m.objects.nonEmpty || m.objSummary.isDefined
+      if (isData) {
+        if (m.removed.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft-cdf: version $v of ${inst.root} removes files (update/" +
+            "delete/restore) — an append stream cannot represent it. Set " +
+            ".option(\"ignoreChanges\", true) to stream post-image rows, " +
+            "or consume Instance.changes() for exact row-level CDC.")
+        m.added.foreach { rel =>
+          val pairs = partPairs(rel)
+          val status = inst.fs.getFileStatus(new Path(inst.dataDir, rel))
+          val partRow = new GenericInternalRow(
+            (pairs.map { case (k, raw) =>
+              val dt = schema.find(_.name == k).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.StringType)
+              val s = ExternalCatalogUtils.unescapePathName(raw)
+              if (s == "__HIVE_DEFAULT_PARTITION__") null
+              else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(s), org.apache.spark.sql.types.StringType), dt,
+                Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
+            } :+ (v: Any)).toArray)
+          out += CdfPartition(
+            PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
+              0L, status.getLen, Array.empty, status.getModificationTime,
+              status.getLen),
+            pairs.map(_._1))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Per-layout prepared parquet readers for a planned partition set
+    * (row-based: the DSv2 PartitionReader contract here is
+    * InternalRow). */
+  def readerFactory(spark: SparkSession, schema: StructType,
+      planned: Array[CdfPartition]): CdfReaderFactory = {
+    val fmt = new ParquetFileFormat
+    val conf = spark.sessionState.newHadoopConf()
+    val layouts = planned.map(_.layout).distinct.map { layout =>
+      val partFields = layout.map(k =>
+        schema.find(_.name == k).getOrElse(StructField(k,
+          org.apache.spark.sql.types.StringType))) :+
+        StructField("_version", LongType, nullable = false)
+      val fileSchema = StructType(
+        schema.filterNot(f => layout.contains(f.name) || f.name == "_version"))
+      val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
+        StructType(partFields), fileSchema, Nil,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"), conf)
+      val physical = StructType(fileSchema ++ partFields)
+      val order = schema.map(f => physical.fieldIndex(f.name)).toArray
+      layout -> (reader, physical, order)
+    }.toMap
+    new CdfReaderFactory(layouts)
+  }
 }
 
 private[acid] final class ChangeFeedTable(schema: StructType, root: String)
@@ -86,7 +158,8 @@ private[acid] final class ChangeFeedTable(schema: StructType, root: String)
   override def name(): String = s"graft-cdf `$root`"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ChangeFeedScan(schema, root,
@@ -94,17 +167,34 @@ private[acid] final class ChangeFeedTable(schema: StructType, root: String)
           .map(_.toLong).getOrElse(1L),
         ignoreChanges = options.getBoolean("ignoreChanges", false),
         maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
-          .map(_.toLong))
+          .map(_.toLong),
+        endingVersion = Option(options.get("endingVersion")).map(_.toLong))
     }
 }
 
 private[acid] final class ChangeFeedScan(schema: StructType, root: String,
     startingVersion: Long, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Long]) extends Scan {
+    maxVersionsPerTrigger: Option[Long],
+    endingVersion: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = schema
-  override def toBatch: Batch =
-    throw new UnsupportedOperationException(
-      "graft-cdf is a streaming source; batch-read the table with Instance.read()")
+  /** Bounded batch read of the same append feed
+    * (`spark.read.format("graft-cdf")` with `startingVersion` /
+    * `endingVersion`): one-shot commit-log catch-up without a
+    * checkpoint — e.g. backfilling a downstream table from commit N,
+    * or SQL over a commit interval via a temp view. The range is
+    * pinned at planning; identical semantics to draining the stream
+    * over `(startingVersion-1, endingVersion]`. */
+  override def toBatch: Batch = new Batch {
+    private lazy val spark = SparkSession.active
+    private lazy val inst = VersionedTable.open(spark, root)
+    private lazy val planned = ChangeFeedSource.planRange(inst, schema,
+      startingVersion - 1,
+      endingVersion.getOrElse(inst.latestVersion), ignoreChanges)
+    override def planInputPartitions(): Array[InputPartition] =
+      planned.toArray[InputPartition]
+    override def createReaderFactory(): PartitionReaderFactory =
+      ChangeFeedSource.readerFactory(spark, schema, planned)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeFeedStream(schema, root, startingVersion, ignoreChanges,
       maxVersionsPerTrigger)
@@ -156,79 +246,16 @@ private[acid] final class ChangeFeedStream(schema: StructType, root: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def partPairs(rel: String): Seq[(String, String)] =
-    rel.split('/').drop(1).dropRight(1).toSeq.flatMap { seg =>
-      val i = seg.indexOf('=')
-      if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
-    }
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[VersionOffset].v
-    val hi = end.asInstanceOf[VersionOffset].v
-    val out = Array.newBuilder[CdfPartition]
-    ((lo + 1) to hi).foreach { v =>
-      val m = inst.readManifest(v)
-      val isData = m.objects.nonEmpty || m.objSummary.isDefined
-      if (isData) {
-        if (m.removed.nonEmpty && !ignoreChanges)
-          throw new IllegalStateException(
-            s"graft-cdf: version $v of $root removes files (update/delete/" +
-            "restore) — an append stream cannot represent it. Set " +
-            ".option(\"ignoreChanges\", true) to stream post-image rows, " +
-            "or consume Instance.changes() for exact row-level CDC.")
-        m.added.foreach { rel =>
-          val pairs = partPairs(rel)
-          val status = inst.fs.getFileStatus(new Path(inst.dataDir, rel))
-          val partRow = new GenericInternalRow(
-            (pairs.map { case (k, raw) =>
-              val dt = schema.find(_.name == k).map(_.dataType)
-                .getOrElse(org.apache.spark.sql.types.StringType)
-              val s = ExternalCatalogUtils.unescapePathName(raw)
-              if (s == "__HIVE_DEFAULT_PARTITION__") null
-              else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
-                  .fromString(s), org.apache.spark.sql.types.StringType), dt,
-                Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
-            } :+ (v: Any)).toArray)
-          out += CdfPartition(
-            PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
-              0L, status.getLen, Array.empty, status.getModificationTime,
-              status.getLen),
-            pairs.map(_._1))
-        }
-      }
-    }
-    val ps = out.result()
+    val ps = ChangeFeedSource.planRange(inst, schema,
+      start.asInstanceOf[VersionOffset].v,
+      end.asInstanceOf[VersionOffset].v, ignoreChanges)
     planned = ps
     ps.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fmt = new ParquetFileFormat
-    val conf = spark.sessionState.newHadoopConf()
-    // one prepared reader per distinct partition layout in the batch:
-    // requiredSchema = the columns physically in those files,
-    // partitionSchema = the path-encoded columns + _version (appended
-    // to every row by the reader itself, never scanned)
-    val layouts = planned.map(_.layout).distinct.map { layout =>
-      val partFields = layout.map(k =>
-        schema.find(_.name == k).getOrElse(StructField(k,
-          org.apache.spark.sql.types.StringType))) :+
-        StructField("_version", LongType, nullable = false)
-      val fileSchema = StructType(
-        schema.filterNot(f => layout.contains(f.name) || f.name == "_version"))
-      // row-based output: the DSv2 PartitionReader contract here is
-      // InternalRow, so vectorized batches are explicitly declined
-      val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
-        StructType(partFields), fileSchema, Nil,
-        Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "false"), conf)
-      // physical row = fileSchema ++ partFields; project to readSchema
-      val physical = StructType(fileSchema ++ partFields)
-      val order = schema.map(f => physical.fieldIndex(f.name)).toArray
-      layout -> (reader, physical, order)
-    }.toMap
-    new CdfReaderFactory(layouts)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeFeedSource.readerFactory(spark, schema, planned)
 }
 
 private[acid] final class CdfReaderFactory(

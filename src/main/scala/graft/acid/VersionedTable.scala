@@ -747,6 +747,20 @@ final class Instance(val spark: SparkSession, val root: String,
     r.load()
   }
 
+  /** Bounded BATCH read of the append feed — the rows each data commit
+    * in `[fromV, toV]` appended, tagged `_version` (same planning as
+    * [[readChangesStream]], no checkpoint needed): the one-shot
+    * commit-log catch-up for backfills. `toV = 0` means the current
+    * head, pinned at planning. */
+  def readAppends(fromV: Long = 1L, toV: Long = 0L,
+      ignoreChanges: Boolean = false): DataFrame = {
+    val r = spark.read.format("graft-cdf")
+      .option("path", root)
+      .option("startingVersion", fromV)
+      .option("ignoreChanges", ignoreChanges)
+    (if (toV > 0L) r.option("endingVersion", toV) else r).load()
+  }
+
   def history(): DataFrame = history(0L, latestVersion)
 
   /** [[history]] over the version interval [fromV, toV] only — the

@@ -253,6 +253,19 @@ class BatchSourceSpec extends AnyFunSuite {
     intercept[ConflictException](inst.commit(t))
   }
 
+  test("truncate commutes with concurrent appends of brand-new ids") {
+    val (inst, dir) = lifecycleTable() // snapshot ids are in [1, 2]
+    val t = inst.begin()
+    t.insert(Seq((500L, 5L)).toDF("obj_id", "value")) // outside the range
+    Seq((200L, 2L)).toDF("obj_id", "value")
+      .write.format("graft").option("path", dir).mode("overwrite").save()
+    // serializes as truncate-then-insert: both rows survive, no retry
+    inst.commit(t)
+    assert(readGraft(dir).orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((200L, 2L), (500L, 5L)))
+  }
+
   test("columnar path active for atomic schemas; schema evolution time-travels") {
     val (inst, dir) = lifecycleTable()
     val df = readGraft(dir)

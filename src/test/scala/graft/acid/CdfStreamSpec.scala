@@ -182,4 +182,34 @@ class CdfStreamSpec extends AnyFunSuite {
       assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
     } finally q.stop()
   }
+
+  test("batch read: bounded version range, same rows as draining the stream") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    (1 to 4).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    inst.compact() // layout-only: silent in the feed (v5)
+    def rows(df: DataFrame) = df.orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("_version"))).toSeq
+    // full feed == what an AvailableNow drain delivers
+    assert(rows(inst.readAppends()) ==
+      Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L), (4L, 40L, 4L)))
+    // bounded interval [2, 3]
+    assert(rows(inst.readAppends(2L, 3L)) ==
+      Seq((2L, 20L, 2L), (3L, 30L, 3L)))
+    // SQL over a commit interval via the same format
+    val root = inst.root
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cdf_batch USING `graft-cdf` " +
+      s"OPTIONS (path '$root', startingVersion '3')")
+    assert(spark.sql("SELECT sum(value) AS s FROM cdf_batch")
+      .head().getLong(0) == 70L)
+    // a removing commit still fails strict / passes with ignoreChanges
+    val td = inst.begin(); td.delete(Seq(1L)); inst.commit(td) // v6
+    val e = intercept[Exception](inst.readAppends(6L).collect())
+    assert(e.getMessage.contains("ignoreChanges") ||
+      e.getCause != null && e.getCause.getMessage.contains("ignoreChanges"))
+    assert(inst.readAppends(6L, ignoreChanges = true).count() >= 0L)
+  }
 }
