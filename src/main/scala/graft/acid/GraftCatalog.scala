@@ -149,10 +149,40 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; evolve the schema through " +
-      "Txn.evolveSchema on an explicit transaction")
+  /** SQL `ALTER TABLE ADD/DROP COLUMNS` as ONE metadata-only schema-
+    * evolution commit (the same add/drop-only guard an evolving insert
+    * passes; type changes always rejected). Other ALTERs unsupported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val inst = VersionedTable.open(SparkSession.active,
+      tablePath(ident).toString)
+    val cur = StructType.fromDDL(inst.stateAt(inst.latestVersion)._2)
+    val next = changes.foldLeft(cur) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
+          require(add.isNullable,
+            s"added column ${add.fieldNames()(0)} must be nullable " +
+            "(existing rows have no value for it)")
+          schema.add(org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true))
+        case drop: TableChange.DeleteColumn =>
+          require(drop.fieldNames().length == 1,
+            s"nested DROP COLUMN not supported: ${drop.fieldNames().mkString(".")}")
+          val name = drop.fieldNames()(0)
+          require(schema.fieldNames.contains(name), s"no such column $name")
+          require(!readPartitionBy(ident).exists(
+            _.split(',').map(_.trim).contains(name)),
+            s"cannot drop partition column $name")
+          StructType(schema.filterNot(_.name == name))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change $other (only ADD/DROP COLUMNS)")
+      }
+    }
+    inst.withRetry() { txn => txn.alterSchema(next) }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tablePath(ident), true)

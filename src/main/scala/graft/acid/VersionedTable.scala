@@ -1113,7 +1113,10 @@ final class Instance(val spark: SparkSession, val root: String,
     * disjoint objects that live in one file would otherwise both
     * republish stale copies of each other's rows. */
   def commit(txn: Txn): Long = this.synchronized {
-    if (txn.added.isEmpty && txn.removed.isEmpty) {
+    // a schema-only evolution (Txn.alterSchema) has no file delta but
+    // MUST publish — the early no-op return is only for txns that
+    // changed nothing at all
+    if (txn.added.isEmpty && txn.removed.isEmpty && !txn.schemaEvolved) {
       deleteRetired(txn) // e.g. insert-then-delete-all within one txn
       return txn.readVersion
     }
@@ -1777,12 +1780,26 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * table's canonical DDL, so a reordered insert can't churn the
     * manifest schema. Added columns read as nulls from old files;
     * dropped columns are simply no longer selected. */
-  private def adoptSchema(df: DataFrame): Unit = {
+  private def adoptSchema(df: DataFrame): Unit = adoptSchemaType(df.schema)
+
+  /** Metadata-only schema evolution (SQL `ALTER TABLE ADD/DROP
+    * COLUMNS`): adopt `next` as the table schema in this transaction
+    * under the same add/drop-only guard an evolving insert passes —
+    * type changes always rejected, no data files touched. Old files
+    * read under the new schema with added columns NULL; dropped
+    * columns are pruned at scan. The commit conflicts with interleaved
+    * commits exactly like any schema-evolving commit. */
+  def alterSchema(next: StructType): Unit = {
+    allowEvolve = true
+    adoptSchemaType(next)
+  }
+
+  private def adoptSchemaType(nextSchema: StructType): Unit = {
     val (_, cur, _) = localState()
-    val next = df.schema.toDDL
+    val next = nextSchema.toDDL
     if (next == cur) { if (schemaDDL.isEmpty) schemaDDL = Some(cur); return }
     val curMap = StructType.fromDDL(cur).map(f => f.name -> f.dataType).toMap
-    val nextMap = df.schema.map(f => f.name -> f.dataType).toMap
+    val nextMap = nextSchema.map(f => f.name -> f.dataType).toMap
     // nested nullability (array containsNull, inner struct fields) is
     // as irrelevant to parquet compatibility as top-level nullability —
     // an exact DataType == would misreport ARRAY<BIGINT> built from

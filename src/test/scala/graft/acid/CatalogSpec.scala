@@ -117,6 +117,28 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](sql("CALL gcat.system.vacuum('maint.nope', 1)"))
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: metadata-only evolution commits") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    sql("CREATE TABLE gcat.ddl.t (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.ddl.t VALUES (1, 10)")
+    sql("ALTER TABLE gcat.ddl.t ADD COLUMNS (tag STRING)")
+    // old rows surface NULL for the added column; new schema accepts inserts
+    assert(sql("SELECT tag FROM gcat.ddl.t WHERE obj_id = 1").head().isNullAt(0))
+    sql("INSERT INTO gcat.ddl.t VALUES (2, 20, 'x')")
+    assert(sql("SELECT count(*) FROM gcat.ddl.t WHERE tag = 'x'")
+      .head().getLong(0) == 1L)
+    // the pre-ALTER version still reads the old schema
+    assert(sql("SELECT * FROM gcat.ddl.t VERSION AS OF 1").columns.toSeq ==
+      Seq("obj_id", "value"))
+    sql("ALTER TABLE gcat.ddl.t DROP COLUMN tag")
+    assert(sql("SELECT * FROM gcat.ddl.t").columns.toSeq ==
+      Seq("obj_id", "value"))
+    assert(sql("SELECT count(*) FROM gcat.ddl.t").head().getLong(0) == 2L)
+    // type changes stay rejected
+    intercept[Exception](
+      sql("ALTER TABLE gcat.ddl.t ALTER COLUMN value TYPE INT"))
+  }
+
   test("CTAS, rename, and namespace listing") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.misc")
     sql("CREATE TABLE gcat.misc.src (obj_id BIGINT, value BIGINT)")
