@@ -225,6 +225,7 @@ private[acid] final class GraftTable(root: String, version: Long,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.sources.InsertableRelation {
   override def name(): String = s"graft `$root` @v$version"
   override def schema(): StructType = tableSchema
@@ -277,6 +278,17 @@ private[acid] final class GraftTable(root: String, version: Long,
     new GraftWriteBuilder(this)
   }
 
+  /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE via
+    * group-based copy-on-write (see [[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (timeTraveled) throw new IllegalArgumentException(
+      s"cannot write to time-traveled snapshot ${name()}")
+    () => new GraftRowLevelOperation(root, version, tableSchema,
+      info.command())
+  }
+
   /** SQL `DELETE FROM t WHERE ...` for the shapes the manifest index
     * serves exactly: equality / IN on `obj_id` (optionally AND-ed), or
     * no predicate at all (= truncate). Arbitrary predicates are
@@ -313,7 +325,9 @@ private[acid] final class GraftWriteBuilder(table: GraftTable)
 }
 
 private[acid] final class GraftScanBuilder(root: String, version: Long,
-    tableSchema: StructType) extends ScanBuilder
+    tableSchema: StructType, onBuild: GraftScan => Unit = _ => (),
+    wholeGroups: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -335,8 +349,12 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
   }
   override def pushedFilters(): Array[sources.Filter] = skipFilters
 
-  override def build(): Scan =
-    new GraftScan(root, version, tableSchema, required, skipFilters)
+  override def build(): Scan = {
+    val s = new GraftScan(root, version, tableSchema, required, skipFilters,
+      wholeGroups)
+    onBuild(s)
+    s
+  }
 }
 
 /** One bin-packed input split: files (or file ranges) sharing one
@@ -346,7 +364,8 @@ private[acid] final case class GraftInputPartition(
 
 private[acid] final class GraftScan(root: String, version: Long,
     tableSchema: StructType, required: StructType,
-    filters: Array[sources.Filter]) extends Scan with Batch {
+    filters: Array[sources.Filter],
+    wholeGroups: Boolean = false) extends Scan with Batch {
 
   @transient private lazy val spark = SparkSession.active
   @transient private lazy val inst = VersionedTable.open(spark, root)
@@ -429,9 +448,16 @@ private[acid] final class GraftScan(root: String, version: Long,
       val columnar = fmt.supportBatch(spark, physical)
       // filters on physical columns reach the parquet reader for
       // row-group skipping; partition-column filters were already
-      // applied file-level and must not be pushed into the file read
-      val fileFilters = filters.filter(f =>
-        fileSchema.fieldNames.contains(f.references.head)).toSeq
+      // applied file-level and must not be pushed into the file read.
+      // A row-level-operation (CoW) scan must return WHOLE files — the
+      // unmatched rows are the copy-back side of the rewrite — so
+      // there skipping stops at file granularity and nothing reaches
+      // the reader (a skipped row group would silently DROP rows from
+      // the rewritten table)
+      val fileFilters =
+        if (wholeGroups) Nil
+        else filters.filter(f =>
+          fileSchema.fieldNames.contains(f.references.head)).toSeq
       val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
         partFields, fileSchema, fileFilters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),

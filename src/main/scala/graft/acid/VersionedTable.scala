@@ -2080,6 +2080,35 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     spillObjectsIfNeeded()
   }
 
+  /** Row-level SQL rewrite (DELETE/UPDATE/MERGE through ReplaceData):
+    * adopt externally staged replacement files for the `scanned` base
+    * files. The scanned files must all still be live at this txn's
+    * read version — an interleaved commit that removed one means the
+    * replacement was computed from stale groups and must conflict, not
+    * silently resurrect or double-delete rows. Conflict metadata is a
+    * saturated-bloom summary over the union of retired and staged id
+    * ranges (bounded, never O(rows)). */
+  private[acid] def replaceScanned(scanned: Seq[String],
+      staged: Seq[String]): Unit = {
+    val (live, _, stats) = localState()
+    val gone = scanned.filterNot(live.toSet)
+    if (gone.nonEmpty)
+      throw new ConflictException(
+        s"row-level rewrite scanned ${gone.size} file(s) a concurrent " +
+        s"commit already removed (${gone.take(3).mkString(", ")}...); retry")
+    val stagedStats = inst.pooledMap(staged)(f =>
+      f -> inst.footerIdRange(new Path(inst.dataDir, f)))
+    stagedStats.foreach { case (f, r) => r.foreach(addedStats(f) = _) }
+    retire(scanned)
+    added ++= staged
+    val ranges = scanned.map(f =>
+      stats.getOrElse(f, (Long.MinValue, Long.MaxValue))) ++
+      stagedStats.flatMap(_._2)
+    if (ranges.nonEmpty)
+      mergeSummary(ObjSummary(0L, ranges.map(_._1).min, ranges.map(_._2).max,
+        IdBloom.saturated(inst.conf.bloomBits)))
+  }
+
   /** Remove every row of the txn-local snapshot (SQL TRUNCATE): retires
     * all current files as one metadata-only delta — copy-on-write keeps
     * the bytes, so the pre-truncate version stays time-travelable.

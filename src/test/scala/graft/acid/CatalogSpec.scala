@@ -77,8 +77,14 @@ class CatalogSpec extends AnyFunSuite {
     // SQL point DELETE rides the manifest index
     sql("DELETE FROM gcat.part.docs WHERE obj_id = 1")
     assert(sql("SELECT count(*) FROM gcat.part.docs").head().getLong(0) == 2L)
-    // arbitrary-predicate DELETE is declined loudly, not rewritten
-    intercept[Exception](sql("DELETE FROM gcat.part.docs WHERE value > 5"))
+    // arbitrary-predicate DELETE falls through to group-based CoW —
+    // on a PARTITIONED table: the rewrite physicalizes the partition
+    // column into the replacement file and the snapshot read handles
+    // the mixed layout
+    sql("DELETE FROM gcat.part.docs WHERE value > 25")
+    assert(sql("SELECT * FROM gcat.part.docs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((2L, "de", 20L)))
     // INSERT OVERWRITE = truncate + insert in one commit
     sql("INSERT OVERWRITE gcat.part.docs VALUES (7, 'fr', 70)")
     assert(sql("SELECT * FROM gcat.part.docs").collect()
