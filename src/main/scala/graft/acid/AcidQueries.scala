@@ -198,7 +198,44 @@ object AcidQueries {
       "CAST(_version AS BIGINT) AS _version " +
       "FROM (VALUES (1, 10, 1), (2, 20, 2), (3, 30, 3)) " +
       "AS t(obj_id, value, _version) ORDER BY obj_id")(
-      (s, _) => cdfStreamScenario(s)))
+      (s, _) => cdfStreamScenario(s)),
+
+    // SQL row-level operations through the catalog (group-based CoW,
+    // SupportsRowLevelOperations): UPDATE, three-clause MERGE INTO,
+    // and an arbitrary-predicate DELETE — the final state is a
+    // hand-computable constant, so the whole rewrite pipeline (scan
+    // pruning, whole-file groups, executor-side parquet staging,
+    // single-txn retire+land commit) is hash-gated
+    "q53_sql_rowlevel" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES (1, 10), (2, 21), (5, 50)) AS t(obj_id, value) " +
+      "ORDER BY obj_id")((s, _) => sqlRowLevelScenario(s)))
+
+  /** SQL row-level lifecycle: base {1→10,2→20,3→30,4→40};
+    * UPDATE bumps 2 to 21; MERGE deletes 3, updates 4 to 140,
+    * inserts 5; DELETE WHERE value > 100 removes the 140. */
+  def sqlRowLevelScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq53$tag"
+    val wh = Files.createTempDirectory("graft_wh_q53_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.rl.t (obj_id BIGINT, value BIGINT)")
+    spark.sql(s"INSERT INTO $cat.rl.t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    spark.sql(s"UPDATE $cat.rl.t SET value = value + 1 WHERE obj_id = 2")
+    val src = s"rl_src_$tag"
+    spark.sql("SELECT * FROM VALUES (3, -1), (4, 100), (5, 50) " +
+      "AS t(obj_id, value)").createOrReplaceTempView(src)
+    spark.sql(
+      s"""MERGE INTO $cat.rl.t t USING $src s ON t.obj_id = s.obj_id
+         |WHEN MATCHED AND s.value < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.rl.t WHERE value > 100")
+    spark.sql(s"SELECT obj_id, value FROM $cat.rl.t ORDER BY obj_id")
+  }
 
   /** Streaming change-feed scenario: per-commit inserts, a compaction
     * that must stream nothing, one AvailableNow drain. */
