@@ -210,7 +210,55 @@ object AcidQueries {
       "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
       "CAST(value AS BIGINT) AS value " +
       "FROM (VALUES (1, 10), (2, 21), (5, 50)) AS t(obj_id, value) " +
-      "ORDER BY obj_id")((s, _) => sqlRowLevelScenario(s)))
+      "ORDER BY obj_id")((s, _) => sqlRowLevelScenario(s)),
+
+    // native streaming sink (writeStream.format("graft")): two drained
+    // epochs = two exactly-once ACID commits, then a REPLAY of the
+    // last epoch that must land nothing — final state is a constant,
+    // so epoch staging, watermark publication, and replay suppression
+    // are all hash-gated
+    "q54_stream_write" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES (1, 10), (2, 20), (3, 30)) AS t(obj_id, value) " +
+      "ORDER BY obj_id")((s, _) => streamWriteScenario(s)))
+
+  /** Streaming-sink lifecycle through the REAL DSv2 path: two drained
+    * micro-batches via `writeStream.format("graft")`, then a forged
+    * replay of the last epoch under the query's own id
+    * (crash-between-sink-commit-and-checkpoint-write), which the
+    * manifest watermark must suppress. */
+  def streamWriteScenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_swrite_q54_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_q54_ckpt_").toString
+    var queryId: String = null
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "value")
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      queryId = q.id.toString
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    drain() // epoch 0
+    mem.addData((3L, 30L))
+    drain() // epoch 1 (same checkpoint -> same query id, next batch)
+    val replay = inst.begin()
+    replay.markEpoch(queryId, 1L)
+    replay.insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+    try {
+      inst.commit(replay)
+      throw new IllegalStateException("replayed epoch was NOT suppressed")
+    } catch { case _: EpochAlreadyCommittedException => () }
+    inst.read().orderBy("obj_id")
+  }
 
   /** SQL row-level lifecycle: base {1→10,2→20,3→30,4→40};
     * UPDATE bumps 2 to 21; MERGE deletes 3, updates 4 to 140,

@@ -232,7 +232,7 @@ private[acid] final class GraftTable(root: String, version: Long,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, version, tableSchema)
 
@@ -275,8 +275,11 @@ private[acid] final class GraftTable(root: String, version: Long,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (timeTraveled) throw new IllegalArgumentException(
       s"cannot write to time-traveled snapshot $name — drop versionAsOf")
-    new GraftWriteBuilder(this)
+    new GraftWriteBuilder(this, info)
   }
+
+  private[acid] def rootPath: String = root
+  private[acid] def schemaOf: StructType = tableSchema
 
   /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE via
     * group-based copy-on-write (see [[GraftRowLevelOperation]]). */
@@ -313,14 +316,20 @@ private[acid] final class GraftTable(root: String, version: Long,
   }
 }
 
-private[acid] final class GraftWriteBuilder(table: GraftTable)
-    extends WriteBuilder with SupportsTruncate {
+private[acid] final class GraftWriteBuilder(table: GraftTable,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
       (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
         table.insert(data, overwrite)
+    // writeStream.format("graft") / .toTable: one exactly-once ACID
+    // commit per micro-batch; Complete output mode arrives here as
+    // truncate() = atomic replace per epoch
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(table.rootPath, table.schemaOf,
+        info.schema(), info.queryId(), overwrite)
   }
 }
 

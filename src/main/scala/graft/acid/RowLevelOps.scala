@@ -122,12 +122,18 @@ private[acid] final case class CowWriterFactory(owf: OutputWriterFactory,
     stagingDir: String, schema: StructType, conf: SerializableConfiguration)
     extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    createNamed(partitionId, taskId, f"part-$partitionId%05d-$taskId.snappy.parquet")
+
+  /** Writer for an explicit staged-file name (the streaming adapter
+    * prefixes the epoch so replayed micro-batches can never collide
+    * with an earlier attempt's files). */
+  private[acid] def createNamed(partitionId: Int, taskId: Long,
+      file: String): DataWriter[InternalRow] = {
     val attempt = new TaskAttemptID(
       new TaskID(new JobID("graftcow", 0), TaskType.MAP, partitionId),
       (taskId & Int.MaxValue).toInt)
     val ctx = new TaskAttemptContextImpl(conf.value, attempt)
-    val file = f"part-$partitionId%05d-$taskId.snappy.parquet"
     val path = s"$stagingDir/$file"
 
     new DataWriter[InternalRow] {

@@ -1,0 +1,121 @@
+package graft.acid
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Native Structured Streaming sink over a [[VersionedTable]]:
+  *
+  * {{{
+  *   df.writeStream.format("graft").option("path", root)
+  *     .option("checkpointLocation", ckpt).start()        // append
+  *   agg.writeStream.format("graft").outputMode("complete")
+  *     .option("path", root).start()     // truncate+insert per epoch
+  *   df.writeStream.toTable("cat.ns.t")  // through the SQL catalog
+  * }}}
+  *
+  * Exactly-once without a foreachBatch helper: every micro-batch is ONE
+  * ACID commit whose manifest carries the `(queryId -> epochId)`
+  * watermark ([[Txn.markEpoch]]). A recovering stream replays its last
+  * epoch (Spark's contract is at-least-once between sink commit and
+  * checkpoint write); the replay's commit finds the watermark — in the
+  * checkpoint-folded map or in the conflict window, so a zombie driver
+  * racing its replacement is covered too — and lands NOTHING. The
+  * reference's WAL-replay recovery (log_mgr/io.rs) solves the same
+  * re-application problem with LSN watermarks; here the manifest log is
+  * the WAL and the epoch id is the LSN.
+  *
+  * Scale: rows stream through Spark's own parquet writer into the
+  * table's staging area ON THE EXECUTORS — the driver's commit handles
+  * only file names and footer id-range stats (bounded metadata, never
+  * rows). Append mode adopts the staged files; complete mode retires
+  * the snapshot and adopts in the SAME transaction (atomic replace,
+  * the pre-epoch version stays time-travelable). */
+private[acid] final class GraftStreamingWrite(root: String,
+    tableSchema: StructType, writeSchema: StructType, queryId: String,
+    complete: Boolean) extends StreamingWrite {
+
+  {
+    val t = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = writeSchema.fields.filterNot(f => t.get(f.name).contains(f.dataType))
+    val missing = tableSchema.fieldNames.filterNot(writeSchema.fieldNames.contains)
+    if (bad.nonEmpty || missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"streaming write schema ${writeSchema.simpleString} does not match " +
+        s"table schema ${tableSchema.simpleString} at $root" +
+        (if (missing.nonEmpty) s"; missing columns: ${missing.mkString(", ")}"
+         else s"; mismatched: ${bad.map(_.name).mkString(", ")}"))
+  }
+
+  // one staging namespace per query RUN (a restart constructs a fresh
+  // write), so replayed epochs of a previous incarnation can never
+  // collide on file names
+  private val stagingSub = s"stream-${UUID.randomUUID().toString.take(12)}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val inst = VersionedTable.open(spark, root)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job,
+      Map.empty, writeSchema)
+    StreamWriterFactory(CowWriterFactory(owf,
+      new Path(inst.dataDir, stagingSub).toString, writeSchema,
+      new SerializableConfiguration(job.getConfiguration)))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val inst = VersionedTable.open(SparkSession.active, root)
+    val staged = messages.collect {
+      case CowFileMessage(f) if f != null => s"$stagingSub/$f"
+    }.toSeq
+    // an empty append epoch is replay-safe without a watermark; don't
+    // churn the commit log for it (complete mode still commits: the
+    // new snapshot may be "empty now")
+    if (staged.isEmpty && !complete) return
+    val txn = inst.begin()
+    try {
+      txn.markEpoch(queryId, epochId)
+      if (complete) txn.truncate()
+      if (staged.nonEmpty) txn.replaceScanned(Nil, staged)
+      inst.commit(txn)
+    } catch {
+      case _: EpochAlreadyCommittedException =>
+        // the replayed epoch's work is already durable; commit()'s
+        // abort reclaimed this attempt's duplicate staged files
+        ()
+      case e: Throwable =>
+        try inst.rollback(txn) catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val inst = VersionedTable.open(SparkSession.active, root)
+    messages.collect { case CowFileMessage(f) if f != null => f }.foreach { f =>
+      try inst.fs.delete(new Path(inst.dataDir, s"$stagingSub/$f"), false)
+      catch { case _: Throwable => () }
+    }
+  }
+}
+
+/** Streaming adapter over [[CowWriterFactory]]: same executor-side
+  * parquet writer, file names prefixed with the epoch so a replayed
+  * micro-batch (whose task ids restart with it) writes fresh files. */
+private[acid] final case class StreamWriterFactory(cow: CowWriterFactory)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    cow.createNamed(partitionId, taskId,
+      f"part-e$epochId-$partitionId%05d-$taskId.snappy.parquet")
+}

@@ -97,7 +97,8 @@ object VersionedTable {
       stats: Map[String, (Long, Long)] = Map.empty,
       objSummary: Option[ObjSummary] = None,
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      tsMillis: Long = 0L)
+      tsMillis: Long = 0L,
+      appTxns: Map[String, Long] = Map.empty)
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -111,8 +112,15 @@ object VersionedTable {
     * of change that must fail loudly in a mixed-version deployment, so
     * [[fromJson]] rejects any manifest declaring a NEWER generation.
     * Additive fields an old reader can safely ignore (e.g. per-column
-    * cluster stats — losing them only loses pruning) do NOT bump this. */
-  val FormatVersion = 2
+    * cluster stats — losing them only loses pruning) do NOT bump this.
+    * 3 added `appTxns` (streaming-epoch idempotence watermarks): an
+    * older writer that dropped them from a checkpoint fold would let a
+    * recovered stream RE-COMMIT an already-committed epoch — duplicate
+    * rows, the exactly-once guarantee silently gone — so manifests
+    * carrying the field declare generation 3. Manifests without it
+    * still declare 2, keeping tables that never saw a streaming write
+    * readable by gen-2 deployments. */
+  val FormatVersion = 3
 
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -135,13 +143,22 @@ object VersionedTable {
         s""""cstatsCols":${arrS(cstatKeys.map(_._2))},""" +
         s""""cstatsMin":${arrL(cstatKeys.map(_._3))},""" +
         s""""cstatsMax":${arrL(cstatKeys.map(_._4))},"""
+    // streaming-epoch watermarks as two parallel arrays, sorted for
+    // byte-stable output; only manifests that carry them pay the
+    // generation-3 gate (see FormatVersion)
+    val appKeys = m.appTxns.keys.toSeq.sorted
+    val apps =
+      if (appKeys.isEmpty) ""
+      else s""""appIds":${arrS(appKeys)},""" +
+        s""""appEpochs":${arrL(appKeys.map(m.appTxns(_)))},"""
+    val declaredFv = if (m.appTxns.nonEmpty) 3 else 2
     val payload =
-      s"""{"formatVersion":$FormatVersion,""" +
+      s"""{"formatVersion":$declaredFv,""" +
       s""""version":${m.version},"tsn":${m.tsn},""" +
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary + cstats +
+      summary + cstats + apps +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -255,6 +272,10 @@ object VersionedTable {
           .map { case (f, rows) =>
             f -> rows.map { case ((_, c), r) => c -> r }.toMap }
       else Map.empty[String, Map[String, (Long, Long)]]
+    val appTxns =
+      if (s.contains("\"appIds\":"))
+        strArr("appIds").zip(longArr("appEpochs")).toMap
+      else Map.empty[String, Long]
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
       longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
@@ -263,7 +284,8 @@ object VersionedTable {
       // reader without it only loses timestamp time travel); absent
       // in legacy manifests -> 0 = "unknown, infinitely old"
       tsMillis = if (s.contains("\"tsMillis\":")) rawField("tsMillis").toLong
-        else 0L)
+        else 0L,
+      appTxns = appTxns)
   }
 
   /** One-time datastore initialization (reference:
@@ -365,6 +387,14 @@ final class ConflictException(msg: String) extends RuntimeException(msg)
   * a mixed-version deployment must upgrade, not parse-with-defaults.
   * Deterministic (not a torn read), so [[Instance]] never retries it. */
 final class ManifestFormatException(msg: String) extends java.io.IOException(msg)
+
+/** A transaction carrying a streaming-epoch watermark ([[Txn.markEpoch]])
+  * found that epoch (or a later one) already committed for the same
+  * query — the replay of an epoch whose commit already landed. NOT a
+  * [[ConflictException]]: the correct reaction is "skip, the work is
+  * done", never retry. */
+final class EpochAlreadyCommittedException(msg: String)
+    extends RuntimeException(msg)
 
 /** An insert tried to change the table schema without
   * [[Txn.evolveSchema]], or the change is structurally incompatible
@@ -545,6 +575,27 @@ final class Instance(val spark: SparkSession, val root: String,
     }
     (files.toSeq.sorted, ddl, stats, colStats)
   }
+
+  /** Streaming-epoch watermarks visible at version `v`: latest
+    * committed epoch per query id. Same walk shape as [[stateFullAt]]
+    * — checkpoints carry the full fold, deltas override their entry —
+    * so the lookup is O(commits-since-checkpoint) manifest reads, and
+    * a watermark written 10k commits ago survives via the folds. */
+  private[acid] def appTxnsAt(v: Long): Map[String, Long] = {
+    var tail = List.empty[Manifest]
+    var cv = v
+    var ckpt: Manifest = null
+    while (ckpt == null) {
+      val m = readManifest(cv)
+      if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
+    }
+    tail.foldLeft(ckpt.appTxns)((acc, m) => acc ++ m.appTxns)
+  }
+
+  /** Latest committed streaming epoch for `appId`, or None if that
+    * query never committed here. */
+  def lastCommittedEpoch(appId: String): Option[Long] =
+    appTxnsAt(latestVersion).get(appId)
 
   /** Version-pinned snapshot read (reference: open_read at the txn's
     * snapshot CSN, instance.rs:126-134). */
@@ -1139,6 +1190,16 @@ final class Instance(val spark: SparkSession, val root: String,
       case other => (txn.objects.toSeq, other)
     }
     lazy val snapshotDdl = stateAt(txn.readVersion)._2
+    // streaming-epoch idempotence, part 1: everything at or before the
+    // snapshot is covered by the checkpoint-folded watermark map; the
+    // conflict window below covers commits that landed after it
+    txn.appTxn.foreach { case (appId, epoch) =>
+      if (appTxnsAt(txn.readVersion).get(appId).exists(_ >= epoch)) {
+        txn.abort()
+        throw new EpochAlreadyCommittedException(
+          s"epoch $epoch for query $appId already committed at $root")
+      }
+    }
     var attempt = latestVersion + 1
     while (true) {
       // conflict window = versions committed after our snapshot
@@ -1165,6 +1226,18 @@ final class Instance(val spark: SparkSession, val root: String,
           .getOrElse(false)
       window.foreach { v =>
         val m = readManifest(v)
+        // streaming-epoch idempotence, part 2: a zombie driver racing
+        // its replacement (or a replayed epoch racing a faster retry)
+        // sees the other's watermark in the window and skips — never
+        // lands the same micro-batch twice
+        txn.appTxn.foreach { case (appId, epoch) =>
+          if (m.appTxns.get(appId).exists(_ >= epoch)) {
+            txn.abort()
+            throw new EpochAlreadyCommittedException(
+              s"epoch $epoch for query $appId already committed at $root " +
+              s"by interleaved commit v$v")
+          }
+        }
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
         if (objConflict(m) || fileOverlap.nonEmpty) {
           txn.abort()
@@ -1195,11 +1268,17 @@ final class Instance(val spark: SparkSession, val root: String,
           baseStats -- txn.removed ++ addedStats,
           baseColStats -- txn.removed ++ addedColStats)
       } else (Nil, addedStats, addedColStats)
+      // checkpoints fold EVERY query's watermark forward (so a lookup
+      // never walks past one); deltas carry only this txn's entry
+      val appTxns =
+        if (isCkpt) appTxnsAt(attempt - 1) ++ txn.appTxn.toMap
+        else txn.appTxn.toMap
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, objList,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
         objSummary = objSum, colStats = ckptColStats,
-        tsMillis = System.currentTimeMillis())
+        tsMillis = System.currentTimeMillis(),
+        appTxns = appTxns)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -1595,6 +1674,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // with EVERY interleaved commit (see Instance.commit)
   private[acid] var schemaEvolved = false
   private var allowEvolve = false
+  // streaming-epoch watermark this commit will publish (exactly-once
+  // sink support): commit refuses to land if the same query already
+  // committed this epoch or a later one — see Instance.commit
+  private[acid] var appTxn: Option[(String, Long)] = None
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
 
@@ -1773,6 +1856,18 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * schema, and a type flip would mis-read every pre-evolution file —
     * rewrite the table instead. */
   def evolveSchema(): Unit = allowEvolve = true
+
+  /** Tag this transaction with a streaming-epoch watermark: commit
+    * publishes `(appId -> epoch)` in the manifest and REFUSES (with
+    * [[EpochAlreadyCommittedException]]) if the same query already
+    * committed this epoch or a later one — the at-least-once replay a
+    * recovering stream performs after a crash between its sink commit
+    * and its checkpoint write lands exactly once. Epochs must be
+    * monotonic per query (Spark's micro-batch ids are). */
+  def markEpoch(appId: String, epoch: Long): Unit = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    appTxn = Some((appId, epoch))
+  }
 
   /** Validate `df`'s schema against the txn-local table schema and
     * record the evolution when sanctioned. Same shape (ignoring column

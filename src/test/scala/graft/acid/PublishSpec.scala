@@ -189,9 +189,16 @@ class PublishSpec extends AnyFunSuite {
     val m = VersionedTable.Manifest(3L, 7L, "obj_id BIGINT", Seq("a.parquet"),
       Nil, Seq(1L, 2L), checkpoint = false, Nil)
     val json = VersionedTable.toJson(m)
-    // current writes declare their generation
-    assert(json.contains(s""""formatVersion":${VersionedTable.FormatVersion}"""))
+    // writes declare the MINIMUM generation their fields need — this
+    // manifest carries no appTxns, so gen 2 (gen-2 readers keep
+    // working on tables that never saw a streaming write)
+    assert(json.contains(""""formatVersion":2"""))
     assert(VersionedTable.fromJson(json).objects == Seq(1L, 2L))
+    // a streaming-epoch watermark needs the gen-3 gate: an old reader
+    // silently dropping it from a checkpoint fold would re-commit a
+    // replayed epoch (duplicate rows)
+    assert(VersionedTable.toJson(m.copy(appTxns = Map("q" -> 1L)))
+      .contains(""""formatVersion":3"""))
     // a pre-formatVersion manifest (rounds <= 5) still parses: absence
     // implies generation 1
     val legacy = """{"version":5,"tsn":9,"schemaDDL":"obj_id BIGINT",""" +
@@ -200,9 +207,8 @@ class PublishSpec extends AnyFunSuite {
     // a FUTURE generation is rejected with the dedicated error — and
     // BEFORE the crc check (a future format may hash differently), which
     // the now-stale crc of the edited text would otherwise trip first
-    val future = json.replace(
-      s""""formatVersion":${VersionedTable.FormatVersion}""",
-      """"formatVersion":99""")
+    val future = json.replaceAll(
+      """"formatVersion":\d+""", """"formatVersion":99""")
     val e = intercept[ManifestFormatException] { VersionedTable.fromJson(future) }
     assert(e.getMessage.contains("99"))
   }
@@ -216,9 +222,8 @@ class PublishSpec extends AnyFunSuite {
     // simulate a newer writer: rewrite v1 declaring generation 99
     val p = java.nio.file.Paths.get(new java.net.URI(dir).getPath,
       "_manifests", f"v${1L}%020d.json")
-    val bumped = java.nio.file.Files.readString(p).replace(
-      s""""formatVersion":${VersionedTable.FormatVersion}""",
-      """"formatVersion":99""")
+    val bumped = java.nio.file.Files.readString(p).replaceAll(
+      """"formatVersion":\d+""", """"formatVersion":99""")
     java.nio.file.Files.writeString(p, bumped)
     val reader = VersionedTable.open(spark, dir)
     val e = intercept[ManifestFormatException] { reader.read() }

@@ -1,0 +1,203 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Native streaming sink (`writeStream.format("graft")`): one ACID
+  * commit per micro-batch with a (queryId, epochId) watermark in the
+  * manifest — exactly-once across replays, restarts, and zombie
+  * drivers, with no foreachBatch helper. */
+class StreamWriteSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft_swrite_").toUri.toString
+
+  test("append mode: each micro-batch is one commit, rows land with footer stats") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "value")
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    drain()
+    mem.addData((3L, 30L))
+    drain()
+    assert(inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // two data commits (one per non-empty epoch), each with id stats
+    assert(inst.latestVersion == 2L)
+    val hist = inst.history().orderBy("version").collect()
+    assert(hist.length == 3) // create + 2 epochs
+    val txn = inst.begin()
+    // footer-derived stats make the point read prune to one file
+    assert(txn.candidateFiles(Seq(3L)).size == 1)
+    inst.rollback(txn)
+  }
+
+  test("replayed epoch lands nothing: watermark in window and in checkpoint fold") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+
+    def epochCommit(epoch: Long, rows: Seq[(Long, Long)]): Unit = {
+      val txn = inst.begin()
+      txn.markEpoch("query-A", epoch)
+      txn.insert(rows.toDF("obj_id", "value"))
+      inst.commit(txn)
+    }
+    epochCommit(1, Seq((1L, 10L)))
+    epochCommit(2, Seq((2L, 20L)))
+    // replay of epoch 2 (crash between sink commit and checkpoint
+    // write): must throw the skip signal, not land duplicates
+    val replay = inst.begin()
+    replay.markEpoch("query-A", 2)
+    replay.insert(Seq((2L, 20L)).toDF("obj_id", "value"))
+    intercept[EpochAlreadyCommittedException](inst.commit(replay))
+    assert(inst.read().count() == 2L)
+    // an OLDER epoch is equally refused (watermark is a high-water mark)
+    val stale = inst.begin()
+    stale.markEpoch("query-A", 1)
+    stale.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    intercept[EpochAlreadyCommittedException](inst.commit(stale))
+    // a DIFFERENT query's epoch 1 commits fine
+    val other = inst.begin()
+    other.markEpoch("query-B", 1)
+    other.insert(Seq((9L, 90L)).toDF("obj_id", "value"))
+    inst.commit(other)
+    assert(inst.read().count() == 3L)
+
+    // watermarks survive manifest checkpoints: push the log past one
+    // checkpoint interval, then ask for a watermark written before it
+    (3L to 12L).foreach(e => epochCommit(e, Seq((100L + e, e))))
+    assert(inst.lastCommittedEpoch("query-A").contains(12L))
+    assert(inst.lastCommittedEpoch("query-B").contains(1L))
+    assert(inst.lastCommittedEpoch("query-C").isEmpty)
+    val late = inst.begin()
+    late.markEpoch("query-B", 1)
+    late.insert(Seq((999L, 9L)).toDF("obj_id", "value"))
+    intercept[EpochAlreadyCommittedException](inst.commit(late))
+  }
+
+  test("restart from checkpoint re-delivers nothing; complete mode replaces per epoch") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt2_").toString
+    mem.addData((1L, 10L), (2L, 20L))
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "value")
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val v = inst.latestVersion
+    drain() // restart, no new data: no new commit, no duplicates
+    assert(inst.latestVersion == v)
+    assert(inst.read().count() == 2L)
+
+    // complete mode: the aggregate REPLACES the table every epoch
+    val aggDir = freshDir()
+    VersionedTable.create(spark, aggDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "obj_id BIGINT, value BIGINT"))
+    val aggCkpt = Files.createTempDirectory("graft_swrite_ckpt3_").toString
+    def drainAgg(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "value")
+        .groupBy($"obj_id" % 2 as "obj_id")
+        .agg(org.apache.spark.sql.functions.sum("value") as "value")
+        .writeStream.format("graft").option("path", aggDir)
+        .outputMode("complete")
+        .option("checkpointLocation", aggCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainAgg()
+    val aggInst = VersionedTable.open(spark, aggDir)
+    assert(aggInst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 20L), (1L, 10L)))
+    mem.addData((3L, 30L))
+    drainAgg()
+    assert(aggInst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 20L), (1L, 40L)))
+    // pre-epoch snapshot stays time-travelable (atomic replace)
+    assert(aggInst.snapshot(aggInst.latestVersion - 1)
+      .orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 20L), (1L, 10L)))
+  }
+
+  test("toTable streams into a catalog table; schema mismatch fails loudly") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gsw$tag"
+    val wh = Files.createTempDirectory("graft_wh_sw_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.s.t (obj_id BIGINT, value BIGINT)")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((5L, 50L))
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt4_").toString
+    val q = mem.toDF().toDF("obj_id", "value")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable(s"$cat.s.t")
+    q.awaitTermination()
+    assert(spark.sql(s"SELECT * FROM $cat.s.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
+
+    // wrong schema: loud error at stream start, nothing lands
+    val bad = MemoryStream[(Long, String)]
+    bad.addData((1L, "x"))
+    val e = intercept[Exception] {
+      val qq = bad.toDF().toDF("obj_id", "wrong")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_swrite_ckpt5_").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("graft")
+        .option("path", wh + "/s/t")
+        .start()
+      qq.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).flatMap(t => Option(t.getMessage)).mkString
+        .contains("does not match"))
+  }
+
+  test("manifest appTxns: gen-3 only when present, roundtrip, legacy unaffected") {
+    import VersionedTable._
+    val m = Manifest(7L, 3L, "obj_id BIGINT", Seq("f1"), Nil, Seq(1L),
+      checkpoint = false, allFiles = Nil,
+      appTxns = Map("q1" -> 42L, "q0" -> 7L))
+    val js = toJson(m)
+    assert(js.contains("\"formatVersion\":3"))
+    val back = fromJson(js)
+    assert(back.appTxns == Map("q1" -> 42L, "q0" -> 7L))
+    // no watermark -> still generation 2: gen-2 readers keep working
+    // on tables that never saw a streaming write
+    val plain = m.copy(appTxns = Map.empty)
+    assert(toJson(plain).contains("\"formatVersion\":2"))
+    assert(fromJson(toJson(plain)).appTxns.isEmpty)
+  }
+}
