@@ -221,7 +221,40 @@ object AcidQueries {
       "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
       "CAST(value AS BIGINT) AS value " +
       "FROM (VALUES (1, 10), (2, 20), (3, 30)) AS t(obj_id, value) " +
-      "ORDER BY obj_id")((s, _) => streamWriteScenario(s)))
+      "ORDER BY obj_id")((s, _) => streamWriteScenario(s)),
+
+    // merge-on-read deletion vectors: a point delete masks rows via a
+    // small sidecar (no file rewrite), a re-inserted id is NOT masked
+    // (per-file vectors), and compaction materializes the masks away —
+    // the whole lifecycle lands on a hand-computable constant
+    "q55_mor_delete" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES (1, 10), (2, 200), (4, 40)) AS t(obj_id, value) " +
+      "ORDER BY obj_id")((s, _) => morDeleteScenario(s)))
+
+  /** MoR lifecycle: mask 2, re-insert 2 (new file, unmasked), mask 3,
+    * compact (materializes), read. */
+  def morDeleteScenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mor_q55_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("obj_id", "value").coalesce(1))
+    inst.commit(t1)
+    val t2 = inst.begin(); t2.deleteMoR(Seq(2L)); inst.commit(t2)
+    val t3 = inst.begin()
+    t3.insert(Seq((2L, 200L)).toDF("obj_id", "value"))
+    inst.commit(t3)
+    val t4 = inst.begin(); t4.deleteMoR(Seq(3L)); inst.commit(t4)
+    require(inst.tableStateAt(inst.latestVersion).dvs.nonEmpty,
+      "expected outstanding deletion vectors before compaction")
+    inst.compact()
+    require(inst.tableStateAt(inst.latestVersion).dvs.isEmpty,
+      "compaction must materialize every deletion vector")
+    inst.read().orderBy("obj_id")
+  }
 
   /** Streaming-sink lifecycle through the REAL DSv2 path: two drained
     * micro-batches via `writeStream.format("graft")`, then a forged

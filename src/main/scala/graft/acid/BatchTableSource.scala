@@ -367,9 +367,11 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
 }
 
 /** One bin-packed input split: files (or file ranges) sharing one
-  * partition-column layout, plus the pre-decoded partition row. */
+  * partition-column layout, plus the pre-decoded partition row and a
+  * per-file sorted deletion-vector mask (empty = no masked rows). */
 private[acid] final case class GraftInputPartition(
-    files: Seq[PartitionedFile], layout: Seq[String]) extends InputPartition
+    files: Seq[PartitionedFile], layout: Seq[String],
+    masks: Seq[Array[Long]] = Nil) extends InputPartition
 
 private[acid] final class GraftScan(root: String, version: Long,
     tableSchema: StructType, required: StructType,
@@ -387,10 +389,19 @@ private[acid] final class GraftScan(root: String, version: Long,
     s"graft $root @v$version$fs"
   }
 
+  @transient private lazy val state = inst.tableStateAt(version)
+
+  /** Resolved deletion-vector masks for the surviving files (empty on
+    * a table with no outstanding MoR deletes — the common case, which
+    * keeps the columnar fast path). */
+  @transient private lazy val dvMasks: Map[String, Array[Long]] =
+    inst.resolveDvs(state.dvs, prunedFiles)
+      .filter(_._2.nonEmpty)
+
   /** Snapshot file list after manifest-stats + partition-path skipping
     * (exposed for plan assertions; computed once per scan). */
   @transient lazy val prunedFiles: Seq[String] = {
-    val (files, _, stats, colStats) = inst.stateFullAt(version)
+    val (files, stats, colStats) = (state.files, state.stats, state.colStats)
     files.filter { rel =>
       val parts = GraftTableSource.partPairs(rel).toMap
       filters.forall { f =>
@@ -427,34 +438,46 @@ private[acid] final class GraftScan(root: String, version: Long,
           GraftTableSource.partValueInternal(pairs(f.name), f.dataType))
           .toArray[Any])
         val st = statuses(rel)
+        val mask = dvMasks.getOrElse(rel, Array.empty[Long])
         (0L until st.getLen by math.max(1L, maxSplit)).map { off =>
-          PartitionedFile(partRow, SparkPath.fromPath(st.getPath), off,
+          (PartitionedFile(partRow, SparkPath.fromPath(st.getPath), off,
             math.min(maxSplit, st.getLen - off), Array.empty,
-            st.getModificationTime, st.getLen)
+            st.getModificationTime, st.getLen), mask)
         }
       }
       // first-fit bin-pack (descending) up to maxSplit per partition —
       // the same shape FileSourceScan's FilePartition packing produces
       val bins = scala.collection.mutable.ArrayBuffer
-        .empty[(scala.collection.mutable.ArrayBuffer[PartitionedFile], Long)]
-      chunks.sortBy(-_.length).foreach { pf =>
-        bins.indexWhere(_._2 + pf.length <= maxSplit) match {
-          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(pf), pf.length))
-          case i => bins(i) = ((bins(i)._1 += pf, bins(i)._2 + pf.length))
+        .empty[(scala.collection.mutable.ArrayBuffer[(PartitionedFile, Array[Long])], Long)]
+      chunks.sortBy(-_._1.length).foreach { pf =>
+        bins.indexWhere(_._2 + pf._1.length <= maxSplit) match {
+          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(pf), pf._1.length))
+          case i => bins(i) = ((bins(i)._1 += pf, bins(i)._2 + pf._1.length))
         }
       }
-      bins.map(b => GraftInputPartition(b._1.toSeq, layout))
+      bins.map(b => GraftInputPartition(b._1.map(_._1).toSeq, layout,
+        b._1.map(_._2).toSeq))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat
+    val masked = dvMasks.nonEmpty
     val layouts = prunedFiles.map(r =>
       GraftTableSource.partPairs(r).map(_._1)).distinct.map { layout =>
       val partFields = StructType(required.filter(f => layout.contains(f.name)))
-      val fileSchema = StructType(required.filterNot(f => layout.contains(f.name)))
+      var fileSchema = StructType(required.filterNot(f => layout.contains(f.name)))
+      // merge-on-read masks filter by obj_id: inject it into the file
+      // read when column pruning dropped it (projected away again by
+      // the required-order projection below). Rare state by design —
+      // compaction materializes masks and restores the clean path
+      if (masked && !fileSchema.fieldNames.contains("obj_id") &&
+          !layout.contains("obj_id"))
+        fileSchema = StructType(fileSchema :+ tableSchema("obj_id"))
       val physical = StructType(fileSchema ++ partFields)
-      val columnar = fmt.supportBatch(spark, physical)
+      // row-wise mask filtering needs the row path; ColumnarBatch rows
+      // are iterated instead of handed through whole
+      val columnar = fmt.supportBatch(spark, physical) && !masked
       // filters on physical columns reach the parquet reader for
       // row-group skipping; partition-column filters were already
       // applied file-level and must not be pushed into the file read.
@@ -472,7 +495,8 @@ private[acid] final class GraftScan(root: String, version: Long,
         Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         spark.sessionState.newHadoopConf())
       val order = required.map(f => physical.fieldIndex(f.name)).toArray
-      layout -> GraftLayoutReader(reader, physical, order, columnar)
+      val idIdx = if (masked) physical.fieldIndex("obj_id") else -1
+      layout -> GraftLayoutReader(reader, physical, order, columnar, idIdx)
     }.toMap
     new GraftReaderFactory(layouts)
   }
@@ -480,7 +504,8 @@ private[acid] final class GraftScan(root: String, version: Long,
 
 private[acid] final case class GraftLayoutReader(
     reader: PartitionedFile => Iterator[InternalRow],
-    physical: StructType, order: Array[Int], columnar: Boolean)
+    physical: StructType, order: Array[Int], columnar: Boolean,
+    idIdx: Int = -1)
 
 private[acid] final class GraftReaderFactory(
     layouts: Map[Seq[String], GraftLayoutReader])
@@ -502,11 +527,19 @@ private[acid] final class GraftReaderFactory(
     // when vectorized (the FileScanRDD contract) — erase the element
     // type BEFORE any lambda binds it, or scalac's parameter cast
     // fires ahead of the match
+    val masks =
+      if (gp.masks.nonEmpty) gp.masks else gp.files.map(_ => Array.empty[Long])
     val rows: Iterator[InternalRow] =
-      gp.files.iterator.flatMap(f =>
-        lr.reader(f).asInstanceOf[Iterator[Any]]).flatMap {
-        case b: ColumnarBatch => b.rowIterator().asScala
-        case row: InternalRow => Iterator.single(row)
+      gp.files.iterator.zip(masks.iterator).flatMap { case (f, mask) =>
+        val fileRows = lr.reader(f).asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case row: InternalRow => Iterator.single(row)
+        }
+        // merge-on-read mask: drop this file's deleted ids (sorted
+        // array + binary search; masks are point-delete sized)
+        if (mask.isEmpty) fileRows
+        else fileRows.filter(r =>
+          java.util.Arrays.binarySearch(mask, r.getLong(lr.idIdx)) < 0)
       }.map(proj)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

@@ -97,9 +97,13 @@ private[acid] object ChangeFeedSource {
       val m = inst.readManifest(v)
       val isData = m.objects.nonEmpty || m.objSummary.isDefined
       if (isData) {
-        if (m.removed.nonEmpty && !ignoreChanges)
+        // a merge-on-read delete commit (dv delta, no file delta) is a
+        // row-removal too — an append stream can no more represent it
+        // than a CoW delete; under ignoreChanges it simply adds no
+        // files (the masked rows were already streamed)
+        if ((m.removed.nonEmpty || m.dvs.nonEmpty) && !ignoreChanges)
           throw new IllegalStateException(
-            s"graft-cdf: version $v of ${inst.root} removes files (update/" +
+            s"graft-cdf: version $v of ${inst.root} removes rows (update/" +
             "delete/restore) — an append stream cannot represent it. Set " +
             ".option(\"ignoreChanges\", true) to stream post-image rows, " +
             "or consume Instance.changes() for exact row-level CDC.")

@@ -98,7 +98,26 @@ object VersionedTable {
       objSummary: Option[ObjSummary] = None,
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       tsMillis: Long = 0L,
-      appTxns: Map[String, Long] = Map.empty)
+      appTxns: Map[String, Long] = Map.empty,
+      // merge-on-read deletion vectors, as a DELTA: data file -> the
+      // sidecar files whose id sets mask its rows. REPLACEMENT
+      // semantics under the state fold (an entry overwrites the file's
+      // prior list; an empty list clears it — how restore() un-deletes),
+      // with commit-time conflicts on overlapping targets standing in
+      // for lost-update safety (see Instance.commit)
+      dvs: Map[String, Seq[String]] = Map.empty,
+      // full folded dv state, carried by CHECKPOINT manifests only —
+      // the dv analog of allFiles (keeping the delta field a true
+      // delta: CDC and the change-feed source classify commits by it)
+      allDvs: Map[String, Seq[String]] = Map.empty)
+
+  /** Materialized snapshot state at one version (the [[Manifest]] fold):
+    * live files, schema, both stats indexes, and the deletion-vector
+    * map (data file -> sidecars masking its rows). */
+  final case class TableState(files: Seq[String], ddl: String,
+      stats: Map[String, (Long, Long)],
+      colStats: Map[String, Map[String, (Long, Long)]],
+      dvs: Map[String, Seq[String]])
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -119,8 +138,13 @@ object VersionedTable {
     * rows, the exactly-once guarantee silently gone — so manifests
     * carrying the field declare generation 3. Manifests without it
     * still declare 2, keeping tables that never saw a streaming write
-    * readable by gen-2 deployments. */
-  val FormatVersion = 3
+    * readable by gen-2 deployments.
+    * 4 added `dvs` (merge-on-read deletion vectors): a reader ignoring
+    * them would RESURRECT every MoR-deleted row — so manifests carrying
+    * them declare generation 4. Each manifest declares the MINIMUM
+    * generation its own fields need, so only tables actually using a
+    * feature lock out older deployments. */
+  val FormatVersion = 4
 
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -151,14 +175,26 @@ object VersionedTable {
       if (appKeys.isEmpty) ""
       else s""""appIds":${arrS(appKeys)},""" +
         s""""appEpochs":${arrL(appKeys.map(m.appTxns(_)))},"""
-    val declaredFv = if (m.appTxns.nonEmpty) 3 else 2
+    // deletion vectors flattened to two parallel arrays (file, then its
+    // sidecar list joined with ';' — sidecar names are uuids, never
+    // contain ';'); an empty list serializes as "" = clear-this-entry
+    def dvBlock(prefix: String, dvs: Map[String, Seq[String]]): String = {
+      val keys = dvs.keys.toSeq.sorted
+      if (keys.isEmpty) ""
+      else s""""${prefix}Files":${arrS(keys)},""" +
+        s""""${prefix}Lists":${arrS(keys.map(dvs(_).mkString(";")))},"""
+    }
+    val dvsJson = dvBlock("dv", m.dvs) + dvBlock("allDv", m.allDvs)
+    val declaredFv =
+      if (m.dvs.nonEmpty || m.allDvs.nonEmpty) 4
+      else if (m.appTxns.nonEmpty) 3 else 2
     val payload =
       s"""{"formatVersion":$declaredFv,""" +
       s""""version":${m.version},"tsn":${m.tsn},""" +
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary + cstats + apps +
+      summary + cstats + apps + dvsJson +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -172,6 +208,41 @@ object VersionedTable {
     val c = new java.util.zip.CRC32
     c.update(s.getBytes("UTF-8"))
     c.getValue
+  }
+
+  /** Deletion-vector sidecar payload: data file -> the obj ids this
+    * sidecar masks in it. Same flat-arrays-plus-crc shape as the
+    * manifest (ids ';'-joined per file so the parser stays split-based;
+    * corruption must fail loudly — a torn sidecar silently read as
+    * fewer ids would RESURRECT deleted rows). */
+  private[acid] def dvToJson(masks: Map[String, Seq[Long]]): String = {
+    val keys = masks.keys.toSeq.sorted
+    def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val payload =
+      s"""{"dvFiles":${arrS(keys)},""" +
+      s""""dvIds":${arrS(keys.map(masks(_).sorted.mkString(";")))}}"""
+    payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
+  }
+
+  private[acid] def dvFromJson(s: String): Map[String, Array[Long]] = {
+    val crcIdx = s.lastIndexOf(",\"crc\":")
+    require(crcIdx > 0, s"deletion-vector sidecar missing crc")
+    val stored = s.substring(crcIdx + 7).trim.stripSuffix("}").toLong
+    val payload = s.substring(0, crcIdx) + "}"
+    if (crc32(payload) != stored)
+      throw new java.io.IOException(
+        s"deletion-vector sidecar integrity check failed: " +
+        s"stored crc $stored != computed ${crc32(payload)}")
+    def strArr(k: String): Seq[String] = {
+      val i = s.indexOf("\"" + k + "\":[") + k.length + 4
+      val j = s.indexOf("]", i)
+      val raw = s.substring(i, j)
+      if (raw.isEmpty) Nil
+      else raw.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    strArr("dvFiles").zip(strArr("dvIds").map(l =>
+      if (l.isEmpty) Array.empty[Long]
+      else l.split(';').map(_.toLong))).toMap
   }
 
   private[graft] def fromJson(s: String): Manifest = {
@@ -276,6 +347,14 @@ object VersionedTable {
       if (s.contains("\"appIds\":"))
         strArr("appIds").zip(longArr("appEpochs")).toMap
       else Map.empty[String, Long]
+    def dvBlock(prefix: String): Map[String, Seq[String]] =
+      if (s.contains("\"" + prefix + "Files\":"))
+        strArr(prefix + "Files").zip(strArr(prefix + "Lists").map(l =>
+          if (l.isEmpty) Seq.empty[String]
+          else l.split(';').toSeq)).toMap
+      else Map.empty[String, Seq[String]]
+    val dvs = dvBlock("dv")
+    val allDvs = dvBlock("allDv")
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
       longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
@@ -285,7 +364,8 @@ object VersionedTable {
       // in legacy manifests -> 0 = "unknown, infinitely old"
       tsMillis = if (s.contains("\"tsMillis\":")) rawField("tsMillis").toLong
         else 0L,
-      appTxns = appTxns)
+      appTxns = appTxns,
+      dvs = dvs, allDvs = allDvs)
   }
 
   /** One-time datastore initialization (reference:
@@ -556,6 +636,16 @@ final class Instance(val spark: SparkSession, val root: String,
     * removal drops the file's entry. */
   private[acid] def stateFullAt(v: Long): (Seq[String], String,
       Map[String, (Long, Long)], Map[String, Map[String, (Long, Long)]]) = {
+    val s = tableStateAt(v)
+    (s.files, s.ddl, s.stats, s.colStats)
+  }
+
+  /** Full snapshot-state fold at `v`, deletion vectors included:
+    * checkpoints carry complete maps, deltas are applied in commit
+    * order — files/stats add-and-remove, dv entries REPLACE the
+    * file's sidecar list (empty list = clear; removal of the data
+    * file drops its entry with it). */
+  private[acid] def tableStateAt(v: Long): TableState = {
     var tail = List.empty[Manifest]
     var cv = v
     var ckpt: Manifest = null
@@ -567,13 +657,20 @@ final class Instance(val spark: SparkSession, val root: String,
     var ddl = ckpt.schemaDDL
     var stats = ckpt.stats
     var colStats = ckpt.colStats
+    // a checkpoint's full dv state lives in allDvs; its own delta (if
+    // the checkpointing txn itself masked files) is already folded in
+    var dvs = ckpt.allDvs
     tail.foreach { m =>
       files = files -- m.removed ++ m.added
       stats = stats -- m.removed ++ m.stats
       colStats = colStats -- m.removed ++ m.colStats
+      dvs = dvs -- m.removed
+      m.dvs.foreach { case (f, list) =>
+        dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
+      }
       ddl = m.schemaDDL
     }
-    (files.toSeq.sorted, ddl, stats, colStats)
+    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs)
   }
 
   /** Streaming-epoch watermarks visible at version `v`: latest
@@ -600,8 +697,8 @@ final class Instance(val spark: SparkSession, val root: String,
   /** Version-pinned snapshot read (reference: open_read at the txn's
     * snapshot CSN, instance.rs:126-134). */
   def snapshot(v: Long): DataFrame = {
-    val (files, ddl) = stateAt(v)
-    viewOf(files, ddl)
+    val st = tableStateAt(v)
+    viewOf(st.files, st.ddl, resolveDvs(st.dvs, st.files))
   }
 
   /** DataFrame over an explicit file set (shared by committed snapshots
@@ -618,7 +715,30 @@ final class Instance(val spark: SparkSession, val root: String,
     * opens. Unpartitioned files (no k=v segments) read exactly as
     * before; CoW rewrites materialize the column physically, which
     * degrades pruning for the rewritten files but never correctness. */
-  private[acid] def viewOf(files: Seq[String], ddl: String): DataFrame = {
+  private[acid] def viewOf(files: Seq[String], ddl: String,
+      masks: Map[String, Array[Long]] = Map.empty): DataFrame = {
+    // merge-on-read: files with a deletion vector read as their own
+    // branch minus the masked ids. The masked set is SMALL by
+    // construction (compaction materializes and clears it), so the
+    // per-file branches and the id filters stay bounded; the clean
+    // majority keeps the shared-scan fast paths below untouched.
+    val masked = files.filter(f => masks.get(f).exists(_.nonEmpty))
+    if (masked.nonEmpty) {
+      val clean = files.filterNot(masked.toSet)
+      val branches = masked.sorted.map { f =>
+        val ids = masks(f)
+        val df = viewOf(Seq(f), ddl)
+        if (ids.length <= conf.idBroadcastThreshold)
+          df.filter(!col("obj_id").isin(ids.toSeq: _*))
+        else {
+          val s = spark
+          import s.implicits._
+          df.join(broadcast(ids.toSeq.toDF("obj_id")), Seq("obj_id"),
+            "left_anti")
+        }
+      }
+      return (viewOf(clean, ddl) +: branches).reduce(_.unionByName(_))
+    }
     val schema = StructType.fromDDL(ddl)
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -698,7 +818,8 @@ final class Instance(val spark: SparkSession, val root: String,
     val txn = begin()
     try {
       val files = txn.candidateFilesBy(column, values)
-      viewOf(files, stateAt(txn.readVersion)._2)
+      val st = tableStateAt(txn.readVersion)
+      viewOf(files, st.ddl, resolveDvs(st.dvs, files))
         .filter(col(column).isin(values: _*))
     } finally rollback(txn) // committed files only — nothing to reclaim
   }
@@ -723,13 +844,34 @@ final class Instance(val spark: SparkSession, val root: String,
     val txn = begin()
     require(v >= 0 && v <= txn.readVersion,
       s"cannot restore to v$v from v${txn.readVersion}")
-    val (oldFiles, oldDdl, oldStats, oldColStats) = stateFullAt(v)
-    val (curFiles, curDdl, _) = stateWithStatsAt(txn.readVersion)
+    val oldState = tableStateAt(v)
+    val curState = tableStateAt(txn.readVersion)
+    val (oldFiles, oldDdl, oldStats, oldColStats) =
+      (oldState.files, oldState.ddl, oldState.stats, oldState.colStats)
+    val (curFiles, curDdl) = (curState.files, curState.ddl)
     val reAdd = oldFiles.toSet -- curFiles
     val drop = curFiles.toSet -- oldFiles
-    if (reAdd.isEmpty && drop.isEmpty) { rollback(txn); return txn.readVersion }
+    // deletion vectors must restore too: un-deleting a MoR-masked row
+    // (or re-masking one an interleaved compaction materialized away)
+    // is exactly a dv-state difference with an identical file set
+    val dvBase = curState.dvs -- drop
+    val dvFix = (dvBase.keySet ++ oldState.dvs.keySet).filter(f =>
+      dvBase.get(f) != oldState.dvs.get(f))
+    if (reAdd.isEmpty && drop.isEmpty && dvFix.isEmpty) {
+      rollback(txn); return txn.readVersion
+    }
+    dvFix.foreach(f => txn.dvDelta(f) = oldState.dvs.getOrElse(f, Nil))
     // a vacuumed target must fail loudly before publishing a manifest
-    // that references ghost files
+    // that references ghost files — dv sidecars included (a missing
+    // sidecar would resurrect its masked rows)
+    val goneDvs = dvFix.flatMap(f => oldState.dvs.getOrElse(f, Nil))
+      .filterNot(n => fs.exists(new Path(dataDir, n)))
+    if (goneDvs.nonEmpty) {
+      rollback(txn)
+      throw new IllegalStateException(
+        s"cannot restore to v$v: ${goneDvs.size} deletion-vector " +
+        s"sidecar(s) were vacuumed (first: ${goneDvs.head})")
+    }
     val gone = reAdd.filterNot(f => fs.exists(new Path(dataDir, f)))
     if (gone.nonEmpty) {
       rollback(txn)
@@ -905,11 +1047,28 @@ final class Instance(val spark: SparkSession, val root: String,
     // stateAt(v-1) this replaces cost O(interval) EACH (a 1000-commit
     // CDC interval read ~10^4 manifests; on an object store that is
     // the difference between a tail-read and a crawl)
-    var prevDdl = stateAt(fromV)._2
+    val st0 = tableStateAt(fromV)
+    var prevDdl = st0.ddl
+    // the dv map rolls forward beside the schema: pre-images of a
+    // commit must subtract the masks that were ALREADY live at v-1
+    // (otherwise a rewrite of a masked file re-reports its dead rows),
+    // and a MoR delete commit's own rows surface as pre-vs-post mask
+    // differences on its target files
+    var prevDvs = st0.dvs
     val perVersion = ((fromV + 1) to toV).flatMap { v =>
       val m = readManifest(v)
       val preDdl = prevDdl
+      val preDvs = prevDvs
       prevDdl = m.schemaDDL
+      var rolled = prevDvs -- m.removed
+      m.dvs.foreach { case (f, l) =>
+        rolled = if (l.isEmpty) rolled - f else rolled.updated(f, l)
+      }
+      prevDvs = rolled
+      val curDvs = rolled
+      val dvTargets = m.dvs.keys.toSeq.filterNot(m.removed.toSet).sorted
+      val preFiles = m.removed ++ dvTargets
+      val postFiles = m.added ++ dvTargets
       if (m.objects.nonEmpty) {
         val ids = m.objects
         def touched(df: DataFrame): DataFrame =
@@ -919,8 +1078,10 @@ final class Instance(val spark: SparkSession, val root: String,
             val s = spark; import s.implicits._
             df.join(broadcast(ids.toDF("obj_id")), Seq("obj_id"), "left_semi")
           }
-        val pre = touched(viewOf(m.removed, preDdl))
-        val post = touched(viewOf(m.added, m.schemaDDL))
+        val pre = touched(viewOf(preFiles, preDdl,
+          resolveDvs(preDvs, preFiles)))
+        val post = touched(viewOf(postFiles, m.schemaDDL,
+          resolveDvs(curDvs, postFiles)))
         val preIds = pre.select("obj_id").distinct()
         val postIds = post.select("obj_id").distinct()
         def tag(df: DataFrame, other: DataFrame, join: String,
@@ -945,8 +1106,9 @@ final class Instance(val spark: SparkSession, val root: String,
         // values rewritten) is indistinguishable from a copy and is not
         // emitted; the feed assumes the layer's id contract (obj_id
         // unique per snapshot — guaranteed by the upsert/point-op API).
-        val pre = viewOf(m.removed, preDdl)
-        val post = viewOf(m.added, m.schemaDDL)
+        val pre = viewOf(preFiles, preDdl, resolveDvs(preDvs, preFiles))
+        val post = viewOf(postFiles, m.schemaDDL,
+          resolveDvs(curDvs, postFiles))
         // one column layout across both sides (schema evolution within
         // the commit appears as typed nulls, same as the union path)
         val allCols: Seq[(String, DataType)] =
@@ -1083,6 +1245,53 @@ final class Instance(val spark: SparkSession, val root: String,
     * ~10ms RPC on an object store, where 16-way overlap is the
     * difference between an interactive surface and a serial crawl).
     * Small inputs stay serial: pool setup costs more than the reads. */
+  // parsed deletion-vector sidecars, cached by name — sidecars are
+  // immutable once written (referenced only via manifests), so the
+  // cache can never go stale; bounded by the live dv count, which
+  // compaction keeps small
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+
+  /** Write one deletion-vector sidecar (driver-side: the masked id set
+    * is point-delete-sized by contract; bulk deletes belong to the
+    * copy-on-write paths). Referenced only after the manifest commit
+    * publishes, exactly like staged data files. */
+  private[acid] def writeDvSidecar(masks: Map[String, Seq[Long]]): String = {
+    val name = s"dv-${java.util.UUID.randomUUID().toString.take(12)}.json"
+    val out = fs.create(new Path(dataDir, name), false)
+    try out.write(VersionedTable.dvToJson(masks).getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  private[acid] def readDvSidecar(name: String): Map[String, Array[Long]] =
+    dvCache.computeIfAbsent(name, { n =>
+      val in = fs.open(new Path(dataDir, n))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        VersionedTable.dvFromJson(bytes.toString("UTF-8"))
+      } finally in.close()
+    })
+
+  /** Resolve a state's dv map (file -> sidecar names) to the concrete
+    * masked-id arrays [[viewOf]] consumes, restricted to `files`. */
+  private[acid] def resolveDvs(dvs: Map[String, Seq[String]],
+      files: Seq[String]): Map[String, Array[Long]] = {
+    if (dvs.isEmpty) return Map.empty
+    val wanted = files.filter(dvs.contains)
+    if (wanted.isEmpty) return Map.empty
+    // warm the cache on the driver pool first: each sidecar is one
+    // small RPC on an object store
+    pooledMap(wanted.flatMap(dvs).distinct)(readDvSidecar)
+    wanted.map { f =>
+      f -> dvs(f).flatMap(n => readDvSidecar(n).getOrElse(f, Array.empty[Long]))
+        .distinct.sorted.toArray
+    }.toMap
+  }
+
   private[acid] def pooledMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.size <= 4) items.map(f)
     else {
@@ -1167,7 +1376,8 @@ final class Instance(val spark: SparkSession, val root: String,
     // a schema-only evolution (Txn.alterSchema) has no file delta but
     // MUST publish — the early no-op return is only for txns that
     // changed nothing at all
-    if (txn.added.isEmpty && txn.removed.isEmpty && !txn.schemaEvolved) {
+    if (txn.added.isEmpty && txn.removed.isEmpty && !txn.schemaEvolved &&
+        txn.dvDelta.isEmpty) {
       deleteRetired(txn) // e.g. insert-then-delete-all within one txn
       return txn.readVersion
     }
@@ -1239,11 +1449,23 @@ final class Instance(val spark: SparkSession, val root: String,
           }
         }
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
-        if (objConflict(m) || fileOverlap.nonEmpty) {
+        // deletion-vector structure conflicts: a dv entry REPLACES the
+        // file's sidecar list, so concurrent dv writers on one file
+        // would lose each other's masks; and a dv on a file the other
+        // side rewrote (or a rewrite of a file the other side masked)
+        // was planned from a stale row set — all three retry
+        val dvOverlap =
+          m.dvs.keySet.intersect(txn.dvDelta.keySet.toSet) ++
+          m.dvs.keySet.intersect(txn.removed.toSet) ++
+          m.removed.toSet.intersect(txn.dvDelta.keySet.toSet)
+        if (objConflict(m) || fileOverlap.nonEmpty || dvOverlap.nonEmpty) {
           txn.abort()
           throw new ConflictException(
             if (fileOverlap.nonEmpty)
               s"files ${fileOverlap.take(3).mkString(",")} rewritten by tsn ${m.tsn}"
+            else if (dvOverlap.nonEmpty)
+              s"deletion vectors on ${dvOverlap.take(3).mkString(",")} " +
+              s"race a rewrite/mask by tsn ${m.tsn}"
             else
               s"objects touched by interleaved commit tsn ${m.tsn} overlap this transaction")
         }
@@ -1262,12 +1484,21 @@ final class Instance(val spark: SparkSession, val root: String,
         txn.added.flatMap(f => txn.addedStats.get(f).map(f -> _)).toMap
       val addedColStats =
         txn.added.flatMap(f => txn.addedColStats.get(f).map(f -> _)).toMap
-      val (ckptFiles, ckptStats, ckptColStats) = if (isCkpt) {
-        val (baseFiles, _, baseStats, baseColStats) = stateFullAt(attempt - 1)
-        ((baseFiles.toSet -- txn.removed ++ txn.added).toSeq.sorted,
-          baseStats -- txn.removed ++ addedStats,
-          baseColStats -- txn.removed ++ addedColStats)
-      } else (Nil, addedStats, addedColStats)
+      val (ckptFiles, ckptStats, ckptColStats, ckptAllDvs) = if (isCkpt) {
+        val base = tableStateAt(attempt - 1)
+        // checkpoint allDvs is the FULL folded state (clear markers
+        // resolve away: an empty list is simply absent); the manifest's
+        // dvs field stays this txn's true delta in either case
+        var dvs = base.dvs -- txn.removed
+        txn.dvDelta.foreach { case (f, list) =>
+          dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
+        }
+        ((base.files.toSet -- txn.removed ++ txn.added).toSeq.sorted,
+          base.stats -- txn.removed ++ addedStats,
+          base.colStats -- txn.removed ++ addedColStats,
+          dvs)
+      } else (Nil, addedStats, addedColStats,
+        Map.empty[String, Seq[String]])
       // checkpoints fold EVERY query's watermark forward (so a lookup
       // never walks past one); deltas carry only this txn's entry
       val appTxns =
@@ -1278,7 +1509,7 @@ final class Instance(val spark: SparkSession, val root: String,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
         objSummary = objSum, colStats = ckptColStats,
         tsMillis = System.currentTimeMillis(),
-        appTxns = appTxns)
+        appTxns = appTxns, dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -1356,14 +1587,32 @@ final class Instance(val spark: SparkSession, val root: String,
     }
     val above = pooledMap(((horizon + 1) to head).toSeq)(readManifest)
     var horizonFiles = ckpt.allFiles.toSet
-    tail.foreach(m => horizonFiles = horizonFiles -- m.removed ++ m.added)
+    var horizonDvs = ckpt.allDvs
+    tail.foreach { m =>
+      horizonFiles = horizonFiles -- m.removed ++ m.added
+      horizonDvs = horizonDvs -- m.removed
+      m.dvs.foreach { case (f, l) =>
+        horizonDvs = if (l.isEmpty) horizonDvs - f else horizonDvs.updated(f, l)
+      }
+    }
     val live = horizonFiles ++ above.flatMap(_.added)
     val referenced = ckpt.allFiles.toSet ++ tail.flatMap(_.added) ++
       above.flatMap(_.added)
+    // deletion-vector sidecars have the same two-phase lifecycle: live
+    // = referenced by the horizon fold or any window manifest (a
+    // sidecar attached then replaced INSIDE the window was live at a
+    // retained version — the union keeps it, exactly like files);
+    // referenced-but-dead = replaced or materialized before the horizon
+    val liveDvs = horizonDvs.values.flatten.toSet ++
+      above.flatMap(m => m.dvs.values.flatten ++ m.allDvs.values.flatten)
+    val referencedDvs = ckpt.allDvs.values.flatten.toSet ++
+      tail.flatMap(_.dvs.values.flatten) ++
+      above.flatMap(m => m.dvs.values.flatten ++ m.allDvs.values.flatten)
     // deletes issued on the bounded pool too — each is an RPC on an
     // object store, and a big retirement batch is exactly when vacuum
     // latency matters
-    var removed = pooledMap((referenced -- live).toSeq) { rel =>
+    var removed = pooledMap(
+        (referenced -- live).toSeq ++ (referencedDvs -- liveDvs).toSeq) { rel =>
       val p = new Path(dataDir, rel)
       if (fs.exists(p)) { fs.delete(p, false); true } else false
     }.count(identity)
@@ -1383,6 +1632,18 @@ final class Instance(val spark: SparkSession, val root: String,
           e.getPath.getName.startsWith("..tmp-")))
         .foreach { e =>
           if (e.getModificationTime < cutoff) {
+            fs.delete(e.getPath, false); removed += 1
+          }
+        }
+      // dv sidecars live FLAT in dataDir (never inside staging dirs):
+      // sweep unreferenced ones past the grace — an in-flight txn's
+      // just-written sidecar is shielded exactly like staged data
+      fs.listStatus(dataDir)
+        .filter(e => e.isFile && e.getPath.getName.startsWith("dv-"))
+        .foreach { e =>
+          if (!liveDvs.contains(e.getPath.getName) &&
+              !referencedDvs.contains(e.getPath.getName) &&
+              e.getModificationTime < cutoff) {
             fs.delete(e.getPath, false); removed += 1
           }
         }
@@ -1461,8 +1722,10 @@ final class Instance(val spark: SparkSession, val root: String,
       else if (clusterByObjId) Seq("obj_id")
       else Nil
     val txn = begin()
-    val (files, ddl, _) = stateWithStatsAt(txn.readVersion)
-    if (files.isEmpty || (files.size <= targetFiles && cluster.isEmpty)) {
+    val st = tableStateAt(txn.readVersion)
+    val (files, ddl) = (st.files, st.ddl)
+    if (files.isEmpty ||
+        (files.size <= targetFiles && cluster.isEmpty && st.dvs.isEmpty)) {
       rollback(txn); return 0
     }
     // a typo'd cluster column must fail HERE, not silently produce a
@@ -1487,7 +1750,10 @@ final class Instance(val spark: SparkSession, val root: String,
         val i = seg.indexOf('=')
         if (i > 0) Some(seg.substring(0, i)) else None
       }.distinct.sorted
-    val view = viewOf(files, ddl)
+    // compaction MATERIALIZES outstanding deletion vectors: the rewrite
+    // reads through the masks and the retired files' dv entries drop
+    // with them, healing read overhead back to zero
+    val view = viewOf(files, ddl, resolveDvs(st.dvs, files))
     val clustered = cluster match {
       case Nil => view.coalesce(targetFiles)
       case Seq(c) => view.repartitionByRange(targetFiles, col(c))
@@ -1678,6 +1944,11 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // sink support): commit refuses to land if the same query already
   // committed this epoch or a later one — see Instance.commit
   private[acid] var appTxn: Option[(String, Long)] = None
+  // merge-on-read dv delta this commit publishes: data file -> its FULL
+  // replacement sidecar list (empty = clear). Maintained by deleteMoR
+  // and restore; entries for files this txn later rewrites are dropped
+  // in retire() (the rewrite materialized the mask)
+  private[acid] val dvDelta = mutable.Map[String, Seq[String]]()
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
 
@@ -1687,14 +1958,18 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // version (refresh() invalidates by bumping readVersion). Committed
   // state at a fixed version is immutable, so the cache can never go
   // stale.
-  @volatile private var baseCache:
-      (Long, (Seq[String], String, Map[String, (Long, Long)],
-        Map[String, Map[String, (Long, Long)]])) = null
+  @volatile private var baseCache: (Long, TableState) = null
 
-  private def cachedBase() = {
+  private def cachedBase(): (Seq[String], String, Map[String, (Long, Long)],
+      Map[String, Map[String, (Long, Long)]]) = {
+    val s = cachedBaseState()
+    (s.files, s.ddl, s.stats, s.colStats)
+  }
+
+  private def cachedBaseState(): TableState = {
     var cached = baseCache
     if (cached == null || cached._1 != readVersion) {
-      cached = (readVersion, inst.stateFullAt(readVersion))
+      cached = (readVersion, inst.tableStateAt(readVersion))
       baseCache = cached
     }
     cached._2
@@ -1708,6 +1983,21 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     (files, schemaDDL.getOrElse(snapDdl), baseStats -- removed ++ addedStats)
   }
 
+  /** Txn-local deletion-vector map: base state overridden by this
+    * transaction's own dv writes (read-your-own-deletes), entries of
+    * retired files dropped. */
+  private def localDvs(): Map[String, Seq[String]] = {
+    var dvs = cachedBaseState().dvs -- removed
+    dvDelta.foreach { case (f, list) =>
+      dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
+    }
+    dvs
+  }
+
+  /** Resolved masked-id arrays for `files` under [[localDvs]]. */
+  private def localMasks(files: Seq[String]): Map[String, Array[Long]] =
+    inst.resolveDvs(localDvs(), files)
+
   /** Read-your-own-writes view (reference MVCC resolve accepts entries
     * with `tsn == my_tsn`, block_driver.rs:461-486): the pinned
     * snapshot's file set minus files this transaction removed plus its
@@ -1717,7 +2007,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * twice while publishing both rewrites, resurrecting deleted rows). */
   def read(): DataFrame = {
     val (files, ddl, _) = localState()
-    inst.viewOf(files, ddl)
+    inst.viewOf(files, ddl, localMasks(files))
   }
 
   /** Files whose manifest obj-id range can contain one of `ids` — the
@@ -2034,14 +2324,16 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       // base∩src rows live only in candidate files (a pruned file's id
       // range misses the whole source span), so this snapshot is the
       // exact match side for both the rewrite and the insert anti join
+      val masks = localMasks(cand)
       val snap = if (cand.isEmpty) null
-        else inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+        else inst.viewOf(cand, ddl, masks)
+          .withColumn("_file", input_file_name())
       val mutates = matchedDelete.isDefined || matchedUpdate.nonEmpty
       if (snap != null && mutates) {
         val hit = snap.join(keys, Seq("obj_id"), "left_semi")
           .select("_file").distinct().collect().map(_.getString(0))
         if (hit.nonEmpty) {
-          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
           val kept = touched.join(keys, Seq("obj_id"), "left_anti")
             .select(tCols.map(col): _*)
           val joined = touched.alias("t")
@@ -2107,11 +2399,13 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         case None => true
       })
       if (cand.nonEmpty) {
-        val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+        val masks = localMasks(cand)
+        val snap = inst.viewOf(cand, ddl, masks)
+          .withColumn("_file", input_file_name())
         val hit = snap.join(keys, Seq("obj_id"), "left_semi")
           .select("_file").distinct().collect().map(_.getString(0))
         if (hit.nonEmpty) {
-          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
           val survivors = touched.join(keys, Seq("obj_id"), "left_anti")
           val rewritten = if (survivors.isEmpty) Nil
             else inst.writeStaged(survivors, this)
@@ -2134,16 +2428,57 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val (_, ddl, _) = localState()
     val cand = candidateFiles(ids)
     if (cand.nonEmpty) {
-      val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+      val masks = localMasks(cand)
+      val snap = inst.viewOf(cand, ddl, masks)
+        .withColumn("_file", input_file_name())
       val hit = idMatch(snap, ids)
         .select("_file").distinct().collect().map(_.getString(0))
       if (hit.nonEmpty) {
-        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
         val survivors = idReject(touched, ids)
         val rewritten = if (survivors.isEmpty) Nil
           else inst.writeStaged(survivors, this)
         retire(hit.toSeq.map(relativize))
         added ++= rewritten
+      }
+    }
+    objects ++= ids
+    spillObjectsIfNeeded()
+  }
+
+  /** Merge-on-read point delete: instead of rewriting every file that
+    * holds one of `ids` (copy-on-write amplification: one masked row
+    * costs a whole-file rewrite), write ONE small deletion-vector
+    * sidecar naming the (file, id) pairs and attach it to the touched
+    * files in the manifest. Readers subtract the mask per file — a
+    * re-inserted id lands in a NEW file and is never masked — and
+    * [[Instance.compact]] materializes and clears outstanding vectors,
+    * so the masked set stays bounded. Point-delete sized by contract:
+    * the (file, id) hit list is collected on the driver; bulk deletes
+    * belong to [[delete]]/[[deleteMatching]], whose cost the rewrite
+    * already dominates. Same conflict surface as a CoW delete (the ids
+    * are published; dv targets additionally conflict with concurrent
+    * rewrites or masks of the same file — see Instance.commit).
+    * (Reference: delete marks the object dead in the WAL and defers
+    * the physical reclaim, instance.rs:141-168 + vacuum.) */
+  def deleteMoR(ids: Seq[Long]): Unit = {
+    val (_, ddl, _) = localState()
+    val cand = candidateFiles(ids)
+    if (cand.nonEmpty) {
+      // masked rows excluded: re-deleting an already-masked id is a
+      // no-op, not a second mask
+      val snap = inst.viewOf(cand, ddl, localMasks(cand))
+        .withColumn("_file", input_file_name())
+      val hits = idMatch(snap, ids).select("_file", "obj_id")
+        .distinct().collect()
+        .groupBy(r => relativize(r.getString(0)))
+        .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+      if (hits.nonEmpty) {
+        val sidecar = inst.writeDvSidecar(hits)
+        val base = localDvs()
+        hits.keys.foreach { f =>
+          dvDelta(f) = base.getOrElse(f, Nil) :+ sidecar
+        }
       }
     }
     objects ++= ids
@@ -2158,11 +2493,13 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val (_, ddl, _) = localState()
     val cand = candidateFiles(ids)
     if (cand.nonEmpty) {
-      val snap = inst.viewOf(cand, ddl).withColumn("_file", input_file_name())
+      val masks = localMasks(cand)
+      val snap = inst.viewOf(cand, ddl, masks)
+        .withColumn("_file", input_file_name())
       val hit = idMatch(snap, ids)
         .select("_file").distinct().collect().map(_.getString(0))
       if (hit.nonEmpty) {
-        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl)
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
         val untouchedRows = idReject(touched, ids)
         val updatedRows = transform(idMatch(touched, ids))
         val rewritten =
@@ -2232,6 +2569,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val i = added.indexOf(f)
     if (i >= 0) { added.remove(i); retired += f }
     else removed += f
+    // a rewrite of a file this txn had masked materializes the mask
+    // (the rewrite read through localMasks) — publishing the entry too
+    // would attach a dv to a dead file
+    dvDelta -= f
   }
 
   private def relativize(fileUri: String): String = {

@@ -94,7 +94,7 @@ class CdfStreamSpec extends AnyFunSuite {
     val e = intercept[StreamingQueryException] {
       drain(inst.readChangesStream(), "cdf_strict", strictCkpt)
     }
-    assert(e.getCause.getMessage.contains("removes files"))
+    assert(e.getCause.getMessage.contains("removes rows"))
 
     // ignoreChanges: the update's rewritten file streams ALL its rows
     // (post-image + CoW-copied neighbor) — the documented caveat
