@@ -306,9 +306,16 @@ private[acid] final class GraftTable(root: String, version: Long,
       throw new IllegalArgumentException(
         s"unsupported DELETE predicate ${filters.mkString(", ")}: only " +
         "obj_id = k / obj_id IN (...) deletes are supported in SQL"))
-    val inst = VersionedTable.open(SparkSession.active, root)
+    val spark = SparkSession.active
+    val inst = VersionedTable.open(spark, root)
     val txn = inst.begin()
     plan match {
+      // SET spark.graft.mor.deletes=true routes SQL point deletes
+      // through merge-on-read (sidecar mask, no file rewrite) — the
+      // frequent-small-delete mode; default stays copy-on-write
+      case Some(ids) if spark.conf
+          .get("spark.graft.mor.deletes", "false").toBoolean =>
+        txn.deleteMoR(ids)
       case Some(ids) => txn.delete(ids)
       case None => txn.truncate()
     }

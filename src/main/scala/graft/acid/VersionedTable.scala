@@ -2485,6 +2485,31 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     spillObjectsIfNeeded()
   }
 
+  /** Merge-on-read point UPDATE: the MoR twin of [[update]] — masks the
+    * ids' current rows via a deletion vector (no file rewrite) and
+    * inserts the transformed rows as a new file. The re-inserted ids
+    * live unmasked in the new file (per-file vectors), so the pair
+    * composes exactly like delete-then-insert; conflict metadata is
+    * identical to [[update]]'s (the ids are published, the masked
+    * file's dv entry conflicts with concurrent rewrites/masks). Point
+    * sized by the same contract as [[deleteMoR]]. */
+  def updateMoR(ids: Seq[Long], transform: DataFrame => DataFrame): Unit = {
+    val (_, ddl, _) = localState()
+    val cand = candidateFiles(ids)
+    if (cand.nonEmpty) {
+      // masks are resolved into the plan as literal arrays at
+      // construction, so this view keeps reading PRE-mask rows even
+      // after deleteMoR below registers the new vector
+      val current = idMatch(inst.viewOf(cand, ddl, localMasks(cand)), ids)
+      val updated = transform(current)
+        .select(StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq: _*)
+      deleteMoR(ids)
+      if (!updated.isEmpty) insert(updated)
+    }
+    objects ++= ids
+    spillObjectsIfNeeded()
+  }
+
   /** Update objects by id with a column transformation — copy-on-write
     * (reference: open_write under object lock, instance.rs:141-168;
     * blocking lock replaced by commit-time conflict detection). Same

@@ -239,6 +239,49 @@ class DeletionVectorSpec extends AnyFunSuite {
       inst.readManifest(v).dvs.isEmpty))
   }
 
+  test("updateMoR: point update masks the old row and inserts the new one") {
+    val inst = mk(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    val files1 = inst.stateAt(1L)._1
+    val t = inst.begin()
+    t.updateMoR(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    inst.commit(t)
+    assert(contents(inst) == Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+    // the original file was NOT rewritten — masked + one new file
+    val st = inst.tableStateAt(inst.latestVersion)
+    assert(files1.forall(st.files.contains))
+    assert(st.dvs.size == 1)
+    // CDC classifies the pair as an update (same commit: pre+post)
+    val ch = inst.changes(1L, 2L).orderBy("_change").collect()
+    assert(ch.map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+      r.getAs[String]("_change"))).toSeq ==
+      Seq((2L, 200L, "update_postimage"), (2L, 20L, "update_preimage")))
+    // a second updateMoR composes on the txn-local state
+    val t2 = inst.begin()
+    t2.updateMoR(Seq(2L), df => df.withColumn("value", col("value") + 1))
+    inst.commit(t2)
+    assert(contents(inst) == Seq((1L, 10L), (2L, 201L), (3L, 30L)))
+  }
+
+  test("SQL point DELETE routes through MoR under spark.graft.mor.deletes") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gdv$tag"
+    val wh = Files.createTempDirectory("graft_wh_dv_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.d.t (obj_id BIGINT, value BIGINT)")
+    spark.sql(s"INSERT INTO $cat.d.t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.conf.set("spark.graft.mor.deletes", "true")
+    try {
+      spark.sql(s"DELETE FROM $cat.d.t WHERE obj_id = 2")
+      assert(spark.sql(s"SELECT obj_id FROM $cat.d.t ORDER BY obj_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      val inst = VersionedTable.open(spark, wh + "/d/t")
+      assert(inst.tableStateAt(inst.latestVersion).dvs.nonEmpty,
+        "expected a deletion vector, not a CoW rewrite")
+    } finally spark.conf.set("spark.graft.mor.deletes", "false")
+  }
+
   test("sidecar integrity: corrupt dv fails loudly, never resurrects rows") {
     val inst = mk(Seq((1L, 10L), (2L, 20L)))
     val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
