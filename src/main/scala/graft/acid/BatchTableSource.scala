@@ -280,6 +280,9 @@ private[acid] final class GraftTable(root: String, version: Long,
 
   private[acid] def rootPath: String = root
   private[acid] def schemaOf: StructType = tableSchema
+  private[acid] def partitionCols: Seq[String] =
+    partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE via
     * group-based copy-on-write (see [[GraftRowLevelOperation]]). */
@@ -336,7 +339,7 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
     // truncate() = atomic replace per epoch
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(table.rootPath, table.schemaOf,
-        info.schema(), info.queryId(), overwrite)
+        info.schema(), info.queryId(), overwrite, table.partitionCols)
   }
 }
 

@@ -3,7 +3,10 @@ package graft.acid
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -40,7 +43,8 @@ import org.apache.spark.util.SerializableConfiguration
   * the pre-epoch version stays time-travelable). */
 private[acid] final class GraftStreamingWrite(root: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    complete: Boolean) extends StreamingWrite {
+    complete: Boolean, partitionBy: Seq[String] = Nil)
+    extends StreamingWrite {
 
   {
     val t = tableSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -52,6 +56,11 @@ private[acid] final class GraftStreamingWrite(root: String,
         s"table schema ${tableSchema.simpleString} at $root" +
         (if (missing.nonEmpty) s"; missing columns: ${missing.mkString(", ")}"
          else s"; mismatched: ${bad.map(_.name).mkString(", ")}"))
+    val badPart = partitionBy.filterNot(writeSchema.fieldNames.contains)
+    require(badPart.isEmpty,
+      s"partition column(s) ${badPart.mkString(", ")} not in stream schema")
+    require(!partitionBy.contains("obj_id"),
+      "obj_id cannot be a partition column (footer stats need it in-file)")
   }
 
   // one staging namespace per query RUN (a restart constructs a fresh
@@ -65,19 +74,37 @@ private[acid] final class GraftStreamingWrite(root: String,
     val inst = VersionedTable.open(spark, root)
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sessionState.newHadoopConf())
-    val owf = new ParquetFileFormat().prepareWrite(spark, job,
-      Map.empty, writeSchema)
-    StreamWriterFactory(CowWriterFactory(owf,
-      new Path(inst.dataDir, stagingSub).toString, writeSchema,
-      new SerializableConfiguration(job.getConfiguration)))
+    if (partitionBy.isEmpty) {
+      val owf = new ParquetFileFormat().prepareWrite(spark, job,
+        Map.empty, writeSchema)
+      StreamWriterFactory(CowWriterFactory(owf,
+        new Path(inst.dataDir, stagingSub).toString, writeSchema,
+        new SerializableConfiguration(job.getConfiguration)))
+    } else {
+      // hive-layout staging (k=v dirs inside the staging namespace):
+      // streamed appends keep partition pruning, exactly like batch
+      // Txn.insertPartitioned — partition columns live in the PATH,
+      // not the file
+      val dataSchema = StructType(
+        writeSchema.filterNot(f => partitionBy.contains(f.name)))
+      val owf = new ParquetFileFormat().prepareWrite(spark, job,
+        Map.empty, dataSchema)
+      PartitionedStreamWriterFactory(owf,
+        new Path(inst.dataDir, stagingSub).toString, writeSchema,
+        partitionBy,
+        spark.sessionState.conf.sessionLocalTimeZone,
+        new SerializableConfiguration(job.getConfiguration))
+    }
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val inst = VersionedTable.open(SparkSession.active, root)
-    val staged = messages.collect {
-      case CowFileMessage(f) if f != null => s"$stagingSub/$f"
-    }.toSeq
+    val staged = messages.flatMap {
+      case CowFileMessage(f) if f != null => Seq(f)
+      case CowFilesMessage(fs) => fs
+      case _ => Nil
+    }.map(f => s"$stagingSub/$f").toSeq
     // an empty append epoch is replay-safe without a watermark; don't
     // churn the commit log for it (complete mode still commits: the
     // new snapshot may be "empty now")
@@ -102,9 +129,93 @@ private[acid] final class GraftStreamingWrite(root: String,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val inst = VersionedTable.open(SparkSession.active, root)
-    messages.collect { case CowFileMessage(f) if f != null => f }.foreach { f =>
+    messages.flatMap {
+      case CowFileMessage(f) if f != null => Seq(f)
+      case CowFilesMessage(fs) => fs
+      case _ => Nil
+    }.foreach { f =>
       try inst.fs.delete(new Path(inst.dataDir, s"$stagingSub/$f"), false)
       catch { case _: Throwable => () }
+    }
+  }
+}
+
+private[acid] final case class CowFilesMessage(files: Seq[String])
+    extends WriterCommitMessage
+
+/** Dynamic hive-partition writer for the streaming sink: each task
+  * routes rows to one open parquet writer per partition tuple it sees
+  * (bounded by the task's distinct tuples — the standard dynamic-
+  * partitioning memory shape), staging `k=v/.../part-e<epoch>-...`
+  * files whose PATH carries the partition values; the data file itself
+  * holds only the non-partition columns, exactly like batch
+  * `Txn.insertPartitioned`, so snapshot reads reconstruct the columns
+  * as fold-away literals and partition predicates prune at plan time. */
+private[acid] final case class PartitionedStreamWriterFactory(
+    owf: OutputWriterFactory, stagingDir: String, rowSchema: StructType,
+    partitionBy: Seq[String], timeZone: String,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graftcow", 0), TaskType.MAP, partitionId),
+      (taskId & Int.MaxValue).toInt)
+    val ctx = new TaskAttemptContextImpl(conf.value, attempt)
+    val partIdx = partitionBy.map(rowSchema.fieldIndex)
+    val dataIdx = rowSchema.indices.filterNot(partIdx.contains)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      dataIdx.map(rowSchema(_)))
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(dataIdx.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(i,
+          rowSchema(i).dataType, true)
+        : org.apache.spark.sql.catalyst.expressions.Expression))
+    // partition values spelled exactly like Spark's own hive layout:
+    // cast-to-string, hive path escaping, null -> default partition
+    val casts = partIdx.map(i =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(i,
+          rowSchema(i).dataType, true),
+        org.apache.spark.sql.types.StringType, Option(timeZone)))
+
+    new DataWriter[InternalRow] {
+      private val writers =
+        scala.collection.mutable.LinkedHashMap
+          .empty[String, org.apache.spark.sql.execution.datasources.OutputWriter]
+      private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      override def write(r: InternalRow): Unit = {
+        val dir = partitionBy.zip(casts).map { case (c, cast) =>
+          val v = cast.eval(r)
+          val s =
+            if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v.toString)
+          s"$c=$s"
+        }.mkString("/")
+        val w = writers.getOrElseUpdate(dir, {
+          val file =
+            f"$dir/part-e$epochId-$partitionId%05d-$taskId.snappy.parquet"
+          files += file
+          owf.newInstance(s"$stagingDir/$file", dataSchema, ctx)
+        })
+        w.write(proj(r))
+      }
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        CowFilesMessage(files.toSeq)
+      }
+      override def abort(): Unit = {
+        writers.values.foreach(w =>
+          try w.close() catch { case _: Throwable => () })
+        files.foreach { f =>
+          val p = new Path(s"$stagingDir/$f")
+          try p.getFileSystem(conf.value).delete(p, false)
+          catch { case _: Throwable => () }
+        }
+      }
+      override def close(): Unit = ()
     }
   }
 }

@@ -1240,11 +1240,6 @@ final class Instance(val spark: SparkSession, val root: String,
     staged
   }
 
-  /** Map driver-side metadata reads over a bounded thread pool,
-    * preserving input order (manifest reads, parquet footers — each a
-    * ~10ms RPC on an object store, where 16-way overlap is the
-    * difference between an interactive surface and a serial crawl).
-    * Small inputs stay serial: pool setup costs more than the reads. */
   // parsed deletion-vector sidecars, cached by name — sidecars are
   // immutable once written (referenced only via manifests), so the
   // cache can never go stale; bounded by the live dv count, which
@@ -1292,6 +1287,11 @@ final class Instance(val spark: SparkSession, val root: String,
     }.toMap
   }
 
+  /** Map driver-side metadata reads over a bounded thread pool,
+    * preserving input order (manifest reads, parquet footers — each a
+    * ~10ms RPC on an object store, where 16-way overlap is the
+    * difference between an interactive surface and a serial crawl).
+    * Small inputs stay serial: pool setup costs more than the reads. */
   private[acid] def pooledMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.size <= 4) items.map(f)
     else {

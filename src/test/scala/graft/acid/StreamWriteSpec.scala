@@ -185,6 +185,49 @@ class StreamWriteSpec extends AnyFunSuite {
         .contains("does not match"))
   }
 
+  test("partitioned streaming: hive-layout staging, pruning, exactly-once") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gswp$tag"
+    val wh = Files.createTempDirectory("graft_wh_swp_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.p.ev (obj_id BIGINT, lang STRING, " +
+      "value BIGINT) PARTITIONED BY (lang)")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt6_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "lang", "value")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.p.ev")
+      q.awaitTermination()
+    }
+    mem.addData((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+    drain()
+    mem.addData((4L, "fr", 40L))
+    drain()
+    assert(spark.sql(s"SELECT * FROM $cat.p.ev ORDER BY obj_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+        (4L, "fr", 40L)))
+    // streamed files staged in hive layout -> partition PRUNING works
+    val en = spark.sql(s"SELECT * FROM $cat.p.ev WHERE lang = 'en'")
+    val scans = en.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.head.prunedFiles.nonEmpty &&
+      scans.head.prunedFiles.forall(_.contains("lang=en")))
+    assert(en.count() == 2L)
+    // restart with no new data: nothing re-delivered
+    val inst = VersionedTable.open(spark, wh + "/p/ev")
+    val v = inst.latestVersion
+    drain()
+    assert(inst.latestVersion == v)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.p.ev").head().getLong(0) == 4L)
+  }
+
   test("manifest appTxns: gen-3 only when present, roundtrip, legacy unaffected") {
     import VersionedTable._
     val m = Manifest(7L, 3L, "obj_id BIGINT", Seq("f1"), Nil, Seq(1L),
