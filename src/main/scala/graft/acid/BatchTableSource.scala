@@ -327,7 +327,13 @@ private[acid] final class GraftTable(root: String, version: Long,
 }
 
 private[acid] final class GraftWriteBuilder(table: GraftTable,
-    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate
+    // Update output mode (watermarked aggregations emitting changed
+    // keys) is accepted: with .option("upsert", true) each epoch
+    // MERGEs by obj_id, so the sink materializes the latest row per
+    // key — without it, update-mode rows append like Delta's
+    // ignoreChanges caveat
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): V1Write = new V1Write {
@@ -339,7 +345,8 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
     // truncate() = atomic replace per epoch
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(table.rootPath, table.schemaOf,
-        info.schema(), info.queryId(), overwrite, table.partitionCols)
+        info.schema(), info.queryId(), overwrite, table.partitionCols,
+        upsert = info.options().getBoolean("upsert", false))
   }
 }
 

@@ -43,8 +43,8 @@ import org.apache.spark.util.SerializableConfiguration
   * the pre-epoch version stays time-travelable). */
 private[acid] final class GraftStreamingWrite(root: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
-    complete: Boolean, partitionBy: Seq[String] = Nil)
-    extends StreamingWrite {
+    complete: Boolean, partitionBy: Seq[String] = Nil,
+    upsert: Boolean = false) extends StreamingWrite {
 
   {
     val t = tableSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -113,6 +113,18 @@ private[acid] final class GraftStreamingWrite(root: String,
     try {
       txn.markEpoch(queryId, epochId)
       if (complete) txn.truncate()
+      if (upsert && staged.nonEmpty) {
+        // upsert mode: retire any existing rows whose obj_id appears in
+        // this epoch BEFORE adopting the staged files — one MERGE-by-key
+        // commit per micro-batch. Keys are read from the staged files'
+        // obj_id column only (distributed, never collected); the delete
+        // side prunes to candidate files via manifest id-range stats
+        val spark = SparkSession.active
+        val keys = spark.read
+          .schema(StructType(tableSchema.filter(_.name == "obj_id")))
+          .parquet(staged.map(f => new Path(inst.dataDir, f).toString): _*)
+        txn.deleteMatching(keys)
+      }
       if (staged.nonEmpty) txn.replaceScanned(Nil, staged)
       inst.commit(txn)
     } catch {

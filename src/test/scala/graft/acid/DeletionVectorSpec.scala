@@ -282,6 +282,28 @@ class DeletionVectorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.mor.deletes", "false")
   }
 
+  test("SQL row-level UPDATE through the catalog reads through masks") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gdvu$tag"
+    val wh = Files.createTempDirectory("graft_wh_dvu_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.u.t (obj_id BIGINT, value BIGINT)")
+    spark.sql(s"INSERT INTO $cat.u.t SELECT obj_id, value FROM VALUES " +
+      "(1, 10), (2, 20), (3, 30) AS v(obj_id, value)")
+    val inst = VersionedTable.open(spark, wh + "/u/t")
+    val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
+    // the CoW rewrite scans whole files THROUGH the mask: id 2 must
+    // not resurrect into the replacement file
+    spark.sql(s"UPDATE $cat.u.t SET value = value + 1 WHERE value >= 10")
+    assert(spark.sql(s"SELECT * FROM $cat.u.t ORDER BY obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (3L, 31L)))
+    // the rewrite materialized the masks it consumed
+    assert(inst.tableStateAt(inst.latestVersion).dvs.isEmpty)
+  }
+
   test("sidecar integrity: corrupt dv fails loudly, never resurrects rows") {
     val inst = mk(Seq((1L, 10L), (2L, 20L)))
     val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)

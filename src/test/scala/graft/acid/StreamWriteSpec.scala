@@ -228,6 +228,61 @@ class StreamWriteSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.p.ev").head().getLong(0) == 4L)
   }
 
+  test("upsert mode: each epoch merges by obj_id; update output mode accepted") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt7_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "value")
+        .writeStream.format("graft").option("path", dir)
+        .option("upsert", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    drain()
+    // second epoch re-keys id 2 and adds id 3: MERGE, not append
+    mem.addData((2L, 200L), (3L, 30L))
+    drain()
+    assert(inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+    // restart with no new data: exactly-once holds for upserts too
+    val v = inst.latestVersion
+    drain()
+    assert(inst.latestVersion == v)
+
+    // a watermarked aggregation in UPDATE output mode streams its
+    // changed keys into the sink as upserts — latest count wins
+    val aggDir = freshDir()
+    VersionedTable.create(spark, aggDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "obj_id BIGINT, value BIGINT"))
+    val mem2 = MemoryStream[(Long, Long)]
+    val ckpt2 = Files.createTempDirectory("graft_swrite_ckpt8_").toString
+    def drainAgg(): Unit = {
+      val q = mem2.toDF().toDF("k", "v")
+        .groupBy($"k" as "obj_id")
+        .agg(org.apache.spark.sql.functions.count("*") as "value")
+        .writeStream.format("graft").option("path", aggDir)
+        .option("upsert", "true").outputMode("update")
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem2.addData((7L, 1L), (7L, 1L), (8L, 1L))
+    drainAgg()
+    mem2.addData((7L, 1L))
+    drainAgg()
+    val aggInst = VersionedTable.open(spark, aggDir)
+    assert(aggInst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 3L), (8L, 1L)))
+  }
+
   test("manifest appTxns: gen-3 only when present, roundtrip, legacy unaffected") {
     import VersionedTable._
     val m = Manifest(7L, 3L, "obj_id BIGINT", Seq("f1"), Nil, Seq(1L),
