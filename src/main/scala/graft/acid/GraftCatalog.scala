@@ -205,7 +205,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * cluster_by => 'obj_id,value')`. Each returns its metric row. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("vacuum", "compact").map(n => Identifier.of(Array("system"), n))
+      Array("vacuum", "compact", "materialize")
+        .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -214,8 +215,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name() match {
       case "vacuum" => new VacuumProcedure(this)
       case "compact" => new CompactProcedure(this)
+      case "materialize" => new MaterializeProcedure(this)
       case other => throw new NoSuchElementException(
-        s"no procedure system.$other (have: vacuum, compact)")
+        s"no procedure system.$other (have: vacuum, compact, materialize)")
     }
   }
 
@@ -303,6 +305,25 @@ private[acid] final class VacuumProcedure(cat: GraftCatalog)
     val deleted = inst.vacuum(input.getInt(1), input.getBoolean(2))
     java.util.Collections.singletonList[Scan](
       new MetricScan("deleted_files", deleted.toLong)).iterator()
+  }
+}
+
+private[acid] final class MaterializeProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "materialize"
+  override def description(): String =
+    "Rewrite only the files carrying merge-on-read deletion vectors, " +
+    "materializing their masks — O(masked files), vs compact's O(table)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val n = inst.materializeDvs()
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("materialized_files", n.toLong)).iterator()
   }
 }
 

@@ -1675,6 +1675,33 @@ final class Instance(val spark: SparkSession, val root: String,
     removed
   }
 
+  /** Materialize outstanding deletion vectors WITHOUT a full
+    * compaction: rewrite only the MASKED files (each minus its masked
+    * rows), dropping their dv entries — O(masked files), where
+    * [[compact]] is O(table). The targeted maintenance between
+    * compactions for a table taking steady MoR deletes: read overhead
+    * returns to zero while the unmasked majority of the snapshot is
+    * untouched. One ordinary commit; conflicts with concurrent
+    * writers of the same files exactly like any CoW rewrite.
+    * Returns the number of files materialized (0 = no masks). */
+  def materializeDvs(): Int = {
+    val txn = begin()
+    val st = tableStateAt(txn.readVersion)
+    val masked = st.dvs.keys.toSeq.sorted
+    if (masked.isEmpty) { rollback(txn); return 0 }
+    val masks = resolveDvs(st.dvs, masked)
+    val survivors = viewOf(masked, st.ddl, masks)
+    val rewritten =
+      if (survivors.isEmpty) Nil else writeStaged(survivors, txn)
+    // removal of the masked files drops their dv entries in the fold;
+    // no clear markers needed (and none published, so the change feed
+    // classifies this as the file rewrite it is)
+    txn.removed ++= masked
+    txn.added ++= rewritten
+    commit(txn)
+    masked.size
+  }
+
   /** Compact the current snapshot's data files into at most
     * `targetFiles` files, as ONE ordinary commit (reference analog:
     * extent merge / space reuse, version_store.rs:252-309 — here the

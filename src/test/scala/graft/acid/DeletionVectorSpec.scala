@@ -304,6 +304,44 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(inst.tableStateAt(inst.latestVersion).dvs.isEmpty)
   }
 
+  test("materializeDvs rewrites ONLY masked files; CALL system.materialize works") {
+    val inst = mk(Seq((1L, 10L), (2L, 20L)))
+    // a second, unmasked file that materialization must not touch
+    val t0 = inst.begin()
+    t0.insert(Seq((9L, 90L)).toDF("obj_id", "value").coalesce(1))
+    inst.commit(t0)
+    val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
+    val before = inst.tableStateAt(inst.latestVersion)
+    val unmaskedFile = before.files.filterNot(before.dvs.contains)
+    assert(inst.materializeDvs() == 1)
+    val after = inst.tableStateAt(inst.latestVersion)
+    assert(after.dvs.isEmpty)
+    // the unmasked file survived untouched; the masked one is gone
+    assert(unmaskedFile.forall(after.files.contains))
+    assert(before.dvs.keys.forall(f => !after.files.contains(f)))
+    assert(contents(inst) == Seq((1L, 10L), (9L, 90L)))
+    assert(inst.materializeDvs() == 0) // idempotent no-op when clean
+
+    // and through SQL
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gdvm$tag"
+    val wh = Files.createTempDirectory("graft_wh_dvm_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.m.t (obj_id BIGINT, value BIGINT)")
+    spark.sql(s"INSERT INTO $cat.m.t VALUES (1, 10), (2, 20)")
+    spark.conf.set("spark.graft.mor.deletes", "true")
+    try spark.sql(s"DELETE FROM $cat.m.t WHERE obj_id = 1")
+    finally spark.conf.set("spark.graft.mor.deletes", "false")
+    val n = spark.sql(s"CALL $cat.system.materialize('m.t')").head().getLong(0)
+    assert(n >= 1L)
+    val minst = VersionedTable.open(spark, wh + "/m/t")
+    assert(minst.tableStateAt(minst.latestVersion).dvs.isEmpty)
+    assert(spark.sql(s"SELECT obj_id FROM $cat.m.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("sidecar integrity: corrupt dv fails loudly, never resurrects rows") {
     val inst = mk(Seq((1L, 10L), (2L, 20L)))
     val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
