@@ -251,16 +251,29 @@ private[acid] final class GraftTable(root: String, version: Long,
   // InsertableRelation makes this table its OWN V1 write fallback, so
   // the same code path serves DataFrame writes and catalog INSERTs
   override def insert(data: org.apache.spark.sql.DataFrame,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean): Unit = insert(data, overwrite, None)
+
+  /** Batch write as one ACID commit; with `appTxn` the commit is
+    * IDEMPOTENT — `.option("txnAppId", id).option("txnVersion", n)`
+    * (Delta-style) rides the same manifest watermark the streaming
+    * sink uses, so a foreachBatch or retried job that re-runs the same
+    * (appId, version) write lands nothing the second time. */
+  private[acid] def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean, appTxn: Option[(String, Long)]): Unit = {
     val inst = VersionedTable.open(data.sparkSession, root)
     val txn = inst.begin()
-    if (overwrite) txn.truncate()
-    partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty) match {
-      case Some(cols) => txn.insertPartitioned(data, cols)
-      case None => txn.insert(data)
+    try {
+      appTxn.foreach { case (id, v) => txn.markEpoch(id, v) }
+      if (overwrite) txn.truncate()
+      partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty) match {
+        case Some(cols) => txn.insertPartitioned(data, cols)
+        case None => txn.insert(data)
+      }
+      inst.commit(txn)
+    } catch {
+      case _: EpochAlreadyCommittedException => () // replay: already durable
     }
-    inst.commit(txn)
   }
 
   /** Writes ride the V1 fallback ([[V1Write]]): the resolved input
@@ -338,8 +351,14 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-      (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
-        table.insert(data, overwrite)
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        // Delta-style idempotent batch writes: both options or neither
+        val appId = Option(info.options().get("txnAppId"))
+        val ver = Option(info.options().get("txnVersion")).map(_.toLong)
+        require(appId.isDefined == ver.isDefined,
+          "txnAppId and txnVersion must be set together")
+        table.insert(data, overwrite, appId.zip(ver).headOption)
+      }
     // writeStream.format("graft") / .toTable: one exactly-once ACID
     // commit per micro-batch; Complete output mode arrives here as
     // truncate() = atomic replace per epoch

@@ -92,6 +92,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables, Delta/Iceberg style: SELECT * FROM ns.`t$history`
+    // / ns.`t$detail` — driver-side manifest reads rendered as a local
+    // relation, never a data scan
+    val dollar = ident.name().lastIndexOf('$')
+    if (dollar > 0) {
+      val base = Identifier.of(ident.namespace(), ident.name().take(dollar))
+      val kind = ident.name().drop(dollar + 1)
+      if (tableExists(base) && (kind == "history" || kind == "detail")) {
+        val inst = VersionedTable.open(SparkSession.active,
+          tablePath(base).toString)
+        val df = if (kind == "history") inst.history() else inst.detail()
+        return new GraftMetadataTable(s"${ident.name()}", df)
+      }
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val inst = VersionedTable.open(SparkSession.active,
       tablePath(ident).toString)
@@ -275,6 +289,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.delete(dir, true)
     }
   }
+}
+
+/** Metadata relation (`t$history` / `t$detail`): the already-computed
+  * driver-side DataFrame rendered as a local scan — rows come from
+  * `executeCollect` (bounded: one per commit for history, one total
+  * for detail), so no executor work and no data files are touched. */
+private[acid] final class GraftMetadataTable(tableName: String,
+    df: org.apache.spark.sql.DataFrame)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = df.schema
+      override def rows(): Array[InternalRow] =
+        df.queryExecution.executedPlan.executeCollect().map(_.copy())
+    }
 }
 
 /** One-row local result for a maintenance CALL. */

@@ -978,6 +978,24 @@ final class Instance(val spark: SparkSession, val root: String,
         org.apache.spark.sql.functions.timestamp_millis(col("ts_millis")))
   }
 
+  /** One-row table summary (the `DESCRIBE DETAIL` analog): current
+    * version, live file count and bytes, outstanding deletion-vector
+    * count, and schema. Driver-side metadata only — file sizes are
+    * statted on the bounded pool, no data is read. */
+  def detail(): DataFrame = {
+    val v = latestVersion
+    val st = tableStateAt(v)
+    val bytes = pooledMap(st.files)(f =>
+      fs.getFileStatus(new Path(dataDir, f)).getLen).sum
+    val s = spark
+    import s.implicits._
+    Seq((v, st.files.size.toLong, bytes,
+      st.dvs.size.toLong, st.dvs.valuesIterator.flatten.size.toLong,
+      st.ddl))
+      .toDF("version", "num_files", "size_bytes",
+        "num_masked_files", "num_dv_sidecars", "schema_ddl")
+  }
+
   /** Latest version whose commit wall-clock stamp is <= `tsMillis` —
     * the resolution behind `timestampAsOf` time travel. Walks the log
     * BACKWARD from `latestVersion` in pooled chunks, so a recent

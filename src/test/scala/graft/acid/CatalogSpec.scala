@@ -97,6 +97,28 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 3L)
   }
 
+  test("metadata tables: t$history and t$detail read as SQL relations") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    sql("CREATE TABLE gcat.meta.t (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.meta.t VALUES (1, 10)")
+    sql("INSERT INTO gcat.meta.t VALUES (2, 20)")
+    val hist = sql("SELECT version, n_added_files, checkpoint " +
+      "FROM gcat.meta.`t$history` ORDER BY version").collect()
+    assert(hist.length == 3) // create + 2 inserts
+    assert(hist.head.getLong(0) == 0L && hist.head.getBoolean(2))
+    assert(hist.map(_.getLong(1)).sum >= 2L)
+    val det = sql("SELECT * FROM gcat.meta.`t$detail`").collect()
+    assert(det.length == 1)
+    val d = det.head
+    assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("num_files") >= 2L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("num_masked_files") == 0L)
+    assert(d.getAs[String]("schema_ddl").contains("obj_id"))
+    // unknown suffix still errors like a missing table
+    intercept[Exception](sql("SELECT * FROM gcat.meta.`t$nope`").collect())
+  }
+
   test("CALL system.compact and system.vacuum return their metric rows") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.maint")
     sql("CREATE TABLE gcat.maint.t (obj_id BIGINT, value BIGINT)")

@@ -283,6 +283,34 @@ class StreamWriteSpec extends AnyFunSuite {
       Seq((7L, 3L), (8L, 1L)))
   }
 
+  test("idempotent batch writes: txnAppId/txnVersion replay lands nothing") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    def write(ver: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("obj_id", "value").write.format("graft")
+        .option("path", dir).option("txnAppId", "job-A")
+        .option("txnVersion", ver).mode("append").save()
+    write(1, Seq((1L, 10L)))
+    write(2, Seq((2L, 20L)))
+    write(2, Seq((2L, 20L))) // retried batch: must be a no-op
+    write(1, Seq((1L, 10L))) // stale replay: also a no-op
+    assert(inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    assert(inst.latestVersion == 2L)
+    // a different app's version 1 is independent
+    Seq((3L, 30L)).toDF("obj_id", "value").write.format("graft")
+      .option("path", dir).option("txnAppId", "job-B")
+      .option("txnVersion", 1).mode("append").save()
+    assert(inst.read().count() == 3L)
+    // half-specified options fail loudly
+    intercept[Exception] {
+      Seq((4L, 40L)).toDF("obj_id", "value").write.format("graft")
+        .option("path", dir).option("txnAppId", "job-C")
+        .mode("append").save()
+    }
+  }
+
   test("manifest appTxns: gen-3 only when present, roundtrip, legacy unaffected") {
     import VersionedTable._
     val m = Manifest(7L, 3L, "obj_id BIGINT", Seq("f1"), Nil, Seq(1L),
