@@ -342,6 +342,40 @@ class DeletionVectorSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("Z-order compaction on a masked table materializes and clusters") {
+    val inst = mk((1L to 40L).map(i => (i, i * 10)))
+    val t = inst.begin(); t.deleteMoR(Seq(7L, 23L)); inst.commit(t)
+    assert(inst.compact(targetFiles = 4, clusterBy = Seq("obj_id", "value")) > 0)
+    val st = inst.tableStateAt(inst.latestVersion)
+    assert(st.dvs.isEmpty)
+    assert(contents(inst).size == 38)
+    assert(!contents(inst).exists(r => r._1 == 7L || r._1 == 23L))
+    // cluster colStats landed on the rewritten files (secondary index
+    // intact through the materializing rewrite)
+    assert(st.colStats.nonEmpty)
+  }
+
+  test("concurrent MoR deletes on disjoint files converge under withRetry") {
+    val inst = mk(Seq((1L, 10L)))
+    // four more single-id files
+    (2L to 5L).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i, i * 10)).toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val threads = (1L to 5L).map { i =>
+      new Thread(() => {
+        inst.withRetry(5) { txn => txn.deleteMoR(Seq(i)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(contents(inst).isEmpty)
+    // every file carries exactly one sidecar (disjoint targets never
+    // clobbered each other)
+    val st = inst.tableStateAt(inst.latestVersion)
+    assert(st.dvs.size == 5 && st.dvs.values.forall(_.size == 1))
+  }
+
   test("sidecar integrity: corrupt dv fails loudly, never resurrects rows") {
     val inst = mk(Seq((1L, 10L), (2L, 20L)))
     val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)

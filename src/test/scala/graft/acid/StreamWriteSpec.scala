@@ -311,6 +311,35 @@ class StreamWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert mode composes with partitioned staging") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gswu$tag"
+    val wh = Files.createTempDirectory("graft_wh_swu_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.up.ev (obj_id BIGINT, lang STRING, " +
+      "value BIGINT) PARTITIONED BY (lang)")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt9_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "lang", "value")
+        .writeStream.option("upsert", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.up.ev")
+      q.awaitTermination()
+    }
+    mem.addData((1L, "en", 10L), (2L, "de", 20L))
+    drain()
+    // epoch 2 re-keys id 1 (even moving partition!) and adds id 3
+    mem.addData((1L, "fr", 100L), (3L, "en", 30L))
+    drain()
+    assert(spark.sql(s"SELECT * FROM $cat.up.ev ORDER BY obj_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "fr", 100L), (2L, "de", 20L), (3L, "en", 30L)))
+  }
+
   test("manifest appTxns: gen-3 only when present, roundtrip, legacy unaffected") {
     import VersionedTable._
     val m = Manifest(7L, 3L, "obj_id BIGINT", Seq("f1"), Nil, Seq(1L),
