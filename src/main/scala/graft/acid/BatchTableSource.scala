@@ -243,8 +243,14 @@ private[acid] final class GraftTable(root: String, version: Long,
       s"cannot write to time-traveled snapshot ${name()}")
     val inst = VersionedTable.open(SparkSession.active, root)
     val txn = inst.begin()
-    txn.truncate()
-    inst.commit(txn)
+    try {
+      txn.truncate()
+      inst.commit(txn)
+    } catch {
+      case e: Throwable =>
+        try inst.rollback(txn) catch { case _: Throwable => () }
+        throw e
+    }
     true
   }
 
@@ -273,6 +279,11 @@ private[acid] final class GraftTable(root: String, version: Long,
       inst.commit(txn)
     } catch {
       case _: EpochAlreadyCommittedException => () // replay: already durable
+      case e: Throwable =>
+        // reclaim staged files NOW (schema mismatch, conflict, IO
+        // error) instead of leaking them until vacuum's orphan sweep
+        try inst.rollback(txn) catch { case _: Throwable => () }
+        throw e
     }
   }
 
@@ -325,17 +336,23 @@ private[acid] final class GraftTable(root: String, version: Long,
     val spark = SparkSession.active
     val inst = VersionedTable.open(spark, root)
     val txn = inst.begin()
-    plan match {
-      // SET spark.graft.mor.deletes=true routes SQL point deletes
-      // through merge-on-read (sidecar mask, no file rewrite) — the
-      // frequent-small-delete mode; default stays copy-on-write
-      case Some(ids) if spark.conf
-          .get("spark.graft.mor.deletes", "false").toBoolean =>
-        txn.deleteMoR(ids)
-      case Some(ids) => txn.delete(ids)
-      case None => txn.truncate()
+    try {
+      plan match {
+        // SET spark.graft.mor.deletes=true routes SQL point deletes
+        // through merge-on-read (sidecar mask, no file rewrite) — the
+        // frequent-small-delete mode; default stays copy-on-write
+        case Some(ids) if spark.conf
+            .get("spark.graft.mor.deletes", "false").toBoolean =>
+          txn.deleteMoR(ids)
+        case Some(ids) => txn.delete(ids)
+        case None => txn.truncate()
+      }
+      inst.commit(txn)
+    } catch {
+      case e: Throwable =>
+        try inst.rollback(txn) catch { case _: Throwable => () }
+        throw e
     }
-    inst.commit(txn)
   }
 }
 
@@ -433,6 +450,16 @@ private[acid] final class GraftScan(root: String, version: Long,
   @transient private lazy val dvMasks: Map[String, Array[Long]] =
     inst.resolveDvs(state.dvs, prunedFiles)
       .filter(_._2.nonEmpty)
+
+  /** Deletion-vector entries (file -> sidecar list) of the PINNED
+    * version for the pruned files: the row-level CoW commit compares
+    * this against the dv state at its txn's read version, so a MoR
+    * mask that landed between scan-pin and commit conflicts instead of
+    * being silently dropped by the rewrite (see Txn.replaceScanned). */
+  @transient private[acid] lazy val pinnedDvs: Map[String, Seq[String]] = {
+    val pruned = prunedFiles.toSet
+    state.dvs.filter { case (f, _) => pruned(f) }
+  }
 
   /** Snapshot file list after manifest-stats + partition-path skipping
     * (exposed for plan assertions; computed once per scan). */

@@ -96,7 +96,11 @@ private[acid] final class GraftCowWrite(root: String, dataSchema: StructType,
     if (scanned.isEmpty && staged.isEmpty) return
     val txn = inst.begin()
     try {
-      txn.replaceScanned(scanned, staged)
+      // pass the scan's pinned dv state: a MoR mask that landed on a
+      // scanned file between scan-pin and this commit must conflict
+      // (the rewrite was planned against the pre-mask rows)
+      txn.replaceScanned(scanned, staged,
+        if (op.scan == null) Map.empty else op.scan.pinnedDvs)
       inst.commit(txn)
     } catch {
       case e: Throwable =>

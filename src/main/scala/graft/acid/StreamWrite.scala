@@ -123,6 +123,19 @@ private[acid] final class GraftStreamingWrite(root: String,
         val keys = spark.read
           .schema(StructType(tableSchema.filter(_.name == "obj_id")))
           .parquet(staged.map(f => new Path(inst.dataDir, f).toString): _*)
+        // a micro-batch carrying duplicate obj_id values would land
+        // every copy, breaking the obj_id-unique-per-snapshot contract
+        // point ops and the change feed rely on (Txn.merge rejects the
+        // same shape) — fail the epoch loudly instead. Distributed
+        // probe, stops at the first duplicate key.
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val dup = keys.groupBy("obj_id").agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > 1).limit(1).count()
+        if (dup > 0)
+          throw new IllegalStateException(
+            s"streaming upsert epoch $epochId contains duplicate obj_id " +
+            s"values; upsert requires key-unique micro-batches (dedup " +
+            s"upstream, e.g. dropDuplicates(\"obj_id\"))")
         txn.deleteMatching(keys)
       }
       if (staged.nonEmpty) txn.replaceScanned(Nil, staged)

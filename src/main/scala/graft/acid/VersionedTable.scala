@@ -99,6 +99,14 @@ object VersionedTable {
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       tsMillis: Long = 0L,
       appTxns: Map[String, Long] = Map.empty,
+      // wall-clock stamp of each appTxns entry's LAST update, carried
+      // so checkpoints can expire idle watermarks under
+      // [[EngineConf.appTxnRetentionMs]] (Delta's
+      // setTransactionRetentionDuration analog). Additive-optional:
+      // absence (legacy manifests) folds as 0 = "age unknown", which
+      // retention treats as keep-forever — expiry can only ever apply
+      // to entries that carry a real stamp.
+      appTxnTs: Map[String, Long] = Map.empty,
       // merge-on-read deletion vectors, as a DELTA: data file -> the
       // sidecar files whose id sets mask its rows. REPLACEMENT
       // semantics under the state fold (an entry overwrites the file's
@@ -174,7 +182,8 @@ object VersionedTable {
     val apps =
       if (appKeys.isEmpty) ""
       else s""""appIds":${arrS(appKeys)},""" +
-        s""""appEpochs":${arrL(appKeys.map(m.appTxns(_)))},"""
+        s""""appEpochs":${arrL(appKeys.map(m.appTxns(_)))},""" +
+        s""""appTs":${arrL(appKeys.map(m.appTxnTs.getOrElse(_, 0L)))},"""
     // deletion vectors flattened to two parallel arrays (file, then its
     // sidecar list joined with ';' — sidecar names are uuids, never
     // contain ';'); an empty list serializes as "" = clear-this-entry
@@ -224,6 +233,30 @@ object VersionedTable {
     payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
   }
 
+  /** Split a JSON array body on TOP-LEVEL commas only: a comma inside
+    * a quoted element (hive path escaping does not escape ',' — a
+    * partition value like `k=a,b` keeps it in the on-disk name, and the
+    * manifest stores names exactly as spelled on disk) must not split
+    * the element. Quote state tracks esc()'s escapes defensively. */
+  private[acid] def splitItems(raw: String): Seq[String] =
+    if (raw.isEmpty) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder; var inStr = false; var i = 0
+      while (i < raw.length) {
+        val c = raw(i)
+        if (inStr) {
+          if (c == '\\' && i + 1 < raw.length) {
+            sb.append(c).append(raw(i + 1)); i += 1
+          } else { if (c == '"') inStr = false; sb.append(c) }
+        } else if (c == ',') { out += sb.toString; sb.clear() }
+        else { if (c == '"') inStr = true; sb.append(c) }
+        i += 1
+      }
+      out += sb.toString
+      out.toSeq
+    }
+
   private[acid] def dvFromJson(s: String): Map[String, Array[Long]] = {
     val crcIdx = s.lastIndexOf(",\"crc\":")
     require(crcIdx > 0, s"deletion-vector sidecar missing crc")
@@ -238,7 +271,7 @@ object VersionedTable {
       val j = s.indexOf("]", i)
       val raw = s.substring(i, j)
       if (raw.isEmpty) Nil
-      else raw.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      else splitItems(raw).map(_.trim.stripPrefix("\"").stripSuffix("\""))
     }
     strArr("dvFiles").zip(strArr("dvIds").map(l =>
       if (l.isEmpty) Array.empty[Long]
@@ -283,7 +316,7 @@ object VersionedTable {
     def strArr(k: String): Seq[String] = {
       val raw = rawField(k).trim.stripPrefix("[").stripSuffix("]")
       if (raw.isEmpty) Nil
-      else raw.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      else splitItems(raw).map(_.trim.stripPrefix("\"").stripSuffix("\""))
     }
     def longArr(k: String): Seq[Long] = {
       val raw = rawField(k).trim.stripPrefix("[").stripSuffix("]")
@@ -347,6 +380,12 @@ object VersionedTable {
       if (s.contains("\"appIds\":"))
         strArr("appIds").zip(longArr("appEpochs")).toMap
       else Map.empty[String, Long]
+    // 0 = "no stamp" canonicalizes to absence, so manifests written
+    // before stamps (or with stamp-less entries) round-trip exactly
+    val appTxnTs =
+      if (s.contains("\"appIds\":") && s.contains("\"appTs\":"))
+        strArr("appIds").zip(longArr("appTs")).filter(_._2 != 0L).toMap
+      else Map.empty[String, Long]
     def dvBlock(prefix: String): Map[String, Seq[String]] =
       if (s.contains("\"" + prefix + "Files\":"))
         strArr(prefix + "Files").zip(strArr(prefix + "Lists").map(l =>
@@ -364,7 +403,7 @@ object VersionedTable {
       // in legacy manifests -> 0 = "unknown, infinitely old"
       tsMillis = if (s.contains("\"tsMillis\":")) rawField("tsMillis").toLong
         else 0L,
-      appTxns = appTxns,
+      appTxns = appTxns, appTxnTs = appTxnTs,
       dvs = dvs, allDvs = allDvs)
   }
 
@@ -437,7 +476,21 @@ object VersionedTable {
   *                             default (local/HDFS); plug a
   *                             [[ConditionalPutClaimer]] on S3-class
   *                             object stores, whose rename is not
-  *                             atomic */
+  *                             atomic
+  * @param appTxnRetentionMs    age past which an IDLE idempotence
+  *                             watermark (`txnAppId` / streaming-query
+  *                             appTxns entry) is dropped from
+  *                             checkpoint folds — without it a table
+  *                             written by many distinct stream runs or
+  *                             batch writers grows every checkpoint
+  *                             manifest forever (Delta bounds this with
+  *                             setTransactionRetentionDuration).
+  *                             Default keep-forever; when set, a writer
+  *                             idle longer than the retention loses
+  *                             replay protection — size it above the
+  *                             longest restart gap. Entries with no
+  *                             stamp (legacy manifests) are never
+  *                             expired. */
 final case class EngineConf(
     checkpointInterval: Int = 10,
     conflictMaxAttempts: Int = 5,
@@ -446,7 +499,8 @@ final case class EngineConf(
     orphanGraceMs: Long = 24L * 3600 * 1000,
     objectListThreshold: Int = 100000,
     bloomBits: Long = 1L << 23,
-    claimer: ManifestClaimer = LinkRenameClaimer) {
+    claimer: ManifestClaimer = LinkRenameClaimer,
+    appTxnRetentionMs: Long = Long.MaxValue) {
   // fail at construction, not mid-commit (a checkpointInterval of 0
   // would otherwise surface as ArithmeticException after staging data)
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
@@ -457,6 +511,7 @@ final case class EngineConf(
   require(objectListThreshold >= 1, s"objectListThreshold must be >= 1")
   require(bloomBits >= 64 && bloomBits % 64 == 0,
     s"bloomBits must be a positive multiple of 64")
+  require(appTxnRetentionMs >= 0, s"appTxnRetentionMs must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -596,7 +651,14 @@ final class Instance(val spark: SparkSession, val root: String,
       val out = fs.create(headPath, true)
       try out.write(s"$body ${crc32(body)}".getBytes("UTF-8"))
       finally out.close()
-    } catch { case _: java.io.IOException => () } // hint only
+    } catch {
+      // hint only — readers fall back to the listing; log at debug so
+      // a store that persistently rejects the write is diagnosable
+      case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger(classOf[Instance])
+          .debug(s"head hint write failed at $root (falling back to " +
+            s"listing-based head resolution): ${e.getMessage}")
+    }
 
   private def readHeadHint(): Option[Long] =
     try {
@@ -678,7 +740,12 @@ final class Instance(val spark: SparkSession, val root: String,
     * — checkpoints carry the full fold, deltas override their entry —
     * so the lookup is O(commits-since-checkpoint) manifest reads, and
     * a watermark written 10k commits ago survives via the folds. */
-  private[acid] def appTxnsAt(v: Long): Map[String, Long] = {
+  private[acid] def appTxnsAt(v: Long): Map[String, Long] =
+    appTxnsWithTsAt(v).view.mapValues(_._1).toMap
+
+  /** [[appTxnsAt]] plus each entry's last-update wall-clock stamp
+    * (0 = unknown/legacy), the retention input for checkpoint folds. */
+  private[acid] def appTxnsWithTsAt(v: Long): Map[String, (Long, Long)] = {
     var tail = List.empty[Manifest]
     var cv = v
     var ckpt: Manifest = null
@@ -686,7 +753,9 @@ final class Instance(val spark: SparkSession, val root: String,
       val m = readManifest(cv)
       if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
     }
-    tail.foldLeft(ckpt.appTxns)((acc, m) => acc ++ m.appTxns)
+    def withTs(m: Manifest): Map[String, (Long, Long)] =
+      m.appTxns.map { case (id, e) => id -> (e, m.appTxnTs.getOrElse(id, 0L)) }
+    tail.foldLeft(withTs(ckpt))((acc, m) => acc ++ withTs(m))
   }
 
   /** Latest committed streaming epoch for `appId`, or None if that
@@ -1518,16 +1587,27 @@ final class Instance(val spark: SparkSession, val root: String,
       } else (Nil, addedStats, addedColStats,
         Map.empty[String, Seq[String]])
       // checkpoints fold EVERY query's watermark forward (so a lookup
-      // never walks past one); deltas carry only this txn's entry
-      val appTxns =
-        if (isCkpt) appTxnsAt(attempt - 1) ++ txn.appTxn.toMap
-        else txn.appTxn.toMap
+      // never walks past one), expiring entries idle past
+      // appTxnRetentionMs (unstamped legacy entries never expire);
+      // deltas carry only this txn's entry
+      val nowMs = System.currentTimeMillis()
+      val (appTxns, appTs) =
+        if (isCkpt) {
+          val kept = appTxnsWithTsAt(attempt - 1).filter { case (_, (_, ts)) =>
+            ts == 0L || nowMs - ts <= conf.appTxnRetentionMs
+          }
+          (kept.view.mapValues(_._1).toMap ++ txn.appTxn.toMap,
+            kept.view.mapValues(_._2).toMap ++
+              txn.appTxn.map { case (id, _) => id -> nowMs }.toMap)
+        } else (txn.appTxn.toMap,
+          txn.appTxn.map { case (id, _) => id -> nowMs }.toMap)
       val m = Manifest(attempt, txn.tsn, txn.schemaDDL.getOrElse(currentDDL),
         txn.added.toSeq, txn.removed.toSeq, objList,
         checkpoint = isCkpt, allFiles = ckptFiles, stats = ckptStats,
         objSummary = objSum, colStats = ckptColStats,
-        tsMillis = System.currentTimeMillis(),
-        appTxns = appTxns, dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs)
+        tsMillis = nowMs,
+        appTxns = appTxns, appTxnTs = appTs,
+        dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -2587,17 +2667,34 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * files. The scanned files must all still be live at this txn's
     * read version — an interleaved commit that removed one means the
     * replacement was computed from stale groups and must conflict, not
-    * silently resurrect or double-delete rows. Conflict metadata is a
-    * saturated-bloom summary over the union of retired and staged id
-    * ranges (bounded, never O(rows)). */
+    * silently resurrect or double-delete rows. `pinnedDvs` is the
+    * deletion-vector state the SCAN was planned against (pinned at
+    * table resolution, which predates this txn's begin): a scanned
+    * file whose dv entry differs at the txn's read version was masked
+    * (or un-masked) between scan-pin and commit — the rewrite, planned
+    * with the stale masks, would retire the file and silently resurrect
+    * the concurrently-deleted rows, so it must conflict instead. (The
+    * commit-window dvOverlap check only covers versions AFTER
+    * txn.readVersion; this closes the scan-pin..begin gap.) Conflict
+    * metadata is a saturated-bloom summary over the union of retired
+    * and staged id ranges (bounded, never O(rows)). */
   private[acid] def replaceScanned(scanned: Seq[String],
-      staged: Seq[String]): Unit = {
+      staged: Seq[String],
+      pinnedDvs: Map[String, Seq[String]] = Map.empty): Unit = {
     val (live, _, stats) = localState()
     val gone = scanned.filterNot(live.toSet)
     if (gone.nonEmpty)
       throw new ConflictException(
         s"row-level rewrite scanned ${gone.size} file(s) a concurrent " +
         s"commit already removed (${gone.take(3).mkString(", ")}...); retry")
+    val nowDvs = localDvs()
+    val dvDrift = scanned.filter(f =>
+      nowDvs.getOrElse(f, Nil) != pinnedDvs.getOrElse(f, Nil))
+    if (dvDrift.nonEmpty)
+      throw new ConflictException(
+        s"row-level rewrite scanned ${dvDrift.size} file(s) whose deletion " +
+        s"vectors changed since the scan was planned " +
+        s"(${dvDrift.take(3).mkString(", ")}...); retry")
     val stagedStats = inst.pooledMap(staged)(f =>
       f -> inst.footerIdRange(new Path(inst.dataDir, f)))
     stagedStats.foreach { case (f, r) => r.foreach(addedStats(f) = _) }

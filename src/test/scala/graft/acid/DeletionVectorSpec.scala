@@ -395,4 +395,41 @@ class DeletionVectorSpec extends AnyFunSuite {
     // crc — either way the read fails LOUDLY instead of resurrecting
     assert(msgs(e).contains("integrity") || msgs(e).contains("Checksum"))
   }
+
+  test("row-level rewrite conflicts when a scanned file's dv changed after scan-pin") {
+    // the SQL CoW path pins its scan at table resolution but begins its
+    // commit txn at the current head: a MoR mask landing in between
+    // means the rewrite was planned against pre-mask rows — retiring
+    // the file would silently resurrect the concurrently-deleted rows,
+    // so replaceScanned must conflict on dv drift, not just liveness
+    val inst = mk(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    val file = inst.stateAt(1L)._1.head
+    val pinned = inst.tableStateAt(1L).dvs // scan-pin state: no masks
+    assert(pinned.isEmpty)
+    val d = inst.begin(); d.deleteMoR(Seq(2L)); inst.commit(d)
+    val txn = inst.begin() // begins AFTER the mask landed
+    val e = intercept[ConflictException] {
+      txn.replaceScanned(Seq(file), Nil, pinned)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    inst.rollback(txn)
+    // control: a scan pinned at the current head carries the dv entry
+    // and passes the drift check (same liveness, matching masks)
+    val txn2 = inst.begin()
+    txn2.replaceScanned(Seq(file), Nil, inst.tableStateAt(2L).dvs)
+    inst.rollback(txn2)
+    // nothing was lost: the mask still applies
+    assert(contents(inst) == Seq((1L, 10L), (3L, 30L)))
+  }
+
+  test("DSv2 scan exposes the pinned dv state the CoW commit checks against") {
+    val inst = mk(Seq((1L, 10L), (2L, 20L)))
+    val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(inst.stateAt(2L)._2)
+    val scan = new GraftScan(inst.root, 2L, schema, schema,
+      Array.empty, wholeGroups = true)
+    assert(scan.pinnedDvs == inst.tableStateAt(2L).dvs)
+    assert(scan.pinnedDvs.nonEmpty)
+  }
 }

@@ -19,6 +19,7 @@ class ManifestSpec extends AnyFunSuite {
   private val pathGen: Gen[String] = for {
     stage <- Gen.identifier
     mid <- Gen.oneOf(Gen.const(""), Gen.identifier.map(k => s"/$k=v"),
+      Gen.identifier.map(k => s"/$k=a,b"), // hive keeps ',' unescaped
       Gen.identifier.map(k => s"/$k=__HIVE_DEFAULT_PARTITION__"))
     leaf <- Gen.identifier
   } yield s"$stage$mid/part-$leaf.parquet"
@@ -81,6 +82,43 @@ class ManifestSpec extends AnyFunSuite {
       """"added":[],"removed":[],"objects":[],"checkpoint":false,"allFiles":[]}"""
     val m = fromJson(legacy)
     assert(m.version == 5 && m.tsn == 9)
+  }
+
+  test("paths with commas (hive does not escape ',') round-trip exactly") {
+    // a partition value like `k=a,b` keeps its comma in the on-disk
+    // name; a naive split-on-',' array parser corrupted added/removed
+    // and (worse) silently emptied dv masks via the file/list zip
+    val m = Manifest(1, 2, "obj_id BIGINT",
+      added = Seq("s/k=a,b/part-1.parquet", "s/k=c/part-2.parquet"),
+      removed = Seq("t/k=x,y,z/f.parquet"), objects = Seq(1L),
+      checkpoint = true, allFiles = Seq("s/k=a,b/part-1.parquet"),
+      stats = Map("s/k=a,b/part-1.parquet" -> (1L, 2L)),
+      dvs = Map("s/k=a,b/part-1.parquet" -> Seq("dv-1.json")),
+      allDvs = Map("s/k=a,b/part-1.parquet" -> Seq("dv-1.json")))
+    assert(fromJson(toJson(m)) == m)
+  }
+
+  test("dv sidecar payloads keyed by comma paths round-trip") {
+    val masks = Map("s/k=a,b/f1.parquet" -> Seq(3L, 1L),
+      "p/f2.parquet" -> Seq(2L))
+    val parsed = VersionedTable.dvFromJson(VersionedTable.dvToJson(masks))
+    assert(parsed.view.mapValues(_.toSeq).toMap ==
+      Map("s/k=a,b/f1.parquet" -> Seq(1L, 3L), "p/f2.parquet" -> Seq(2L)))
+  }
+
+  test("appTxns last-update stamps round-trip; stamp-less entries parse as absent") {
+    val m = Manifest(4, 5, "obj_id BIGINT", Nil, Nil, Nil, checkpoint = true,
+      Nil, appTxns = Map("q1" -> 7L, "q2" -> 9L),
+      appTxnTs = Map("q1" -> 123L, "q2" -> 456L))
+    assert(fromJson(toJson(m)) == m)
+    // a gen-3 manifest written before stamps: appIds without appTs —
+    // entries fold as age-unknown (0) and are never retention-expired
+    val legacy = """{"formatVersion":3,"version":5,"tsn":9,""" +
+      """"schemaDDL":"obj_id BIGINT","added":[],"removed":[],""" +
+      """"objects":[],"checkpoint":false,"appIds":["q1"],""" +
+      """"appEpochs":[4],"allFiles":[]}"""
+    val lm = fromJson(legacy)
+    assert(lm.appTxns == Map("q1" -> 4L) && lm.appTxnTs.isEmpty)
   }
 
   test("pre-crc/pre-stats manifests (round-2 format) still parse") {

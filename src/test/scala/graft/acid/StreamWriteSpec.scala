@@ -355,4 +355,58 @@ class StreamWriteSpec extends AnyFunSuite {
     assert(toJson(plain).contains("\"formatVersion\":2"))
     assert(fromJson(toJson(plain)).appTxns.isEmpty)
   }
+
+  test("upsert epoch with duplicate obj_id values fails loudly") {
+    // adopting duplicates would break the obj_id-unique-per-snapshot
+    // contract point ops and the change feed rely on — the sink must
+    // reject the micro-batch, mirroring Txn.merge's duplicate guard
+    val dir = freshDir()
+    VersionedTable.create(spark, dir, AcidQueries.schema)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt10_").toString
+    mem.addData((5L, 10L), (5L, 11L), (6L, 20L))
+    val q = mem.toDF().toDF("obj_id", "value")
+      .writeStream.format("graft").option("path", dir)
+      .option("upsert", "true")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(e).contains("duplicate obj_id"))
+    // nothing landed: the epoch failed before its commit published
+    assert(VersionedTable.open(spark, dir).read().count() == 0L)
+  }
+
+  test("appTxn retention expires idle watermarks at checkpoint folds") {
+    val dir = freshDir()
+    // tiny retention + checkpoint every 2 commits; default (no
+    // retention) behavior is covered by the replay tests above
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema,
+      EngineConf(checkpointInterval = 2, appTxnRetentionMs = 5L))
+    val t1 = inst.begin()
+    t1.markEpoch("idle-query", 3L)
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1) // v1 delta carries the watermark
+    assert(inst.lastCommittedEpoch("idle-query").contains(3L))
+    Thread.sleep(50) // let the watermark go idle past the retention
+    val t2 = inst.begin()
+    t2.insert(Seq((2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t2) // v2 checkpoint: fold expires the idle entry
+    assert(inst.readManifest(2L).checkpoint)
+    assert(inst.lastCommittedEpoch("idle-query").isEmpty)
+    // an ACTIVE writer's own watermark survives its checkpoint commit
+    val t3 = inst.begin()
+    t3.markEpoch("live-query", 1L)
+    t3.insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+    inst.commit(t3)
+    val t4 = inst.begin()
+    t4.markEpoch("live-query", 2L)
+    t4.insert(Seq((4L, 40L)).toDF("obj_id", "value"))
+    inst.commit(t4) // v4 checkpoint, written in the same instant
+    assert(inst.lastCommittedEpoch("live-query").contains(2L))
+  }
 }
