@@ -28,6 +28,11 @@ object Engine {
       // failing — set at session scope so behavior never depends on
       // which table was read first
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standard INT64 micros instead of legacy INT96: INT96 footers
+      // carry no usable min/max, which would blind the ACID layer's
+      // automatic per-file timestamp stats (and INT96 is deprecated
+      // in the parquet spec)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -172,6 +172,22 @@ object AcidQueries {
       "FROM documents WHERE lang = 'en' " +
       "ORDER BY snap")((s, dir) => dsv2Scenario(s, dir)),
 
+    // universal data skipping (automatic per-file footer stats): the
+    // fixture re-aggregated through format("graft") under filters on
+    // never-clustered string/long columns; the scenario itself
+    // REQUIRES the scan pruned files, so both the skipping and its
+    // soundness (identical answers to DuckDB over the raw fixture)
+    // are hash-gated
+    "q56_stats_skipping" -> Q(
+      "SELECT 'eq' AS leg, COUNT(*) AS c, " +
+      "CAST(SUM(user_id) AS BIGINT) AS su " +
+      "FROM events WHERE event_type = 'purchase' " +
+      "UNION ALL " +
+      "SELECT 'in' AS leg, COUNT(*) AS c, " +
+      "CAST(SUM(user_id) AS BIGINT) AS su " +
+      "FROM events WHERE event_type IN ('click', 'view') AND user_id < 50 " +
+      "ORDER BY leg")((s, dir) => statsSkipScenario(s, dir)),
+
     // the SQL catalog front door: CTAS from the fixture, INSERT,
     // point DELETE, and VERSION AS OF — every statement pure SQL
     // through a GraftCatalog, every aggregate recomputable by DuckDB
@@ -388,6 +404,49 @@ object AcidQueries {
       s"SELECT 'v1' AS snap, COUNT(*) AS c, SUM(n_chars) AS chars " +
       s"FROM $cat.corpus.docs VERSION AS OF 1 " +
       "ORDER BY snap")
+  }
+
+  /** Universal data-skipping scenario: fixture events land in one
+    * commit PER event_type — never compacted, never clustered — so the
+    * only index that can skip files is the automatic write-time footer
+    * stats ([[VersionedTable.UStat]]). Both legs re-aggregate the
+    * fixture through `format("graft")` with filters on the
+    * never-clustered string/long columns; the scenario REQUIRES that
+    * the scan actually pruned (a regression to scan-everything fails
+    * the key, not just a benchmark). */
+  def statsSkipScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val events = graft.Engine.table(spark, dir, "events")
+      .select(col("event_id").as("obj_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val tmp = Files.createTempDirectory("graft_acid_uskip_").toUri.toString
+    val inst = VersionedTable.create(spark, tmp, events.schema)
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    types.foreach { et =>
+      val t = inst.begin()
+      t.insert(events.filter(col("event_type") === et).coalesce(1))
+      inst.commit(t)
+    }
+    val totalFiles = inst.stateAt(inst.latestVersion)._1.size
+    def scanFiles(df: DataFrame): Int = df.queryExecution.executedPlan
+      .collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[GraftScan].prunedFiles.size
+      }.sum
+    def relation = spark.read.format("graft").option("path", tmp).load()
+    val eq = relation.filter(col("event_type") === "purchase")
+    val in = relation.filter(col("event_type").isin("click", "view") &&
+      col("user_id") < 50)
+    require(scanFiles(eq) < totalFiles,
+      s"string-equality filter read all $totalFiles files — data skipping broken")
+    require(scanFiles(in) < totalFiles,
+      s"IN filter read all $totalFiles files — data skipping broken")
+    def agg(df: DataFrame, leg: String) = df
+      .agg(count(lit(1)).as("c"),
+        sum("user_id").cast("long").as("su"))
+      .select(lit(leg).as("leg"), col("c"), col("su"))
+    agg(eq, "eq").unionByName(agg(in, "in")).orderBy("leg")
   }
 
   /** Batch DSv2 scenario: fixture documents land in two commits (en at

@@ -172,6 +172,107 @@ private[acid] object GraftTableSource {
     }
   }
 
+  /** Does a file's universal footer stat ([[VersionedTable.UStat]])
+    * possibly satisfy the filter? Typed comparison per stat kind;
+    * every unknown shape or literal-type mismatch keeps the file
+    * (conservative). The workhorse of always-on data skipping: filters
+    * on NEVER-clustered columns prune through this. */
+  def ustatMayMatch(flt: sources.Filter, u: VersionedTable.UStat): Boolean = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    // compare literal v against a serialized bound; None = incomparable
+    def cmp(v: Any, bound: String): Option[Int] = u.kind match {
+      case 'L' => (v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case b: Byte => Some(b.toLong)
+        case _ => None
+      }).map(x => java.lang.Long.compare(x, bound.toLong))
+      case 'T' => (v match {
+        case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+        case t: java.time.Instant => Some(DateTimeUtils.instantToMicros(t))
+        case _ => None
+      }).map(x => java.lang.Long.compare(x, bound.toLong))
+      case 'A' => (v match {
+        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _ => None
+      }).map(x => java.lang.Long.compare(x, bound.toLong))
+      case 'B' => (v match {
+        case b: Boolean => Some(if (b) 1L else 0L)
+        case _ => None
+      }).map(x => java.lang.Long.compare(x, bound.toLong))
+      case 'D' => (v match {
+        case d: Double => Some(d)
+        case f: Float => Some(f.toDouble)
+        case _ => None
+      }).flatMap { x =>
+        if (x.isNaN) None // stats exclude NaN: never prune a NaN probe
+        else {
+          // primitive compare so -0.0 == 0.0 (SQL equality semantics)
+          val b = bound.toDouble
+          Some(if (x < b) -1 else if (x > b) 1 else 0)
+        }
+      }
+      case 'S' => v match {
+        case s: String => Some(VersionedTable.utf8Cmp(s, bound))
+        case _ => None
+      }
+      case 'M' => (v match {
+        case d: java.math.BigDecimal => Some(d)
+        case d: BigDecimal => Some(d.bigDecimal)
+        case _ => None
+      }).map(_.compareTo(new java.math.BigDecimal(bound)))
+      case _ => None
+    }
+    def inRange(v: Any): Boolean =
+      (for (a <- cmp(v, u.min); b <- cmp(v, u.max))
+        yield a >= 0 && b <= 0).getOrElse(true)
+    if (u.kind == 'N') flt match {
+      // no non-null values in the file: only null probes can match
+      case sources.IsNull(_) => true
+      case sources.EqualNullSafe(_, null) => true
+      case sources.EqualTo(_, _) | sources.EqualNullSafe(_, _) |
+          sources.In(_, _) | sources.GreaterThan(_, _) |
+          sources.GreaterThanOrEqual(_, _) | sources.LessThan(_, _) |
+          sources.LessThanOrEqual(_, _) | sources.IsNotNull(_) |
+          sources.StringStartsWith(_, _) => false
+      case _ => true
+    } else flt match {
+      case sources.IsNull(_) => u.nulls != 0 // -1 = unknown: keep
+      case sources.IsNotNull(_) => true
+      case sources.EqualTo(_, v) => v != null && inRange(v)
+      case sources.EqualNullSafe(_, null) => u.nulls != 0
+      case sources.EqualNullSafe(_, v) => inRange(v)
+      case sources.In(_, vs) => vs == null || vs.exists(v => v != null && inRange(v))
+      case sources.GreaterThan(_, v) => cmp(v, u.max).forall(_ < 0)
+      case sources.GreaterThanOrEqual(_, v) => cmp(v, u.max).forall(_ <= 0)
+      case sources.LessThan(_, v) => cmp(v, u.min).forall(_ > 0)
+      case sources.LessThanOrEqual(_, v) => cmp(v, u.min).forall(_ >= 0)
+      case sources.StringStartsWith(_, p) if u.kind == 'S' && p != null =>
+        // some s in [min,max] starts with p  <=>  p <= max (any s with
+        // prefix p is >= p, so p itself must not exceed max) AND min's
+        // |p|-byte prefix <= p (else even min is past every p-prefixed
+        // string). Both in unsigned byte order; truncation mid-UTF8
+        // sequence is fine — the order is bytewise.
+        val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mb = u.min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def byteCmp(x: Array[Byte], y: Array[Byte]): Int = {
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          x.length - y.length
+        }
+        VersionedTable.utf8Cmp(p, u.max) <= 0 &&
+          byteCmp(mb.take(pb.length), pb) <= 0
+      case _ => true
+    }
+  }
+
   /** What a SQL DELETE's filter set pins exactly, or None when the
     * shape is unsupported (arbitrary predicates belong to
     * [[Txn.deleteMatching]]/MERGE, never a silent full rewrite):
@@ -478,7 +579,11 @@ private[acid] final class GraftScan(root: String, version: Long,
           val range =
             if (c == "obj_id") stats.get(rel)
             else colStats.get(rel).flatMap(_.get(c))
-          range.forall(GraftTableSource.rangeMayMatch(f, _))
+          // Z-order/primary ranges AND the always-on universal footer
+          // stats both get a veto — either index may skip the file
+          range.forall(GraftTableSource.rangeMayMatch(f, _)) &&
+            state.fileStats.get(rel).flatMap(_.get(c))
+              .forall(GraftTableSource.ustatMayMatch(f, _))
         }
       }
     }

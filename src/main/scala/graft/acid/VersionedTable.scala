@@ -117,20 +117,103 @@ object VersionedTable {
       // full folded dv state, carried by CHECKPOINT manifests only —
       // the dv analog of allFiles (keeping the delta field a true
       // delta: CDC and the change-feed source classify commits by it)
-      allDvs: Map[String, Seq[String]] = Map.empty)
+      allDvs: Map[String, Seq[String]] = Map.empty,
+      // UNIVERSAL per-file column statistics: file -> (column ->
+      // typed min/max + null count), recorded automatically for every
+      // leaf column at write time (the reference's always-on free/stats
+      // metadata discipline, free_info.rs:84-194, applied to reads).
+      // Additive-optional like colStats: a reader that ignores it only
+      // loses data skipping, never correctness — no FormatVersion bump.
+      // Deltas carry entries for `added`; checkpoints the full fold.
+      fileStats: Map[String, Map[String, UStat]] = Map.empty)
+
+  /** Universal statistic for ONE leaf column of one data file, read
+    * from the parquet footer at write time. `kind` tags the value
+    * domain so min/max round-trip through the manifest as strings:
+    * 'L' integral (decimal long), 'T' timestamp (epoch micros),
+    * 'A' date (epoch days), 'D' float/double (Double.toString),
+    * 'S' string (raw, compared as unsigned UTF-8 bytes — parquet's
+    * binary sort order), 'B' boolean ("0"/"1"), 'M' decimal (plain
+    * string), 'N' all-null (no non-null values; min/max empty).
+    * `nulls` = exact null count, or -1 when the footer didn't say
+    * (then IS NULL can never skip the file). */
+  final case class UStat(kind: Char, min: String, max: String, nulls: Long) {
+    /** Bounds as a Long range when the domain is integral-comparable
+      * (the shape [[Txn.candidateFilesBy]] consumes); an all-null
+      * column yields the EMPTY range so value probes prune it. */
+    def longRange: Option[(Long, Long)] = kind match {
+      case 'L' | 'T' | 'A' => Some((min.toLong, max.toLong))
+      case 'N' => Some((Long.MaxValue, Long.MinValue))
+      case _ => None
+    }
+  }
+
+  /** Resolved per-file deletion mask: the union of a file's sidecars.
+    * `ids` carries legacy obj_id members (sorted, binary-searched);
+    * `pos` carries row-ordinal members from positional sidecars
+    * ([[GraftBitmap]] — the bounded representation a heavily-masked
+    * file needs at scale). Either side may be empty; a reader must
+    * drop a row matched by EITHER. */
+  final case class DvMask(ids: Array[Long], pos: GraftBitmap) {
+    def isEmpty: Boolean = ids.isEmpty && pos.isEmpty
+    def nonEmpty: Boolean = !isEmpty
+  }
+  object DvMask {
+    val empty: DvMask = DvMask(Array.emptyLongArray, GraftBitmap.empty)
+  }
 
   /** Materialized snapshot state at one version (the [[Manifest]] fold):
-    * live files, schema, both stats indexes, and the deletion-vector
-    * map (data file -> sidecars masking its rows). */
+    * live files, schema, all three stats indexes, and the
+    * deletion-vector map (data file -> sidecars masking its rows). */
   final case class TableState(files: Seq[String], ddl: String,
       stats: Map[String, (Long, Long)],
       colStats: Map[String, Map[String, (Long, Long)]],
-      dvs: Map[String, Seq[String]])
+      dvs: Map[String, Seq[String]],
+      fileStats: Map[String, Map[String, UStat]] = Map.empty)
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
+
+  /** Unsigned lexicographic UTF-8 byte order — parquet's sort order
+    * for string (BINARY/UTF8) statistics. Java's String.compareTo
+    * (UTF-16 code-unit order) disagrees for supplementary characters,
+    * so both stat merging and pruning compare through this. */
+  private[acid] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Inverse of [[esc]] — needed only for fields that carry ARBITRARY
+    * user data (universal-stat string bounds); file names and column
+    * names never contain the escaped characters. */
+  private def unesc(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case o => sb.append(o); i += 2 // \" and \\
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Manifest format generation this reader understands. 1 = the
     * pre-summary shape (no field written — absence implies it); 2 added
@@ -194,6 +277,20 @@ object VersionedTable {
         s""""${prefix}Lists":${arrS(keys.map(dvs(_).mkString(";")))},"""
     }
     val dvsJson = dvBlock("dv", m.dvs) + dvBlock("allDv", m.allDvs)
+    // universal file stats flattened to six parallel arrays — the same
+    // trivial-parser shape as cstats, with string-typed bounds (esc'd:
+    // string-column values are arbitrary user data)
+    val ustatRows = m.fileStats.toSeq.sortBy(_._1).flatMap { case (f, cs) =>
+      cs.toSeq.sortBy(_._1).map { case (c, u) => (f, c, u) }
+    }
+    val ustats =
+      if (ustatRows.isEmpty) ""
+      else s""""ustatFiles":${arrS(ustatRows.map(_._1))},""" +
+        s""""ustatCols":${arrS(ustatRows.map(_._2))},""" +
+        s""""ustatKinds":${arrS(ustatRows.map(_._3.kind.toString))},""" +
+        s""""ustatMins":${arrS(ustatRows.map(_._3.min))},""" +
+        s""""ustatMaxs":${arrS(ustatRows.map(_._3.max))},""" +
+        s""""ustatNulls":${arrL(ustatRows.map(_._3.nulls))},"""
     val declaredFv =
       if (m.dvs.nonEmpty || m.allDvs.nonEmpty) 4
       else if (m.appTxns.nonEmpty) 3 else 2
@@ -203,7 +300,7 @@ object VersionedTable {
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary + cstats + apps + dvsJson +
+      summary + cstats + apps + dvsJson + ustats +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -305,10 +402,22 @@ object VersionedTable {
     }
     def rawField(k: String): String = {
       val i = s.indexOf("\"" + k + "\":") + k.length + 3
-      var j = i; var depth = 0
-      while (j < s.length && (depth > 0 || (s(j) != ',' && s(j) != '}'))) {
-        if (s(j) == '[') depth += 1
-        if (s(j) == ']') depth -= 1
+      // quote-aware bracket depth: a '[', ']', ',' or '}' INSIDE a
+      // quoted element (stat bounds are arbitrary user strings; hive
+      // path escaping keeps many specials literal in file names) must
+      // not terminate or rebalance the scan
+      var j = i; var depth = 0; var inStr = false
+      while (j < s.length &&
+          (inStr || depth > 0 || (s(j) != ',' && s(j) != '}'))) {
+        val c = s(j)
+        if (inStr) {
+          if (c == '\\') j += 1
+          else if (c == '"') inStr = false
+        } else {
+          if (c == '"') inStr = true
+          else if (c == '[') depth += 1
+          else if (c == ']') depth -= 1
+        }
         j += 1
       }
       s.substring(i, j)
@@ -394,6 +503,19 @@ object VersionedTable {
       else Map.empty[String, Seq[String]]
     val dvs = dvBlock("dv")
     val allDvs = dvBlock("allDv")
+    val fileStats =
+      if (s.contains("\"ustatFiles\":")) {
+        val fls = strArr("ustatFiles"); val cols = strArr("ustatCols")
+        val kinds = strArr("ustatKinds")
+        val mins = strArr("ustatMins").map(unesc)
+        val maxs = strArr("ustatMaxs").map(unesc)
+        val nulls = longArr("ustatNulls")
+        fls.indices.map(i => (fls(i), cols(i),
+            UStat(kinds(i).head, mins(i), maxs(i), nulls(i))))
+          .groupBy(_._1)
+          .map { case (f, rows) =>
+            f -> rows.map(r => r._2 -> r._3).toMap }
+      } else Map.empty[String, Map[String, UStat]]
     Manifest(rawField("version").toLong, rawField("tsn").toLong,
       strField("schemaDDL"), strArr("added"), strArr("removed"),
       longArr("objects"), rawField("checkpoint").toBoolean, strArr("allFiles"),
@@ -404,7 +526,7 @@ object VersionedTable {
       tsMillis = if (s.contains("\"tsMillis\":")) rawField("tsMillis").toLong
         else 0L,
       appTxns = appTxns, appTxnTs = appTxnTs,
-      dvs = dvs, allDvs = allDvs)
+      dvs = dvs, allDvs = allDvs, fileStats = fileStats)
   }
 
   /** One-time datastore initialization (reference:
@@ -490,7 +612,14 @@ object VersionedTable {
   *                             replay protection — size it above the
   *                             longest restart gap. Entries with no
   *                             stamp (legacy manifests) are never
-  *                             expired. */
+  *                             expired.
+  * @param statsColumns         leading schema columns for which every
+  *                             staged file records universal footer
+  *                             min/max/null-count stats in the manifest
+  *                             ([[VersionedTable.UStat]]) — Delta's
+  *                             dataSkippingNumIndexedCols analog; 0
+  *                             disables collection (obj_id's primary
+  *                             range index is always on) */
 final case class EngineConf(
     checkpointInterval: Int = 10,
     conflictMaxAttempts: Int = 5,
@@ -500,7 +629,8 @@ final case class EngineConf(
     objectListThreshold: Int = 100000,
     bloomBits: Long = 1L << 23,
     claimer: ManifestClaimer = LinkRenameClaimer,
-    appTxnRetentionMs: Long = Long.MaxValue) {
+    appTxnRetentionMs: Long = Long.MaxValue,
+    statsColumns: Int = 32) {
   // fail at construction, not mid-commit (a checkpointInterval of 0
   // would otherwise surface as ArithmeticException after staging data)
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
@@ -512,6 +642,7 @@ final case class EngineConf(
   require(bloomBits >= 64 && bloomBits % 64 == 0,
     s"bloomBits must be a positive multiple of 64")
   require(appTxnRetentionMs >= 0, s"appTxnRetentionMs must be >= 0")
+  require(statsColumns >= 0, s"statsColumns must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -719,6 +850,7 @@ final class Instance(val spark: SparkSession, val root: String,
     var ddl = ckpt.schemaDDL
     var stats = ckpt.stats
     var colStats = ckpt.colStats
+    var fileStats = ckpt.fileStats
     // a checkpoint's full dv state lives in allDvs; its own delta (if
     // the checkpointing txn itself masked files) is already folded in
     var dvs = ckpt.allDvs
@@ -726,13 +858,14 @@ final class Instance(val spark: SparkSession, val root: String,
       files = files -- m.removed ++ m.added
       stats = stats -- m.removed ++ m.stats
       colStats = colStats -- m.removed ++ m.colStats
+      fileStats = fileStats -- m.removed ++ m.fileStats
       dvs = dvs -- m.removed
       m.dvs.foreach { case (f, list) =>
         dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
       }
       ddl = m.schemaDDL
     }
-    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs)
+    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs, fileStats)
   }
 
   /** Streaming-epoch watermarks visible at version `v`: latest
@@ -953,6 +1086,8 @@ final class Instance(val spark: SparkSession, val root: String,
     txn.removed ++= drop.toSeq.sorted
     reAdd.foreach(f => oldStats.get(f).foreach(r => txn.addedStats(f) = r))
     reAdd.foreach(f => oldColStats.get(f).foreach(r => txn.addedColStats(f) = r))
+    reAdd.foreach(f =>
+      oldState.fileStats.get(f).foreach(r => txn.addedFileStats(f) = r))
     val undone = ((v + 1) to txn.readVersion).map(readManifest)
     txn.objects ++= undone.flatMap(_.objects)
     txn.spillObjectsIfNeeded()
@@ -1317,13 +1452,26 @@ final class Instance(val spark: SparkSession, val root: String,
       }
     }
     val staged = leaves(new Path(out), sub)
-    // obj-id range per staged file from the parquet FOOTER — a
-    // driver-side metadata read (no Spark job), the same way lakehouse
-    // formats derive file skipping stats at write time. A partitioned
-    // insert stages up to (tasks x partition tuples) files, so the
-    // footers are read on a bounded pool, not serially.
-    pooledMap(staged)(f => f -> footerIdRange(new Path(dataDir, f)))
-      .foreach { case (f, r) => r.foreach(txn.addedStats(f) = _) }
+    // per-file stats from the parquet FOOTER — a driver-side metadata
+    // read (no Spark job), the same way lakehouse formats derive file
+    // skipping stats at write time: obj_id's primary range index PLUS
+    // universal min/max/null-count for the first
+    // [[EngineConf.statsColumns]] leaf columns, so an ad-hoc filter on
+    // a never-clustered column prunes files instead of reading every
+    // one. A partitioned insert stages up to (tasks x partition
+    // tuples) files, so the footers are read on a bounded pool, not
+    // serially.
+    val statCols: Set[String] =
+      df.schema.fields.take(conf.statsColumns).map(_.name).toSet ++
+        Set("obj_id") -- partitionBy
+    pooledMap(staged)(f => f -> footerAllStats(new Path(dataDir, f), statCols))
+      .foreach { case (f, us) =>
+        us.get("obj_id").flatMap(_.longRange)
+          .filter { case (lo, hi) => lo <= hi }
+          .foreach(txn.addedStats(f) = _)
+        val rest = us - "obj_id" // primary index already carries it
+        if (rest.nonEmpty) txn.addedFileStats(f) = rest
+      }
     staged
   }
 
@@ -1449,6 +1597,207 @@ final class Instance(val spark: SparkSession, val root: String,
     } catch { case _: Exception => None }
   }
 
+  /** Universal footer statistics for every TOP-LEVEL leaf column of a
+    * staged parquet file in `allowed` — one footer open collects typed
+    * min/max + null count per column ([[VersionedTable.UStat]]), the
+    * always-on metadata discipline the reference applies to every
+    * write (free_info.rs:84-194) lifted to file granularity.
+    *
+    * Same completeness rule as [[footerLongRange]], per column: EVERY
+    * non-empty row group must contribute stats or that column's entry
+    * is dropped — a partial range would prune a file whose stats-less
+    * block holds matching rows. Failure of any kind yields an empty
+    * map (the file is then never skipped — conservative). */
+  private[acid] def footerAllStats(p: Path, allowed: Set[String])
+      : Map[String, UStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    // per-column running fold across row groups
+    final class Acc {
+      var kind: Char = 0
+      var loL = 0L; var hiL = 0L                    // L/T/A/B domains
+      var loD = 0.0; var hiD = 0.0                  // D
+      var loS: String = null; var hiS: String = null // S
+      var loM: java.math.BigDecimal = null; var hiM: java.math.BigDecimal = null
+      var nulls = 0L; var nullsKnown = true
+      var seenValue = false; var dropped = false
+    }
+    // unsigned UTF-8 byte order — parquet's binary sort order, used
+    // both here (merging bounds) and at prune time (ustatMayMatch)
+    def decode(pt: org.apache.parquet.schema.PrimitiveType,
+        st: org.apache.parquet.column.statistics.Statistics[_],
+        acc: Acc): Boolean = {
+      val ann = pt.getLogicalTypeAnnotation
+      def mergeL(k: Char, mn: Long, mx: Long): Boolean = {
+        if (acc.kind == 0) { acc.kind = k; acc.loL = mn; acc.hiL = mx }
+        else if (acc.kind != k) return false
+        else { acc.loL = math.min(acc.loL, mn); acc.hiL = math.max(acc.hiL, mx) }
+        acc.seenValue = true; true
+      }
+      def mergeM(scale: Int, mn: java.math.BigInteger,
+          mx: java.math.BigInteger): Boolean = {
+        val a = new java.math.BigDecimal(mn, scale)
+        val b = new java.math.BigDecimal(mx, scale)
+        if (acc.kind == 0) { acc.kind = 'M'; acc.loM = a; acc.hiM = b }
+        else if (acc.kind != 'M') return false
+        else {
+          if (a.compareTo(acc.loM) < 0) acc.loM = a
+          if (b.compareTo(acc.hiM) > 0) acc.hiM = b
+        }
+        acc.seenValue = true; true
+      }
+      pt.getPrimitiveTypeName match {
+        case INT64 => (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) => ann match {
+            case t: TimestampLogicalTypeAnnotation =>
+              val scale = t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                case _ => return false // NANOS: lossy division, skip
+              }
+              mergeL('T', mn * scale, mx * scale)
+            case d: DecimalLogicalTypeAnnotation =>
+              mergeM(d.getScale, java.math.BigInteger.valueOf(mn),
+                java.math.BigInteger.valueOf(mx))
+            case i: IntLogicalTypeAnnotation if !i.isSigned => false
+            case _ => mergeL('L', mn, mx)
+          }
+          case _ => false
+        }
+        case INT32 => (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Integer, mx: java.lang.Integer) => ann match {
+            case _: DateLogicalTypeAnnotation =>
+              mergeL('A', mn.toLong, mx.toLong)
+            case d: DecimalLogicalTypeAnnotation =>
+              mergeM(d.getScale, java.math.BigInteger.valueOf(mn.toLong),
+                java.math.BigInteger.valueOf(mx.toLong))
+            case i: IntLogicalTypeAnnotation if !i.isSigned => false
+            case _ => mergeL('L', mn.toLong, mx.toLong)
+          }
+          case _ => false
+        }
+        case BOOLEAN => (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Boolean, mx: java.lang.Boolean) =>
+            mergeL('B', if (mn) 1L else 0L, if (mx) 1L else 0L)
+          case _ => false
+        }
+        case DOUBLE | FLOAT =>
+          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+            case (a: java.lang.Double, b: java.lang.Double) =>
+              (a.doubleValue, b.doubleValue)
+            case (a: java.lang.Float, b: java.lang.Float) =>
+              (a.doubleValue, b.doubleValue)
+            case _ => return false
+          }
+          // NaN bounds are meaningless for range pruning
+          if (mn.isNaN || mx.isNaN) return false
+          if (acc.kind == 0) { acc.kind = 'D'; acc.loD = mn; acc.hiD = mx }
+          else if (acc.kind != 'D') return false
+          else {
+            acc.loD = math.min(acc.loD, mn); acc.hiD = math.max(acc.hiD, mx)
+          }
+          acc.seenValue = true; true
+        case BINARY => ann match {
+          case _: StringLogicalTypeAnnotation =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+                val (a, b) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                if (acc.kind == 0) { acc.kind = 'S'; acc.loS = a; acc.hiS = b }
+                else if (acc.kind != 'S') return false
+                else {
+                  if (utf8Cmp(a, acc.loS) < 0) acc.loS = a
+                  if (utf8Cmp(b, acc.hiS) > 0) acc.hiS = b
+                }
+                acc.seenValue = true; true
+              case _ => false
+            }
+          case d: DecimalLogicalTypeAnnotation =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+                mergeM(d.getScale, new java.math.BigInteger(mn.getBytes),
+                  new java.math.BigInteger(mx.getBytes))
+              case _ => false
+            }
+          case _ => false
+        }
+        case FIXED_LEN_BYTE_ARRAY => ann match {
+          case d: DecimalLogicalTypeAnnotation =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+                mergeM(d.getScale, new java.math.BigInteger(mn.getBytes),
+                  new java.math.BigInteger(mx.getBytes))
+              case _ => false
+            }
+          case _ => false
+        }
+        case _ => false // INT96 and friends: no usable sort order
+      }
+    }
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val accs = scala.collection.mutable.LinkedHashMap[String, Acc]()
+        reader.getFooter.getBlocks.forEach { b =>
+          if (b.getRowCount > 0) {
+            b.getColumns.forEach { c =>
+              if (c.getPath.size == 1) {
+                val name = c.getPath.toDotString
+                if (allowed(name)) {
+                  val acc = accs.getOrElseUpdate(name, new Acc)
+                  if (!acc.dropped) {
+                    val st = c.getStatistics
+                    if (st == null || (!st.hasNonNullValue && !st.isNumNullsSet))
+                      acc.dropped = true // no stats written for this block
+                    else {
+                      if (st.isNumNullsSet) acc.nulls += st.getNumNulls
+                      else acc.nullsKnown = false
+                      if (st.hasNonNullValue && !decode(c.getPrimitiveType, st, acc))
+                        acc.dropped = true
+                      // all-null block: contributes nulls only — valid
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        accs.iterator.flatMap { case (name, a) =>
+          if (a.dropped) None
+          else if (!a.seenValue) {
+            // all-null column: value probes prune it, IS NULL keeps it
+            if (a.nullsKnown && a.nulls > 0) Some(name -> UStat('N', "", "", a.nulls))
+            else None
+          } else {
+            val nulls = if (a.nullsKnown) a.nulls else -1L
+            a.kind match {
+              case 'L' | 'T' | 'A' | 'B' =>
+                Some(name -> UStat(a.kind, a.loL.toString, a.hiL.toString, nulls))
+              case 'D' =>
+                Some(name -> UStat('D', a.loD.toString, a.hiD.toString, nulls))
+              case 'M' =>
+                Some(name -> UStat('M', a.loM.toPlainString,
+                  a.hiM.toPlainString, nulls))
+              case 'S' =>
+                // oversized bounds are dropped whole rather than
+                // truncated: truncating max needs a successor string,
+                // and a wrong one resurrects false pruning
+                if (a.loS.length <= 64 && a.hiS.length <= 64)
+                  Some(name -> UStat('S', a.loS, a.hiS, nulls))
+                else None
+              case _ => None
+            }
+          }
+        }.toMap
+      } finally reader.close()
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** Commit: optimistic conflict check against versions published after
     * the snapshot, then atomic manifest create; on a losing race the
     * check reruns at the new head (reference: commit + lock release,
@@ -1571,7 +1920,10 @@ final class Instance(val spark: SparkSession, val root: String,
         txn.added.flatMap(f => txn.addedStats.get(f).map(f -> _)).toMap
       val addedColStats =
         txn.added.flatMap(f => txn.addedColStats.get(f).map(f -> _)).toMap
-      val (ckptFiles, ckptStats, ckptColStats, ckptAllDvs) = if (isCkpt) {
+      val addedFileStats =
+        txn.added.flatMap(f => txn.addedFileStats.get(f).map(f -> _)).toMap
+      val (ckptFiles, ckptStats, ckptColStats, ckptAllDvs, ckptFileStats) =
+        if (isCkpt) {
         val base = tableStateAt(attempt - 1)
         // checkpoint allDvs is the FULL folded state (clear markers
         // resolve away: an empty list is simply absent); the manifest's
@@ -1583,9 +1935,10 @@ final class Instance(val spark: SparkSession, val root: String,
         ((base.files.toSet -- txn.removed ++ txn.added).toSeq.sorted,
           base.stats -- txn.removed ++ addedStats,
           base.colStats -- txn.removed ++ addedColStats,
-          dvs)
+          dvs,
+          base.fileStats -- txn.removed ++ addedFileStats)
       } else (Nil, addedStats, addedColStats,
-        Map.empty[String, Seq[String]])
+        Map.empty[String, Seq[String]], addedFileStats)
       // checkpoints fold EVERY query's watermark forward (so a lookup
       // never walks past one), expiring entries idle past
       // appTxnRetentionMs (unstamped legacy entries never expire);
@@ -1607,7 +1960,8 @@ final class Instance(val spark: SparkSession, val root: String,
         objSummary = objSum, colStats = ckptColStats,
         tsMillis = nowMs,
         appTxns = appTxns, appTxnTs = appTs,
-        dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs)
+        dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs,
+        fileStats = ckptFileStats)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -2059,6 +2413,11 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // compact) — the manifest's colStats delta
   private[acid] val addedColStats =
     mutable.Map[String, Map[String, (Long, Long)]]()
+  // universal per-column footer stats per staged file (every leaf
+  // column, collected automatically at write time) — the manifest's
+  // fileStats delta
+  private[acid] val addedFileStats =
+    mutable.Map[String, Map[String, UStat]]()
   private[acid] var schemaDDL: Option[String] = None
   // set when this txn will publish a DIFFERENT schema than its snapshot:
   // schema changes are table-wide, so commit treats one like a conflict
@@ -2165,16 +2524,23 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[graft] def candidateFilesBy(column: String,
       values: Seq[Long]): Seq[String] = {
     if (column == "obj_id") return candidateFiles(values)
-    val (base, _, _, baseColStats) = cachedBase()
-    val files = (base.toSet -- removed ++ added).toSeq.sorted
-    val colStats = baseColStats -- removed ++ addedColStats
+    val baseState = cachedBaseState()
+    val files = (baseState.files.toSet -- removed ++ added).toSeq.sorted
+    val colStats = baseState.colStats -- removed ++ addedColStats
+    val fileStats = baseState.fileStats -- removed ++ addedFileStats
     val sorted = values.distinct.sorted.toArray
     def anyIn(lo: Long, hi: Long): Boolean = {
       var i = java.util.Arrays.binarySearch(sorted, lo)
       if (i < 0) i = -i - 1
       i < sorted.length && sorted(i) <= hi
     }
-    files.filter(f => colStats.get(f).flatMap(_.get(column)) match {
+    // Z-order cluster stats first, then the always-on universal footer
+    // stats — so an UN-compacted table still prunes integral-key point
+    // ops; files with no recorded range degrade to candidates, never
+    // to a wrong answer
+    files.filter(f => colStats.get(f).flatMap(_.get(column))
+        .orElse(fileStats.get(f).flatMap(_.get(column)).flatMap(_.longRange))
+        match {
       case Some((lo, hi)) => anyIn(lo, hi)
       case None => true
     })
@@ -2762,7 +3128,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] def abort(): Unit = {
     inst.deleteStagingDirs(this)
     added.clear(); removed.clear(); objects.clear(); retired.clear()
-    addedStats.clear(); addedColStats.clear(); adopted.clear()
+    addedStats.clear(); addedColStats.clear(); addedFileStats.clear()
+    adopted.clear()
     schemaDDL = None; schemaEvolved = false
     objSummary = None
   }

@@ -681,6 +681,43 @@ class AcidSpec extends AnyFunSuite {
       (1L to 100L).map(_ * 10).sum)
   }
 
+  test("universal footer stats: never-clustered columns prune with no compaction") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "obj_id BIGINT, k2 BIGINT, value BIGINT")
+    val inst = VersionedTable.create(spark, freshDir(), schema)
+    // four commits with disjoint k2 ranges, NEVER compacted or
+    // clustered: only the automatic write-time footer stats can prune
+    (0 until 4).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 100).map(j => (i * 100L + j, i * 1000L + j, j.toLong))
+        .toDF("obj_id", "k2", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val t = inst.begin()
+    try {
+      val byK2 = t.candidateFilesBy("k2", Seq(2050L))
+      assert(byK2.size == 1, s"k2 prune gave ${byK2.size}/4 files — " +
+        "universal stats not consulted")
+      val rw = inst.readWhere("k2", Seq(2050L))
+      assert(rw.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    } finally inst.rollback(t)
+    // the stats survive a checkpoint roll-forward (fileStats fold like
+    // the primary index: checkpoints carry the full map)
+    (1 to 12).foreach { i =>
+      val tx = inst.begin()
+      tx.insert(Seq((10000L + i, 99999L, 0L)).toDF("obj_id", "k2", "value")
+        .coalesce(1))
+      inst.commit(tx)
+    }
+    val reopened = VersionedTable.open(spark, inst.root)
+    val t2 = reopened.begin()
+    try {
+      val byK2 = t2.candidateFilesBy("k2", Seq(2050L))
+      assert(byK2.size == 1,
+        s"k2 prune after checkpoint gave ${byK2.size} files")
+    } finally reopened.rollback(t2)
+  }
+
   test("Z-order compaction: point-ops prune on the SECONDARY key too") {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "obj_id BIGINT, k2 BIGINT, value BIGINT")

@@ -107,6 +107,57 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(range.count() == 170L)
   }
 
+  test("universal footer stats prune never-clustered columns of every type") {
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "obj_id BIGINT, name STRING, ts TIMESTAMP, score DOUBLE, note STRING")
+    val inst = VersionedTable.create(spark, dir, schema)
+    // four commits, never compacted, never clustered — only the
+    // automatic write-time footer stats can skip their files. One file
+    // carries an all-null note; the others carry no nulls at all.
+    val groups = Seq(
+      ("a", 0, true), ("g", 1, false), ("n", 2, false), ("t", 3, false))
+    groups.foreach { case (pfx, i, nullNote) =>
+      val t = inst.begin()
+      t.insert((0 until 50).map { j =>
+        (i * 50L + j, s"$pfx-doc-$j",
+          java.sql.Timestamp.valueOf(s"2024-0${i + 1}-10 00:00:${j % 60}"),
+          i * 10.0 + j / 50.0,
+          if (nullNote) null else s"note-$j")
+      }.toDF("obj_id", "name", "ts", "score", "note").coalesce(1))
+      inst.commit(t)
+    }
+    assert(graftScan(readGraft(dir)).prunedFiles.size == 4)
+    // string equality and prefix both prune to one file
+    val byName = readGraft(dir).filter(col("name") === "g-doc-7")
+    assert(graftScan(byName).prunedFiles.size == 1,
+      s"string stats should prune: ${graftScan(byName).prunedFiles}")
+    assert(byName.count() == 1L)
+    val byPrefix = readGraft(dir).filter(col("name").startsWith("t-"))
+    assert(graftScan(byPrefix).prunedFiles.size == 1)
+    assert(byPrefix.count() == 50L)
+    // timestamp range prunes to the overlapping commits only
+    val byTs = readGraft(dir).filter(
+      col("ts") >= lit("2024-02-01").cast("timestamp") &&
+      col("ts") < lit("2024-04-01").cast("timestamp"))
+    assert(graftScan(byTs).prunedFiles.size == 2,
+      s"timestamp stats should prune: ${graftScan(byTs).prunedFiles}")
+    assert(byTs.count() == 100L)
+    // double range prunes
+    val byScore = readGraft(dir).filter(col("score") > 25.0)
+    assert(graftScan(byScore).prunedFiles.size == 1)
+    assert(byScore.count() == 50L)
+    // IS NULL keeps only the file whose null count is non-zero;
+    // IS NOT NULL skips the all-null file
+    val isNull = readGraft(dir).filter(col("note").isNull)
+    assert(graftScan(isNull).prunedFiles.size == 1,
+      s"null-count stats should prune: ${graftScan(isNull).prunedFiles}")
+    assert(isNull.count() == 50L)
+    val notNull = readGraft(dir).filter(col("note").isNotNull)
+    assert(graftScan(notNull).prunedFiles.size == 3)
+    assert(notNull.count() == 150L)
+  }
+
   test("secondary Z-order colStats prune point reads after compaction") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)

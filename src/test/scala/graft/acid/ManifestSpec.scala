@@ -36,8 +36,21 @@ class ManifestSpec extends AnyFunSuite {
     stats <- Gen.mapOf(Gen.zip(Gen.identifier,
       Gen.zip(Gen.choose(0L, 1000L), Gen.choose(1000L, 2000L))))
     ts <- Gen.choose(0L, Long.MaxValue)
+    // universal stats carry ARBITRARY user data in min/max (string
+    // column values) — brackets and commas included, which stress the
+    // quote-aware rawField/splitItems parsers
+    ustat <- Gen.mapOf(Gen.zip(pathGen, Gen.nonEmptyMap(Gen.zip(
+      Gen.identifier,
+      for {
+        k <- Gen.oneOf('L', 'T', 'A', 'D', 'S', 'B', 'M', 'N')
+        mn <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+          Gen.oneOf('[', ']', ',', '"', '\\', '\n', '}', ':'))).map(_.mkString)
+        mx <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+          Gen.oneOf('[', ']', ',', '"', '\\', '\n', '}', ':'))).map(_.mkString)
+        n <- Gen.choose(-1L, 1000L)
+      } yield VersionedTable.UStat(k, mn, mx, n)))))
   } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats,
-    tsMillis = ts)
+    tsMillis = ts, fileStats = ustat)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
@@ -52,6 +65,21 @@ class ManifestSpec extends AnyFunSuite {
         val m = Manifest(1, 2, ddl, Nil, Nil, Nil, checkpoint = false, Nil)
         assert(fromJson(toJson(m)) == m, s"ddl=<$ddl>")
       }
+  }
+
+  test("universal file stats: hostile string bounds round-trip exactly") {
+    import VersionedTable.UStat
+    val stats = Map(
+      "a/f1.parquet" -> Map(
+        "name" -> UStat('S', "alpha, [beta]", "z}z:\"quoted\"\nend", 0L),
+        "ts" -> UStat('T', "1700000000000000", "1700009999000000", -1L),
+        "score" -> UStat('D', "-1.5E-3", "42.0", 3L),
+        "flag" -> UStat('N', "", "", 7L)),
+      "b/k=a,b/f2.parquet" -> Map(
+        "dec" -> UStat('M', "-12.345", "99.990", 0L)))
+    val m = Manifest(9, 1, "obj_id BIGINT", Seq("a/f1.parquet"), Nil,
+      Seq(1L), checkpoint = false, Nil, fileStats = stats)
+    assert(fromJson(toJson(m)) == m, toJson(m))
   }
 
   test("a corrupted manifest fails the crc check loudly (R30)") {
