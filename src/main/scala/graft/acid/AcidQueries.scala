@@ -69,6 +69,48 @@ object AcidQueries {
       .orderBy("_version", "_change", "obj_id")
   }
 
+  /** Cross-table atomic transaction scenario (reference: one txn spans
+    * every object in the datastore, instance.rs:88-111): seed two
+    * tables, commit one multi-table insert pair atomically, then drive
+    * a SECOND multi-commit into a mid-sequence conflict — whichever
+    * table's pointer published first must resolve ABORTED, leaving
+    * both tables exactly as the first multi left them. Deterministic
+    * final state either way the roots sort. */
+  def multiTableScenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val a = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mt_a_").toUri.toString, schema)
+    val b = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mt_b_").toUri.toString, schema)
+    val logDir = Files.createTempDirectory("graft_mt_log_").toUri.toString
+    val s1 = a.begin(); s1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    a.commit(s1)
+    val s2 = b.begin(); s2.insert(Seq((100L, 1000L)).toDF("obj_id", "value"))
+    b.commit(s2)
+    // the atomic pair
+    val ta = a.begin(); ta.insert(Seq((2L, 20L)).toDF("obj_id", "value"))
+    val tb = b.begin(); tb.insert(Seq((200L, 2000L)).toDF("obj_id", "value"))
+    MultiCommit.commitAll(logDir, Seq((a, ta), (b, tb)))
+    // the failing pair: a value-preserving rewrite of B's id 200 steals
+    // the object between begin and commit, so the multi conflicts —
+    // and its A-side insert of (3,30) must vanish with it
+    val ua = a.begin(); ua.insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+    val ub = b.begin(); ub.delete(Seq(200L))
+    val steal = b.begin()
+    steal.update(Seq(200L), df => df.withColumn("value", col("value") + 0))
+    b.commit(steal)
+    try {
+      MultiCommit.commitAll(logDir, Seq((a, ua), (b, ub)))
+      throw new IllegalStateException("second multi-commit must conflict")
+    } catch { case _: ConflictException => () }
+    // cold reopen of BOTH tables: recovery resolves the dead pointer
+    val colds = Seq("a" -> a.root, "b" -> b.root).map { case (tag, root) =>
+      VersionedTable.open(spark, root).read().withColumn("tbl", lit(tag))
+    }
+    colds.reduce(_.unionByName(_))
+      .select("tbl", "obj_id", "value").orderBy("tbl", "obj_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     // the scenario's final state is a hand-computable constant, so the
     // oracle is a literal VALUES table — the full lifecycle (insert,
@@ -187,6 +229,18 @@ object AcidQueries {
       "CAST(SUM(user_id) AS BIGINT) AS su " +
       "FROM events WHERE event_type IN ('click', 'view') AND user_id < 50 " +
       "ORDER BY leg")((s, dir) => statsSkipScenario(s, dir)),
+
+    // cross-table atomicity: one committed multi-table pair plus one
+    // mid-sequence-conflicted pair whose published pointer must
+    // resolve aborted — the union of both tables' final contents is a
+    // hand-computable constant, so pointer publication, the decision
+    // claim, abort neutering, and cold-reopen recovery are hash-gated
+    "q57_multi_table_txn" -> Q(
+      "SELECT tbl, CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES ('a', 1, 10), ('a', 2, 20), " +
+      "('b', 100, 1000), ('b', 200, 2000)) AS t(tbl, obj_id, value) " +
+      "ORDER BY tbl, obj_id")((s, _) => multiTableScenario(s)),
 
     // the SQL catalog front door: CTAS from the fixture, INSERT,
     // point DELETE, and VERSION AS OF — every statement pure SQL

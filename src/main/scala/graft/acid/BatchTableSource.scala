@@ -18,7 +18,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
@@ -525,7 +525,7 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
   * per-file sorted deletion-vector mask (empty = no masked rows). */
 private[acid] final case class GraftInputPartition(
     files: Seq[PartitionedFile], layout: Seq[String],
-    masks: Seq[Array[Long]] = Nil) extends InputPartition
+    masks: Seq[VersionedTable.DvMask] = Nil) extends InputPartition
 
 private[acid] final class GraftScan(root: String, version: Long,
     tableSchema: StructType, required: StructType,
@@ -548,7 +548,7 @@ private[acid] final class GraftScan(root: String, version: Long,
   /** Resolved deletion-vector masks for the surviving files (empty on
     * a table with no outstanding MoR deletes — the common case, which
     * keeps the columnar fast path). */
-  @transient private lazy val dvMasks: Map[String, Array[Long]] =
+  @transient private lazy val dvMasks: Map[String, VersionedTable.DvMask] =
     inst.resolveDvs(state.dvs, prunedFiles)
       .filter(_._2.nonEmpty)
 
@@ -606,7 +606,7 @@ private[acid] final class GraftScan(root: String, version: Long,
           GraftTableSource.partValueInternal(pairs(f.name), f.dataType))
           .toArray[Any])
         val st = statuses(rel)
-        val mask = dvMasks.getOrElse(rel, Array.empty[Long])
+        val mask = dvMasks.getOrElse(rel, VersionedTable.DvMask.empty)
         (0L until st.getLen by math.max(1L, maxSplit)).map { off =>
           (PartitionedFile(partRow, SparkPath.fromPath(st.getPath), off,
             math.min(maxSplit, st.getLen - off), Array.empty,
@@ -616,7 +616,7 @@ private[acid] final class GraftScan(root: String, version: Long,
       // first-fit bin-pack (descending) up to maxSplit per partition —
       // the same shape FileSourceScan's FilePartition packing produces
       val bins = scala.collection.mutable.ArrayBuffer
-        .empty[(scala.collection.mutable.ArrayBuffer[(PartitionedFile, Array[Long])], Long)]
+        .empty[(scala.collection.mutable.ArrayBuffer[(PartitionedFile, VersionedTable.DvMask)], Long)]
       chunks.sortBy(-_._1.length).foreach { pf =>
         bins.indexWhere(_._2 + pf._1.length <= maxSplit) match {
           case -1 => bins += ((scala.collection.mutable.ArrayBuffer(pf), pf._1.length))
@@ -631,6 +631,12 @@ private[acid] final class GraftScan(root: String, version: Long,
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat
     val masked = dvMasks.nonEmpty
+    // legacy id sidecars filter by obj_id; positional sidecars by the
+    // parquet-generated row index (requested via the reader's
+    // temporary metadata column — filled by both the vectorized and
+    // row-based readers, file-absolute even across splits)
+    val idMasked = dvMasks.values.exists(_.ids.nonEmpty)
+    val posMasked = dvMasks.values.exists(_.pos.nonEmpty)
     val layouts = prunedFiles.map(r =>
       GraftTableSource.partPairs(r).map(_._1)).distinct.map { layout =>
       val partFields = StructType(required.filter(f => layout.contains(f.name)))
@@ -639,9 +645,12 @@ private[acid] final class GraftScan(root: String, version: Long,
       // read when column pruning dropped it (projected away again by
       // the required-order projection below). Rare state by design —
       // compaction materializes masks and restores the clean path
-      if (masked && !fileSchema.fieldNames.contains("obj_id") &&
+      if (idMasked && !fileSchema.fieldNames.contains("obj_id") &&
           !layout.contains("obj_id"))
         fileSchema = StructType(fileSchema :+ tableSchema("obj_id"))
+      if (posMasked)
+        fileSchema = StructType(fileSchema :+ StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType))
       val physical = StructType(fileSchema ++ partFields)
       // row-wise mask filtering needs the row path; ColumnarBatch rows
       // are iterated instead of handed through whole
@@ -663,8 +672,11 @@ private[acid] final class GraftScan(root: String, version: Long,
         Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         spark.sessionState.newHadoopConf())
       val order = required.map(f => physical.fieldIndex(f.name)).toArray
-      val idIdx = if (masked) physical.fieldIndex("obj_id") else -1
-      layout -> GraftLayoutReader(reader, physical, order, columnar, idIdx)
+      val idIdx = if (idMasked) physical.fieldIndex("obj_id") else -1
+      val riIdx = if (posMasked) physical.fieldIndex(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME) else -1
+      layout -> GraftLayoutReader(reader, physical, order, columnar,
+        idIdx, riIdx)
     }.toMap
     new GraftReaderFactory(layouts)
   }
@@ -673,7 +685,7 @@ private[acid] final class GraftScan(root: String, version: Long,
 private[acid] final case class GraftLayoutReader(
     reader: PartitionedFile => Iterator[InternalRow],
     physical: StructType, order: Array[Int], columnar: Boolean,
-    idIdx: Int = -1)
+    idIdx: Int = -1, riIdx: Int = -1)
 
 private[acid] final class GraftReaderFactory(
     layouts: Map[Seq[String], GraftLayoutReader])
@@ -696,18 +708,24 @@ private[acid] final class GraftReaderFactory(
     // type BEFORE any lambda binds it, or scalac's parameter cast
     // fires ahead of the match
     val masks =
-      if (gp.masks.nonEmpty) gp.masks else gp.files.map(_ => Array.empty[Long])
+      if (gp.masks.nonEmpty) gp.masks
+      else gp.files.map(_ => VersionedTable.DvMask.empty)
     val rows: Iterator[InternalRow] =
       gp.files.iterator.zip(masks.iterator).flatMap { case (f, mask) =>
         val fileRows = lr.reader(f).asInstanceOf[Iterator[Any]].flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
           case row: InternalRow => Iterator.single(row)
         }
-        // merge-on-read mask: drop this file's deleted ids (sorted
-        // array + binary search; masks are point-delete sized)
+        // merge-on-read mask: drop this file's deleted rows — legacy
+        // sidecars by obj_id (sorted array + binary search, point-
+        // delete sized), positional sidecars by row ordinal (bitmap
+        // word test — O(bitmap) shipped per task, never O(ids))
         if (mask.isEmpty) fileRows
-        else fileRows.filter(r =>
-          java.util.Arrays.binarySearch(mask, r.getLong(lr.idIdx)) < 0)
+        else fileRows.filter { r =>
+          (lr.idIdx < 0 || mask.ids.isEmpty ||
+            java.util.Arrays.binarySearch(mask.ids, r.getLong(lr.idIdx)) < 0) &&
+          (lr.riIdx < 0 || !mask.pos.contains(r.getLong(lr.riIdx)))
+        }
       }.map(proj)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

@@ -125,7 +125,13 @@ object VersionedTable {
       // Additive-optional like colStats: a reader that ignores it only
       // loses data skipping, never correctness — no FormatVersion bump.
       // Deltas carry entries for `added`; checkpoints the full fold.
-      fileStats: Map[String, Map[String, UStat]] = Map.empty)
+      fileStats: Map[String, Map[String, UStat]] = Map.empty,
+      // cross-table atomic commit pointer: URI of the decision record
+      // whose atomic claim is the COMMIT POINT for every participating
+      // table. The manifest's deltas apply only if the decision
+      // resolved "committed"; an aborted/undecided ref neuters them
+      // (see [[Instance.readManifest]]). formatVersion-6 gated.
+      multiRef: Option[String] = None)
 
   /** Universal statistic for ONE leaf column of one data file, read
     * from the parquet footer at write time. `kind` tags the value
@@ -232,10 +238,19 @@ object VersionedTable {
     * readable by gen-2 deployments.
     * 4 added `dvs` (merge-on-read deletion vectors): a reader ignoring
     * them would RESURRECT every MoR-deleted row — so manifests carrying
-    * them declare generation 4. Each manifest declares the MINIMUM
-    * generation its own fields need, so only tables actually using a
-    * feature lock out older deployments. */
-  val FormatVersion = 4
+    * them declare generation 4.
+    * 5 added POSITIONAL deletion-vector sidecars (`dvp-` names, row
+    * ordinals as [[GraftBitmap]] instead of obj_id arrays): a gen-4
+    * reader cannot apply them, so any manifest whose dv lists reference
+    * one declares 5 — id-only dv tables keep declaring 4.
+    * 6 added `multiRef` (cross-table atomic commits): the manifest's
+    * deltas are valid ONLY IF the referenced decision record resolved
+    * "committed" — a reader ignoring the field would apply an ABORTED
+    * multi-table commit's deltas, so manifests carrying it declare 6.
+    * Each manifest declares the MINIMUM generation its own fields
+    * need, so only tables actually using a feature lock out older
+    * deployments. */
+  val FormatVersion = 6
 
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -292,10 +307,15 @@ object VersionedTable {
         s""""ustatMaxs":${arrS(ustatRows.map(_._3.max))},""" +
         s""""ustatNulls":${arrL(ustatRows.map(_._3.nulls))},"""
     val declaredFv =
-      if (m.dvs.nonEmpty || m.allDvs.nonEmpty) 4
+      if (m.multiRef.isDefined) 6
+      else if ((m.dvs.valuesIterator ++ m.allDvs.valuesIterator)
+          .exists(_.exists(_.startsWith("dvp-")))) 5
+      else if (m.dvs.nonEmpty || m.allDvs.nonEmpty) 4
       else if (m.appTxns.nonEmpty) 3 else 2
+    val multi = m.multiRef.map(u => s""""multiRef":"${esc(u)}",""")
+      .getOrElse("")
     val payload =
-      s"""{"formatVersion":$declaredFv,""" +
+      s"""{"formatVersion":$declaredFv,""" + multi +
       s""""version":${m.version},"tsn":${m.tsn},""" +
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
@@ -328,6 +348,93 @@ object VersionedTable {
       s"""{"dvFiles":${arrS(keys)},""" +
       s""""dvIds":${arrS(keys.map(masks(_).sorted.mkString(";")))}}"""
     payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
+  }
+
+  /** Positional deletion-vector sidecar payload: data file -> base64
+    * of its serialized [[GraftBitmap]] of masked row ordinals. Same
+    * flat-arrays-plus-crc shape as the legacy id sidecar; the bitmap's
+    * own magic plus the crc make torn or mistyped payloads fail loudly
+    * (a sidecar silently read as empty would RESURRECT deleted rows). */
+  private[acid] def dvPosToJson(masks: Map[String, GraftBitmap]): String = {
+    val keys = masks.keys.toSeq.sorted
+    def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val enc = java.util.Base64.getEncoder
+    val payload =
+      s"""{"dvpFiles":${arrS(keys)},""" +
+      s""""dvpBitmaps":${arrS(keys.map(f =>
+        enc.encodeToString(masks(f).serialize())))}}"""
+    payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
+  }
+
+  /** Cross-table commit decision record: the ONE object whose atomic
+    * claim decides every participating table's pointer manifest at
+    * once (the multi-table analog of the reference's single WAL commit
+    * record spanning all objects, instance.rs:102-111). Immutable once
+    * claimed: "committed" is claimed only by the coordinating writer
+    * AFTER every pointer published; "aborted" by the writer on any
+    * mid-sequence failure, or by a READER arbitrating a decision still
+    * missing past [[EngineConf.multiGraceMs]] (the Percolator-style
+    * resolution of a coordinator that died between phases). */
+  private[acid] def decisionToJson(committed: Boolean): String = {
+    val payload =
+      s"""{"state":"${if (committed) "committed" else "aborted"}"}"""
+    payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
+  }
+
+  /** Some(committed?) — throws on a corrupt record (a torn decision
+    * silently read as aborted would void a committed transaction). */
+  private[acid] def decisionFromJson(s: String): Boolean = {
+    val crcIdx = s.lastIndexOf(",\"crc\":")
+    require(crcIdx > 0, "multi-commit decision record missing crc")
+    val stored = s.substring(crcIdx + 7).trim.stripSuffix("}").toLong
+    val payload = s.substring(0, crcIdx) + "}"
+    if (crc32(payload) != stored)
+      throw new java.io.IOException(
+        s"multi-commit decision integrity check failed")
+    s.contains("\"state\":\"committed\"")
+  }
+
+  /** Atomically claim `target` with a decision body via the same
+    * [[ManifestClaimer]] primitive manifests use. True iff THIS call
+    * bound the decision. */
+  private[acid] def claimDecision(fs: FileSystem, target: Path,
+      claimer: ManifestClaimer, committed: Boolean): Boolean = {
+    val body = decisionToJson(committed).getBytes("UTF-8")
+    if (!claimer.needsTemp) {
+      try claimer.claim(fs, null, target, body)
+      catch { case _: java.io.IOException => false }
+    } else {
+      val tmp = new Path(target.getParent,
+        s".tmp-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      try claimer.claim(fs, tmp, target, body)
+      catch { case _: java.io.IOException => false }
+      finally {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  private[acid] def dvPosFromJson(s: String): Map[String, GraftBitmap] = {
+    val crcIdx = s.lastIndexOf(",\"crc\":")
+    require(crcIdx > 0, "positional deletion-vector sidecar missing crc")
+    val stored = s.substring(crcIdx + 7).trim.stripSuffix("}").toLong
+    val payload = s.substring(0, crcIdx) + "}"
+    if (crc32(payload) != stored)
+      throw new java.io.IOException(
+        s"positional deletion-vector sidecar integrity check failed: " +
+        s"stored crc $stored != computed ${crc32(payload)}")
+    def strArr(k: String): Seq[String] = {
+      val i = s.indexOf("\"" + k + "\":[") + k.length + 4
+      val j = s.indexOf("]", i)
+      val raw = s.substring(i, j)
+      if (raw.isEmpty) Nil
+      else splitItems(raw).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    val dec = java.util.Base64.getDecoder
+    strArr("dvpFiles").zip(strArr("dvpBitmaps").map(b =>
+      GraftBitmap.deserialize(dec.decode(b)))).toMap
   }
 
   /** Split a JSON array body on TOP-LEVEL commas only: a comma inside
@@ -526,7 +633,9 @@ object VersionedTable {
       tsMillis = if (s.contains("\"tsMillis\":")) rawField("tsMillis").toLong
         else 0L,
       appTxns = appTxns, appTxnTs = appTxnTs,
-      dvs = dvs, allDvs = allDvs, fileStats = fileStats)
+      dvs = dvs, allDvs = allDvs, fileStats = fileStats,
+      multiRef = if (s.contains("\"multiRef\":\""))
+        Some(strField("multiRef")) else None)
   }
 
   /** One-time datastore initialization (reference:
@@ -630,7 +739,14 @@ final case class EngineConf(
     bloomBits: Long = 1L << 23,
     claimer: ManifestClaimer = LinkRenameClaimer,
     appTxnRetentionMs: Long = Long.MaxValue,
-    statsColumns: Int = 32) {
+    statsColumns: Int = 32,
+    // how long a reader waits for an in-flight cross-table commit's
+    // decision record before arbitrating it ABORTED (the commit window
+    // is pointer publishes + one claim, normally milliseconds; a
+    // missing decision past this grace means the writer died mid-
+    // commit). Paid at most once per multi-commit per instance — the
+    // resolved decision is immutable and cached.
+    multiGraceMs: Long = 500L) {
   // fail at construction, not mid-commit (a checkpointInterval of 0
   // would otherwise surface as ArithmeticException after staging data)
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
@@ -643,6 +759,7 @@ final case class EngineConf(
     s"bloomBits must be a positive multiple of 64")
   require(appTxnRetentionMs >= 0, s"appTxnRetentionMs must be >= 0")
   require(statsColumns >= 0, s"statsColumns must be >= 0")
+  require(multiGraceMs >= 0, s"multiGraceMs must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -716,7 +833,23 @@ final class Instance(val spark: SparkSession, val root: String,
         } catch {
           case e: java.io.FileNotFoundException => throw e // never torn
         }
-      try return fromJson(text)
+      try {
+        val m = fromJson(text)
+        return m.multiRef match {
+          case Some(uri) if !resolveMultiDecision(uri) =>
+            // aborted (or arbitrated-dead) cross-table commit: the
+            // version slot stays claimed but its deltas contribute
+            // NOTHING to any fold — every consumer (state, CDC,
+            // vacuum, conflict windows) sees a no-op commit. The
+            // schemaDDL is safe to keep: pointer commits reject
+            // schema evolution, so it equals the previous version's.
+            m.copy(added = Nil, removed = Nil, objects = Nil,
+              objSummary = None, stats = Map.empty, colStats = Map.empty,
+              fileStats = Map.empty, dvs = Map.empty,
+              appTxns = Map.empty, appTxnTs = Map.empty)
+          case _ => m
+        }
+      }
       catch {
         case e: ManifestFormatException => throw e // deterministic: no retry
         case e: Exception =>
@@ -918,19 +1051,28 @@ final class Instance(val spark: SparkSession, val root: String,
     * before; CoW rewrites materialize the column physically, which
     * degrades pruning for the rewritten files but never correctness. */
   private[acid] def viewOf(files: Seq[String], ddl: String,
-      masks: Map[String, Array[Long]] = Map.empty): DataFrame = {
+      masks: Map[String, VersionedTable.DvMask] = Map.empty): DataFrame = {
     // merge-on-read: files with a deletion vector read as their own
-    // branch minus the masked ids. The masked set is SMALL by
-    // construction (compaction materializes and clears it), so the
-    // per-file branches and the id filters stay bounded; the clean
-    // majority keeps the shared-scan fast paths below untouched.
+    // branch minus the masked rows — legacy sidecars mask by obj_id,
+    // positional sidecars by row ordinal (`_metadata.row_index`, which
+    // the analyzer resolves through the branch's Project nodes down to
+    // its single file scan). The masked set is SMALL by construction
+    // (compaction materializes and clears it), so the per-file
+    // branches and the mask filters stay bounded; the clean majority
+    // keeps the shared-scan fast paths below untouched.
     val masked = files.filter(f => masks.get(f).exists(_.nonEmpty))
     if (masked.nonEmpty) {
       val clean = files.filterNot(masked.toSet)
       val branches = masked.sorted.map { f =>
-        val ids = masks(f)
-        val df = viewOf(Seq(f), ddl)
-        if (ids.length <= conf.idBroadcastThreshold)
+        val m = masks(f)
+        var df = viewOf(Seq(f), ddl)
+        if (m.pos.nonEmpty)
+          df = df.withColumn("_graft_ri", col("_metadata.row_index"))
+            .where(!DvExpressions.posMasked(spark, m.pos, col("_graft_ri")))
+            .drop("_graft_ri")
+        val ids = m.ids
+        if (ids.isEmpty) df
+        else if (ids.length <= conf.idBroadcastThreshold)
           df.filter(!col("obj_id").isin(ids.toSeq: _*))
         else {
           val s = spark
@@ -1480,12 +1622,55 @@ final class Instance(val spark: SparkSession, val root: String,
   // cache can never go stale; bounded by the live dv count, which
   // compaction keeps small
   private val dvCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, DvMask]]()
 
-  /** Write one deletion-vector sidecar (driver-side: the masked id set
-    * is point-delete-sized by contract; bulk deletes belong to the
-    * copy-on-write paths). Referenced only after the manifest commit
-    * publishes, exactly like staged data files. */
+  // decided multi-commit outcomes (immutable once claimed) — each
+  // cross-table commit costs each reading instance at most ONE
+  // decision-record read over its lifetime
+  private val multiDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Resolve a pointer manifest's decision record: true = committed.
+    * A record still missing after [[EngineConf.multiGraceMs]] is
+    * ARBITRATED aborted by claiming the decision slot — the claim
+    * either wins (the coordinator died mid-commit; every future
+    * reader resolves identically) or loses to the real decision,
+    * which is then read back. Readers writing an abort record is the
+    * standard commit-point arbitration (Percolator-style) that makes
+    * a crashed coordinator's half-published transaction resolve
+    * deterministically instead of hanging forever. */
+  private[acid] def resolveMultiDecision(uri: String): Boolean = {
+    val cached = multiDecisions.get(uri)
+    if (cached != null) return cached.booleanValue()
+    val p = new Path(uri)
+    val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readState(): Option[Boolean] =
+      try {
+        val in = dfs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        Some(VersionedTable.decisionFromJson(text))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val deadline = System.currentTimeMillis() + conf.multiGraceMs
+    var state = readState()
+    while (state.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(math.min(25L, math.max(1L, conf.multiGraceMs / 4)))
+      state = readState()
+    }
+    val decided = state.getOrElse {
+      if (VersionedTable.claimDecision(dfs, p, conf.claimer,
+          committed = false)) false
+      else readState().getOrElse(throw new java.io.IOException(
+        s"multi-commit decision at $uri neither readable nor claimable"))
+    }
+    multiDecisions.put(uri, java.lang.Boolean.valueOf(decided))
+    decided
+  }
+
+  /** Write one LEGACY id-keyed deletion-vector sidecar. New masks are
+    * positional ([[writeDvSidecarPos]]); this writer remains so the
+    * legacy-format read path stays exercised (and mixed old/new
+    * sidecar lists keep applying) without hand-crafted fixtures. */
   private[acid] def writeDvSidecar(masks: Map[String, Seq[Long]]): String = {
     val name = s"dv-${java.util.UUID.randomUUID().toString.take(12)}.json"
     val out = fs.create(new Path(dataDir, name), false)
@@ -1494,7 +1679,23 @@ final class Instance(val spark: SparkSession, val root: String,
     name
   }
 
-  private[acid] def readDvSidecar(name: String): Map[String, Array[Long]] =
+  /** Write one POSITIONAL deletion-vector sidecar: data file ->
+    * row-ordinal bitmap ([[GraftBitmap]]). The `dvp-` prefix is what
+    * [[VersionedTable.toJson]] keys the formatVersion-5 gate on — a
+    * reader that cannot apply positional masks must reject the table
+    * loudly, never resurrect its deleted rows. Driver-side write
+    * (point-delete-sized by contract; bulk deletes belong to the
+    * copy-on-write paths). */
+  private[acid] def writeDvSidecarPos(masks: Map[String, GraftBitmap])
+      : String = {
+    val name = s"dvp-${java.util.UUID.randomUUID().toString.take(12)}.json"
+    val out = fs.create(new Path(dataDir, name), false)
+    try out.write(VersionedTable.dvPosToJson(masks).getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  private[acid] def readDvSidecar(name: String): Map[String, DvMask] =
     dvCache.computeIfAbsent(name, { n =>
       val in = fs.open(new Path(dataDir, n))
       try {
@@ -1502,14 +1703,21 @@ final class Instance(val spark: SparkSession, val root: String,
         val buf = new Array[Byte](8192)
         var r = in.read(buf)
         while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
-        VersionedTable.dvFromJson(bytes.toString("UTF-8"))
+        val text = bytes.toString("UTF-8")
+        if (n.startsWith("dvp-"))
+          VersionedTable.dvPosFromJson(text).view
+            .mapValues(bm => DvMask(Array.emptyLongArray, bm)).toMap
+        else
+          VersionedTable.dvFromJson(text).view
+            .mapValues(ids => DvMask(ids, GraftBitmap.empty)).toMap
       } finally in.close()
     })
 
   /** Resolve a state's dv map (file -> sidecar names) to the concrete
-    * masked-id arrays [[viewOf]] consumes, restricted to `files`. */
+    * per-file masks [[viewOf]] consumes, restricted to `files`: legacy
+    * id members union-sorted, positional bitmaps union-folded. */
   private[acid] def resolveDvs(dvs: Map[String, Seq[String]],
-      files: Seq[String]): Map[String, Array[Long]] = {
+      files: Seq[String]): Map[String, DvMask] = {
     if (dvs.isEmpty) return Map.empty
     val wanted = files.filter(dvs.contains)
     if (wanted.isEmpty) return Map.empty
@@ -1517,8 +1725,10 @@ final class Instance(val spark: SparkSession, val root: String,
     // small RPC on an object store
     pooledMap(wanted.flatMap(dvs).distinct)(readDvSidecar)
     wanted.map { f =>
-      f -> dvs(f).flatMap(n => readDvSidecar(n).getOrElse(f, Array.empty[Long]))
-        .distinct.sorted.toArray
+      val parts = dvs(f).map(n => readDvSidecar(n).getOrElse(f, DvMask.empty))
+      f -> DvMask(
+        parts.flatMap(_.ids).distinct.sorted.toArray,
+        parts.map(_.pos).foldLeft(GraftBitmap.empty)(_ union _))
     }.toMap
   }
 
@@ -1808,7 +2018,30 @@ final class Instance(val spark: SparkSession, val root: String,
     * copy-on-write unit is a file, so two transactions modifying
     * disjoint objects that live in one file would otherwise both
     * republish stale copies of each other's rows. */
-  def commit(txn: Txn): Long = this.synchronized {
+  def commit(txn: Txn): Long = commit(txn, None)
+
+  /** Commit, optionally as a cross-table POINTER: with `multiRef` set
+    * the published manifest is valid only once the referenced decision
+    * record claims "committed" (see [[MultiCommit.commitAll]]). Pointer
+    * commits reject schema evolution and streaming watermarks (their
+    * abort-neutering keeps the published schemaDDL and must not void a
+    * watermark another epoch relied on) and never publish as
+    * checkpoints (a neutered checkpoint would wipe the fold). */
+  private[acid] def commit(txn: Txn, multiRef: Option[String]): Long =
+      this.synchronized {
+    if (multiRef.isDefined) {
+      if (txn.schemaEvolved) {
+        txn.abort()
+        throw new UnsupportedOperationException(
+          "schema evolution inside a cross-table transaction is not supported")
+      }
+      if (txn.appTxn.isDefined) {
+        txn.abort()
+        throw new UnsupportedOperationException(
+          "streaming-epoch watermarks inside a cross-table transaction " +
+          "are not supported")
+      }
+    }
     // a schema-only evolution (Txn.alterSchema) has no file delta but
     // MUST publish — the early no-op return is only for txns that
     // changed nothing at all
@@ -1915,7 +2148,7 @@ final class Instance(val spark: SparkSession, val root: String,
         }
         prevDdl = m.schemaDDL
       }
-      val isCkpt = attempt % checkpointInterval == 0
+      val isCkpt = multiRef.isEmpty && attempt % checkpointInterval == 0
       val addedStats =
         txn.added.flatMap(f => txn.addedStats.get(f).map(f -> _)).toMap
       val addedColStats =
@@ -1961,7 +2194,7 @@ final class Instance(val spark: SparkSession, val root: String,
         tsMillis = nowMs,
         appTxns = appTxns, appTxnTs = appTs,
         dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs,
-        fileStats = ckptFileStats)
+        fileStats = ckptFileStats, multiRef = multiRef)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -2091,7 +2324,8 @@ final class Instance(val spark: SparkSession, val root: String,
       // sweep unreferenced ones past the grace — an in-flight txn's
       // just-written sidecar is shielded exactly like staged data
       fs.listStatus(dataDir)
-        .filter(e => e.isFile && e.getPath.getName.startsWith("dv-"))
+        .filter(e => e.isFile && (e.getPath.getName.startsWith("dv-") ||
+          e.getPath.getName.startsWith("dvp-")))
         .foreach { e =>
           if (!liveDvs.contains(e.getPath.getName) &&
               !referencedDvs.contains(e.getPath.getName) &&
@@ -2478,8 +2712,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     dvs
   }
 
-  /** Resolved masked-id arrays for `files` under [[localDvs]]. */
-  private def localMasks(files: Seq[String]): Map[String, Array[Long]] =
+  /** Resolved per-file masks for `files` under [[localDvs]]. */
+  private def localMasks(files: Seq[String])
+      : Map[String, VersionedTable.DvMask] =
     inst.resolveDvs(localDvs(), files)
 
   /** Read-your-own-writes view (reference MVCC resolve accepts entries
@@ -2965,15 +3200,64 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         .groupBy(r => relativize(r.getString(0)))
         .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
       if (hits.nonEmpty) {
-        val sidecar = inst.writeDvSidecar(hits)
+        // record row ORDINALS, not ids: the positional bitmap is the
+        // bounded mask representation at scale (a task's mask cost is
+        // O(bitmap words), never O(deleted ids)). The one exception:
+        // a file partitioned BY obj_id carries no physical obj_id
+        // column to resolve ordinals against — those (pathological,
+        // one id per file) keep the legacy id sidecar, which readers
+        // still apply (mixed sidecar lists union per file).
+        val (byPath, physical) = hits.partition { case (f, _) =>
+          f.split('/').exists(_.startsWith("obj_id=")) }
         val base = localDvs()
-        hits.keys.foreach { f =>
-          dvDelta(f) = base.getOrElse(f, Nil) :+ sidecar
-        }
+        def attach(sidecar: String, fs_ : Iterable[String]): Unit =
+          fs_.foreach { f =>
+            dvDelta(f) = base.getOrElse(f, Nil) :+ sidecar
+          }
+        if (physical.nonEmpty)
+          attach(inst.writeDvSidecarPos(
+            rowOrdinalsOf(physical)), physical.keys)
+        if (byPath.nonEmpty)
+          attach(inst.writeDvSidecar(byPath), byPath.keys)
       }
     }
     objects ++= ids
     spillObjectsIfNeeded()
+  }
+
+  /** Resolve (file -> hit obj_ids) to (file -> row-ordinal bitmap) by
+    * one targeted scan of the hit files reading only `obj_id` plus the
+    * parquet row index. Rows already masked by a PRIOR vector (either
+    * representation) are excluded — a re-delete must stay a no-op, and
+    * under the obj_id-unique-per-snapshot contract a hit id's only
+    * unmasked row is the one pass 1 matched. Point-delete sized by the
+    * same contract as [[deleteMoR]] (driver collects one (file,
+    * ordinal) pair per deleted row). */
+  private def rowOrdinalsOf(hits: Map[String, Seq[Long]])
+      : Map[String, GraftBitmap] = {
+    val prior = localMasks(hits.keys.toSeq)
+    val allIds = hits.values.flatten.toSeq.distinct
+    val idSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("obj_id",
+        org.apache.spark.sql.types.LongType)))
+    val rows = inst.spark.read.schema(idSchema)
+      .parquet(hits.keys.toSeq.sorted
+        .map(f => new Path(inst.dataDir, f).toString): _*)
+      .select(col("obj_id"), col("_metadata.row_index").as("_ri"),
+        col("_metadata.file_path").as("_fp"))
+      .filter(col("obj_id").isin(allIds: _*))
+      .collect()
+    rows.groupBy(r => relativize(r.getString(2)))
+      .flatMap { case (f, rs) =>
+        val wanted = hits.getOrElse(f, Nil).toSet
+        val m = prior.getOrElse(f, VersionedTable.DvMask.empty)
+        val ords = rs.iterator
+          .filter(r => wanted(r.getLong(0)) &&
+            !m.pos.contains(r.getLong(1)) &&
+            java.util.Arrays.binarySearch(m.ids, r.getLong(0)) < 0)
+          .map(_.getLong(1)).toSeq
+        if (ords.isEmpty) None else Some(f -> GraftBitmap(ords))
+      }
   }
 
   /** Merge-on-read point UPDATE: the MoR twin of [[update]] — masks the

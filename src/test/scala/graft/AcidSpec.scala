@@ -1697,6 +1697,45 @@ class AcidSpec extends AnyFunSuite {
     intercept[ConflictException] { inst.commit(t4) } // 143 is in both
   }
 
+  test("8 concurrent bulk writers, interleaved-but-disjoint ids: zero conflicts, exact state") {
+    // the instance.rs:724-758 concurrent-upsert analog at production
+    // shape: 8 writers, each staging 100 ids through the SUMMARY path
+    // (threshold 8 << 100), id sets fully INTERLEAVED by stride —
+    // every writer's [min,max] range overlaps every other's, so the
+    // old range-only summary check would spuriously serialize all 8.
+    // The bloom bitwise-AND must prove them pairwise disjoint: plain
+    // commit() with NO retry wrapper — any ConflictException fails
+    // the test (a lost publish race re-validates internally and is
+    // not a conflict).
+    val conf = graft.acid.EngineConf(objectListThreshold = 8)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          val txn = inst.begin()
+          txn.upsert((0 until 100).map(i => (i * 8L + t, (1000 * (t + 1) + i).toLong))
+            .toDF("obj_id", "value"))
+          inst.commit(txn)
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"unexpected conflicts/errors: ${errors.peek()}")
+    val rows = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 800, s"expected 800 rows, got ${rows.length}")
+    assert(rows.map(_._1).toSet ==
+      (for (t <- 0 until 8; i <- 0 until 100) yield i * 8L + t).toSet)
+    // every value is exactly what its owning writer staged
+    assert(rows.forall { case (k, v) =>
+      val (t, i) = ((k % 8).toInt, (k / 8).toInt)
+      v == 1000 * (t + 1) + i
+    })
+    // all 8 landed as summary commits (the bloom path under test)
+    assert(inst.history().filter(col("n_objects") === 100).count() == 8)
+  }
+
   test("restore across a summary commit is metadata-only and exact") {
     val conf = graft.acid.EngineConf(
       objectListThreshold = 4, bloomBits = 1L << 12)

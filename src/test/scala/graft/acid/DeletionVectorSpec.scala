@@ -376,6 +376,46 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(st.dvs.size == 5 && st.dvs.values.forall(_.size == 1))
   }
 
+  test("positional sidecars: dvp- names, formatVersion 5 gate, ordinal precision") {
+    // rows with IDENTICAL payloads: only the row ORDINAL can tell them
+    // apart, so a mask that dropped the wrong row would corrupt silently
+    val inst = mk(Seq((1L, 10L), (2L, 10L), (3L, 10L)))
+    val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
+    assert(contents(inst) == Seq((1L, 10L), (3L, 10L)))
+    val st = inst.tableStateAt(2L)
+    val sidecar = st.dvs.head._2.head
+    assert(sidecar.startsWith("dvp-"), s"expected positional sidecar: $sidecar")
+    // the mask is one ordinal, not an id list
+    val mask = inst.resolveDvs(st.dvs, st.files)(st.dvs.head._1)
+    assert(mask.ids.isEmpty && mask.pos.iterator.toSeq == Seq(1L))
+    // a manifest referencing a positional sidecar locks out pre-gen-5
+    // readers; the pre-delete manifest stays at its own minimum
+    def manifestText(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(inst.root).getPath,
+        "_manifests", f"v$v%020d.json")), "UTF-8")
+    assert(manifestText(2L).contains("\"formatVersion\":5"))
+    assert(!manifestText(1L).contains("\"formatVersion\":5"))
+  }
+
+  test("mixed legacy and positional sidecars on one file both apply") {
+    val inst = mk(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    val st = inst.tableStateAt(1L)
+    val file = st.files.head
+    // a legacy (id-keyed) sidecar as an older-generation writer left it,
+    // beside a positional one from the current writer
+    val legacy = inst.writeDvSidecar(Map(file -> Seq(2L)))
+    val pos = inst.writeDvSidecarPos(Map(file -> GraftBitmap(Seq(2L))))
+    val both = inst.resolveDvs(Map(file -> Seq(legacy, pos)), Seq(file))(file)
+    assert(both.ids.toSeq == Seq(2L) && both.pos.iterator.toSeq == Seq(2L))
+    // viewOf drops a row matched by EITHER representation: id 2 by the
+    // legacy mask, ordinal 3 (id 4's row) by a second positional mask
+    val pos2 = inst.writeDvSidecarPos(Map(file -> GraftBitmap(Seq(3L))))
+    val merged = inst.resolveDvs(Map(file -> Seq(legacy, pos2)), Seq(file))
+    val seen = inst.viewOf(Seq(file), AcidQueries.schema.toDDL, merged)
+      .orderBy("obj_id").collect().map(_.getLong(0)).toSeq
+    assert(seen == Seq(1L, 3L))
+  }
+
   test("sidecar integrity: corrupt dv fails loudly, never resurrects rows") {
     val inst = mk(Seq((1L, 10L), (2L, 20L)))
     val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
@@ -383,9 +423,13 @@ class DeletionVectorSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get(
       new java.net.URI(inst.root).getPath, "data", dvName)
     val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    assert(txt.contains("\"dvIds\":[\"2\"]"))
+    // positional sidecar: flip one bitmap byte without touching the crc
+    assert(dvName.startsWith("dvp-") && txt.contains("\"dvpBitmaps\""))
+    val i = txt.indexOf("\"dvpBitmaps\":[\"") + "\"dvpBitmaps\":[\"".length
+    val flipped = (txt.charAt(i + 1) ^ 1).toChar
     java.nio.file.Files.write(p,
-      txt.replace("\"dvIds\":[\"2\"]", "\"dvIds\":[\"9\"]").getBytes("UTF-8"))
+      (txt.substring(0, i + 1) + flipped + txt.substring(i + 2))
+        .getBytes("UTF-8"))
     // fresh instance (no warm cache) must refuse the torn sidecar
     val cold = VersionedTable.open(spark, inst.root)
     val e = intercept[Exception](cold.read().collect())

@@ -49,8 +49,9 @@ class ManifestSpec extends AnyFunSuite {
           Gen.oneOf('[', ']', ',', '"', '\\', '\n', '}', ':'))).map(_.mkString)
         n <- Gen.choose(-1L, 1000L)
       } yield VersionedTable.UStat(k, mn, mx, n)))))
+    multi <- Gen.option(hostileString.map(x => s"file:/m/$x.json"))
   } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats,
-    tsMillis = ts, fileStats = ustat)
+    tsMillis = ts, fileStats = ustat, multiRef = multi)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
