@@ -74,10 +74,20 @@ object Engine {
     * DuckDB's ns→µs coercion does for positive epochs). Shared by batch
     * and streaming reads of the events table. */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) fixture read under nanosAsLong: ns -> µs
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: Spark infers
+      // TIMESTAMP_NTZ, which event-time watermarks reject — cast to
+      // TIMESTAMP under the UTC session zone (same instants as the
+      // nanos path, so oracles are unaffected)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   // ---------------------------------------------------------------------
   // Deterministic float aggregation.

@@ -301,7 +301,68 @@ object AcidQueries {
       "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
       "CAST(value AS BIGINT) AS value " +
       "FROM (VALUES (1, 10), (2, 200), (4, 40)) AS t(obj_id, value) " +
-      "ORDER BY obj_id")((s, _) => morDeleteScenario(s)))
+      "ORDER BY obj_id")((s, _) => morDeleteScenario(s)),
+
+    // column mapping: metadata-only RENAME COLUMN (physical file names
+    // fixed) + INT->LONG widening (old narrow files promote at scan
+    // time), post-rename point delete pruning through the translated
+    // stats index, head read through the DSv2 front door with a filter
+    // on the renamed+widened column, and time travel to the pre-rename
+    // version under its original name — all on a hand-computable
+    // constant
+    "q58_column_mapping" -> Q(
+      "SELECT snap, CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(amount AS BIGINT) AS amount " +
+      "FROM (VALUES ('head', 1, 10), ('head', 3, 30), " +
+      "('head', 4, 5000000000), ('v1', 1, 10), ('v1', 2, 20), " +
+      "('v1', 3, 30)) AS t(snap, obj_id, amount) " +
+      "ORDER BY snap, obj_id")((s, _) => columnMappingScenario(s)),
+
+    // typed change feed (readChangeFeed): insert commits stream as
+    // `insert` events and a merge-on-read delete commit streams its
+    // newly-masked rows as `delete` events — one AvailableNow drain,
+    // hand-computable constant, so mask-delta planning, the keep-
+    // filtered executor read, and event tagging are all hash-gated
+    "q59_cdf_delete_feed" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value, " +
+      "CAST(_version AS BIGINT) AS _version, _change_type " +
+      "FROM (VALUES (1, 10, 1, 'insert'), (2, 20, 2, 'insert'), " +
+      "(3, 30, 3, 'insert'), (2, 20, 4, 'delete')) " +
+      "AS t(obj_id, value, _version, _change_type) " +
+      "ORDER BY _version, obj_id")((s, _) => cdfDeleteFeedScenario(s)))
+
+  /** Column-mapping lifecycle: insert under `qty INT`, rename qty ->
+    * amount (metadata-only; the files keep spelling `qty`), widen
+    * amount INT -> LONG (old files promote at read), insert a
+    * >2^31 value, point-delete through the renamed column's stats, and
+    * read head via `format("graft")` filtered on the renamed column
+    * beside a pre-rename time-travel snapshot. */
+  def columnMappingScenario(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_colmap_q58_").toUri.toString
+    val narrow = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("qty", IntegerType, nullable = false)))
+    val inst = VersionedTable.create(spark, dir, narrow)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("obj_id", "qty"))
+    inst.commit(t1) // v1: three rows under the original name/type
+    inst.withRetry() { t => t.renameColumn("qty", "amount") } // v2
+    inst.withRetry() { t => t.widenColumn("amount", LongType) } // v3
+    val t4 = inst.begin()
+    t4.insert(Seq((4L, 5000000000L)).toDF("obj_id", "amount"))
+    inst.commit(t4) // v4: a value only the widened type can hold
+    inst.withRetry() { t => t.delete(Seq(2L)) } // v5: CoW through the map
+    val head = spark.read.format("graft").option("path", dir).load()
+      .filter(col("amount") < 6000000000L)
+      .select(lit("head").as("snap"), col("obj_id"),
+        col("amount").cast("long").as("amount"))
+    val v1 = inst.snapshot(1) // pre-rename: still (obj_id, qty INT)
+      .select(lit("v1").as("snap"), col("obj_id"),
+        col("qty").cast("long").as("amount"))
+    head.unionByName(v1).orderBy("snap", "obj_id")
+  }
 
   /** MoR lifecycle: mask 2, re-insert 2 (new file, unmasked), mask 3,
     * compact (materializes), read. */
@@ -386,6 +447,29 @@ object AcidQueries {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     spark.sql(s"DELETE FROM $cat.rl.t WHERE value > 100")
     spark.sql(s"SELECT obj_id, value FROM $cat.rl.t ORDER BY obj_id")
+  }
+
+  /** Typed change-feed scenario: three insert commits, one MoR delete
+    * commit whose newly-masked row must surface as a `delete` event,
+    * one AvailableNow drain under readChangeFeed. */
+  def cdfDeleteFeedScenario(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_cdf_feed_q59_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    (1 to 3).foreach { i =>
+      val t = inst.begin()
+      t.insert(Seq((i.toLong, i * 10L)).toDF("obj_id", "value"))
+      inst.commit(t)
+    }
+    inst.withRetry() { t => t.deleteMoR(Seq(2L)) } // v4: dv delta only
+    val name = "graft_q59_cdf_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = inst.readChangesStream(readChangeFeed = true).writeStream
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("_version", "obj_id")
   }
 
   /** Streaming change-feed scenario: per-commit inserts, a compaction

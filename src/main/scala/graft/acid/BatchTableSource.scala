@@ -545,6 +545,11 @@ private[acid] final class GraftScan(root: String, version: Long,
 
   @transient private lazy val state = inst.tableStateAt(version)
 
+  /** Physical (on-disk) name of a logical column under the pinned
+    * version's column mapping — what file columns, `k=v` path
+    * segments, and footer-derived stat indexes all spell. */
+  private def phys(n: String): String = state.phys(n)
+
   /** Resolved deletion-vector masks for the surviving files (empty on
     * a table with no outstanding MoR deletes — the common case, which
     * keeps the columnar fast path). */
@@ -569,20 +574,23 @@ private[acid] final class GraftScan(root: String, version: Long,
     files.filter { rel =>
       val parts = GraftTableSource.partPairs(rel).toMap
       filters.forall { f =>
+        // filters reference LOGICAL names; paths and stat indexes are
+        // keyed by the fixed physical names
         val c = f.references.head
-        if (parts.contains(c)) {
+        val pc = phys(c)
+        if (parts.contains(pc)) {
           val dt = tableSchema.find(_.name == c).map(_.dataType)
             .getOrElse(StringType)
           GraftTableSource.partMayMatch(f,
-            GraftTableSource.partValue(parts(c), dt))
+            GraftTableSource.partValue(parts(pc), dt))
         } else {
           val range =
             if (c == "obj_id") stats.get(rel)
-            else colStats.get(rel).flatMap(_.get(c))
+            else colStats.get(rel).flatMap(_.get(pc))
           // Z-order/primary ranges AND the always-on universal footer
           // stats both get a veto — either index may skip the file
           range.forall(GraftTableSource.rangeMayMatch(f, _)) &&
-            state.fileStats.get(rel).flatMap(_.get(c))
+            state.fileStats.get(rel).flatMap(_.get(pc))
               .forall(GraftTableSource.ustatMayMatch(f, _))
         }
       }
@@ -599,11 +607,12 @@ private[acid] final class GraftScan(root: String, version: Long,
       GraftTableSource.partPairs(r).map(_._1))
     byLayout.toSeq.sortBy(_._1.mkString(",")).flatMap { case (layout, rels) =>
       // required partition columns of this layout, in required order
-      val partFields = required.filter(f => layout.contains(f.name))
+      // (the layout's `k` names are physical — match through phys())
+      val partFields = required.filter(f => layout.contains(phys(f.name)))
       val chunks = rels.sorted.flatMap { rel =>
         val pairs = GraftTableSource.partPairs(rel).toMap
         val partRow = new GenericInternalRow(partFields.map(f =>
-          GraftTableSource.partValueInternal(pairs(f.name), f.dataType))
+          GraftTableSource.partValueInternal(pairs(phys(f.name)), f.dataType))
           .toArray[Any])
         val st = statuses(rel)
         val mask = dvMasks.getOrElse(rel, VersionedTable.DvMask.empty)
@@ -639,8 +648,15 @@ private[acid] final class GraftScan(root: String, version: Long,
     val posMasked = dvMasks.values.exists(_.pos.nonEmpty)
     val layouts = prunedFiles.map(r =>
       GraftTableSource.partPairs(r).map(_._1)).distinct.map { layout =>
-      val partFields = StructType(required.filter(f => layout.contains(f.name)))
-      var fileSchema = StructType(required.filterNot(f => layout.contains(f.name)))
+      // the reader plans in PHYSICAL namespace end-to-end (file columns
+      // and k=v segments spell physical names); the required-order
+      // projection below restores logical positions, and readSchema()
+      // reports the logical names
+      def physF(f: StructField) = f.copy(name = phys(f.name))
+      val partFields = StructType(
+        required.filter(f => layout.contains(phys(f.name))).map(physF))
+      var fileSchema = StructType(
+        required.filterNot(f => layout.contains(phys(f.name))).map(physF))
       // merge-on-read masks filter by obj_id: inject it into the file
       // read when column pruning dropped it (projected away again by
       // the required-order projection below). Rare state by design —
@@ -658,6 +674,10 @@ private[acid] final class GraftScan(root: String, version: Long,
       // filters on physical columns reach the parquet reader for
       // row-group skipping; partition-column filters were already
       // applied file-level and must not be pushed into the file read.
+      // Filters on RENAMED columns are withheld too (their attribute
+      // spells the logical name, which no file column matches) — they
+      // still skip at file level via the manifest stats above, and
+      // remain in the plan as residuals either way.
       // A row-level-operation (CoW) scan must return WHOLE files — the
       // unmatched rows are the copy-back side of the rewrite — so
       // there skipping stops at file granularity and nothing reaches
@@ -666,12 +686,13 @@ private[acid] final class GraftScan(root: String, version: Long,
       val fileFilters =
         if (wholeGroups) Nil
         else filters.filter(f =>
-          fileSchema.fieldNames.contains(f.references.head)).toSeq
+          phys(f.references.head) == f.references.head &&
+            fileSchema.fieldNames.contains(f.references.head)).toSeq
       val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
         partFields, fileSchema, fileFilters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         spark.sessionState.newHadoopConf())
-      val order = required.map(f => physical.fieldIndex(f.name)).toArray
+      val order = required.map(f => physical.fieldIndex(phys(f.name))).toArray
       val idIdx = if (idMasked) physical.fieldIndex("obj_id") else -1
       val riIdx = if (posMasked) physical.fieldIndex(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME) else -1

@@ -41,6 +41,22 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *    [[Instance.changes]];
   *  - `.option("startingVersion", v)` begins at commit v (default 1).
   *
+  * `.option("readChangeFeed", true)` upgrades the feed to typed change
+  * events (Delta's CDF-read analog): every row gains `_change_type` —
+  * added-file rows stream as `insert`, and a MERGE-ON-READ delete
+  * commit (deletion-vector delta, no file delta) streams its
+  * newly-masked rows as `delete` events, read from the still-live
+  * masked file restricted to the mask DELTA vs the previous version —
+  * so a downstream sync consumes MoR deletes incrementally instead of
+  * needing a batch [[Instance.changes]] reconciliation pass. Replay
+  * stays byte-identical (masks are immutable sidecars resolved from
+  * pinned manifests). Commits that REMOVE files still need
+  * `ignoreChanges` (a CoW rewrite's row identity is not recoverable
+  * from file deltas); dv CLEARS (restore un-deletes) carry file
+  * deltas and fall under the same rule. Vacuum retention must cover
+  * the stream's lag — the masked file must still exist when the
+  * delete batch is planned, the same contract as added files.
+  *
   * Exactly-once: offsets are table versions checkpointed by the
   * engine's offset log, and a replayed `(start, end]` batch re-plans
   * from immutable manifests, so re-delivery is byte-identical.
@@ -65,7 +81,8 @@ final class ChangeFeedProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangeFeedSource.outputSchema(
-      VersionedTable.open(SparkSession.active, rootOf(options)))
+      VersionedTable.open(SparkSession.active, rootOf(options)),
+      options.getBoolean("readChangeFeed", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -74,10 +91,14 @@ final class ChangeFeedProvider extends TableProvider with DataSourceRegister {
 }
 
 private[acid] object ChangeFeedSource {
-  def outputSchema(inst: Instance): StructType = {
+  def outputSchema(inst: Instance, changeFeed: Boolean = false): StructType = {
     val (_, ddl) = inst.stateAt(inst.latestVersion)
-    StructType.fromDDL(ddl)
+    val base = StructType.fromDDL(ddl)
       .add(StructField("_version", LongType, nullable = false))
+    if (changeFeed)
+      base.add(StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
+    else base
   }
 
   def partPairs(rel: String): Seq[(String, String)] =
@@ -91,40 +112,83 @@ private[acid] object ChangeFeedSource {
     * batch read; manifests are immutable, so planning the same range
     * twice is byte-identical (the replay guarantee). */
   def planRange(inst: Instance, schema: StructType, lo: Long, hi: Long,
-      ignoreChanges: Boolean): Array[CdfPartition] = {
+      ignoreChanges: Boolean, changeFeed: Boolean = false)
+      : Array[CdfPartition] = {
     val out = Array.newBuilder[CdfPartition]
+    // `schema` is the CURRENT logical schema; files of every version
+    // spell the fixed PHYSICAL names, so the current column mapping
+    // translates for the whole range
+    val ren = inst.tableStateAt(inst.latestVersion).renames
+    def partitionFor(rel: String, v: Long, changeType: String,
+        keep: Option[VersionedTable.DvMask]): CdfPartition = {
+      val pairs = partPairs(rel)
+      val status = inst.fs.getFileStatus(new Path(inst.dataDir, rel))
+      // `k` spells the PHYSICAL column name
+      val consts = pairs.map { case (k, raw) =>
+        val dt = schema.find(f =>
+            ren.getOrElse(f.name, f.name) == k).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        val s = ExternalCatalogUtils.unescapePathName(raw)
+        if (s == "__HIVE_DEFAULT_PARTITION__") null
+        else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString(s), org.apache.spark.sql.types.StringType), dt,
+          Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
+      } :+ (v: Any)
+      val partRow = new GenericInternalRow(
+        (if (changeFeed)
+          consts :+ org.apache.spark.unsafe.types.UTF8String
+            .fromString(changeType)
+        else consts).toArray)
+      CdfPartition(
+        PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
+          0L, status.getLen, Array.empty, status.getModificationTime,
+          status.getLen),
+        pairs.map(_._1), keep)
+    }
     ((lo + 1) to hi).foreach { v =>
       val m = inst.readManifest(v)
       val isData = m.objects.nonEmpty || m.objSummary.isDefined
       if (isData) {
         // a merge-on-read delete commit (dv delta, no file delta) is a
-        // row-removal too — an append stream can no more represent it
-        // than a CoW delete; under ignoreChanges it simply adds no
-        // files (the masked rows were already streamed)
-        if ((m.removed.nonEmpty || m.dvs.nonEmpty) && !ignoreChanges)
+        // row-removal too — representable ONLY as typed change events
+        // (readChangeFeed streams the newly-masked rows as deletes);
+        // without that mode it fails like a CoW delete, and under
+        // ignoreChanges it simply adds no files. File REMOVALS stay
+        // unrepresentable even as events (a rewrite's row identity is
+        // not recoverable from file deltas).
+        val unrepresentable =
+          m.removed.nonEmpty || (m.dvs.nonEmpty && !changeFeed)
+        if (unrepresentable && !ignoreChanges)
           throw new IllegalStateException(
             s"graft-cdf: version $v of ${inst.root} removes rows (update/" +
             "delete/restore) — an append stream cannot represent it. Set " +
+            ".option(\"readChangeFeed\", true) for typed insert/delete " +
+            "events (merge-on-read deletes only), " +
             ".option(\"ignoreChanges\", true) to stream post-image rows, " +
             "or consume Instance.changes() for exact row-level CDC.")
         m.added.foreach { rel =>
-          val pairs = partPairs(rel)
-          val status = inst.fs.getFileStatus(new Path(inst.dataDir, rel))
-          val partRow = new GenericInternalRow(
-            (pairs.map { case (k, raw) =>
-              val dt = schema.find(_.name == k).map(_.dataType)
-                .getOrElse(org.apache.spark.sql.types.StringType)
-              val s = ExternalCatalogUtils.unescapePathName(raw)
-              if (s == "__HIVE_DEFAULT_PARTITION__") null
-              else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
-                  .fromString(s), org.apache.spark.sql.types.StringType), dt,
-                Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
-            } :+ (v: Any)).toArray)
-          out += CdfPartition(
-            PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
-              0L, status.getLen, Array.empty, status.getModificationTime,
-              status.getLen),
-            pairs.map(_._1))
+          out += partitionFor(rel, v, "insert", None)
+        }
+        if (changeFeed && m.dvs.nonEmpty) {
+          // DELETE events: for each masked file, the mask DELTA vs the
+          // previous version (prior-masked rows already streamed as
+          // deletes by their own commit; a clear contributes nothing)
+          val prior = inst.tableStateAt(v - 1).dvs
+          m.dvs.toSeq.sortBy(_._1).foreach { case (f, list) =>
+            if (!m.removed.contains(f) && list.nonEmpty) {
+              val cur = inst.resolveDvs(Map(f -> list), Seq(f))(f)
+              val pre = prior.get(f).filter(_.nonEmpty)
+                .map(l => inst.resolveDvs(Map(f -> l), Seq(f))(f))
+                .getOrElse(VersionedTable.DvMask.empty)
+              val newIds = cur.ids.filter(id =>
+                java.util.Arrays.binarySearch(pre.ids, id) < 0)
+              val newPos = GraftBitmap(cur.pos.iterator
+                .filterNot(pre.pos.contains).toSeq)
+              if (newIds.nonEmpty || newPos.nonEmpty)
+                out += partitionFor(f, v, "delete",
+                  Some(VersionedTable.DvMask(newIds, newPos)))
+            }
+          }
         }
       }
     }
@@ -134,25 +198,62 @@ private[acid] object ChangeFeedSource {
   /** Per-layout prepared parquet readers for a planned partition set
     * (row-based: the DSv2 PartitionReader contract here is
     * InternalRow). */
+  /** Synthetic output columns appended by the source (never read from
+    * files; carried as partition constants). */
+  private val MetaCols = Set("_version", "_change_type")
+
   def readerFactory(spark: SparkSession, schema: StructType,
-      planned: Array[CdfPartition]): CdfReaderFactory = {
+      planned: Array[CdfPartition],
+      ren: Map[String, String] = Map.empty,
+      changeFeed: Boolean = false): CdfReaderFactory = {
     val fmt = new ParquetFileFormat
-    val conf = spark.sessionState.newHadoopConf()
-    val layouts = planned.map(_.layout).distinct.map { layout =>
-      val partFields = layout.map(k =>
-        schema.find(_.name == k).getOrElse(StructField(k,
-          org.apache.spark.sql.types.StringType))) :+
-        StructField("_version", LongType, nullable = false)
-      val fileSchema = StructType(
-        schema.filterNot(f => layout.contains(f.name) || f.name == "_version"))
-      val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
-        StructType(partFields), fileSchema, Nil,
-        Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "false"), conf)
-      val physical = StructType(fileSchema ++ partFields)
-      val order = schema.map(f => physical.fieldIndex(f.name)).toArray
-      layout -> (reader, physical, order)
-    }.toMap
+    // files + layouts spell PHYSICAL names; `schema` is logical — the
+    // reader plans physical and the order projection restores logical
+    // positions (names never reach the output rows)
+    def phys(n: String) = ren.getOrElse(n, n)
+    def needRi(p: CdfPartition) = p.keep.exists(_.pos.nonEmpty)
+    val layouts = planned.map(p => (p.layout, needRi(p))).distinct
+      .map { case (layout, ri) =>
+        val partFields = layout.map(k =>
+          schema.find(f => phys(f.name) == k)
+            .map(f => f.copy(name = k))
+            .getOrElse(StructField(k,
+              org.apache.spark.sql.types.StringType))) ++
+          (StructField("_version", LongType, nullable = false) +:
+            (if (changeFeed)
+              Seq(StructField("_change_type",
+                org.apache.spark.sql.types.StringType, nullable = false))
+            else Nil))
+        var fileSchema = StructType(
+          schema.filterNot(f => layout.contains(phys(f.name)) ||
+              MetaCols(f.name))
+            .map(f => f.copy(name = phys(f.name))))
+        // delete partitions with a POSITIONAL mask filter by the
+        // parquet row index (requested via the temporary metadata
+        // column; file-absolute)
+        if (ri)
+          fileSchema = StructType(fileSchema :+ StructField(
+            ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType))
+        // a FRESH hadoop conf PER prepared reader: the builder writes
+        // its requested schema into the conf, so sharing one across
+        // layouts lets the last-built reader's schema clobber every
+        // earlier one's (misaligned rows at read time)
+        val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
+          StructType(partFields), fileSchema, Nil,
+          Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> "false"),
+          spark.sessionState.newHadoopConf())
+        val physical = StructType(fileSchema ++ partFields)
+        val order = schema.map(f =>
+          if (MetaCols(f.name)) physical.fieldIndex(f.name)
+          else physical.fieldIndex(phys(f.name))).toArray
+        val idIdx =
+          if (physical.fieldNames.contains("obj_id"))
+            physical.fieldIndex("obj_id") else -1
+        val riIdx = if (ri) physical.fieldIndex(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME) else -1
+        (layout, ri) -> CdfLayoutReader(reader, physical, order, idIdx, riIdx)
+      }.toMap
     new CdfReaderFactory(layouts)
   }
 }
@@ -172,14 +273,16 @@ private[acid] final class ChangeFeedTable(schema: StructType, root: String)
         ignoreChanges = options.getBoolean("ignoreChanges", false),
         maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong),
-        endingVersion = Option(options.get("endingVersion")).map(_.toLong))
+        endingVersion = Option(options.get("endingVersion")).map(_.toLong),
+        changeFeed = options.getBoolean("readChangeFeed", false))
     }
 }
 
 private[acid] final class ChangeFeedScan(schema: StructType, root: String,
     startingVersion: Long, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long],
-    endingVersion: Option[Long] = None) extends Scan {
+    endingVersion: Option[Long] = None,
+    changeFeed: Boolean = false) extends Scan {
   override def readSchema(): StructType = schema
   /** Bounded batch read of the same append feed
     * (`spark.read.format("graft-cdf")` with `startingVersion` /
@@ -193,29 +296,39 @@ private[acid] final class ChangeFeedScan(schema: StructType, root: String,
     private lazy val inst = VersionedTable.open(spark, root)
     private lazy val planned = ChangeFeedSource.planRange(inst, schema,
       startingVersion - 1,
-      endingVersion.getOrElse(inst.latestVersion), ignoreChanges)
+      endingVersion.getOrElse(inst.latestVersion), ignoreChanges, changeFeed)
     override def planInputPartitions(): Array[InputPartition] =
       planned.toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory =
-      ChangeFeedSource.readerFactory(spark, schema, planned)
+      ChangeFeedSource.readerFactory(spark, schema, planned,
+        inst.tableStateAt(inst.latestVersion).renames, changeFeed)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeFeedStream(schema, root, startingVersion, ignoreChanges,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, changeFeed)
 }
 
 private[acid] final case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-/** One added data file of one commit; `partValues` are the hive `k=v`
-  * pairs parsed from its staging path (raw, still hive-escaped). */
+/** One data file of one commit: an ADDED file streamed whole
+  * (`keep` empty), or — readChangeFeed mode — a MASKED file whose
+  * newly-deleted rows stream as delete events (`keep` = the mask
+  * delta; only matching rows survive). `layout` is the hive `k=v`
+  * column sequence parsed from its staging path. */
 private[acid] final case class CdfPartition(
-    file: PartitionedFile, layout: Seq[String]) extends InputPartition
+    file: PartitionedFile, layout: Seq[String],
+    keep: Option[VersionedTable.DvMask] = None) extends InputPartition
+
+private[acid] final case class CdfLayoutReader(
+    reader: PartitionedFile => Iterator[InternalRow],
+    physical: StructType, order: Array[Int], idIdx: Int, riIdx: Int)
 
 private[acid] final class ChangeFeedStream(schema: StructType, root: String,
     startingVersion: Long, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Long])
+    maxVersionsPerTrigger: Option[Long],
+    changeFeed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @transient private lazy val spark = SparkSession.active
@@ -253,35 +366,43 @@ private[acid] final class ChangeFeedStream(schema: StructType, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val ps = ChangeFeedSource.planRange(inst, schema,
       start.asInstanceOf[VersionOffset].v,
-      end.asInstanceOf[VersionOffset].v, ignoreChanges)
+      end.asInstanceOf[VersionOffset].v, ignoreChanges, changeFeed)
     planned = ps
     ps.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangeFeedSource.readerFactory(spark, schema, planned)
+    ChangeFeedSource.readerFactory(spark, schema, planned,
+      inst.tableStateAt(inst.latestVersion).renames, changeFeed)
 }
 
 private[acid] final class CdfReaderFactory(
-    layouts: Map[Seq[String], (PartitionedFile => Iterator[InternalRow],
-      StructType, Array[Int])]) extends PartitionReaderFactory {
+    layouts: Map[(Seq[String], Boolean), CdfLayoutReader])
+    extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CdfPartition]
-    val (reader, physical, order) = layouts(cp.layout)
+    val needRi = cp.keep.exists(_.pos.nonEmpty)
+    val lr = layouts((cp.layout, needRi))
     // the prepared reader may hand back vectorized ColumnarBatches
     // disguised as InternalRow (the FileScanRDD contract) — unwrap;
     // then reorder physical (file ++ partition) columns to the source
     // schema with a codegen'd projection built HERE, on the executor
-    val proj = UnsafeProjection.create(order.map(i =>
-      BoundReference(i, physical(i).dataType, nullable = true)
+    val proj = UnsafeProjection.create(lr.order.map(i =>
+      BoundReference(i, lr.physical(i).dataType, nullable = true)
         .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]))
-    val rows: Iterator[InternalRow] = reader(cp.file).flatMap { r =>
-      (r: Any) match {
-        case b: ColumnarBatch => b.rowIterator().asScala
-        case row: InternalRow => Iterator.single(row)
+    val raw: Iterator[InternalRow] = readerRows(lr, cp.file)
+    // delete partitions KEEP only the newly-masked rows (legacy
+    // sidecars match by obj_id, positional by row ordinal)
+    val kept = cp.keep match {
+      case Some(mask) => raw.filter { r =>
+        (lr.idIdx >= 0 && mask.ids.nonEmpty &&
+          java.util.Arrays.binarySearch(mask.ids, r.getLong(lr.idIdx)) >= 0) ||
+        (lr.riIdx >= 0 && mask.pos.contains(r.getLong(lr.riIdx)))
       }
-    }.map(proj)
+      case None => raw
+    }
+    val rows = kept.map(proj)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
@@ -290,4 +411,13 @@ private[acid] final class CdfReaderFactory(
       override def close(): Unit = ()
     }
   }
+
+  private def readerRows(lr: CdfLayoutReader,
+      f: PartitionedFile): Iterator[InternalRow] =
+    lr.reader(f).flatMap { r =>
+      (r: Any) match {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case row: InternalRow => Iterator.single(row)
+      }
+    }
 }

@@ -163,38 +163,57 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** SQL `ALTER TABLE ADD/DROP COLUMNS` as ONE metadata-only schema-
-    * evolution commit (the same add/drop-only guard an evolving insert
-    * passes; type changes always rejected). Other ALTERs unsupported. */
+  /** SQL `ALTER TABLE` as ONE metadata-only schema-evolution commit:
+    * ADD/DROP COLUMNS (the same add/drop-only guard an evolving insert
+    * passes), RENAME COLUMN (column mapping — the physical name in
+    * every existing file never changes, see [[Txn.renameColumn]]), and
+    * ALTER COLUMN ... TYPE for lossless WIDENING promotions only
+    * (int -> long etc., [[Txn.widenColumn]]; old files promote at scan
+    * time). Everything else stays loudly unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val inst = VersionedTable.open(SparkSession.active,
       tablePath(ident).toString)
-    val cur = StructType.fromDDL(inst.stateAt(inst.latestVersion)._2)
-    val next = changes.foldLeft(cur) { (schema, change) =>
-      change match {
+    val partCols: Set[String] = readPartitionBy(ident)
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"nested $what not supported: ${names.mkString(".")}")
+      names(0)
+    }
+    inst.withRetry() { txn =>
+      changes.foreach {
         case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
+          val name = one(add.fieldNames(), "ADD COLUMN")
           require(add.isNullable,
-            s"added column ${add.fieldNames()(0)} must be nullable " +
+            s"added column $name must be nullable " +
             "(existing rows have no value for it)")
-          schema.add(org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), nullable = true))
+          txn.alterSchema(txn.localSchema.add(
+            org.apache.spark.sql.types.StructField(
+              name, add.dataType(), nullable = true)))
         case drop: TableChange.DeleteColumn =>
-          require(drop.fieldNames().length == 1,
-            s"nested DROP COLUMN not supported: ${drop.fieldNames().mkString(".")}")
-          val name = drop.fieldNames()(0)
-          require(schema.fieldNames.contains(name), s"no such column $name")
-          require(!readPartitionBy(ident).exists(
-            _.split(',').map(_.trim).contains(name)),
+          val name = one(drop.fieldNames(), "DROP COLUMN")
+          require(txn.localSchema.fieldNames.contains(name),
+            s"no such column $name")
+          require(!partCols.contains(name),
             s"cannot drop partition column $name")
-          StructType(schema.filterNot(_.name == name))
+          txn.alterSchema(StructType(
+            txn.localSchema.filterNot(_.name == name)))
+        case ren: TableChange.RenameColumn =>
+          val from = one(ren.fieldNames(), "RENAME COLUMN")
+          // the partition list in _catalog.json names logical columns;
+          // keeping renames off them keeps that file authoritative
+          require(!partCols.contains(from),
+            s"cannot rename partition column $from")
+          txn.renameColumn(from, ren.newName())
+        case upd: TableChange.UpdateColumnType =>
+          txn.widenColumn(one(upd.fieldNames(), "ALTER COLUMN TYPE"),
+            upd.newDataType())
         case other => throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change $other (only ADD/DROP COLUMNS)")
+          s"unsupported ALTER TABLE change $other (supported: ADD/DROP " +
+          "COLUMNS, RENAME COLUMN, widening ALTER COLUMN TYPE)")
       }
     }
-    inst.withRetry() { txn => txn.alterSchema(next) }
     loadTable(ident)
   }
 

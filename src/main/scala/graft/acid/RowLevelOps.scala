@@ -77,10 +77,15 @@ private[acid] final class GraftCowWrite(root: String, dataSchema: StructType,
     val inst = VersionedTable.open(spark, root)
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sessionState.newHadoopConf())
+    // column mapping: staged files spell PHYSICAL names (rows are
+    // written positionally, so renaming the write schema suffices)
+    val ren = inst.tableStateAt(inst.latestVersion).renames
+    val physSchema = StructType(dataSchema.map(f =>
+      f.copy(name = ren.getOrElse(f.name, f.name))))
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
-      Map.empty, dataSchema)
+      Map.empty, physSchema)
     CowWriterFactory(owf,
-      new Path(inst.dataDir, stagingSub).toString, dataSchema,
+      new Path(inst.dataDir, stagingSub).toString, physSchema,
       new SerializableConfiguration(job.getConfiguration))
   }
 

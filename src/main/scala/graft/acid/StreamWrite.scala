@@ -72,26 +72,33 @@ private[acid] final class GraftStreamingWrite(root: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val inst = VersionedTable.open(spark, root)
+    // column mapping: staged files (column names AND k=v dirs) always
+    // spell the PHYSICAL names; the query's schema/partitionBy are
+    // logical. Rows are written positionally, so renaming the write
+    // schema is the whole translation.
+    val ren = inst.tableStateAt(inst.latestVersion).renames
+    def physS(s: StructType) = StructType(s.map(f =>
+      f.copy(name = ren.getOrElse(f.name, f.name))))
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sessionState.newHadoopConf())
     if (partitionBy.isEmpty) {
       val owf = new ParquetFileFormat().prepareWrite(spark, job,
-        Map.empty, writeSchema)
+        Map.empty, physS(writeSchema))
       StreamWriterFactory(CowWriterFactory(owf,
-        new Path(inst.dataDir, stagingSub).toString, writeSchema,
+        new Path(inst.dataDir, stagingSub).toString, physS(writeSchema),
         new SerializableConfiguration(job.getConfiguration)))
     } else {
       // hive-layout staging (k=v dirs inside the staging namespace):
       // streamed appends keep partition pruning, exactly like batch
       // Txn.insertPartitioned — partition columns live in the PATH,
       // not the file
-      val dataSchema = StructType(
-        writeSchema.filterNot(f => partitionBy.contains(f.name)))
+      val dataSchema = physS(StructType(
+        writeSchema.filterNot(f => partitionBy.contains(f.name))))
       val owf = new ParquetFileFormat().prepareWrite(spark, job,
         Map.empty, dataSchema)
       PartitionedStreamWriterFactory(owf,
         new Path(inst.dataDir, stagingSub).toString, writeSchema,
-        partitionBy,
+        partitionBy, partitionBy.map(c => ren.getOrElse(c, c)),
         spark.sessionState.conf.sessionLocalTimeZone,
         new SerializableConfiguration(job.getConfiguration))
     }
@@ -178,7 +185,8 @@ private[acid] final case class CowFilesMessage(files: Seq[String])
   * as fold-away literals and partition predicates prune at plan time. */
 private[acid] final case class PartitionedStreamWriterFactory(
     owf: OutputWriterFactory, stagingDir: String, rowSchema: StructType,
-    partitionBy: Seq[String], timeZone: String,
+    partitionBy: Seq[String], partitionDirNames: Seq[String],
+    timeZone: String,
     conf: SerializableConfiguration) extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -211,7 +219,8 @@ private[acid] final case class PartitionedStreamWriterFactory(
       private val files = scala.collection.mutable.ArrayBuffer.empty[String]
 
       override def write(r: InternalRow): Unit = {
-        val dir = partitionBy.zip(casts).map { case (c, cast) =>
+        // dirs spell the PHYSICAL column names (partitionDirNames)
+        val dir = partitionDirNames.zip(casts).map { case (c, cast) =>
           val v = cast.eval(r)
           val s =
             if (v == null) "__HIVE_DEFAULT_PARTITION__"

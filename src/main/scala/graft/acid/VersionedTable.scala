@@ -131,7 +131,19 @@ object VersionedTable {
       // table. The manifest's deltas apply only if the decision
       // resolved "committed"; an aborted/undecided ref neuters them
       // (see [[Instance.readManifest]]). formatVersion-6 gated.
-      multiRef: Option[String] = None)
+      multiRef: Option[String] = None,
+      // COLUMN MAPPING (logical -> physical name), the Delta
+      // column-mapping analog: a column's PHYSICAL name — what parquet
+      // files and `k=v` partition paths spell — is fixed at its first
+      // appearance and never changes; `ALTER TABLE ... RENAME COLUMN`
+      // only rewrites the logical name in `schemaDDL` and records the
+      // indirection here, so a rename is metadata-only (zero data IO)
+      // and every pre-rename file stays readable. Carried as the FULL
+      // current map on every manifest (like schemaDDL); entries exist
+      // only where logical != physical. formatVersion-7 gated: a
+      // reader ignoring the map would request logical names absent
+      // from the files and silently read every renamed column as NULL.
+      renames: Map[String, String] = Map.empty)
 
   /** Universal statistic for ONE leaf column of one data file, read
     * from the parquet footer at write time. `kind` tags the value
@@ -175,7 +187,12 @@ object VersionedTable {
       stats: Map[String, (Long, Long)],
       colStats: Map[String, Map[String, (Long, Long)]],
       dvs: Map[String, Seq[String]],
-      fileStats: Map[String, Map[String, UStat]] = Map.empty)
+      fileStats: Map[String, Map[String, UStat]] = Map.empty,
+      renames: Map[String, String] = Map.empty) {
+    /** Physical (on-disk) name of logical column `n` under this
+      * state's column mapping — identity for never-renamed columns. */
+    def phys(n: String): String = renames.getOrElse(n, n)
+  }
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -247,10 +264,16 @@ object VersionedTable {
     * deltas are valid ONLY IF the referenced decision record resolved
     * "committed" — a reader ignoring the field would apply an ABORTED
     * multi-table commit's deltas, so manifests carrying it declare 6.
+    * 7 added `renames` (column mapping, logical -> fixed physical
+    * name): a reader ignoring the map would request the renamed
+    * column's LOGICAL name from files that spell its physical name and
+    * silently read the whole column as NULL — so manifests carrying a
+    * non-identity map declare 7; never-renamed tables keep their
+    * earlier generation.
     * Each manifest declares the MINIMUM generation its own fields
     * need, so only tables actually using a feature lock out older
     * deployments. */
-  val FormatVersion = 6
+  val FormatVersion = 7
 
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -306,8 +329,16 @@ object VersionedTable {
         s""""ustatMins":${arrS(ustatRows.map(_._3.min))},""" +
         s""""ustatMaxs":${arrS(ustatRows.map(_._3.max))},""" +
         s""""ustatNulls":${arrL(ustatRows.map(_._3.nulls))},"""
+    // column mapping as two parallel arrays (logical, physical), sorted
+    // for byte-stable output; only entries where the names differ
+    val renKeys = m.renames.keys.toSeq.sorted
+    val rens =
+      if (renKeys.isEmpty) ""
+      else s""""renFrom":${arrS(renKeys)},""" +
+        s""""renTo":${arrS(renKeys.map(m.renames(_)))},"""
     val declaredFv =
-      if (m.multiRef.isDefined) 6
+      if (m.renames.nonEmpty) 7
+      else if (m.multiRef.isDefined) 6
       else if ((m.dvs.valuesIterator ++ m.allDvs.valuesIterator)
           .exists(_.exists(_.startsWith("dvp-")))) 5
       else if (m.dvs.nonEmpty || m.allDvs.nonEmpty) 4
@@ -320,7 +351,7 @@ object VersionedTable {
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary + cstats + apps + dvsJson + ustats +
+      summary + cstats + apps + dvsJson + ustats + rens +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -635,7 +666,10 @@ object VersionedTable {
       appTxns = appTxns, appTxnTs = appTxnTs,
       dvs = dvs, allDvs = allDvs, fileStats = fileStats,
       multiRef = if (s.contains("\"multiRef\":\""))
-        Some(strField("multiRef")) else None)
+        Some(strField("multiRef")) else None,
+      renames = if (s.contains("\"renFrom\":"))
+        strArr("renFrom").zip(strArr("renTo")).toMap
+      else Map.empty)
   }
 
   /** One-time datastore initialization (reference:
@@ -823,7 +857,7 @@ final class Instance(val spark: SparkSession, val root: String,
     * still justify a brief retry before declaring corruption. Only a
     * PERSISTENT failure is surfaced — that is real bit-rot (R30), not
     * a racing writer. */
-  private[acid] def readManifest(v: Long): Manifest = {
+  private[graft] def readManifest(v: Long): Manifest = {
     var attempt = 0
     while (true) {
       val text =
@@ -971,7 +1005,7 @@ final class Instance(val spark: SparkSession, val root: String,
     * order — files/stats add-and-remove, dv entries REPLACE the
     * file's sidecar list (empty list = clear; removal of the data
     * file drops its entry with it). */
-  private[acid] def tableStateAt(v: Long): TableState = {
+  private[graft] def tableStateAt(v: Long): TableState = {
     var tail = List.empty[Manifest]
     var cv = v
     var ckpt: Manifest = null
@@ -984,6 +1018,9 @@ final class Instance(val spark: SparkSession, val root: String,
     var stats = ckpt.stats
     var colStats = ckpt.colStats
     var fileStats = ckpt.fileStats
+    // every manifest carries the FULL column-mapping (like schemaDDL),
+    // so the fold just takes the last one
+    var ren = ckpt.renames
     // a checkpoint's full dv state lives in allDvs; its own delta (if
     // the checkpointing txn itself masked files) is already folded in
     var dvs = ckpt.allDvs
@@ -997,8 +1034,9 @@ final class Instance(val spark: SparkSession, val root: String,
         dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
       }
       ddl = m.schemaDDL
+      ren = m.renames
     }
-    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs, fileStats)
+    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs, fileStats, ren)
   }
 
   /** Streaming-epoch watermarks visible at version `v`: latest
@@ -1033,7 +1071,7 @@ final class Instance(val spark: SparkSession, val root: String,
     * snapshot CSN, instance.rs:126-134). */
   def snapshot(v: Long): DataFrame = {
     val st = tableStateAt(v)
-    viewOf(st.files, st.ddl, resolveDvs(st.dvs, st.files))
+    viewOf(st.files, st.ddl, resolveDvs(st.dvs, st.files), st.renames)
   }
 
   /** DataFrame over an explicit file set (shared by committed snapshots
@@ -1051,6 +1089,26 @@ final class Instance(val spark: SparkSession, val root: String,
     * before; CoW rewrites materialize the column physically, which
     * degrades pruning for the rewritten files but never correctness. */
   private[acid] def viewOf(files: Seq[String], ddl: String,
+      masks: Map[String, VersionedTable.DvMask] = Map.empty,
+      renames: Map[String, String] = Map.empty): DataFrame =
+    if (renames.isEmpty) viewOfPhys(files, ddl, masks)
+    else {
+      // COLUMN MAPPING: the files (column names, k=v path segments,
+      // footer stats) live entirely in PHYSICAL namespace, so the read
+      // is planned physical end-to-end and one final projection aliases
+      // back to the logical names — Catalyst collapses it into the
+      // scan's own projections, so the indirection costs nothing at
+      // runtime. obj_id is never renamable, so mask filters (which
+      // reference it inside viewOfPhys) are unaffected.
+      val logical = StructType.fromDDL(ddl)
+      val physDdl = StructType(logical.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name)))).toDDL
+      viewOfPhys(files, physDdl, masks)
+        .select(logical.map(f =>
+          col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
+    }
+
+  private def viewOfPhys(files: Seq[String], ddl: String,
       masks: Map[String, VersionedTable.DvMask] = Map.empty): DataFrame = {
     // merge-on-read: files with a deletion vector read as their own
     // branch minus the masked rows — legacy sidecars mask by obj_id,
@@ -1065,7 +1123,7 @@ final class Instance(val spark: SparkSession, val root: String,
       val clean = files.filterNot(masked.toSet)
       val branches = masked.sorted.map { f =>
         val m = masks(f)
-        var df = viewOf(Seq(f), ddl)
+        var df = viewOfPhys(Seq(f), ddl)
         if (m.pos.nonEmpty)
           df = df.withColumn("_graft_ri", col("_metadata.row_index"))
             .where(!DvExpressions.posMasked(spark, m.pos, col("_graft_ri")))
@@ -1081,7 +1139,7 @@ final class Instance(val spark: SparkSession, val root: String,
             "left_anti")
         }
       }
-      return (viewOf(clean, ddl) +: branches).reduce(_.unionByName(_))
+      return (viewOfPhys(clean, ddl) +: branches).reduce(_.unionByName(_))
     }
     val schema = StructType.fromDDL(ddl)
     if (files.isEmpty)
@@ -1163,7 +1221,7 @@ final class Instance(val spark: SparkSession, val root: String,
     try {
       val files = txn.candidateFilesBy(column, values)
       val st = tableStateAt(txn.readVersion)
-      viewOf(files, st.ddl, resolveDvs(st.dvs, files))
+      viewOf(files, st.ddl, resolveDvs(st.dvs, files), st.renames)
         .filter(col(column).isin(values: _*))
     } finally rollback(txn) // committed files only — nothing to reclaim
   }
@@ -1251,9 +1309,12 @@ final class Instance(val spark: SparkSession, val root: String,
       txn.mergeSummary(compat)
     }
     txn.schemaDDL = Some(oldDdl)
-    // restoring across a schema evolution republishes the old schema —
-    // a table-wide change that must conflict with any interleaved commit
-    txn.schemaEvolved = oldDdl != curDdl
+    txn.renames = Some(oldState.renames)
+    // restoring across a schema evolution (rename included) republishes
+    // the old schema and column mapping — a table-wide change that must
+    // conflict with any interleaved commit
+    txn.schemaEvolved =
+      oldDdl != curDdl || oldState.renames != curState.renames
     commit(txn)
   }
 
@@ -1277,11 +1338,13 @@ final class Instance(val spark: SparkSession, val root: String,
     * reads or leave continuous for live tailing. */
   def readChangesStream(startingVersion: Long = 1L,
       ignoreChanges: Boolean = false,
-      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Long] = None,
+      readChangeFeed: Boolean = false): DataFrame = {
     val r = spark.readStream.format("graft-cdf")
       .option("path", root)
       .option("startingVersion", startingVersion)
       .option("ignoreChanges", ignoreChanges)
+      .option("readChangeFeed", readChangeFeed)
     maxVersionsPerTrigger.foreach(n => r.option("maxVersionsPerTrigger", n))
     r.load()
   }
@@ -1413,6 +1476,11 @@ final class Instance(val spark: SparkSession, val root: String,
     // the difference between a tail-read and a crawl)
     val st0 = tableStateAt(fromV)
     var prevDdl = st0.ddl
+    // the column mapping rolls forward beside the schema, so each
+    // version's rows read under ITS logical names (physical names are
+    // fixed, but a rename inside the interval changes the output
+    // columns exactly when the DDL does)
+    var prevRen = st0.renames
     // the dv map rolls forward beside the schema: pre-images of a
     // commit must subtract the masks that were ALREADY live at v-1
     // (otherwise a rewrite of a masked file re-reports its dead rows),
@@ -1423,7 +1491,9 @@ final class Instance(val spark: SparkSession, val root: String,
       val m = readManifest(v)
       val preDdl = prevDdl
       val preDvs = prevDvs
+      val preRen = prevRen
       prevDdl = m.schemaDDL
+      prevRen = m.renames
       var rolled = prevDvs -- m.removed
       m.dvs.foreach { case (f, l) =>
         rolled = if (l.isEmpty) rolled - f else rolled.updated(f, l)
@@ -1443,9 +1513,9 @@ final class Instance(val spark: SparkSession, val root: String,
             df.join(broadcast(ids.toDF("obj_id")), Seq("obj_id"), "left_semi")
           }
         val pre = touched(viewOf(preFiles, preDdl,
-          resolveDvs(preDvs, preFiles)))
+          resolveDvs(preDvs, preFiles), preRen))
         val post = touched(viewOf(postFiles, m.schemaDDL,
-          resolveDvs(curDvs, postFiles)))
+          resolveDvs(curDvs, postFiles), m.renames))
         val preIds = pre.select("obj_id").distinct()
         val postIds = post.select("obj_id").distinct()
         def tag(df: DataFrame, other: DataFrame, join: String,
@@ -1470,9 +1540,10 @@ final class Instance(val spark: SparkSession, val root: String,
         // values rewritten) is indistinguishable from a copy and is not
         // emitted; the feed assumes the layer's id contract (obj_id
         // unique per snapshot — guaranteed by the upsert/point-op API).
-        val pre = viewOf(preFiles, preDdl, resolveDvs(preDvs, preFiles))
+        val pre = viewOf(preFiles, preDdl,
+          resolveDvs(preDvs, preFiles), preRen)
         val post = viewOf(postFiles, m.schemaDDL,
-          resolveDvs(curDvs, postFiles))
+          resolveDvs(curDvs, postFiles), m.renames)
         // one column layout across both sides (schema evolution within
         // the commit appears as typed nulls, same as the union path)
         val allCols: Seq[(String, DataType)] =
@@ -1570,8 +1641,17 @@ final class Instance(val spark: SparkSession, val root: String,
     * (reference: update_read_csn, instance.rs:384-386). */
   def refresh(txn: Txn): Unit = txn.readVersion = latestVersion
 
-  private[acid] def writeStaged(df: DataFrame, txn: Txn,
-      partitionBy: Seq[String] = Nil): Seq[String] = {
+  private[acid] def writeStaged(df0: DataFrame, txn: Txn,
+      partitionBy0: Seq[String] = Nil): Seq[String] = {
+    // column mapping: callers hand LOGICAL column names; files always
+    // spell the PHYSICAL names (fixed at each column's first
+    // appearance), so renamed tables stage uniformly-named files
+    val ren = txn.localRen
+    val (df, partitionBy) =
+      if (ren.isEmpty) (df0, partitionBy0)
+      else (df0.select(df0.columns.toSeq.map(c =>
+          col(c).as(ren.getOrElse(c, c))): _*),
+        partitionBy0.map(c => ren.getOrElse(c, c)))
     // UUID suffix: staging dirs can never collide even if two processes
     // draw the same tsn
     val sub = f"t${txn.tsn}%x-${txn.stagedBatch.incrementAndGet()}-" +
@@ -2194,7 +2274,11 @@ final class Instance(val spark: SparkSession, val root: String,
         tsMillis = nowMs,
         appTxns = appTxns, appTxnTs = appTs,
         dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs,
-        fileStats = ckptFileStats, multiRef = multiRef)
+        fileStats = ckptFileStats, multiRef = multiRef,
+        // full current column mapping, like schemaDDL: the snapshot's
+        // map is current because any interleaved rename changed the
+        // DDL and already conflicted above
+        renames = txn.localRen)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -2376,7 +2460,7 @@ final class Instance(val spark: SparkSession, val root: String,
     val masked = st.dvs.keys.toSeq.sorted
     if (masked.isEmpty) { rollback(txn); return 0 }
     val masks = resolveDvs(st.dvs, masked)
-    val survivors = viewOf(masked, st.ddl, masks)
+    val survivors = viewOf(masked, st.ddl, masks, st.renames)
     val rewritten =
       if (survivors.isEmpty) Nil else writeStaged(survivors, txn)
     // removal of the masked files drops their dv entries in the fold;
@@ -2458,15 +2542,18 @@ final class Instance(val spark: SparkSession, val root: String,
     // the rewrite, so compaction RESTORES the partition layout that CoW
     // rewrites physicalized (pruning degrades between compactions, then
     // heals).
+    // path segments spell PHYSICAL names; writeStaged takes logical
+    // (and maps back), so invert the column mapping here
+    val logicalOf = st.renames.map(_.swap)
     val partCols = files.flatMap(_.split('/').drop(1).dropRight(1))
       .flatMap { seg =>
         val i = seg.indexOf('=')
         if (i > 0) Some(seg.substring(0, i)) else None
-      }.distinct.sorted
+      }.distinct.map(p => logicalOf.getOrElse(p, p)).sorted
     // compaction MATERIALIZES outstanding deletion vectors: the rewrite
     // reads through the masks and the retired files' dv entries drop
     // with them, healing read overhead back to zero
-    val view = viewOf(files, ddl, resolveDvs(st.dvs, files))
+    val view = viewOf(files, ddl, resolveDvs(st.dvs, files), st.renames)
     val clustered = cluster match {
       case Nil => view.coalesce(targetFiles)
       case Seq(c) => view.repartitionByRange(targetFiles, col(c))
@@ -2499,15 +2586,18 @@ final class Instance(val spark: SparkSession, val root: String,
           .sortWithinPartitions("_z")
           .drop("_z")
     }
-    val staged = writeStaged(clustered, txn, partitionBy = partCols)
+    val staged = writeStaged(clustered, txn, partCols)
     // secondary cluster columns get per-file footer ranges into the
     // manifest (obj_id already rides the primary stats index)
     val secondary = cluster.filterNot(_ == "obj_id")
       .filterNot(partCols.contains) // partition cols aren't in-file
     if (secondary.nonEmpty)
+      // footers (and therefore the colStats index) use PHYSICAL names
       pooledMap(staged) { f =>
-        f -> secondary.flatMap(c =>
-          footerLongRange(new Path(dataDir, f), c).map(c -> _)).toMap
+        f -> secondary.flatMap { c =>
+          val pc = st.phys(c)
+          footerLongRange(new Path(dataDir, f), pc).map(pc -> _)
+        }.toMap
       }.foreach { case (f, cs) => if (cs.nonEmpty) txn.addedColStats(f) = cs }
     txn.added ++= staged
     txn.removed ++= files
@@ -2653,6 +2743,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] val addedFileStats =
     mutable.Map[String, Map[String, UStat]]()
   private[acid] var schemaDDL: Option[String] = None
+  // txn-local column mapping override (logical -> physical), set by
+  // renameColumn (and by adds that must dodge a freed physical name);
+  // None = the snapshot's map applies
+  private[acid] var renames: Option[Map[String, String]] = None
   // set when this txn will publish a DIFFERENT schema than its snapshot:
   // schema changes are table-wide, so commit treats one like a conflict
   // with EVERY interleaved commit (see Instance.commit)
@@ -2701,6 +2795,16 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     (files, schemaDDL.getOrElse(snapDdl), baseStats -- removed ++ addedStats)
   }
 
+  /** Txn-local column mapping (read-your-own-renames): this txn's
+    * override when set, else the pinned snapshot's map. */
+  private[acid] def localRen: Map[String, String] =
+    renames.getOrElse(cachedBaseState().renames)
+
+  /** Txn-local logical table schema (snapshot's, plus any evolution
+    * this transaction already recorded). */
+  private[graft] def localSchema: StructType =
+    StructType.fromDDL(localState()._2)
+
   /** Txn-local deletion-vector map: base state overridden by this
     * transaction's own dv writes (read-your-own-deletes), entries of
     * retired files dropped. */
@@ -2726,7 +2830,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * twice while publishing both rewrites, resurrecting deleted rows). */
   def read(): DataFrame = {
     val (files, ddl, _) = localState()
-    inst.viewOf(files, ddl, localMasks(files))
+    inst.viewOf(files, ddl, localMasks(files), localRen)
   }
 
   /** Files whose manifest obj-id range can contain one of `ids` — the
@@ -2763,6 +2867,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val files = (baseState.files.toSet -- removed ++ added).toSeq.sorted
     val colStats = baseState.colStats -- removed ++ addedColStats
     val fileStats = baseState.fileStats -- removed ++ addedFileStats
+    // stats indexes are keyed by PHYSICAL column name (footer-derived)
+    val pcol = localRen.getOrElse(column, column)
     val sorted = values.distinct.sorted.toArray
     def anyIn(lo: Long, hi: Long): Boolean = {
       var i = java.util.Arrays.binarySearch(sorted, lo)
@@ -2773,8 +2879,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     // stats — so an UN-compacted table still prunes integral-key point
     // ops; files with no recorded range degrade to candidates, never
     // to a wrong answer
-    files.filter(f => colStats.get(f).flatMap(_.get(column))
-        .orElse(fileStats.get(f).flatMap(_.get(column)).flatMap(_.longRange))
+    files.filter(f => colStats.get(f).flatMap(_.get(pcol))
+        .orElse(fileStats.get(f).flatMap(_.get(pcol)).flatMap(_.longRange))
         match {
       case Some((lo, hi)) => anyIn(lo, hi)
       case None => true
@@ -2905,6 +3011,58 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     adoptSchemaType(next)
   }
 
+  /** Metadata-only column rename (SQL `ALTER TABLE ... RENAME
+    * COLUMN`) via column mapping: the column's PHYSICAL name — what
+    * every existing parquet file and `k=v` path spells — never
+    * changes; only the logical name in the table schema does, with
+    * the indirection recorded in the manifest's `renames` map
+    * ([[VersionedTable.Manifest]]). Zero data IO; every pre-rename
+    * file stays readable, and time travel to a pre-rename version
+    * shows that version's names. Table-wide like any schema change
+    * (conflicts with every interleaved commit). */
+  def renameColumn(from: String, to: String): Unit = {
+    require(from != "obj_id",
+      "obj_id is the engine's primary key and cannot be renamed")
+    require(to != null && to.nonEmpty && !to.contains(".") &&
+      to != "obj_id", s"invalid target column name '$to'")
+    val cur = localSchema
+    require(cur.fieldNames.contains(from), s"no such column $from")
+    require(!cur.fieldNames.contains(to), s"column $to already exists")
+    val ren0 = localRen
+    val physName = ren0.getOrElse(from, from)
+    // identity entries normalize away (renaming back to the physical
+    // name clears the indirection entirely)
+    val ren1 = ((ren0 - from) + (to -> physName))
+      .filter { case (l, p) => l != p }
+    schemaDDL = Some(StructType(cur.map(f =>
+      if (f.name == from) f.copy(name = to) else f)).toDDL)
+    schemaEvolved = true
+    renames = Some(ren1)
+  }
+
+  /** Metadata-only type WIDENING (SQL `ALTER TABLE ... ALTER COLUMN
+    * ... TYPE`): the table schema adopts the wider type and existing
+    * files keep their narrower physical type — parquet readers promote
+    * INT32 -> INT64 / FLOAT -> DOUBLE at scan time, so no data is
+    * rewritten. Only lossless promotions are accepted (byte -> short
+    * -> int -> long, float -> double); anything else keeps the loud
+    * rejection every narrowing deserves. Footer stats survive: int and
+    * long share stat kind 'L', float and double 'D'. */
+  def widenColumn(name: String, to: DataType): Unit = {
+    val cur = localSchema
+    require(cur.fieldNames.contains(name), s"no such column $name")
+    val fromT = cur(name).dataType
+    if (fromT == to) { if (schemaDDL.isEmpty) schemaDDL = Some(cur.toDDL); return }
+    if (!Txn.widens(fromT, to))
+      throw new SchemaEvolutionException(
+        s"unsupported type change for $name: $fromT -> $to; only widening " +
+        "promotions (byte->short->int->long, float->double) are " +
+        "metadata-only — rewrite the table for anything else")
+    schemaDDL = Some(StructType(cur.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f)).toDDL)
+    schemaEvolved = true
+  }
+
   private def adoptSchemaType(nextSchema: StructType): Unit = {
     val (_, cur, _) = localState()
     val next = nextSchema.toDDL
@@ -2938,15 +3096,26 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       if (schemaDDL.isEmpty) schemaDDL = Some(cur)
       return
     }
+    val addedCols = nextMap.keySet -- curMap.keySet
+    val dropped = curMap.keySet -- nextMap.keySet
     if (!allowEvolve) {
-      val addedCols = nextMap.keySet -- curMap.keySet
-      val dropped = curMap.keySet -- nextMap.keySet
       throw new SchemaEvolutionException(
         s"insert schema differs from table schema (adds: " +
         s"${addedCols.toSeq.sorted.mkString(",")}; drops: " +
         s"${dropped.toSeq.sorted.mkString(",")}); call txn.evolveSchema() " +
         "to sanction the change")
     }
+    // column-mapping maintenance: a dropped column releases its
+    // renames entry (old files keep the physical column, unread); an
+    // ADDED column whose name collides with a surviving column's
+    // PHYSICAL name (freed logically by an earlier rename) gets a
+    // fresh physical name — otherwise two logical columns would map
+    // onto one parquet column
+    val ren0 = localRen
+    val physInUse = (curMap.keySet -- dropped).map(c => ren0.getOrElse(c, c))
+    val ren1 = (ren0 -- dropped) ++ addedCols.filter(physInUse).map(c =>
+      c -> s"${c}_p${java.util.UUID.randomUUID().toString.take(8)}")
+    if (ren1 != ren0) renames = Some(ren1)
     schemaDDL = Some(next)
     schemaEvolved = true
   }
@@ -3052,14 +3221,14 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       // exact match side for both the rewrite and the insert anti join
       val masks = localMasks(cand)
       val snap = if (cand.isEmpty) null
-        else inst.viewOf(cand, ddl, masks)
+        else inst.viewOf(cand, ddl, masks, localRen)
           .withColumn("_file", input_file_name())
       val mutates = matchedDelete.isDefined || matchedUpdate.nonEmpty
       if (snap != null && mutates) {
         val hit = snap.join(keys, Seq("obj_id"), "left_semi")
           .select("_file").distinct().collect().map(_.getString(0))
         if (hit.nonEmpty) {
-          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
+          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
           val kept = touched.join(keys, Seq("obj_id"), "left_anti")
             .select(tCols.map(col): _*)
           val joined = touched.alias("t")
@@ -3126,12 +3295,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       })
       if (cand.nonEmpty) {
         val masks = localMasks(cand)
-        val snap = inst.viewOf(cand, ddl, masks)
+        val snap = inst.viewOf(cand, ddl, masks, localRen)
           .withColumn("_file", input_file_name())
         val hit = snap.join(keys, Seq("obj_id"), "left_semi")
           .select("_file").distinct().collect().map(_.getString(0))
         if (hit.nonEmpty) {
-          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
+          val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
           val survivors = touched.join(keys, Seq("obj_id"), "left_anti")
           val rewritten = if (survivors.isEmpty) Nil
             else inst.writeStaged(survivors, this)
@@ -3155,12 +3324,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val cand = candidateFiles(ids)
     if (cand.nonEmpty) {
       val masks = localMasks(cand)
-      val snap = inst.viewOf(cand, ddl, masks)
+      val snap = inst.viewOf(cand, ddl, masks, localRen)
         .withColumn("_file", input_file_name())
       val hit = idMatch(snap, ids)
         .select("_file").distinct().collect().map(_.getString(0))
       if (hit.nonEmpty) {
-        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
         val survivors = idReject(touched, ids)
         val rewritten = if (survivors.isEmpty) Nil
           else inst.writeStaged(survivors, this)
@@ -3193,7 +3362,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     if (cand.nonEmpty) {
       // masked rows excluded: re-deleting an already-masked id is a
       // no-op, not a second mask
-      val snap = inst.viewOf(cand, ddl, localMasks(cand))
+      val snap = inst.viewOf(cand, ddl, localMasks(cand), localRen)
         .withColumn("_file", input_file_name())
       val hits = idMatch(snap, ids).select("_file", "obj_id")
         .distinct().collect()
@@ -3275,7 +3444,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       // masks are resolved into the plan as literal arrays at
       // construction, so this view keeps reading PRE-mask rows even
       // after deleteMoR below registers the new vector
-      val current = idMatch(inst.viewOf(cand, ddl, localMasks(cand)), ids)
+      val current = idMatch(inst.viewOf(cand, ddl, localMasks(cand), localRen), ids)
       val updated = transform(current)
         .select(StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq: _*)
       deleteMoR(ids)
@@ -3294,12 +3463,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val cand = candidateFiles(ids)
     if (cand.nonEmpty) {
       val masks = localMasks(cand)
-      val snap = inst.viewOf(cand, ddl, masks)
+      val snap = inst.viewOf(cand, ddl, masks, localRen)
         .withColumn("_file", input_file_name())
       val hit = idMatch(snap, ids)
         .select("_file").distinct().collect().map(_.getString(0))
       if (hit.nonEmpty) {
-        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks)
+        val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
         val untouchedRows = idReject(touched, ids)
         val updatedRows = transform(idMatch(touched, ids))
         val rewritten =
@@ -3414,7 +3583,23 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     added.clear(); removed.clear(); objects.clear(); retired.clear()
     addedStats.clear(); addedColStats.clear(); addedFileStats.clear()
     adopted.clear()
-    schemaDDL = None; schemaEvolved = false
+    schemaDDL = None; schemaEvolved = false; renames = None
     objSummary = None
+  }
+}
+
+object Txn {
+  /** Lossless type promotions a [[Txn.widenColumn]] accepts: existing
+    * files keep the narrow physical type and parquet readers promote
+    * at scan time (the same set Spark's vectorized reader supports). */
+  private[acid] def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
   }
 }

@@ -1706,7 +1706,12 @@ class AcidSpec extends AnyFunSuite {
     // The bloom bitwise-AND must prove them pairwise disjoint: plain
     // commit() with NO retry wrapper — any ConflictException fails
     // the test (a lost publish race re-validates internally and is
-    // not a conflict).
+    // not a conflict). Hashing is a pure function of (id, geometry),
+    // so zero-retry is DETERMINISTIC exactly when the 8 fixed id sets
+    // share no bloom bit; the id base (500) is chosen so they don't
+    // at the default 2^23/k=6 geometry (bases 0..400 each collide on
+    // 1-3 pairs — a bit shared by chance would make the test hostage
+    // to commit-window timing).
     val conf = graft.acid.EngineConf(objectListThreshold = 8)
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema, conf)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -1714,7 +1719,8 @@ class AcidSpec extends AnyFunSuite {
       new Thread(() => {
         try {
           val txn = inst.begin()
-          txn.upsert((0 until 100).map(i => (i * 8L + t, (1000 * (t + 1) + i).toLong))
+          txn.upsert((0 until 100)
+            .map(i => (500L + i * 8L + t, (1000 * (t + 1) + i).toLong))
             .toDF("obj_id", "value"))
           inst.commit(txn)
         } catch { case e: Throwable => errors.add(e) }
@@ -1726,14 +1732,133 @@ class AcidSpec extends AnyFunSuite {
     val rows = inst.read().collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(rows.length == 800, s"expected 800 rows, got ${rows.length}")
     assert(rows.map(_._1).toSet ==
-      (for (t <- 0 until 8; i <- 0 until 100) yield i * 8L + t).toSet)
+      (for (t <- 0 until 8; i <- 0 until 100) yield 500L + i * 8L + t).toSet)
     // every value is exactly what its owning writer staged
     assert(rows.forall { case (k, v) =>
-      val (t, i) = ((k % 8).toInt, (k / 8).toInt)
+      val (t, i) = (((k - 500) % 8).toInt, ((k - 500) / 8).toInt)
       v == 1000 * (t + 1) + i
     })
-    // all 8 landed as summary commits (the bloom path under test)
-    assert(inst.history().filter(col("n_objects") === 100).count() == 8)
+    // all 8 landed as SUMMARY commits (the bloom path under test);
+    // count is the informational double-counting kind (delete-side +
+    // insert-side summaries, 100 each), so assert the path not the sum
+    assert((1L to 8L).forall(v => inst.readManifest(v).objSummary.isDefined))
+  }
+
+  test("column mapping: rename keeps physical names, Z-order stats, and point-op pruning") {
+    import org.apache.spark.sql.types._
+    val inst = VersionedTable.create(spark, freshDir(), StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("value", LongType, nullable = false))))
+    val t1 = inst.begin()
+    t1.insert((1 to 40).map(i => (i.toLong, i * 10L)).toDF("obj_id", "value")
+      .repartition(4))
+    inst.commit(t1)
+    // cluster on the ORIGINAL name, then rename: the colStats index is
+    // keyed by the fixed physical name and must keep pruning afterwards
+    inst.compact(targetFiles = 4, clusterBy = Seq("obj_id", "value"))
+    inst.withRetry() { t => t.renameColumn("value", "amount") }
+    val q58 = inst.read()
+    assert(q58.columns.toSeq == Seq("obj_id", "amount"))
+    assert(q58.agg(sum("amount")).head().getLong(0) == (1 to 40).map(_ * 10L).sum)
+    // candidateFilesBy on the RENAMED logical name prunes via the
+    // physical colStats entries written before the rename
+    val txn = inst.begin()
+    val cand = txn.candidateFilesBy("amount", Seq(50L))
+    val all = inst.stateAt(inst.latestVersion)._1
+    assert(cand.size < all.size,
+      s"renamed-column point op must prune (${cand.size} of ${all.size})")
+    inst.rollback(txn)
+    // readWhere through the renamed name
+    val hit = inst.readWhere("amount", Seq(50L)).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(5L))
+    // CoW update through the map: files stay physically consistent
+    inst.withRetry() { t =>
+      t.update(Seq(7L), df => df.withColumn("amount", col("amount") + 1))
+    }
+    assert(inst.read().filter(col("obj_id") === 7).head().getLong(1) == 71L)
+    // the manifest format gate: a renamed table declares generation 7
+    val head = inst.latestVersion
+    val m = inst.readManifest(head)
+    assert(m.renames == Map("amount" -> "value"))
+  }
+
+  test("column mapping: restore across a rename republishes the old mapping") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t1) // v1
+    inst.withRetry() { t => t.renameColumn("value", "amount") } // v2
+    val t3 = inst.begin()
+    t3.insert(Seq((3L, 30L)).toDF("obj_id", "amount"))
+    inst.commit(t3) // v3
+    inst.restore(1) // v4: back to (obj_id, value), two rows
+    assert(inst.read().columns.toSeq == Seq("obj_id", "value"))
+    assert(inst.read().count() == 2)
+    assert(inst.tableStateAt(inst.latestVersion).renames.isEmpty)
+    // time travel forward again: the renamed version is intact
+    assert(inst.snapshot(3).columns.toSeq == Seq("obj_id", "amount"))
+    assert(inst.snapshot(3).count() == 3)
+    // the change feed across the interval reads each side under its
+    // own names (v3's insert surfaces under the post-rename schema)
+    val feed = inst.changes(2, 3).collect()
+    assert(feed.length == 1 && feed.head.getAs[String]("_change") == "insert")
+  }
+
+  test("column mapping: dedup via add-after-rename collision gets a fresh physical name") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    inst.withRetry() { t => t.renameColumn("value", "amount") }
+    // re-adding a column under the FREED logical name must not collide
+    // with the still-live physical column `value` in old files
+    inst.withRetry() { t =>
+      t.alterSchema(t.localSchema.add(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType)))
+    }
+    val ren = inst.tableStateAt(inst.latestVersion).renames
+    assert(ren("amount") == "value")
+    assert(ren.contains("value") && ren("value") != "value",
+      s"re-added column needs a fresh physical name, got $ren")
+    // the old data surfaces ONLY under `amount`; the new `value` is null
+    val row = inst.read().filter(col("obj_id") === 1).head()
+    assert(row.getAs[Long]("amount") == 10L)
+    assert(row.isNullAt(row.fieldIndex("value")))
+    val t2 = inst.begin()
+    t2.insert(Seq((2L, 20L, 99L)).toDF("obj_id", "amount", "value"))
+    inst.commit(t2)
+    val r2 = inst.read().filter(col("obj_id") === 2).head()
+    assert(r2.getAs[Long]("amount") == 20L && r2.getAs[Long]("value") == 99L)
+  }
+
+  test("column mapping: widen INT->LONG then rename, MoR delete through the map") {
+    import org.apache.spark.sql.types._
+    val inst = VersionedTable.create(spark, freshDir(), StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("qty", IntegerType, nullable = false))))
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10), (2L, 20)).toDF("obj_id", "qty").coalesce(1))
+    inst.commit(t1)
+    inst.withRetry() { t => t.widenColumn("qty", LongType) }
+    intercept[graft.acid.SchemaEvolutionException] {
+      val t = inst.begin()
+      try t.widenColumn("qty", IntegerType) finally inst.rollback(t)
+    }
+    inst.withRetry() { t => t.renameColumn("qty", "amount") }
+    val t2 = inst.begin()
+    t2.insert(Seq((3L, 5000000000L)).toDF("obj_id", "amount"))
+    inst.commit(t2)
+    // MoR delete masks a row inside the pre-widening narrow file
+    inst.withRetry() { t => t.deleteMoR(Seq(1L)) }
+    val rows = inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 20L), (3L, 5000000000L)))
+    // compaction materializes the mask and keeps the mapping
+    inst.compact()
+    assert(inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 20L), (3L, 5000000000L)))
   }
 
   test("restore across a summary commit is metadata-only and exact") {

@@ -167,6 +167,91 @@ class CatalogSpec extends AnyFunSuite {
       sql("ALTER TABLE gcat.ddl.t ALTER COLUMN value TYPE INT"))
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only via column mapping") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.ren")
+    sql("CREATE TABLE gcat.ren.t (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.ren.t VALUES (1, 10), (2, 20)")
+    val warehouse = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val inst = VersionedTable.open(spark, warehouse + "/ren/t")
+    val filesBefore = inst.stateAt(inst.latestVersion)._1.toSet
+    sql("ALTER TABLE gcat.ren.t RENAME COLUMN value TO amount")
+    // zero data IO: the rename commit touched no data files
+    assert(inst.stateAt(inst.latestVersion)._1.toSet == filesBefore,
+      "rename must be metadata-only")
+    // old files read under the new logical name
+    assert(sql("SELECT * FROM gcat.ren.t").columns.toSeq ==
+      Seq("obj_id", "amount"))
+    assert(sql("SELECT sum(amount) FROM gcat.ren.t").head().getLong(0) == 30L)
+    assert(sql("SELECT amount FROM gcat.ren.t WHERE obj_id = 2")
+      .head().getLong(0) == 20L)
+    // new inserts land under the mapping and read back merged
+    sql("INSERT INTO gcat.ren.t VALUES (3, 30)")
+    assert(sql("SELECT sum(amount) FROM gcat.ren.t").head().getLong(0) == 60L)
+    // old name is gone (loudly)
+    intercept[Exception](sql("SELECT value FROM gcat.ren.t").collect())
+    // rename back clears the indirection entirely
+    sql("ALTER TABLE gcat.ren.t RENAME COLUMN amount TO value")
+    assert(inst.tableStateAt(inst.latestVersion).renames.isEmpty)
+    assert(sql("SELECT sum(value) FROM gcat.ren.t").head().getLong(0) == 60L)
+  }
+
+  test("time travel across a rename shows each version's own names") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.ren2")
+    sql("CREATE TABLE gcat.ren2.t (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.ren2.t VALUES (1, 10)") // v1
+    sql("ALTER TABLE gcat.ren2.t RENAME COLUMN value TO amount") // v2
+    sql("INSERT INTO gcat.ren2.t VALUES (2, 20)") // v3
+    assert(sql("SELECT * FROM gcat.ren2.t VERSION AS OF 1").columns.toSeq ==
+      Seq("obj_id", "value"))
+    assert(sql("SELECT value FROM gcat.ren2.t VERSION AS OF 1")
+      .head().getLong(0) == 10L)
+    assert(sql("SELECT * FROM gcat.ren2.t VERSION AS OF 3").columns.toSeq ==
+      Seq("obj_id", "amount"))
+    // pre- and post-rename files merge under the post-rename name
+    assert(sql("SELECT sum(amount) FROM gcat.ren2.t VERSION AS OF 3")
+      .head().getLong(0) == 30L)
+    // UPDATE/DELETE through the renamed column (CoW rewrite + map)
+    sql("UPDATE gcat.ren2.t SET amount = amount + 1 WHERE obj_id = 1")
+    assert(sql("SELECT amount FROM gcat.ren2.t WHERE obj_id = 1")
+      .head().getLong(0) == 11L)
+  }
+
+  test("ALTER COLUMN TYPE widens INT->LONG; old narrow files promote at read") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.wide")
+    sql("CREATE TABLE gcat.wide.t (obj_id BIGINT, qty INT)")
+    sql("INSERT INTO gcat.wide.t VALUES (1, 10), (2, 20)")
+    sql("ALTER TABLE gcat.wide.t ALTER COLUMN qty TYPE BIGINT")
+    assert(sql("SELECT * FROM gcat.wide.t").schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a value only the widened type can hold, beside promoted old rows
+    sql("INSERT INTO gcat.wide.t VALUES (3, 5000000000)")
+    assert(sql("SELECT sum(qty) FROM gcat.wide.t").head().getLong(0) ==
+      5000000030L)
+    // narrowing stays rejected
+    intercept[Exception](
+      sql("ALTER TABLE gcat.wide.t ALTER COLUMN qty TYPE INT"))
+    // widen + rename compose
+    sql("ALTER TABLE gcat.wide.t RENAME COLUMN qty TO n")
+    assert(sql("SELECT sum(n) FROM gcat.wide.t").head().getLong(0) ==
+      5000000030L)
+  }
+
+  test("rename of a partition column is rejected; others work on partitioned tables") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.renp")
+    sql("CREATE TABLE gcat.renp.t (obj_id BIGINT, lang STRING, n BIGINT) " +
+      "PARTITIONED BY (lang)")
+    sql("INSERT INTO gcat.renp.t VALUES (1, 'en', 5), (2, 'de', 7)")
+    intercept[Exception](
+      sql("ALTER TABLE gcat.renp.t RENAME COLUMN lang TO language"))
+    sql("ALTER TABLE gcat.renp.t RENAME COLUMN n TO chars")
+    // partition pruning still works beside the renamed data column
+    assert(sql("SELECT chars FROM gcat.renp.t WHERE lang = 'de'")
+      .head().getLong(0) == 7L)
+    sql("INSERT INTO gcat.renp.t VALUES (3, 'en', 11)")
+    assert(sql("SELECT sum(chars) FROM gcat.renp.t WHERE lang = 'en'")
+      .head().getLong(0) == 16L)
+  }
+
   test("CTAS, rename, and namespace listing") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.misc")
     sql("CREATE TABLE gcat.misc.src (obj_id BIGINT, value BIGINT)")

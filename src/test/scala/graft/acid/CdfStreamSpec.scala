@@ -106,6 +106,63 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(got.contains((2L, 200L))) // the post-image is present
   }
 
+  test("readChangeFeed: MoR delete commits stream their masked rows as delete events") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("obj_id", "value").coalesce(1))
+    inst.commit(t1) // v1
+    inst.withRetry() { t => t.deleteMoR(Seq(2L)) } // v2: positional dv
+    val t3 = inst.begin()
+    t3.insert(Seq((4L, 40L)).toDF("obj_id", "value"))
+    inst.commit(t3) // v3
+    inst.withRetry() { t => t.deleteMoR(Seq(1L, 4L)) } // v4: two files hit
+
+    // strict mode still fails on the dv commit
+    val strictName = "cdf_strict_" + java.util.UUID.randomUUID
+      .toString.replace("-", "")
+    val strict = intercept[StreamingQueryException] {
+      val q = inst.readChangesStream().writeStream.format("memory")
+        .queryName(strictName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(strict.getMessage.contains("readChangeFeed") ||
+      Option(strict.getCause).exists(_.getMessage.contains("readChangeFeed")))
+
+    // typed mode: inserts AND deletes, in commit order, exact rows
+    val name = "cdf_feed_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(readChangeFeed = true), name,
+      Files.createTempDirectory("graft_cdf_feed_ckpt_").toString)
+    val got = spark.table(name).orderBy("_version", "obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+        r.getAs[Long]("_version"), r.getAs[String]("_change_type")))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, "insert"), (2L, 20L, 1L, "insert"),
+      (3L, 30L, 1L, "insert"),
+      (2L, 20L, 2L, "delete"),
+      (4L, 40L, 3L, "insert"),
+      (1L, 10L, 4L, "delete"), (4L, 40L, 4L, "delete")))
+
+    // a second mask on an ALREADY-masked file streams only the DELTA,
+    // and compaction (file removal) still needs ignoreChanges
+    inst.withRetry() { t => t.deleteMoR(Seq(3L)) } // v5: same file as v2/v4
+    val name2 = "cdf_feed2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(startingVersion = 5L,
+      readChangeFeed = true), name2,
+      Files.createTempDirectory("graft_cdf_feed_ckpt2_").toString)
+    val got2 = spark.table(name2).collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[String]("_change_type")))
+    assert(got2.toSeq == Seq((3L, "delete")))
+    // compaction (layout-only: no objects) still streams NOTHING —
+    // it materializes masks without changing content
+    inst.compact()
+    val name3 = "cdf_feed3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(startingVersion = 6L,
+      readChangeFeed = true), name3,
+      Files.createTempDirectory("graft_cdf_feed_ckpt3_").toString)
+    assert(spark.table(name3).isEmpty)
+  }
+
   test("startingVersion skips history before it") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     (1 to 3).foreach { i =>

@@ -50,14 +50,29 @@ class ManifestSpec extends AnyFunSuite {
         n <- Gen.choose(-1L, 1000L)
       } yield VersionedTable.UStat(k, mn, mx, n)))))
     multi <- Gen.option(hostileString.map(x => s"file:/m/$x.json"))
+    rens <- Gen.mapOf(Gen.zip(Gen.identifier, Gen.identifier))
   } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats,
-    tsMillis = ts, fileStats = ustat, multiRef = multi)
+    tsMillis = ts, fileStats = ustat, multiRef = multi, renames = rens)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
       val m = manifestGen.pureApply(Gen.Parameters.default, Seed(7L + i))
       assert(fromJson(toJson(m)) == m, s"seed ${7 + i}: ${toJson(m)}")
     }
+  }
+
+  test("renames declare formatVersion 7; rename-free manifests keep their generation") {
+    val renamed = Manifest(1, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = false, Nil, renames = Map("b" -> "a"))
+    assert(toJson(renamed).contains("\"formatVersion\":7"))
+    assert(fromJson(toJson(renamed)).renames == Map("b" -> "a"))
+    val plain = Manifest(1, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = false, Nil)
+    assert(toJson(plain).contains("\"formatVersion\":2"))
+    // a manifest declaring a future generation still fails loudly
+    val future = toJson(plain).replace("\"formatVersion\":2",
+      "\"formatVersion\":8")
+    intercept[ManifestFormatException] { fromJson(future) }
   }
 
   test("edge strings: trailing backslash, escaped quote runs, unicode") {
