@@ -309,6 +309,32 @@ private[acid] object GraftTableSource {
     else Some(Some(sets.reduce(_ intersect _).toSeq.sorted))
   }
 
+  /** The filter rebuilt with its single column reference renamed —
+    * how a filter on a RENAMED logical column is pushed to the parquet
+    * reader under the file's physical name. None for shapes without a
+    * simple attribute rewrite (those still skip at file level via the
+    * translated manifest stats; everything stays in the plan as a
+    * residual either way). */
+  def renameFilter(f: sources.Filter, to: String): Option[sources.Filter] =
+    f match {
+      case sources.EqualTo(_, v) => Some(sources.EqualTo(to, v))
+      case sources.EqualNullSafe(_, v) => Some(sources.EqualNullSafe(to, v))
+      case sources.GreaterThan(_, v) => Some(sources.GreaterThan(to, v))
+      case sources.GreaterThanOrEqual(_, v) =>
+        Some(sources.GreaterThanOrEqual(to, v))
+      case sources.LessThan(_, v) => Some(sources.LessThan(to, v))
+      case sources.LessThanOrEqual(_, v) =>
+        Some(sources.LessThanOrEqual(to, v))
+      case sources.In(_, vs) => Some(sources.In(to, vs))
+      case sources.IsNull(_) => Some(sources.IsNull(to))
+      case sources.IsNotNull(_) => Some(sources.IsNotNull(to))
+      case sources.StringStartsWith(_, v) =>
+        Some(sources.StringStartsWith(to, v))
+      case sources.StringEndsWith(_, v) => Some(sources.StringEndsWith(to, v))
+      case sources.StringContains(_, v) => Some(sources.StringContains(to, v))
+      case _ => None
+    }
+
   /** Does a partition-path value satisfy the filter? `value` is the
     * decoded external value (null = hive default partition). */
   def partMayMatch(f: sources.Filter, value: Any): Boolean = f match {
@@ -674,10 +700,8 @@ private[acid] final class GraftScan(root: String, version: Long,
       // filters on physical columns reach the parquet reader for
       // row-group skipping; partition-column filters were already
       // applied file-level and must not be pushed into the file read.
-      // Filters on RENAMED columns are withheld too (their attribute
-      // spells the logical name, which no file column matches) — they
-      // still skip at file level via the manifest stats above, and
-      // remain in the plan as residuals either way.
+      // Filters on RENAMED columns are rewritten to the physical name
+      // first (renameFilter) so they keep row-group skipping too.
       // A row-level-operation (CoW) scan must return WHOLE files — the
       // unmatched rows are the copy-back side of the rewrite — so
       // there skipping stops at file granularity and nothing reaches
@@ -685,9 +709,13 @@ private[acid] final class GraftScan(root: String, version: Long,
       // the rewritten table)
       val fileFilters =
         if (wholeGroups) Nil
-        else filters.filter(f =>
-          phys(f.references.head) == f.references.head &&
-            fileSchema.fieldNames.contains(f.references.head)).toSeq
+        else filters.toSeq.flatMap { f =>
+          val c = f.references.head
+          val pc = phys(c)
+          if (!fileSchema.fieldNames.contains(pc)) None
+          else if (pc == c) Some(f)
+          else GraftTableSource.renameFilter(f, pc)
+        }
       val reader = fmt.buildReaderWithPartitionValues(spark, fileSchema,
         partFields, fileSchema, fileFilters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),

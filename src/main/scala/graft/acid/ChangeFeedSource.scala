@@ -119,32 +119,12 @@ private[acid] object ChangeFeedSource {
     // spell the fixed PHYSICAL names, so the current column mapping
     // translates for the whole range
     val ren = inst.tableStateAt(inst.latestVersion).renames
-    def partitionFor(rel: String, v: Long, changeType: String,
-        keep: Option[VersionedTable.DvMask]): CdfPartition = {
-      val pairs = partPairs(rel)
-      val status = inst.fs.getFileStatus(new Path(inst.dataDir, rel))
-      // `k` spells the PHYSICAL column name
-      val consts = pairs.map { case (k, raw) =>
-        val dt = schema.find(f =>
-            ren.getOrElse(f.name, f.name) == k).map(_.dataType)
-          .getOrElse(org.apache.spark.sql.types.StringType)
-        val s = ExternalCatalogUtils.unescapePathName(raw)
-        if (s == "__HIVE_DEFAULT_PARTITION__") null
-        else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
-            .fromString(s), org.apache.spark.sql.types.StringType), dt,
-          Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
-      } :+ (v: Any)
-      val partRow = new GenericInternalRow(
-        (if (changeFeed)
-          consts :+ org.apache.spark.unsafe.types.UTF8String
-            .fromString(changeType)
-        else consts).toArray)
-      CdfPartition(
-        PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
-          0L, status.getLen, Array.empty, status.getModificationTime,
-          status.getLen),
-        pairs.map(_._1), keep)
-    }
+    // (file, version, change type, keep-mask) specs first; statuses
+    // are then fetched on the bounded driver pool — each is a ~10ms
+    // RPC on an object store, and a bursty commit range adds files ×
+    // versions of them (the serial walk was the planner bottleneck)
+    val specs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, Option[VersionedTable.DvMask])]
     ((lo + 1) to hi).foreach { v =>
       val m = inst.readManifest(v)
       val isData = m.objects.nonEmpty || m.objSummary.isDefined
@@ -166,9 +146,7 @@ private[acid] object ChangeFeedSource {
             "events (merge-on-read deletes only), " +
             ".option(\"ignoreChanges\", true) to stream post-image rows, " +
             "or consume Instance.changes() for exact row-level CDC.")
-        m.added.foreach { rel =>
-          out += partitionFor(rel, v, "insert", None)
-        }
+        m.added.foreach { rel => specs += ((rel, v, "insert", None)) }
         if (changeFeed && m.dvs.nonEmpty) {
           // DELETE events: for each masked file, the mask DELTA vs the
           // previous version (prior-masked rows already streamed as
@@ -185,12 +163,39 @@ private[acid] object ChangeFeedSource {
               val newPos = GraftBitmap(cur.pos.iterator
                 .filterNot(pre.pos.contains).toSeq)
               if (newIds.nonEmpty || newPos.nonEmpty)
-                out += partitionFor(f, v, "delete",
-                  Some(VersionedTable.DvMask(newIds, newPos)))
+                specs += ((f, v, "delete",
+                  Some(VersionedTable.DvMask(newIds, newPos))))
             }
           }
         }
       }
+    }
+    val statuses = inst.pooledMap(specs.map(_._1).distinct.toSeq)(rel =>
+      rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
+    specs.foreach { case (rel, v, changeType, keep) =>
+      val pairs = partPairs(rel)
+      val status = statuses(rel)
+      // `k` spells the PHYSICAL column name
+      val consts = pairs.map { case (k, raw) =>
+        val dt = schema.find(f =>
+            ren.getOrElse(f.name, f.name) == k).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        val s = ExternalCatalogUtils.unescapePathName(raw)
+        if (s == "__HIVE_DEFAULT_PARTITION__") null
+        else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString(s), org.apache.spark.sql.types.StringType), dt,
+          Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
+      } :+ (v: Any)
+      val partRow = new GenericInternalRow(
+        (if (changeFeed)
+          consts :+ org.apache.spark.unsafe.types.UTF8String
+            .fromString(changeType)
+        else consts).toArray)
+      out += CdfPartition(
+        PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
+          0L, status.getLen, Array.empty, status.getModificationTime,
+          status.getLen),
+        pairs.map(_._1), keep)
     }
     out.result()
   }

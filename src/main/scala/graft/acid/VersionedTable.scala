@@ -3500,7 +3500,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] def replaceScanned(scanned: Seq[String],
       staged: Seq[String],
       pinnedDvs: Map[String, Seq[String]] = Map.empty): Unit = {
-    val (live, _, stats) = localState()
+    val (live, ddl, stats) = localState()
     val gone = scanned.filterNot(live.toSet)
     if (gone.nonEmpty)
       throw new ConflictException(
@@ -3514,14 +3514,29 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         s"row-level rewrite scanned ${dvDrift.size} file(s) whose deletion " +
         s"vectors changed since the scan was planned " +
         s"(${dvDrift.take(3).mkString(", ")}...); retry")
+    // full universal footer stats for the replacement files, exactly
+    // like writeStaged — without this a SQL UPDATE/MERGE rewrite would
+    // silently DROP the rewritten files out of the data-skipping index
+    // until the next compaction (footers are keyed by PHYSICAL names)
+    val ren = localRen
+    val statCols: Set[String] = StructType.fromDDL(ddl).fields
+      .take(inst.conf.statsColumns)
+      .map(f => ren.getOrElse(f.name, f.name)).toSet + "obj_id"
     val stagedStats = inst.pooledMap(staged)(f =>
-      f -> inst.footerIdRange(new Path(inst.dataDir, f)))
-    stagedStats.foreach { case (f, r) => r.foreach(addedStats(f) = _) }
+      f -> inst.footerAllStats(new Path(inst.dataDir, f), statCols))
+    stagedStats.foreach { case (f, us) =>
+      us.get("obj_id").flatMap(_.longRange)
+        .filter { case (lo, hi) => lo <= hi }
+        .foreach(addedStats(f) = _)
+      val rest = us - "obj_id"
+      if (rest.nonEmpty) addedFileStats(f) = rest
+    }
     retire(scanned)
     added ++= staged
     val ranges = scanned.map(f =>
       stats.getOrElse(f, (Long.MinValue, Long.MaxValue))) ++
-      stagedStats.flatMap(_._2)
+      stagedStats.flatMap(_._2.get("obj_id").flatMap(_.longRange)
+        .filter { case (lo, hi) => lo <= hi })
     if (ranges.nonEmpty)
       mergeSummary(ObjSummary(0L, ranges.map(_._1).min, ranges.map(_._2).max,
         IdBloom.saturated(inst.conf.bloomBits)))

@@ -42,6 +42,17 @@ class RowLevelSpec extends AnyFunSuite {
     // removes/adds one file, not two
     val m = inst.readManifest(3L)
     assert(m.removed.size == 1, s"expected 1 retired file, got ${m.removed}")
+    // the replacement file re-enters the data-skipping index: the CoW
+    // commit records universal footer stats (and the primary id range)
+    // for its staged file, exactly like a plain insert — without this
+    // every SQL rewrite would exempt its output from pruning until the
+    // next compaction
+    assert(m.added.size == 1)
+    assert(m.stats.contains(m.added.head),
+      "CoW replacement file missing its obj_id range")
+    val us = m.fileStats.getOrElse(m.added.head, Map.empty)
+    assert(us.contains("value"),
+      s"CoW replacement file missing universal stats, got ${us.keySet}")
     // pre-update state is still time-travelable
     assert(sql("SELECT value FROM rcat.rl.u VERSION AS OF 2 " +
       "WHERE obj_id = 100").head().getLong(0) == 1000L)
