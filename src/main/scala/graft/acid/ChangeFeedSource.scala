@@ -125,8 +125,22 @@ private[acid] object ChangeFeedSource {
     // versions of them (the serial walk was the planner bottleneck)
     val specs = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, String, Option[VersionedTable.DvMask])]
+    // dv state rolls FORWARD beside the walk (seeded by one
+    // O(checkpointInterval) replay at `lo`), so a range dense with MoR
+    // commits costs O(range) manifest reads, not O(range × interval) —
+    // the same roll-forward discipline as Instance.changes()
+    var prevDvs: Map[String, Seq[String]] =
+      if (changeFeed) inst.tableStateAt(lo).dvs else Map.empty
     ((lo + 1) to hi).foreach { v =>
       val m = inst.readManifest(v)
+      val priorDvs = prevDvs
+      if (changeFeed) {
+        var rolled = prevDvs -- m.removed
+        m.dvs.foreach { case (f, l) =>
+          rolled = if (l.isEmpty) rolled - f else rolled.updated(f, l)
+        }
+        prevDvs = rolled
+      }
       val isData = m.objects.nonEmpty || m.objSummary.isDefined
       if (isData) {
         // a merge-on-read delete commit (dv delta, no file delta) is a
@@ -151,7 +165,7 @@ private[acid] object ChangeFeedSource {
           // DELETE events: for each masked file, the mask DELTA vs the
           // previous version (prior-masked rows already streamed as
           // deletes by their own commit; a clear contributes nothing)
-          val prior = inst.tableStateAt(v - 1).dvs
+          val prior = priorDvs
           m.dvs.toSeq.sortBy(_._1).foreach { case (f, list) =>
             if (!m.removed.contains(f) && list.nonEmpty) {
               val cur = inst.resolveDvs(Map(f -> list), Seq(f))(f)
