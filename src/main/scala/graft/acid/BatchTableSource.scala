@@ -556,7 +556,9 @@ private[acid] final case class GraftInputPartition(
 private[acid] final class GraftScan(root: String, version: Long,
     tableSchema: StructType, required: StructType,
     filters: Array[sources.Filter],
-    wholeGroups: Boolean = false) extends Scan with Batch {
+    wholeGroups: Boolean = false) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   @transient private lazy val spark = SparkSession.active
   @transient private lazy val inst = VersionedTable.open(spark, root)
@@ -567,6 +569,52 @@ private[acid] final class GraftScan(root: String, version: Long,
     val fs = if (filters.isEmpty) "" else
       filters.mkString(" PushedFilters: [", ", ", "]")
     s"graft $root @v$version$fs"
+  }
+
+  /** Size/row statistics AFTER static file skipping, so the optimizer
+    * auto-broadcasts a small (or well-pruned) graft side of a join —
+    * without this a DSv2 relation defaults to "unknown = huge" and a
+    * dimension table never takes the broadcast path. Bytes are the
+    * pruned files' lengths (statuses already fetched for split
+    * planning); rows come from the footer-derived null-count-free
+    * proxy only when obj_id stats exist, else unset. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = prunedStatuses.values.map(_.getLen).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  /** Runtime (join-driven) re-pruning: Spark hands IN-set filters on
+    * these columns at execution start (dynamic partition pruning's
+    * DSv2 form); `filter()` re-runs the same manifest skipping with
+    * them, so a selective dim-side join prunes fact files before any
+    * open. Sound for every column the static skip serves: partition
+    * path values, the obj_id primary index, Z-order colStats, and the
+    * universal footer stats all veto conservatively. Disabled for
+    * row-level-operation scans (`wholeGroups`): their file set IS the
+    * commit's retire list and must stay exactly what the rewrite was
+    * planned against. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (wholeGroups)
+      Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
+    else required.fieldNames.map( // resolved against the PRUNED output
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  @transient @volatile private var runtimeFilters: Array[sources.Filter] =
+    Array.empty
+
+  override def filter(newFilters: Array[sources.Filter]): Unit = {
+    runtimeFilters = newFilters.filter(_.references.length == 1)
+    // drop memoized planning state so the next planInputPartitions
+    // sees the narrowed file set
+    prunedFilesMemo = null
+    prunedStatusesMemo = null
   }
 
   @transient private lazy val state = inst.tableStateAt(version)
@@ -593,13 +641,38 @@ private[acid] final class GraftScan(root: String, version: Long,
     state.dvs.filter { case (f, _) => pruned(f) }
   }
 
-  /** Snapshot file list after manifest-stats + partition-path skipping
-    * (exposed for plan assertions; computed once per scan). */
-  @transient lazy val prunedFiles: Seq[String] = {
+  @transient @volatile private var prunedFilesMemo: Seq[String] = null
+  @transient @volatile private var prunedStatusesMemo
+      : Map[String, org.apache.hadoop.fs.FileStatus] = null
+
+  /** Pruned files' statuses, fetched once on the bounded driver pool
+    * (each a ~10ms RPC on an object store) — shared by statistics
+    * estimation and split planning. */
+  @transient private def prunedStatuses
+      : Map[String, org.apache.hadoop.fs.FileStatus] = {
+    var memo = prunedStatusesMemo
+    if (memo == null) {
+      memo = inst.pooledMap(prunedFiles)(rel =>
+        rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
+      prunedStatusesMemo = memo
+    }
+    memo
+  }
+
+  /** Snapshot file list after manifest-stats + partition-path skipping,
+    * static AND runtime filters (exposed for plan assertions; memoized,
+    * recomputed only when a runtime filter narrows it). */
+  @transient def prunedFiles: Seq[String] = {
+    var memo = prunedFilesMemo
+    if (memo == null) { memo = computePrunedFiles(); prunedFilesMemo = memo }
+    memo
+  }
+
+  private def computePrunedFiles(): Seq[String] = {
     val (files, stats, colStats) = (state.files, state.stats, state.colStats)
     files.filter { rel =>
       val parts = GraftTableSource.partPairs(rel).toMap
-      filters.forall { f =>
+      (filters ++ runtimeFilters).forall { f =>
         // filters reference LOGICAL names; paths and stat indexes are
         // keyed by the fixed physical names
         val c = f.references.head
@@ -625,10 +698,7 @@ private[acid] final class GraftScan(root: String, version: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    // file statuses on the bounded driver pool — on an object store
-    // each is a ~10ms RPC; serial statting would dominate planning
-    val statuses = inst.pooledMap(prunedFiles)(rel =>
-      rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
+    val statuses = prunedStatuses
     val byLayout = prunedFiles.groupBy(r =>
       GraftTableSource.partPairs(r).map(_._1))
     byLayout.toSeq.sortBy(_._1.mkString(",")).flatMap { case (layout, rels) =>

@@ -218,6 +218,69 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(readGraft(dir).count() == 3L) // a fresh relation sees v4
   }
 
+  test("reported statistics: a small graft table auto-broadcasts in a join") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert((1 to 50).map(i => (i.toLong, i * 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    val big = spark.range(0, 100000)
+      .selectExpr("id % 50 + 1 AS obj_id", "id AS payload")
+    // NO explicit broadcast(): the planner must pick BHJ from the
+    // scan's reported size (a few KB << autoBroadcastJoinThreshold);
+    // without SupportsReportStatistics a DSv2 relation defaults to
+    // unknown-huge and this joins as SMJ
+    val joined = big.join(readGraft(dir), Seq("obj_id"))
+    // string match: AQE wraps the plan in AdaptiveSparkPlanExec, which
+    // collect() does not descend into
+    assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "small graft side must auto-broadcast:\n" +
+        joined.queryExecution.executedPlan)
+    assert(joined.count() == 100000L)
+    // and the size estimate tracks PRUNING: a filtered scan reports
+    // fewer bytes than the full one
+    val full = graftScan(readGraft(dir)).estimateStatistics().sizeInBytes()
+    val (inst2, dir2) = lifecycleTable()
+    val pruned = graftScan(readGraft(dir2).filter(col("obj_id") === 1L))
+    val prunedBytes = pruned.estimateStatistics().sizeInBytes()
+    val fullBytes2 = graftScan(readGraft(dir2)).estimateStatistics()
+      .sizeInBytes()
+    assert(full.isPresent && prunedBytes.isPresent && fullBytes2.isPresent)
+    assert(prunedBytes.getAsLong < fullBytes2.getAsLong,
+      s"pruned scan must report fewer bytes " +
+        s"(${prunedBytes.getAsLong} vs ${fullBytes2.getAsLong})")
+  }
+
+  test("runtime filters re-prune the file set (DSv2 dynamic pruning hook)") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    // one file per disjoint id range -> obj_id range index can skip
+    (0 until 4).foreach { g =>
+      val t = inst.begin()
+      t.insert((1 to 25).map(i => (g * 100L + i, i.toLong))
+        .toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val scan = graftScan(readGraft(dir))
+    assert(scan.filterAttributes().nonEmpty)
+    assert(scan.prunedFiles.size == 4)
+    // Spark hands join-derived IN sets through filter(); the scan must
+    // narrow to the files whose ranges can hold them
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("obj_id", Array(105L, 110L))))
+    assert(scan.prunedFiles.size == 1,
+      s"runtime IN must prune to one file, got ${scan.prunedFiles}")
+    // row-level-operation scans never volunteer runtime filtering
+    val rlo = new GraftRowLevelOperation(dir, inst.latestVersion,
+      AcidQueries.schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    val cowScan = rlo.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build().asInstanceOf[GraftScan]
+    assert(cowScan.filterAttributes().isEmpty)
+  }
+
   test("timestampAsOf time travel resolves by commit wall-clock") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
