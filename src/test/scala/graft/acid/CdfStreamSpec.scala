@@ -163,6 +163,32 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(spark.table(name3).isEmpty)
   }
 
+  test("change feed across a column rename reads every version under current names") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value")
+      .coalesce(1))
+    inst.commit(t1) // v1: pre-rename file spells `value`
+    inst.withRetry() { t => t.renameColumn("value", "amount") } // v2
+    val t3 = inst.begin()
+    t3.insert(Seq((3L, 30L)).toDF("obj_id", "amount"))
+    inst.commit(t3) // v3
+    inst.withRetry() { t => t.deleteMoR(Seq(1L)) } // v4
+    val name = "cdf_ren_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(readChangeFeed = true), name,
+      Files.createTempDirectory("graft_cdf_ren_ckpt_").toString)
+    // output schema = CURRENT logical names; pre-rename files' rows
+    // (v1 inserts AND the v4 delete event read from the v1 file)
+    // surface under `amount`
+    val got = spark.table(name).orderBy("_version", "obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("amount"),
+        r.getAs[Long]("_version"), r.getAs[String]("_change_type")))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, "insert"), (2L, 20L, 1L, "insert"),
+      (3L, 30L, 3L, "insert"),
+      (1L, 10L, 4L, "delete")))
+  }
+
   test("startingVersion skips history before it") {
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
     (1 to 3).foreach { i =>

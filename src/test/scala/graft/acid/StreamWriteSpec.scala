@@ -356,6 +356,35 @@ class StreamWriteSpec extends AnyFunSuite {
     assert(fromJson(toJson(plain)).appTxns.isEmpty)
   }
 
+  test("streaming into a RENAMED table stages physical names; reads merge") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    inst.withRetry() { t => t.renameColumn("value", "amount") }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ren_ckpt_").toString
+    mem.addData((2L, 20L))
+    val q = mem.toDF().toDF("obj_id", "amount") // the CURRENT logical name
+      .writeStream.format("graft").option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // pre-rename and streamed files merge under the logical name...
+    assert(inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("amount"))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // ...because the staged file spells the PHYSICAL column name
+    val staged = inst.readManifest(inst.latestVersion).added
+    assert(staged.size == 1)
+    val footer = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(inst.dataDir, staged.head).toString)
+    assert(footer.columns.toSeq.sorted == Seq("obj_id", "value"),
+      s"streamed file must spell physical names, got ${footer.columns.toSeq}")
+  }
+
   test("upsert epoch with duplicate obj_id values fails loudly") {
     // adopting duplicates would break the obj_id-unique-per-snapshot
     // contract point ops and the change feed rely on — the sink must
