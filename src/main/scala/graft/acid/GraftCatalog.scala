@@ -93,16 +93,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     // metadata tables, Delta/Iceberg style: SELECT * FROM ns.`t$history`
-    // / ns.`t$detail` — driver-side manifest reads rendered as a local
-    // relation, never a data scan
+    // / ns.`t$detail` / ns.`t$files` — driver-side manifest reads
+    // rendered as a local relation, never a data scan
     val dollar = ident.name().lastIndexOf('$')
     if (dollar > 0) {
       val base = Identifier.of(ident.namespace(), ident.name().take(dollar))
       val kind = ident.name().drop(dollar + 1)
-      if (tableExists(base) && (kind == "history" || kind == "detail")) {
+      if (tableExists(base) &&
+          (kind == "history" || kind == "detail" || kind == "files")) {
         val inst = VersionedTable.open(SparkSession.active,
           tablePath(base).toString)
-        val df = if (kind == "history") inst.history() else inst.detail()
+        val df = kind match {
+          case "history" => inst.history()
+          case "detail" => inst.detail()
+          case _ => inst.files()
+        }
         return new GraftMetadataTable(s"${ident.name()}", df)
       }
     }

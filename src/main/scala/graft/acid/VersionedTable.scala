@@ -1405,6 +1405,30 @@ final class Instance(val spark: SparkSession, val root: String,
         "num_masked_files", "num_dv_sidecars", "schema_ddl")
   }
 
+  /** One row per LIVE data file of the current snapshot (the
+    * `$files` metadata table): relative path, size, the manifest's
+    * obj-id range when recorded, outstanding deletion-vector sidecar
+    * count, and the hive partition segment of the path (empty for
+    * unpartitioned files). Driver-side metadata only — statuses on the
+    * bounded pool, no data read; the admin surface for "which files
+    * would a compaction fold / which carry masks / how skewed are the
+    * sizes". */
+  def files(): DataFrame = {
+    val st = tableStateAt(latestVersion)
+    val statuses = pooledMap(st.files)(f =>
+      f -> fs.getFileStatus(new Path(dataDir, f))).toMap
+    val s = spark
+    import s.implicits._
+    st.files.map { f =>
+      val range = st.stats.get(f)
+      val parts = f.split('/').drop(1).dropRight(1)
+        .filter(_.contains('=')).mkString("/")
+      (f, statuses(f).getLen, range.map(_._1), range.map(_._2),
+        st.dvs.getOrElse(f, Nil).size.toLong, parts)
+    }.toDF("file", "size_bytes", "id_min", "id_max",
+      "num_dv_sidecars", "partition_values")
+  }
+
   /** Latest version whose commit wall-clock stamp is <= `tsMillis` —
     * the resolution behind `timestampAsOf` time travel. Walks the log
     * BACKWARD from `latestVersion` in pooled chunks, so a recent

@@ -115,6 +115,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(d.getAs[Long]("size_bytes") > 0L)
     assert(d.getAs[Long]("num_masked_files") == 0L)
     assert(d.getAs[String]("schema_ddl").contains("obj_id"))
+    // $files: one row per live file with size, id range, dv count
+    val files = sql("SELECT * FROM gcat.meta.`t$files`").collect()
+    assert(files.length == d.getAs[Long]("num_files"))
+    files.foreach { f =>
+      assert(f.getAs[Long]("size_bytes") > 0L)
+      assert(f.getAs[Long]("num_dv_sidecars") == 0L)
+      assert(f.getAs[String]("partition_values") == "")
+      assert(!f.isNullAt(f.fieldIndex("id_min")), "footer id range recorded")
+    }
+    // a MoR delete surfaces as a sidecar count on its target file
+    spark.conf.set("spark.graft.mor.deletes", "true")
+    try sql("DELETE FROM gcat.meta.t WHERE obj_id = 1")
+    finally spark.conf.set("spark.graft.mor.deletes", "false")
+    assert(sql("SELECT sum(num_dv_sidecars) FROM gcat.meta.`t$files`")
+      .head().getLong(0) == 1L)
     // unknown suffix still errors like a missing table
     intercept[Exception](sql("SELECT * FROM gcat.meta.`t$nope`").collect())
   }
