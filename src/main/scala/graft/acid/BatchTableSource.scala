@@ -595,15 +595,38 @@ private[acid] final class GraftScan(root: String, version: Long,
     * them, so a selective dim-side join prunes fact files before any
     * open. Sound for every column the static skip serves: partition
     * path values, the obj_id primary index, Z-order colStats, and the
-    * universal footer stats all veto conservatively. Disabled for
-    * row-level-operation scans (`wholeGroups`): their file set IS the
-    * commit's retire list and must stay exactly what the rewrite was
-    * planned against. */
+    * universal footer stats all veto conservatively.
+    *
+    * Row-level-operation scans (`wholeGroups`) participate too — this
+    * is Spark's runtime GROUP filtering for group-based MERGE/UPDATE/
+    * DELETE: the rule plans "which groups hold matching rows" as a
+    * dynamic subquery over a SEPARATE scan of the plain table (built
+    * from GraftTable.newScanBuilder, so the operation's captured scan
+    * is never clobbered) and narrows THIS scan to those files before
+    * execution. Consistency holds end to end because the rewrite and
+    * the commit share the instance: ReplaceData's replacement rows are
+    * computed from the narrowed file set and `GraftCowWrite.commit`
+    * retires `scan.prunedFiles` — the same narrowed set. A file
+    * dropped by the runtime filter provably holds no matching row, so
+    * its exclusion from the rewrite-and-retire cycle is exactly right;
+    * without this a MERGE whose ON keys land in one file still
+    * rewrote every candidate file.
+    *
+    * The group-filter rule builds ONE dynamic predicate over ALL
+    * declared attributes (a struct-IN past one column, which cannot
+    * convert to the V1 filter the skip logic consumes), so the
+    * row-level scan declares only `obj_id` — the group key whose
+    * manifest range index prunes exactly. Regular scans declare every
+    * pruned-output column: the partition-pruning rule intersects them
+    * with the join keys one at a time. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (wholeGroups)
-      Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
-    else required.fieldNames.map( // resolved against the PRUNED output
+    if (wholeGroups) {
+      if (required.fieldNames.contains("obj_id"))
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("obj_id"))
+      else Array.empty
+    } else required.fieldNames.map( // resolved against the PRUNED output
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   @transient @volatile private var runtimeFilters: Array[sources.Filter] =

@@ -271,14 +271,15 @@ class BatchSourceSpec extends AnyFunSuite {
       org.apache.spark.sql.sources.In("obj_id", Array(105L, 110L))))
     assert(scan.prunedFiles.size == 1,
       s"runtime IN must prune to one file, got ${scan.prunedFiles}")
-    // row-level-operation scans never volunteer runtime filtering
+    // row-level-operation scans volunteer runtime filtering too
+    // (Spark's runtime GROUP filtering for group-based CoW)
     val rlo = new GraftRowLevelOperation(dir, inst.latestVersion,
       AcidQueries.schema,
       org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
     val cowScan = rlo.newScanBuilder(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap())).build().asInstanceOf[GraftScan]
-    assert(cowScan.filterAttributes().isEmpty)
+    assert(cowScan.filterAttributes().nonEmpty)
   }
 
   test("timestampAsOf time travel resolves by commit wall-clock") {

@@ -300,8 +300,16 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM $cat.u.t ORDER BY obj_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 11L), (3L, 31L)))
-    // the rewrite materialized the masks it consumed
+    // masks on files the rewrite actually SCANNED are materialized
+    // with the rewrite; a masked file the runtime group filter proved
+    // irrelevant (its only live content is masked away) may keep its
+    // vector — still invisible to readers, cleared by materializeDvs
+    val leftover = inst.tableStateAt(inst.latestVersion).dvs
+    assert(leftover.isEmpty || inst.materializeDvs() == leftover.size)
     assert(inst.tableStateAt(inst.latestVersion).dvs.isEmpty)
+    assert(spark.sql(s"SELECT * FROM $cat.u.t ORDER BY obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (3L, 31L)), "no resurrection after materialization")
   }
 
   test("materializeDvs rewrites ONLY masked files; CALL system.materialize works") {

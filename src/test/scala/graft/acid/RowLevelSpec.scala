@@ -87,6 +87,25 @@ class RowLevelSpec extends AnyFunSuite {
       .head().getLong(0) == 4L)
   }
 
+  test("runtime group filtering: a MERGE keyed into one file rewrites one file") {
+    val inst = freshTable("rgf")
+    // a join-shaped MERGE has NO static pushdown on the target — only
+    // the runtime group filter (dynamic subquery over the source keys)
+    // can narrow the scan, and the commit's retire list must follow it
+    sql("CREATE OR REPLACE TEMPORARY VIEW rgf_src AS SELECT * FROM VALUES " +
+      "(100, 7) AS s(obj_id, value)")
+    sql("""MERGE INTO rcat.rl.rgf t USING rgf_src s ON t.obj_id = s.obj_id
+          WHEN MATCHED THEN UPDATE SET value = t.value + s.value""")
+    assert(rows("rgf") ==
+      Seq((1L, 10L), (2L, 20L), (100L, 1007L), (200L, 2000L)))
+    val m = inst.readManifest(inst.latestVersion)
+    assert(m.removed.size == 1,
+      s"runtime group filter must narrow the rewrite to the one file " +
+        s"whose id range holds 100, got retired=${m.removed}")
+    // the other file's rows are untouched on disk (no needless rewrite)
+    assert(m.added.size == 1)
+  }
+
   test("row-level ops conflict metadata blocks concurrent writers of those ids") {
     val inst = freshTable("c")
     val t = inst.begin()
