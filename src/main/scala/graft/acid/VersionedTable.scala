@@ -3026,10 +3026,18 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   /** Metadata-only schema evolution (SQL `ALTER TABLE ADD/DROP
     * COLUMNS`): adopt `next` as the table schema in this transaction
     * under the same add/drop-only guard an evolving insert passes —
-    * type changes always rejected, no data files touched. Old files
-    * read under the new schema with added columns NULL; dropped
-    * columns are pruned at scan. The commit conflicts with interleaved
-    * commits exactly like any schema-evolving commit. */
+    * type changes always rejected (see [[widenColumn]] for the
+    * lossless promotions), no data files touched. Old files read
+    * under the new schema with added columns NULL; dropped columns
+    * are pruned at scan. The commit conflicts with interleaved
+    * commits exactly like any schema-evolving commit.
+    *
+    * Caveat (shared with pre-column-mapping lakehouse formats):
+    * re-adding a previously DROPPED column name reads the old values
+    * for rows written before the drop (their files still hold the
+    * physical column) — compact first to physically shed it. A name
+    * freed by RENAME has no such aliasing: the add detects the
+    * physical-name collision and assigns a fresh physical name. */
   def alterSchema(next: StructType): Unit = {
     allowEvolve = true
     adoptSchemaType(next)

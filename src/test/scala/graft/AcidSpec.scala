@@ -1832,6 +1832,76 @@ class AcidSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("amount") == 20L && r2.getAs[Long]("value") == 99L)
   }
 
+  test("column mapping property: random rename/add/drop chains never lose or misroute data") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(4242) // deterministic
+    val inst = VersionedTable.create(spark, freshDir(), StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("a", LongType), StructField("b", LongType))))
+    // expected state: obj_id -> (logical column name -> value)
+    var expect = Map.empty[Long, Map[String, Long]]
+    var nextId = 1L
+    var nameSeq = 0
+    // names released by DROP are excluded from re-adds: old files keep
+    // the physical column, so a re-added same-name column would read
+    // the pre-drop values for old rows (the documented drop/re-add
+    // caveat shared with pre-column-mapping lakehouse formats; names
+    // freed by RENAME are fully handled — fresh physical assigned)
+    var droppedNames = Set.empty[String]
+    (1 to 30).foreach { _ =>
+      val schema = inst.read().schema
+      val dataCols = schema.fieldNames.filterNot(_ == "obj_id").toSeq
+      rnd.nextInt(4) match {
+        case 0 => // insert a row under the CURRENT names
+          val id = nextId; nextId += 1
+          val vals = dataCols.map(_ -> rnd.nextInt(1000).toLong).toMap
+          val row = org.apache.spark.sql.Row.fromSeq(
+            id +: dataCols.map(vals))
+          val df = spark.createDataFrame(
+            java.util.Collections.singletonList(row), schema)
+          val t = inst.begin(); t.insert(df); inst.commit(t)
+          expect += id -> vals
+        case 1 if dataCols.nonEmpty => // rename a data column
+          val from = dataCols(rnd.nextInt(dataCols.size))
+          val to = s"c$nameSeq"; nameSeq += 1
+          inst.withRetry() { t => t.renameColumn(from, to) }
+          expect = expect.view.mapValues(m =>
+            m.map { case (k, v) => (if (k == from) to else k) -> v }).toMap
+        case 2 => // add a column (may collide with a RENAME-freed name)
+          val name = if (rnd.nextBoolean() || nameSeq == 0) { // fresh
+            val n = s"c$nameSeq"; nameSeq += 1; n
+          } else s"c${rnd.nextInt(nameSeq)}"
+          if (!schema.fieldNames.contains(name) && !droppedNames(name))
+            inst.withRetry() { t =>
+              t.alterSchema(t.localSchema.add(StructField(name, LongType)))
+            }
+          // existing rows read NULL for it (tracked as absence)
+        case _ if dataCols.size > 1 => // drop a data column
+          val victim = dataCols(rnd.nextInt(dataCols.size))
+          inst.withRetry() { t =>
+            t.alterSchema(StructType(t.localSchema.filterNot(_.name == victim)))
+          }
+          droppedNames += victim
+          expect = expect.view.mapValues(_ - victim).toMap
+        case _ => ()
+      }
+    }
+    val finalCols = inst.read().schema.fieldNames.filterNot(_ == "obj_id")
+    val got = inst.read().collect().map { r =>
+      r.getLong(r.fieldIndex("obj_id")) -> finalCols.flatMap { c =>
+        val i = r.fieldIndex(c)
+        if (r.isNullAt(i)) None else Some(c -> r.getLong(i))
+      }.toMap
+    }.toMap
+    val want = expect.view.mapValues(_.filter { case (k, _) =>
+      finalCols.contains(k) }).toMap
+    assert(got.keySet == want.keySet,
+      s"row set diverged: got ${got.keySet}, want ${want.keySet}")
+    got.foreach { case (id, m) =>
+      assert(m == want(id), s"row $id diverged: got $m want ${want(id)}")
+    }
+  }
+
   test("column mapping: widen INT->LONG then rename, MoR delete through the map") {
     import org.apache.spark.sql.types._
     val inst = VersionedTable.create(spark, freshDir(), StructType(Seq(
