@@ -141,6 +141,54 @@ private[acid] object GraftTableSource {
         Option(SQLConf.get.sessionLocalTimeZone)).eval(null), dt)
   }
 
+  /** [[partValue]] with an EXPLICIT session timezone — the executor
+    * form: `SQLConf.get` on a task thread may fall back to defaults,
+    * so distributed skip predicates capture the driver's zone. */
+  def partValueTz(raw: String, dt: DataType, tz: String): Any = {
+    val s = ExternalCatalogUtils.unescapePathName(raw)
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else CatalystTypeConverters.convertToScala(
+      Cast(Literal(UTF8String.fromString(s), StringType), dt,
+        Option(tz)).eval(null), dt)
+  }
+
+  /** Executor-safe mirror of GraftScan's per-file skip loop for
+    * segmented-checkpoint side-car rows: same veto order (partition
+    * path, then primary/Z-order range, then universal footer stats),
+    * same conservatism. Built here (object member) so the returned
+    * closure captures only serializable values — filters, the column
+    * mapping, the schema, and the driver's session timezone — never a
+    * scan or instance. */
+  def sidecarPred(filters: Array[sources.Filter],
+      renames: Map[String, String], tableSchema: StructType)
+      : CheckpointStore.CkptRow => Boolean = {
+    val tz = SQLConf.get.sessionLocalTimeZone // captured on the driver
+    r => {
+      val parts = partPairs(r.file).toMap
+      filters.forall { f =>
+        val c = f.references.head
+        val pc = renames.getOrElse(c, c)
+        if (parts.contains(pc)) {
+          val dt = tableSchema.find(_.name == c).map(_.dataType)
+            .getOrElse(StringType)
+          partMayMatch(f, partValueTz(parts(pc), dt, tz))
+        } else {
+          val range =
+            if (c == "obj_id") CheckpointStore.statsOf(r)
+            else {
+              val ci = r.colNames.indexOf(pc)
+              if (ci >= 0) Some((r.colMins(ci), r.colMaxs(ci))) else None
+            }
+          range.forall(rangeMayMatch(f, _)) && {
+            val ui = r.uCols.indexOf(pc)
+            ui < 0 || ustatMayMatch(f, VersionedTable.UStat(
+              r.uKinds(ui).head, r.uMins(ui), r.uMaxs(ui), r.uNulls(ui)))
+          }
+        }
+      }
+    }
+  }
+
   /** Decoded partition value in CATALYST internal form (for the
     * constant partition columns the reader appends to every row). */
   def partValueInternal(raw: String, dt: DataType): Any = {
@@ -693,9 +741,10 @@ private[acid] final class GraftScan(root: String, version: Long,
 
   private def computePrunedFiles(): Seq[String] = {
     val (files, stats, colStats) = (state.files, state.stats, state.colStats)
-    files.filter { rel =>
+    val allFilters = filters ++ runtimeFilters
+    def driverPred(rel: String): Boolean = {
       val parts = GraftTableSource.partPairs(rel).toMap
-      (filters ++ runtimeFilters).forall { f =>
+      allFilters.forall { f =>
         // filters reference LOGICAL names; paths and stat indexes are
         // keyed by the fixed physical names
         val c = f.references.head
@@ -716,6 +765,21 @@ private[acid] final class GraftScan(root: String, version: Long,
               .forall(GraftTableSource.ustatMayMatch(f, _))
         }
       }
+    }
+    state.sidecar match {
+      case Some(sc) =>
+        // segmented snapshot: the O(files) skip loop runs as a
+        // DISTRIBUTED filter over the checkpoint side files (same
+        // veto logic — GraftTableSource.sidecarPred is the executor
+        // mirror of driverPred); only the O(tail) inline files screen
+        // on the driver. Survivor NAMES are all that comes back.
+        val driverPart = state.files.filter(f => sc.tailLive(f) &&
+          driverPred(f))
+        val distPart = inst.sidecarSurvivors(sc)(
+          GraftTableSource.sidecarPred(allFilters, state.renames,
+            tableSchema))
+        (driverPart ++ distPart).sorted
+      case None => files.filter(driverPred)
     }
   }
 

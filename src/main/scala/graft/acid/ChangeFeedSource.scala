@@ -112,13 +112,16 @@ private[acid] object ChangeFeedSource {
     * batch read; manifests are immutable, so planning the same range
     * twice is byte-identical (the replay guarantee). */
   def planRange(inst: Instance, schema: StructType, lo: Long, hi: Long,
-      ignoreChanges: Boolean, changeFeed: Boolean = false)
+      ignoreChanges: Boolean, changeFeed: Boolean = false,
+      ren: Map[String, String] = Map.empty)
       : Array[CdfPartition] = {
     val out = Array.newBuilder[CdfPartition]
-    // `schema` is the CURRENT logical schema; files of every version
-    // spell the fixed PHYSICAL names, so the current column mapping
-    // translates for the whole range
-    val ren = inst.tableStateAt(inst.latestVersion).renames
+    // `schema` and `ren` are the logical schema and column mapping the
+    // CALLER captured together (stream start / batch plan); files of
+    // every version spell the fixed PHYSICAL names, so one mapping
+    // translates for the whole range — passing them as a pair keeps
+    // the partition-type lookup below consistent with the reader
+    // factory's resolution even if a rename commits mid-plan
     // (file, version, change type, keep-mask) specs first; statuses
     // are then fetched on the bounded driver pool — each is a ~10ms
     // RPC on an object store, and a bursty commit range adds files ×
@@ -219,7 +222,7 @@ private[acid] object ChangeFeedSource {
     * InternalRow). */
   /** Synthetic output columns appended by the source (never read from
     * files; carried as partition constants). */
-  private val MetaCols = Set("_version", "_change_type")
+  private[acid] val MetaCols = Set("_version", "_change_type")
 
   def readerFactory(spark: SparkSession, schema: StructType,
       planned: Array[CdfPartition],
@@ -313,14 +316,17 @@ private[acid] final class ChangeFeedScan(schema: StructType, root: String,
   override def toBatch: Batch = new Batch {
     private lazy val spark = SparkSession.active
     private lazy val inst = VersionedTable.open(spark, root)
+    // ONE capture shared by planning and the reader factory, so a
+    // rename committing between the two can't misalign them
+    private lazy val ren = inst.tableStateAt(inst.latestVersion).renames
     private lazy val planned = ChangeFeedSource.planRange(inst, schema,
       startingVersion - 1,
-      endingVersion.getOrElse(inst.latestVersion), ignoreChanges, changeFeed)
+      endingVersion.getOrElse(inst.latestVersion), ignoreChanges,
+      changeFeed, ren)
     override def planInputPartitions(): Array[InputPartition] =
       planned.toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory =
-      ChangeFeedSource.readerFactory(spark, schema, planned,
-        inst.tableStateAt(inst.latestVersion).renames, changeFeed)
+      ChangeFeedSource.readerFactory(spark, schema, planned, ren, changeFeed)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeFeedStream(schema, root, startingVersion, ignoreChanges,
@@ -352,6 +358,16 @@ private[acid] final class ChangeFeedStream(schema: StructType, root: String,
 
   @transient private lazy val spark = SparkSession.active
   @transient private lazy val inst = VersionedTable.open(spark, root)
+  // column mapping captured ONCE at stream start, beside the (already
+  // captured) schema — physical names never change, so one mapping
+  // resolves every version's files for the whole run. Re-resolving at
+  // latestVersion per batch would silently mis-read after a mid-stream
+  // re-rename (the map is keyed by the NEW logical name, so phys()
+  // would miss and the column would read NULL); instead, drift against
+  // the captured logical names FAILS the stream loudly (Delta's
+  // schema-change semantics — restart to adopt the new mapping).
+  @transient private lazy val ren0: Map[String, String] =
+    inst.tableStateAt(inst.latestVersion).renames
   // planInputPartitions -> createReaderFactory run in sequence on the
   // driver for the same batch; the factory needs the batch's distinct
   // partition layouts to prepare one reader per layout
@@ -383,16 +399,39 @@ private[acid] final class ChangeFeedStream(schema: StructType, root: String,
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // mapping-drift gate: if any column this stream captured at start
+    // has since been renamed again, dropped, or re-typed, planning
+    // with the captured (schema, ren0) would silently emit NULLs —
+    // fail the run instead; a restart re-captures and replays exactly
+    val cur = inst.tableStateAt(inst.latestVersion)
+    val curSchema = StructType.fromDDL(cur.ddl)
+    val drifted = schema.filterNot(f =>
+        ChangeFeedSource.MetaCols(f.name)).flatMap { f =>
+      curSchema.find(_.name == f.name) match {
+        case None => Some(s"${f.name} (dropped or renamed)")
+        case Some(g) if cur.renames.getOrElse(f.name, f.name) !=
+            ren0.getOrElse(f.name, f.name) =>
+          Some(s"${f.name} (column mapping changed)")
+        case Some(g) if g.dataType != f.dataType =>
+          Some(s"${f.name} (type ${f.dataType.simpleString} -> " +
+            s"${g.dataType.simpleString})")
+        case _ => None
+      }
+    }
+    if (drifted.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-cdf: table schema/column mapping changed mid-stream for " +
+        s"column(s) ${drifted.mkString(", ")} at ${inst.root}; restart " +
+        "the stream to adopt the new schema (offsets replay exactly)")
     val ps = ChangeFeedSource.planRange(inst, schema,
       start.asInstanceOf[VersionOffset].v,
-      end.asInstanceOf[VersionOffset].v, ignoreChanges, changeFeed)
+      end.asInstanceOf[VersionOffset].v, ignoreChanges, changeFeed, ren0)
     planned = ps
     ps.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangeFeedSource.readerFactory(spark, schema, planned,
-      inst.tableStateAt(inst.latestVersion).renames, changeFeed)
+    ChangeFeedSource.readerFactory(spark, schema, planned, ren0, changeFeed)
 }
 
 private[acid] final class CdfReaderFactory(

@@ -38,7 +38,8 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * The metadata-fast DELETE shapes (obj_id = k / IN, truncate) never
   * reach this path — [[GraftTable.canDeleteWhere]] claims them first. */
-final class GraftRowLevelOperation(root: String, version: Long,
+final class GraftRowLevelOperation(root: String,
+    private[acid] val version: Long,
     tableSchema: StructType, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
@@ -78,8 +79,14 @@ private[acid] final class GraftCowWrite(root: String, dataSchema: StructType,
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sessionState.newHadoopConf())
     // column mapping: staged files spell PHYSICAL names (rows are
-    // written positionally, so renaming the write schema suffices)
-    val ren = inst.tableStateAt(inst.latestVersion).renames
+    // written positionally, so renaming the write schema suffices).
+    // Resolved at the OPERATION's pinned version — the version the
+    // scan and schema were planned against — never at latestVersion:
+    // a rename committed between scan-pin and here would stage files
+    // under the new logical name as a physical name, and the column
+    // would later read NULL (commit's pinnedMapping check then
+    // conflicts on the drift instead of landing it)
+    val ren = inst.tableStateAt(op.version).renames
     val physSchema = StructType(dataSchema.map(f =>
       f.copy(name = ren.getOrElse(f.name, f.name))))
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
@@ -103,9 +110,13 @@ private[acid] final class GraftCowWrite(root: String, dataSchema: StructType,
     try {
       // pass the scan's pinned dv state: a MoR mask that landed on a
       // scanned file between scan-pin and this commit must conflict
-      // (the rewrite was planned against the pre-mask rows)
+      // (the rewrite was planned against the pre-mask rows). Likewise
+      // the pinned (DDL, renames): staged files spell the mapping
+      // resolved at op.version, so mapping drift must conflict too.
+      val pinnedSt = inst.tableStateAt(op.version)
       txn.replaceScanned(scanned, staged,
-        if (op.scan == null) Map.empty else op.scan.pinnedDvs)
+        if (op.scan == null) Map.empty else op.scan.pinnedDvs,
+        Some((pinnedSt.ddl, pinnedSt.renames)))
       inst.commit(txn)
     } catch {
       case e: Throwable =>

@@ -68,6 +68,18 @@ private[acid] final class GraftStreamingWrite(root: String,
   // collide on file names
   private val stagingSub = s"stream-${UUID.randomUUID().toString.take(12)}"
 
+  // (schemaDDL, renames) pinned ONCE for the query run at first use:
+  // every epoch stages files under this mapping, and every epoch's
+  // commit passes it to replaceScanned, which conflicts (failing the
+  // stream — a restart re-pins) if an interleaved rename/DDL change
+  // made it stale. Resolving per-epoch at latestVersion instead would
+  // let an epoch stage files under a drifted mapping and land them.
+  @transient private lazy val pinnedMapping: (String, Map[String, String]) = {
+    val st = VersionedTable.open(SparkSession.active, root)
+    val s = st.tableStateAt(st.latestVersion)
+    (s.ddl, s.renames)
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
@@ -76,7 +88,7 @@ private[acid] final class GraftStreamingWrite(root: String,
     // spell the PHYSICAL names; the query's schema/partitionBy are
     // logical. Rows are written positionally, so renaming the write
     // schema is the whole translation.
-    val ren = inst.tableStateAt(inst.latestVersion).renames
+    val ren = pinnedMapping._2
     def physS(s: StructType) = StructType(s.map(f =>
       f.copy(name = ren.getOrElse(f.name, f.name))))
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
@@ -145,7 +157,8 @@ private[acid] final class GraftStreamingWrite(root: String,
             s"upstream, e.g. dropDuplicates(\"obj_id\"))")
         txn.deleteMatching(keys)
       }
-      if (staged.nonEmpty) txn.replaceScanned(Nil, staged)
+      if (staged.nonEmpty)
+        txn.replaceScanned(Nil, staged, Map.empty, Some(pinnedMapping))
       inst.commit(txn)
     } catch {
       case _: EpochAlreadyCommittedException =>

@@ -143,7 +143,33 @@ object VersionedTable {
       // only where logical != physical. formatVersion-7 gated: a
       // reader ignoring the map would request logical names absent
       // from the files and silently read every renamed column as NULL.
-      renames: Map[String, String] = Map.empty)
+      renames: Map[String, String] = Map.empty,
+      // RETIRED physical column names: every physical name ever freed
+      // by a DROP COLUMN (directly, or of a renamed column). Old files
+      // still spell these names, so a later ADD of a colliding logical
+      // name must allocate a FRESH physical name or it would resurrect
+      // the dropped column's values. Carried as the FULL cumulative
+      // set on every manifest (monotone — a retired name never
+      // un-retires; like renames/schemaDDL, the fold takes the last).
+      // formatVersion-8 gated: a writer ignoring the set would assign
+      // a colliding physical name on re-ADD and silently alias two
+      // generations of data.
+      tombstones: Seq[String] = Nil,
+      // SEGMENTED checkpoint pointer (checkpoint manifests only): the
+      // relative name, under `_manifests/`, of the parquet side-file
+      // set carrying the full per-file fold (live files, id ranges,
+      // colStats, universal stats, dv lists) — written instead of the
+      // inline allFiles/stats/colStats/fileStats/allDvs once the fold
+      // outgrows [[EngineConf.checkpointInlineFiles]]. Keeps every
+      // checkpoint manifest O(1) regardless of table size; readers
+      // fold the tail deltas on top and consult the side files
+      // columnar/distributed (see [[Instance.tableStateAt]] and the
+      // skipping paths). formatVersion-8 gated: ignoring the pointer
+      // folds an empty checkpoint. `ckptFiles` = live-file count at
+      // the checkpoint (so planners can size decisions without
+      // opening the side files).
+      ckptRef: Option[String] = None,
+      ckptFiles: Long = 0L)
 
   /** Universal statistic for ONE leaf column of one data file, read
     * from the parquet footer at write time. `kind` tags the value
@@ -180,15 +206,39 @@ object VersionedTable {
     val empty: DvMask = DvMask(Array.emptyLongArray, GraftBitmap.empty)
   }
 
+  /** Handle onto a SEGMENTED checkpoint's parquet side files for one
+    * snapshot ([[CheckpointStore]]): `ref` is the side-file directory
+    * name under `_manifests/`; the state's heavy per-file stat maps
+    * live THERE, not on the driver. `excluded` = side-car rows that no
+    * longer speak for the snapshot (removed by the tail, or overridden
+    * by a tail re-add whose stats are inline) — O(tail) names.
+    * `tailLive` = live files added SINCE the checkpoint, whose stats
+    * are in the state's inline maps — also O(tail). Invariant: the
+    * snapshot's files = (side-car rows minus excluded) disjoint-union
+    * tailLive. */
+  final case class SidecarState(ref: String, excluded: Set[String],
+      tailLive: Set[String])
+
   /** Materialized snapshot state at one version (the [[Manifest]] fold):
     * live files, schema, all three stats indexes, and the
-    * deletion-vector map (data file -> sidecars masking its rows). */
+    * deletion-vector map (data file -> sidecars masking its rows).
+    *
+    * With `sidecar` set (segmented checkpoint), the stat maps hold
+    * ONLY the tail-added files' entries; checkpoint-covered files'
+    * stats stay columnar in the side files and every skipping path
+    * must consult them through [[Instance.sidecarSurvivors]] — a file
+    * missing from the inline maps is NOT statless, it is
+    * sidecar-covered. `files`, `dvs`, `renames`, `tombstones` are
+    * always fully materialized (names and sparse masks — the cheap
+    * part). */
   final case class TableState(files: Seq[String], ddl: String,
       stats: Map[String, (Long, Long)],
       colStats: Map[String, Map[String, (Long, Long)]],
       dvs: Map[String, Seq[String]],
       fileStats: Map[String, Map[String, UStat]] = Map.empty,
-      renames: Map[String, String] = Map.empty) {
+      renames: Map[String, String] = Map.empty,
+      tombstones: Seq[String] = Nil,
+      sidecar: Option[SidecarState] = None) {
     /** Physical (on-disk) name of logical column `n` under this
       * state's column mapping — identity for never-renamed columns. */
     def phys(n: String): String = renames.getOrElse(n, n)
@@ -270,10 +320,17 @@ object VersionedTable {
     * silently read the whole column as NULL — so manifests carrying a
     * non-identity map declare 7; never-renamed tables keep their
     * earlier generation.
+    * 8 added `tombstones` (retired physical column names): a WRITER
+    * ignoring them would map a re-added column onto a dropped column's
+    * still-on-disk physical name and silently resurrect its values —
+    * so manifests carrying a non-empty set declare 8. 8 also marks
+    * SEGMENTED checkpoints (`ckptRef`, the per-file state in a parquet
+    * side file instead of inline): a reader ignoring the pointer would
+    * fold an EMPTY checkpoint and see a vanished table.
     * Each manifest declares the MINIMUM generation its own fields
     * need, so only tables actually using a feature lock out older
     * deployments. */
-  val FormatVersion = 7
+  val FormatVersion = 8
 
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -336,8 +393,14 @@ object VersionedTable {
       if (renKeys.isEmpty) ""
       else s""""renFrom":${arrS(renKeys)},""" +
         s""""renTo":${arrS(renKeys.map(m.renames(_)))},"""
+    val tombs =
+      if (m.tombstones.isEmpty) ""
+      else s""""tombstones":${arrS(m.tombstones.sorted)},"""
+    val ckpt = m.ckptRef.map(r =>
+      s""""ckptRef":"${esc(r)}","ckptFiles":${m.ckptFiles},""").getOrElse("")
     val declaredFv =
-      if (m.renames.nonEmpty) 7
+      if (m.tombstones.nonEmpty || m.ckptRef.isDefined) 8
+      else if (m.renames.nonEmpty) 7
       else if (m.multiRef.isDefined) 6
       else if ((m.dvs.valuesIterator ++ m.allDvs.valuesIterator)
           .exists(_.exists(_.startsWith("dvp-")))) 5
@@ -351,7 +414,7 @@ object VersionedTable {
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary + cstats + apps + dvsJson + ustats + rens +
+      summary + cstats + apps + dvsJson + ustats + rens + tombs + ckpt +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -669,7 +732,13 @@ object VersionedTable {
         Some(strField("multiRef")) else None,
       renames = if (s.contains("\"renFrom\":"))
         strArr("renFrom").zip(strArr("renTo")).toMap
-      else Map.empty)
+      else Map.empty,
+      tombstones = if (s.contains("\"tombstones\":"))
+        strArr("tombstones") else Nil,
+      ckptRef = if (s.contains("\"ckptRef\":\""))
+        Some(strField("ckptRef")) else None,
+      ckptFiles = if (s.contains("\"ckptFiles\":"))
+        rawField("ckptFiles").toLong else 0L)
   }
 
   /** One-time datastore initialization (reference:
@@ -765,6 +834,16 @@ object VersionedTable {
   *                             range index is always on) */
 final case class EngineConf(
     checkpointInterval: Int = 10,
+    // live-file count past which checkpoints switch from the inline
+    // JSON fold to SEGMENTED parquet side files written and consumed
+    // distributively ([[CheckpointStore]]): the manifest stays O(1),
+    // the driver stops materializing per-file stat maps, and file
+    // skipping runs as a Spark job over the side files. Below the
+    // threshold the inline path keeps metadata ops free of Spark-job
+    // latency (the right trade for small tables); once a table has
+    // segmented it stays segmented (no flapping at the boundary).
+    // 0 = always segmented (test/diagnostic mode).
+    checkpointInlineFiles: Int = 4096,
     conflictMaxAttempts: Int = 5,
     conflictBackoffMs: Long = 20L,
     idBroadcastThreshold: Int = 1000,
@@ -784,6 +863,7 @@ final case class EngineConf(
   // fail at construction, not mid-commit (a checkpointInterval of 0
   // would otherwise surface as ArithmeticException after staging data)
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1")
+  require(checkpointInlineFiles >= 0, s"checkpointInlineFiles must be >= 0")
   require(conflictMaxAttempts >= 1, s"conflictMaxAttempts must be >= 1")
   require(conflictBackoffMs >= 0, s"conflictBackoffMs must be >= 0")
   require(idBroadcastThreshold >= 0, s"idBroadcastThreshold must be >= 0")
@@ -1000,12 +1080,34 @@ final class Instance(val spark: SparkSession, val root: String,
     (s.files, s.ddl, s.stats, s.colStats)
   }
 
+  // last-resolved snapshot state: committed state at a fixed version
+  // is immutable, so memoizing the most recent fold is always safe —
+  // and collapses the repeated tableStateAt calls a single query's
+  // planning makes (scan pin, dv resolve, column mapping) to one
+  // fold. Holds names + sparse maps only, never the sidecar stats.
+  @volatile private var stateMemo: (Long, TableState) = null
+
   /** Full snapshot-state fold at `v`, deletion vectors included:
     * checkpoints carry complete maps, deltas are applied in commit
     * order — files/stats add-and-remove, dv entries REPLACE the
     * file's sidecar list (empty list = clear; removal of the data
-    * file drops its entry with it). */
+    * file drops its entry with it).
+    *
+    * A SEGMENTED checkpoint (`ckptRef`) materializes only the file
+    * NAME list and the sparse dv map from its parquet side files (one
+    * columnar scan of two columns, distributed); the heavy stat maps
+    * stay on disk and the returned state carries a [[SidecarState]]
+    * handle instead — skipping paths consult it through
+    * [[sidecarSurvivors]]. */
   private[graft] def tableStateAt(v: Long): TableState = {
+    val memo = stateMemo
+    if (memo != null && memo._1 == v) return memo._2
+    val st = computeStateAt(v)
+    stateMemo = (v, st)
+    st
+  }
+
+  private def computeStateAt(v: Long): TableState = {
     var tail = List.empty[Manifest]
     var cv = v
     var ckpt: Manifest = null
@@ -1013,7 +1115,11 @@ final class Instance(val spark: SparkSession, val root: String,
       val m = readManifest(cv)
       if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
     }
-    var files = ckpt.allFiles.toSet
+    val segmented = ckpt.ckptRef
+    var files = segmented match {
+      case Some(ref) => sidecarFileSet(ref)
+      case None => ckpt.allFiles.toSet
+    }
     var ddl = ckpt.schemaDDL
     var stats = ckpt.stats
     var colStats = ckpt.colStats
@@ -1021,9 +1127,17 @@ final class Instance(val spark: SparkSession, val root: String,
     // every manifest carries the FULL column-mapping (like schemaDDL),
     // so the fold just takes the last one
     var ren = ckpt.renames
-    // a checkpoint's full dv state lives in allDvs; its own delta (if
-    // the checkpointing txn itself masked files) is already folded in
-    var dvs = ckpt.allDvs
+    var tomb = ckpt.tombstones
+    // a checkpoint's full dv state lives in allDvs (segmented: in the
+    // side files' dv column); its own delta is already folded in
+    var dvs = segmented match {
+      case Some(ref) => sidecarDvs(ref)
+      case None => ckpt.allDvs
+    }
+    // segmented bookkeeping: which side-car rows the tail invalidated,
+    // and which live files the tail added (their stats are inline)
+    var excluded = Set.empty[String]
+    var tailLive = Set.empty[String]
     tail.foreach { m =>
       files = files -- m.removed ++ m.added
       stats = stats -- m.removed ++ m.stats
@@ -1035,8 +1149,14 @@ final class Instance(val spark: SparkSession, val root: String,
       }
       ddl = m.schemaDDL
       ren = m.renames
+      tomb = m.tombstones
+      excluded ++= m.removed
+      excluded ++= m.added // a re-add (restore) overrides its old row
+      tailLive = tailLive -- m.removed ++ m.added
     }
-    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs, fileStats, ren)
+    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs, fileStats,
+      ren, tomb,
+      segmented.map(ref => SidecarState(ref, excluded, tailLive)))
   }
 
   /** Streaming-epoch watermarks visible at version `v`: latest
@@ -1288,6 +1408,21 @@ final class Instance(val spark: SparkSession, val root: String,
     reAdd.foreach(f => oldColStats.get(f).foreach(r => txn.addedColStats(f) = r))
     reAdd.foreach(f =>
       oldState.fileStats.get(f).foreach(r => txn.addedFileStats(f) = r))
+    // segmented old snapshot: the re-added files' stats live in the
+    // checkpoint side files, not the inline maps — bulk-fetch exactly
+    // the re-added set so the restore commit republishes their pruning
+    // indexes (without this they'd degrade to never-pruned)
+    oldState.sidecar.foreach { sc =>
+      val covered = reAdd -- sc.tailLive -- sc.excluded
+      if (covered.nonEmpty)
+        sidecarRowsFor(sc.ref, covered).foreach { r =>
+          CheckpointStore.statsOf(r).foreach(txn.addedStats(r.file) = _)
+          val cs = CheckpointStore.colStatsOf(r)
+          if (cs.nonEmpty) txn.addedColStats(r.file) = cs
+          val us = CheckpointStore.ustatsOf(r)
+          if (us.nonEmpty) txn.addedFileStats(r.file) = us
+        }
+    }
     val undone = ((v + 1) to txn.readVersion).map(readManifest)
     txn.objects ++= undone.flatMap(_.objects)
     txn.spillObjectsIfNeeded()
@@ -1417,12 +1552,23 @@ final class Instance(val spark: SparkSession, val root: String,
     val st = tableStateAt(latestVersion)
     val statuses = pooledMap(st.files)(f =>
       f -> fs.getFileStatus(new Path(dataDir, f))).toMap
+    // path segments spell PHYSICAL column names; every other user
+    // surface (schema, $detail, filters) speaks logical names, so
+    // translate through the inverse column mapping before formatting
+    val logical = st.renames.map(_.swap)
+    // segmented snapshot: the admin surface still shows every file's
+    // id range — fetched as one columnar scan of the side files
+    val scRanges = st.sidecar.map(sidecarIdRanges).getOrElse(Map.empty)
     val s = spark
     import s.implicits._
     st.files.map { f =>
-      val range = st.stats.get(f)
+      val range = st.stats.get(f).orElse(scRanges.get(f))
       val parts = f.split('/').drop(1).dropRight(1)
-        .filter(_.contains('=')).mkString("/")
+        .filter(_.contains('=')).map { seg =>
+          val i = seg.indexOf('=')
+          val k = seg.substring(0, i)
+          s"${logical.getOrElse(k, k)}${seg.substring(i)}"
+        }.mkString("/")
       (f, statuses(f).getLen, range.map(_._1), range.map(_._2),
         st.dvs.getOrElse(f, Nil).size.toLong, parts)
     }.toDF("file", "size_bytes", "id_min", "id_max",
@@ -1863,6 +2009,142 @@ final class Instance(val spark: SparkSession, val root: String,
       } finally pool.shutdown()
     }
 
+  // ---- segmented-checkpoint side files (CheckpointStore) ----------
+
+  private[acid] def sidecarPath(ref: String): Path =
+    new Path(manifestDir, ref)
+
+  /** The side files' rows as a typed Dataset — schema pinned, never
+    * inferred. */
+  private[acid] def readSidecarRows(ref: String)
+      : org.apache.spark.sql.Dataset[CheckpointStore.CkptRow] =
+    CheckpointStore.readRows(spark, sidecarPath(ref).toString)
+
+  /** Live-file NAME set of a segmented checkpoint: a two-column
+    * columnar scan (distributed), names-only to the driver. */
+  private def sidecarFileSet(ref: String): Set[String] = {
+    val s = spark
+    import s.implicits._
+    readSidecarRows(ref).select("file").as[String].collect().toSet
+  }
+
+  /** obj-id ranges of every non-excluded side-car row — a three-column
+    * columnar scan; admin surfaces ($files) and bulk range lookups. */
+  private[acid] def sidecarIdRanges(sc: SidecarState)
+      : Map[String, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val exclB = spark.sparkContext.broadcast(sc.excluded)
+    try readSidecarRows(sc.ref)
+      .filter(r => !exclB.value(r.file))
+      .select("file", "idMin", "idMax")
+      .as[(String, Option[Long], Option[Long])]
+      .collect()
+      .flatMap { case (f, lo, hi) =>
+        for (l <- lo; h <- hi) yield f -> (l, h)
+      }.toMap
+    finally exclB.destroy()
+  }
+
+  /** Non-empty dv entries of a segmented checkpoint (sparse — only
+    * masked files pay). */
+  private def sidecarDvs(ref: String): Map[String, Seq[String]] = {
+    val s = spark
+    import s.implicits._
+    readSidecarRows(ref)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("dvList")) > 0)
+      .select("file", "dvList").as[(String, Seq[String])]
+      .collect().toMap
+  }
+
+  /** DISTRIBUTED file skipping over a segmented checkpoint's side
+    * files: evaluates `pred` against every checkpoint-covered row
+    * (rows in `sc.excluded` are tail-invalidated and skipped) and
+    * returns only the SURVIVOR names to the driver. `pred` must be
+    * conservative exactly like the driver-side skip loop — true when
+    * the file may match. The per-row work is the same veto logic the
+    * inline path runs; only the loop is moved off the driver. */
+  private[acid] def sidecarSurvivors(sc: SidecarState)(
+      pred: CheckpointStore.CkptRow => Boolean): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    val exclB = spark.sparkContext.broadcast(sc.excluded)
+    try readSidecarRows(sc.ref)
+      .filter(r => !exclB.value(r.file) && pred(r))
+      .select("file").as[String].collect().toSeq
+    finally exclB.destroy()
+  }
+
+  /** Bulk stat fetch for an explicit (bounded) file set — restore's
+    * re-add path and admin surfaces. O(wanted) rows to the driver. */
+  private[acid] def sidecarRowsFor(ref: String, wanted: Set[String])
+      : Seq[CheckpointStore.CkptRow] = {
+    val wantB = spark.sparkContext.broadcast(wanted)
+    try readSidecarRows(ref).filter(r => wantB.value(r.file)).collect().toSeq
+    finally wantB.destroy()
+  }
+
+  /** Write the next segmented checkpoint's side files as ONE
+    * distributed job: previous side files (minus invalidated rows)
+    * union the tail/txn's inline rows, dv column overridden from the
+    * freshly folded dv map. The driver handles only O(tail + commit)
+    * inline rows and the sparse dv map — never the full stat fold
+    * (the whole point: checkpointing a 10^7-file table costs a
+    * columnar shuffle on the cluster, not a JSON fold on the driver).
+    * `liveCount` sizes the output partitioning (~512k rows/part). */
+  private[acid] def writeSegmentedCheckpoint(ref: String, base: TableState,
+      added: Seq[CheckpointStore.CkptRow], removed: Set[String],
+      foldedDvs: Map[String, Seq[String]], liveCount: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    import CheckpointStore._
+    val bcasts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
+    try {
+      val baseRows: org.apache.spark.sql.Dataset[CkptRow] =
+        base.sidecar match {
+          case Some(sc) =>
+            // tail files' stats are inline; their rows rebuild here
+            // (dv filled by the override below)
+            val tailRows = (sc.tailLive -- removed).toSeq.sorted.map(f =>
+              toRow(f, base.stats.get(f),
+                base.colStats.getOrElse(f, Map.empty), Nil,
+                base.fileStats.getOrElse(f, Map.empty)))
+            val exclB = spark.sparkContext
+              .broadcast(sc.excluded ++ removed)
+            bcasts += exclB
+            readSidecarRows(sc.ref).filter(r => !exclB.value(r.file))
+              .union(tailRows.toDS())
+          case None =>
+            // first segmentation: the inline base is by construction
+            // at most checkpointInlineFiles + one interval of commits
+            // — a bounded driver materialization, once
+            base.files.filterNot(removed).map(f =>
+              toRow(f, base.stats.get(f),
+                base.colStats.getOrElse(f, Map.empty), Nil,
+                base.fileStats.getOrElse(f, Map.empty))).toDS()
+        }
+      val dvB = spark.sparkContext.broadcast(foldedDvs)
+      bcasts += dvB
+      val parts = math.max(1L, math.min(200L, liveCount / 512000L)).toInt
+      baseRows.union(added.toDS())
+        .map(r => r.copy(dvList = dvB.value.getOrElse(r.file, Nil)))
+        .repartition(parts)
+        .write.mode("overwrite").parquet(sidecarPath(ref).toString)
+    } finally bcasts.foreach(b => try b.destroy() catch {
+      case scala.util.control.NonFatal(_) => ()
+    })
+  }
+
+  /** A checkpoint manifest's full file set + dv state, side-car aware
+    * (vacuum's horizon fold and other whole-checkpoint consumers). */
+  private[acid] def ckptFilesDvs(m: Manifest)
+      : (Set[String], Map[String, Seq[String]]) = m.ckptRef match {
+    case Some(ref) => (sidecarFileSet(ref), sidecarDvs(ref))
+    case None => (m.allFiles.toSet, m.allDvs)
+  }
+
   /** (min, max) of the obj_id column from a parquet file's footer
     * statistics; None when the column is absent or stats are missing
     * (the file is then never pruned — conservative). */
@@ -2172,7 +2454,8 @@ final class Instance(val spark: SparkSession, val root: String,
           math.max(s0.max, txn.objects.max), folded)))
       case other => (txn.objects.toSeq, other)
     }
-    lazy val snapshotDdl = stateAt(txn.readVersion)._2
+    // every manifest carries the full folded DDL — no state fold needed
+    lazy val snapshotDdl = readManifest(txn.readVersion).schemaDDL
     // streaming-epoch idempotence, part 1: everything at or before the
     // snapshot is covered by the checkpoint-folded watermark map; the
     // conflict window below covers commits that landed after it
@@ -2259,9 +2542,21 @@ final class Instance(val spark: SparkSession, val root: String,
         txn.added.flatMap(f => txn.addedColStats.get(f).map(f -> _)).toMap
       val addedFileStats =
         txn.added.flatMap(f => txn.addedFileStats.get(f).map(f -> _)).toMap
+      // a checkpoint SEGMENTS (parquet side files instead of the
+      // inline JSON fold) once the live-file count outgrows
+      // checkpointInlineFiles — and stays segmented thereafter (the
+      // base fold's stat maps are no longer driver-resident, so an
+      // inline re-fold would have to collect them back)
+      val ckptBase = if (isCkpt) tableStateAt(attempt - 1) else null
+      val liveAfter: Set[String] =
+        if (isCkpt) ckptBase.files.toSet -- txn.removed ++ txn.added
+        else Set.empty
+      val segmented = isCkpt && (ckptBase.sidecar.isDefined ||
+        liveAfter.size > conf.checkpointInlineFiles)
+      var segRef: Option[String] = None
       val (ckptFiles, ckptStats, ckptColStats, ckptAllDvs, ckptFileStats) =
-        if (isCkpt) {
-        val base = tableStateAt(attempt - 1)
+        if (isCkpt && !segmented) {
+        val base = ckptBase
         // checkpoint allDvs is the FULL folded state (clear markers
         // resolve away: an empty list is simply absent); the manifest's
         // dvs field stays this txn's true delta in either case
@@ -2269,11 +2564,30 @@ final class Instance(val spark: SparkSession, val root: String,
         txn.dvDelta.foreach { case (f, list) =>
           dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
         }
-        ((base.files.toSet -- txn.removed ++ txn.added).toSeq.sorted,
+        (liveAfter.toSeq.sorted,
           base.stats -- txn.removed ++ addedStats,
           base.colStats -- txn.removed ++ addedColStats,
           dvs,
           base.fileStats -- txn.removed ++ addedFileStats)
+      } else if (segmented) {
+        var dvs = ckptBase.dvs -- txn.removed
+        txn.dvDelta.foreach { case (f, list) =>
+          dvs = if (list.isEmpty) dvs - f else dvs.updated(f, list)
+        }
+        // unique per (attempt, tsn): a racing writer that loses the
+        // publish deletes its own side files and retries fresh
+        val ref = f"ckpt-v$attempt%020d-${txn.tsn}.parquet"
+        val addedRows = txn.added.toSeq.map(f =>
+          CheckpointStore.toRow(f, txn.addedStats.get(f),
+            txn.addedColStats.getOrElse(f, Map.empty), Nil,
+            txn.addedFileStats.getOrElse(f, Map.empty)))
+        writeSegmentedCheckpoint(ref, ckptBase, addedRows,
+          txn.removed.toSet, dvs, liveAfter.size.toLong)
+        segRef = Some(ref)
+        // the manifest keeps only this txn's true deltas — the full
+        // fold lives in the side files
+        (Nil, addedStats, addedColStats,
+          Map.empty[String, Seq[String]], addedFileStats)
       } else (Nil, addedStats, addedColStats,
         Map.empty[String, Seq[String]], addedFileStats)
       // checkpoints fold EVERY query's watermark forward (so a lookup
@@ -2299,10 +2613,12 @@ final class Instance(val spark: SparkSession, val root: String,
         appTxns = appTxns, appTxnTs = appTs,
         dvs = txn.dvDelta.toMap, allDvs = ckptAllDvs,
         fileStats = ckptFileStats, multiRef = multiRef,
-        // full current column mapping, like schemaDDL: the snapshot's
-        // map is current because any interleaved rename changed the
-        // DDL and already conflicted above
-        renames = txn.localRen)
+        // full current column mapping + tombstones, like schemaDDL:
+        // the snapshot's are current because any interleaved schema
+        // change altered the DDL and already conflicted above
+        renames = txn.localRen, tombstones = txn.localTomb,
+        ckptRef = segRef,
+        ckptFiles = if (segRef.isDefined) liveAfter.size.toLong else 0L)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -2315,6 +2631,13 @@ final class Instance(val spark: SparkSession, val root: String,
           deleteRetired(txn)
         } catch { case scala.util.control.NonFatal(_) => () }
         return attempt
+      }
+      // lost the publish race (or real IO failure): this attempt's
+      // side files belong to a version another writer now owns —
+      // reclaim them before retrying under a new attempt number
+      segRef.foreach { ref =>
+        try fs.delete(sidecarPath(ref), true)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       val head = latestVersion
       if (head + 1 == attempt) {
@@ -2329,7 +2652,7 @@ final class Instance(val spark: SparkSession, val root: String,
     -1L
   }
 
-  private def currentDDL: String = stateAt(latestVersion)._2
+  private def currentDDL: String = readManifest(latestVersion).schemaDDL
 
   /** Rollback: discard staged files — nothing was published, so undo is
     * free (reference restores pre-images: block_driver.rs:591-601). */
@@ -2379,8 +2702,11 @@ final class Instance(val spark: SparkSession, val root: String,
       if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
     }
     val above = pooledMap(((horizon + 1) to head).toSeq)(readManifest)
-    var horizonFiles = ckpt.allFiles.toSet
-    var horizonDvs = ckpt.allDvs
+    // side-car aware: a segmented horizon checkpoint's file/dv fold
+    // reads from its parquet side files (names + sparse dvs only)
+    val (ckptAllFiles0, ckptAllDvs0) = ckptFilesDvs(ckpt)
+    var horizonFiles = ckptAllFiles0
+    var horizonDvs = ckptAllDvs0
     tail.foreach { m =>
       horizonFiles = horizonFiles -- m.removed ++ m.added
       horizonDvs = horizonDvs -- m.removed
@@ -2389,7 +2715,7 @@ final class Instance(val spark: SparkSession, val root: String,
       }
     }
     val live = horizonFiles ++ above.flatMap(_.added)
-    val referenced = ckpt.allFiles.toSet ++ tail.flatMap(_.added) ++
+    val referenced = ckptAllFiles0 ++ tail.flatMap(_.added) ++
       above.flatMap(_.added)
     // deletion-vector sidecars have the same two-phase lifecycle: live
     // = referenced by the horizon fold or any window manifest (a
@@ -2398,7 +2724,7 @@ final class Instance(val spark: SparkSession, val root: String,
     // referenced-but-dead = replaced or materialized before the horizon
     val liveDvs = horizonDvs.values.flatten.toSet ++
       above.flatMap(m => m.dvs.values.flatten ++ m.allDvs.values.flatten)
-    val referencedDvs = ckpt.allDvs.values.flatten.toSet ++
+    val referencedDvs = ckptAllDvs0.values.flatten.toSet ++
       tail.flatMap(_.dvs.values.flatten) ++
       above.flatMap(m => m.dvs.values.flatten ++ m.allDvs.values.flatten)
     // deletes issued on the bounded pool too — each is an RPC on an
@@ -2426,6 +2752,23 @@ final class Instance(val spark: SparkSession, val root: String,
         .foreach { e =>
           if (e.getModificationTime < cutoff) {
             fs.delete(e.getPath, false); removed += 1
+          }
+        }
+      // segmented-checkpoint side files whose writer crashed between
+      // the side-file write and the manifest publish (a LOST race
+      // cleans up after itself; a crash can't): a `ckpt-v{N}-*` dir is
+      // live iff manifest N exists and points at exactly this name
+      fs.listStatus(manifestDir)
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("ckpt-v"))
+        .foreach { e =>
+          val name = e.getPath.getName
+          val ver = name.stripPrefix("ckpt-v").takeWhile(_.isDigit)
+          val referencedByManifest = ver.nonEmpty && {
+            try readManifest(ver.toLong).ckptRef.contains(name)
+            catch { case _: java.io.FileNotFoundException => false }
+          }
+          if (!referencedByManifest && e.getModificationTime < cutoff) {
+            fs.delete(e.getPath, true); removed += 1
           }
         }
       // dv sidecars live FLAT in dataDir (never inside staging dirs):
@@ -2771,6 +3114,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // renameColumn (and by adds that must dodge a freed physical name);
   // None = the snapshot's map applies
   private[acid] var renames: Option[Map[String, String]] = None
+  // txn-local retired-physical-name override, grown by drops in
+  // adoptSchemaType; None = the snapshot's set applies
+  private[acid] var tombstones: Option[Seq[String]] = None
   // set when this txn will publish a DIFFERENT schema than its snapshot:
   // schema changes are table-wide, so commit treats one like a conflict
   // with EVERY interleaved commit (see Instance.commit)
@@ -2824,6 +3170,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private[acid] def localRen: Map[String, String] =
     renames.getOrElse(cachedBaseState().renames)
 
+  /** Txn-local retired-physical-name set (read-your-own-drops). */
+  private[acid] def localTomb: Seq[String] =
+    tombstones.getOrElse(cachedBaseState().tombstones)
+
   /** Txn-local logical table schema (snapshot's, plus any evolution
     * this transaction already recorded). */
   private[graft] def localSchema: StructType =
@@ -2861,7 +3211,11 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * point-op pruning step (reference: open_read resolves the id
     * directly to its block, instance.rs:126-134; here the manifest
     * stats bound the files a delete/update must even open). Files with
-    * no recorded range are always candidates. */
+    * no recorded range are always candidates.
+    *
+    * Segmented snapshot: checkpoint-covered files are screened by a
+    * DISTRIBUTED filter over the side files (the skip loop never runs
+    * on the driver); only the O(tail) inline files screen locally. */
   private[graft] def candidateFiles(ids: Seq[Long]): Seq[String] = {
     val (files, _, stats) = localState()
     val sorted = ids.distinct.sorted.toArray
@@ -2870,10 +3224,23 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       if (i < 0) i = -i - 1
       i < sorted.length && sorted(i) <= hi
     }
-    files.filter(f => stats.get(f) match {
-      case Some((lo, hi)) => anyIn(lo, hi)
-      case None => true
-    })
+    cachedBaseState().sidecar match {
+      case Some(sc) =>
+        val localOnly = (sc.tailLive ++ added) -- removed
+        val driverPart = files.filter(f => localOnly(f) && (stats.get(f) match {
+          case Some((lo, hi)) => anyIn(lo, hi)
+          case None => true
+        }))
+        val scX = sc.copy(excluded = sc.excluded ++ removed ++ added)
+        val distPart =
+          inst.sidecarSurvivors(scX)(CheckpointStore.mayContainId(sorted))
+        (driverPart ++ distPart).sorted
+      case None =>
+        files.filter(f => stats.get(f) match {
+          case Some((lo, hi)) => anyIn(lo, hi)
+          case None => true
+        })
+    }
   }
 
   /** [[candidateFiles]] generalized to ANY indexed column: files whose
@@ -2903,12 +3270,25 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     // stats — so an UN-compacted table still prunes integral-key point
     // ops; files with no recorded range degrade to candidates, never
     // to a wrong answer
-    files.filter(f => colStats.get(f).flatMap(_.get(pcol))
+    def driverPred(f: String): Boolean =
+      colStats.get(f).flatMap(_.get(pcol))
         .orElse(fileStats.get(f).flatMap(_.get(pcol)).flatMap(_.longRange))
         match {
       case Some((lo, hi)) => anyIn(lo, hi)
       case None => true
-    })
+    }
+    baseState.sidecar match {
+      case Some(sc) =>
+        // same split as candidateFiles: O(tail) locally, the
+        // checkpoint-covered bulk as a distributed side-file filter
+        val localOnly = (sc.tailLive ++ added) -- removed
+        val driverPart = files.filter(f => localOnly(f) && driverPred(f))
+        val scX = sc.copy(excluded = sc.excluded ++ removed ++ added)
+        val distPart = inst.sidecarSurvivors(scX)(
+          CheckpointStore.mayContainCol(pcol, sorted))
+        (driverPart ++ distPart).sorted
+      case None => files.filter(driverPred)
+    }
   }
 
   /** Rows of `df` whose obj_id is in `ids`: an `isin` literal predicate
@@ -3020,7 +3400,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * order and nullability — parquet reads are name-based) keeps the
     * table's canonical DDL, so a reordered insert can't churn the
     * manifest schema. Added columns read as nulls from old files;
-    * dropped columns are simply no longer selected. */
+    * dropped columns are simply no longer selected (their physical
+    * names are tombstoned — see [[adoptSchemaType]]). */
   private def adoptSchema(df: DataFrame): Unit = adoptSchemaType(df.schema)
 
   /** Metadata-only schema evolution (SQL `ALTER TABLE ADD/DROP
@@ -3032,12 +3413,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * are pruned at scan. The commit conflicts with interleaved
     * commits exactly like any schema-evolving commit.
     *
-    * Caveat (shared with pre-column-mapping lakehouse formats):
-    * re-adding a previously DROPPED column name reads the old values
-    * for rows written before the drop (their files still hold the
-    * physical column) — compact first to physically shed it. A name
-    * freed by RENAME has no such aliasing: the add detects the
-    * physical-name collision and assigns a fresh physical name. */
+    * Re-adding a previously freed column name is always safe: a DROP
+    * retires the column's physical name into the manifest's tombstone
+    * set, so a later ADD of the same name — or of a name matching a
+    * renamed-then-dropped column's physical name — allocates a FRESH
+    * physical name and reads NULL from pre-drop files instead of
+    * resurrecting their values. */
   def alterSchema(next: StructType): Unit = {
     allowEvolve = true
     adoptSchemaType(next)
@@ -3138,16 +3519,24 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         "to sanction the change")
     }
     // column-mapping maintenance: a dropped column releases its
-    // renames entry (old files keep the physical column, unread); an
+    // renames entry but RETIRES its physical name into the tombstone
+    // set (old files keep the physical column on disk forever); an
     // ADDED column whose name collides with a surviving column's
-    // PHYSICAL name (freed logically by an earlier rename) gets a
-    // fresh physical name — otherwise two logical columns would map
-    // onto one parquet column
+    // physical name (freed logically by an earlier rename) OR with a
+    // retired name (freed by a drop — directly or after a rename)
+    // gets a fresh physical name — otherwise two logical generations
+    // would map onto one parquet column and the dropped generation's
+    // values would resurrect
     val ren0 = localRen
+    val tomb0 = localTomb
     val physInUse = (curMap.keySet -- dropped).map(c => ren0.getOrElse(c, c))
-    val ren1 = (ren0 -- dropped) ++ addedCols.filter(physInUse).map(c =>
+    val avoid = physInUse ++ tomb0
+    val ren1 = (ren0 -- dropped) ++ addedCols.filter(avoid).map(c =>
       c -> s"${c}_p${java.util.UUID.randomUUID().toString.take(8)}")
     if (ren1 != ren0) renames = Some(ren1)
+    val tomb1 = (tomb0.toSet ++ dropped.map(c => ren0.getOrElse(c, c)))
+      .toSeq.sorted
+    if (tomb1 != tomb0) tombstones = Some(tomb1)
     schemaDDL = Some(next)
     schemaEvolved = true
   }
@@ -3526,13 +3915,27 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * with the stale masks, would retire the file and silently resurrect
     * the concurrently-deleted rows, so it must conflict instead. (The
     * commit-window dvOverlap check only covers versions AFTER
-    * txn.readVersion; this closes the scan-pin..begin gap.) Conflict
-    * metadata is a saturated-bloom summary over the union of retired
-    * and staged id ranges (bounded, never O(rows)). */
+    * txn.readVersion; this closes the scan-pin..begin gap.)
+    * `pinnedMapping` is the (schemaDDL, renames) state the WRITE was
+    * planned against: staged files spell the physical names resolved
+    * then, so a rename/DDL change committed between plan and this txn's
+    * begin means the staged files spell stale names (their columns
+    * would silently read as NULL) — it must conflict too, closing the
+    * same gap for column mapping. Conflict metadata is a
+    * saturated-bloom summary over the union of retired and staged id
+    * ranges (bounded, never O(rows)). */
   private[acid] def replaceScanned(scanned: Seq[String],
       staged: Seq[String],
-      pinnedDvs: Map[String, Seq[String]] = Map.empty): Unit = {
+      pinnedDvs: Map[String, Seq[String]] = Map.empty,
+      pinnedMapping: Option[(String, Map[String, String])] = None): Unit = {
     val (live, ddl, stats) = localState()
+    pinnedMapping.foreach { case (ddl0, ren0) =>
+      if (ddl0 != ddl || ren0 != localRen)
+        throw new ConflictException(
+          "row-level rewrite was planned against a schema/column-mapping " +
+          "state a concurrent commit has since changed (staged files " +
+          "would spell stale physical names); retry")
+    }
     val gone = scanned.filterNot(live.toSet)
     if (gone.nonEmpty)
       throw new ConflictException(
@@ -3565,8 +3968,20 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     }
     retire(scanned)
     added ++= staged
-    val ranges = scanned.map(f =>
-      stats.getOrElse(f, (Long.MinValue, Long.MaxValue))) ++
+    // segmented snapshot: scanned checkpoint-covered files' id ranges
+    // live in the side files — bulk-fetch them so the conflict summary
+    // stays tight (the inline-map miss would otherwise saturate to the
+    // full id range and over-conflict every concurrent commit)
+    val scStats: Map[String, (Long, Long)] = cachedBaseState().sidecar match {
+      case Some(sc) =>
+        val covered = scanned.toSet -- sc.tailLive -- sc.excluded
+        if (covered.isEmpty) Map.empty
+        else inst.sidecarRowsFor(sc.ref, covered)
+          .flatMap(r => CheckpointStore.statsOf(r).map(r.file -> _)).toMap
+      case None => Map.empty
+    }
+    val ranges = scanned.map(f => stats.getOrElse(f,
+        scStats.getOrElse(f, (Long.MinValue, Long.MaxValue)))) ++
       stagedStats.flatMap(_._2.get("obj_id").flatMap(_.longRange)
         .filter { case (lo, hi) => lo <= hi })
     if (ranges.nonEmpty)
@@ -3588,8 +4003,14 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val (files, _, stats) = localState()
     if (files.nonEmpty) {
       retire(files)
-      val lo = if (stats.isEmpty) Long.MinValue else stats.values.map(_._1).min
-      val hi = if (stats.isEmpty) Long.MaxValue else stats.values.map(_._2).max
+      // segmented snapshot: the inline stats cover only the tail, so
+      // the true id coverage is unknown on the driver — saturate the
+      // whole range (conservative: may over-conflict, never loses)
+      val partial = cachedBaseState().sidecar.isDefined
+      val lo = if (stats.isEmpty || partial) Long.MinValue
+        else stats.values.map(_._1).min
+      val hi = if (stats.isEmpty || partial) Long.MaxValue
+        else stats.values.map(_._2).max
       mergeSummary(ObjSummary(0L, lo, hi,
         IdBloom.saturated(inst.conf.bloomBits)))
     }
@@ -3631,6 +4052,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     addedStats.clear(); addedColStats.clear(); addedFileStats.clear()
     adopted.clear()
     schemaDDL = None; schemaEvolved = false; renames = None
+    tombstones = None
     objSummary = None
   }
 }

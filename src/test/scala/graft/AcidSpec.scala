@@ -1832,6 +1832,61 @@ class AcidSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("amount") == 20L && r2.getAs[Long]("value") == 99L)
   }
 
+  test("tombstones: drop then re-add reads NULL instead of resurrecting") {
+    import org.apache.spark.sql.types._
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    // DROP value: its physical name is retired into the tombstone set
+    inst.withRetry() { t =>
+      t.alterSchema(StructType(t.localSchema.filterNot(_.name == "value")))
+    }
+    assert(inst.tableStateAt(inst.latestVersion).tombstones == Seq("value"))
+    // re-ADD the same name: fresh physical, pre-drop values stay dead
+    inst.withRetry() { t =>
+      t.alterSchema(t.localSchema.add(StructField("value", LongType)))
+    }
+    val ren = inst.tableStateAt(inst.latestVersion).renames
+    assert(ren.get("value").exists(_ != "value"),
+      s"re-added dropped column needs a fresh physical name, got $ren")
+    val row = inst.read().filter(col("obj_id") === 1).head()
+    assert(row.isNullAt(row.fieldIndex("value")),
+      "pre-drop value resurrected through the physical column")
+    val t2 = inst.begin()
+    t2.insert(Seq((2L, 77L)).toDF("obj_id", "value"))
+    inst.commit(t2)
+    val vals = inst.read().orderBy("obj_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    assert(vals == Seq(None, Some(77L)))
+  }
+
+  test("tombstones: rename-then-drop frees the PHYSICAL name too") {
+    import org.apache.spark.sql.types._
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    inst.commit(t1)
+    // rename value->amount (physical stays `value`), then DROP amount:
+    // the retired physical name is `value`, not `amount`
+    inst.withRetry() { t => t.renameColumn("value", "amount") }
+    inst.withRetry() { t =>
+      t.alterSchema(StructType(t.localSchema.filterNot(_.name == "amount")))
+    }
+    assert(inst.tableStateAt(inst.latestVersion).tombstones == Seq("value"))
+    // re-adding a column named `value` (the retired PHYSICAL name)
+    // must dodge old files' on-disk column — fresh physical name
+    inst.withRetry() { t =>
+      t.alterSchema(t.localSchema.add(StructField("value", LongType)))
+    }
+    val ren = inst.tableStateAt(inst.latestVersion).renames
+    assert(ren.get("value").exists(_ != "value"),
+      s"rename-then-drop path must still assign a fresh physical name, got $ren")
+    val row = inst.read().filter(col("obj_id") === 1).head()
+    assert(row.isNullAt(row.fieldIndex("value")),
+      "pre-rename values resurrected through the retired physical column")
+  }
+
   test("column mapping property: random rename/add/drop chains never lose or misroute data") {
     import org.apache.spark.sql.types._
     val rnd = new scala.util.Random(4242) // deterministic
@@ -1842,12 +1897,10 @@ class AcidSpec extends AnyFunSuite {
     var expect = Map.empty[Long, Map[String, Long]]
     var nextId = 1L
     var nameSeq = 0
-    // names released by DROP are excluded from re-adds: old files keep
-    // the physical column, so a re-added same-name column would read
-    // the pre-drop values for old rows (the documented drop/re-add
-    // caveat shared with pre-column-mapping lakehouse formats; names
-    // freed by RENAME are fully handled — fresh physical assigned)
-    var droppedNames = Set.empty[String]
+    // names released by DROP are fair game for re-adds: the drop
+    // tombstones the physical name, so a re-added same-name column
+    // gets a FRESH physical name and reads NULL for pre-drop rows
+    // (names freed by RENAME were already handled the same way)
     (1 to 30).foreach { _ =>
       val schema = inst.read().schema
       val dataCols = schema.fieldNames.filterNot(_ == "obj_id").toSeq
@@ -1867,11 +1920,12 @@ class AcidSpec extends AnyFunSuite {
           inst.withRetry() { t => t.renameColumn(from, to) }
           expect = expect.view.mapValues(m =>
             m.map { case (k, v) => (if (k == from) to else k) -> v }).toMap
-        case 2 => // add a column (may collide with a RENAME-freed name)
+        case 2 => // add a column (may collide with a RENAME- or
+          // DROP-freed name — both must resolve to a fresh physical)
           val name = if (rnd.nextBoolean() || nameSeq == 0) { // fresh
             val n = s"c$nameSeq"; nameSeq += 1; n
           } else s"c${rnd.nextInt(nameSeq)}"
-          if (!schema.fieldNames.contains(name) && !droppedNames(name))
+          if (!schema.fieldNames.contains(name))
             inst.withRetry() { t =>
               t.alterSchema(t.localSchema.add(StructField(name, LongType)))
             }
@@ -1881,7 +1935,6 @@ class AcidSpec extends AnyFunSuite {
           inst.withRetry() { t =>
             t.alterSchema(StructType(t.localSchema.filterNot(_.name == victim)))
           }
-          droppedNames += victim
           expect = expect.view.mapValues(_ - victim).toMap
         case _ => ()
       }

@@ -51,8 +51,14 @@ class ManifestSpec extends AnyFunSuite {
       } yield VersionedTable.UStat(k, mn, mx, n)))))
     multi <- Gen.option(hostileString.map(x => s"file:/m/$x.json"))
     rens <- Gen.mapOf(Gen.zip(Gen.identifier, Gen.identifier))
+    // the codec canonicalizes tombstones sorted-unique
+    tombs <- Gen.listOf(Gen.identifier).map(_.distinct.sorted)
+    cref <- Gen.option(pathGen)
+    cn <- Gen.choose(0L, 1000000L)
   } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats,
-    tsMillis = ts, fileStats = ustat, multiRef = multi, renames = rens)
+    tsMillis = ts, fileStats = ustat, multiRef = multi, renames = rens,
+    tombstones = tombs, ckptRef = cref,
+    ckptFiles = if (cref.isDefined) cn else 0L)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
@@ -71,8 +77,26 @@ class ManifestSpec extends AnyFunSuite {
     assert(toJson(plain).contains("\"formatVersion\":2"))
     // a manifest declaring a future generation still fails loudly
     val future = toJson(plain).replace("\"formatVersion\":2",
-      "\"formatVersion\":8")
+      "\"formatVersion\":9")
     intercept[ManifestFormatException] { fromJson(future) }
+  }
+
+  test("tombstones and segmented-checkpoint refs declare formatVersion 8") {
+    val tombed = Manifest(1, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = false, Nil, tombstones = Seq("old_col"))
+    assert(toJson(tombed).contains("\"formatVersion\":8"))
+    assert(fromJson(toJson(tombed)).tombstones == Seq("old_col"))
+    val seg = Manifest(10, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = true, Nil, ckptRef = Some("ckpt-10-abc.parquet"),
+      ckptFiles = 50000L)
+    assert(toJson(seg).contains("\"formatVersion\":8"))
+    val back = fromJson(toJson(seg))
+    assert(back.ckptRef.contains("ckpt-10-abc.parquet") &&
+      back.ckptFiles == 50000L)
+    // tombstone/ckptRef-free manifests keep their earlier generation
+    val plain = Manifest(1, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = false, Nil, renames = Map("b" -> "a"))
+    assert(toJson(plain).contains("\"formatVersion\":7"))
   }
 
   test("edge strings: trailing backslash, escaped quote runs, unicode") {
