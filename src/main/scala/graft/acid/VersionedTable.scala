@@ -1121,9 +1121,17 @@ final class Instance(val spark: SparkSession, val root: String,
       case None => ckpt.allFiles.toSet
     }
     var ddl = ckpt.schemaDDL
-    var stats = ckpt.stats
-    var colStats = ckpt.colStats
-    var fileStats = ckpt.fileStats
+    // a segmented checkpoint's manifest carries only its own txn's
+    // delta stats — already folded INTO the side files, so the inline
+    // maps start empty (they hold the TAIL's entries only)
+    var stats = if (segmented.isDefined) Map.empty[String, (Long, Long)]
+      else ckpt.stats
+    var colStats =
+      if (segmented.isDefined) Map.empty[String, Map[String, (Long, Long)]]
+      else ckpt.colStats
+    var fileStats =
+      if (segmented.isDefined) Map.empty[String, Map[String, UStat]]
+      else ckpt.fileStats
     // every manifest carries the FULL column-mapping (like schemaDDL),
     // so the fold just takes the last one
     var ren = ckpt.renames
