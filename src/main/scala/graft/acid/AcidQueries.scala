@@ -330,7 +330,24 @@ object AcidQueries {
       "FROM (VALUES (1, 10, 1, 'insert'), (2, 20, 2, 'insert'), " +
       "(3, 30, 3, 'insert'), (2, 20, 4, 'delete')) " +
       "AS t(obj_id, value, _version, _change_type) " +
-      "ORDER BY _version, obj_id")((s, _) => cdfDeleteFeedScenario(s)))
+      "ORDER BY _version, obj_id")((s, _) => cdfDeleteFeedScenario(s)),
+
+    // row tracking (EngineConf.changeDataFeed): a copy-on-write UPDATE
+    // and a CoW DELETE commit stage exact pre/post images as CDC side
+    // files, and the STRICT change-feed stream (no ignoreChanges)
+    // serves them as update_preimage/update_postimage/delete events —
+    // the capability CoW rewrites previously lost (row identity is not
+    // recoverable from file deltas without the side files)
+    "q60_cdc_update_feed" -> Q(
+      "SELECT CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value, " +
+      "CAST(_version AS BIGINT) AS _version, _change_type " +
+      "FROM (VALUES (1, 10, 1, 'insert'), (2, 20, 1, 'insert'), " +
+      "(3, 30, 1, 'insert'), (2, 200, 2, 'update_postimage'), " +
+      "(2, 20, 2, 'update_preimage'), (3, 30, 3, 'delete')) " +
+      "AS t(obj_id, value, _version, _change_type) " +
+      "ORDER BY _version, _change_type, obj_id")(
+      (s, _) => cdcUpdateFeedScenario(s)))
 
   /** Column-mapping lifecycle: insert under `qty INT`, rename qty ->
     * amount (metadata-only; the files keep spelling `qty`), widen
@@ -470,6 +487,32 @@ object AcidQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).orderBy("_version", "obj_id")
+  }
+
+  /** Row-tracking change-feed scenario: inserts, a CoW UPDATE, a CoW
+    * DELETE — all streamed STRICTLY (readChangeFeed, no
+    * ignoreChanges) from the rewrites' own CDC side files. */
+  def cdcUpdateFeedScenario(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_cdc_feed_q60_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema,
+      EngineConf(changeDataFeed = true))
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("obj_id", "value").coalesce(1))
+    inst.commit(t1) // v1: inserts
+    inst.withRetry() { t =>
+      t.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    } // v2: CoW rewrite with CDC images
+    inst.withRetry() { t => t.delete(Seq(3L)) } // v3: CoW delete
+    val name = "graft_q60_cdc_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = inst.readChangesStream(readChangeFeed = true).writeStream
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("_version", "_change_type", "obj_id")
   }
 
   /** Streaming change-feed scenario: per-commit inserts, a compaction

@@ -153,17 +153,29 @@ private[acid] object ChangeFeedSource {
         // ignoreChanges it simply adds no files. File REMOVALS stay
         // unrepresentable even as events (a rewrite's row identity is
         // not recoverable from file deltas).
+        // a commit whose rewrite staged exact change images (cdcExact,
+        // EngineConf.changeDataFeed) is FULLY representable in
+        // readChangeFeed mode: its cdc side files stream verbatim
+        // (insert/delete/update_preimage/update_postimage in-file) and
+        // its added data files must NOT also stream — the images
+        // already include the inserts
+        val cdcServed = changeFeed && m.cdcExact
         val unrepresentable =
-          m.removed.nonEmpty || (m.dvs.nonEmpty && !changeFeed)
+          (m.removed.nonEmpty && !cdcServed) ||
+          (m.dvs.nonEmpty && !changeFeed)
         if (unrepresentable && !ignoreChanges)
           throw new IllegalStateException(
             s"graft-cdf: version $v of ${inst.root} removes rows (update/" +
             "delete/restore) — an append stream cannot represent it. Set " +
-            ".option(\"readChangeFeed\", true) for typed insert/delete " +
-            "events (merge-on-read deletes only), " +
+            ".option(\"readChangeFeed\", true) for typed change events " +
+            "(exact when the table writes change data, " +
+            "EngineConf.changeDataFeed; merge-on-read deletes always), " +
             ".option(\"ignoreChanges\", true) to stream post-image rows, " +
             "or consume Instance.changes() for exact row-level CDC.")
-        m.added.foreach { rel => specs += ((rel, v, "insert", None)) }
+        if (cdcServed)
+          m.cdc.foreach { rel => specs += ((rel, v, "__cdc__", None)) }
+        else
+          m.added.foreach { rel => specs += ((rel, v, "insert", None)) }
         if (changeFeed && m.dvs.nonEmpty) {
           // DELETE events: for each masked file, the mask DELTA vs the
           // previous version (prior-masked rows already streamed as
@@ -190,7 +202,8 @@ private[acid] object ChangeFeedSource {
     val statuses = inst.pooledMap(specs.map(_._1).distinct.toSeq)(rel =>
       rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
     specs.foreach { case (rel, v, changeType, keep) =>
-      val pairs = partPairs(rel)
+      val isCdc = changeType == "__cdc__"
+      val pairs = if (isCdc) Nil else partPairs(rel)
       val status = statuses(rel)
       // `k` spells the PHYSICAL column name
       val consts = pairs.map { case (k, raw) =>
@@ -203,8 +216,10 @@ private[acid] object ChangeFeedSource {
             .fromString(s), org.apache.spark.sql.types.StringType), dt,
           Option(SQLConf.get.sessionLocalTimeZone)).eval(null)
       } :+ (v: Any)
+      // cdc side files carry _change_type IN-FILE; every other spec
+      // gets it as a per-partition constant
       val partRow = new GenericInternalRow(
-        (if (changeFeed)
+        (if (changeFeed && !isCdc)
           consts :+ org.apache.spark.unsafe.types.UTF8String
             .fromString(changeType)
         else consts).toArray)
@@ -212,7 +227,7 @@ private[acid] object ChangeFeedSource {
         PartitionedFile(partRow, SparkPath.fromPath(status.getPath),
           0L, status.getLen, Array.empty, status.getModificationTime,
           status.getLen),
-        pairs.map(_._1), keep)
+        pairs.map(_._1), keep, isCdc)
     }
     out.result()
   }
@@ -234,22 +249,32 @@ private[acid] object ChangeFeedSource {
     // positions (names never reach the output rows)
     def phys(n: String) = ren.getOrElse(n, n)
     def needRi(p: CdfPartition) = p.keep.exists(_.pos.nonEmpty)
-    val layouts = planned.map(p => (p.layout, needRi(p))).distinct
-      .map { case (layout, ri) =>
-        val partFields = layout.map(k =>
-          schema.find(f => phys(f.name) == k)
-            .map(f => f.copy(name = k))
-            .getOrElse(StructField(k,
-              org.apache.spark.sql.types.StringType))) ++
+    val layouts = planned.map(p => (p.layout, needRi(p), p.cdc)).distinct
+      .map { case (layout, ri, isCdc) =>
+        val partFields = (if (isCdc) Nil
+          else layout.map(k =>
+            schema.find(f => phys(f.name) == k)
+              .map(f => f.copy(name = k))
+              .getOrElse(StructField(k,
+                org.apache.spark.sql.types.StringType)))) ++
           (StructField("_version", LongType, nullable = false) +:
-            (if (changeFeed)
+            (if (changeFeed && !isCdc)
               Seq(StructField("_change_type",
                 org.apache.spark.sql.types.StringType, nullable = false))
             else Nil))
-        var fileSchema = StructType(
-          schema.filterNot(f => layout.contains(phys(f.name)) ||
-              MetaCols(f.name))
-            .map(f => f.copy(name = phys(f.name))))
+        // cdc side files physicalize EVERY table column and carry
+        // _change_type in-file; ordinary files drop layout columns
+        var fileSchema =
+          if (isCdc)
+            StructType(
+              schema.filterNot(f => MetaCols(f.name))
+                .map(f => f.copy(name = phys(f.name))) :+
+              StructField("_change_type",
+                org.apache.spark.sql.types.StringType, nullable = false))
+          else StructType(
+            schema.filterNot(f => layout.contains(phys(f.name)) ||
+                MetaCols(f.name))
+              .map(f => f.copy(name = phys(f.name))))
         // delete partitions with a POSITIONAL mask filter by the
         // parquet row index (requested via the temporary metadata
         // column; file-absolute)
@@ -274,7 +299,8 @@ private[acid] object ChangeFeedSource {
             physical.fieldIndex("obj_id") else -1
         val riIdx = if (ri) physical.fieldIndex(
           ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME) else -1
-        (layout, ri) -> CdfLayoutReader(reader, physical, order, idIdx, riIdx)
+        (layout, ri, isCdc) ->
+          CdfLayoutReader(reader, physical, order, idIdx, riIdx)
       }.toMap
     new CdfReaderFactory(layouts)
   }
@@ -340,11 +366,16 @@ private[acid] final case class VersionOffset(v: Long) extends Offset {
 /** One data file of one commit: an ADDED file streamed whole
   * (`keep` empty), or — readChangeFeed mode — a MASKED file whose
   * newly-deleted rows stream as delete events (`keep` = the mask
-  * delta; only matching rows survive). `layout` is the hive `k=v`
-  * column sequence parsed from its staging path. */
+  * delta; only matching rows survive), or — `cdc` — a CHANGE-DATA
+  * side file written by the committing rewrite itself, whose rows
+  * already carry `_change_type` in-file (exact pre/post images of an
+  * UPDATE/MERGE/row-level/restore commit). `layout` is the hive `k=v`
+  * column sequence parsed from its staging path (always empty for
+  * cdc side files — they physicalize every column). */
 private[acid] final case class CdfPartition(
     file: PartitionedFile, layout: Seq[String],
-    keep: Option[VersionedTable.DvMask] = None) extends InputPartition
+    keep: Option[VersionedTable.DvMask] = None,
+    cdc: Boolean = false) extends InputPartition
 
 private[acid] final case class CdfLayoutReader(
     reader: PartitionedFile => Iterator[InternalRow],
@@ -435,13 +466,13 @@ private[acid] final class ChangeFeedStream(schema: StructType, root: String,
 }
 
 private[acid] final class CdfReaderFactory(
-    layouts: Map[(Seq[String], Boolean), CdfLayoutReader])
+    layouts: Map[(Seq[String], Boolean, Boolean), CdfLayoutReader])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CdfPartition]
     val needRi = cp.keep.exists(_.pos.nonEmpty)
-    val lr = layouts((cp.layout, needRi))
+    val lr = layouts((cp.layout, needRi, cp.cdc))
     // the prepared reader may hand back vectorized ColumnarBatches
     // disguised as InternalRow (the FileScanRDD contract) — unwrap;
     // then reorder physical (file ++ partition) columns to the source

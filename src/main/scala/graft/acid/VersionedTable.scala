@@ -169,7 +169,17 @@ object VersionedTable {
       // the checkpoint (so planners can size decisions without
       // opening the side files).
       ckptRef: Option[String] = None,
-      ckptFiles: Long = 0L)
+      ckptFiles: Long = 0L,
+      // CHANGE-DATA side files for THIS commit (dataDir-relative):
+      // exact pre/post-image rows of a file-removing rewrite, written
+      // when [[EngineConf.changeDataFeed]] is on. `cdcExact = true`
+      // asserts the commit's row-level changes are exactly these rows
+      // (possibly none) — the streaming feed then serves them instead
+      // of failing on the removal. Additive-optional (no FormatVersion
+      // bump): a reader ignoring the fields falls back to the
+      // fail/ignoreChanges behavior — degraded, never wrong.
+      cdc: Seq[String] = Nil,
+      cdcExact: Boolean = false)
 
   /** Universal statistic for ONE leaf column of one data file, read
     * from the parquet footer at write time. `kind` tags the value
@@ -398,6 +408,9 @@ object VersionedTable {
       else s""""tombstones":${arrS(m.tombstones.sorted)},"""
     val ckpt = m.ckptRef.map(r =>
       s""""ckptRef":"${esc(r)}","ckptFiles":${m.ckptFiles},""").getOrElse("")
+    val cdcJson =
+      if (!m.cdcExact && m.cdc.isEmpty) ""
+      else s""""cdcFiles":${arrS(m.cdc)},"cdcExact":${m.cdcExact},"""
     val declaredFv =
       if (m.tombstones.nonEmpty || m.ckptRef.isDefined) 8
       else if (m.renames.nonEmpty) 7
@@ -415,6 +428,7 @@ object VersionedTable {
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
       summary + cstats + apps + dvsJson + ustats + rens + tombs + ckpt +
+      cdcJson +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -738,7 +752,10 @@ object VersionedTable {
       ckptRef = if (s.contains("\"ckptRef\":\""))
         Some(strField("ckptRef")) else None,
       ckptFiles = if (s.contains("\"ckptFiles\":"))
-        rawField("ckptFiles").toLong else 0L)
+        rawField("ckptFiles").toLong else 0L,
+      cdc = if (s.contains("\"cdcFiles\":")) strArr("cdcFiles") else Nil,
+      cdcExact = s.contains("\"cdcExact\":") &&
+        rawField("cdcExact").toBoolean)
   }
 
   /** One-time datastore initialization (reference:
@@ -844,6 +861,18 @@ final case class EngineConf(
     // segmented it stays segmented (no flapping at the boundary).
     // 0 = always segmented (test/diagnostic mode).
     checkpointInlineFiles: Int = 4096,
+    // OPT-IN row tracking for copy-on-write rewrites (Delta's
+    // enableChangeDataFeed analog): every committing rewrite that
+    // REMOVES files also stages exact pre/post-image rows as CDC
+    // side files referenced by the manifest, so the streaming change
+    // feed serves update_preimage/update_postimage/delete events
+    // through UPDATE/MERGE/row-level-SQL/restore commits instead of
+    // failing (or lossily re-streaming post-images under
+    // ignoreChanges). Costs one distributed diff of the commit's
+    // removed-vs-added files per rewrite — the standard CDC write
+    // amplification; pure inserts and MoR deletes never pay it
+    // (their events are already exact without side files).
+    changeDataFeed: Boolean = false,
     conflictMaxAttempts: Int = 5,
     conflictBackoffMs: Long = 20L,
     idBroadcastThreshold: Int = 1000,
@@ -960,7 +989,8 @@ final class Instance(val spark: SparkSession, val root: String,
             m.copy(added = Nil, removed = Nil, objects = Nil,
               objSummary = None, stats = Map.empty, colStats = Map.empty,
               fileStats = Map.empty, dvs = Map.empty,
-              appTxns = Map.empty, appTxnTs = Map.empty)
+              appTxns = Map.empty, appTxnTs = Map.empty,
+              cdc = Nil, cdcExact = false)
           case _ => m
         }
       }
@@ -2462,6 +2492,17 @@ final class Instance(val spark: SparkSession, val root: String,
           math.max(s0.max, txn.objects.max), folded)))
       case other => (txn.objects.toSeq, other)
     }
+    // change-data images: a file-removing data commit under
+    // changeDataFeed stages its exact pre/post-image rows ONCE (the
+    // delta is fixed for the txn, so retry attempts reuse the files).
+    // Schema-evolving rewrites skip it (pre/post schemas differ) and
+    // the stream falls back to its fail/ignoreChanges contract.
+    val cdcWritten: Option[Seq[String]] =
+      if (conf.changeDataFeed && multiRef.isEmpty &&
+          txn.removed.nonEmpty && !txn.schemaEvolved &&
+          (objList.nonEmpty || objSum.isDefined))
+        Some(txn.writeCdcDiff())
+      else None
     // every manifest carries the full folded DDL — no state fold needed
     lazy val snapshotDdl = readManifest(txn.readVersion).schemaDDL
     // streaming-epoch idempotence, part 1: everything at or before the
@@ -2626,7 +2667,8 @@ final class Instance(val spark: SparkSession, val root: String,
         // change altered the DDL and already conflicted above
         renames = txn.localRen, tombstones = txn.localTomb,
         ckptRef = segRef,
-        ckptFiles = if (segRef.isDefined) liveAfter.size.toLong else 0L)
+        ckptFiles = if (segRef.isDefined) liveAfter.size.toLong else 0L,
+        cdc = cdcWritten.getOrElse(Nil), cdcExact = cdcWritten.isDefined)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes and
         // staging cleanup are best-effort and must never surface as a
@@ -2722,9 +2764,14 @@ final class Instance(val spark: SparkSession, val root: String,
         horizonDvs = if (l.isEmpty) horizonDvs - f else horizonDvs.updated(f, l)
       }
     }
-    val live = horizonFiles ++ above.flatMap(_.added)
+    // change-data side files referenced inside the bounded walk stay
+    // readable (the stream's lag must fit the retention window — the
+    // same contract as data files); older ones fall to the orphan
+    // sweep once past the grace
+    val cdcKeep = (tail.flatMap(_.cdc) ++ above.flatMap(_.cdc)).toSet
+    val live = horizonFiles ++ above.flatMap(_.added) ++ cdcKeep
     val referenced = ckptAllFiles0 ++ tail.flatMap(_.added) ++
-      above.flatMap(_.added)
+      above.flatMap(_.added) ++ cdcKeep
     // deletion-vector sidecars have the same two-phase lifecycle: live
     // = referenced by the horizon fold or any window manifest (a
     // sidecar attached then replaced INSIDE the window was live at a
@@ -3066,7 +3113,8 @@ final class Instance(val spark: SparkSession, val root: String,
     * re-adding an old snapshot's files) belong to committed history
     * and must survive an abort. */
   private[acid] def deleteStagingDirs(txn: Txn): Unit =
-    (txn.added.filterNot(txn.adopted.contains) ++ txn.retired)
+    (txn.added.filterNot(txn.adopted.contains) ++ txn.retired ++
+      txn.cdcStaged)
       .map(_.split('/').head).distinct
       .foreach(d => fs.delete(new Path(dataDir, d), true))
 
@@ -3139,6 +3187,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // and restore; entries for files this txn later rewrites are dropped
   // in retire() (the rewrite materialized the mask)
   private[acid] val dvDelta = mutable.Map[String, Seq[String]]()
+  // change-data side files staged by writeCdcDiff (dataDir-relative);
+  // reclaimed on abort like ordinary staging
+  private[acid] val cdcStaged = mutable.ArrayBuffer[String]()
   private[acid] val stagedBatch = new AtomicLong(0)
   private val objSeq = new AtomicLong(0)
 
@@ -3997,6 +4048,75 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         IdBloom.saturated(inst.conf.bloomBits)))
   }
 
+  /** Stage this transaction's EXACT row-level change images as CDC
+    * side files (the [[EngineConf.changeDataFeed]] write path): diff
+    * the removed files' rows (under the base snapshot's deletion
+    * masks) against the added files' rows, keyed by obj_id — ids only
+    * after are inserts, only before are deletes, both-sides rows that
+    * differ are update pre/post image pairs, and byte-identical rows
+    * are CoW copy-backs that emit nothing (same classification as the
+    * batch [[Instance.changes]] diff, which the reference anchors via
+    * exact overwrite pre-images, src/storage/version_store.rs:100-119).
+    * Written as parquet under a `cdc-` prefixed subdir of the data
+    * dir, columns in PHYSICAL names plus `_change_type`; one
+    * distributed job, rows never on the driver. Returns the staged
+    * relative paths. */
+  private[acid] def writeCdcDiff(): Seq[String] = {
+    val base = cachedBaseState()
+    val removedFiles = removed.toSeq.sorted
+    val addedFiles = added.toSeq.sorted
+    val ddl = schemaDDL.getOrElse(base.ddl)
+    val ren = localRen
+    val pre = inst.viewOf(removedFiles, base.ddl,
+      inst.resolveDvs(base.dvs, removedFiles), base.renames)
+    val post = inst.viewOf(addedFiles, ddl,
+      inst.resolveDvs(localDvs(), addedFiles), ren)
+    val allCols: Seq[(String, DataType)] =
+      (post.schema ++ pre.schema.filterNot(f =>
+        post.columns.contains(f.name)))
+        .filterNot(_.name == "obj_id").map(f => f.name -> f.dataType).toSeq
+    // maps are not orderable: compare key-sorted entry arrays, keep
+    // the original type in the output (same trick as Instance.changes)
+    def comparable(c: Column, dt: DataType): Column = dt match {
+      case _: MapType => array_sort(map_entries(c))
+      case _ => c
+    }
+    def keyed(df: DataFrame, as: String): DataFrame = {
+      def field(n: String, dt: DataType) =
+        if (df.columns.contains(n)) col(n) else lit(null).cast(dt)
+      df.select(col("obj_id"),
+        struct(allCols.map { case (n, dt) => field(n, dt).as(n) }: _*)
+          .as(as),
+        struct(allCols.map { case (n, dt) =>
+          comparable(field(n, dt), dt).as(n) }: _*).as(as + "C"))
+    }
+    val joined = keyed(pre, "_pre")
+      .join(keyed(post, "_post"), Seq("obj_id"), "full_outer")
+    def unpack(side: String, rows: DataFrame, change: String): DataFrame =
+      rows.select(col("obj_id") +: allCols.map { case (n, _) =>
+        col(s"$side.$n").as(n) }: _*)
+        .withColumn("_change_type", lit(change))
+    val updated = joined.filter(col("_pre").isNotNull &&
+      col("_post").isNotNull && !(col("_preC") <=> col("_postC")))
+    val events = Seq(
+      unpack("_post", joined.filter(col("_pre").isNull), "insert"),
+      unpack("_pre", joined.filter(col("_post").isNull), "delete"),
+      unpack("_pre", updated, "update_preimage"),
+      unpack("_post", updated, "update_postimage"))
+      .reduce(_.unionByName(_))
+    // side files spell the fixed PHYSICAL names, like every data file
+    val physNamed = events.select(
+      (col("obj_id") +: allCols.map { case (n, _) =>
+        col(n).as(ren.getOrElse(n, n)) }) :+ col("_change_type"): _*)
+    val sub = s"cdc-${java.util.UUID.randomUUID().toString.take(12)}"
+    physNamed.write.parquet(new Path(inst.dataDir, sub).toString)
+    val names = inst.fs.listStatus(new Path(inst.dataDir, sub))
+      .filter(e => e.isFile && !e.getPath.getName.startsWith("_"))
+      .map(e => s"$sub/${e.getPath.getName}").toSeq.sorted
+    cdcStaged ++= names
+    names
+  }
+
   /** Remove every row of the txn-local snapshot (SQL TRUNCATE): retires
     * all current files as one metadata-only delta — copy-on-write keeps
     * the bytes, so the pre-truncate version stays time-travelable.
@@ -4058,7 +4178,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     inst.deleteStagingDirs(this)
     added.clear(); removed.clear(); objects.clear(); retired.clear()
     addedStats.clear(); addedColStats.clear(); addedFileStats.clear()
-    adopted.clear()
+    adopted.clear(); cdcStaged.clear()
     schemaDDL = None; schemaEvolved = false; renames = None
     tombstones = None
     objSummary = None

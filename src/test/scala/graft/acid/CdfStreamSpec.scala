@@ -295,4 +295,85 @@ class CdfStreamSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("ignoreChanges"))
     assert(inst.readAppends(6L, ignoreChanges = true).count() >= 0L)
   }
+
+  test("changeDataFeed: UPDATE/delete commits stream exact pre/post images without ignoreChanges") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
+      EngineConf(changeDataFeed = true))
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("obj_id", "value").coalesce(1))
+    inst.commit(t1) // v1: inserts
+    inst.withRetry() { t =>
+      t.update(Seq(2L), df => df.withColumn("value", col("value") * 10))
+    } // v2: CoW rewrite — cdc side files carry the exact images
+    inst.withRetry() { t => t.delete(Seq(3L)) } // v3: CoW delete
+    assert(inst.readManifest(2L).cdcExact &&
+      inst.readManifest(2L).cdc.nonEmpty,
+      "rewrite commit must reference its change-data side files")
+
+    // STRICT readChangeFeed (no ignoreChanges): the stream must serve
+    // the rewrite commits from their cdc files instead of failing
+    val name = "cdc_exact_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(readChangeFeed = true), name,
+      Files.createTempDirectory("graft_cdc_ckpt_").toString)
+    val got = spark.table(name)
+      .orderBy("_version", "_change_type", "obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+        r.getAs[Long]("_version"), r.getAs[String]("_change_type")))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, "insert"), (2L, 20L, 1L, "insert"),
+      (3L, 30L, 1L, "insert"),
+      (2L, 200L, 2L, "update_postimage"), (2L, 20L, 2L, "update_preimage"),
+      (3L, 30L, 3L, "delete")), s"got ${got.toSeq}")
+
+    // the batch diff agrees with the streamed images (same classifier)
+    val batch = inst.changes(0L, 3L)
+      .orderBy("_version", "_change", "obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+        r.getAs[Long]("_version"), r.getAs[String]("_change")))
+    assert(batch.toSeq == got.toSeq)
+  }
+
+  test("changeDataFeed: MERGE and restore commits stream exactly; copy-backs are silent") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
+      EngineConf(changeDataFeed = true))
+    val t1 = inst.begin()
+    t1.insert(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("obj_id", "value").coalesce(1))
+    inst.commit(t1) // v1
+    inst.withRetry() { t =>
+      t.merge(Seq((2L, 5L), (4L, 40L)).toDF("obj_id", "value"),
+        matchedUpdate = Map("value" -> (col("t.value") + col("s.value"))))
+    } // v2: updates 2 -> 25, inserts 4; 1 and 3 are copy-backs
+    val name = "cdc_merge_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(startingVersion = 2L,
+      readChangeFeed = true), name,
+      Files.createTempDirectory("graft_cdc_ckpt_").toString)
+    val got = spark.table(name)
+      .orderBy("_change_type", "obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+        r.getAs[String]("_change_type")))
+    assert(got.toSeq == Seq(
+      (4L, 40L, "insert"),
+      (2L, 25L, "update_postimage"), (2L, 20L, "update_preimage")),
+      s"copy-backs must not stream: ${got.toSeq}")
+
+    // restore undoes the merge: its commit streams the exact inverse
+    inst.restore(1L) // v3
+    val name2 = "cdc_restore_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(inst.readChangesStream(startingVersion = 3L,
+      readChangeFeed = true), name2,
+      Files.createTempDirectory("graft_cdc_ckpt_").toString)
+    val got2 = spark.table(name2)
+      .orderBy("_change_type", "obj_id").collect()
+      .map(r => (r.getAs[Long]("obj_id"), r.getAs[Long]("value"),
+        r.getAs[String]("_change_type")))
+    assert(got2.toSeq == Seq(
+      (4L, 40L, "delete"),
+      (2L, 20L, "update_postimage"), (2L, 25L, "update_preimage")),
+      s"restore must stream its inverse images: ${got2.toSeq}")
+  }
 }

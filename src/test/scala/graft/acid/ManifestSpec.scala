@@ -55,10 +55,13 @@ class ManifestSpec extends AnyFunSuite {
     tombs <- Gen.listOf(Gen.identifier).map(_.distinct.sorted)
     cref <- Gen.option(pathGen)
     cn <- Gen.choose(0L, 1000000L)
+    cdcf <- Gen.listOf(pathGen)
+    cdcx <- Gen.oneOf(true, false)
   } yield Manifest(v, tsn, ddl, added, removed, objs, ckpt, all, stats,
     tsMillis = ts, fileStats = ustat, multiRef = multi, renames = rens,
     tombstones = tombs, ckptRef = cref,
-    ckptFiles = if (cref.isDefined) cn else 0L)
+    ckptFiles = if (cref.isDefined) cn else 0L,
+    cdc = cdcf, cdcExact = cdcx)
 
   test("manifest JSON round-trips arbitrary content exactly") {
     (0 until 200).foreach { i =>
