@@ -347,7 +347,41 @@ object AcidQueries {
       "(2, 20, 2, 'update_preimage'), (3, 30, 3, 'delete')) " +
       "AS t(obj_id, value, _version, _change_type) " +
       "ORDER BY _version, _change_type, obj_id")(
-      (s, _) => cdcUpdateFeedScenario(s)))
+      (s, _) => cdcUpdateFeedScenario(s)),
+
+    // full-SQL restore: inserts and a DELETE through the catalog, then
+    // `CALL system.restore` rolls the table back as a NEW commit, and
+    // time travel still reads the undone state — head and the
+    // post-delete version are both hand-computable constants
+    "q61_sql_restore" -> Q(
+      "SELECT snap, CAST(obj_id AS BIGINT) AS obj_id, " +
+      "CAST(value AS BIGINT) AS value " +
+      "FROM (VALUES ('head', 1, 10), ('head', 2, 20), ('head', 3, 30), " +
+      "('v3', 1, 10), ('v3', 3, 30)) AS t(snap, obj_id, value) " +
+      "ORDER BY snap, obj_id")((s, _) => sqlRestoreScenario(s)))
+
+  /** Full-SQL restore lifecycle: two inserts, a DELETE, `CALL
+    * system.restore` back to v2, then head + VERSION AS OF 3 reads —
+    * all through `spark.sql`. */
+  def sqlRestoreScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq61$tag"
+    val wh = Files.createTempDirectory("graft_wh_q61_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.rst.t (obj_id BIGINT, value BIGINT)")
+    spark.sql(s"INSERT INTO $cat.rst.t VALUES (1, 10), (2, 20)") // v1
+    spark.sql(s"INSERT INTO $cat.rst.t VALUES (3, 30)")          // v2
+    spark.sql(s"DELETE FROM $cat.rst.t WHERE obj_id = 2")        // v3
+    spark.sql(s"CALL $cat.system.restore('rst.t', version => 2)") // v4
+    spark.sql(
+      s"""SELECT 'head' AS snap, obj_id, value FROM $cat.rst.t
+         |UNION ALL
+         |SELECT 'v3' AS snap, obj_id, value
+         |FROM $cat.rst.t VERSION AS OF 3
+         |ORDER BY snap, obj_id""".stripMargin)
+  }
 
   /** Column-mapping lifecycle: insert under `qty INT`, rename qty ->
     * amount (metadata-only; the files keep spelling `qty`), widen

@@ -243,7 +243,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * cluster_by => 'obj_id,value')`. Each returns its metric row. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("vacuum", "compact", "materialize")
+      Array("vacuum", "compact", "materialize", "restore")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 
@@ -254,8 +254,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum" => new VacuumProcedure(this)
       case "compact" => new CompactProcedure(this)
       case "materialize" => new MaterializeProcedure(this)
+      case "restore" => new RestoreProcedure(this)
       case other => throw new NoSuchElementException(
-        s"no procedure system.$other (have: vacuum, compact, materialize)")
+        s"no procedure system.$other (have: vacuum, compact, " +
+        "materialize, restore)")
     }
   }
 
@@ -264,6 +266,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(parts.dropRight(1), parts.last)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     VersionedTable.open(SparkSession.active, tablePath(ident).toString)
+  }
+
+  /** Catalog-level CROSS-TABLE transaction front door: one [[Txn]] per
+    * dotted table name, `body` stages whatever it wants on each, and
+    * every table's changes land atomically through ONE decision record
+    * (under the warehouse's `_multi` dir) — the SQL-catalog face of
+    * [[MultiCommit.commitAll]]. Either all tables advance or none do;
+    * failure anywhere rolls every participant back. Returns the
+    * claimed version per table name. */
+  def multiTransact(tables: Seq[String])(
+      body: Seq[Txn] => Unit): Map[String, Long] = {
+    require(tables.nonEmpty, "multiTransact needs at least one table")
+    val insts = tables.map(openInstance)
+    val txns = insts.map(_.begin())
+    val committed =
+      try {
+        body(txns)
+        MultiCommit.commitAll(new Path(warehouse, "_multi").toString,
+          insts.zip(txns))
+      } catch {
+        case e: Throwable =>
+          txns.zip(insts).foreach { case (t, i) =>
+            try i.rollback(t)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          throw e
+      }
+    // map roots back to the caller's dotted names
+    tables.zip(insts).map { case (n, i) => n -> committed(i.root) }.toMap
   }
 
   // ---- namespaces ------------------------------------------------------
@@ -384,6 +415,27 @@ private[acid] final class MaterializeProcedure(cat: GraftCatalog)
     val n = inst.materializeDvs()
     java.util.Collections.singletonList[Scan](
       new MetricScan("materialized_files", n.toLong)).iterator()
+  }
+}
+
+private[acid] final class RestoreProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "restore"
+  override def description(): String =
+    "Roll the table back to the contents of an earlier version as one " +
+    "NEW metadata-only commit (history stays time-travelable)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("version", LongType)
+      .comment("committed version whose contents to restore").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val head = inst.restore(input.getLong(1))
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("restored_head_version", head)).iterator()
   }
 }
 

@@ -267,6 +267,56 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 16L)
   }
 
+  test("CALL system.restore rolls back as a new commit; history stays time-travelable") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.rst")
+    sql("CREATE TABLE gcat.rst.t (obj_id BIGINT, value BIGINT)")
+    sql("INSERT INTO gcat.rst.t VALUES (1, 10), (2, 20)") // v1
+    sql("INSERT INTO gcat.rst.t VALUES (3, 30)")          // v2
+    sql("DELETE FROM gcat.rst.t WHERE obj_id = 2")        // v3
+    assert(sql("SELECT count(*) FROM gcat.rst.t").head().getLong(0) == 2L)
+    val head = sql(
+      "CALL gcat.system.restore('rst.t', version => 2)").head().getLong(0)
+    assert(head == 4L, s"restore must claim a NEW version, got $head")
+    assert(sql("SELECT sum(value) FROM gcat.rst.t").head().getLong(0) == 60L)
+    // the undone delete stays time-travelable AFTER the restore
+    assert(sql("SELECT sum(value) FROM gcat.rst.t VERSION AS OF 3")
+      .head().getLong(0) == 40L)
+    assert(sql("SELECT sum(value) FROM gcat.rst.t VERSION AS OF 4")
+      .head().getLong(0) == 60L)
+  }
+
+  test("catalog multiTransact: two tables, one decision record, atomic both ways") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.mt")
+    sql("CREATE TABLE gcat.mt.a (obj_id BIGINT, value BIGINT)")
+    sql("CREATE TABLE gcat.mt.b (obj_id BIGINT, value BIGINT)")
+    val s = spark
+    import s.implicits._
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val versions = cat.multiTransact(Seq("mt.a", "mt.b")) { txns =>
+      txns(0).insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+      txns(1).insert(Seq((2L, 20L)).toDF("obj_id", "value"))
+    }
+    assert(versions.values.toSeq.sorted == Seq(1L, 1L))
+    assert(sql("SELECT value FROM gcat.mt.a").head().getLong(0) == 10L)
+    assert(sql("SELECT value FROM gcat.mt.b").head().getLong(0) == 20L)
+    // exactly one decision record coordinates the pair
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.gcat.warehouse"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(wh, "_multi"))
+      .count(_.getPath.getName.startsWith("m-")) == 1)
+    // a failing body leaves NEITHER table advanced
+    intercept[IllegalStateException] {
+      cat.multiTransact(Seq("mt.a", "mt.b")) { txns =>
+        txns(0).insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+        throw new IllegalStateException("boom")
+      }
+    }
+    assert(sql("SELECT count(*) FROM gcat.mt.a").head().getLong(0) == 1L)
+    assert(sql("SELECT count(*) FROM gcat.mt.b").head().getLong(0) == 1L)
+  }
+
   test("CTAS, rename, and namespace listing") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.misc")
     sql("CREATE TABLE gcat.misc.src (obj_id BIGINT, value BIGINT)")
