@@ -167,7 +167,11 @@ private[acid] object GraftTableSource {
       val parts = partPairs(r.file).toMap
       filters.forall { f =>
         val c = f.references.head
-        val pc = renames.getOrElse(c, c)
+        val pc = {
+          val i = c.indexOf('.')
+          if (i < 0) renames.getOrElse(c, c)
+          else renames.getOrElse(c.take(i), c.take(i)) + c.substring(i)
+        }
         if (parts.contains(pc)) {
           val dt = tableSchema.find(_.name == c).map(_.dataType)
             .getOrElse(StringType)
@@ -557,7 +561,15 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(table.rootPath, table.schemaOf,
         info.schema(), info.queryId(), overwrite, table.partitionCols,
-        upsert = info.options().getBoolean("upsert", false))
+        upsert = info.options().getBoolean("upsert", false),
+        // sink-side auto-maintenance knobs (EngineConf is caller
+        // config, so the stream carries its own): bound the small
+        // files a long-running sink accumulates
+        conf = EngineConf(
+          autoCompactFiles = info.options().getInt("autoCompactFiles", 0),
+          autoCompactTarget = info.options().getInt("autoCompactTarget", 4),
+          autoMaterializeDvs =
+            info.options().getInt("autoMaterializeDvs", 0)))
   }
 }
 
@@ -692,8 +704,13 @@ private[acid] final class GraftScan(root: String, version: Long,
 
   /** Physical (on-disk) name of a logical column under the pinned
     * version's column mapping — what file columns, `k=v` path
-    * segments, and footer-derived stat indexes all spell. */
-  private def phys(n: String): String = state.phys(n)
+    * segments, and footer-derived stat indexes all spell. Dotted
+    * (struct-leaf) references translate their TOP-LEVEL segment only:
+    * column mapping applies to roots, nested names are fixed. */
+  private def phys(n: String): String = {
+    val i = n.indexOf('.')
+    if (i < 0) state.phys(n) else state.phys(n.take(i)) + n.substring(i)
+  }
 
   /** Resolved deletion-vector masks for the surviving files (empty on
     * a table with no outstanding MoR deletes — the common case, which

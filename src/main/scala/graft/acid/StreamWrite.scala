@@ -44,7 +44,8 @@ import org.apache.spark.util.SerializableConfiguration
 private[acid] final class GraftStreamingWrite(root: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     complete: Boolean, partitionBy: Seq[String] = Nil,
-    upsert: Boolean = false) extends StreamingWrite {
+    upsert: Boolean = false,
+    conf: EngineConf = EngineConf()) extends StreamingWrite {
 
   {
     val t = tableSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -118,7 +119,7 @@ private[acid] final class GraftStreamingWrite(root: String,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val inst = VersionedTable.open(SparkSession.active, root)
+    val inst = VersionedTable.open(SparkSession.active, root, conf)
     val staged = messages.flatMap {
       case CowFileMessage(f) if f != null => Seq(f)
       case CowFilesMessage(fs) => fs

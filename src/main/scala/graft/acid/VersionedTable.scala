@@ -254,6 +254,47 @@ object VersionedTable {
     def phys(n: String): String = renames.getOrElse(n, n)
   }
 
+  /** Dotted PHYSICAL leaf paths to stat-index for file skipping:
+    * either the explicit [[EngineConf.statsColumnList]] (logical
+    * names; naming a struct indexes all its primitive leaves) or the
+    * first [[EngineConf.statsColumns]] top-level fields — in both
+    * cases RECURSING into struct leaves, so `props.country`-style
+    * fields are skippable. Array/map internals are excluded (their
+    * element stats cannot veto row-level predicates). `obj_id` (the
+    * primary index) is always included; unknown names in the explicit
+    * list are ignored (the schema may still evolve toward them). */
+  private[acid] def statLeafCols(logical: StructType, conf: EngineConf,
+      ren: Map[String, String]): Set[String] = {
+    def leaves(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => leaves(s"$prefix.${f.name}", f.dataType))
+      case _: ArrayType | _: MapType => Nil
+      case _ => Seq(prefix)
+    }
+    def typeAt(path: String): Option[DataType] =
+      path.split('.').foldLeft(Option(logical: DataType)) {
+        case (Some(st: StructType), seg) =>
+          st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }
+    val logicalPaths: Seq[String] =
+      if (conf.statsColumnList.nonEmpty)
+        conf.statsColumnList.flatMap(e => typeAt(e) match {
+          case Some(st: StructType) => leaves(e, st)
+          case Some(_) => Seq(e)
+          case None => Nil
+        })
+      else logical.fields.take(conf.statsColumns).toSeq
+        .flatMap(f => leaves(f.name, f.dataType))
+    // column mapping applies to the TOP-LEVEL segment only (nested
+    // fields keep their names; only roots get physical indirection)
+    (logicalPaths.toSet + "obj_id").map { p =>
+      val i = p.indexOf('.')
+      if (i < 0) ren.getOrElse(p, p)
+      else ren.getOrElse(p.take(i), p.take(i)) + p.substring(i)
+    }
+  }
+
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -873,6 +914,27 @@ final case class EngineConf(
     // amplification; pure inserts and MoR deletes never pay it
     // (their events are already exact without side files).
     changeDataFeed: Boolean = false,
+    // EXPLICIT stat-column list (logical dotted names), overriding the
+    // first-statsColumns default: exactly these columns (a struct name
+    // expands to all its primitive leaves) get universal footer stats
+    // in the manifest — Delta's dataSkippingStatsColumns analog. Lets
+    // a wide table index only its filter columns, and nested leaves
+    // like `props.country` become skippable.
+    statsColumnList: Seq[String] = Nil,
+    // OPT-IN post-commit auto-maintenance (Delta's autoCompact
+    // analog): once a successful commit leaves the snapshot with >=
+    // autoCompactFiles live files, the committer immediately folds
+    // them to autoCompactTarget via the existing compact() as one
+    // extra layout-only commit; >= autoMaterializeDvs outstanding
+    // masked files likewise trigger materializeDvs(). Both are
+    // BEST-EFFORT: a conflict or failure in the maintenance commit
+    // never surfaces (the triggering commit is already durable), and
+    // a concurrent writer simply wins the race. 0 = off (default).
+    // Bounds the small-file growth of streaming sinks and MoR masks
+    // without an external maintenance job.
+    autoCompactFiles: Int = 0,
+    autoCompactTarget: Int = 4,
+    autoMaterializeDvs: Int = 0,
     conflictMaxAttempts: Int = 5,
     conflictBackoffMs: Long = 20L,
     idBroadcastThreshold: Int = 1000,
@@ -901,6 +963,9 @@ final case class EngineConf(
   require(bloomBits >= 64 && bloomBits % 64 == 0,
     s"bloomBits must be a positive multiple of 64")
   require(appTxnRetentionMs >= 0, s"appTxnRetentionMs must be >= 0")
+  require(autoCompactFiles >= 0, s"autoCompactFiles must be >= 0")
+  require(autoCompactTarget >= 1, s"autoCompactTarget must be >= 1")
+  require(autoMaterializeDvs >= 0, s"autoMaterializeDvs must be >= 0")
   require(statsColumns >= 0, s"statsColumns must be >= 0")
   require(multiGraceMs >= 0, s"multiGraceMs must be >= 0")
 }
@@ -1892,8 +1957,7 @@ final class Instance(val spark: SparkSession, val root: String,
     // tuples) files, so the footers are read on a bounded pool, not
     // serially.
     val statCols: Set[String] =
-      df.schema.fields.take(conf.statsColumns).map(_.name).toSet ++
-        Set("obj_id") -- partitionBy
+      VersionedTable.statLeafCols(df0.schema, conf, ren) -- partitionBy
     pooledMap(staged)(f => f -> footerAllStats(new Path(dataDir, f), statCols))
       .foreach { case (f, us) =>
         us.get("obj_id").flatMap(_.longRange)
@@ -2231,11 +2295,13 @@ final class Instance(val spark: SparkSession, val root: String,
     } catch { case _: Exception => None }
   }
 
-  /** Universal footer statistics for every TOP-LEVEL leaf column of a
-    * staged parquet file in `allowed` — one footer open collects typed
-    * min/max + null count per column ([[VersionedTable.UStat]]), the
-    * always-on metadata discipline the reference applies to every
-    * write (free_info.rs:84-194) lifted to file granularity.
+  /** Universal footer statistics for every leaf column of a staged
+    * parquet file whose dotted path is in `allowed` (top-level fields
+    * AND struct leaves like `props.country`) — one footer open
+    * collects typed min/max + null count per column
+    * ([[VersionedTable.UStat]]), the always-on metadata discipline the
+    * reference applies to every write (free_info.rs:84-194) lifted to
+    * file granularity.
     *
     * Same completeness rule as [[footerLongRange]], per column: EVERY
     * non-empty row group must contribute stats or that column's entry
@@ -2380,7 +2446,10 @@ final class Instance(val spark: SparkSession, val root: String,
         reader.getFooter.getBlocks.forEach { b =>
           if (b.getRowCount > 0) {
             b.getColumns.forEach { c =>
-              if (c.getPath.size == 1) {
+              // any depth: struct leaves carry their dotted path
+              // ("props.country"); array/map internals never match an
+              // allowed name (their paths contain list/key_value)
+              {
                 val name = c.getPath.toDotString
                 if (allowed(name)) {
                   val acc = accs.getOrElseUpdate(name, new Acc)
@@ -2670,15 +2739,16 @@ final class Instance(val spark: SparkSession, val root: String,
         ckptFiles = if (segRef.isDefined) liveAfter.size.toLong else 0L,
         cdc = cdcWritten.getOrElse(Nil), cdcExact = cdcWritten.isDefined)
       if (publish(m)) {
-        // the commit IS durable from this point: hint writes and
-        // staging cleanup are best-effort and must never surface as a
-        // commit failure (the caller would roll back and delete data
-        // files the published manifest references)
+        // the commit IS durable from this point: hint writes, staging
+        // cleanup, and auto-maintenance are best-effort and must never
+        // surface as a commit failure (the caller would roll back and
+        // delete data files the published manifest references)
         try {
           // checkpoint commits refresh the head hint, so resolveHead's
           // forward probe stays bounded by the checkpoint interval
           if (isCkpt) writeHead(attempt)
           deleteRetired(txn)
+          maybeAutoMaintain(attempt)
         } catch { case scala.util.control.NonFatal(_) => () }
         return attempt
       }
@@ -2703,6 +2773,32 @@ final class Instance(val spark: SparkSession, val root: String,
   }
 
   private def currentDDL: String = readManifest(latestVersion).schemaDDL
+
+  // re-entrancy guard for post-commit auto-maintenance: the
+  // maintenance commit runs through commit() itself (same thread,
+  // reentrant monitor) and must not re-trigger
+  @volatile private var autoMaintainActive = false
+
+  /** Post-commit auto-maintenance ([[EngineConf.autoCompactFiles]] /
+    * [[EngineConf.autoMaterializeDvs]]): best-effort, conflict-safe —
+    * a losing race just means another writer (or the next trigger)
+    * does the folding. */
+  private def maybeAutoMaintain(version: Long): Unit = {
+    if ((conf.autoCompactFiles <= 0 && conf.autoMaterializeDvs <= 0) ||
+        autoMaintainActive) return
+    autoMaintainActive = true
+    try {
+      val st = tableStateAt(version)
+      if (conf.autoMaterializeDvs > 0 &&
+          st.dvs.size >= conf.autoMaterializeDvs)
+        try materializeDvs()
+        catch { case scala.util.control.NonFatal(_) => () }
+      if (conf.autoCompactFiles > 0 &&
+          st.files.size >= conf.autoCompactFiles)
+        try compact(targetFiles = conf.autoCompactTarget)
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally autoMaintainActive = false
+  }
 
   /** Rollback: discard staged files — nothing was published, so undo is
     * free (reference restores pre-images: block_driver.rs:591-601). */
@@ -3317,8 +3413,14 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     val files = (baseState.files.toSet -- removed ++ added).toSeq.sorted
     val colStats = baseState.colStats -- removed ++ addedColStats
     val fileStats = baseState.fileStats -- removed ++ addedFileStats
-    // stats indexes are keyed by PHYSICAL column name (footer-derived)
-    val pcol = localRen.getOrElse(column, column)
+    // stats indexes are keyed by PHYSICAL column name (footer-derived;
+    // dotted struct leaves translate their top-level segment only)
+    val pcol = {
+      val i = column.indexOf('.')
+      if (i < 0) localRen.getOrElse(column, column)
+      else localRen.getOrElse(column.take(i), column.take(i)) +
+        column.substring(i)
+    }
     val sorted = values.distinct.sorted.toArray
     def anyIn(lo: Long, hi: Long): Boolean = {
       var i = java.util.Arrays.binarySearch(sorted, lo)
@@ -4013,9 +4115,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     // silently DROP the rewritten files out of the data-skipping index
     // until the next compaction (footers are keyed by PHYSICAL names)
     val ren = localRen
-    val statCols: Set[String] = StructType.fromDDL(ddl).fields
-      .take(inst.conf.statsColumns)
-      .map(f => ren.getOrElse(f.name, f.name)).toSet + "obj_id"
+    val statCols: Set[String] = VersionedTable.statLeafCols(
+      StructType.fromDDL(ddl), inst.conf, ren)
     val stagedStats = inst.pooledMap(staged)(f =>
       f -> inst.footerAllStats(new Path(inst.dataDir, f), statCols))
     stagedStats.foreach { case (f, us) =>

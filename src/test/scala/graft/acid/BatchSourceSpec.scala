@@ -396,4 +396,52 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(readGraft(dir).columns.toSeq == Seq("obj_id", "value", "tag"))
     assert(readGraft(dir, Some(3L)).columns.toSeq == Seq("obj_id", "value"))
   }
+
+  test("struct-leaf stats collect and prune; statsColumnList narrows the index") {
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "obj_id BIGINT, props STRUCT<country: STRING, score: BIGINT>")
+    val inst = VersionedTable.create(spark, dir, schema)
+    // four single-file commits with disjoint props.score ranges and
+    // distinct countries
+    val countries = Seq("de", "en", "fr", "jp")
+    (0 until 4).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 50).map(j => (i * 50L + j, countries(i), i * 100L + j))
+        .toDF("obj_id", "c", "s")
+        .select(col("obj_id"), struct(col("c").as("country"),
+          col("s").as("score")).as("props"))
+        .coalesce(1))
+      inst.commit(t)
+    }
+    // write-time stat collection recursed into the struct leaves
+    val st = inst.tableStateAt(inst.latestVersion)
+    val someFile = st.files.head
+    assert(st.fileStats(someFile).contains("props.country") &&
+      st.fileStats(someFile).contains("props.score"),
+      s"struct leaves must be stat-indexed, got ${st.fileStats(someFile).keySet}")
+    // a filter on the nested leaf prunes to one file
+    val byScore = readGraft(dir).filter(col("props.score") === 215L)
+    assert(graftScan(byScore).prunedFiles.size == 1,
+      s"nested-leaf skip: ${graftScan(byScore).prunedFiles}")
+    assert(byScore.count() == 1L)
+    val byCountry = readGraft(dir).filter(col("props.country") === "fr")
+    assert(graftScan(byCountry).prunedFiles.size == 1,
+      s"nested string-leaf skip: ${graftScan(byCountry).prunedFiles}")
+    assert(byCountry.count() == 50L)
+
+    // explicit statsColumnList: only the named leaf is indexed
+    val dir2 = freshDir()
+    val inst2 = VersionedTable.create(spark, dir2, schema,
+      EngineConf(statsColumnList = Seq("props.score")))
+    val t2 = inst2.begin()
+    t2.insert(Seq((1L, "en", 5L)).toDF("obj_id", "c", "s")
+      .select(col("obj_id"), struct(col("c").as("country"),
+        col("s").as("score")).as("props")).coalesce(1))
+    inst2.commit(t2)
+    val st2 = inst2.tableStateAt(inst2.latestVersion)
+    val keys2 = st2.fileStats(st2.files.head).keySet
+    assert(keys2.contains("props.score") && !keys2.contains("props.country"),
+      s"explicit list must narrow the index, got $keys2")
+  }
 }

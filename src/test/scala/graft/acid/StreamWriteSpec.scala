@@ -438,4 +438,35 @@ class StreamWriteSpec extends AnyFunSuite {
     inst.commit(t4) // v4 checkpoint, written in the same instant
     assert(inst.lastCommittedEpoch("live-query").contains(2L))
   }
+
+  test("auto-compaction bounds a long-running sink's file count across epochs") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_ac_ckpt_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "value")
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .option("autoCompactFiles", "5")
+        .option("autoCompactTarget", "2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // 12 epochs of small appends: without auto-compaction the table
+    // would hold >= 12 files; the post-commit trigger must keep it
+    // bounded by the threshold
+    (1 to 12).foreach { i =>
+      mem.addData((i.toLong, i * 10L))
+      drain()
+    }
+    val files = inst.stateAt(inst.latestVersion)._1
+    assert(files.size < 5,
+      s"auto-compaction must bound the file count, got ${files.size}")
+    // no rows lost or duplicated across the maintenance commits
+    assert(inst.read().orderBy("obj_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1 to 12).map(i => (i.toLong, i * 10L)))
+  }
 }
