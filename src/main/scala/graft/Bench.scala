@@ -77,7 +77,33 @@ object Bench {
     val filtered = sys.env.get("SPARK_GRAFT_ONLY")
       .map(f => s""","filtered":"${f.replaceAll("[^A-Za-z0-9_,-]", "")}"""")
       .getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s}""")
+    // quantitative quality bound for the approximate ANN keys, measured
+    // at THIS bench's scale factor each round: recall@1 of the
+    // LSH/IVF answers against the exact top-1 (the no_oracle keys'
+    // accuracy is otherwise invisible to the driver artifacts).
+    // Computed AFTER the timing loop so it never skews the medians;
+    // skipped silently if the narrowed run excluded the ANN keys.
+    val recallJson =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) ""
+      else try {
+        import org.apache.spark.sql.functions.col
+        val e = Engine.table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = e.filter(col("vec_id") < 20)
+        val exact = graft.operators.Similarity.annTop1(e, q)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+          val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          exact.count { case (k, v) => got.get(k).contains(v) }
+            .toDouble / exact.size
+        }
+        val ivf = recallOf(graft.operators.Similarity
+          .annTop1Ivf(e, q, dim = 64))
+        val lsh = recallOf(graft.operators.Similarity
+          .annTop1Lsh(e, q, dim = 64))
+        f""","recall":{"q26_ann_ivf":$ivf%.3f,"q26_ann_lsh":$lsh%.3f}"""
+      } catch { case _: Throwable => "" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$recallJson%s}""")
     spark.stop()
   }
 }

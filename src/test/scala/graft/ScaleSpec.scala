@@ -148,6 +148,35 @@ class ScaleSpec extends AnyFunSuite {
       s"distributed-trained IVF matched exact top-1 on only $agree/${exact.size}")
   }
 
+  test("IVF recall >= 0.9 vs exact top-k at the bench scale factor (sf0.1)") {
+    // the per-round quality bound for the approximate ANN keys at the
+    // driver bench's own scale: the IVF answer must land inside the
+    // exact top-5 (q26_ann_ivf vs q26_ann_topk — standard recall@k)
+    // for >= 90% of queries, AND hit the true top-1 for most.
+    // Deterministic (seeded training, fixed probes) — pinned, not
+    // statistical. Bench.scala emits the strict top-1 agreement as a
+    // "recall" row in BENCH_r{N}.json every round.
+    val e = Engine.table(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+    val exactTop5 = Similarity.annTopK(e, q, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactTop1 = Similarity.annTop1(e, q)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.annTop1Ivf(e, q, dim = 64, nCells = 16, nProbe = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet == exactTop1.keySet)
+    val recallK = ivf.count { case (k, v) => exactTop5(k).contains(v) }
+      .toDouble / ivf.size
+    val recall1 = exactTop1.count { case (k, v) => ivf.get(k).contains(v) }
+      .toDouble / exactTop1.size
+    info(f"sf0.1 IVF (nCells=16, nProbe=12): recall@5 $recallK%.3f, " +
+      f"strict top-1 agreement $recall1%.3f")
+    assert(recallK >= 0.9, f"sf0.1 IVF recall@5 $recallK%.3f < 0.9")
+    assert(recall1 >= 0.75, f"sf0.1 IVF top-1 agreement $recall1%.3f < 0.75")
+  }
+
   test("codegen'd HyperplaneBands matches the interpreted plane generator") {
     // the expression and Similarity.lshBucket draw signs from the same
     // (plane, dim) integer mix — cross-check one vector end to end
