@@ -698,6 +698,7 @@ private[acid] final class GraftScan(root: String, version: Long,
     // sees the narrowed file set
     prunedFilesMemo = null
     prunedStatusesMemo = null
+    sidecarStatusMemo = Map.empty
   }
 
   @transient private lazy val state = inst.tableStateAt(version)
@@ -732,15 +733,30 @@ private[acid] final class GraftScan(root: String, version: Long,
   @transient @volatile private var prunedFilesMemo: Seq[String] = null
   @transient @volatile private var prunedStatusesMemo
       : Map[String, org.apache.hadoop.fs.FileStatus] = null
+  // (size, mtime) the segmented checkpoint recorded for surviving
+  // covered files — set by computePrunedFiles, spares the RPCs below
+  @transient @volatile private var sidecarStatusMemo
+      : Map[String, (Long, Long)] = Map.empty
 
-  /** Pruned files' statuses, fetched once on the bounded driver pool
-    * (each a ~10ms RPC on an object store) — shared by statistics
-    * estimation and split planning. */
+  /** Pruned files' statuses — checkpoint-covered files use the (size,
+    * mtime) their segmented checkpoint recorded at write time (data
+    * files are immutable, so it never goes stale: ZERO status RPCs for
+    * the covered bulk); the O(tail) rest fetch once on the bounded
+    * driver pool (each a ~10ms RPC on an object store). Shared by
+    * statistics estimation and split planning. */
   @transient private def prunedStatuses
       : Map[String, org.apache.hadoop.fs.FileStatus] = {
     var memo = prunedStatusesMemo
     if (memo == null) {
-      memo = inst.pooledMap(prunedFiles)(rel =>
+      val recorded = sidecarStatusMemo
+      val fromCkpt = prunedFiles.flatMap { rel =>
+        recorded.get(rel).collect { case (size, mtime) if size > 0L =>
+          rel -> new org.apache.hadoop.fs.FileStatus(size, false, 1, size,
+            mtime, inst.fs.makeQualified(new Path(inst.dataDir, rel)))
+        }
+      }.toMap
+      val rest = prunedFiles.filterNot(fromCkpt.contains)
+      memo = fromCkpt ++ inst.pooledMap(rest)(rel =>
         rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
       prunedStatusesMemo = memo
     }
@@ -792,10 +808,12 @@ private[acid] final class GraftScan(root: String, version: Long,
         // on the driver. Survivor NAMES are all that comes back.
         val driverPart = state.files.filter(f => sc.tailLive(f) &&
           driverPred(f))
-        val distPart = inst.sidecarSurvivors(sc)(
+        val distPart = inst.sidecarSurvivorsStatus(sc)(
           GraftTableSource.sidecarPred(allFilters, state.renames,
             tableSchema))
-        (driverPart ++ distPart).sorted
+        sidecarStatusMemo = distPart.map { case (f, sz, mt) =>
+          f -> (sz, mt) }.toMap
+        (driverPart ++ distPart.map(_._1)).sorted
       case None => files.filter(driverPred)
     }
   }

@@ -37,28 +37,36 @@ import graft.acid.VersionedTable.UStat
   * single-char strings. */
 private[acid] object CheckpointStore {
 
-  /** One live data file's full planner state. */
+  /** One live data file's full planner state. `size`/`mtime` are the
+    * file's on-store status, captured ONCE at checkpoint time (data
+    * files are immutable, so they never go stale) — split planning
+    * over checkpoint-covered files then needs ZERO per-file status
+    * RPCs; 0 = unknown (synthetic/legacy rows), falls back to a
+    * status fetch. */
   final case class CkptRow(
       file: String,
       idMin: Option[Long], idMax: Option[Long],
       colNames: Seq[String], colMins: Seq[Long], colMaxs: Seq[Long],
       dvList: Seq[String],
       uCols: Seq[String], uKinds: Seq[String],
-      uMins: Seq[String], uMaxs: Seq[String], uNulls: Seq[Long])
+      uMins: Seq[String], uMaxs: Seq[String], uNulls: Seq[Long],
+      size: Long = 0L, mtime: Long = 0L)
 
   implicit val ckptRowEncoder: Encoder[CkptRow] = Encoders.product[CkptRow]
 
   def toRow(file: String, stats: Option[(Long, Long)],
       colStats: Map[String, (Long, Long)],
       dvs: Seq[String],
-      fileStats: Map[String, UStat]): CkptRow = {
+      fileStats: Map[String, UStat],
+      size: Long = 0L, mtime: Long = 0L): CkptRow = {
     val cs = colStats.toSeq.sortBy(_._1)
     val us = fileStats.toSeq.sortBy(_._1)
     CkptRow(file, stats.map(_._1), stats.map(_._2),
       cs.map(_._1), cs.map(_._2._1), cs.map(_._2._2),
       dvs,
       us.map(_._1), us.map(_._2.kind.toString),
-      us.map(_._2.min), us.map(_._2.max), us.map(_._2.nulls))
+      us.map(_._2.min), us.map(_._2.max), us.map(_._2.nulls),
+      size, mtime)
   }
 
   def statsOf(r: CkptRow): Option[(Long, Long)] =

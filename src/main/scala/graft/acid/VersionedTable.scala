@@ -2168,13 +2168,22 @@ final class Instance(val spark: SparkSession, val root: String,
     * the file may match. The per-row work is the same veto logic the
     * inline path runs; only the loop is moved off the driver. */
   private[acid] def sidecarSurvivors(sc: SidecarState)(
-      pred: CheckpointStore.CkptRow => Boolean): Seq[String] = {
+      pred: CheckpointStore.CkptRow => Boolean): Seq[String] =
+    sidecarSurvivorsStatus(sc)(pred).map(_._1)
+
+  /** [[sidecarSurvivors]] plus each survivor's checkpoint-recorded
+    * (size, mtime) — split planning over covered files then needs no
+    * per-file status RPC (0 = unknown, caller falls back to a fetch). */
+  private[acid] def sidecarSurvivorsStatus(sc: SidecarState)(
+      pred: CheckpointStore.CkptRow => Boolean)
+      : Seq[(String, Long, Long)] = {
     val s = spark
     import s.implicits._
     val exclB = spark.sparkContext.broadcast(sc.excluded)
     try readSidecarRows(sc.ref)
       .filter(r => !exclB.value(r.file) && pred(r))
-      .select("file").as[String].collect().toSeq
+      .select("file", "size", "mtime").as[(String, Long, Long)]
+      .collect().toSeq
     finally exclB.destroy()
   }
 
@@ -2203,6 +2212,16 @@ final class Instance(val spark: SparkSession, val root: String,
     import CheckpointStore._
     val bcasts = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.broadcast.Broadcast[_]]
+    // driver-built rows (tail + this commit — bounded) capture the
+    // file's status ONCE here; previous side-car rows carry theirs
+    // forward untouched (data files are immutable). Split planning
+    // over checkpoint-covered files then needs no status RPCs at all.
+    def withStatus(rows: Seq[CkptRow]): Seq[CkptRow] =
+      rows.zip(pooledMap(rows.map(_.file))(f =>
+        try Some(fs.getFileStatus(new Path(dataDir, f)))
+        catch { case _: java.io.IOException => None }))
+        .map { case (r, st) => st.fold(r)(s =>
+          r.copy(size = s.getLen, mtime = s.getModificationTime)) }
     try {
       val baseRows: org.apache.spark.sql.Dataset[CkptRow] =
         base.sidecar match {
@@ -2217,20 +2236,20 @@ final class Instance(val spark: SparkSession, val root: String,
               .broadcast(sc.excluded ++ removed)
             bcasts += exclB
             readSidecarRows(sc.ref).filter(r => !exclB.value(r.file))
-              .union(tailRows.toDS())
+              .union(withStatus(tailRows).toDS())
           case None =>
             // first segmentation: the inline base is by construction
             // at most checkpointInlineFiles + one interval of commits
             // — a bounded driver materialization, once
-            base.files.filterNot(removed).map(f =>
+            withStatus(base.files.filterNot(removed).map(f =>
               toRow(f, base.stats.get(f),
                 base.colStats.getOrElse(f, Map.empty), Nil,
-                base.fileStats.getOrElse(f, Map.empty))).toDS()
+                base.fileStats.getOrElse(f, Map.empty)))).toDS()
         }
       val dvB = spark.sparkContext.broadcast(foldedDvs)
       bcasts += dvB
       val parts = math.max(1L, math.min(200L, liveCount / 512000L)).toInt
-      baseRows.union(added.toDS())
+      baseRows.union(withStatus(added).toDS())
         .map(r => r.copy(dvList = dvB.value.getOrElse(r.file, Nil)))
         .repartition(parts)
         .write.mode("overwrite").parquet(sidecarPath(ref).toString)

@@ -140,6 +140,20 @@ class SegmentedCkptSpec extends AnyFunSuite {
     assert(graftScan(byValue).prunedFiles.size == 1,
       s"ustat skip through side files: ${graftScan(byValue).prunedFiles}")
     assert(byValue.count() == 1L)
+    // side-car rows carry the files' real (size, mtime), captured at
+    // checkpoint time — split planning over covered files fabricates
+    // statuses from them instead of issuing per-file RPCs (the
+    // count() above already read THROUGH those fabricated statuses;
+    // a wrong size would truncate or fail the parquet read)
+    val rows = inst.readSidecarRows(inst.readManifest(4L).ckptRef.get)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.size > 0L),
+      "side-car rows must record real file sizes")
+    rows.take(2).foreach { r =>
+      val real = inst.fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(inst.dataDir, r.file)).getLen
+      assert(r.size == real, s"${r.file}: recorded ${r.size} != $real")
+    }
   }
 
   test("partitioned tables prune by path through the side files") {
