@@ -101,7 +101,14 @@ object Bench {
           .annTop1Ivf(e, q, dim = 64))
         val lsh = recallOf(graft.operators.Similarity
           .annTop1Lsh(e, q, dim = 64))
-        f""","recall":{"q26_ann_ivf":$ivf%.3f,"q26_ann_lsh":$lsh%.3f}"""
+        // the quality-bound geometry ScaleSpec gates at >= 0.9
+        // recall@5 / >= 0.75 top-1 (nProbe=12 of 16 cells) — emitted
+        // beside the shipped keys' default-probe numbers so the
+        // artifact carries both the cost point and the quality point
+        val ivf12 = recallOf(graft.operators.Similarity
+          .annTop1Ivf(e, q, dim = 64, nCells = 16, nProbe = 12))
+        f""","recall":{"q26_ann_ivf":$ivf%.3f,"q26_ann_lsh":$lsh%.3f,""" +
+          f""""q26_ann_ivf_probe12":$ivf12%.3f}"""
       } catch { case _: Throwable => "" }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$recallJson%s}""")
     spark.stop()

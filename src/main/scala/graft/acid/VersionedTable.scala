@@ -1632,7 +1632,12 @@ final class Instance(val spark: SparkSession, val root: String,
   def detail(): DataFrame = {
     val v = latestVersion
     val st = tableStateAt(v)
-    val bytes = pooledMap(st.files)(f =>
+    // segmented tables sum checkpoint-recorded sizes (no per-file
+    // RPCs); only tail/unknown files pay a status fetch
+    val scMeta = st.sidecar.map(sidecarAdminMeta).getOrElse(Map.empty)
+    val recorded = scMeta.collect { case (f, (_, sz)) if sz > 0L => f -> sz }
+    val bytes = recorded.values.sum + pooledMap(
+      st.files.filterNot(recorded.contains))(f =>
       fs.getFileStatus(new Path(dataDir, f)).getLen).sum
     val s = spark
     import s.implicits._
@@ -1653,26 +1658,28 @@ final class Instance(val spark: SparkSession, val root: String,
     * sizes". */
   def files(): DataFrame = {
     val st = tableStateAt(latestVersion)
-    val statuses = pooledMap(st.files)(f =>
-      f -> fs.getFileStatus(new Path(dataDir, f))).toMap
+    // segmented snapshot: id ranges AND sizes come from one columnar
+    // scan of the side files; only tail/unknown files pay status RPCs
+    val scMeta = st.sidecar.map(sidecarAdminMeta).getOrElse(Map.empty)
+    val recorded = scMeta.collect { case (f, (_, sz)) if sz > 0L => f -> sz }
+    val fetched = pooledMap(st.files.filterNot(recorded.contains))(f =>
+      f -> fs.getFileStatus(new Path(dataDir, f)).getLen).toMap
+    val sizes = recorded ++ fetched
     // path segments spell PHYSICAL column names; every other user
     // surface (schema, $detail, filters) speaks logical names, so
     // translate through the inverse column mapping before formatting
     val logical = st.renames.map(_.swap)
-    // segmented snapshot: the admin surface still shows every file's
-    // id range — fetched as one columnar scan of the side files
-    val scRanges = st.sidecar.map(sidecarIdRanges).getOrElse(Map.empty)
     val s = spark
     import s.implicits._
     st.files.map { f =>
-      val range = st.stats.get(f).orElse(scRanges.get(f))
+      val range = st.stats.get(f).orElse(scMeta.get(f).flatMap(_._1))
       val parts = f.split('/').drop(1).dropRight(1)
         .filter(_.contains('=')).map { seg =>
           val i = seg.indexOf('=')
           val k = seg.substring(0, i)
           s"${logical.getOrElse(k, k)}${seg.substring(i)}"
         }.mkString("/")
-      (f, statuses(f).getLen, range.map(_._1), range.map(_._2),
+      (f, sizes(f), range.map(_._1), range.map(_._2),
         st.dvs.getOrElse(f, Nil).size.toLong, parts)
     }.toDF("file", "size_bytes", "id_min", "id_max",
       "num_dv_sidecars", "partition_values")
@@ -2130,20 +2137,22 @@ final class Instance(val spark: SparkSession, val root: String,
     readSidecarRows(ref).select("file").as[String].collect().toSet
   }
 
-  /** obj-id ranges of every non-excluded side-car row — a three-column
-    * columnar scan; admin surfaces ($files) and bulk range lookups. */
-  private[acid] def sidecarIdRanges(sc: SidecarState)
-      : Map[String, (Long, Long)] = {
+  /** obj-id range + recorded size of every non-excluded side-car row —
+    * a four-column columnar scan; admin surfaces ($files/$detail) read
+    * a 10^6-file table's metadata without 10^6 status RPCs. Size 0 =
+    * unknown (legacy/synthetic row), caller falls back to a fetch. */
+  private[acid] def sidecarAdminMeta(sc: SidecarState)
+      : Map[String, (Option[(Long, Long)], Long)] = {
     val s = spark
     import s.implicits._
     val exclB = spark.sparkContext.broadcast(sc.excluded)
     try readSidecarRows(sc.ref)
       .filter(r => !exclB.value(r.file))
-      .select("file", "idMin", "idMax")
-      .as[(String, Option[Long], Option[Long])]
+      .select("file", "idMin", "idMax", "size")
+      .as[(String, Option[Long], Option[Long], Long)]
       .collect()
-      .flatMap { case (f, lo, hi) =>
-        for (l <- lo; h <- hi) yield f -> (l, h)
+      .map { case (f, lo, hi, size) =>
+        f -> (for (l <- lo; h <- hi) yield (l, h), size)
       }.toMap
     finally exclB.destroy()
   }

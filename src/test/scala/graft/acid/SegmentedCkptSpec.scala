@@ -104,6 +104,12 @@ class SegmentedCkptSpec extends AnyFunSuite {
     assert(again.read().count() == 3)
     // DSv2 front door over the segmented table
     assert(readGraft(dir).count() == 3)
+    // admin surfaces read sizes and id ranges from the side files
+    val fdf = inst.files().collect()
+    assert(fdf.length == 3 &&
+      fdf.forall(_.getAs[Long]("size_bytes") > 0L))
+    assert(inst.detail().head().getAs[Long]("size_bytes") ==
+      fdf.map(_.getAs[Long]("size_bytes")).sum)
   }
 
   test("point-op and scan pruning run through the side files with exact survivors") {
