@@ -358,7 +358,97 @@ object AcidQueries {
       "CAST(value AS BIGINT) AS value " +
       "FROM (VALUES ('head', 1, 10), ('head', 2, 20), ('head', 3, 30), " +
       "('v3', 1, 10), ('v3', 3, 30)) AS t(snap, obj_id, value) " +
-      "ORDER BY snap, obj_id")((s, _) => sqlRestoreScenario(s)))
+      "ORDER BY snap, obj_id")((s, _) => sqlRestoreScenario(s)),
+
+    // metadata-only aggregate pushdown: a global COUNT/MIN/MAX over
+    // the whole lineitem-backed ACID table answers from the manifest's
+    // per-file footer stats (one LocalTableScan, ZERO data files
+    // opened — the scenario THROWS if the plan still scans). The
+    // oracle recomputes the same aggregates from the source parquet,
+    // so the metadata answer is hash-gated against the data answer.
+    "q62_agg_pushdown" -> Q(
+      "SELECT COUNT(*) AS cnt, COUNT(l_returnflag) AS cnt_rf, " +
+      "MIN(l_returnflag) AS min_rf, MAX(l_returnflag) AS max_rf, " +
+      "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok, " +
+      "MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd " +
+      "FROM lineitem")((s, dir) => aggPushdownScenario(s, dir)),
+
+    // incrementally-maintained materialized view: load lineitem, build
+    // a (returnflag -> count, sum) aggregate view, then DELETE ~1/7 of
+    // the rows and UPDATE ~1/11 — the second refresh folds ONLY those
+    // two commits' change feed (O(delta), no rescan) and must land on
+    // exactly the aggregate DuckDB computes over the mutated table
+    "q63_incremental_mv" -> Q(
+      "SELECT l_returnflag, COUNT(*) AS cnt, " +
+      "CAST(SUM(CASE WHEN l_orderkey % 11 = 0 THEN l_linenumber + 100 " +
+      "ELSE l_linenumber END) AS BIGINT) AS sum_l_linenumber " +
+      "FROM lineitem WHERE l_orderkey % 7 <> 0 " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag")(
+      (s, dir) => incrementalMvScenario(s, dir)))
+
+  /** Lineitem-backed incremental-view lifecycle (see q63 above).
+    * `obj_id` is a synthetic unique row address assigned at load (the
+    * fixture's (orderkey, linenumber) is NOT unique); every later
+    * predicate keys on l_orderkey, so the id only has to be unique,
+    * never stable across runs. */
+  def incrementalMvScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Engine.table(spark, dir, "lineitem")
+      .select(monotonically_increasing_id().as("obj_id"),
+        col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))
+    val srcTmp = Files.createTempDirectory("graft_mv_src_").toUri.toString
+    val viewTmp = Files.createTempDirectory("graft_mv_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcTmp, li.schema)
+    val t1 = src.begin(); t1.insert(li); src.commit(t1) // v1: full load
+    val mv = MaterializedAggView.create(spark, viewTmp, src,
+      groupCols = Seq("l_returnflag"), sumCols = Seq("l_linenumber"))
+    mv.refresh() // initial build = fold of the insert-only prefix
+    // v2: CoW delete of every 7th order's rows
+    val t2 = src.begin()
+    t2.deleteMatching(src.read().filter(col("l_orderkey") % 7 === 0)
+      .select("obj_id"))
+    src.commit(t2)
+    // v3: keyed MERGE bumps every 11th order's linenumber by 100
+    val t3 = src.begin()
+    t3.merge(src.read().filter(col("l_orderkey") % 11 === 0)
+      .select(col("obj_id"), (col("l_linenumber") + 100).as("new_ln")),
+      matchedUpdate = Map("l_linenumber" ->
+        org.apache.spark.sql.functions.col("s.new_ln")),
+      insertUnmatched = false)
+    src.commit(t3)
+    mv.refresh() // folds exactly (v1, head] = the delete + the merge
+    mv.read().select("l_returnflag", "cnt", "sum_l_linenumber")
+      .orderBy("l_returnflag")
+  }
+
+  /** Load lineitem into a versioned table, then answer a global
+    * aggregate from manifest metadata alone — and fail loudly if the
+    * plan read any data file (the 100 TB "count a table" query must
+    * never scan). */
+  def aggPushdownScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Engine.table(spark, dir, "lineitem")
+      .select(monotonically_increasing_id().as("obj_id"),
+        col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val tmp = Files.createTempDirectory("graft_aggpush_").toUri.toString
+    val inst = VersionedTable.create(spark, tmp, li.schema)
+    val t = inst.begin()
+    t.insert(li)
+    inst.commit(t)
+    val agg = spark.read.format("graft").option("path", tmp).load()
+      .agg(count(lit(1)).as("cnt"),
+        count(col("l_returnflag")).as("cnt_rf"),
+        min("l_returnflag").as("min_rf"), max("l_returnflag").as("max_rf"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        min("l_shipdate").as("min_sd"), max("l_shipdate").as("max_sd"))
+    val scansData = agg.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.nonEmpty
+    if (scansData) throw new IllegalStateException(
+      "q62: aggregate was not answered from metadata — plan still scans:\n" +
+        agg.queryExecution.executedPlan)
+    agg
+  }
 
   /** Full-SQL restore lifecycle: two inserts, a DELETE, `CALL
     * system.restore` back to v2, then head + VERSION AS OF 3 reads —

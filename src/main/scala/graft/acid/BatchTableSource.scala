@@ -396,6 +396,146 @@ private[acid] object GraftTableSource {
     case sources.IsNotNull(_) => value != null
     case _ => true
   }
+
+  /** Can this global aggregation be answered EXACTLY from manifest
+    * metadata? See the eligibility contract on [[GraftScanBuilder]].
+    * Returns (scan schema, the single complete result row in Catalyst
+    * internal form, description) — or None to fall back to a normal
+    * scan. Conservative by construction: every refusal path returns
+    * None; an answer is produced only when every live file contributed
+    * an exact stat. */
+  private[acid] def analyzeAggregation(root: String, version: Long,
+      tableSchema: StructType,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow, String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq
+    if (funcs.isEmpty) return None
+
+    // shape screen (no metadata IO yet): every function must be one of
+    // the four answerable forms over a plain column reference
+    sealed trait Need { def path: Seq[String] }
+    final case class NeedCountStar() extends Need { def path = Nil }
+    final case class NeedCount(path: Seq[String]) extends Need
+    final case class NeedMin(path: Seq[String]) extends Need
+    final case class NeedMax(path: Seq[String]) extends Need
+    def refOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Seq[String]] = e match {
+      case nr: NamedReference => Some(nr.fieldNames.toSeq)
+      case _ => None
+    }
+    val needs: Seq[Need] = funcs.map {
+      case _: CountStar => NeedCountStar()
+      case c: Count if !c.isDistinct =>
+        refOf(c.column) match {
+          case Some(p) => NeedCount(p)
+          case None => return None
+        }
+      case m: Min => refOf(m.column) match {
+        case Some(p) => NeedMin(p)
+        case None => return None
+      }
+      case m: Max => refOf(m.column) match {
+        case Some(p) => NeedMax(p)
+        case None => return None
+      }
+      case _ => return None
+    }
+
+    def typeAt(path: Seq[String]): Option[DataType] =
+      path.foldLeft(Option(tableSchema: DataType)) {
+        case (Some(st: StructType), seg) =>
+          st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }
+
+    val spark = SparkSession.active
+    val inst = VersionedTable.open(spark, root)
+    val st = inst.tableStateAt(version)
+    // masked rows are invisible to footer stats; compaction heals
+    if (st.dvs.nonEmpty) return None
+    def phys(path: Seq[String]): String =
+      (st.phys(path.head) +: path.tail).mkString(".")
+
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, Decimal, DecimalType, IntegerType, ShortType, TimestampNTZType, TimestampType}
+    def internalValue(kind: Char, s: String, dt: DataType): Option[Any] =
+      (kind, dt) match {
+        case ('L', LongType) => Some(s.toLong)
+        case ('L', IntegerType) => Some(s.toLong.toInt)
+        case ('L', ShortType) => Some(s.toLong.toShort)
+        case ('L', ByteType) => Some(s.toLong.toByte)
+        case ('A', DateType) => Some(s.toLong.toInt)
+        case ('T', TimestampType) | ('T', TimestampNTZType) => Some(s.toLong)
+        case ('B', BooleanType) => Some(s == "1")
+        case ('S', StringType) => Some(UTF8String.fromString(s))
+        case ('M', d: DecimalType) =>
+          val dec = Decimal(new java.math.BigDecimal(s))
+          if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+        case _ => None // incl. 'D': footers ignore NaN, Spark's MAX must not
+      }
+
+    val neededCols: Set[String] =
+      needs.collect { case n if n.path.nonEmpty => phys(n.path) }.toSet +
+        VersionedTable.RowsKey
+    val (nFiles, merged) = inst.mergedUStats(st, neededCols)
+    def exact(c: String): Option[CheckpointStore.MergedU] =
+      merged.get(c).filter(m => m.entries == nFiles && m.kind != 'X')
+    val rowsTotal: Option[Long] =
+      if (nFiles == 0L) Some(0L)
+      else exact(VersionedTable.RowsKey).filter(_.kind == 'L').map(_.sum)
+
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    needs.zip(funcs).foreach { case (need, func) =>
+      val name = func.toString
+      need match {
+        case NeedCountStar() => rowsTotal match {
+          case Some(n) =>
+            fields += StructField(name, LongType, nullable = false)
+            values += n
+          case None => return None
+        }
+        case NeedCount(p) =>
+          val m = if (nFiles == 0L) Some(CheckpointStore.MergedU())
+            else exact(phys(p))
+          (rowsTotal, m) match {
+            case (Some(n), Some(mm)) if mm.nulls >= 0L =>
+              fields += StructField(name, LongType, nullable = false)
+              values += (n - mm.nulls)
+            case _ => return None
+          }
+        case NeedMin(p) =>
+          val dt = typeAt(p).getOrElse(return None)
+          if (nFiles == 0L) { fields += StructField(name, dt); values += null }
+          else exact(phys(p)) match {
+            case Some(mm) if !mm.valueSeen => // all nulls everywhere
+              fields += StructField(name, dt); values += null
+            case Some(mm) => internalValue(mm.kind, mm.min, dt) match {
+              case Some(v) => fields += StructField(name, dt); values += v
+              case None => return None
+            }
+            case None => return None
+          }
+        case NeedMax(p) =>
+          val dt = typeAt(p).getOrElse(return None)
+          if (nFiles == 0L) { fields += StructField(name, dt); values += null }
+          else exact(phys(p)) match {
+            case Some(mm) if !mm.valueSeen =>
+              fields += StructField(name, dt); values += null
+            case Some(mm) => internalValue(mm.kind, mm.max, dt) match {
+              case Some(v) => fields += StructField(name, dt); values += v
+              case None => return None
+            }
+            case None => return None
+          }
+      }
+    }
+    val schema = StructType(fields.result())
+    val row = new GenericInternalRow(values.result().toArray)
+    Some((schema, row, funcs.map(_.toString).mkString(", ")))
+  }
 }
 
 private[acid] final class GraftTable(root: String, version: Long,
@@ -577,7 +717,8 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
     tableSchema: StructType, onBuild: GraftScan => Unit = _ => (),
     wholeGroups: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var skipFilters: Array[sources.Filter] = Array.empty
@@ -598,12 +739,82 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
   }
   override def pushedFilters(): Array[sources.Filter] = skipFilters
 
-  override def build(): Scan = {
-    val s = new GraftScan(root, version, tableSchema, required, skipFilters,
-      wholeGroups)
-    onBuild(s)
-    s
+  // ---- metadata-only aggregate pushdown -------------------------------
+  //
+  // A global COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over the whole
+  // snapshot is answerable from the manifest's per-file footer stats
+  // alone — the classic "SELECT count(*) FROM a 100 TB table" metadata
+  // query every lakehouse format serves without touching data files.
+  // The answer folds the [[VersionedTable.RowsKey]] row counts and
+  // per-column ustats across live files: O(tail) on the driver plus one
+  // tiny distributed job over checkpoint side files on segmented
+  // tables — never O(data). Catalyst only offers the pushdown when no
+  // residual filter sits above the scan (this builder keeps every
+  // filter residual), so eligibility here reduces to: can EVERY live
+  // file answer exactly? Refused (conservatively, falling back to the
+  // normal scan) when:
+  //  - any grouping expression is present, or a function other than
+  //    the four above (or a DISTINCT count) appears;
+  //  - any live file carries a deletion vector (masked rows are
+  //    invisible to footer stats; compaction heals this);
+  //  - any live file lacks the stat (pre-rowcount files, stat-less
+  //    columns, schema-evolution stragglers, partition columns — their
+  //    values live in paths, not footers);
+  //  - MIN/MAX on float/double (parquet footers ignore NaN, Spark's
+  //    MAX must return it) or on a column whose exact null count is
+  //    unknown for COUNT(col).
+  private var aggResult: Option[(StructType, InternalRow, String)] = None
+  // memo keyed by the aggregation's print form: Catalyst probes the
+  // complete form first and may retry with a rewritten partial form
+  private var aggAnalyzed
+      : Map[String, Option[(StructType, InternalRow, String)]] = Map.empty
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = analyzeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = analyzeAgg(agg)
+    aggResult.isDefined
   }
+
+  private def analyzeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow, String)] = {
+    val key = agg.aggregateExpressions.mkString(",") + "|" +
+      agg.groupByExpressions.mkString(",")
+    aggAnalyzed.getOrElse(key, {
+      val r = GraftTableSource.analyzeAggregation(root, version, tableSchema,
+        agg)
+      aggAnalyzed = aggAnalyzed.updated(key, r)
+      r
+    })
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row, pushed)) =>
+      new GraftAggScan(root, version, schema, row, pushed)
+    case None =>
+      val s = new GraftScan(root, version, tableSchema, required, skipFilters,
+        wholeGroups)
+      onBuild(s)
+      s
+  }
+}
+
+/** Completely-pushed-down aggregate result: the answer was computed
+  * from manifest/checkpoint metadata at plan time, so the "scan" is a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — Spark executes
+  * it as a driver-local table scan with ZERO jobs against data files. */
+private[acid] final class GraftAggScan(root: String, version: Long,
+    aggSchema: StructType, row: InternalRow, pushed: String)
+    extends Scan with org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"graft $root @v$version PushedAggregation: [$pushed] (metadata-only)"
 }
 
 /** One bin-packed input split: files (or file ranges) sharing one

@@ -104,6 +104,122 @@ private[acid] object CheckpointStore {
       case _ => true
     }
 
+  /** Running cross-file merge of one column's [[UStat]]s — the shape
+    * metadata-only aggregate pushdown folds over every live file.
+    * `kind` 'X' = irreconcilable kinds were seen (the column cannot be
+    * answered from stats); 'N' contributes nulls but no value bounds.
+    * `nulls` is the exact total, or -1 once any file's count is
+    * unknown. `sum` accumulates Σ(min) for 'L' entries — the row-count
+    * total when the column is the [[VersionedTable.RowsKey]]
+    * pseudo-stat (min == max == rows per file). `entries` counts files
+    * that carried the stat at all: a merge only answers an aggregate
+    * when entries equals the snapshot's file count (a stat-less file
+    * could hold anything). */
+  final case class MergedU(kind: Char = 0, min: String = "", max: String = "",
+      nulls: Long = 0L, sum: Long = 0L, entries: Long = 0L,
+      valueSeen: Boolean = false) {
+    def add(u: UStat): MergedU = {
+      val ns = if (nulls < 0 || u.nulls < 0) -1L else nulls + u.nulls
+      val nsum = if (u.kind == 'L') sum + u.min.toLong else sum
+      if (u.kind == 'N' || kind == 'X')
+        copy(nulls = ns, sum = nsum, entries = entries + 1)
+      else if (!valueSeen)
+        MergedU(u.kind, u.min, u.max, ns, nsum, entries + 1, valueSeen = true)
+      else if (u.kind != kind)
+        copy(kind = 'X', nulls = ns, sum = nsum, entries = entries + 1)
+      else {
+        val (lo, hi) = kind match {
+          case 'L' | 'T' | 'A' | 'B' =>
+            (if (u.min.toLong < min.toLong) u.min else min,
+             if (u.max.toLong > max.toLong) u.max else max)
+          case 'D' =>
+            (if (u.min.toDouble < min.toDouble) u.min else min,
+             if (u.max.toDouble > max.toDouble) u.max else max)
+          case 'S' =>
+            (if (VersionedTable.utf8Cmp(u.min, min) < 0) u.min else min,
+             if (VersionedTable.utf8Cmp(u.max, max) > 0) u.max else max)
+          case 'M' =>
+            val (a, b) = (new java.math.BigDecimal(u.min),
+              new java.math.BigDecimal(u.max))
+            (if (a.compareTo(new java.math.BigDecimal(min)) < 0) u.min else min,
+             if (b.compareTo(new java.math.BigDecimal(max)) > 0) u.max else max)
+          case _ => return copy(kind = 'X', nulls = ns, sum = nsum,
+            entries = entries + 1)
+        }
+        MergedU(kind, lo, hi, ns, nsum, entries + 1, valueSeen = true)
+      }
+    }
+    def merge(o: MergedU): MergedU = {
+      val ns = if (nulls < 0 || o.nulls < 0) -1L else nulls + o.nulls
+      val nsum = sum + o.sum
+      val nent = entries + o.entries
+      if (kind == 'X' || o.kind == 'X')
+        MergedU('X', "", "", ns, nsum, nent, valueSeen || o.valueSeen)
+      else if (!o.valueSeen) copy(nulls = ns, sum = nsum, entries = nent)
+      else if (!valueSeen) o.copy(nulls = ns, sum = nsum, entries = nent)
+      else if (o.kind != kind) MergedU('X', "", "", ns, nsum, nent, true)
+      else {
+        val (lo, hi) = kind match {
+          case 'L' | 'T' | 'A' | 'B' =>
+            (if (o.min.toLong < min.toLong) o.min else min,
+             if (o.max.toLong > max.toLong) o.max else max)
+          case 'D' =>
+            (if (o.min.toDouble < min.toDouble) o.min else min,
+             if (o.max.toDouble > max.toDouble) o.max else max)
+          case 'S' =>
+            (if (VersionedTable.utf8Cmp(o.min, min) < 0) o.min else min,
+             if (VersionedTable.utf8Cmp(o.max, max) > 0) o.max else max)
+          case 'M' =>
+            (if (new java.math.BigDecimal(o.min)
+               .compareTo(new java.math.BigDecimal(min)) < 0) o.min else min,
+             if (new java.math.BigDecimal(o.max)
+               .compareTo(new java.math.BigDecimal(max)) > 0) o.max else max)
+          case _ => return MergedU('X', "", "", ns, nsum, nent, true)
+        }
+        MergedU(kind, lo, hi, ns, nsum, nent, valueSeen = true)
+      }
+    }
+  }
+
+  /** Flat row shape the distributed partial-merge returns (one row per
+    * needed column per partition — O(cols × partitions) to the
+    * driver, never O(files)). */
+  final case class MergedRow(col: String, kind: String, min: String,
+      max: String, nulls: Long, sum: Long, entries: Long, valueSeen: Boolean)
+
+  implicit val mergedRowEncoder: Encoder[MergedRow] = Encoders.product[MergedRow]
+
+  def toMergedRow(col: String, m: MergedU): MergedRow =
+    MergedRow(col, m.kind.toString, m.min, m.max, m.nulls, m.sum,
+      m.entries, m.valueSeen)
+
+  def fromMergedRow(r: MergedRow): MergedU =
+    MergedU(if (r.kind.isEmpty) 0 else r.kind.head, r.min, r.max,
+      r.nulls, r.sum, r.entries, r.valueSeen)
+
+  /** Executor-side partial merge of the needed columns' ustats over
+    * one partition of checkpoint rows (excluded rows skipped). Object
+    * member so the closure captures only the two small sets. */
+  def partialMerge(cols: Set[String], excluded: Set[String])
+      : Iterator[CkptRow] => Iterator[MergedRow] = { it =>
+    val accs = scala.collection.mutable.HashMap[String, MergedU]()
+    it.foreach { r =>
+      if (!excluded(r.file)) {
+        var i = 0
+        while (i < r.uCols.length) {
+          val c = r.uCols(i)
+          if (cols(c)) {
+            val u = UStat(r.uKinds(i).head, r.uMins(i), r.uMaxs(i),
+              r.uNulls(i))
+            accs.update(c, accs.getOrElse(c, MergedU()).add(u))
+          }
+          i += 1
+        }
+      }
+    }
+    accs.iterator.map { case (c, m) => toMergedRow(c, m) }
+  }
+
   /** [[mayContainId]] generalized to a secondary column: Z-order
     * colStats first, then the universal footer stats' integral range;
     * rows with neither stay candidates. `pcol` is the PHYSICAL name. */

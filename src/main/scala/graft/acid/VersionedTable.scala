@@ -287,13 +287,24 @@ object VersionedTable {
       else logical.fields.take(conf.statsColumns).toSeq
         .flatMap(f => leaves(f.name, f.dataType))
     // column mapping applies to the TOP-LEVEL segment only (nested
-    // fields keep their names; only roots get physical indirection)
-    (logicalPaths.toSet + "obj_id").map { p =>
+    // fields keep their names; only roots get physical indirection).
+    // [[RowsKey]] is reserved for the per-file row-count pseudo-stat —
+    // a user column spelled exactly like it is simply not stat-indexed.
+    (logicalPaths.toSet + "obj_id" - RowsKey).map { p =>
       val i = p.indexOf('.')
       if (i < 0) ren.getOrElse(p, p)
       else ren.getOrElse(p.take(i), p.take(i)) + p.substring(i)
     }
   }
+
+  /** Reserved [[Manifest.fileStats]] key carrying each data file's
+    * exact total row count as a degenerate `UStat('L', n, n, 0)` —
+    * collected from parquet BLOCK metadata (always present) by
+    * [[Instance.footerAllStats]], so it rides every existing stat
+    * surface (manifest JSON, checkpoint side files, restore re-fetch)
+    * with no format change. Never a real column: [[statLeafCols]]
+    * excludes it from the allowed footer paths. */
+  private[acid] val RowsKey = "#rows"
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -2196,6 +2207,40 @@ final class Instance(val spark: SparkSession, val root: String,
     finally exclB.destroy()
   }
 
+  /** Cross-file merge of the named PHYSICAL stat columns' ustats over
+    * every live file of `st` — the metadata fold behind aggregate
+    * pushdown ([[GraftScanBuilder]]): inline/tail files fold on the
+    * driver (O(tail)), checkpoint-covered files fold as ONE distributed
+    * job over the parquet side files returning O(cols × partitions)
+    * partial rows. Returns (live file count, per-column merge); a
+    * column whose `entries` < the file count was missing from some
+    * file and must not answer an aggregate. */
+  private[acid] def mergedUStats(st: TableState, pcols: Set[String])
+      : (Long, Map[String, CheckpointStore.MergedU]) = {
+    import CheckpointStore.MergedU
+    val inlineFiles = st.sidecar match {
+      case Some(sc) => st.files.filter(sc.tailLive)
+      case None => st.files
+    }
+    var acc = Map.empty[String, MergedU]
+    inlineFiles.foreach { f =>
+      st.fileStats.getOrElse(f, Map.empty).foreach { case (c, u) =>
+        if (pcols(c)) acc = acc.updated(c, acc.getOrElse(c, MergedU()).add(u))
+      }
+    }
+    st.sidecar.foreach { sc =>
+      import CheckpointStore.mergedRowEncoder
+      val partials = readSidecarRows(sc.ref)
+        .mapPartitions(CheckpointStore.partialMerge(pcols, sc.excluded))
+        .collect()
+      partials.foreach { r =>
+        val m = CheckpointStore.fromMergedRow(r)
+        acc = acc.updated(r.col, acc.getOrElse(r.col, MergedU()).merge(m))
+      }
+    }
+    (st.files.size.toLong, acc)
+  }
+
   /** Bulk stat fetch for an explicit (bounded) file set — restore's
     * re-add path and admin surfaces. O(wanted) rows to the driver. */
   private[acid] def sidecarRowsFor(ref: String, wanted: Set[String])
@@ -2498,7 +2543,17 @@ final class Instance(val spark: SparkSession, val root: String,
             }
           }
         }
-        accs.iterator.flatMap { case (name, a) =>
+        // exact total row count from block metadata (not column
+        // statistics — present for every parquet file): rides the
+        // ustat plumbing as the reserved [[VersionedTable.RowsKey]]
+        // pseudo-column so manifests, checkpoint side files, restore
+        // and vacuum all carry it unchanged. Feeds metadata-only
+        // aggregate pushdown (COUNT(*) without touching data files).
+        var totalRows = 0L
+        reader.getFooter.getBlocks.forEach(b => totalRows += b.getRowCount)
+        val rowsEntry =
+          RowsKey -> UStat('L', totalRows.toString, totalRows.toString, 0L)
+        (accs.iterator.flatMap { case (name, a) =>
           if (a.dropped) None
           else if (!a.seenValue) {
             // all-null column: value probes prune it, IS NULL keeps it
@@ -2524,7 +2579,7 @@ final class Instance(val spark: SparkSession, val root: String,
               case _ => None
             }
           }
-        }.toMap
+        } ++ Iterator.single(rowsEntry)).toMap
       } finally reader.close()
     } catch { case _: Exception => Map.empty }
   }
@@ -2564,10 +2619,13 @@ final class Instance(val spark: SparkSession, val root: String,
       }
     }
     // a schema-only evolution (Txn.alterSchema) has no file delta but
-    // MUST publish — the early no-op return is only for txns that
-    // changed nothing at all
+    // MUST publish — likewise a watermark-only commit (markEpoch with
+    // an empty delta, e.g. a materialized-view refresh over an
+    // interval whose effects cancel): dropping it would re-fold the
+    // same interval on every later refresh. The early no-op return is
+    // only for txns that changed nothing at all.
     if (txn.added.isEmpty && txn.removed.isEmpty && !txn.schemaEvolved &&
-        txn.dvDelta.isEmpty) {
+        txn.dvDelta.isEmpty && txn.appTxn.isEmpty) {
       deleteRetired(txn) // e.g. insert-then-delete-all within one txn
       return txn.readVersion
     }

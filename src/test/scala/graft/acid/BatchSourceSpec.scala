@@ -444,4 +444,131 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(keys2.contains("props.score") && !keys2.contains("props.country"),
       s"explicit list must narrow the index, got $keys2")
   }
+
+  // ---- metadata-only aggregate pushdown --------------------------------
+
+  private def isMetadataOnly(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan
+    val hasLocal = plan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty
+    val hasBatch = plan.collect { case b: BatchScanExec => b }.nonEmpty
+    hasLocal && !hasBatch
+  }
+
+  test("aggregate pushdown: global count/min/max answered from the manifest") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    (0 until 3).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 10).map(j => (i * 10L + j, i * 100L + j))
+        .toDF("obj_id", "value").coalesce(2))
+      inst.commit(t)
+    }
+    val agg = readGraft(dir).agg(
+      count(lit(1)).as("cnt"), min("value").as("mn"),
+      max("value").as("mx"), count(col("value")).as("cv"))
+    assert(isMetadataOnly(agg),
+      "count/min/max must plan as a LocalTableScan with no data-file scan:\n" +
+        agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (30L, 0L, 209L, 30L))
+    // time travel: the metadata answer respects the pinned version
+    val v1 = readGraft(dir, Some(1L)).agg(count(lit(1)).as("cnt"))
+    assert(isMetadataOnly(v1) && v1.head().getLong(0) == 10L)
+    // a filtered aggregate must NOT push down (filters stay residual)
+    val filtered = readGraft(dir).filter(col("value") > 100L)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!isMetadataOnly(filtered) && filtered.head().getLong(0) == 19L)
+    // sum is not answerable from min/max footers — full scan, right answer
+    val summed = readGraft(dir).agg(sum("value").as("s"))
+    assert(!isMetadataOnly(summed) && summed.head().getLong(0) == 3135L)
+  }
+
+  test("aggregate pushdown: typed min/max (string, decimal, date, timestamp)") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("price", DecimalType(9, 2)),
+      StructField("d", DateType),
+      StructField("ts", TimestampType)))
+    val inst = VersionedTable.create(spark, dir, schema)
+    val t = inst.begin()
+    t.insert(Seq(
+      (1L, "apple", BigDecimal("1.50"), java.sql.Date.valueOf("2026-01-03"),
+        java.sql.Timestamp.valueOf("2026-01-03 10:00:00")),
+      (2L, "zebra", BigDecimal("99.99"), java.sql.Date.valueOf("2026-03-01"),
+        java.sql.Timestamp.valueOf("2026-03-01 23:59:59")),
+      (3L, null, null, null, null))
+      .toDF("obj_id", "name", "price", "d", "ts")
+      .select(col("obj_id"), col("name"), col("price").cast(DecimalType(9, 2))
+        .as("price"), col("d"), col("ts")).coalesce(1))
+    inst.commit(t)
+    val agg = readGraft(dir).agg(
+      min("name").as("mn_name"), max("name").as("mx_name"),
+      min("price").as("mn_p"), max("price").as("mx_p"),
+      min("d").as("mn_d"), max("d").as("mx_d"),
+      min("ts").as("mn_ts"), max("ts").as("mx_ts"),
+      count(col("name")).as("c_name"), count(col("price")).as("c_p"))
+    assert(isMetadataOnly(agg), "typed min/max must be metadata-only:\n" +
+      agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert(r.getString(0) == "apple" && r.getString(1) == "zebra")
+    assert(r.getDecimal(2) == new java.math.BigDecimal("1.50") &&
+      r.getDecimal(3) == new java.math.BigDecimal("99.99"))
+    assert(r.getDate(4) == java.sql.Date.valueOf("2026-01-03") &&
+      r.getDate(5) == java.sql.Date.valueOf("2026-03-01"))
+    assert(r.getTimestamp(6) == java.sql.Timestamp.valueOf("2026-01-03 10:00:00") &&
+      r.getTimestamp(7) == java.sql.Timestamp.valueOf("2026-03-01 23:59:59"))
+    assert(r.getLong(8) == 2L && r.getLong(9) == 2L)
+    // doubles are refused (NaN-blind footers): falls back, still right
+    val dbl = readGraft(dir)
+      .agg(min(col("price").cast("double")).as("mn"))
+    assert(dbl.head().getDouble(0) == 1.5)
+  }
+
+  test("aggregate pushdown: refused under deletion vectors, healed by compaction") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    val t = inst.begin()
+    t.insert((0 until 20).map(j => (j.toLong, j * 10L))
+      .toDF("obj_id", "value").coalesce(2))
+    inst.commit(t)
+    val td = inst.begin(); td.deleteMoR(Seq(5L, 6L)); inst.commit(td)
+    // masked rows are invisible to footer stats: full scan, exact answer
+    val masked = readGraft(dir).agg(count(lit(1)).as("cnt"))
+    assert(!isMetadataOnly(masked), "dv-masked table must not push down")
+    assert(masked.head().getLong(0) == 18L)
+    // compaction materializes the masks; pushdown resumes with new stats
+    assert(inst.compact(targetFiles = 1) > 0)
+    val healed = readGraft(dir).agg(count(lit(1)).as("cnt"),
+      max("value").as("mx"))
+    assert(isMetadataOnly(healed), "compacted table must push down again:\n" +
+      healed.queryExecution.executedPlan)
+    val r = healed.head()
+    assert(r.getLong(0) == 18L && r.getLong(1) == 190L)
+  }
+
+  test("aggregate pushdown: segmented checkpoint folds stats distributedly") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema,
+      EngineConf(checkpointInlineFiles = 0, checkpointInterval = 2))
+    (0 until 5).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 8).map(j => (i * 8L + j, i * 80L + j))
+        .toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val st = inst.tableStateAt(inst.latestVersion)
+    assert(st.sidecar.isDefined, "fixture must actually be segmented")
+    val agg = readGraft(dir).agg(count(lit(1)).as("cnt"),
+      min("value").as("mn"), max("value").as("mx"))
+    assert(isMetadataOnly(agg), "segmented table must push down:\n" +
+      agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (40L, 0L, 327L))
+  }
 }

@@ -1,0 +1,132 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Incrementally-maintained aggregate views ([[MaterializedAggView]]):
+  * refresh folds ONLY the change-feed delta, yet the view always
+  * equals a full recompute — through inserts, group-moving updates,
+  * CoW and MoR deletes, and group death. */
+class MaterializedViewSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("obj_id", LongType, nullable = false),
+    StructField("grp", StringType),
+    StructField("v", LongType)))
+
+  private def freshPair(): (Instance, MaterializedAggView) = {
+    val srcDir = Files.createTempDirectory("graft_mv_src_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Seq("v"))
+    (src, mv)
+  }
+
+  private def recompute(src: Instance): Seq[(String, Long, Long)] =
+    src.read().groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  private def viewRows(mv: MaterializedAggView): Seq[(String, Long, Long)] =
+    mv.read().select("grp", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  test("refresh equals recompute through insert/update/delete, incrementally") {
+    val (src, mv) = freshPair()
+    // v1: initial load
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L)).toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    assert(mv.refresh() == 1L)
+    assert(viewRows(mv) == recompute(src))
+    assert(viewRows(mv) == Seq(("a", 2L, 30L), ("b", 1L, 30L), ("c", 1L, 40L)))
+
+    // v2: group-moving update (a -> b) plus an in-group value change —
+    // the delta must subtract the pre-image from 'a' AND add the
+    // post-image to 'b'
+    val t2 = src.begin()
+    t2.update(Seq(2L), df => df.withColumn("grp", lit("b"))
+      .withColumn("v", col("v") + 5L))
+    src.commit(t2)
+    // v3: CoW delete kills group c entirely — its view row must DIE
+    val t3 = src.begin(); t3.delete(Seq(4L)); src.commit(t3)
+    // v4: MoR delete (deletion vector) of one 'b' member
+    val t4 = src.begin(); t4.deleteMoR(Seq(3L)); src.commit(t4)
+    val head = mv.refresh()
+    assert(head == 4L)
+    assert(viewRows(mv) == recompute(src))
+    assert(viewRows(mv) == Seq(("a", 1L, 10L), ("b", 1L, 25L)))
+    assert(mv.read().filter(col("grp") === "c").isEmpty,
+      "a dead group must be deleted from the view, not kept at cnt=0")
+
+    // idempotence: no new source commits -> refresh is a pure no-op
+    val vHead = mv.view.latestVersion
+    assert(mv.refresh() == 4L && mv.view.latestVersion == vHead)
+    // the watermark rode the merge commit
+    assert(mv.refreshedVersion == 4L)
+  }
+
+  test("avg derives from sum/cnt; null keys and null addends follow SQL") {
+    val (src, mv) = freshPair()
+    val t1 = src.begin()
+    t1.insert(Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), None), (3L, None, Some(7L)))
+      .toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    val rows = mv.read().select("grp", "cnt", "sum_v", "avg_v")
+      .collect().map(r => (Option(r.getString(0)),
+        r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq.sortBy(_._1.getOrElse(""))
+    // null addend: counted in cnt, ignored by sum (SQL SUM semantics)
+    assert(rows == Seq((None, 1L, Some(7L)), (Some("a"), 2L, Some(10L))))
+    val avgA = mv.read().filter(col("grp") === "a").head().getAs[Double]("avg_v")
+    assert(avgA == 5.0) // 10 / 2: cnt counts the null-addend row
+  }
+
+  test("a cancelling interval leaves the view untouched (no zero-group insert)") {
+    val (src, mv) = freshPair()
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 10L)).toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    // insert then delete the same row inside ONE refresh interval:
+    // net delta for 'x' is zero — the group must never appear
+    val t2 = src.begin()
+    t2.insert(Seq((9L, "x", 99L)).toDF("obj_id", "grp", "v"))
+    src.commit(t2)
+    val t3 = src.begin(); t3.delete(Seq(9L)); src.commit(t3)
+    mv.refresh()
+    assert(viewRows(mv) == Seq(("a", 1L, 10L)))
+    assert(mv.refreshedVersion == 3L)
+  }
+
+  test("sum columns must be integral; group columns must exist") {
+    val srcDir = Files.createTempDirectory("graft_mv_bad_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("d", org.apache.spark.sql.types.DoubleType))))
+    val vd = Files.createTempDirectory("graft_mv_badv_").toUri.toString
+    val e = intercept[IllegalArgumentException](MaterializedAggView.create(
+      spark, vd, src, groupCols = Seq("obj_id"), sumCols = Seq("d")))
+    assert(e.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException](MaterializedAggView.create(
+      spark, vd, src, groupCols = Seq("nope"), sumCols = Nil))
+    assert(e2.getMessage.contains("nope"))
+    val e3 = intercept[IllegalArgumentException](MaterializedAggView.create(
+      spark, vd, src, groupCols = Nil, sumCols = Nil))
+    assert(e3.getMessage.contains("group column"))
+  }
+}
