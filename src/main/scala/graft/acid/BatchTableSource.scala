@@ -407,7 +407,7 @@ private[acid] object GraftTableSource {
   private[acid] def analyzeAggregation(root: String, version: Long,
       tableSchema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow, String)] = {
+      : Option[(StructType, InternalRow, String)] = try {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty) return None
@@ -486,6 +486,71 @@ private[acid] object GraftTableSource {
       if (nFiles == 0L) Some(0L)
       else exact(VersionedTable.RowsKey).filter(_.kind == 'L').map(_.sum)
 
+    // ---- partition-column fallback: hive-layout columns live in file
+    // PATHS, not footers — their values are manifest metadata too (the
+    // file-name list is always driver-resident), so MIN/MAX fold the
+    // decoded `k=v` segments and COUNT sums the non-null-partition
+    // files' row counts. Refused when any live file lacks the segment
+    // (mixed layouts) or the type has no clean path ordering.
+    def asOrderedLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short => Some(s.toLong)
+      case b: java.lang.Byte => Some(b.toLong)
+      case b: java.lang.Boolean => Some(if (b) 1L else 0L)
+      case _ => None
+    }
+    def partitionSegs(p: Seq[String]): Option[Seq[String]] = {
+      if (p.size != 1) return None
+      val pc = st.phys(p.head)
+      val raw = st.files.map(f => partPairs(f).toMap.get(pc))
+      if (raw.isEmpty || raw.exists(_.isEmpty)) None
+      else Some(raw.map(_.get))
+    }
+    def partitionBound(p: Seq[String], dt: DataType, isMin: Boolean)
+        : Option[Any] =
+      partitionSegs(p).flatMap { segs =>
+        val vals = segs.distinct.flatMap(s =>
+          Option(partValueInternal(s, dt)))
+        if (vals.isEmpty) Some(null) // all files in the null partition
+        else {
+          val cmp: Option[(Any, Any) => Int] = dt match {
+            case LongType | IntegerType | ShortType | ByteType | DateType |
+                 BooleanType =>
+              // decoded internal values match dt (Cast output); a
+              // surprise shape throws and the outer guard refuses
+              Some((a, b) => java.lang.Long.compare(
+                asOrderedLong(a).get, asOrderedLong(b).get))
+            case StringType => Some((a, b) =>
+              a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+            case _: DecimalType => Some((a, b) =>
+              a.asInstanceOf[Decimal].compareTo(b.asInstanceOf[Decimal]))
+            case _ => None // float/timestamp paths: no clean ordering
+          }
+          cmp.map(c => vals.reduce((a, b) =>
+            if ((c(a, b) <= 0) == isMin) a else b))
+        }
+      }
+    def partitionCount(p: Seq[String], dt: DataType): Option[Long] =
+      // per-file row counts must be driver-resident (inline tables);
+      // on segmented tables the covered files' counts live in the side
+      // files — refuse rather than fetch them here
+      if (st.sidecar.isDefined) None
+      else partitionSegs(p).flatMap { segs =>
+        var total = 0L
+        var ok = true
+        st.files.zip(segs).foreach { case (f, seg) =>
+          if (ok && partValueInternal(seg, dt) != null) {
+            st.fileStats.get(f)
+              .flatMap(_.get(VersionedTable.RowsKey)).map(_.min.toLong) match {
+              case Some(r) => total += r
+              case None => ok = false
+            }
+          }
+        }
+        if (ok) Some(total) else None
+      }
+
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     needs.zip(funcs).foreach { case (need, func) =>
@@ -498,13 +563,19 @@ private[acid] object GraftTableSource {
           case None => return None
         }
         case NeedCount(p) =>
+          val dt = typeAt(p).getOrElse(return None)
           val m = if (nFiles == 0L) Some(CheckpointStore.MergedU())
             else exact(phys(p))
           (rowsTotal, m) match {
             case (Some(n), Some(mm)) if mm.nulls >= 0L =>
               fields += StructField(name, LongType, nullable = false)
               values += (n - mm.nulls)
-            case _ => return None
+            case _ => partitionCount(p, dt) match {
+              case Some(n) =>
+                fields += StructField(name, LongType, nullable = false)
+                values += n
+              case None => return None
+            }
           }
         case NeedMin(p) =>
           val dt = typeAt(p).getOrElse(return None)
@@ -516,7 +587,10 @@ private[acid] object GraftTableSource {
               case Some(v) => fields += StructField(name, dt); values += v
               case None => return None
             }
-            case None => return None
+            case None => partitionBound(p, dt, isMin = true) match {
+              case Some(v) => fields += StructField(name, dt); values += v
+              case None => return None
+            }
           }
         case NeedMax(p) =>
           val dt = typeAt(p).getOrElse(return None)
@@ -528,13 +602,20 @@ private[acid] object GraftTableSource {
               case Some(v) => fields += StructField(name, dt); values += v
               case None => return None
             }
-            case None => return None
+            case None => partitionBound(p, dt, isMin = false) match {
+              case Some(v) => fields += StructField(name, dt); values += v
+              case None => return None
+            }
           }
       }
     }
     val schema = StructType(fields.result())
     val row = new GenericInternalRow(values.result().toArray)
     Some((schema, row, funcs.map(_.toString).mkString(", ")))
+  } catch {
+    // refusal is always sound (the normal scan computes the answer);
+    // an unexpected shape must degrade, never fail the query plan
+    case scala.util.control.NonFatal(_) => None
   }
 }
 
@@ -718,10 +799,25 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
     wholeGroups: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var skipFilters: Array[sources.Filter] = Array.empty
+  private var anyFilters = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT reaches the scan only when no filter sits between them
+    * (Catalyst's pushdown rule guarantees it; `anyFilters` re-checks),
+    * so planning may truncate the file list to a row-covering prefix.
+    * Reported as PARTIALLY pushed: Spark keeps its Limit above, the
+    * scan only bounds how much is planned — truncation can only
+    * over-deliver, never under. */
+  override def pushLimit(n: Int): Boolean = {
+    if (anyFilters) false
+    else { limit = Some(n); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve table column order (partition-constant columns must
@@ -734,6 +830,7 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
     // single-column ones drive manifest-stats / partition-path file
     // skipping and parquet row-group pruning — monotone prunings that
     // can only remove provably-dead IO
+    anyFilters ||= filters.nonEmpty
     skipFilters = filters.filter(_.references.length == 1)
     filters
   }
@@ -798,7 +895,7 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
       new GraftAggScan(root, version, schema, row, pushed)
     case None =>
       val s = new GraftScan(root, version, tableSchema, required, skipFilters,
-        wholeGroups)
+        wholeGroups, limit)
       onBuild(s)
       s
   }
@@ -827,7 +924,8 @@ private[acid] final case class GraftInputPartition(
 private[acid] final class GraftScan(root: String, version: Long,
     tableSchema: StructType, required: StructType,
     filters: Array[sources.Filter],
-    wholeGroups: Boolean = false) extends Scan with Batch
+    wholeGroups: Boolean = false,
+    pushedLimit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -839,7 +937,8 @@ private[acid] final class GraftScan(root: String, version: Long,
   override def description(): String = {
     val fs = if (filters.isEmpty) "" else
       filters.mkString(" PushedFilters: [", ", ", "]")
-    s"graft $root @v$version$fs"
+    val lm = pushedLimit.fold("")(n => s" PushedLimit: $n")
+    s"graft $root @v$version$fs$lm"
   }
 
   /** Size/row statistics AFTER static file skipping, so the optimizer
@@ -910,6 +1009,7 @@ private[acid] final class GraftScan(root: String, version: Long,
     prunedFilesMemo = null
     prunedStatusesMemo = null
     sidecarStatusMemo = Map.empty
+    sidecarRowsMemo = Map.empty
   }
 
   @transient private lazy val state = inst.tableStateAt(version)
@@ -948,6 +1048,10 @@ private[acid] final class GraftScan(root: String, version: Long,
   // covered files — set by computePrunedFiles, spares the RPCs below
   @transient @volatile private var sidecarStatusMemo
       : Map[String, (Long, Long)] = Map.empty
+  // checkpoint-recorded row counts for surviving covered files (limit
+  // pushdown's truncation input on segmented tables)
+  @transient @volatile private var sidecarRowsMemo
+      : Map[String, Long] = Map.empty
 
   /** Pruned files' statuses — checkpoint-covered files use the (size,
     * mtime) their segmented checkpoint recorded at write time (data
@@ -1022,17 +1126,51 @@ private[acid] final class GraftScan(root: String, version: Long,
         val distPart = inst.sidecarSurvivorsStatus(sc)(
           GraftTableSource.sidecarPred(allFilters, state.renames,
             tableSchema))
-        sidecarStatusMemo = distPart.map { case (f, sz, mt) =>
+        sidecarStatusMemo = distPart.map { case (f, sz, mt, _) =>
           f -> (sz, mt) }.toMap
+        sidecarRowsMemo = distPart.collect { case (f, _, _, n) if n >= 0L =>
+          f -> n }.toMap
         (driverPart ++ distPart.map(_._1)).sorted
       case None => files.filter(driverPred)
     }
   }
 
+  /** LIMIT-pushdown truncation: the (sorted, deterministic) pruned
+    * file list shrinks to the shortest prefix whose KNOWN unmasked
+    * row counts already cover the limit — `SELECT * ... LIMIT n` on a
+    * 10^7-file table plans O(1) files instead of O(files). Conservative
+    * contributions only: a dv-masked file or one without a recorded
+    * row count counts 0 (it is still planned, just never relied on),
+    * so the prefix can only over-deliver — Spark's Limit above
+    * re-applies `n` exactly. Disabled the moment any static or runtime
+    * filter exists: post-scan row drops would make a counted prefix
+    * under-deliver. */
+  private def limitPrefix(files: Seq[String]): Seq[String] =
+    pushedLimit match {
+      case Some(n) if filters.isEmpty && runtimeFilters.isEmpty =>
+        val masked = dvMasks
+        var acc = 0L
+        val out = Seq.newBuilder[String]
+        val it = files.iterator
+        while (it.hasNext && acc < n) {
+          val f = it.next()
+          out += f
+          if (!masked.contains(f)) {
+            val rows = state.fileStats.get(f)
+              .flatMap(_.get(VersionedTable.RowsKey))
+              .map(_.min.toLong)
+              .orElse(sidecarRowsMemo.get(f))
+            acc += math.max(0L, rows.getOrElse(0L))
+          }
+        }
+        if (acc >= n) out.result() else files
+      case _ => files
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val statuses = prunedStatuses
-    val byLayout = prunedFiles.groupBy(r =>
+    val byLayout = limitPrefix(prunedFiles).groupBy(r =>
       GraftTableSource.partPairs(r).map(_._1))
     byLayout.toSeq.sortBy(_._1.mkString(",")).flatMap { case (layout, rels) =>
       // required partition columns of this layout, in required order

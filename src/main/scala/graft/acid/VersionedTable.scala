@@ -2192,17 +2192,22 @@ final class Instance(val spark: SparkSession, val root: String,
     sidecarSurvivorsStatus(sc)(pred).map(_._1)
 
   /** [[sidecarSurvivors]] plus each survivor's checkpoint-recorded
-    * (size, mtime) — split planning over covered files then needs no
-    * per-file status RPC (0 = unknown, caller falls back to a fetch). */
+    * (size, mtime, row count) — split planning over covered files then
+    * needs no per-file status RPC, and limit pushdown can bound the
+    * planned file prefix (0 = unknown size/mtime, -1 = unknown rows;
+    * caller falls back to a fetch / no truncation). */
   private[acid] def sidecarSurvivorsStatus(sc: SidecarState)(
       pred: CheckpointStore.CkptRow => Boolean)
-      : Seq[(String, Long, Long)] = {
+      : Seq[(String, Long, Long, Long)] = {
     val s = spark
     import s.implicits._
     val exclB = spark.sparkContext.broadcast(sc.excluded)
     try readSidecarRows(sc.ref)
       .filter(r => !exclB.value(r.file) && pred(r))
-      .select("file", "size", "mtime").as[(String, Long, Long)]
+      .map(r => (r.file, r.size, r.mtime, {
+        val i = r.uCols.indexOf(VersionedTable.RowsKey)
+        if (i >= 0) r.uMins(i).toLong else -1L
+      }))
       .collect().toSeq
     finally exclB.destroy()
   }

@@ -552,6 +552,78 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 18L && r.getLong(1) == 190L)
   }
 
+  test("aggregate pushdown: partition-column min/max/count answer from paths") {
+    val dir = freshDir()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("v", LongType)))
+    val inst = VersionedTable.create(spark, dir, schema)
+    val t = inst.begin()
+    t.insertPartitioned(Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L),
+      (4L, "en", 40L)).toDF("obj_id", "lang", "v"), Seq("lang"))
+    inst.commit(t)
+    val agg = readGraft(dir).agg(min("lang").as("mn"), max("lang").as("mx"),
+      count(col("lang")).as("c"), count(lit(1)).as("cnt"))
+    assert(isMetadataOnly(agg), "partition-col aggregate must be " +
+      "metadata-only:\n" + agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ==
+      ("de", "fr", 4L, 4L))
+  }
+
+  test("limit pushdown: planning truncates to a row-covering file prefix") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    (0 until 6).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 10).map(j => (i * 10L + j, i * 100L + j))
+        .toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val limited = readGraft(dir).limit(12)
+    val planned = graftScan(limited).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(planned == 2, s"LIMIT 12 over 10-row files must plan 2 files, " +
+      s"planned $planned")
+    assert(limited.count() == 12L)
+    assert(graftScan(limited).description().contains("PushedLimit: 12"))
+    // a filtered limit must NOT truncate (post-scan drops could
+    // under-deliver): all files planned, result exact
+    val filtered = readGraft(dir).filter(col("value") % 100 >= 5).limit(12)
+    val plannedF = graftScan(filtered).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedF == 6 && filtered.count() == 12L)
+    // dv-masked files contribute 0 to the prefix: more files planned,
+    // never fewer rows than the limit
+    val td = inst.begin(); td.deleteMoR((0L until 10L)); inst.commit(td)
+    val afterMask = readGraft(dir).limit(12)
+    val plannedM = graftScan(afterMask).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedM == 3, s"masked first file counts 0, planned $plannedM")
+    assert(afterMask.count() == 12L)
+  }
+
+  test("limit pushdown: segmented checkpoints feed row counts to planning") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema,
+      EngineConf(checkpointInlineFiles = 0, checkpointInterval = 2))
+    (0 until 6).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 10).map(j => (i * 10L + j, i * 100L + j))
+        .toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    assert(inst.tableStateAt(inst.latestVersion).sidecar.isDefined)
+    val limited = readGraft(dir).limit(25)
+    val planned = graftScan(limited).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(planned == 3, s"LIMIT 25 over 10-row files must plan 3, " +
+      s"planned $planned")
+    assert(limited.count() == 25L)
+  }
+
   test("aggregate pushdown: segmented checkpoint folds stats distributedly") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema,
