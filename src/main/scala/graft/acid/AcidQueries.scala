@@ -384,7 +384,42 @@ object AcidQueries {
       "ELSE l_linenumber END) AS BIGINT) AS sum_l_linenumber " +
       "FROM lineitem WHERE l_orderkey % 7 <> 0 " +
       "GROUP BY l_returnflag ORDER BY l_returnflag")(
-      (s, dir) => incrementalMvScenario(s, dir)))
+      (s, dir) => incrementalMvScenario(s, dir)),
+
+    // full-SQL materialized view: CREATE TABLE / INSERT / CALL
+    // create_mv / DELETE / UPDATE / CALL refresh_mv / SELECT — the
+    // final view contents are a hand-computable constant
+    "q64_sql_mv" -> Q(
+      "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(sum_v AS BIGINT) AS sum_v " +
+      "FROM (VALUES ('a', 1, 10), ('b', 2, 65)) AS t(grp, cnt, sum_v) " +
+      "ORDER BY grp")((s, _) => sqlMvScenario(s)))
+
+  /** Full-SQL incremental-view lifecycle (see q64 above): insert
+    * {1:a/10, 2:a/20, 3:b/30, 4:a/40}, materialize counts+sums by
+    * grp, then DELETE row 2 and UPDATE row 4 into group 'b' at v-5,
+    * refresh — final source rows (1,a,10) (3,b,30) (4,b,35) give the
+    * oracle's constants a:(1,10) b:(2,65). */
+  def sqlMvScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq64$tag"
+    val wh = Files.createTempDirectory("graft_wh_q64_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.mv.src (obj_id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.mv.src VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'a', 40)") // v1
+    spark.sql(s"CALL $cat.system.create_mv('mv.agg', source => 'mv.src', " +
+      "group_by => 'grp', sums => 'v')")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    spark.sql(s"DELETE FROM $cat.mv.src WHERE obj_id = 2")       // v2
+    spark.sql(s"UPDATE $cat.mv.src SET grp = 'b', v = v - 5 " +
+      "WHERE obj_id = 4")                                        // v3
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    // final source rows: (1,a,10), (3,b,30), (4,b,35)
+    spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.mv.agg ORDER BY grp")
+  }
 
   /** Lineitem-backed incremental-view lifecycle (see q63 above).
     * `obj_id` is a synthetic unique row address assigned at load (the

@@ -407,12 +407,18 @@ private[acid] object GraftTableSource {
   private[acid] def analyzeAggregation(root: String, version: Long,
       tableSchema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow, String)] = try {
+      : Option[(StructType, Array[InternalRow], String)] = try {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty) return None
+    // GROUP BY is answerable only over hive-partition columns (their
+    // values are manifest metadata); anything else falls back
+    val groupRefs: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head
+      case _ => return None
+    }
     val funcs = agg.aggregateExpressions.toSeq
-    if (funcs.isEmpty) return None
+    if (funcs.isEmpty && groupRefs.isEmpty) return None
 
     // shape screen (no metadata IO yet): every function must be one of
     // the four answerable forms over a plain column reference
@@ -551,6 +557,99 @@ private[acid] object GraftTableSource {
         if (ok) Some(total) else None
       }
 
+    // ---- GROUP BY hive-partition columns: one result row per group,
+    // folded from metadata. Groups come from path segments (grouped
+    // side-file job on segmented tables); per-group COUNT(*) is the
+    // group's Σ#rows, data-column COUNT/MIN/MAX use the group's merged
+    // ustats, and a function ON a grouping column evaluates to the
+    // group's own value. Zero-row groups are dropped (SQL emits no
+    // group for no rows). Everything else refuses.
+    if (groupRefs.nonEmpty) {
+      val groupTypes = groupRefs.map(c =>
+        tableSchema.find(_.name == c).map(_.dataType).getOrElse(return None))
+      val okGroupType = groupTypes.forall {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             BooleanType | StringType => true
+        case _: DecimalType => true
+        case _ => false // float/timestamp path decoding: refuse
+      }
+      if (!okGroupType) return None
+      val groupPcols = groupRefs.map(st.phys)
+      val dataCols: Set[String] = needs.collect {
+        case n if n.path.nonEmpty && !groupRefs.contains(n.path.head) =>
+          phys(n.path)
+      }.toSet + VersionedTable.RowsKey
+      val grouped = inst.groupedUStats(st, groupPcols, dataCols)
+        .getOrElse(return None)
+      def exactG(m: Map[String, CheckpointStore.MergedU], files: Long,
+          c: String): Option[CheckpointStore.MergedU] =
+        m.get(c).filter(mm => mm.entries == files && mm.kind != 'X')
+      val fields = Seq.newBuilder[StructField]
+      groupRefs.zip(groupTypes).foreach { case (c, dt) =>
+        fields += StructField(c, dt, nullable = true)
+      }
+      needs.zip(funcs).foreach { case (need, func) =>
+        val name = func.toString
+        need match {
+          case NeedCountStar() | NeedCount(_) =>
+            fields += StructField(name, LongType, nullable = false)
+          case NeedMin(p) =>
+            fields += StructField(name, typeAt(p).getOrElse(return None))
+          case NeedMax(p) =>
+            fields += StructField(name, typeAt(p).getOrElse(return None))
+        }
+      }
+      val rows = grouped.toSeq.sortBy(_._1.mkString(" "))
+        .flatMap { case (g, (files, m)) =>
+        val groupVals: Seq[Any] = g.zip(groupTypes).map { case (seg, dt) =>
+          partValueInternal(seg, dt)
+        }
+        val rowsTotalG: Long = exactG(m, files, VersionedTable.RowsKey)
+          .filter(_.kind == 'L').map(_.sum).getOrElse(return None)
+        if (rowsTotalG == 0L) None // SQL emits no group for zero rows
+        else {
+          val aggVals: Seq[Any] = needs.map {
+            case NeedCountStar() => rowsTotalG
+            case NeedCount(p) =>
+              val gi = groupRefs.indexOf(p.head)
+              if (p.size == 1 && gi >= 0) {
+                // count of a grouping column: rows if the group's
+                // value is non-null, else 0 (the null group)
+                if (groupVals(gi) == null) 0L else rowsTotalG
+              } else exactG(m, files, phys(p)) match {
+                case Some(mm) if mm.nulls >= 0L => rowsTotalG - mm.nulls
+                case _ => return None
+              }
+            case NeedMin(p) =>
+              val dt = typeAt(p).get
+              val gi = groupRefs.indexOf(p.head)
+              if (p.size == 1 && gi >= 0) groupVals(gi)
+              else exactG(m, files, phys(p)) match {
+                case Some(mm) if !mm.valueSeen => null
+                case Some(mm) =>
+                  internalValue(mm.kind, mm.min, dt).getOrElse(return None)
+                case None => return None
+              }
+            case NeedMax(p) =>
+              val dt = typeAt(p).get
+              val gi = groupRefs.indexOf(p.head)
+              if (p.size == 1 && gi >= 0) groupVals(gi)
+              else exactG(m, files, phys(p)) match {
+                case Some(mm) if !mm.valueSeen => null
+                case Some(mm) =>
+                  internalValue(mm.kind, mm.max, dt).getOrElse(return None)
+                case None => return None
+              }
+          }
+          Some(new GenericInternalRow(
+            (groupVals ++ aggVals).toArray): InternalRow)
+        }
+      }
+      val desc = (groupRefs.map(c => s"group:$c") ++
+        funcs.map(_.toString)).mkString(", ")
+      return Some((StructType(fields.result()), rows.toArray, desc))
+    }
+
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     needs.zip(funcs).foreach { case (need, func) =>
@@ -611,7 +710,8 @@ private[acid] object GraftTableSource {
     }
     val schema = StructType(fields.result())
     val row = new GenericInternalRow(values.result().toArray)
-    Some((schema, row, funcs.map(_.toString).mkString(", ")))
+    Some((schema, Array(row: InternalRow),
+      funcs.map(_.toString).mkString(", ")))
   } catch {
     // refusal is always sound (the normal scan computes the answer);
     // an unexpected shape must degrade, never fail the query plan
@@ -800,12 +900,14 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var skipFilters: Array[sources.Filter] = Array.empty
   private var anyFilters = false
   private var limit: Option[Int] = None
+  private var topN: Option[TopNSpec] = None
 
   /** LIMIT reaches the scan only when no filter sits between them
     * (Catalyst's pushdown rule guarantees it; `anyFilters` re-checks),
@@ -818,6 +920,27 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
     else { limit = Some(n); true }
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** `ORDER BY k LIMIT n` bounds planning too: a single-column sort
+    * whose column has an integral-comparable per-file range index
+    * lets the scan prune files wholly past the covering cutoff (see
+    * [[GraftScan]] topN contract). PARTIAL push — Spark keeps its
+    * TakeOrderedAndProject, the scan only plans fewer files. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (anyFilters || orders.length != 1 || n < 0) return false
+    orders(0).expression() match {
+      case nr: NamedReference =>
+        topN = Some(TopNSpec(nr.fieldNames.toSeq,
+          asc = orders(0).direction() == SortDirection.ASCENDING,
+          nullsFirst = orders(0).nullOrdering() == NullOrdering.NULLS_FIRST,
+          n = n))
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve table column order (partition-constant columns must
@@ -860,11 +983,11 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
   //  - MIN/MAX on float/double (parquet footers ignore NaN, Spark's
   //    MAX must return it) or on a column whose exact null count is
   //    unknown for COUNT(col).
-  private var aggResult: Option[(StructType, InternalRow, String)] = None
+  private var aggResult: Option[(StructType, Array[InternalRow], String)] = None
   // memo keyed by the aggregation's print form: Catalyst probes the
   // complete form first and may retry with a rewritten partial form
   private var aggAnalyzed
-      : Map[String, Option[(StructType, InternalRow, String)]] = Map.empty
+      : Map[String, Option[(StructType, Array[InternalRow], String)]] = Map.empty
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -879,7 +1002,7 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
 
   private def analyzeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow, String)] = {
+      : Option[(StructType, Array[InternalRow], String)] = {
     val key = agg.aggregateExpressions.mkString(",") + "|" +
       agg.groupByExpressions.mkString(",")
     aggAnalyzed.getOrElse(key, {
@@ -891,11 +1014,11 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row, pushed)) =>
-      new GraftAggScan(root, version, schema, row, pushed)
+    case Some((schema, rows, pushed)) =>
+      new GraftAggScan(root, version, schema, rows, pushed)
     case None =>
       val s = new GraftScan(root, version, tableSchema, required, skipFilters,
-        wholeGroups, limit)
+        wholeGroups, limit, topN)
       onBuild(s)
       s
   }
@@ -906,10 +1029,10 @@ private[acid] final class GraftScanBuilder(root: String, version: Long,
   * [[org.apache.spark.sql.connector.read.LocalScan]] — Spark executes
   * it as a driver-local table scan with ZERO jobs against data files. */
 private[acid] final class GraftAggScan(root: String, version: Long,
-    aggSchema: StructType, row: InternalRow, pushed: String)
+    aggSchema: StructType, resultRows: Array[InternalRow], pushed: String)
     extends Scan with org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = aggSchema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = resultRows
   override def description(): String =
     s"graft $root @v$version PushedAggregation: [$pushed] (metadata-only)"
 }
@@ -921,11 +1044,17 @@ private[acid] final case class GraftInputPartition(
     files: Seq[PartitionedFile], layout: Seq[String],
     masks: Seq[VersionedTable.DvMask] = Nil) extends InputPartition
 
+/** Single-column top-n pushed into planning: prune files wholly past
+  * the cutoff value that already covers `n` rows in sort order. */
+private[acid] final case class TopNSpec(path: Seq[String], asc: Boolean,
+    nullsFirst: Boolean, n: Int)
+
 private[acid] final class GraftScan(root: String, version: Long,
     tableSchema: StructType, required: StructType,
     filters: Array[sources.Filter],
     wholeGroups: Boolean = false,
-    pushedLimit: Option[Int] = None) extends Scan with Batch
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[TopNSpec] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -938,7 +1067,9 @@ private[acid] final class GraftScan(root: String, version: Long,
     val fs = if (filters.isEmpty) "" else
       filters.mkString(" PushedFilters: [", ", ", "]")
     val lm = pushedLimit.fold("")(n => s" PushedLimit: $n")
-    s"graft $root @v$version$fs$lm"
+    val tn = pushedTopN.fold("")(t => s" PushedTopN: ${t.path.mkString(".")}" +
+      s" ${if (t.asc) "ASC" else "DESC"} LIMIT ${t.n}")
+    s"graft $root @v$version$fs$lm$tn"
   }
 
   /** Size/row statistics AFTER static file skipping, so the optimizer
@@ -1063,14 +1194,18 @@ private[acid] final class GraftScan(root: String, version: Long,
       : Map[String, org.apache.hadoop.fs.FileStatus] = {
     var memo = prunedStatusesMemo
     if (memo == null) {
+      // force the pruning pass FIRST: it is what fills
+      // sidecarStatusMemo — capturing the memo before it would fetch
+      // every covered file's status by RPC on a fresh scan
+      val pruned = prunedFiles
       val recorded = sidecarStatusMemo
-      val fromCkpt = prunedFiles.flatMap { rel =>
+      val fromCkpt = pruned.flatMap { rel =>
         recorded.get(rel).collect { case (size, mtime) if size > 0L =>
           rel -> new org.apache.hadoop.fs.FileStatus(size, false, 1, size,
             mtime, inst.fs.makeQualified(new Path(inst.dataDir, rel)))
         }
       }.toMap
-      val rest = prunedFiles.filterNot(fromCkpt.contains)
+      val rest = pruned.filterNot(fromCkpt.contains)
       memo = fromCkpt ++ inst.pooledMap(rest)(rel =>
         rel -> inst.fs.getFileStatus(new Path(inst.dataDir, rel))).toMap
       prunedStatusesMemo = memo
@@ -1167,10 +1302,121 @@ private[acid] final class GraftScan(root: String, version: Long,
       case _ => files
     }
 
+  /** Top-n pushdown truncation (`ORDER BY k LIMIT n`): prune every
+    * file provably outside the top-n. Correctness argument — for ASC:
+    * sort files by their MAX value; once the running coverage (exact
+    * unmasked row counts) over that order reaches `n`, at least n rows
+    * exist at or below cutoff `m` (under NULLS FIRST, a counted file's
+    * null rows also precede any value > m), so a file whose MIN
+    * exceeds `m` holds no top-n row. Files with no usable range, dv
+    * masks, or unknown counts are kept and cover 0; under NULLS FIRST
+    * files that may hold nulls are always kept; under NULLS LAST
+    * coverage counts non-null rows only, and a found cutoff implies
+    * no null row is in the top-n at all. DESC mirrors with MIN/MAX
+    * swapped. Spark keeps its TakeOrdered above (partial push), so
+    * truncation can only over-deliver. */
+  private def topNPrefix(files: Seq[String]): Seq[String] =
+    pushedTopN match {
+      case Some(t) if filters.isEmpty && runtimeFilters.isEmpty =>
+        val pcol = phys(t.path.mkString("."))
+        val keepNulls = t.nullsFirst
+        // (sortKey, coverage) per file — driver-side for inline/tail,
+        // columnar for checkpoint-covered
+        def inlineTuple(f: String): Option[(Long, Long)] = {
+          val range =
+            (if (pcol == "obj_id") state.stats.get(f)
+             else state.colStats.get(f).flatMap(_.get(pcol))
+               .orElse(state.fileStats.get(f).flatMap(_.get(pcol))
+                 .flatMap(_.longRange)))
+            .filter { case (lo, hi) => lo <= hi }
+          range.map { case (lo, hi) =>
+            val rows = state.fileStats.get(f)
+              .flatMap(_.get(VersionedTable.RowsKey)).map(_.min.toLong)
+              .getOrElse(-1L)
+            val nulls =
+              if (pcol == "obj_id") 0L
+              else state.fileStats.get(f).flatMap(_.get(pcol))
+                .map(_.nulls).getOrElse(-1L)
+            val cover =
+              if (state.dvs.contains(f) || rows < 0L) 0L
+              else if (t.nullsFirst) rows
+              else if (nulls >= 0L) rows - nulls
+              else 0L
+            (if (t.asc) hi else lo, cover)
+          }
+        }
+        def inlineKeep(f: String, m: Long): Boolean = {
+          val range =
+            (if (pcol == "obj_id") state.stats.get(f)
+             else state.colStats.get(f).flatMap(_.get(pcol))
+               .orElse(state.fileStats.get(f).flatMap(_.get(pcol))
+                 .flatMap(_.longRange)))
+            .filter { case (lo, hi) => lo <= hi }
+          range match {
+            case None => true
+            case Some((lo, hi)) =>
+              (if (t.asc) lo <= m else hi >= m) || (keepNulls && {
+                if (pcol == "obj_id") false
+                else state.fileStats.get(f).flatMap(_.get(pcol))
+                  .map(_.nulls).forall(_ != 0L)
+              })
+          }
+        }
+        state.sidecar match {
+          case None =>
+            val tuples = files.flatMap(inlineTuple).sortBy(k =>
+              if (t.asc) k._1 else -k._1)
+            var acc = 0L
+            var cutoff: Option[Long] = None
+            val it = tuples.iterator
+            while (it.hasNext && cutoff.isEmpty) {
+              val (k, c) = it.next()
+              acc += c
+              if (acc >= t.n) cutoff = Some(k)
+            }
+            cutoff.fold(files)(m => files.filter(inlineKeep(_, m)))
+          case Some(sc) =>
+            // cutoff over covered (columnar job) + tail (driver) files
+            // together: a single windowed cumsum over metadata rows
+            val s = spark
+            import s.implicits._
+            // dvs that landed AFTER the checkpoint aren't in the side
+            // rows' dvList — the live dv map (sparse, driver-resident)
+            // zeroes those files' coverage too
+            val dvFiles = state.dvs.keySet
+            val excluded = sc.excluded
+            val covered = inst.readSidecarRows(sc.ref)
+              .filter(r => !excluded(r.file))
+              .flatMap(r =>
+                CheckpointStore.topNTuple(r, pcol, t.asc, t.nullsFirst)
+                  .map { case (k, c) =>
+                    (k, if (dvFiles.contains(r.file)) 0L else c) })
+            val tail = files.filter(sc.tailLive).flatMap(inlineTuple)
+            import org.apache.spark.sql.functions.{col => fcol, sum => fsum}
+            val all = covered.union(s.createDataset(tail))
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(if (t.asc) fcol("_1").asc else fcol("_1").desc)
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0L)
+            val cut = all.toDF("_1", "_2")
+              .withColumn("_cum", fsum(fcol("_2")).over(w))
+              .filter(fcol("_cum") >= t.n.toLong)
+              .select("_1").as[Long].take(1).headOption
+            cut.fold(files) { m =>
+              val tailKeep = files.filter(f => sc.tailLive(f) &&
+                inlineKeep(f, m))
+              val coveredKeep = inst.sidecarSurvivors(sc)(
+                CheckpointStore.topNKeep(pcol, m, t.asc, keepNulls))
+              (tailKeep ++ coveredKeep).sorted
+            }
+        }
+      case _ => files
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val statuses = prunedStatuses
-    val byLayout = limitPrefix(prunedFiles).groupBy(r =>
+    val byLayout = topNPrefix(limitPrefix(prunedFiles)).groupBy(r =>
       GraftTableSource.partPairs(r).map(_._1))
     byLayout.toSeq.sortBy(_._1.mkString(",")).flatMap { case (layout, rels) =>
       // required partition columns of this layout, in required order

@@ -220,6 +220,124 @@ private[acid] object CheckpointStore {
     accs.iterator.map { case (c, m) => toMergedRow(c, m) }
   }
 
+  /** [[MergedRow]] keyed by a hive-partition group: `group` carries
+    * the RAW `k=v` path segment values for the grouping columns (the
+    * driver decodes them once per group), and the reserved col
+    * [[FilesCol]] counts the group's files (`entries`) regardless of
+    * any stat's presence. A file MISSING one of the grouping segments
+    * poisons the whole fold (col = [[BadGroupCol]]) — grouped
+    * metadata answers then refuse. */
+  final case class GroupedRow(group: Seq[String], col: String, kind: String,
+      min: String, max: String, nulls: Long, sum: Long, entries: Long,
+      valueSeen: Boolean)
+
+  implicit val groupedRowEncoder: Encoder[GroupedRow] =
+    Encoders.product[GroupedRow]
+
+  val FilesCol = "#files"
+  val BadGroupCol = "#badgroup"
+
+  /** Raw partition values of `pcols` from a file's relative path, in
+    * order — None when any segment is absent (mixed layout). */
+  def groupOf(file: String, pcols: Seq[String]): Option[Seq[String]] = {
+    val pairs = scala.collection.mutable.HashMap[String, String]()
+    file.split('/').dropRight(1).foreach { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) pairs.update(seg.substring(0, i), seg.substring(i + 1))
+    }
+    val vals = pcols.map(pairs.get)
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+  }
+
+  /** Executor-side GROUPED partial merge: like [[partialMerge]] but
+    * keyed by the file's partition group, plus a [[FilesCol]] row per
+    * group counting its files. */
+  def groupedPartialMerge(groupPcols: Seq[String], cols: Set[String],
+      excluded: Set[String]): Iterator[CkptRow] => Iterator[GroupedRow] = {
+    it =>
+    val accs =
+      scala.collection.mutable.HashMap[(Seq[String], String), MergedU]()
+    var bad = false
+    it.foreach { r =>
+      if (!bad && !excluded(r.file)) {
+        groupOf(r.file, groupPcols) match {
+          case None => bad = true
+          case Some(g) =>
+            val fkey = (g, FilesCol)
+            val cur = accs.getOrElse(fkey, MergedU())
+            accs.update(fkey, cur.copy(entries = cur.entries + 1))
+            var i = 0
+            while (i < r.uCols.length) {
+              val c = r.uCols(i)
+              if (cols(c)) {
+                val u = UStat(r.uKinds(i).head, r.uMins(i), r.uMaxs(i),
+                  r.uNulls(i))
+                accs.update((g, c), accs.getOrElse((g, c), MergedU()).add(u))
+              }
+              i += 1
+            }
+        }
+      }
+    }
+    if (bad) Iterator.single(GroupedRow(Nil, BadGroupCol, "", "", "",
+      0L, 0L, 0L, valueSeen = false))
+    else accs.iterator.map { case ((g, c), m) =>
+      GroupedRow(g, c, m.kind.toString, m.min, m.max, m.nulls, m.sum,
+        m.entries, m.valueSeen)
+    }
+  }
+
+  /** Integral-comparable sort range of `pcol` for one checkpoint row:
+    * the primary id index for obj_id, else Z-order colStats, else the
+    * ustat's longRange; degenerate (all-null) ranges excluded. */
+  def sortRangeOf(r: CkptRow, pcol: String): Option[(Long, Long)] = {
+    val range =
+      if (pcol == "obj_id") statsOf(r)
+      else colStatsOf(r).get(pcol)
+        .orElse(ustatsOf(r).get(pcol).flatMap(_.longRange))
+    range.filter { case (lo, hi) => lo <= hi }
+  }
+
+  /** (sort key, coverage rows) for topN cutoff computation — see
+    * [[GraftScan]]'s topN pruning contract. The key is the file's
+    * worst value in sort direction (max for ASC, min for DESC): once
+    * the running coverage over keys in sort order reaches n, every
+    * file wholly past the cutoff is out of the top-n. Coverage is the
+    * file's row count, minus nulls under NULLS LAST (null rows don't
+    * precede values then); dv-masked, count-less, or unknown-null
+    * files cover 0 (kept, never relied on). None = no usable range
+    * (the file is always kept and covers nothing). */
+  def topNTuple(r: CkptRow, pcol: String, asc: Boolean,
+      nullsFirst: Boolean): Option[(Long, Long)] =
+    sortRangeOf(r, pcol).map { case (lo, hi) =>
+      val ri = r.uCols.indexOf(VersionedTable.RowsKey)
+      val rows = if (ri >= 0) r.uMins(ri).toLong else -1L
+      val nulls =
+        if (pcol == "obj_id") 0L // the engine's row id is never null
+        else ustatsOf(r).get(pcol).map(_.nulls).getOrElse(-1L)
+      val cover =
+        if (r.dvList.nonEmpty || rows < 0L) 0L
+        else if (nullsFirst) rows
+        else if (nulls >= 0L) rows - nulls
+        else 0L
+      (if (asc) hi else lo, cover)
+    }
+
+  /** Survivor predicate for a computed topN cutoff `m`: keep when the
+    * file's best value in sort direction is not past the cutoff, when
+    * it has no usable range, or (NULLS FIRST) when it may hold null
+    * rows — all conservative keeps. */
+  def topNKeep(pcol: String, m: Long, asc: Boolean,
+      keepNulls: Boolean): CkptRow => Boolean = r =>
+    sortRangeOf(r, pcol) match {
+      case None => true
+      case Some((lo, hi)) =>
+        (if (asc) lo <= m else hi >= m) || (keepNulls && {
+          if (pcol == "obj_id") false
+          else ustatsOf(r).get(pcol).map(_.nulls).forall(_ != 0L)
+        })
+    }
+
   /** [[mayContainId]] generalized to a secondary column: Z-order
     * colStats first, then the universal footer stats' integral range;
     * rows with neither stay candidates. `pcol` is the PHYSICAL name. */

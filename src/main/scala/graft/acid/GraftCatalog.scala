@@ -243,7 +243,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * cluster_by => 'obj_id,value')`. Each returns its metric row. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("vacuum", "compact", "materialize", "restore")
+      Array("vacuum", "compact", "materialize", "restore",
+        "create_mv", "refresh_mv")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 
@@ -255,10 +256,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "compact" => new CompactProcedure(this)
       case "materialize" => new MaterializeProcedure(this)
       case "restore" => new RestoreProcedure(this)
+      case "create_mv" => new CreateMvProcedure(this)
+      case "refresh_mv" => new RefreshMvProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
-        "materialize, restore)")
+        "materialize, restore, create_mv, refresh_mv)")
     }
+  }
+
+  private[acid] def pathFor(dotted: String): Path = {
+    val parts = dotted.split('.')
+    tablePath(Identifier.of(parts.dropRight(1), parts.last))
   }
 
   private[acid] def openInstance(dotted: String): Instance = {
@@ -436,6 +444,60 @@ private[acid] final class RestoreProcedure(cat: GraftCatalog)
     val head = inst.restore(input.getLong(1))
     java.util.Collections.singletonList[Scan](
       new MetricScan("restored_head_version", head)).iterator()
+  }
+}
+
+private[acid] final class CreateMvProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_mv"
+  override def description(): String =
+    "Create an incrementally-maintained aggregate view (count + sums " +
+    "by group columns) over a source table; refresh with refresh_mv"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("view", StringType)
+      .comment("dotted name for the NEW view table").build(),
+    ProcedureParameter.in("source", StringType)
+      .comment("dotted name of the source table").build(),
+    ProcedureParameter.in("group_by", StringType)
+      .comment("comma-separated group columns").build(),
+    ProcedureParameter.in("sums", StringType)
+      .comment("comma-separated integral columns to sum; empty = counts only")
+      .defaultValue("''").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val viewName = input.getUTF8String(0).toString
+    val src = cat.openInstance(input.getUTF8String(1).toString)
+    val groups = input.getUTF8String(2).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val sums = input.getUTF8String(3).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val viewPath = cat.pathFor(viewName)
+    MaterializedAggView.create(SparkSession.active, viewPath.toString, src,
+      groups, sums, sourceSpec = Some(input.getUTF8String(1).toString))
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("created_version", 0L)).iterator()
+  }
+}
+
+private[acid] final class RefreshMvProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "refresh_mv"
+  override def description(): String =
+    "Fold the source commits since the last refresh into the view — " +
+    "O(delta) via the change feed, one atomic idempotent MERGE commit"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("view", StringType)
+      .comment("dotted name of a view created by create_mv").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val mv = MaterializedAggView.openFromDef(SparkSession.active,
+      cat.pathFor(input.getUTF8String(0).toString).toString,
+      resolveSource = cat.openInstance)
+    val v = mv.refresh()
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("refreshed_to_version", v)).iterator()
   }
 }
 

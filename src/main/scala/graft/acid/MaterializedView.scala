@@ -118,6 +118,78 @@ final class MaterializedAggView private (
 }
 
 object MaterializedAggView {
+
+  /** Definition side file under the view root — written ONCE at create
+    * (the definition is immutable), so `open(viewRoot)` and the SQL
+    * `CALL system.refresh_mv` need no re-specification. `source` is
+    * the creating surface's spec: an absolute table root (API create)
+    * or a dotted catalog name (SQL create_mv) — dotted names cannot
+    * contain '/', which is how [[openFromDef]] tells them apart. */
+  private val DefFile = "_mv.json"
+
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  }
+  private def writeDef(view: Instance, source: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+    val json = s"""{"source":"${esc(source)}",""" +
+      s""""groupCols":[${groupCols.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+      s""""sumCols":[${sumCols.map(c => s""""${esc(c)}"""").mkString(",")}]}"""
+    val out = view.fs.create(
+      new org.apache.hadoop.fs.Path(view.root, DefFile), false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** (source spec, group columns, sum columns) from the definition
+    * file — the same minimal quote-aware array parse the manifest
+    * codec uses. */
+  private[acid] def readDef(view: Instance): (String, Seq[String], Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(view.root, DefFile)
+    require(view.fs.exists(p), s"${view.root} is not a materialized view " +
+      s"(no $DefFile)")
+    val in = view.fs.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    def strField(k: String): String = {
+      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(json)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(throw new IllegalStateException(s"bad $DefFile: no $k"))
+    }
+    def arrField(k: String): Seq[String] = {
+      val m = ("\"" + k + "\":\\[((?:[^\\]])*)\\]").r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"bad $DefFile: no $k"))
+      val body = m.group(1).trim
+      if (body.isEmpty) Nil
+      else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+    (strField("source"), arrField("groupCols"), arrField("sumCols"))
+  }
+
+  /** Open a view from its persisted definition. `resolveSource` maps
+    * a dotted catalog name to its Instance (pass the catalog's
+    * resolver from SQL; the default handles only path specs). */
+  def openFromDef(spark: SparkSession, viewRoot: String,
+      resolveSource: String => Instance = null): MaterializedAggView = {
+    val view = VersionedTable.open(spark, viewRoot)
+    val (src, g, s) = readDef(view)
+    val inst =
+      if (src.contains('/')) VersionedTable.open(spark, src)
+      else {
+        require(resolveSource != null,
+          s"view source '$src' is a catalog name; open it through the catalog")
+        resolveSource(src)
+      }
+    new MaterializedAggView(inst, view, g, s)
+  }
+
   private def viewSchema(srcSchema: StructType, groupCols: Seq[String],
       sumCols: Seq[String]): StructType = {
     require(groupCols.nonEmpty, "at least one group column is required " +
@@ -140,12 +212,17 @@ object MaterializedAggView {
       sumCols.map(c => StructField(s"sum_$c", LongType, nullable = true)))
   }
 
-  /** Create the (empty) view table beside its definition. */
+  /** Create the (empty) view table beside its persisted definition.
+    * `sourceSpec` overrides what the definition records as the source
+    * (the SQL catalog stores the dotted table name so views survive a
+    * warehouse move; the default records the source's root path). */
   def create(spark: SparkSession, viewRoot: String, source: Instance,
-      groupCols: Seq[String], sumCols: Seq[String]): MaterializedAggView = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      sourceSpec: Option[String] = None): MaterializedAggView = {
     val schema = viewSchema(StructType.fromDDL(source.stateAt(
       source.latestVersion)._2), groupCols, sumCols)
     val view = VersionedTable.create(spark, viewRoot, schema)
+    writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols)
     new MaterializedAggView(source, view, groupCols, sumCols)
   }
 

@@ -2246,6 +2246,61 @@ final class Instance(val spark: SparkSession, val root: String,
     (st.files.size.toLong, acc)
   }
 
+  /** [[mergedUStats]] keyed by a hive-partition group: for every
+    * distinct tuple of `groupPcols` raw path values, the group's file
+    * count and the named columns' cross-file merge. Returns None when
+    * any live file lacks a grouping segment (mixed layouts — grouped
+    * metadata answers must refuse). Inline/tail files fold on the
+    * driver; checkpoint-covered files fold distributedly, returning
+    * O(groups × cols) rows. */
+  private[acid] def groupedUStats(st: TableState, groupPcols: Seq[String],
+      pcols: Set[String])
+      : Option[Map[Seq[String], (Long, Map[String, CheckpointStore.MergedU])]] = {
+    import CheckpointStore.MergedU
+    val inlineFiles = st.sidecar match {
+      case Some(sc) => st.files.filter(sc.tailLive)
+      case None => st.files
+    }
+    var files = Map.empty[Seq[String], Long]
+    var acc = Map.empty[(Seq[String], String), MergedU]
+    inlineFiles.foreach { f =>
+      CheckpointStore.groupOf(f, groupPcols) match {
+        case None => return None
+        case Some(g) =>
+          files = files.updated(g, files.getOrElse(g, 0L) + 1L)
+          st.fileStats.getOrElse(f, Map.empty).foreach { case (c, u) =>
+            if (pcols(c))
+              acc = acc.updated((g, c), acc.getOrElse((g, c), MergedU()).add(u))
+          }
+      }
+    }
+    st.sidecar.foreach { sc =>
+      import CheckpointStore.groupedRowEncoder
+      val partials = readSidecarRows(sc.ref)
+        .mapPartitions(CheckpointStore.groupedPartialMerge(groupPcols, pcols,
+          sc.excluded))
+        .collect()
+      partials.foreach { r =>
+        if (r.col == CheckpointStore.BadGroupCol) return None
+        else if (r.col == CheckpointStore.FilesCol)
+          files = files.updated(r.group,
+            files.getOrElse(r.group, 0L) + r.entries)
+        else {
+          val m = MergedU(if (r.kind.isEmpty) 0 else r.kind.head, r.min,
+            r.max, r.nulls, r.sum, r.entries, r.valueSeen)
+          val k = (r.group, r.col)
+          acc = acc.updated(k, acc.getOrElse(k, MergedU()).merge(m))
+        }
+      }
+    }
+    val byGroup = acc.groupBy(_._1._1).map { case (g, m) =>
+      g -> m.map { case ((_, c), v) => c -> v }
+    }
+    Some(files.map { case (g, n) =>
+      g -> (n, byGroup.getOrElse(g, Map.empty))
+    })
+  }
+
   /** Bulk stat fetch for an explicit (bounded) file set — restore's
     * re-add path and admin surfaces. O(wanted) rows to the driver. */
   private[acid] def sidecarRowsFor(ref: String, wanted: Set[String])

@@ -573,6 +573,61 @@ class BatchSourceSpec extends AnyFunSuite {
       ("de", "fr", 4L, 4L))
   }
 
+  test("aggregate pushdown: GROUP BY partition column folds from metadata") {
+    val dir = freshDir()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("v", LongType)))
+    val inst = VersionedTable.create(spark, dir, schema)
+    (0 until 2).foreach { i =>
+      val t = inst.begin()
+      t.insertPartitioned(Seq(
+        (i * 10L + 1L, "en", i * 100L + 1L), (i * 10L + 2L, "en", i * 100L + 2L),
+        (i * 10L + 3L, "de", i * 100L + 3L))
+        .toDF("obj_id", "lang", "v"), Seq("lang"))
+      inst.commit(t)
+    }
+    val agg = readGraft(dir).groupBy("lang").agg(
+      count(lit(1)).as("cnt"), min("v").as("mn"), max("v").as("mx"),
+      max("lang").as("ml"))
+    assert(isMetadataOnly(agg), "grouped partition aggregate must be " +
+      "metadata-only:\n" + agg.queryExecution.executedPlan)
+    val got = agg.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getString(4))).toSeq.sortBy(_._1)
+    assert(got == Seq(("de", 2L, 3L, 103L, "de"), ("en", 4L, 1L, 102L, "en")))
+    // grouping by a NON-partition column falls back to a real scan
+    val byData = readGraft(dir).groupBy("v").agg(count(lit(1)).as("c"))
+    assert(!isMetadataOnly(byData) && byData.count() == 6L)
+  }
+
+  test("aggregate pushdown: GROUP BY partition column over a segmented table") {
+    val dir = freshDir()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("v", LongType)))
+    val inst = VersionedTable.create(spark, dir, schema,
+      EngineConf(checkpointInlineFiles = 0, checkpointInterval = 2))
+    (0 until 4).foreach { i =>
+      val t = inst.begin()
+      t.insertPartitioned(Seq(
+        (i * 10L + 1L, "en", i * 100L + 1L), (i * 10L + 2L, "de", i * 100L + 2L))
+        .toDF("obj_id", "lang", "v"), Seq("lang"))
+      inst.commit(t)
+    }
+    assert(inst.tableStateAt(inst.latestVersion).sidecar.isDefined)
+    val agg = readGraft(dir).groupBy("lang").agg(count(lit(1)).as("cnt"),
+      max("v").as("mx"))
+    assert(isMetadataOnly(agg), "segmented grouped aggregate must be " +
+      "metadata-only:\n" + agg.queryExecution.executedPlan)
+    val got = agg.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == Seq(("de", 4L, 302L), ("en", 4L, 301L)))
+  }
+
   test("limit pushdown: planning truncates to a row-covering file prefix") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
@@ -603,6 +658,44 @@ class BatchSourceSpec extends AnyFunSuite {
       .flatMap { case p: GraftInputPartition => p.files }.length
     assert(plannedM == 3, s"masked first file counts 0, planned $plannedM")
     assert(afterMask.count() == 12L)
+  }
+
+  test("topN pushdown: ORDER BY obj_id LIMIT n plans only covering files") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    // six files with DISJOINT id ranges (insert order != id order, so
+    // a naive prefix would be wrong — pruning must go by ranges)
+    Seq(3, 0, 5, 1, 4, 2).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 10).map(j => (i * 10L + j, i * 100L + j))
+        .toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    val asc = readGraft(dir).orderBy("obj_id").limit(12)
+    val plannedAsc = graftScan(asc).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedAsc == 2, s"top-12 ASC over 10-row ranges: $plannedAsc")
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 12L))
+    val desc = readGraft(dir).orderBy(col("obj_id").desc).limit(25)
+    val plannedDesc = graftScan(desc).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedDesc == 3, s"top-25 DESC: $plannedDesc")
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (59L to 35L by -1L))
+    // a secondary column with footer ranges prunes too
+    val byValue = readGraft(dir).orderBy("value").limit(5)
+    val plannedV = graftScan(byValue).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedV == 1, s"top-5 by value: $plannedV")
+    assert(byValue.collect().map(_.getLong(1)).toSeq == (0L until 5L))
+    // dv-masked file: coverage drops to 0, one more file planned,
+    // result still exact
+    val td = inst.begin(); td.deleteMoR(Seq(0L, 1L)); inst.commit(td)
+    val masked = readGraft(dir).orderBy("obj_id").limit(12)
+    val plannedM = graftScan(masked).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedM == 3, s"masked head file covers 0: $plannedM")
+    assert(masked.collect().map(_.getLong(0)).toSeq == (2L until 14L))
   }
 
   test("limit pushdown: segmented checkpoints feed row counts to planning") {

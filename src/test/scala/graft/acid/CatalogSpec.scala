@@ -331,4 +331,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(sql("SHOW NAMESPACES IN gcat").collect()
       .map(_.getString(0)).contains("misc"))
   }
+
+  test("CALL system.create_mv / refresh_mv maintain an aggregate view in SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.mv")
+    sql("CREATE TABLE gcat.mv.src (obj_id BIGINT, grp STRING, v BIGINT)")
+    sql("INSERT INTO gcat.mv.src VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    sql("CALL gcat.system.create_mv('mv.agg', source => 'mv.src', " +
+      "group_by => 'grp', sums => 'v')")
+    val v1 = sql("CALL gcat.system.refresh_mv('mv.agg')").head().getLong(0)
+    assert(v1 == 1L)
+    // the view IS a catalog table: plain SELECT sees the groups
+    assert(sql("SELECT grp, cnt, sum_v FROM gcat.mv.agg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+    // mutate the source through SQL, refresh, view follows
+    sql("DELETE FROM gcat.mv.src WHERE obj_id = 2")
+    sql("UPDATE gcat.mv.src SET v = v + 5 WHERE obj_id = 3")
+    val v2 = sql("CALL gcat.system.refresh_mv('mv.agg')").head().getLong(0)
+    assert(v2 == 3L)
+    assert(sql("SELECT grp, cnt, sum_v FROM gcat.mv.agg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 1L, 10L), ("b", 1L, 35L)))
+    // refresh with no new commits is a no-op at the same head
+    assert(sql("CALL gcat.system.refresh_mv('mv.agg')").head().getLong(0) == 3L)
+  }
 }

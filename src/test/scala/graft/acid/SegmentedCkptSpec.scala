@@ -197,7 +197,10 @@ class SegmentedCkptSpec extends AnyFunSuite {
         Some((i * 1000L, i * 1000L + 999L)),
         Map.empty, Nil,
         Map("value" -> VersionedTable.UStat('L',
-          (i * 10L).toString, (i * 10L + 9L).toString, 0L)))
+          (i * 10L).toString, (i * 10L + 9L).toString, 0L),
+          VersionedTable.RowsKey -> VersionedTable.UStat('L',
+            "1000", "1000", 0L)),
+        size = 4096L, mtime = 1L)
     }
     spark.createDataset(rows)(CheckpointStore.ckptRowEncoder)
       .repartition(8)
@@ -233,6 +236,53 @@ class SegmentedCkptSpec extends AnyFunSuite {
       assert(foldMs + skipMs < 60000L,
         s"planning over 50k files took ${foldMs}ms fold + ${skipMs}ms skip")
     } finally inst.rollback(txn)
+
+    // metadata-only aggregate over all 50k (nonexistent!) files: the
+    // answer folds checkpoint side files — had the plan touched a
+    // single data file it would have failed on the synthetic names
+    val agg = readGraft(dir).agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"),
+      org.apache.spark.sql.functions.min("value").as("mn"),
+      org.apache.spark.sql.functions.max("value").as("mx"))
+    val hasLocal = agg.queryExecution.executedPlan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty
+    assert(hasLocal, "50k-file aggregate must be metadata-only:\n" +
+      agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (50000000L, 0L, 499999L))
+
+    // LIMIT pushdown: planning truncates 50k files to ONE (1000 rows
+    // cover the limit); execution would fail on the synthetic file, so
+    // only the planned partitioning is asserted
+    val limited = readGraft(dir).limit(100)
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.nonEmpty)
+    val plannedFiles = scans.head.planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(plannedFiles == 1,
+      s"LIMIT 100 over 50k synthetic files must plan 1, got $plannedFiles")
+
+    // topN pushdown: ORDER BY obj_id LIMIT 1500 — the distributed
+    // cutoff job finds 2 covering files among 50k (1000 rows each,
+    // disjoint id ranges); everything else is pruned unplanned
+    val top = readGraft(dir).orderBy(col("obj_id")).limit(1500)
+    val topScan = top.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[GraftScan]
+    }.head
+    val topPlanned = topScan.planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }
+      .map(_.filePath.toString).sorted
+    assert(topPlanned.length == 2 &&
+      topPlanned(0).endsWith("synth/part-000000.parquet") &&
+      topPlanned(1).endsWith("synth/part-000001.parquet"),
+      s"top-1500 over 50k synthetic files: ${topPlanned.mkString(", ")}")
   }
 
   test("a lost-race or crashed side-file write is swept by vacuum; live ones survive") {
