@@ -379,11 +379,12 @@ object AcidQueries {
     // two commits' change feed (O(delta), no rescan) and must land on
     // exactly the aggregate DuckDB computes over the mutated table
     "q63_incremental_mv" -> Q(
-      "SELECT l_returnflag, COUNT(*) AS cnt, " +
-      "CAST(SUM(CASE WHEN l_orderkey % 11 = 0 THEN l_linenumber + 100 " +
-      "ELSE l_linenumber END) AS BIGINT) AS sum_l_linenumber " +
-      "FROM lineitem WHERE l_orderkey % 7 <> 0 " +
-      "GROUP BY l_returnflag ORDER BY l_returnflag")(
+      "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+      "CAST(SUM(CASE WHEN o_orderkey % 11 = 0 AND o_orderkey < 30000 " +
+      "THEN o_custkey + 1000 " +
+      "ELSE o_custkey END) AS BIGINT) AS sum_o_custkey " +
+      "FROM orders WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey < 30000) " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
       (s, dir) => incrementalMvScenario(s, dir)),
 
     // full-SQL materialized view: CREATE TABLE / INSERT / CALL
@@ -421,39 +422,42 @@ object AcidQueries {
     spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.mv.agg ORDER BY grp")
   }
 
-  /** Lineitem-backed incremental-view lifecycle (see q63 above).
-    * `obj_id` is a synthetic unique row address assigned at load (the
-    * fixture's (orderkey, linenumber) is NOT unique); every later
-    * predicate keys on l_orderkey, so the id only has to be unique,
-    * never stable across runs. */
+  /** Orders-backed incremental-view lifecycle (see q63 above):
+    * `obj_id = o_orderkey` (unique in the fixture), counts + custkey
+    * sums by order status. Mutations bound to the low orderkeys so
+    * the delete's candidate pruning — and the refresh's signed delta —
+    * touch O(hit files), not the whole table: the write pattern an
+    * incremental view exists for. The oracle applies the same bounds. */
   def incrementalMvScenario(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val li = graft.Engine.table(spark, dir, "lineitem")
-      .select(monotonically_increasing_id().as("obj_id"),
-        col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))
+    val ord = graft.Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("obj_id"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_custkey"))
     val srcTmp = Files.createTempDirectory("graft_mv_src_").toUri.toString
     val viewTmp = Files.createTempDirectory("graft_mv_view_").toUri.toString
-    val src = VersionedTable.create(spark, srcTmp, li.schema)
-    val t1 = src.begin(); t1.insert(li); src.commit(t1) // v1: full load
+    val src = VersionedTable.create(spark, srcTmp, ord.schema)
+    val t1 = src.begin(); t1.insert(ord); src.commit(t1) // v1: full load
     val mv = MaterializedAggView.create(spark, viewTmp, src,
-      groupCols = Seq("l_returnflag"), sumCols = Seq("l_linenumber"))
+      groupCols = Seq("o_orderstatus"), sumCols = Seq("o_custkey"))
     mv.refresh() // initial build = fold of the insert-only prefix
-    // v2: CoW delete of every 7th order's rows
+    // v2: CoW delete of every 7th low order
     val t2 = src.begin()
-    t2.deleteMatching(src.read().filter(col("l_orderkey") % 7 === 0)
+    t2.deleteMatching(src.read()
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 30000)
       .select("obj_id"))
     src.commit(t2)
-    // v3: keyed MERGE bumps every 11th order's linenumber by 100
+    // v3: keyed MERGE bumps every 11th low order's custkey by 1000
     val t3 = src.begin()
-    t3.merge(src.read().filter(col("l_orderkey") % 11 === 0)
-      .select(col("obj_id"), (col("l_linenumber") + 100).as("new_ln")),
-      matchedUpdate = Map("l_linenumber" ->
-        org.apache.spark.sql.functions.col("s.new_ln")),
+    t3.merge(src.read()
+      .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") < 30000)
+      .select(col("obj_id"), (col("o_custkey") + 1000).as("new_ck")),
+      matchedUpdate = Map("o_custkey" ->
+        org.apache.spark.sql.functions.col("s.new_ck")),
       insertUnmatched = false)
     src.commit(t3)
     mv.refresh() // folds exactly (v1, head] = the delete + the merge
-    mv.read().select("l_returnflag", "cnt", "sum_l_linenumber")
-      .orderBy("l_returnflag")
+    mv.read().select("o_orderstatus", "cnt", "sum_o_custkey")
+      .orderBy("o_orderstatus")
   }
 
   /** Load lineitem into a versioned table, then answer a global

@@ -20,13 +20,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * with metadata-only aggregate pushdown instead).
   *
   * `refresh()` is O(delta), never a rescan:
-  *  1. reads the source commits in `(lastRefreshed, head]` through
-  *     [[Instance.changes]] — pre/post images are exact even through
-  *     CoW rewrites and MoR masks;
-  *  2. folds them into per-group deltas: weight +1 for
-  *     insert/update_postimage, -1 for delete/update_preimage, so
-  *     `Σw` is the count delta and `Σ(c·w)` the sum delta — one
-  *     map-side-combinable aggregation over the delta rows only;
+  *  1. reads the source commits in `(lastRefreshed, head]` as a
+  *     SIGNED row delta ([[Instance.weightedDelta]]): rows visible
+  *     after each commit weigh +1, rows visible before it −1,
+  *     restricted to touched files — no per-row identity joins; a
+  *     CoW copy-back contributes ±1 to its group and cancels;
+  *  2. folds the weights into per-group deltas: `Σw` is the count
+  *     delta and `Σ(c·w)` the sum delta — one map-side-combinable
+  *     aggregation over the delta rows only;
   *  3. MERGEs the deltas into the view by group hash — groups whose
   *     count reaches zero are deleted, unseen groups insert — and
   *     marks the source head in the SAME commit via the appTxns
@@ -78,11 +79,10 @@ final class MaterializedAggView private (
     val head = source.latestVersion
     val last = math.max(0L, refreshedVersion)
     if (head <= last) return head
-    val weighted = source.changes(last, head)
-      .filter(col("_change").isNotNull)
-      .withColumn("_w",
-        when(col("_change").isin("insert", "update_postimage"), 1L)
-          .otherwise(-1L))
+    // the signed row delta — NOT the classified change feed: an
+    // aggregate needs net multiplicities only, and weightedDelta skips
+    // the feed's per-row identity diff (copy-backs cancel in the Σ)
+    val weighted = source.weightedDelta(last, head)
     val delta = weighted
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("_w")).as("cnt"),

@@ -1890,6 +1890,66 @@ final class Instance(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Signed row delta of the interval `(fromV, toV]`: every row
+    * visible AFTER a data commit weighted `_w` = +1, every row visible
+    * BEFORE it −1, restricted to the commit's touched files — the
+    * algebra self-maintainable aggregates need ([[MaterializedAggView]]):
+    * a CoW copy-back contributes +1 and −1 to its group and cancels in
+    * any Σ(expr·_w), so unlike [[changes]] there is NO per-row
+    * identity join, distinct, or diff — just file-restricted scans,
+    * ±1 weights and a union. Cost is O(touched files), a fraction of
+    * the change feed's full-outer diff on rewrite-heavy commits.
+    *
+    * The same dv/schema/mapping roll-forward as [[changes]] applies:
+    * pre-images subtract the masks already live at v−1, dv commits
+    * surface as pre-vs-post mask differences on their target files,
+    * and each version's rows read under ITS logical names (aligned by
+    * name across the interval, missing columns null). Not a CDC
+    * surface — there is no row identity here, only net multiplicity
+    * per value tuple. */
+  def weightedDelta(fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
+      s"invalid delta interval ($fromV, $toV]")
+    val st0 = tableStateAt(fromV)
+    var prevDdl = st0.ddl
+    var prevRen = st0.renames
+    var prevDvs = st0.dvs
+    val perVersion = ((fromV + 1) to toV).flatMap { v =>
+      val m = readManifest(v)
+      val preDdl = prevDdl
+      val preDvs = prevDvs
+      val preRen = prevRen
+      prevDdl = m.schemaDDL
+      prevRen = m.renames
+      var rolled = prevDvs -- m.removed
+      m.dvs.foreach { case (f, l) =>
+        rolled = if (l.isEmpty) rolled - f else rolled.updated(f, l)
+      }
+      prevDvs = rolled
+      val curDvs = rolled
+      val dvTargets = m.dvs.keys.toSeq.filterNot(m.removed.toSet).sorted
+      val preFiles = m.removed ++ dvTargets
+      val postFiles = m.added ++ dvTargets
+      if (preFiles.isEmpty && postFiles.isEmpty) None
+      else {
+        val pre = viewOf(preFiles, preDdl,
+          resolveDvs(preDvs, preFiles), preRen).withColumn("_w", lit(-1L))
+        val post = viewOf(postFiles, m.schemaDDL,
+          resolveDvs(curDvs, postFiles), m.renames).withColumn("_w", lit(1L))
+        Some(post.unionByName(pre, allowMissingColumns = true))
+      }
+    }
+    if (perVersion.isEmpty)
+      viewOf(Nil, stateAt(toV)._2).withColumn("_w", lit(1L)).limit(0)
+    else {
+      val batches = perVersion.grouped(Instance.ChangesBatchVersions)
+        .map(_.reduce(_.unionByName(_, allowMissingColumns = true))).toSeq
+      if (batches.size == 1) batches.head
+      else batches.map(_.localCheckpoint())
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** Atomically publish a manifest: the version is claimed ONLY with its
     * complete content in place, so a writer crash can never leave a torn
     * manifest at a claimed version (which would otherwise poison every

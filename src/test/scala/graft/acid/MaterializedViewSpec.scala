@@ -113,6 +113,52 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mv.refreshedVersion == 3L)
   }
 
+  test("streaming -> ACID -> incremental view: refresh tracks the sink per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (src, mv) = freshPair()
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("obj_id", "grp", "v")
+    val ckpt = Files.createTempDirectory("graft_mv_ckpt_").toUri.toString
+    mem.addData((1L, "a", 10L), (2L, "b", 20L))
+    graft.streaming.AcidSink.runInto(src, stream, "obj_id", Some(ckpt))
+    mv.refresh()
+    assert(viewRows(mv) == Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    // second wave re-upserts id 2 into another group and adds id 3:
+    // the refresh folds exactly the new epochs' delta
+    mem.addData((2L, "a", 25L), (3L, "b", 30L))
+    graft.streaming.AcidSink.runInto(src, stream, "obj_id", Some(ckpt))
+    mv.refresh()
+    assert(viewRows(mv) == recompute(src))
+    assert(viewRows(mv) == Seq(("a", 2L, 35L), ("b", 1L, 30L)))
+  }
+
+  test("weightedDelta: signed multiplicities net out per value tuple") {
+    val srcDir = Files.createTempDirectory("graft_wd_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "b", 30L))
+      .toDF("obj_id", "grp", "v"))
+    src.commit(t1) // v1
+    val t2 = src.begin()
+    t2.update(Seq(2L), df => df.withColumn("v", col("v") + 1L))
+    src.commit(t2) // v2: CoW — row 3 is copied back, must net to zero
+    val t3 = src.begin(); t3.deleteMoR(Seq(1L)); src.commit(t3) // v3: dv
+    val net = src.weightedDelta(0L, 3L)
+      .groupBy("obj_id", "grp", "v").agg(sum("_w").as("w"))
+      .filter(col("w") =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(t => (t._1, t._4))
+    // surviving rows net +1, the deleted row 0, pre/post of the
+    // update ±1 — the copy-back of row 3 inside v2 cancels exactly
+    assert(net == Seq((2L, "b", 21L, 1L), (3L, "b", 30L, 1L)),
+      s"got $net")
+    // tail interval: only the MoR delete — one -1 row
+    val tail = src.weightedDelta(2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(tail == Seq((1L, -1L)), s"got $tail")
+  }
+
   test("sum columns must be integral; group columns must exist") {
     val srcDir = Files.createTempDirectory("graft_mv_bad_").toUri.toString
     val src = VersionedTable.create(spark, srcDir, StructType(Seq(
