@@ -184,7 +184,10 @@ private[acid] object GraftTableSource {
               if (ci >= 0) Some((r.colMins(ci), r.colMaxs(ci))) else None
             }
           range.forall(rangeMayMatch(f, _)) && {
-            val ui = r.uCols.indexOf(pc)
+            // a USER column spelled like the reserved row-count key
+            // must never be pruned by the pseudo-stat it collides with
+            val ui = if (pc == VersionedTable.RowsKey) -1
+              else r.uCols.indexOf(pc)
             ui < 0 || ustatMayMatch(f, VersionedTable.UStat(
               r.uKinds(ui).head, r.uMins(ui), r.uMaxs(ui), r.uNulls(ui)))
           }
@@ -482,6 +485,106 @@ private[acid] object GraftTableSource {
         case _ => None // incl. 'D': footers ignore NaN, Spark's MAX must not
       }
 
+    // reserved-name guard: a user column spelled like the row-count
+    // key cannot be answered (or grouped) from stats — its entries
+    // hold file row counts, not values
+    if (needs.exists(n => n.path.nonEmpty &&
+        phys(n.path) == VersionedTable.RowsKey) ||
+        groupRefs.exists(c => st.phys(c) == VersionedTable.RowsKey))
+      return None
+    // ---- GROUP BY hive-partition columns: one result row per group,
+    // folded from metadata. Groups come from path segments (grouped
+    // side-file job on segmented tables); per-group COUNT(*) is the
+    // group's Σ#rows, data-column COUNT/MIN/MAX use the group's merged
+    // ustats, and a function ON a grouping column evaluates to the
+    // group's own value. Zero-row groups are dropped (SQL emits no
+    // group for no rows). Everything else refuses.
+    if (groupRefs.nonEmpty) {
+      val groupTypes = groupRefs.map(c =>
+        tableSchema.find(_.name == c).map(_.dataType).getOrElse(return None))
+      val okGroupType = groupTypes.forall {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             BooleanType | StringType => true
+        case _: DecimalType => true
+        case _ => false // float/timestamp path decoding: refuse
+      }
+      if (!okGroupType) return None
+      val groupPcols = groupRefs.map(st.phys)
+      val dataCols: Set[String] = needs.collect {
+        case n if n.path.nonEmpty && !groupRefs.contains(n.path.head) =>
+          phys(n.path)
+      }.toSet + VersionedTable.RowsKey
+      val grouped = inst.groupedUStats(st, groupPcols, dataCols)
+        .getOrElse(return None)
+      def exactG(m: Map[String, CheckpointStore.MergedU], files: Long,
+          c: String): Option[CheckpointStore.MergedU] =
+        m.get(c).filter(mm => mm.entries == files && mm.kind != 'X')
+      val fields = Seq.newBuilder[StructField]
+      groupRefs.zip(groupTypes).foreach { case (c, dt) =>
+        fields += StructField(c, dt, nullable = true)
+      }
+      needs.zip(funcs).foreach { case (need, func) =>
+        val name = func.toString
+        need match {
+          case NeedCountStar() | NeedCount(_) =>
+            fields += StructField(name, LongType, nullable = false)
+          case NeedMin(p) =>
+            fields += StructField(name, typeAt(p).getOrElse(return None))
+          case NeedMax(p) =>
+            fields += StructField(name, typeAt(p).getOrElse(return None))
+        }
+      }
+      val rows = grouped.toSeq.sortBy(_._1.mkString("\u0000"))
+        .flatMap { case (g, (files, m)) =>
+        val groupVals: Seq[Any] = g.zip(groupTypes).map { case (seg, dt) =>
+          partValueInternal(seg, dt)
+        }
+        val rowsTotalG: Long = exactG(m, files, VersionedTable.RowsKey)
+          .filter(_.kind == 'L').map(_.sum).getOrElse(return None)
+        if (rowsTotalG == 0L) None // SQL emits no group for zero rows
+        else {
+          val aggVals: Seq[Any] = needs.map {
+            case NeedCountStar() => rowsTotalG
+            case NeedCount(p) =>
+              val gi = groupRefs.indexOf(p.head)
+              if (p.size == 1 && gi >= 0) {
+                // count of a grouping column: rows if the group's
+                // value is non-null, else 0 (the null group)
+                if (groupVals(gi) == null) 0L else rowsTotalG
+              } else exactG(m, files, phys(p)) match {
+                case Some(mm) if mm.nulls >= 0L => rowsTotalG - mm.nulls
+                case _ => return None
+              }
+            case NeedMin(p) =>
+              val dt = typeAt(p).get
+              val gi = groupRefs.indexOf(p.head)
+              if (p.size == 1 && gi >= 0) groupVals(gi)
+              else exactG(m, files, phys(p)) match {
+                case Some(mm) if !mm.valueSeen => null
+                case Some(mm) =>
+                  internalValue(mm.kind, mm.min, dt).getOrElse(return None)
+                case None => return None
+              }
+            case NeedMax(p) =>
+              val dt = typeAt(p).get
+              val gi = groupRefs.indexOf(p.head)
+              if (p.size == 1 && gi >= 0) groupVals(gi)
+              else exactG(m, files, phys(p)) match {
+                case Some(mm) if !mm.valueSeen => null
+                case Some(mm) =>
+                  internalValue(mm.kind, mm.max, dt).getOrElse(return None)
+                case None => return None
+              }
+          }
+          Some(new GenericInternalRow(
+            (groupVals ++ aggVals).toArray): InternalRow)
+        }
+      }
+      val desc = (groupRefs.map(c => s"group:$c") ++
+        funcs.map(_.toString)).mkString(", ")
+      return Some((StructType(fields.result()), rows.toArray, desc))
+    }
+
     val neededCols: Set[String] =
       needs.collect { case n if n.path.nonEmpty => phys(n.path) }.toSet +
         VersionedTable.RowsKey
@@ -557,98 +660,6 @@ private[acid] object GraftTableSource {
         if (ok) Some(total) else None
       }
 
-    // ---- GROUP BY hive-partition columns: one result row per group,
-    // folded from metadata. Groups come from path segments (grouped
-    // side-file job on segmented tables); per-group COUNT(*) is the
-    // group's Σ#rows, data-column COUNT/MIN/MAX use the group's merged
-    // ustats, and a function ON a grouping column evaluates to the
-    // group's own value. Zero-row groups are dropped (SQL emits no
-    // group for no rows). Everything else refuses.
-    if (groupRefs.nonEmpty) {
-      val groupTypes = groupRefs.map(c =>
-        tableSchema.find(_.name == c).map(_.dataType).getOrElse(return None))
-      val okGroupType = groupTypes.forall {
-        case LongType | IntegerType | ShortType | ByteType | DateType |
-             BooleanType | StringType => true
-        case _: DecimalType => true
-        case _ => false // float/timestamp path decoding: refuse
-      }
-      if (!okGroupType) return None
-      val groupPcols = groupRefs.map(st.phys)
-      val dataCols: Set[String] = needs.collect {
-        case n if n.path.nonEmpty && !groupRefs.contains(n.path.head) =>
-          phys(n.path)
-      }.toSet + VersionedTable.RowsKey
-      val grouped = inst.groupedUStats(st, groupPcols, dataCols)
-        .getOrElse(return None)
-      def exactG(m: Map[String, CheckpointStore.MergedU], files: Long,
-          c: String): Option[CheckpointStore.MergedU] =
-        m.get(c).filter(mm => mm.entries == files && mm.kind != 'X')
-      val fields = Seq.newBuilder[StructField]
-      groupRefs.zip(groupTypes).foreach { case (c, dt) =>
-        fields += StructField(c, dt, nullable = true)
-      }
-      needs.zip(funcs).foreach { case (need, func) =>
-        val name = func.toString
-        need match {
-          case NeedCountStar() | NeedCount(_) =>
-            fields += StructField(name, LongType, nullable = false)
-          case NeedMin(p) =>
-            fields += StructField(name, typeAt(p).getOrElse(return None))
-          case NeedMax(p) =>
-            fields += StructField(name, typeAt(p).getOrElse(return None))
-        }
-      }
-      val rows = grouped.toSeq.sortBy(_._1.mkString(" "))
-        .flatMap { case (g, (files, m)) =>
-        val groupVals: Seq[Any] = g.zip(groupTypes).map { case (seg, dt) =>
-          partValueInternal(seg, dt)
-        }
-        val rowsTotalG: Long = exactG(m, files, VersionedTable.RowsKey)
-          .filter(_.kind == 'L').map(_.sum).getOrElse(return None)
-        if (rowsTotalG == 0L) None // SQL emits no group for zero rows
-        else {
-          val aggVals: Seq[Any] = needs.map {
-            case NeedCountStar() => rowsTotalG
-            case NeedCount(p) =>
-              val gi = groupRefs.indexOf(p.head)
-              if (p.size == 1 && gi >= 0) {
-                // count of a grouping column: rows if the group's
-                // value is non-null, else 0 (the null group)
-                if (groupVals(gi) == null) 0L else rowsTotalG
-              } else exactG(m, files, phys(p)) match {
-                case Some(mm) if mm.nulls >= 0L => rowsTotalG - mm.nulls
-                case _ => return None
-              }
-            case NeedMin(p) =>
-              val dt = typeAt(p).get
-              val gi = groupRefs.indexOf(p.head)
-              if (p.size == 1 && gi >= 0) groupVals(gi)
-              else exactG(m, files, phys(p)) match {
-                case Some(mm) if !mm.valueSeen => null
-                case Some(mm) =>
-                  internalValue(mm.kind, mm.min, dt).getOrElse(return None)
-                case None => return None
-              }
-            case NeedMax(p) =>
-              val dt = typeAt(p).get
-              val gi = groupRefs.indexOf(p.head)
-              if (p.size == 1 && gi >= 0) groupVals(gi)
-              else exactG(m, files, phys(p)) match {
-                case Some(mm) if !mm.valueSeen => null
-                case Some(mm) =>
-                  internalValue(mm.kind, mm.max, dt).getOrElse(return None)
-                case None => return None
-              }
-          }
-          Some(new GenericInternalRow(
-            (groupVals ++ aggVals).toArray): InternalRow)
-        }
-      }
-      val desc = (groupRefs.map(c => s"group:$c") ++
-        funcs.map(_.toString)).mkString(", ")
-      return Some((StructType(fields.result()), rows.toArray, desc))
-    }
 
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
@@ -1244,8 +1255,11 @@ private[acid] final class GraftScan(root: String, version: Long,
           // Z-order/primary ranges AND the always-on universal footer
           // stats both get a veto — either index may skip the file
           range.forall(GraftTableSource.rangeMayMatch(f, _)) &&
-            state.fileStats.get(rel).flatMap(_.get(pc))
-              .forall(GraftTableSource.ustatMayMatch(f, _))
+            // reserved-name guard: a user column spelled "#rows" is
+            // simply not skippable (its key holds the row-count stat)
+            (pc == VersionedTable.RowsKey ||
+              state.fileStats.get(rel).flatMap(_.get(pc))
+                .forall(GraftTableSource.ustatMayMatch(f, _)))
         }
       }
     }
@@ -1319,6 +1333,10 @@ private[acid] final class GraftScan(root: String, version: Long,
     pushedTopN match {
       case Some(t) if filters.isEmpty && runtimeFilters.isEmpty =>
         val pcol = phys(t.path.mkString("."))
+        // reserved-name guard: a user column spelled like the
+        // row-count key has no usable sort range (its entries hold
+        // file row counts) — never truncate on it
+        if (pcol == VersionedTable.RowsKey) return files
         val keepNulls = t.nullsFirst
         // (sortKey, coverage) per file — driver-side for inline/tail,
         // columnar for checkpoint-covered

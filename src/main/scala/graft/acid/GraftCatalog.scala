@@ -100,12 +100,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val base = Identifier.of(ident.namespace(), ident.name().take(dollar))
       val kind = ident.name().drop(dollar + 1)
       if (tableExists(base) &&
-          (kind == "history" || kind == "detail" || kind == "files")) {
+          (kind == "history" || kind == "detail" || kind == "files" ||
+            kind == "partitions")) {
         val inst = VersionedTable.open(SparkSession.active,
           tablePath(base).toString)
         val df = kind match {
           case "history" => inst.history()
           case "detail" => inst.detail()
+          case "partitions" => inst.partitions()
           case _ => inst.files()
         }
         return new GraftMetadataTable(s"${ident.name()}", df)

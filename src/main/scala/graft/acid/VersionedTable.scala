@@ -1696,6 +1696,84 @@ final class Instance(val spark: SparkSession, val root: String,
       "num_dv_sidecars", "partition_values")
   }
 
+  /** One row per hive-partition tuple (the `$partitions` metadata
+    * table / SHOW PARTITIONS analog): logical `k=v` spelling, file
+    * count, exact row count where the metadata can vouch for it
+    * (every file carries the [[VersionedTable.RowsKey]] count and no
+    * deletion vector masks the group — else null), and the group's
+    * outstanding dv'd-file count. Unpartitioned files group under the
+    * empty spelling. O(groups) to the driver: segmented snapshots
+    * fold the side files in ONE distributed aggregation; only the
+    * tail folds here. */
+  def partitions(): DataFrame = {
+    val st = tableStateAt(latestVersion)
+    val logical = st.renames.map(_.swap)
+    def partString(f: String): String =
+      f.split('/').drop(1).dropRight(1).filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          val k = seg.substring(0, i)
+          s"${logical.getOrElse(k, k)}${seg.substring(i)}"
+        }.mkString("/")
+    val dvFiles = st.dvs.keySet
+    // (partition, files, rows, rowsUnknown, dvFiles) partials
+    final case class P(files: Long, rows: Long, unknown: Long, dvs: Long)
+    def merge(a: P, b: P) = P(a.files + b.files, a.rows + b.rows,
+      a.unknown + b.unknown, a.dvs + b.dvs)
+    val inlineFiles = st.sidecar match {
+      case Some(sc) => st.files.filter(sc.tailLive)
+      case None => st.files
+    }
+    var acc = Map.empty[String, P]
+    inlineFiles.foreach { f =>
+      val rows = st.fileStats.get(f).flatMap(_.get(RowsKey))
+        .map(_.min.toLong)
+      val p = P(1L, rows.getOrElse(0L), if (rows.isEmpty) 1L else 0L,
+        if (dvFiles(f)) 1L else 0L)
+      val k = partString(f)
+      acc = acc.updated(k, acc.get(k).map(merge(_, p)).getOrElse(p))
+    }
+    st.sidecar.foreach { sc =>
+      val s = spark
+      import s.implicits._
+      val excluded = sc.excluded
+      val ren = logical
+      val dvB = dvFiles
+      val partials = readSidecarRows(sc.ref)
+        .filter(r => !excluded(r.file))
+        .map { r =>
+          val ps = r.file.split('/').drop(1).dropRight(1)
+            .filter(_.contains('=')).map { seg =>
+              val i = seg.indexOf('=')
+              val k = seg.substring(0, i)
+              s"${ren.getOrElse(k, k)}${seg.substring(i)}"
+            }.mkString("/")
+          val ri = r.uCols.indexOf(RowsKey)
+          val rows = if (ri >= 0) r.uMins(ri).toLong else -1L
+          (ps, 1L, math.max(0L, rows), if (rows < 0L) 1L else 0L,
+            if (r.dvList.nonEmpty || dvB.contains(r.file)) 1L else 0L)
+        }
+        .toDF("p", "f", "r", "u", "d")
+        .groupBy("p")
+        .agg(sum("f").as("f"), sum("r").as("r"), sum("u").as("u"),
+          sum("d").as("d"))
+        .collect()
+      partials.foreach { row =>
+        val k = row.getString(0)
+        val p = P(row.getLong(1), row.getLong(2), row.getLong(3),
+          row.getLong(4))
+        acc = acc.updated(k, acc.get(k).map(merge(_, p)).getOrElse(p))
+      }
+    }
+    val s = spark
+    import s.implicits._
+    acc.toSeq.sortBy(_._1).map { case (k, p) =>
+      (k, p.files,
+        if (p.unknown == 0L && p.dvs == 0L) Some(p.rows) else None,
+        p.dvs)
+    }.toDF("partition_values", "num_files", "num_rows", "num_dv_files")
+  }
+
   /** Latest version whose commit wall-clock stamp is <= `tsMillis` —
     * the resolution behind `timestampAsOf` time travel. Walks the log
     * BACKWARD from `latestVersion` in pooled chunks, so a recent
@@ -3617,6 +3695,13 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     if (column == "obj_id") return candidateFiles(values)
     val baseState = cachedBaseState()
     val files = (baseState.files.toSet -- removed ++ added).toSeq.sorted
+    // reserved-name guard: a USER column spelled like [[RowsKey]]
+    // collides with the row-count pseudo-stat — never prune by it
+    if ({
+      val i = column.indexOf('.')
+      (if (i < 0) localRen.getOrElse(column, column)
+       else column.take(i)) == VersionedTable.RowsKey
+    }) return files
     val colStats = baseState.colStats -- removed ++ addedColStats
     val fileStats = baseState.fileStats -- removed ++ addedFileStats
     // stats indexes are keyed by PHYSICAL column name (footer-derived;

@@ -530,6 +530,38 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(dbl.head().getDouble(0) == 1.5)
   }
 
+  test("a user column named like the reserved #rows key is never mis-answered") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("#rows", LongType)))
+    val inst = VersionedTable.create(spark, dir, schema)
+    (0 until 2).foreach { i =>
+      val t = inst.begin()
+      // values DISJOINT from the files' row counts (5), so a collision
+      // with the row-count pseudo-stat would visibly mis-prune/answer
+      t.insert((0 until 5).map(j => (i * 5L + j, 1000L + i * 5L + j))
+        .toDF("obj_id", "#rows").coalesce(1))
+      inst.commit(t)
+    }
+    val df = readGraft(dir)
+    // filter on the colliding column: must not prune by row counts
+    assert(df.filter(col("`#rows`") === 1007L).count() == 1L)
+    // min/max/count on it must fall back to a real scan, right answer
+    val agg = df.agg(min(col("`#rows`")).as("mn"),
+      max(col("`#rows`")).as("mx"), count(col("`#rows`")).as("c"))
+    assert(!isMetadataOnly(agg), "colliding column must refuse pushdown")
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000L, 1009L, 10L))
+    // count(*) is still metadata-only (the pseudo-stat itself is fine)
+    val cnt = df.agg(count(lit(1)).as("cnt"))
+    assert(isMetadataOnly(cnt) && cnt.head().getLong(0) == 10L)
+    // ORDER BY it must not truncate planning by row-count ranges
+    val top = df.orderBy(col("`#rows`").desc).limit(3)
+    assert(top.collect().map(_.getLong(1)).toSeq == Seq(1009L, 1008L, 1007L))
+  }
+
   test("aggregate pushdown: refused under deletion vectors, healed by compaction") {
     val dir = freshDir()
     val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
@@ -600,6 +632,13 @@ class BatchSourceSpec extends AnyFunSuite {
     // grouping by a NON-partition column falls back to a real scan
     val byData = readGraft(dir).groupBy("v").agg(count(lit(1)).as("c"))
     assert(!isMetadataOnly(byData) && byData.count() == 6L)
+    // SELECT DISTINCT on a partition column is the degenerate grouped
+    // aggregate (no functions) — also metadata-only
+    val distinct = readGraft(dir).select("lang").distinct()
+    assert(isMetadataOnly(distinct), "DISTINCT partition values must be " +
+      "metadata-only:\n" + distinct.queryExecution.executedPlan)
+    assert(distinct.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("de", "en"))
   }
 
   test("aggregate pushdown: GROUP BY partition column over a segmented table") {

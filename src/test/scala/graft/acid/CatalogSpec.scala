@@ -332,6 +332,33 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("misc"))
   }
 
+  test("t$partitions lists hive groups with metadata-exact row counts") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.pt")
+    sql("CREATE TABLE gcat.pt.t (obj_id BIGINT, lang STRING, v BIGINT) " +
+      "PARTITIONED BY (lang)")
+    sql("INSERT INTO gcat.pt.t VALUES (1, 'en', 10), (2, 'en', 20), " +
+      "(3, 'de', 30)")
+    sql("INSERT INTO gcat.pt.t VALUES (4, 'en', 40)")
+    val rows = sql("SELECT partition_values, num_files, num_rows, " +
+      "num_dv_files FROM gcat.pt.`t$partitions` ORDER BY partition_values")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(t => (t._1, t._3)) ==
+      Seq(("lang=de", 1L), ("lang=en", 3L)),
+      s"got $rows")
+    assert(rows.forall(_._4 == 0L))
+    // a MoR delete makes the masked group's count non-vouchable (null)
+    val warehouse = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val inst = VersionedTable.open(spark, warehouse + "/pt/t")
+    inst.withRetry() { t => t.deleteMoR(Seq(3L)) }
+    val after = sql("SELECT partition_values, num_rows, num_dv_files " +
+      "FROM gcat.pt.`t$partitions` ORDER BY partition_values")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSeq
+    assert(after == Seq(("lang=de", -1L, 1L), ("lang=en", 3L, 0L)),
+      s"got $after")
+  }
+
   test("CALL system.create_mv / refresh_mv maintain an aggregate view in SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.mv")
     sql("CREATE TABLE gcat.mv.src (obj_id BIGINT, grp STRING, v BIGINT)")

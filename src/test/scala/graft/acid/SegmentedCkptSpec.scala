@@ -178,6 +178,17 @@ class SegmentedCkptSpec extends AnyFunSuite {
     assert(graftScan(en).prunedFiles.size == 1,
       s"partition-path skip through side files: ${graftScan(en).prunedFiles}")
     assert(en.collect().map(_.getAs[Long]("value")).toSeq == Seq(10L))
+    // $partitions admin fold runs as a side-file aggregation
+    val parts = inst.partitions().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(parts == Seq(("lang=de", 1L, 1L), ("lang=en", 1L, 1L),
+      ("lang=fr", 1L, 1L)), s"got $parts")
+    // grouped metadata aggregate over the segmented partitioned table
+    val agg = readGraft(dir).groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sorted == Seq(("de", 1L), ("en", 1L), ("fr", 1L)))
   }
 
   test("50k-file synthetic checkpoint: bounded driver state, exact distributed skipping") {
