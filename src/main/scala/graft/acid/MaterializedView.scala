@@ -194,6 +194,11 @@ object MaterializedAggView {
       sumCols: Seq[String]): StructType = {
     require(groupCols.nonEmpty, "at least one group column is required " +
       "(for a global aggregate, use metadata-only aggregate pushdown)")
+    // reserved spellings: the view's own columns and the delta's
+    // weight column must not collide with source columns in play
+    val reserved = Set("obj_id", "cnt", "_w") ++ sumCols.map(c => s"sum_$c")
+    (groupCols ++ sumCols).foreach(c => require(!reserved(c),
+      s"column $c collides with a reserved view/delta column name"))
     val byName = srcSchema.fields.map(f => f.name -> f).toMap
     groupCols.foreach(c => require(byName.contains(c),
       s"group column $c not in source schema"))

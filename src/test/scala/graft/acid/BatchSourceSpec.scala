@@ -530,6 +530,34 @@ class BatchSourceSpec extends AnyFunSuite {
     assert(dbl.head().getDouble(0) == 1.5)
   }
 
+  test("aggregate/limit/topN pushdown survive a column rename (physical stats)") {
+    val dir = freshDir()
+    val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+    (0 until 3).foreach { i =>
+      val t = inst.begin()
+      t.insert((0 until 10).map(j => (i * 10L + j, i * 100L + j))
+        .toDF("obj_id", "value").coalesce(1))
+      inst.commit(t)
+    }
+    // metadata-only rename: files keep spelling `value`; stats are
+    // keyed by the physical name and must keep answering
+    inst.withRetry() { t => t.renameColumn("value", "amount") }
+    val agg = readGraft(dir).agg(count(lit(1)).as("cnt"),
+      min("amount").as("mn"), max("amount").as("mx"),
+      count(col("amount")).as("ca"))
+    assert(isMetadataOnly(agg), "renamed column must still answer from " +
+      "stats:\n" + agg.queryExecution.executedPlan)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (30L, 0L, 209L, 30L))
+    // topN on the renamed column prunes by the physical footer ranges
+    val top = readGraft(dir).orderBy("amount").limit(5)
+    val planned = graftScan(top).planInputPartitions()
+      .flatMap { case p: GraftInputPartition => p.files }.length
+    assert(planned == 1, s"top-5 on renamed column: $planned")
+    assert(top.collect().map(_.getLong(1)).toSeq == (0L until 5L))
+  }
+
   test("a user column named like the reserved #rows key is never mis-answered") {
     import org.apache.spark.sql.types._
     val dir = freshDir()

@@ -347,6 +347,13 @@ class CatalogSpec extends AnyFunSuite {
       Seq(("lang=de", 1L), ("lang=en", 3L)),
       s"got $rows")
     assert(rows.forall(_._4 == 0L))
+    // the catalog read path pushes metadata aggregates too
+    val cnt = sql("SELECT count(*) AS c, max(lang) AS m FROM gcat.pt.t")
+    assert(cnt.queryExecution.executedPlan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty, "catalog aggregate must be metadata-only:\n" +
+      cnt.queryExecution.executedPlan)
+    assert((cnt.head().getLong(0), cnt.head().getString(1)) == (4L, "en"))
     // a MoR delete makes the masked group's count non-vouchable (null)
     val warehouse = spark.conf.get("spark.sql.catalog.gcat.warehouse")
     val inst = VersionedTable.open(spark, warehouse + "/pt/t")

@@ -163,10 +163,11 @@ class MaterializedViewSpec extends AnyFunSuite {
     val srcDir = Files.createTempDirectory("graft_mv_bad_").toUri.toString
     val src = VersionedTable.create(spark, srcDir, StructType(Seq(
       StructField("obj_id", LongType, nullable = false),
+      StructField("g", StringType),
       StructField("d", org.apache.spark.sql.types.DoubleType))))
     val vd = Files.createTempDirectory("graft_mv_badv_").toUri.toString
     val e = intercept[IllegalArgumentException](MaterializedAggView.create(
-      spark, vd, src, groupCols = Seq("obj_id"), sumCols = Seq("d")))
+      spark, vd, src, groupCols = Seq("g"), sumCols = Seq("d")))
     assert(e.getMessage.contains("integral"))
     val e2 = intercept[IllegalArgumentException](MaterializedAggView.create(
       spark, vd, src, groupCols = Seq("nope"), sumCols = Nil))
@@ -174,5 +175,9 @@ class MaterializedViewSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](MaterializedAggView.create(
       spark, vd, src, groupCols = Nil, sumCols = Nil))
     assert(e3.getMessage.contains("group column"))
+    // reserved spellings collide with the view's own columns
+    val e4 = intercept[IllegalArgumentException](MaterializedAggView.create(
+      spark, vd, src, groupCols = Seq("obj_id"), sumCols = Nil))
+    assert(e4.getMessage.contains("reserved"))
   }
 }
