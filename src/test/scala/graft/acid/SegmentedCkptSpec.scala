@@ -294,6 +294,14 @@ class SegmentedCkptSpec extends AnyFunSuite {
       topPlanned(0).endsWith("synth/part-000000.parquet") &&
       topPlanned(1).endsWith("synth/part-000001.parquet"),
       s"top-1500 over 50k synthetic files: ${topPlanned.mkString(", ")}")
+
+    // $partitions over 50k files: ONE side-file aggregation, O(groups)
+    // to the driver — one unpartitioned group, metadata-exact 50M rows
+    val parts = inst.partitions().collect()
+    assert(parts.length == 1 && parts(0).getString(0) == "" &&
+      parts(0).getLong(1) == 50000L && !parts(0).isNullAt(2) &&
+      parts(0).getLong(2) == 50000000L,
+      s"got ${parts.mkString(", ")}")
   }
 
   test("a lost-race or crashed side-file write is swept by vacuum; live ones survive") {
