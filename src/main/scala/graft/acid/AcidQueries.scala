@@ -394,7 +394,44 @@ object AcidQueries {
       "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
       "CAST(sum_v AS BIGINT) AS sum_v " +
       "FROM (VALUES ('a', 1, 10), ('b', 2, 65)) AS t(grp, cnt, sum_v) " +
-      "ORDER BY grp")((s, _) => sqlMvScenario(s)))
+      "ORDER BY grp")((s, _) => sqlMvScenario(s)),
+
+    // FILTERED materialized view: `where => 'v >= 10'` restricts the
+    // maintained aggregate; UPDATEs then cross the predicate boundary
+    // both ways (in→out must decrement, out→in must increment) plus an
+    // in→in value change — the final view is a hand-computable constant
+    "q65_filtered_mv" -> Q(
+      "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(sum_v AS BIGINT) AS sum_v " +
+      "FROM (VALUES ('a', 1, 30), ('b', 2, 75)) AS t(grp, cnt, sum_v) " +
+      "ORDER BY grp")((s, _) => filteredMvScenario(s)))
+
+  /** Full-SQL filtered-view lifecycle (see q65 above): insert
+    * {1:a/10, 2:a/3, 3:b/50, 4:b/20}, materialize counts+sums by grp
+    * over rows with v >= 10, then UPDATE row 1 to v=5 (in→out: group
+    * 'a' decrements), row 2 to v=30 (out→in), row 4 to v=25 (in→in) —
+    * final in-filter rows (2,a,30) (3,b,50) (4,b,25) give the
+    * oracle's constants a:(1,30) b:(2,75). */
+  def filteredMvScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq65$tag"
+    val wh = Files.createTempDirectory("graft_wh_q65_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.mv.src (obj_id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.mv.src VALUES " +
+      "(1, 'a', 10), (2, 'a', 3), (3, 'b', 50), (4, 'b', 20)") // v1
+    spark.sql(s"CALL $cat.system.create_mv('mv.agg', source => 'mv.src', " +
+      "group_by => 'grp', sums => 'v', where => 'v >= 10')")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    spark.sql(s"UPDATE $cat.mv.src SET v = 5 WHERE obj_id = 1")   // v2 in→out
+    spark.sql(s"UPDATE $cat.mv.src SET v = 30 WHERE obj_id = 2")  // v3 out→in
+    spark.sql(s"UPDATE $cat.mv.src SET v = 25 WHERE obj_id = 4")  // v4 in→in
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    // final in-filter rows: (2,a,30), (3,b,50), (4,b,25)
+    spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.mv.agg ORDER BY grp")
+  }
 
   /** Full-SQL incremental-view lifecycle (see q64 above): insert
     * {1:a/10, 2:a/20, 3:b/30, 4:a/40}, materialize counts+sums by

@@ -466,6 +466,10 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
       .comment("comma-separated group columns").build(),
     ProcedureParameter.in("sums", StringType)
       .comment("comma-separated integral columns to sum; empty = counts only")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("where", StringType)
+      .comment("optional SQL predicate over source columns restricting " +
+        "the view's rows; empty = whole table")
       .defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val viewName = input.getUTF8String(0).toString
@@ -474,9 +478,12 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sums = input.getUTF8String(3).toString
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val where = Option(input.getUTF8String(4).toString.trim)
+      .filter(_.nonEmpty)
     val viewPath = cat.pathFor(viewName)
     MaterializedAggView.create(SparkSession.active, viewPath.toString, src,
-      groups, sums, sourceSpec = Some(input.getUTF8String(1).toString))
+      groups, sums, sourceSpec = Some(input.getUTF8String(1).toString),
+      where = where)
     java.util.Collections.singletonList[Scan](
       new MetricScan("created_version", 0L)).iterator()
   }

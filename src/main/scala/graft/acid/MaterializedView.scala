@@ -12,19 +12,34 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   *
   * The view is itself a versioned table holding one row per group:
   * `obj_id` (a 64-bit hash of the group key — the engine's row
-  * address), the group columns, `cnt`, and one `sum_<c>` per summed
-  * column (integral source columns only; `avg` is `sum/cnt` at read).
+  * address), the group columns, `cnt`, and per summed column a
+  * `sum_<c>` plus `nn_<c>`, the count of NON-NULL addends — the
+  * witness that lets a stored sum return to SQL's NULL when every
+  * non-null contributor is deleted (SUM over rows whose addends are
+  * all NULL is NULL, not 0; without the witness a maintained 0 and a
+  * true NULL are indistinguishable). `avg` is `sum/cnt` at read.
   * COUNT and SUM are *self-maintainable* aggregates: a change delta
   * alone updates them exactly (MIN/MAX are not — a deleted extremum
   * forces a rescan — and are deliberately out of scope; answer those
   * with metadata-only aggregate pushdown instead).
+  *
+  * An optional `WHERE` predicate (over source columns, head logical
+  * names) restricts the view to matching rows. COUNT/SUM stay
+  * self-maintainable under a filter because the SIGNED delta commutes
+  * with it: a row updated across the predicate boundary contributes
+  * its −1 pre-image inside the filter (decrement) and its +1 post-
+  * image outside it (dropped), exactly the net the filtered aggregate
+  * needs.
   *
   * `refresh()` is O(delta), never a rescan:
   *  1. reads the source commits in `(lastRefreshed, head]` as a
   *     SIGNED row delta ([[Instance.weightedDelta]]): rows visible
   *     after each commit weigh +1, rows visible before it −1,
   *     restricted to touched files — no per-row identity joins; a
-  *     CoW copy-back contributes ±1 to its group and cancels;
+  *     CoW copy-back contributes ±1 to its group and cancels. The
+  *     delta is aligned to the head's LOGICAL column names by fixed
+  *     physical identity, so a mid-interval column rename folds
+  *     pre-rename rows into the right group instead of NULLs;
   *  2. folds the weights into per-group deltas: `Σw` is the count
   *     delta and `Σ(c·w)` the sum delta — one map-side-combinable
   *     aggregation over the delta rows only;
@@ -32,7 +47,16 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   *     count reaches zero are deleted, unseen groups insert — and
   *     marks the source head in the SAME commit via the appTxns
   *     watermark, so refresh is atomic, crash-safe, and idempotent: a
-  *     replayed or concurrent refresh of the same head lands nothing.
+  *     replayed refresh of the same head lands nothing.
+  *
+  * Concurrent refreshers that observed DIFFERENT heads are serialized
+  * by a FENCED watermark ([[Txn.markEpoch]] `fence = true`): the
+  * slower refresher's commit conflicts with any interleaved watermark
+  * movement, and on conflict (or on a snapshot that already carries a
+  * newer watermark) refresh RESTARTS from the advanced watermark with
+  * a freshly computed delta — it never re-merges a delta whose base
+  * interval another refresher partially folded (which would apply the
+  * overlap twice).
   *
   * At 100 TB the refresh cost is proportional to the day's churn, not
   * the table: the delta aggregation shuffles one partial row per
@@ -49,12 +73,20 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   *
   * NULL semantics match SQL GROUP BY: null group keys form their own
   * group; `sum_<c>` ignores null addends (`cnt` still counts the
-  * row). Columns added to the source after creation refresh as nulls
-  * for pre-existing versions (the change feed aligns schemas by
-  * name). */
+  * row) and is NULL while `nn_<c> = 0`. Columns added to the source
+  * after creation refresh as nulls for pre-existing versions (the
+  * delta aligns schemas by physical identity). */
 final class MaterializedAggView private (
     val source: Instance, val view: Instance,
-    val groupCols: Seq[String], val sumCols: Seq[String]) {
+    val groupCols: Seq[String], val sumCols: Seq[String],
+    val where: Option[String],
+    // fixed PHYSICAL names of the group/sum columns, captured at
+    // create: refresh re-resolves them to the head's logical names,
+    // so renaming a view column in the source neither breaks the
+    // refresh nor (worse) folds pre-rename rows into the NULL group.
+    // None = legacy definition; the stored logical names are assumed
+    // still current and their physicals derived from the head.
+    groupPhys0: Option[Seq[String]], sumPhys0: Option[Seq[String]]) {
 
   private def appId: String = "mv:" + view.root
 
@@ -71,49 +103,98 @@ final class MaterializedAggView private (
         col(s"sum_$c").cast("double") / col("cnt").cast("double")))
   }
 
+  // restart signal: the watermark we derived the delta from moved —
+  // control flow only, never escapes refresh()
+  private final class StaleWatermark extends RuntimeException
+
   /** Fold all source commits since the last refresh into the view.
     * Returns the source version the view now reflects. Safe to call
     * concurrently or re-call after a crash: the watermark rides the
-    * merge commit. */
+    * merge commit, fenced against rival refreshers (see class doc). */
   def refresh(): Long = {
-    val head = source.latestVersion
-    val last = math.max(0L, refreshedVersion)
-    if (head <= last) return head
-    // the signed row delta — NOT the classified change feed: an
-    // aggregate needs net multiplicities only, and weightedDelta skips
-    // the feed's per-row identity diff (copy-backs cancel in the Σ)
-    val weighted = source.weightedDelta(last, head)
-    val delta = weighted
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("_w")).as("cnt"),
-        sumCols.map(c =>
-          sum(col(c).cast("long") * col("_w")).as(s"sum_$c")): _*)
-      // an interval whose effects cancel exactly (e.g. an update that
-      // kept the group and the summed values) must neither rewrite
-      // the group's file nor insert a zero group
-      .filter(col("cnt") =!= 0L || sumCols.map(c =>
-        coalesce(col(s"sum_$c"), lit(0L)) =!= 0L)
-        .foldLeft(lit(false))(_ || _))
-      .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
-      .select(("obj_id" +: groupCols ++: "cnt" +:
-        sumCols.map(c => s"sum_$c")).map(col): _*)
-    try {
-      view.withRetry() { t =>
-        t.markEpoch(appId, head)
-        t.merge(delta,
-          matchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
-          matchedUpdate = Map("cnt" -> (col("t.cnt") + col("s.cnt"))) ++
-            sumCols.map(c => s"sum_$c" ->
-              (coalesce(col(s"t.sum_$c"), lit(0L)) +
-                coalesce(col(s"s.sum_$c"), lit(0L)))).toMap,
-          insertUnmatched = true)
+    while (true) {
+      val head = source.latestVersion
+      val last = math.max(0L, refreshedVersion)
+      if (head <= last) return head
+      // resolve the view columns' fixed physical names to the HEAD's
+      // logical names: the delta below is head-aligned, so a source
+      // rename mid-interval is transparent — unless the column was
+      // dropped, which has no incremental answer
+      val stH = source.tableStateAt(head)
+      val headPhysToLogical =
+        org.apache.spark.sql.types.StructType.fromDDL(stH.ddl).fields
+          .map(f => stH.renames.getOrElse(f.name, f.name) -> f.name).toMap
+      def resolve(phys: Option[Seq[String]], logical: Seq[String]) =
+        phys.getOrElse(logical.map(l => stH.renames.getOrElse(l, l)))
+          .zip(logical).map { case (p, orig) =>
+            headPhysToLogical.getOrElse(p, throw new IllegalStateException(
+              s"view column '$orig' (physical '$p') no longer exists in " +
+              s"the source at v$head; drop and rebuild the view")) -> orig
+          }
+      val gNow = resolve(groupPhys0, groupCols)
+      val sNow = resolve(sumPhys0, sumCols)
+      // the signed row delta — NOT the classified change feed: an
+      // aggregate needs net multiplicities only, and weightedDelta skips
+      // the feed's per-row identity diff (copy-backs cancel in the Σ)
+      val weighted0 = source.weightedDelta(last, head, alignToHead = true)
+      val weighted = where.fold(weighted0)(p => weighted0.filter(expr(p)))
+        // back to the view's own (create-time) column names
+        .select(((gNow ++ sNow).distinct.map { case (now, orig) =>
+          col(now).as(orig) } :+ col("_w")): _*)
+      val aggs: Seq[Column] =
+        sum(col("_w")).as("cnt") +: sumCols.flatMap(c => Seq(
+          sum(col(c).cast("long") * col("_w")).as(s"sum_$c"),
+          sum(when(col(c).isNotNull, col("_w")).otherwise(lit(0L)))
+            .as(s"nn_$c")))
+      val delta = weighted
+        .groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        // an interval whose effects cancel exactly (e.g. an update that
+        // kept the group and the summed values) must neither rewrite
+        // the group's file nor insert a zero group; nn participates —
+        // a NULL→0 update moves nn without moving cnt or the sum
+        .filter(col("cnt") =!= 0L || sumCols.map(c =>
+          coalesce(col(s"sum_$c"), lit(0L)) =!= 0L ||
+            col(s"nn_$c") =!= 0L)
+          .foldLeft(lit(false))(_ || _))
+        .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
+        .select(("obj_id" +: groupCols ++: "cnt" +:
+          sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c"))).map(col): _*)
+      try {
+        view.withRetry() { t =>
+          // the delta above is valid ONLY against watermark `last`; if
+          // a rival refresher advanced it (visible in this snapshot, or
+          // surfaced as a fence conflict that re-ran this body), the
+          // overlap of the two intervals must not fold twice — restart
+          // from the new watermark with a fresh delta
+          if (view.appTxnsAt(t.readVersion).get(appId)
+              .exists(w => math.max(0L, w) != last))
+            throw new StaleWatermark
+          t.markEpoch(appId, head, fence = true)
+          t.merge(delta,
+            matchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
+            matchedUpdate =
+              Map("cnt" -> (col("t.cnt") + col("s.cnt"))) ++
+              sumCols.flatMap { c =>
+                val nn = col(s"t.nn_$c") + col(s"s.nn_$c")
+                Seq(
+                  s"sum_$c" -> when(nn === 0L, lit(null).cast("long"))
+                    .otherwise(coalesce(col(s"t.sum_$c"), lit(0L)) +
+                      coalesce(col(s"s.sum_$c"), lit(0L))),
+                  s"nn_$c" -> nn)
+              }.toMap,
+            insertUnmatched = true)
+        }
+        return head
+      } catch {
+        // another refresher already folded this exact head — its
+        // commit is the one we wanted
+        case _: EpochAlreadyCommittedException => return head
+        // watermark moved underneath us: loop and recompute from it
+        case _: StaleWatermark => ()
       }
-    } catch {
-      // another refresher already folded this head — its commit is
-      // exactly the one we wanted
-      case _: EpochAlreadyCommittedException => ()
     }
-    head
+    throw new IllegalStateException("unreachable")
   }
 }
 
@@ -131,20 +212,34 @@ object MaterializedAggView {
     case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
   }
   private def writeDef(view: Instance, source: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      where: Option[String],
+      groupPhys: Seq[String], sumPhys: Seq[String]): Unit = {
+    def arr(xs: Seq[String]) =
+      s"[${xs.map(c => s""""${esc(c)}"""").mkString(",")}]"
     val json = s"""{"source":"${esc(source)}",""" +
-      s""""groupCols":[${groupCols.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
-      s""""sumCols":[${sumCols.map(c => s""""${esc(c)}"""").mkString(",")}]}"""
+      s""""groupCols":${arr(groupCols)},""" +
+      s""""sumCols":${arr(sumCols)},""" +
+      s""""groupPhys":${arr(groupPhys)},""" +
+      s""""sumPhys":${arr(sumPhys)}""" +
+      where.fold("")(w => s""","where":"${esc(w)}"""") + "}"
     val out = view.fs.create(
       new org.apache.hadoop.fs.Path(view.root, DefFile), false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** (source spec, group columns, sum columns) from the definition
-    * file — the same minimal quote-aware array parse the manifest
-    * codec uses. */
-  private[acid] def readDef(view: Instance): (String, Seq[String], Seq[String]) = {
+  /** Parsed [[DefFile]] contents (physical-name arrays absent on
+    * definitions written before renames were tracked). */
+  private[acid] final case class MvDef(source: String,
+      groupCols: Seq[String], sumCols: Seq[String], where: Option[String],
+      groupPhys: Option[Seq[String]], sumPhys: Option[Seq[String]])
+
+  /** The persisted definition. The array parse is a real quote-aware
+    * scan — column names containing commas, brackets, quotes or
+    * backslashes round-trip exactly as [[writeDef]]'s escaper
+    * produced them. */
+  private[acid] def readDef(view: Instance): MvDef = {
     val p = new org.apache.hadoop.fs.Path(view.root, DefFile)
     require(view.fs.exists(p), s"${view.root} is not a materialized view " +
       s"(no $DefFile)")
@@ -156,21 +251,64 @@ object MaterializedAggView {
       while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
       new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    def strField(k: String): String = {
-      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(json)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(throw new IllegalStateException(s"bad $DefFile: no $k"))
+    // scan one JSON string literal starting at json(i) == '"'; returns
+    // (unescaped value, index just past the closing quote)
+    def scanString(i0: Int): (String, Int) = {
+      require(i0 < json.length && json.charAt(i0) == '"',
+        s"bad $DefFile: expected string at offset $i0")
+      val sb = new StringBuilder
+      var i = i0 + 1
+      while (i < json.length && json.charAt(i) != '"') {
+        val c = json.charAt(i)
+        if (c == '\\' && i + 1 < json.length) {
+          sb.append(json.charAt(i + 1)); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      require(i < json.length, s"bad $DefFile: unterminated string")
+      (sb.toString, i + 1)
     }
-    def arrField(k: String): Seq[String] = {
-      val m = ("\"" + k + "\":\\[((?:[^\\]])*)\\]").r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalStateException(s"bad $DefFile: no $k"))
-      val body = m.group(1).trim
-      if (body.isEmpty) Nil
-      else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    // sequential object scan: `indexOf`-style key lookup could match
+    // a key-shaped substring inside an EARLIER field's escaped value,
+    // so keys and values are consumed strictly in document order
+    def skipWs(i0: Int): Int = {
+      var i = i0
+      while (i < json.length && json.charAt(i).isWhitespace) i += 1
+      i
     }
-    (strField("source"), arrField("groupCols"), arrField("sumCols"))
+    var i = skipWs(0)
+    require(i < json.length && json.charAt(i) == '{', s"bad $DefFile")
+    i = skipWs(i + 1)
+    var strs = Map.empty[String, String]
+    var arrs = Map.empty[String, Seq[String]]
+    while (i < json.length && json.charAt(i) != '}') {
+      val (k, afterKey) = scanString(i)
+      i = skipWs(afterKey)
+      require(i < json.length && json.charAt(i) == ':', s"bad $DefFile")
+      i = skipWs(i + 1)
+      if (json.charAt(i) == '[') {
+        i = skipWs(i + 1)
+        val out = Seq.newBuilder[String]
+        while (json.charAt(i) != ']') {
+          val (v, next) = scanString(i)
+          out += v
+          i = skipWs(next)
+          if (json.charAt(i) == ',') i = skipWs(i + 1)
+        }
+        arrs += k -> out.result()
+        i = skipWs(i + 1)
+      } else {
+        val (v, next) = scanString(i)
+        strs += k -> v
+        i = skipWs(next)
+      }
+      if (i < json.length && json.charAt(i) == ',') i = skipWs(i + 1)
+    }
+    def arrField(k: String): Seq[String] = arrs.getOrElse(k,
+      throw new IllegalStateException(s"bad $DefFile: no $k"))
+    MvDef(strs.getOrElse("source",
+        throw new IllegalStateException(s"bad $DefFile: no source")),
+      arrField("groupCols"), arrField("sumCols"), strs.get("where"),
+      arrs.get("groupPhys"), arrs.get("sumPhys"))
   }
 
   /** Open a view from its persisted definition. `resolveSource` maps
@@ -179,15 +317,17 @@ object MaterializedAggView {
   def openFromDef(spark: SparkSession, viewRoot: String,
       resolveSource: String => Instance = null): MaterializedAggView = {
     val view = VersionedTable.open(spark, viewRoot)
-    val (src, g, s) = readDef(view)
+    val d = readDef(view)
     val inst =
-      if (src.contains('/')) VersionedTable.open(spark, src)
+      if (d.source.contains('/')) VersionedTable.open(spark, d.source)
       else {
         require(resolveSource != null,
-          s"view source '$src' is a catalog name; open it through the catalog")
-        resolveSource(src)
+          s"view source '${d.source}' is a catalog name; open it through " +
+          "the catalog")
+        resolveSource(d.source)
       }
-    new MaterializedAggView(inst, view, g, s)
+    new MaterializedAggView(inst, view, d.groupCols, d.sumCols, d.where,
+      d.groupPhys, d.sumPhys)
   }
 
   private def viewSchema(srcSchema: StructType, groupCols: Seq[String],
@@ -196,7 +336,8 @@ object MaterializedAggView {
       "(for a global aggregate, use metadata-only aggregate pushdown)")
     // reserved spellings: the view's own columns and the delta's
     // weight column must not collide with source columns in play
-    val reserved = Set("obj_id", "cnt", "_w") ++ sumCols.map(c => s"sum_$c")
+    val reserved = Set("obj_id", "cnt", "_w") ++
+      sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c"))
     (groupCols ++ sumCols).foreach(c => require(!reserved(c),
       s"column $c collides with a reserved view/delta column name"))
     val byName = srcSchema.fields.map(f => f.name -> f).toMap
@@ -214,27 +355,51 @@ object MaterializedAggView {
       StructField("obj_id", LongType, nullable = false) +:
       groupCols.map(byName(_).copy(nullable = true)) ++:
       StructField("cnt", LongType, nullable = false) +:
-      sumCols.map(c => StructField(s"sum_$c", LongType, nullable = true)))
+      sumCols.flatMap(c => Seq(
+        StructField(s"sum_$c", LongType, nullable = true),
+        StructField(s"nn_$c", LongType, nullable = false))))
   }
 
   /** Create the (empty) view table beside its persisted definition.
     * `sourceSpec` overrides what the definition records as the source
     * (the SQL catalog stores the dotted table name so views survive a
-    * warehouse move; the default records the source's root path). */
+    * warehouse move; the default records the source's root path).
+    * `where` restricts the view to source rows matching the predicate
+    * (head logical names; validated against the source schema here). */
   def create(spark: SparkSession, viewRoot: String, source: Instance,
       groupCols: Seq[String], sumCols: Seq[String],
-      sourceSpec: Option[String] = None): MaterializedAggView = {
-    val schema = viewSchema(StructType.fromDDL(source.stateAt(
-      source.latestVersion)._2), groupCols, sumCols)
+      sourceSpec: Option[String] = None,
+      where: Option[String] = None): MaterializedAggView = {
+    val head = source.latestVersion
+    val srcSchema = StructType.fromDDL(source.stateAt(head)._2)
+    val schema = viewSchema(srcSchema, groupCols, sumCols)
+    // fail at create, not first refresh: the predicate must resolve
+    // against the source schema alone (no view/delta columns)
+    where.foreach { w =>
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), srcSchema)
+      probe.filter(expr(w)).queryExecution.analyzed
+    }
+    // pin each view column's PHYSICAL source name now — the stable
+    // identity refresh resolves against future renames
+    val ren = source.tableStateAt(head).renames
+    val groupPhys = groupCols.map(c => ren.getOrElse(c, c))
+    val sumPhys = sumCols.map(c => ren.getOrElse(c, c))
     val view = VersionedTable.create(spark, viewRoot, schema)
-    writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols)
-    new MaterializedAggView(source, view, groupCols, sumCols)
+    writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols,
+      where, groupPhys, sumPhys)
+    new MaterializedAggView(source, view, groupCols, sumCols, where,
+      Some(groupPhys), Some(sumPhys))
   }
 
   /** Re-open an existing view (definition is supplied by the caller;
-    * the watermark lives in the view table's manifest). */
+    * the watermark lives in the view table's manifest). The group/sum
+    * names are taken as CURRENT logical names — a view that must
+    * survive source renames should be reopened via [[openFromDef]],
+    * which carries the create-time physical identities. */
   def open(spark: SparkSession, viewRoot: String, source: Instance,
-      groupCols: Seq[String], sumCols: Seq[String]): MaterializedAggView =
+      groupCols: Seq[String], sumCols: Seq[String],
+      where: Option[String] = None): MaterializedAggView =
     new MaterializedAggView(source, VersionedTable.open(spark, viewRoot),
-      groupCols, sumCols)
+      groupCols, sumCols, where, None, None)
 }

@@ -1984,11 +1984,35 @@ final class Instance(val spark: SparkSession, val root: String,
     * and each version's rows read under ITS logical names (aligned by
     * name across the interval, missing columns null). Not a CDC
     * surface — there is no row identity here, only net multiplicity
-    * per value tuple. */
-  def weightedDelta(fromV: Long, toV: Long): DataFrame = {
+    * per value tuple.
+    *
+    * `alignToHead` re-expresses every version's rows under `toV`'s
+    * LOGICAL names, matched by fixed physical identity: a column
+    * renamed mid-interval contributes its pre-rename rows under the
+    * post-rename name instead of as nulls under a stale column
+    * ([[MaterializedAggView]] depends on this — a name-aligned union
+    * would silently fold renamed-away values into the NULL group).
+    * Columns not visible at `toV` (dropped mid-interval) are omitted;
+    * columns added mid-interval read as nulls for older versions. */
+  def weightedDelta(fromV: Long, toV: Long,
+      alignToHead: Boolean = false): DataFrame = {
     require(fromV >= 0 && fromV <= toV && toV <= latestVersion,
       s"invalid delta interval ($fromV, $toV]")
     val st0 = tableStateAt(fromV)
+    // physical name -> toV logical name, the rename-proof join axis
+    val physToHead: Map[String, String] =
+      if (!alignToHead) Map.empty
+      else {
+        val stH = if (toV == fromV) st0 else tableStateAt(toV)
+        org.apache.spark.sql.types.StructType.fromDDL(stH.ddl).fields
+          .map(f => stH.renames.getOrElse(f.name, f.name) -> f.name).toMap
+      }
+    def aligned(df: DataFrame, ren: Map[String, String]): DataFrame =
+      if (!alignToHead) df
+      else df.select(df.columns.toSeq.flatMap { c =>
+        if (c == "_w") Some(col("_w"))
+        else physToHead.get(ren.getOrElse(c, c)).map(h => col(c).as(h))
+      }: _*)
     var prevDdl = st0.ddl
     var prevRen = st0.renames
     var prevDvs = st0.dvs
@@ -2010,10 +2034,12 @@ final class Instance(val spark: SparkSession, val root: String,
       val postFiles = m.added ++ dvTargets
       if (preFiles.isEmpty && postFiles.isEmpty) None
       else {
-        val pre = viewOf(preFiles, preDdl,
-          resolveDvs(preDvs, preFiles), preRen).withColumn("_w", lit(-1L))
-        val post = viewOf(postFiles, m.schemaDDL,
-          resolveDvs(curDvs, postFiles), m.renames).withColumn("_w", lit(1L))
+        val pre = aligned(viewOf(preFiles, preDdl,
+          resolveDvs(preDvs, preFiles), preRen)
+          .withColumn("_w", lit(-1L)), preRen)
+        val post = aligned(viewOf(postFiles, m.schemaDDL,
+          resolveDvs(curDvs, postFiles), m.renames)
+          .withColumn("_w", lit(1L)), m.renames)
         Some(post.unionByName(pre, allowMissingColumns = true))
       }
     }
@@ -2905,6 +2931,15 @@ final class Instance(val spark: SparkSession, val root: String,
               s"epoch $epoch for query $appId already committed at $root " +
               s"by interleaved commit v$v")
           }
+          // a fenced watermark conflicts with ANY interleaved movement
+          // of the same watermark (a rival refresh landed a smaller
+          // head): the caller's payload was computed from the OLD
+          // watermark and must be rebuilt, not merged on top
+          if (txn.appTxnFence && m.appTxns.contains(appId)) {
+            txn.abort()
+            throw new ConflictException(
+              s"watermark for $appId moved by interleaved commit v$v")
+          }
         }
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
         // deletion-vector structure conflicts: a dv entry REPLACES the
@@ -3562,6 +3597,13 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // sink support): commit refuses to land if the same query already
   // committed this epoch or a later one — see Instance.commit
   private[acid] var appTxn: Option[(String, Long)] = None
+  // fenced watermark (markEpoch(..., fence = true)): commit ALSO
+  // conflicts (retryable) with any interleaved commit that moved the
+  // same query's watermark at all — even to a SMALLER epoch — so a
+  // caller whose work derives from the watermark's old position
+  // (an incremental view refresh) re-reads it instead of folding a
+  // stale delta over the rival's commit. See Instance.commit.
+  private[acid] var appTxnFence = false
   // merge-on-read dv delta this commit publishes: data file -> its FULL
   // replacement sidecar list (empty = clear). Maintained by deleteMoR
   // and restore; entries for files this txn later rewrites are dropped
@@ -3841,10 +3883,19 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * committed this epoch or a later one — the at-least-once replay a
     * recovering stream performs after a crash between its sink commit
     * and its checkpoint write lands exactly once. Epochs must be
-    * monotonic per query (Spark's micro-batch ids are). */
-  def markEpoch(appId: String, epoch: Long): Unit = {
+    * monotonic per query (Spark's micro-batch ids are).
+    *
+    * `fence = true` additionally makes the commit CONFLICT (retryable,
+    * not idempotent-skip) with any interleaved commit that advanced
+    * the same query's watermark, even to a smaller epoch: required
+    * when the txn's payload was derived FROM the watermark's previous
+    * position (incremental view refresh), where two refreshers that
+    * observed different heads would otherwise both land and double-
+    * fold the overlapping interval. */
+  def markEpoch(appId: String, epoch: Long, fence: Boolean = false): Unit = {
     require(appId.nonEmpty, "appId must be non-empty")
     appTxn = Some((appId, epoch))
+    appTxnFence = fence
   }
 
   /** Validate `df`'s schema against the txn-local table schema and

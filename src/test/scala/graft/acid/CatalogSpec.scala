@@ -389,4 +389,11 @@ class CatalogSpec extends AnyFunSuite {
     // refresh with no new commits is a no-op at the same head
     assert(sql("CALL gcat.system.refresh_mv('mv.agg')").head().getLong(0) == 3L)
   }
+
+  test("create_mv with where => maintains a filtered view (q65 scenario)") {
+    val rows = AcidQueries.filteredMvScenario(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == Seq(("a", 1L, 30L), ("b", 2L, 75L)), s"got $rows")
+  }
 }

@@ -159,6 +159,181 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(tail == Seq((1L, -1L)), s"got $tail")
   }
 
+  test("a stored sum returns to NULL when its last non-null addend dies") {
+    val (src, mv) = freshPair()
+    val t1 = src.begin()
+    t1.insert(Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("a"), Some(5L)), (2L, Some("a"), None))
+      .toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    // delete the only non-null addend: SQL's SUM over the remaining
+    // rows (one NULL addend) is NULL, not 0 — cnt still counts the row
+    val t2 = src.begin(); t2.delete(Seq(1L)); src.commit(t2)
+    mv.refresh()
+    val r = mv.read().select("grp", "cnt", "sum_v").head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 1L && r.isNullAt(2),
+      s"expected (a, 1, NULL), got $r")
+    // and a NULL -> 0 update must flip it back to a stored 0 (not NULL)
+    val t3 = src.begin()
+    t3.update(Seq(2L), df => df.withColumn("v", lit(0L)))
+    src.commit(t3)
+    mv.refresh()
+    val r2 = mv.read().select("cnt", "sum_v").head()
+    assert(r2.getLong(0) == 1L && !r2.isNullAt(1) && r2.getLong(1) == 0L,
+      s"expected (1, 0), got $r2")
+  }
+
+  test("a source column rename mid-interval folds into the right group") {
+    val (src, mv) = freshPair()
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    // rename BOTH view columns, then mutate under the new names — the
+    // refresh interval (v1, v4] spans the renames; pre-rename
+    // pre-images must subtract from the SAME groups the post-rename
+    // post-images add to (physical identity), not land as NULLs
+    val t2 = src.begin(); t2.renameColumn("grp", "category"); src.commit(t2)
+    val t3 = src.begin(); t3.renameColumn("v", "amount"); src.commit(t3)
+    val t4 = src.begin()
+    t4.update(Seq(1L), df => df.withColumn("category", lit("b"))
+      .withColumn("amount", col("amount") + 1L))
+    src.commit(t4)
+    // reopen from the persisted definition (the durable path SQL uses)
+    val mv2 = MaterializedAggView.openFromDef(spark, mv.view.root)
+    mv2.refresh()
+    val rows = mv2.read().select("grp", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(("b", 2L, 31L)), s"got $rows")
+    assert(mv2.read().filter(col("grp") === "a").isEmpty,
+      "group 'a' died in the interval and must be deleted")
+    // a DROPPED view column refuses loudly instead of corrupting
+    val t5 = src.begin()
+    t5.alterSchema(StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("category", StringType))))
+    src.commit(t5)
+    val t6 = src.begin()
+    t6.insert(Seq((3L, "c")).toDF("obj_id", "category"))
+    src.commit(t6)
+    val e = intercept[IllegalStateException](mv2.refresh())
+    assert(e.getMessage.contains("no longer exists"))
+  }
+
+  test("definition round-trips hostile column names and WHERE text") {
+    val srcDir = Files.createTempDirectory("graft_mv_h_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_hv_").toUri.toString
+    val hostile = """g "x", ]\ y"""
+    val src = VersionedTable.create(spark, srcDir, StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField(hostile, StringType),
+      StructField("v", LongType))))
+    val where = """v > 1 AND `g "x", ]\ y` != 'a,"b"'"""
+    MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq(hostile), sumCols = Seq("v"), where = Some(where))
+    val mv = MaterializedAggView.openFromDef(spark, viewDir)
+    assert(mv.groupCols == Seq(hostile), s"got ${mv.groupCols}")
+    assert(mv.sumCols == Seq("v"))
+    assert(mv.where == Some(where), s"got ${mv.where}")
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "k", 10L), (2L, "k", 1L))
+      .toDF("obj_id", hostile, "v"))
+    src.commit(t1)
+    mv.refresh()
+    val r = mv.read().select(col("cnt"), col("sum_v")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 10L)), s"got $r")
+  }
+
+  test("filtered view: updates across the predicate boundary net correctly") {
+    val srcDir = Files.createTempDirectory("graft_mv_f_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_fv_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Seq("v"), where = Some("v >= 10"))
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 10L), (2L, "a", 3L), (3L, "b", 50L))
+      .toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    assert(viewRows(mv) == Seq(("a", 1L, 10L), ("b", 1L, 50L)))
+    // in -> out: row 1 drops below the threshold (its -1 pre-image is
+    // inside the filter, the +1 post-image outside -> net decrement,
+    // killing group 'a'); out -> in: row 2 climbs above it
+    val t2 = src.begin()
+    t2.update(Seq(1L), df => df.withColumn("v", lit(5L)))
+    src.commit(t2)
+    val t3 = src.begin()
+    t3.update(Seq(2L), df => df.withColumn("v", lit(30L)))
+    src.commit(t3)
+    mv.refresh()
+    val expect = src.read().filter(col("v") >= 10).groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(viewRows(mv) == expect)
+    assert(viewRows(mv) == Seq(("a", 1L, 30L), ("b", 1L, 50L)))
+    // create-time validation: a predicate that doesn't resolve fails NOW
+    val bad = Files.createTempDirectory("graft_mv_bad_w_").toUri.toString
+    intercept[Exception](MaterializedAggView.create(spark, bad, src,
+      groupCols = Seq("grp"), sumCols = Nil, where = Some("nope > 1")))
+  }
+
+  test("concurrent refreshers never double-fold an overlapping interval") {
+    val (src, mv) = freshPair()
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 1L)).toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    // two independent refreshers race while the source advances: any
+    // interleaving where one folds (L, h1] and the other lands a
+    // stale (L, h2] delta on top would double-count the overlap
+    val mvB = MaterializedAggView.openFromDef(spark, mv.view.root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 2 to 6) {
+        val t = src.begin()
+        t.insert(Seq((i.toLong, "a", i.toLong)).toDF("obj_id", "grp", "v"))
+        src.commit(t)
+        val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = mv.refresh() })
+        val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = mvB.refresh() })
+        fa.get(); fb.get()
+      }
+    } finally pool.shutdown()
+    mv.refresh()
+    assert(viewRows(mv) == recompute(src),
+      s"view diverged from recompute: ${viewRows(mv)} vs ${recompute(src)}")
+    assert(viewRows(mv) == Seq(("a", 6L, 21L)))
+  }
+
+  test("a fenced watermark conflicts with interleaved watermark movement") {
+    val dir = Files.createTempDirectory("graft_fence_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    // txn A (fenced, epoch 10) begins; rival B lands epoch 5 first —
+    // a SMALLER epoch, which the idempotence guard alone would admit
+    val a = inst.begin()
+    a.insert(Seq((1L, "a", 1L)).toDF("obj_id", "grp", "v"))
+    a.markEpoch("q", 10L, fence = true)
+    val b = inst.begin()
+    b.insert(Seq((2L, "b", 2L)).toDF("obj_id", "grp", "v"))
+    b.markEpoch("q", 5L)
+    inst.commit(b)
+    intercept[ConflictException](inst.commit(a))
+    // unfenced control: same shape sails through (streaming semantics)
+    val c = inst.begin()
+    c.insert(Seq((3L, "c", 3L)).toDF("obj_id", "grp", "v"))
+    c.markEpoch("q", 10L)
+    val d = inst.begin()
+    d.insert(Seq((4L, "d", 4L)).toDF("obj_id", "grp", "v"))
+    d.markEpoch("q", 7L)
+    inst.commit(d)
+    inst.commit(c)
+    assert(inst.lastCommittedEpoch("q") == Some(10L))
+  }
+
   test("sum columns must be integral; group columns must exist") {
     val srcDir = Files.createTempDirectory("graft_mv_bad_").toUri.toString
     val src = VersionedTable.create(spark, srcDir, StructType(Seq(
