@@ -596,11 +596,13 @@ private[acid] object GraftTableSource {
       else exact(VersionedTable.RowsKey).filter(_.kind == 'L').map(_.sum)
 
     // ---- partition-column fallback: hive-layout columns live in file
-    // PATHS, not footers — their values are manifest metadata too (the
-    // file-name list is always driver-resident), so MIN/MAX fold the
-    // decoded `k=v` segments and COUNT sums the non-null-partition
-    // files' row counts. Refused when any live file lacks the segment
-    // (mixed layouts) or the type has no clean path ordering.
+    // PATHS, not footers — their values are manifest metadata too, so
+    // MIN/MAX fold the decoded `k=v` segments (segmented snapshots
+    // fold the DISTINCT segments distributedly over the side files —
+    // names never materialize on the driver) and COUNT sums the
+    // non-null-partition files' row counts. Refused when any live file
+    // lacks the segment (mixed layouts) or the type has no clean path
+    // ordering.
     def asOrderedLong(v: Any): Option[Long] = v match {
       case l: java.lang.Long => Some(l)
       case i: java.lang.Integer => Some(i.toLong)
@@ -609,12 +611,18 @@ private[acid] object GraftTableSource {
       case b: java.lang.Boolean => Some(if (b) 1L else 0L)
       case _ => None
     }
+    // DISTINCT partition-segment values of `p` across every live file
+    // (None = some file lacks the segment / not single-column)
     def partitionSegs(p: Seq[String]): Option[Seq[String]] = {
       if (p.size != 1) return None
       val pc = st.phys(p.head)
-      val raw = st.files.map(f => partPairs(f).toMap.get(pc))
-      if (raw.isEmpty || raw.exists(_.isEmpty)) None
-      else Some(raw.map(_.get))
+      st.sidecar match {
+        case Some(_) => inst.sidecarPartSegs(st, pc)
+        case None =>
+          val raw = st.inlineFiles.map(f => partPairs(f).toMap.get(pc))
+          if (raw.isEmpty || raw.exists(_.isEmpty)) None
+          else Some(raw.map(_.get).distinct)
+      }
     }
     def partitionBound(p: Seq[String], dt: DataType, isMin: Boolean)
         : Option[Any] =
@@ -640,25 +648,30 @@ private[acid] object GraftTableSource {
             if ((c(a, b) <= 0) == isMin) a else b))
         }
       }
-    def partitionCount(p: Seq[String], dt: DataType): Option[Long] =
+    def partitionCount(p: Seq[String], dt: DataType): Option[Long] = {
       // per-file row counts must be driver-resident (inline tables);
       // on segmented tables the covered files' counts live in the side
       // files — refuse rather than fetch them here
-      if (st.sidecar.isDefined) None
-      else partitionSegs(p).flatMap { segs =>
-        var total = 0L
-        var ok = true
-        st.files.zip(segs).foreach { case (f, seg) =>
-          if (ok && partValueInternal(seg, dt) != null) {
-            st.fileStats.get(f)
-              .flatMap(_.get(VersionedTable.RowsKey)).map(_.min.toLong) match {
-              case Some(r) => total += r
-              case None => ok = false
+      if (st.sidecar.isDefined || p.size != 1) return None
+      val pc = st.phys(p.head)
+      var total = 0L
+      var ok = true
+      st.inlineFiles.foreach { f =>
+        partPairs(f).toMap.get(pc) match {
+          case None => ok = false
+          case Some(seg) =>
+            if (ok && partValueInternal(seg, dt) != null) {
+              st.fileStats.get(f)
+                .flatMap(_.get(VersionedTable.RowsKey))
+                .map(_.min.toLong) match {
+                case Some(r) => total += r
+                case None => ok = false
+              }
             }
-          }
         }
-        if (ok) Some(total) else None
       }
+      if (ok) Some(total) else None
+    }
 
 
     val fields = Seq.newBuilder[StructField]
@@ -1234,7 +1247,8 @@ private[acid] final class GraftScan(root: String, version: Long,
   }
 
   private def computePrunedFiles(): Seq[String] = {
-    val (files, stats, colStats) = (state.files, state.stats, state.colStats)
+    val (files, stats, colStats) =
+      (state.inlineFiles, state.stats, state.colStats)
     val allFilters = filters ++ runtimeFilters
     def driverPred(rel: String): Boolean = {
       val parts = GraftTableSource.partPairs(rel).toMap
@@ -1270,8 +1284,7 @@ private[acid] final class GraftScan(root: String, version: Long,
         // veto logic — GraftTableSource.sidecarPred is the executor
         // mirror of driverPred); only the O(tail) inline files screen
         // on the driver. Survivor NAMES are all that comes back.
-        val driverPart = state.files.filter(f => sc.tailLive(f) &&
-          driverPred(f))
+        val driverPart = state.inlineFiles.filter(driverPred)
         val distPart = inst.sidecarSurvivorsStatus(sc)(
           GraftTableSource.sidecarPred(allFilters, state.renames,
             tableSchema))

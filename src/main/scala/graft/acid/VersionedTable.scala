@@ -219,13 +219,15 @@ object VersionedTable {
   /** Handle onto a SEGMENTED checkpoint's parquet side files for one
     * snapshot ([[CheckpointStore]]): `ref` is the side-file directory
     * name under `_manifests/`; the state's heavy per-file stat maps
-    * live THERE, not on the driver. `excluded` = side-car rows that no
-    * longer speak for the snapshot (removed by the tail, or overridden
-    * by a tail re-add whose stats are inline) — O(tail) names.
-    * `tailLive` = live files added SINCE the checkpoint, whose stats
-    * are in the state's inline maps — also O(tail). Invariant: the
-    * snapshot's files = (side-car rows minus excluded) disjoint-union
-    * tailLive. */
+    * AND the live-file name list live THERE, not on the driver.
+    * `excluded` = side-car rows that no longer speak for the snapshot
+    * — EXACTLY the checkpoint-covered names the tail removed, or
+    * re-added with fresh inline stats (a restore) — O(tail) names and
+    * nothing else, so `|side-car rows| - |excluded| + |tailLive|` is
+    * the snapshot's exact live-file count. `tailLive` = live files
+    * added SINCE the checkpoint, whose stats are in the state's inline
+    * maps — also O(tail). Invariant: the snapshot's files = (side-car
+    * rows minus excluded) disjoint-union tailLive. */
   final case class SidecarState(ref: String, excluded: Set[String],
       tailLive: Set[String])
 
@@ -233,25 +235,40 @@ object VersionedTable {
     * live files, schema, all three stats indexes, and the
     * deletion-vector map (data file -> sidecars masking its rows).
     *
-    * With `sidecar` set (segmented checkpoint), the stat maps hold
-    * ONLY the tail-added files' entries; checkpoint-covered files'
-    * stats stay columnar in the side files and every skipping path
-    * must consult them through [[Instance.sidecarSurvivors]] — a file
-    * missing from the inline maps is NOT statless, it is
-    * sidecar-covered. `files`, `dvs`, `renames`, `tombstones` are
-    * always fully materialized (names and sparse masks — the cheap
+    * With `sidecar` set (segmented checkpoint), the DRIVER-RESIDENT
+    * part of the state is O(tail), not O(files): `inlineFiles` holds
+    * ONLY the tail-live names, and the stat maps only those files'
+    * entries — checkpoint-covered files' names and stats stay columnar
+    * in the side files. Every skipping path consults them through
+    * [[Instance.sidecarSurvivors]] (a file missing from the inline
+    * maps is NOT statless, it is sidecar-covered), and consumers that
+    * genuinely need every live name stream or join the side files
+    * ([[Instance.liveNamesDf]]) instead of materializing a driver set
+    * — at 10^7 files a name list is ~1 GB of driver heap per pinned
+    * snapshot, the last metadata structure that would grow with the
+    * table (the reference bounds resident state the same way,
+    * buf_mgr.rs:110-393). Without `sidecar`, `inlineFiles` is the
+    * complete live list. `dvs`, `renames`, `tombstones` are always
+    * fully materialized (sparse masks and mappings — the cheap
     * part). */
-  final case class TableState(files: Seq[String], ddl: String,
+  final case class TableState(inlineFiles: Seq[String], ddl: String,
       stats: Map[String, (Long, Long)],
       colStats: Map[String, Map[String, (Long, Long)]],
       dvs: Map[String, Seq[String]],
       fileStats: Map[String, Map[String, UStat]] = Map.empty,
       renames: Map[String, String] = Map.empty,
       tombstones: Seq[String] = Nil,
-      sidecar: Option[SidecarState] = None) {
+      sidecar: Option[SidecarState] = None,
+      // exact live-file count; -1 = derive from inlineFiles (inline
+      // states). Segmented folds compute it arithmetically from the
+      // checkpoint's recorded count — never by materializing names.
+      liveCount: Long = -1L) {
     /** Physical (on-disk) name of logical column `n` under this
       * state's column mapping — identity for never-renamed columns. */
     def phys(n: String): String = renames.getOrElse(n, n)
+    /** Exact number of live data files in this snapshot. */
+    def numFiles: Long =
+      if (liveCount >= 0L) liveCount else inlineFiles.size.toLong
   }
 
   /** Dotted PHYSICAL leaf paths to stat-index for file skipping:
@@ -948,6 +965,28 @@ final case class EngineConf(
     autoMaterializeDvs: Int = 0,
     conflictMaxAttempts: Int = 5,
     conflictBackoffMs: Long = 20L,
+    // OPT-IN blocking commit lock for hot-key writers (the reference's
+    // object-lock wait queue, tran_mgr.rs:85-127, as an ADVISORY
+    // store-level claim): when set, [[Instance.withRetry]] serializes
+    // whole attempts behind an exclusive-create lock file under
+    // `_manifests/`, so contended writers queue instead of redoing the
+    // staging work an optimistic retry throws away. Purely advisory —
+    // the optimistic conflict checks still run, so a stolen or
+    // bypassed lock degrades to retry behavior, never to a lost
+    // update. A lock older than commitLockTimeoutMs is presumed
+    // crashed and stolen; a waiter gives up (ConflictException) after
+    // the same bound. Off by default: optimistic wins whenever writers
+    // rarely collide.
+    commitLock: Boolean = false,
+    commitLockTimeoutMs: Long = 30000L,
+    // tiny staged writes (a LOCAL relation of <= fastPathRows rows,
+    // unpartitioned) skip the Spark job entirely: the rows are written
+    // to ONE parquet file on the driver through Spark's own
+    // ParquetWriteSupport (identical schema, footer stats, and
+    // compression to the job path). Removes the ~150 ms per-commit
+    // job floor that dominates streaming epochs and single-row
+    // upserts. 0 = always use the job path.
+    fastPathRows: Int = 64,
     idBroadcastThreshold: Int = 1000,
     orphanGraceMs: Long = 24L * 3600 * 1000,
     objectListThreshold: Int = 100000,
@@ -979,6 +1018,8 @@ final case class EngineConf(
   require(autoMaterializeDvs >= 0, s"autoMaterializeDvs must be >= 0")
   require(statsColumns >= 0, s"statsColumns must be >= 0")
   require(multiGraceMs >= 0, s"multiGraceMs must be >= 0")
+  require(commitLockTimeoutMs >= 1, s"commitLockTimeoutMs must be >= 1")
+  require(fastPathRows >= 0, s"fastPathRows must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -1183,7 +1224,11 @@ final class Instance(val spark: SparkSession, val root: String,
   private[acid] def stateFullAt(v: Long): (Seq[String], String,
       Map[String, (Long, Long)], Map[String, Map[String, (Long, Long)]]) = {
     val s = tableStateAt(v)
-    (s.files, s.ddl, s.stats, s.colStats)
+    // the tuple's file list is the COMPLETE live set (this is the
+    // admin/test surface behind [[stateAt]]); on segmented snapshots
+    // that is a transient materialization — planner paths never come
+    // through here, they consult the sidecar distributedly
+    (liveNames(s), s.ddl, s.stats, s.colStats)
   }
 
   // last-resolved snapshot state: committed state at a fixed version
@@ -1222,9 +1267,19 @@ final class Instance(val spark: SparkSession, val root: String,
       if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
     }
     val segmented = ckpt.ckptRef
-    var files = segmented match {
-      case Some(ref) => sidecarFileSet(ref)
+    // segmented: the name list STAYS in the side files — the driver
+    // folds only the O(tail) delta (tailLive/excluded below) and the
+    // exact count rides the checkpoint manifest (legacy segmented
+    // manifests without the count pay one distributed count, once per
+    // memoized fold)
+    var files: Set[String] = segmented match {
+      case Some(_) => Set.empty
       case None => ckpt.allFiles.toSet
+    }
+    val ckptCount: Long = segmented match {
+      case Some(ref) =>
+        if (ckpt.ckptFiles > 0L) ckpt.ckptFiles else sidecarCount(ref)
+      case None => 0L
     }
     var ddl = ckpt.schemaDDL
     // a segmented checkpoint's manifest carries only its own txn's
@@ -1248,12 +1303,18 @@ final class Instance(val spark: SparkSession, val root: String,
       case Some(ref) => sidecarDvs(ref)
       case None => ckpt.allDvs
     }
-    // segmented bookkeeping: which side-car rows the tail invalidated,
-    // and which live files the tail added (their stats are inline)
+    // segmented bookkeeping: which side-car rows the tail invalidated
+    // (EXACTLY — the precision is what makes the live count pure
+    // arithmetic), and which live files the tail added (their stats
+    // are inline). A removed file not currently tail-live must be a
+    // live side-car row (removal requires liveness; the checkpoint's
+    // rows are exactly the files live at checkpoint time); a re-add
+    // (restore) of an excluded name revives it as a TAIL file — its
+    // old row stays excluded, its fresh stats are inline.
     var excluded = Set.empty[String]
     var tailLive = Set.empty[String]
     tail.foreach { m =>
-      files = files -- m.removed ++ m.added
+      if (segmented.isEmpty) files = files -- m.removed ++ m.added
       stats = stats -- m.removed ++ m.stats
       colStats = colStats -- m.removed ++ m.colStats
       fileStats = fileStats -- m.removed ++ m.fileStats
@@ -1264,13 +1325,21 @@ final class Instance(val spark: SparkSession, val root: String,
       ddl = m.schemaDDL
       ren = m.renames
       tomb = m.tombstones
-      excluded ++= m.removed
-      excluded ++= m.added // a re-add (restore) overrides its old row
-      tailLive = tailLive -- m.removed ++ m.added
+      m.removed.foreach { f =>
+        if (tailLive(f)) tailLive -= f else excluded += f
+      }
+      tailLive ++= m.added
     }
-    TableState(files.toSeq.sorted, ddl, stats, colStats, dvs, fileStats,
-      ren, tomb,
-      segmented.map(ref => SidecarState(ref, excluded, tailLive)))
+    segmented match {
+      case Some(ref) =>
+        TableState(tailLive.toSeq.sorted, ddl, stats, colStats, dvs,
+          fileStats, ren, tomb,
+          Some(SidecarState(ref, excluded, tailLive)),
+          liveCount = ckptCount - excluded.size + tailLive.size)
+      case None =>
+        TableState(files.toSeq.sorted, ddl, stats, colStats, dvs,
+          fileStats, ren, tomb, None)
+    }
   }
 
   /** Streaming-epoch watermarks visible at version `v`: latest
@@ -1305,7 +1374,11 @@ final class Instance(val spark: SparkSession, val root: String,
     * snapshot CSN, instance.rs:126-134). */
   def snapshot(v: Long): DataFrame = {
     val st = tableStateAt(v)
-    viewOf(st.files, st.ddl, resolveDvs(st.dvs, st.files), st.renames)
+    // an unpruned snapshot read enumerates every file in its Spark
+    // plan by construction; the name list is transient plan input
+    // (liveNames), not driver-resident state
+    val names = liveNames(st)
+    viewOf(names, st.ddl, resolveDvs(st.dvs, names), st.renames)
   }
 
   /** DataFrame over an explicit file set (shared by committed snapshots
@@ -1482,11 +1555,27 @@ final class Instance(val spark: SparkSession, val root: String,
       s"cannot restore to v$v from v${txn.readVersion}")
     val oldState = tableStateAt(v)
     val curState = tableStateAt(txn.readVersion)
-    val (oldFiles, oldDdl, oldStats, oldColStats) =
-      (oldState.files, oldState.ddl, oldState.stats, oldState.colStats)
-    val (curFiles, curDdl) = (curState.files, curState.ddl)
-    val reAdd = oldFiles.toSet -- curFiles
-    val drop = curFiles.toSet -- oldFiles
+    val (oldDdl, oldStats, oldColStats) =
+      (oldState.ddl, oldState.stats, oldState.colStats)
+    val curDdl = curState.ddl
+    // the restore delta (files to re-add / drop). With a segmented
+    // snapshot on either side the set difference runs DISTRIBUTED over
+    // the side files (two scans + except), so the driver materializes
+    // only the CHURN between the versions — which the restore manifest
+    // records inline anyway — never a full 10^7-name list
+    val (reAdd, drop): (Set[String], Set[String]) =
+      if (oldState.sidecar.isEmpty && curState.sidecar.isEmpty) {
+        val o = oldState.inlineFiles.toSet
+        val c = curState.inlineFiles.toSet
+        (o -- c, c -- o)
+      } else {
+        val s = spark
+        import s.implicits._
+        val oldDf = liveNamesDf(oldState)
+        val curDf = liveNamesDf(curState)
+        (oldDf.except(curDf).as[String].collect().toSet,
+          curDf.except(oldDf).as[String].collect().toSet)
+      }
     // deletion vectors must restore too: un-deleting a MoR-masked row
     // (or re-masking one an interleaved compaction materialized away)
     // is exactly a dv-state difference with an identical file set
@@ -1638,21 +1727,30 @@ final class Instance(val spark: SparkSession, val root: String,
 
   /** One-row table summary (the `DESCRIBE DETAIL` analog): current
     * version, live file count and bytes, outstanding deletion-vector
-    * count, and schema. Driver-side metadata only — file sizes are
-    * statted on the bounded pool, no data is read. */
+    * count, and schema. Metadata only — segmented tables sum the
+    * checkpoint-recorded sizes in ONE distributed aggregation (file
+    * names never reach the driver); inline/tail files stat on the
+    * bounded pool. No data is read. */
   def detail(): DataFrame = {
     val v = latestVersion
     val st = tableStateAt(v)
-    // segmented tables sum checkpoint-recorded sizes (no per-file
-    // RPCs); only tail/unknown files pay a status fetch
-    val scMeta = st.sidecar.map(sidecarAdminMeta).getOrElse(Map.empty)
-    val recorded = scMeta.collect { case (f, (_, sz)) if sz > 0L => f -> sz }
-    val bytes = recorded.values.sum + pooledMap(
-      st.files.filterNot(recorded.contains))(f =>
-      fs.getFileStatus(new Path(dataDir, f)).getLen).sum
     val s = spark
     import s.implicits._
-    Seq((v, st.files.size.toLong, bytes,
+    // legacy side-car rows without a recorded size (size=0) surface
+    // their NAMES only — a bounded driver fetch for pre-size formats
+    val (coveredBytes, unsized) = st.sidecar match {
+      case Some(sc) =>
+        val exclB = spark.sparkContext.broadcast(sc.excluded)
+        try {
+          val rows = readSidecarRows(sc.ref).filter(r => !exclB.value(r.file))
+          (rows.map(_.size).rdd.fold(0L)(_ + _),
+            rows.filter(_.size <= 0L).map(_.file).collect().toSeq)
+        } finally exclB.destroy()
+      case None => (0L, Nil)
+    }
+    val bytes = coveredBytes + pooledMap(st.inlineFiles ++ unsized)(f =>
+      fs.getFileStatus(new Path(dataDir, f)).getLen).sum
+    Seq((v, st.numFiles, bytes,
       st.dvs.size.toLong, st.dvs.valuesIterator.flatten.size.toLong,
       st.ddl))
       .toDF("version", "num_files", "size_bytes",
@@ -1663,37 +1761,75 @@ final class Instance(val spark: SparkSession, val root: String,
     * `$files` metadata table): relative path, size, the manifest's
     * obj-id range when recorded, outstanding deletion-vector sidecar
     * count, and the hive partition segment of the path (empty for
-    * unpartitioned files). Driver-side metadata only — statuses on the
-    * bounded pool, no data read; the admin surface for "which files
-    * would a compaction fold / which carry masks / how skewed are the
+    * unpartitioned files). Metadata only, and on segmented snapshots
+    * fully DISTRIBUTED: the side files stream straight into the
+    * returned DataFrame (names never materialize on the driver; a
+    * legacy row without a recorded size stats itself on the executor);
+    * only the O(tail) inline files build driver-side, statuses on the
+    * bounded pool. The admin surface for "which files would a
+    * compaction fold / which carry masks / how skewed are the
     * sizes". */
   def files(): DataFrame = {
     val st = tableStateAt(latestVersion)
-    // segmented snapshot: id ranges AND sizes come from one columnar
-    // scan of the side files; only tail/unknown files pay status RPCs
-    val scMeta = st.sidecar.map(sidecarAdminMeta).getOrElse(Map.empty)
-    val recorded = scMeta.collect { case (f, (_, sz)) if sz > 0L => f -> sz }
-    val fetched = pooledMap(st.files.filterNot(recorded.contains))(f =>
-      f -> fs.getFileStatus(new Path(dataDir, f)).getLen).toMap
-    val sizes = recorded ++ fetched
     // path segments spell PHYSICAL column names; every other user
     // surface (schema, $detail, filters) speaks logical names, so
     // translate through the inverse column mapping before formatting
     val logical = st.renames.map(_.swap)
     val s = spark
     import s.implicits._
-    st.files.map { f =>
-      val range = st.stats.get(f).orElse(scMeta.get(f).flatMap(_._1))
-      val parts = f.split('/').drop(1).dropRight(1)
+    def partsOf(f: String): String =
+      f.split('/').drop(1).dropRight(1)
         .filter(_.contains('=')).map { seg =>
           val i = seg.indexOf('=')
           val k = seg.substring(0, i)
           s"${logical.getOrElse(k, k)}${seg.substring(i)}"
         }.mkString("/")
-      (f, sizes(f), range.map(_._1), range.map(_._2),
-        st.dvs.getOrElse(f, Nil).size.toLong, parts)
-    }.toDF("file", "size_bytes", "id_min", "id_max",
-      "num_dv_sidecars", "partition_values")
+    val tailSizes = pooledMap(st.inlineFiles)(f =>
+      f -> fs.getFileStatus(new Path(dataDir, f)).getLen).toMap
+    val inlineRows = st.inlineFiles.map { f =>
+      val range = st.stats.get(f)
+      (f, tailSizes(f), range.map(_._1), range.map(_._2),
+        st.dvs.getOrElse(f, Nil).size.toLong, partsOf(f))
+    }
+    val inlineDf = inlineRows.toDF("file", "size_bytes", "id_min",
+      "id_max", "num_dv_sidecars", "partition_values")
+    st.sidecar match {
+      case Some(sc) =>
+        // the folded dv map is authoritative (tail commits override
+        // side-car dvLists); it is sparse, so it broadcasts
+        val dvCounts = st.dvs.view.mapValues(_.size.toLong).toMap
+        val dvB = spark.sparkContext.broadcast(dvCounts)
+        val exclAndTail = sc.excluded ++ sc.tailLive
+        val exclB = spark.sparkContext.broadcast(exclAndTail)
+        val renB = spark.sparkContext.broadcast(logical)
+        val dataDirStr = dataDir.toString
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val covered = readSidecarRows(sc.ref)
+          .filter(r => !exclB.value(r.file))
+          .mapPartitions { it =>
+            lazy val xfs = new Path(dataDirStr)
+              .getFileSystem(hconf.value)
+            it.map { r =>
+              val size =
+                if (r.size > 0L) r.size
+                else xfs.getFileStatus(
+                  new Path(dataDirStr, r.file)).getLen
+              val parts = r.file.split('/').drop(1).dropRight(1)
+                .filter(_.contains('=')).map { seg =>
+                  val i = seg.indexOf('=')
+                  val k = seg.substring(0, i)
+                  s"${renB.value.getOrElse(k, k)}${seg.substring(i)}"
+                }.mkString("/")
+              (r.file, size, r.idMin, r.idMax,
+                dvB.value.getOrElse(r.file, 0L), parts)
+            }
+          }
+          .toDF("file", "size_bytes", "id_min", "id_max",
+            "num_dv_sidecars", "partition_values")
+        covered.union(inlineDf)
+      case None => inlineDf
+    }
   }
 
   /** One row per hive-partition tuple (the `$partitions` metadata
@@ -1720,10 +1856,8 @@ final class Instance(val spark: SparkSession, val root: String,
     final case class P(files: Long, rows: Long, unknown: Long, dvs: Long)
     def merge(a: P, b: P) = P(a.files + b.files, a.rows + b.rows,
       a.unknown + b.unknown, a.dvs + b.dvs)
-    val inlineFiles = st.sidecar match {
-      case Some(sc) => st.files.filter(sc.tailLive)
-      case None => st.files
-    }
+    // segmented states carry EXACTLY the tail-live names inline
+    val inlineFiles = st.inlineFiles
     var acc = Map.empty[String, P]
     inlineFiles.foreach { f =>
       val rows = st.fileStats.get(f).flatMap(_.get(RowsKey))
@@ -2112,8 +2246,33 @@ final class Instance(val spark: SparkSession, val root: String,
     val sub = f"t${txn.tsn}%x-${txn.stagedBatch.incrementAndGet()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val out = new Path(dataDir, sub).toString
-    if (partitionBy.isEmpty) df.write.parquet(out)
-    else df.write.partitionBy(partitionBy: _*).parquet(out)
+    // METADATA-LATENCY fast path: a tiny LOCAL relation (literal rows,
+    // folded constant projections — the shape of single-row upserts,
+    // MV watermark rides, and small streaming epochs) costs a full
+    // Spark job (~150 ms floor) only for its task dispatch. Write it
+    // as ONE parquet file on the driver through Spark's own
+    // ParquetWriteSupport instead — byte-compatible schema, footer
+    // stats, and codec, so every downstream surface (skipping,
+    // checkpoint folds, DuckDB parity) sees exactly what the job path
+    // writes.
+    val localRows: Option[(Seq[org.apache.spark.sql.catalyst.InternalRow],
+        StructType)] =
+      if (partitionBy.nonEmpty || conf.fastPathRows <= 0) None
+      else df.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if l.data.nonEmpty && l.data.length <= conf.fastPathRows =>
+          Some((l.data, l.schema))
+        case _ => None
+      }
+    localRows match {
+      case Some((rows, schema)) =>
+        writeLocalParquet(new Path(out,
+          s"part-00000-${java.util.UUID.randomUUID()}.parquet"),
+          rows, schema)
+      case None =>
+        if (partitionBy.isEmpty) df.write.parquet(out)
+        else df.write.partitionBy(partitionBy: _*).parquet(out)
+    }
     // recursive listing: a partitioned write nests k=v dirs, and the
     // relative path (with its k=v segments) IS how the manifest carries
     // each file's partition values — no format change needed. Segments
@@ -2149,6 +2308,52 @@ final class Instance(val spark: SparkSession, val root: String,
         if (rest.nonEmpty) txn.addedFileStats(f) = rest
       }
     staged
+  }
+
+  /** Driver-side single-file parquet write through Spark's OWN
+    * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+    * — the job path's write support, invoked in-process: identical
+    * physical types, logical annotations, footer statistics, and
+    * session codec, with zero task dispatch. Bounded by
+    * [[EngineConf.fastPathRows]] callers only. */
+  private def writeLocalParquet(file: Path,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      schema: StructType): Unit = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val hconf = spark.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, hconf)
+    // ParquetWriteSupport.init asserts these session keys are present
+    // (the job path sets them in prepareWrite) — mirror the session
+    val sq = spark.sessionState.conf
+    hconf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sq.writeLegacyParquetFormat.toString)
+    hconf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sq.parquetOutputTimestampType.toString)
+    hconf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sq.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    hconf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sq.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    hconf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sq.parquetFieldIdWriteEnabled.toString)
+    hconf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sq.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    final class B(p: org.apache.parquet.hadoop.util.HadoopOutputFile)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        org.apache.spark.sql.catalyst.InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[
+          org.apache.spark.sql.catalyst.InternalRow] = new ParquetWriteSupport
+    }
+    val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
+      .fromConf(sq.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT))
+    val w = new B(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, hconf))
+      .withConf(hconf)
+      .withCompressionCodec(codec)
+      .build()
+    try rows.foreach(w.write) finally w.close()
   }
 
   // parsed deletion-vector sidecars, cached by name — sidecars are
@@ -2304,33 +2509,86 @@ final class Instance(val spark: SparkSession, val root: String,
       : org.apache.spark.sql.Dataset[CheckpointStore.CkptRow] =
     CheckpointStore.readRows(spark, sidecarPath(ref).toString)
 
-  /** Live-file NAME set of a segmented checkpoint: a two-column
-    * columnar scan (distributed), names-only to the driver. */
-  private def sidecarFileSet(ref: String): Set[String] = {
+  /** Which of `names` (a BOUNDED candidate set) have a row in the
+    * side files — vacuum's orphan-sweep membership probe. The scan is
+    * distributed; only the matches come back. */
+  private def sidecarMember(ref: String, names: Set[String]): Set[String] = {
     val s = spark
     import s.implicits._
-    readSidecarRows(ref).select("file").as[String].collect().toSet
+    val wantB = spark.sparkContext.broadcast(names)
+    try readSidecarRows(ref).filter(r => wantB.value(r.file))
+      .map(_.file).collect().toSet
+    finally wantB.destroy()
   }
 
-  /** obj-id range + recorded size of every non-excluded side-car row —
-    * a four-column columnar scan; admin surfaces ($files/$detail) read
-    * a 10^6-file table's metadata without 10^6 status RPCs. Size 0 =
-    * unknown (legacy/synthetic row), caller falls back to a fetch. */
-  private[acid] def sidecarAdminMeta(sc: SidecarState)
-      : Map[String, (Option[(Long, Long)], Long)] = {
+  /** Exact row count of a segmented checkpoint's side files — the
+    * fallback live-count source for LEGACY segmented manifests written
+    * before `ckptFiles` was recorded. One metadata-only Spark count
+    * (parquet footer row counts; no data pages), paid once per
+    * memoized state fold. */
+  private def sidecarCount(ref: String): Long =
+    readSidecarRows(ref).count()
+
+  /** Every live file name of `st` as a ONE-COLUMN DataFrame (`file`):
+    * inline states from the driver list, segmented states as a
+    * distributed scan of the side-file name column union the O(tail)
+    * inline names. The set-algebra surfaces (restore's diff, vacuum's
+    * probes) join against this instead of materializing 10^7 names on
+    * the driver. */
+  private[acid] def liveNamesDf(st: TableState): DataFrame = {
     val s = spark
     import s.implicits._
-    val exclB = spark.sparkContext.broadcast(sc.excluded)
-    try readSidecarRows(sc.ref)
-      .filter(r => !exclB.value(r.file))
-      .select("file", "idMin", "idMax", "size")
-      .as[(String, Option[Long], Option[Long], Long)]
-      .collect()
-      .map { case (f, lo, hi, size) =>
-        f -> (for (l <- lo; h <- hi) yield (l, h), size)
-      }.toMap
-    finally exclB.destroy()
+    st.sidecar match {
+      case Some(sc) =>
+        val exclB = spark.sparkContext.broadcast(sc.excluded)
+        readSidecarRows(sc.ref).filter(r => !exclB.value(r.file))
+          .map(_.file).toDF("file")
+          .union(st.inlineFiles.toDF("file"))
+      case None => st.inlineFiles.toDF("file")
+    }
   }
+
+  /** Every live file name of `st`, materialized on the driver —
+    * ONLY for operations whose Spark plan genuinely enumerates the
+    * full set anyway (an unpruned snapshot scan, a full-table
+    * compaction): the list is transient input to plan construction,
+    * never retained in [[VersionedTable.TableState]]. Sorted for
+    * deterministic plan output. */
+  private[acid] def liveNames(st: TableState): Seq[String] =
+    st.sidecar match {
+      case Some(sc) =>
+        val s = spark
+        import s.implicits._
+        val exclB = spark.sparkContext.broadcast(sc.excluded)
+        val covered =
+          try readSidecarRows(sc.ref).filter(r => !exclB.value(r.file))
+            .map(_.file).collect()
+          finally exclB.destroy()
+        (covered ++ st.inlineFiles).distinct.sorted.toSeq
+      case None => st.inlineFiles
+    }
+
+  /** Membership probe against `st`'s live set for a BOUNDED candidate
+    * list: which of `names` are live. O(names) driver memory; the
+    * side-file scan runs distributed. */
+  private[acid] def liveNamesAmong(st: TableState,
+      names: Set[String]): Set[String] =
+    st.sidecar match {
+      case Some(sc) =>
+        val inTail = names.filter(sc.tailLive)
+        val wanted = names -- inTail
+        val wantB = spark.sparkContext.broadcast(wanted)
+        val excl = sc.excluded
+        val s = spark
+        import s.implicits._
+        val covered =
+          try readSidecarRows(sc.ref)
+            .filter(r => wantB.value(r.file) && !excl(r.file))
+            .map(_.file).collect().toSet
+          finally wantB.destroy()
+        inTail ++ covered
+      case None => names.filter(st.inlineFiles.toSet)
+    }
 
   /** Non-empty dv entries of a segmented checkpoint (sparse — only
     * masked files pay). */
@@ -2387,10 +2645,8 @@ final class Instance(val spark: SparkSession, val root: String,
   private[acid] def mergedUStats(st: TableState, pcols: Set[String])
       : (Long, Map[String, CheckpointStore.MergedU]) = {
     import CheckpointStore.MergedU
-    val inlineFiles = st.sidecar match {
-      case Some(sc) => st.files.filter(sc.tailLive)
-      case None => st.files
-    }
+    // segmented states carry EXACTLY the tail-live names inline
+    val inlineFiles = st.inlineFiles
     var acc = Map.empty[String, MergedU]
     inlineFiles.foreach { f =>
       st.fileStats.getOrElse(f, Map.empty).foreach { case (c, u) =>
@@ -2407,7 +2663,7 @@ final class Instance(val spark: SparkSession, val root: String,
         acc = acc.updated(r.col, acc.getOrElse(r.col, MergedU()).merge(m))
       }
     }
-    (st.files.size.toLong, acc)
+    (st.numFiles, acc)
   }
 
   /** [[mergedUStats]] keyed by a hive-partition group: for every
@@ -2421,10 +2677,8 @@ final class Instance(val spark: SparkSession, val root: String,
       pcols: Set[String])
       : Option[Map[Seq[String], (Long, Map[String, CheckpointStore.MergedU])]] = {
     import CheckpointStore.MergedU
-    val inlineFiles = st.sidecar match {
-      case Some(sc) => st.files.filter(sc.tailLive)
-      case None => st.files
-    }
+    // segmented states carry EXACTLY the tail-live names inline
+    val inlineFiles = st.inlineFiles
     var files = Map.empty[Seq[String], Long]
     var acc = Map.empty[(Seq[String], String), MergedU]
     inlineFiles.foreach { f =>
@@ -2463,6 +2717,33 @@ final class Instance(val spark: SparkSession, val root: String,
     Some(files.map { case (g, n) =>
       g -> (n, byGroup.getOrElse(g, Map.empty))
     })
+  }
+
+  /** DISTINCT hive-partition segment values of physical column `pc`
+    * across every live file of a SEGMENTED snapshot — the metadata
+    * behind partition-column aggregate pushdown at side-file scale.
+    * One distributed distinct over the side-file names plus the
+    * O(tail) inline part; None when any live file lacks the segment
+    * (mixed layouts must refuse). O(partitions) to the driver. */
+  private[acid] def sidecarPartSegs(st: TableState, pc: String)
+      : Option[Seq[String]] = {
+    val sc = st.sidecar.get
+    val s = spark
+    import s.implicits._
+    val exclB = spark.sparkContext.broadcast(sc.excluded)
+    val covered =
+      try readSidecarRows(sc.ref).filter(r => !exclB.value(r.file))
+        .map(r => GraftTableSource.partPairs(r.file).toMap.get(pc)
+          .getOrElse(""))
+        .distinct().collect()
+      finally exclB.destroy()
+    val tailRaw = st.inlineFiles
+      .map(f => GraftTableSource.partPairs(f).toMap.get(pc).getOrElse(""))
+      .distinct
+    // "" is not a legal `k=v` segment, so it can carry the
+    // missing-segment signal through the string encoder
+    val all = (covered ++ tailRaw).distinct.toSeq
+    if (all.contains("")) None else Some(all)
   }
 
   /** Bulk stat fetch for an explicit (bounded) file set — restore's
@@ -2519,7 +2800,7 @@ final class Instance(val spark: SparkSession, val root: String,
             // first segmentation: the inline base is by construction
             // at most checkpointInlineFiles + one interval of commits
             // — a bounded driver materialization, once
-            withStatus(base.files.filterNot(removed).map(f =>
+            withStatus(base.inlineFiles.filterNot(removed).map(f =>
               toRow(f, base.stats.get(f),
                 base.colStats.getOrElse(f, Map.empty), Nil,
                 base.fileStats.getOrElse(f, Map.empty)))).toDS()
@@ -2534,14 +2815,6 @@ final class Instance(val spark: SparkSession, val root: String,
     } finally bcasts.foreach(b => try b.destroy() catch {
       case scala.util.control.NonFatal(_) => ()
     })
-  }
-
-  /** A checkpoint manifest's full file set + dv state, side-car aware
-    * (vacuum's horizon fold and other whole-checkpoint consumers). */
-  private[acid] def ckptFilesDvs(m: Manifest)
-      : (Set[String], Map[String, Seq[String]]) = m.ckptRef match {
-    case Some(ref) => (sidecarFileSet(ref), sidecarDvs(ref))
-    case None => (m.allFiles.toSet, m.allDvs)
   }
 
   /** (min, max) of the obj_id column from a parquet file's footer
@@ -2985,9 +3258,20 @@ final class Instance(val spark: SparkSession, val root: String,
       // base fold's stat maps are no longer driver-resident, so an
       // inline re-fold would have to collect them back)
       val ckptBase = if (isCkpt) tableStateAt(attempt - 1) else null
+      // the post-commit live set materializes ONLY over an inline base
+      // (bounded by checkpointInlineFiles + one interval of churn); a
+      // segmented base never rebuilds names on the driver — its count
+      // is pure arithmetic over the recorded checkpoint count (commit
+      // conflict checks guarantee removed ⊆ live and added ∩ live = ∅)
       val liveAfter: Set[String] =
-        if (isCkpt) ckptBase.files.toSet -- txn.removed ++ txn.added
+        if (isCkpt && ckptBase.sidecar.isEmpty)
+          ckptBase.inlineFiles.toSet -- txn.removed ++ txn.added
         else Set.empty
+      val liveAfterCount: Long =
+        if (!isCkpt) 0L
+        else if (ckptBase.sidecar.isEmpty) liveAfter.size.toLong
+        else ckptBase.numFiles - txn.removed.toSet.size +
+          txn.added.toSet.size
       val segmented = isCkpt && (ckptBase.sidecar.isDefined ||
         liveAfter.size > conf.checkpointInlineFiles)
       var segRef: Option[String] = None
@@ -3019,7 +3303,7 @@ final class Instance(val spark: SparkSession, val root: String,
             txn.addedColStats.getOrElse(f, Map.empty), Nil,
             txn.addedFileStats.getOrElse(f, Map.empty)))
         writeSegmentedCheckpoint(ref, ckptBase, addedRows,
-          txn.removed.toSet, dvs, liveAfter.size.toLong)
+          txn.removed.toSet, dvs, liveAfterCount)
         segRef = Some(ref)
         // the manifest keeps only this txn's true deltas — the full
         // fold lives in the side files
@@ -3055,7 +3339,7 @@ final class Instance(val spark: SparkSession, val root: String,
         // change altered the DDL and already conflicted above
         renames = txn.localRen, tombstones = txn.localTomb,
         ckptRef = segRef,
-        ckptFiles = if (segRef.isDefined) liveAfter.size.toLong else 0L,
+        ckptFiles = if (segRef.isDefined) liveAfterCount else 0L,
         cdc = cdcWritten.getOrElse(Nil), cdcExact = cdcWritten.isDefined)
       if (publish(m)) {
         // the commit IS durable from this point: hint writes, staging
@@ -3113,7 +3397,7 @@ final class Instance(val spark: SparkSession, val root: String,
         try materializeDvs()
         catch { case scala.util.control.NonFatal(_) => () }
       if (conf.autoCompactFiles > 0 &&
-          st.files.size >= conf.autoCompactFiles)
+          st.numFiles >= conf.autoCompactFiles)
         try compact(targetFiles = conf.autoCompactTarget)
         catch { case scala.util.control.NonFatal(_) => () }
     } finally autoMaintainActive = false
@@ -3167,13 +3451,27 @@ final class Instance(val spark: SparkSession, val root: String,
       if (m.checkpoint) ckpt = m else { tail = m :: tail; cv -= 1 }
     }
     val above = pooledMap(((horizon + 1) to head).toSeq)(readManifest)
-    // side-car aware: a segmented horizon checkpoint's file/dv fold
-    // reads from its parquet side files (names + sparse dvs only)
-    val (ckptAllFiles0, ckptAllDvs0) = ckptFilesDvs(ckpt)
-    var horizonFiles = ckptAllFiles0
+    // side-car aware: a segmented horizon checkpoint keeps its full
+    // file list in the parquet side files — the fold below touches
+    // only the O(window-churn) delta names plus the SPARSE dv map,
+    // never the 10^7-name list (an inline checkpoint's list is bounded
+    // by checkpointInlineFiles by construction)
+    val ckptInlineFiles: Set[String] =
+      if (ckpt.ckptRef.isDefined) Set.empty else ckpt.allFiles.toSet
+    val ckptAllDvs0 = ckpt.ckptRef match {
+      case Some(ref) => sidecarDvs(ref)
+      case None => ckpt.allDvs
+    }
     var horizonDvs = ckptAllDvs0
+    // per-name last action inside (cv, horizon]: true = live after it.
+    // A file REFERENCED by the window but dead at every retained
+    // version is exactly one whose last window op is a removal — it
+    // was live before that removal (so it is in the checkpoint fold or
+    // a window add: referenced), and nothing re-added it
+    var lastOp = Map.empty[String, Boolean]
     tail.foreach { m =>
-      horizonFiles = horizonFiles -- m.removed ++ m.added
+      m.removed.foreach(f => lastOp = lastOp.updated(f, false))
+      m.added.foreach(f => lastOp = lastOp.updated(f, true))
       horizonDvs = horizonDvs -- m.removed
       m.dvs.foreach { case (f, l) =>
         horizonDvs = if (l.isEmpty) horizonDvs - f else horizonDvs.updated(f, l)
@@ -3184,9 +3482,16 @@ final class Instance(val spark: SparkSession, val root: String,
     // same contract as data files); older ones fall to the orphan
     // sweep once past the grace
     val cdcKeep = (tail.flatMap(_.cdc) ++ above.flatMap(_.cdc)).toSet
-    val live = horizonFiles ++ above.flatMap(_.added) ++ cdcKeep
-    val referenced = ckptAllFiles0 ++ tail.flatMap(_.added) ++
-      above.flatMap(_.added) ++ cdcKeep
+    val aboveAdded = above.flatMap(_.added).toSet
+    // names to reclaim: window-removed, not re-added by the window's
+    // end, not re-referenced above the horizon — O(churn), no full set
+    val deadFiles = lastOp.collect { case (f, false) => f }.toSet --
+      aboveAdded -- cdcKeep
+    // the orphan sweep's driver-known keep set: every name the bounded
+    // window speaks for (horizon-live checkpoint membership is probed
+    // against the side files in batches — see keepBatch below)
+    val windowKeep = lastOp.collect { case (f, true) => f }.toSet ++
+      ckptInlineFiles ++ aboveAdded ++ cdcKeep
     // deletion-vector sidecars have the same two-phase lifecycle: live
     // = referenced by the horizon fold or any window manifest (a
     // sidecar attached then replaced INSIDE the window was live at a
@@ -3201,7 +3506,7 @@ final class Instance(val spark: SparkSession, val root: String,
     // object store, and a big retirement batch is exactly when vacuum
     // latency matters
     var removed = pooledMap(
-        (referenced -- live).toSeq ++ (referencedDvs -- liveDvs).toSeq) { rel =>
+        deadFiles.toSeq ++ (referencedDvs -- liveDvs).toSeq) { rel =>
       val p = new Path(dataDir, rel)
       if (fs.exists(p)) { fs.delete(p, false); true } else false
     }.count(identity)
@@ -3254,6 +3559,24 @@ final class Instance(val spark: SparkSession, val root: String,
             fs.delete(e.getPath, false); removed += 1
           }
         }
+      // membership of a listed file in the horizon checkpoint's fold:
+      // inline checkpoints fold into windowKeep directly; a SEGMENTED
+      // checkpoint is probed in bounded batches against the side files
+      // (driver memory stays O(batch), not O(files-on-disk))
+      val pendingOrphans =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+      def flushOrphans(): Unit = {
+        if (pendingOrphans.isEmpty) return
+        val keep = ckpt.ckptRef match {
+          case Some(ref) =>
+            sidecarMember(ref, pendingOrphans.map(_._1).toSet)
+          case None => Set.empty[String]
+        }
+        pendingOrphans.foreach { case (rel, p) =>
+          if (!keep(rel)) { fs.delete(p, false); removed += 1 }
+        }
+        pendingOrphans.clear()
+      }
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
         // recursive: partitioned staging nests k=v dirs, and their
         // orphans must be reclaimable too. Relative paths accumulate
@@ -3265,12 +3588,19 @@ final class Instance(val spark: SparkSession, val root: String,
             val rel = s"$prefix/${e.getPath.getName}"
             if (e.isDirectory) sweep(e.getPath, rel)
             else if (!e.getPath.getName.startsWith("_") &&
-                !referenced.contains(rel) && !live.contains(rel) &&
+                !windowKeep.contains(rel) &&
                 e.getModificationTime < cutoff) {
-              fs.delete(e.getPath, false); removed += 1
+              if (ckpt.ckptRef.isEmpty) {
+                fs.delete(e.getPath, false); removed += 1
+              } else {
+                pendingOrphans += ((rel, e.getPath))
+                if (pendingOrphans.size >= 65536) flushOrphans()
+              }
             }
           }
         sweep(d.getPath, d.getPath.getName)
+        // probe + delete before the empties check below can run
+        flushOrphans()
         // prune the dir once nothing but markers remains anywhere below
         def onlyMarkers(p: Path): Boolean = fs.listStatus(p).forall(e =>
           if (e.isDirectory) onlyMarkers(e.getPath)
@@ -3357,11 +3687,15 @@ final class Instance(val spark: SparkSession, val root: String,
       else Nil
     val txn = begin()
     val st = tableStateAt(txn.readVersion)
-    val (files, ddl) = (st.files, st.ddl)
-    if (files.isEmpty ||
-        (files.size <= targetFiles && cluster.isEmpty && st.dvs.isEmpty)) {
+    val ddl = st.ddl
+    if (st.numFiles == 0L ||
+        (st.numFiles <= targetFiles && cluster.isEmpty && st.dvs.isEmpty)) {
       rollback(txn); return 0
     }
+    // a full-table compaction rewrites every live file: the name list
+    // is transient input to the rewrite plan (a segmented snapshot
+    // streams it off the side files), never retained in TableState
+    val files = liveNames(st)
     // a typo'd cluster column must fail HERE, not silently produce a
     // degenerate all-null Z key and an unclustered rewrite
     if (cluster.nonEmpty) {
@@ -3465,7 +3799,59 @@ final class Instance(val spark: SparkSession, val root: String,
     * commits). `body` must be idempotent: it re-executes per attempt
     * against a fresh snapshot. */
   def withRetry[A](maxAttempts: Int = conf.conflictMaxAttempts,
-      backoffMs: Long = conf.conflictBackoffMs)(body: Txn => A): A = {
+      backoffMs: Long = conf.conflictBackoffMs)(body: Txn => A): A =
+    withCommitLock { withRetryUnlocked(maxAttempts, backoffMs)(body) }
+
+  /** ADVISORY blocking commit lock ([[EngineConf.commitLock]]): one
+    * exclusive-create claim file under `_manifests/` serializes whole
+    * [[withRetry]] attempts, so hot-key writers queue (the reference's
+    * tran_mgr.rs:85-127 wait semantics) instead of each redoing the
+    * staging work an optimistic retry discards. Crash-released: a
+    * claim older than [[EngineConf.commitLockTimeoutMs]] is presumed
+    * dead and stolen (delete + re-create — two stealers can in theory
+    * both proceed, which only degrades to the optimistic behavior the
+    * lock is layered ON TOP of; conflict checks still guarantee
+    * correctness). A waiter that cannot acquire within the same bound
+    * throws ConflictException. */
+  private def withCommitLock[A](body: => A): A = {
+    if (!conf.commitLock) return body
+    val lockPath = new Path(manifestDir, "_commitlock")
+    val deadline = System.currentTimeMillis() + conf.commitLockTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockPath, false) // exclusive create
+        try out.write(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale =
+            try fs.getFileStatus(lockPath).getModificationTime <
+              System.currentTimeMillis() - conf.commitLockTimeoutMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) {
+            // crash release: holder exceeded the bound, steal the claim
+            try fs.delete(lockPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+          } else if (System.currentTimeMillis() >= deadline) {
+            throw new ConflictException(
+              s"commit lock at $lockPath not acquired within " +
+              s"${conf.commitLockTimeoutMs} ms")
+          } else Thread.sleep(5L)
+      }
+    }
+    try body
+    finally {
+      try fs.delete(lockPath, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def withRetryUnlocked[A](maxAttempts: Int,
+      backoffMs: Long)(body: Txn => A): A = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -3626,7 +4012,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   private def cachedBase(): (Seq[String], String, Map[String, (Long, Long)],
       Map[String, Map[String, (Long, Long)]]) = {
     val s = cachedBaseState()
-    (s.files, s.ddl, s.stats, s.colStats)
+    (s.inlineFiles, s.ddl, s.stats, s.colStats)
   }
 
   private def cachedBaseState(): TableState = {
@@ -3640,6 +4026,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
 
   /** Txn-local (read-your-own-writes) file set, schema, and id-range
     * index: snapshot state minus removed plus staged. */
+  // Txn-local INLINE state: the pinned snapshot's driver-resident
+  // names (segmented: the O(tail) part ONLY — checkpoint-covered
+  // files flow through the distributed side-file paths) minus this
+  // txn's removals plus its staged files, with the matching ddl/stats.
   private def localState(): (Seq[String], String, Map[String, (Long, Long)]) = {
     val (base, snapDdl, baseStats, _) = cachedBase()
     val files = (base.toSet -- removed ++ added).toSeq.sorted
@@ -3684,7 +4074,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * base files (without this, manifests could remove one base file
     * twice while publishing both rewrites, resurrecting deleted rows). */
   def read(): DataFrame = {
-    val (files, ddl, _) = localState()
+    val (_, ddl, _) = localState()
+    // an unpruned txn-local read enumerates every live file in its
+    // plan by construction: full names are transient plan input
+    // (segmented: streamed off the side files), never retained
+    val files = (inst.liveNames(cachedBaseState()).toSet --
+      removed ++ added).toSeq.sorted
     inst.viewOf(files, ddl, localMasks(files), localRen)
   }
 
@@ -3724,6 +4119,31 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     }
   }
 
+  /** Files whose manifest obj-id range can OVERLAP `[lo, hi]` — the
+    * interval twin of [[candidateFiles]], pruning bulk merge/delete
+    * scans by the key batch's global span. Same segmented split:
+    * O(tail) screens locally, checkpoint-covered files as one
+    * distributed side-file filter. Files with no recorded range are
+    * always candidates. */
+  private def candidateFilesRange(lo: Long, hi: Long): Seq[String] = {
+    val (files, _, stats) = localState()
+    def overlap(f: String): Boolean = stats.get(f) match {
+      case Some((mn, mx)) => mn <= hi && lo <= mx
+      case None => true
+    }
+    cachedBaseState().sidecar match {
+      case Some(sc) =>
+        val localOnly = (sc.tailLive ++ added) -- removed
+        val driverPart = files.filter(f => localOnly(f) && overlap(f))
+        val scX = sc.copy(excluded = sc.excluded ++ removed ++ added)
+        val distPart = inst.sidecarSurvivors(scX)(r =>
+          (for (mn <- r.idMin; mx <- r.idMax) yield mn <= hi && lo <= mx)
+            .getOrElse(true))
+        (driverPart ++ distPart).sorted
+      case None => files.filter(overlap)
+    }
+  }
+
   /** [[candidateFiles]] generalized to ANY indexed column: files whose
     * recorded range for `column` can contain one of `values`. Columns
     * get ranges from a multi-column [[Instance.compact]] (manifest
@@ -3736,14 +4156,25 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       values: Seq[Long]): Seq[String] = {
     if (column == "obj_id") return candidateFiles(values)
     val baseState = cachedBaseState()
-    val files = (baseState.files.toSet -- removed ++ added).toSeq.sorted
+    // txn-local INLINE names only (segmented: the O(tail) part); the
+    // checkpoint-covered bulk always flows through the distributed
+    // side-file filter below
+    val files = (baseState.inlineFiles.toSet -- removed ++ added)
+      .toSeq.sorted
     // reserved-name guard: a USER column spelled like [[RowsKey]]
-    // collides with the row-count pseudo-stat — never prune by it
+    // collides with the row-count pseudo-stat — never prune by it:
+    // EVERY live file stays a candidate (segmented: survivors under
+    // the always-true predicate)
     if ({
       val i = column.indexOf('.')
       (if (i < 0) localRen.getOrElse(column, column)
        else column.take(i)) == VersionedTable.RowsKey
-    }) return files
+    }) return baseState.sidecar match {
+      case Some(sc) =>
+        val scX = sc.copy(excluded = sc.excluded ++ removed ++ added)
+        (files ++ inst.sidecarSurvivors(scX)(_ => true)).sorted
+      case None => files
+    }
     val colStats = baseState.colStats -- removed ++ addedColStats
     val fileStats = baseState.fileStats -- removed ++ addedFileStats
     // stats indexes are keyed by PHYSICAL column name (footer-derived;
@@ -4134,12 +4565,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
       if (bounds.isNullAt(0)) return // empty source: no-op
       val lo = bounds.getLong(0); val hi = bounds.getLong(1)
-      val (files, ddl, stats) = localState()
+      val (_, ddl, _) = localState()
       val tCols = StructType.fromDDL(ddl).fieldNames.toSeq
-      val cand = files.filter(f => stats.get(f) match {
-        case Some((mn, mx)) => mn <= hi && lo <= mx
-        case None => true
-      })
+      val cand = candidateFilesRange(lo, hi)
       // base∩src rows live only in candidate files (a pruned file's id
       // range misses the whole source span), so this snapshot is the
       // exact match side for both the rewrite and the insert anti join
@@ -4207,16 +4635,13 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     // while the conflict summary records another
     val keys = keys0.select("obj_id").persist()
     try {
-      val (files, ddl, stats) = localState()
+      val (_, ddl, _) = localState()
       val bounds = keys.agg(
         org.apache.spark.sql.functions.min(col("obj_id")),
         org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
       if (bounds.isNullAt(0)) return // empty key set
       val lo = bounds.getLong(0); val hi = bounds.getLong(1)
-      val cand = files.filter(f => stats.get(f) match {
-        case Some((mn, mx)) => mn <= hi && lo <= mx
-        case None => true
-      })
+      val cand = candidateFilesRange(lo, hi)
       if (cand.nonEmpty) {
         val masks = localMasks(cand)
         val snap = inst.viewOf(cand, ddl, masks, localRen)

@@ -80,14 +80,15 @@ object WriterBench {
       }
     }
 
-    def contendedRound(): Double = {
+    def contendedRound(locked: Boolean): Double = {
       val (dir, inst0) = freshInst()
       val t0 = inst0.begin()
       t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
       inst0.commit(t0)
       timed {
         inThreads(writers) { _ =>
-          val inst = VersionedTable.open(spark, dir)
+          val inst = VersionedTable.open(spark, dir,
+            EngineConf(commitLock = locked))
           (0 until perWriter).foreach { _ =>
             inst.withRetry(maxAttempts = 64, backoffMs = 5L) { t =>
               t.upsert(Seq((1L, 1L)).toDF("obj_id", "value"))
@@ -108,12 +109,16 @@ object WriterBench {
     serialRound()
     val serial = (1 to n).map(_ => serialRound())
     val disjoint = (1 to n).map(_ => disjointRound())
-    val contended = (1 to n).map(_ => contendedRound())
+    val contended = (1 to n).map(_ => contendedRound(locked = false))
+    // opt-in blocking lock (EngineConf.commitLock): hot-key writers
+    // queue instead of thrashing optimistic retries
+    val locked = (1 to n).map(_ => contendedRound(locked = true))
     def rate(w: Double) = serialCommits / w
     println(f"""{"writers":$writers,"commits_per_round":$serialCommits,"runs":$n,""" +
       f""""serial_commits_per_s":${rate(median(serial))}%.2f,""" +
       f""""disjoint8_commits_per_s":${rate(median(disjoint))}%.2f,""" +
-      f""""contended8_commits_per_s":${rate(median(contended))}%.2f}""")
+      f""""contended8_commits_per_s":${rate(median(contended))}%.2f,""" +
+      f""""contended8_locked_commits_per_s":${rate(median(locked))}%.2f}""")
     spark.stop()
   }
 }

@@ -2052,4 +2052,100 @@ class AcidSpec extends AnyFunSuite {
     val cold2 = VersionedTable.open(spark, inst.root)
     assert(cold2.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("tiny local inserts stage through the driver fast path with full stats") {
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema)
+    val t = inst.begin()
+    t.insert(Seq((1L, 10L), (2L, 20L)).toDF("obj_id", "value"))
+    inst.commit(t)
+    // Spark task files spell part-...-c000...; the driver-side fast
+    // path writes its own single file without the task suffix
+    val f1 = inst.stateAt(1L)._1.head
+    assert(!f1.contains("c000"),
+      s"a 2-row literal insert must take the driver fast path, got $f1")
+    // footer stats are recorded exactly like the job path: the obj_id
+    // primary range prunes point ops to this one file
+    val st = inst.tableStateAt(1L)
+    assert(st.stats.values.toSeq == Seq((1L, 2L)),
+      s"fast-path file must carry the obj_id range, got ${st.stats}")
+    assert(st.fileStats.head._2.contains("value"),
+      "universal footer stats must cover the fast-path file")
+    // a wide literal batch (> fastPathRows) still takes the job path
+    val t2 = inst.begin()
+    t2.insert((100L until 300L).map(i => (i, i)).toDF("obj_id", "value"))
+    inst.commit(t2)
+    val newFiles = inst.stateAt(2L)._1.filterNot(_ == f1)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("c000")),
+      s"a 200-row batch must take the job path, got $newFiles")
+    // both generations read back as one table
+    assert(inst.read().count() == 202L)
+    val d = inst.begin(); d.delete(Seq(1L)); inst.commit(d)
+    assert(inst.read().filter(col("obj_id") === 1L).count() == 0L)
+  }
+
+  test("commit lock: hot-key writers serialize exactly; lock releases after use") {
+    val conf = graft.acid.EngineConf(commitLock = true)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
+      conf)
+    val t0 = inst.begin()
+    t0.insert(Seq((1L, 0L)).toDF("obj_id", "value"))
+    inst.commit(t0)
+    // 4 threads x 3 serialized increments of the SAME key: the lock
+    // queues them, the result is exact (no lost update, no leftover
+    // retries), and the final value proves every commit applied
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (0 until 4).map(_ => new Thread(() =>
+      try {
+        val w = VersionedTable.open(spark, inst.root, conf)
+        (0 until 3).foreach { _ =>
+          w.withRetry(maxAttempts = 64, backoffMs = 5L) { t =>
+            val cur = t.read().filter(col("obj_id") === 1L)
+              .select("value").head().getLong(0)
+            t.upsert(Seq((1L, cur + 1L)).toDF("obj_id", "value"))
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"locked writers failed: ${errs.peek()}")
+    assert(inst.read().filter(col("obj_id") === 1L)
+      .head().getAs[Long]("value") == 12L)
+    // the lock file is released, not leaked
+    val lock = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(inst.root), "_manifests/_commitlock")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inst.root), spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(lock), "commit lock must release after use")
+  }
+
+  test("commit lock: a held lock times out loudly; a stale one is crash-released") {
+    val conf = graft.acid.EngineConf(commitLock = true,
+      commitLockTimeoutMs = 800L)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
+      conf)
+    val lock = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(inst.root), "_manifests/_commitlock")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inst.root), spark.sparkContext.hadoopConfiguration)
+    // a LIVE foreign lock: the writer must give up with a
+    // ConflictException after commitLockTimeoutMs, not hang. The
+    // holder is simulated by an mtime pinned ahead of the clock —
+    // local-FS mtimes round down a wall second, so a just-created
+    // file could otherwise slide into staleness mid-wait
+    val out = hfs.create(lock, false); out.write(1); out.close()
+    hfs.setTimes(lock, System.currentTimeMillis() + 60000L, -1L)
+    val e = intercept[ConflictException] {
+      inst.withRetry() { t =>
+        t.insert(Seq((9L, 9L)).toDF("obj_id", "value"))
+      }
+    }
+    assert(e.getMessage.contains("commit lock"))
+    // age the same lock past the bound: the next writer presumes the
+    // holder crashed, steals the claim, and commits
+    hfs.setTimes(lock, System.currentTimeMillis() - 60000L, -1L)
+    inst.withRetry() { t =>
+      t.insert(Seq((9L, 9L)).toDF("obj_id", "value"))
+    }
+    assert(inst.read().filter(col("obj_id") === 9L).count() == 1L)
+    assert(!hfs.exists(lock), "stolen lock must release after commit")
+  }
 }

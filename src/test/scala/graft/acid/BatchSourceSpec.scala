@@ -416,7 +416,7 @@ class BatchSourceSpec extends AnyFunSuite {
     }
     // write-time stat collection recursed into the struct leaves
     val st = inst.tableStateAt(inst.latestVersion)
-    val someFile = st.files.head
+    val someFile = st.inlineFiles.head
     assert(st.fileStats(someFile).contains("props.country") &&
       st.fileStats(someFile).contains("props.score"),
       s"struct leaves must be stat-indexed, got ${st.fileStats(someFile).keySet}")
@@ -440,7 +440,7 @@ class BatchSourceSpec extends AnyFunSuite {
         col("s").as("score")).as("props")).coalesce(1))
     inst2.commit(t2)
     val st2 = inst2.tableStateAt(inst2.latestVersion)
-    val keys2 = st2.fileStats(st2.files.head).keySet
+    val keys2 = st2.fileStats(st2.inlineFiles.head).keySet
     assert(keys2.contains("props.score") && !keys2.contains("props.country"),
       s"explicit list must narrow the index, got $keys2")
   }

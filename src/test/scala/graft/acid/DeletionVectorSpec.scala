@@ -46,7 +46,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(contents(inst) == Seq((1L, 10L), (3L, 30L)))
     // NO file was rewritten: same data files, plus a dv entry
     val st = inst.tableStateAt(2L)
-    assert(st.files == filesBefore)
+    assert(st.inlineFiles == filesBefore)
     assert(st.dvs.size == 1 && st.dvs.head._2.size == 1)
     // pre-delete version still sees the row (CoW-grade time travel)
     assert(inst.snapshot(1L).count() == 3L)
@@ -248,7 +248,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(contents(inst) == Seq((1L, 10L), (2L, 200L), (3L, 30L)))
     // the original file was NOT rewritten — masked + one new file
     val st = inst.tableStateAt(inst.latestVersion)
-    assert(files1.forall(st.files.contains))
+    assert(files1.forall(st.inlineFiles.contains))
     assert(st.dvs.size == 1)
     // CDC classifies the pair as an update (same commit: pre+post)
     val ch = inst.changes(1L, 2L).orderBy("_change").collect()
@@ -320,13 +320,13 @@ class DeletionVectorSpec extends AnyFunSuite {
     inst.commit(t0)
     val t = inst.begin(); t.deleteMoR(Seq(2L)); inst.commit(t)
     val before = inst.tableStateAt(inst.latestVersion)
-    val unmaskedFile = before.files.filterNot(before.dvs.contains)
+    val unmaskedFile = before.inlineFiles.filterNot(before.dvs.contains)
     assert(inst.materializeDvs() == 1)
     val after = inst.tableStateAt(inst.latestVersion)
     assert(after.dvs.isEmpty)
     // the unmasked file survived untouched; the masked one is gone
-    assert(unmaskedFile.forall(after.files.contains))
-    assert(before.dvs.keys.forall(f => !after.files.contains(f)))
+    assert(unmaskedFile.forall(after.inlineFiles.contains))
+    assert(before.dvs.keys.forall(f => !after.inlineFiles.contains(f)))
     assert(contents(inst) == Seq((1L, 10L), (9L, 90L)))
     assert(inst.materializeDvs() == 0) // idempotent no-op when clean
 
@@ -394,7 +394,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val sidecar = st.dvs.head._2.head
     assert(sidecar.startsWith("dvp-"), s"expected positional sidecar: $sidecar")
     // the mask is one ordinal, not an id list
-    val mask = inst.resolveDvs(st.dvs, st.files)(st.dvs.head._1)
+    val mask = inst.resolveDvs(st.dvs, st.inlineFiles)(st.dvs.head._1)
     assert(mask.ids.isEmpty && mask.pos.iterator.toSeq == Seq(1L))
     // a manifest referencing a positional sidecar locks out pre-gen-5
     // readers; the pre-delete manifest stays at its own minimum
@@ -408,7 +408,7 @@ class DeletionVectorSpec extends AnyFunSuite {
   test("mixed legacy and positional sidecars on one file both apply") {
     val inst = mk(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
     val st = inst.tableStateAt(1L)
-    val file = st.files.head
+    val file = st.inlineFiles.head
     // a legacy (id-keyed) sidecar as an older-generation writer left it,
     // beside a positional one from the current writer
     val legacy = inst.writeDvSidecar(Map(file -> Seq(2L)))

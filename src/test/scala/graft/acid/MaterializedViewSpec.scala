@@ -153,8 +153,14 @@ class MaterializedViewSpec extends AnyFunSuite {
     // update ±1 — the copy-back of row 3 inside v2 cancels exactly
     assert(net == Seq((2L, "b", 21L, 1L), (3L, "b", 30L, 1L)),
       s"got $net")
-    // tail interval: only the MoR delete — one -1 row
+    // tail interval: only the MoR delete nets — one -1 row. RAW rows
+    // are layout-dependent (a dv delta re-reads the masked file, so
+    // unmasked co-resident rows appear as canceling ± pairs; the
+    // driver fast path packs the insert into one file, making that
+    // visible) — the contract is the NET multiplicity.
     val tail = src.weightedDelta(2L, 3L)
+      .groupBy("obj_id", "grp", "v").agg(sum("_w").as("w"))
+      .filter(col("w") =!= 0L)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(tail == Seq((1L, -1L)), s"got $tail")
   }

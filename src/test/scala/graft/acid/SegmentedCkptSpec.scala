@@ -52,7 +52,7 @@ class SegmentedCkptSpec extends AnyFunSuite {
       "v2 should be a segmented checkpoint")
     assert(inst.readManifest(2L).allFiles.isEmpty,
       "segmented checkpoint must not inline the file list")
-    assert(st3.sidecar.isDefined && st3.files.size == 3)
+    assert(st3.sidecar.isDefined && st3.numFiles == 3)
     // stats maps hold ONLY the tail (v3's file)
     assert(st3.fileStats.size <= 1,
       s"stat maps must stay tail-only, got ${st3.fileStats.size}")
@@ -225,10 +225,14 @@ class SegmentedCkptSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     val st = inst.tableStateAt(2L)
     val foldMs = (System.nanoTime() - t0) / 1000000L
-    assert(st.files.size == n, s"expected $n live files, got ${st.files.size}")
-    // THE scale contract: the driver holds names, never the stat maps
+    assert(st.numFiles == n, s"expected $n live files, got ${st.numFiles}")
+    // THE scale contract: the driver holds neither the stat maps NOR
+    // the name list — the exact count is manifest arithmetic and the
+    // 50k names stay columnar in the side files
     assert(st.stats.isEmpty && st.fileStats.isEmpty && st.colStats.isEmpty,
       "segmented fold must not materialize stat maps on the driver")
+    assert(st.inlineFiles.isEmpty,
+      "segmented fold must hold ZERO driver-resident names (empty tail)")
     assert(st.sidecar.isDefined)
 
     // distributed point-op skipping over all 50k files: exact survivor
@@ -302,6 +306,28 @@ class SegmentedCkptSpec extends AnyFunSuite {
       parts(0).getLong(1) == 50000L && !parts(0).isNullAt(2) &&
       parts(0).getLong(2) == 50000000L,
       s"got ${parts.mkString(", ")}")
+
+    // the tail is the ONLY driver-resident name surface: after one
+    // real commit on top of the 50k-file checkpoint, TableState holds
+    // exactly that commit's file — count stays exact by arithmetic
+    val t3 = inst.begin()
+    t3.insert(Seq((999999999L, 5L)).toDF("obj_id", "value"))
+    inst.commit(t3) // v3
+    val stTail = inst.tableStateAt(3L)
+    assert(stTail.numFiles == n + 1,
+      s"arithmetic live count must track the tail, got ${stTail.numFiles}")
+    assert(stTail.inlineFiles.size == 1,
+      s"driver-resident names must be O(tail), got ${stTail.inlineFiles.size}")
+    // the $files admin surface streams the side files: it enumerates
+    // all 50k+1 rows distributedly with the recorded sizes (zero
+    // status RPCs would fail loudly here — the synthetic names do not
+    // exist on disk)
+    val fcount = inst.files().where(col("size_bytes") === 4096L).count()
+    assert(fcount == n.toLong, s"$$files must stream side-car rows, got $fcount")
+    // $detail: same distributed size fold + exact arithmetic count
+    val det = inst.detail().head()
+    assert(det.getAs[Long]("num_files") == n + 1L)
+    assert(det.getAs[Long]("size_bytes") >= 4096L * n)
   }
 
   test("a lost-race or crashed side-file write is swept by vacuum; live ones survive") {
