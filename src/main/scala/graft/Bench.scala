@@ -83,6 +83,28 @@ object Bench {
     // accuracy is otherwise invisible to the driver artifacts).
     // Computed AFTER the timing loop so it never skews the medians;
     // skipped silently if the narrowed run excluded the ANN keys.
+    // host-drift NORMALIZATION CANARY: n=5 isolated medians of three
+    // keys no round has touched since round 1 (pure relational paths
+    // with disjoint operators). Uniform host slowdowns (JIT, cgroup,
+    // thermal — the round-2/4/6/8 re-litigations) move these keys by
+    // the same factor as everything else; a real regression moves its
+    // key ABOVE the canary ratio. Measured after the timing loop, each
+    // key back-to-back (isolated), so the round-robin loop's medians
+    // stay untouched and the artifact carries both views.
+    val canaryJson =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) ""
+      else {
+        val canaryKeys = Seq("q17_arithmetic", "q13_percentile", "q02_filter")
+        val entries = canaryKeys.flatMap { k =>
+          SparkEntry.queries.get(k).map { q =>
+            val xs = (1 to 5).map(_ => once(k, Q.noOracle(q))).filter(_ >= 0)
+            k -> (if (xs.isEmpty) -1.0 else median(xs))
+          }
+        }
+        if (entries.isEmpty) ""
+        else entries.map { case (k, v) => f""""$k":$v%.3f""" }
+          .mkString(""","canary":{""", ",", "}")
+      }
     val recallJson =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) ""
       else try {
@@ -110,7 +132,7 @@ object Bench {
         f""","recall":{"q26_ann_ivf":$ivf%.3f,"q26_ann_lsh":$lsh%.3f,""" +
           f""""q26_ann_ivf_probe12":$ivf12%.3f}"""
       } catch { case _: Throwable => "" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$recallJson%s}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$recallJson%s}""")
     spark.stop()
   }
 }

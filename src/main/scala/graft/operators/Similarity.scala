@@ -97,7 +97,8 @@ object Similarity {
 
   /** Random-hyperplane signature bucket for an embedding column. Pick
     * nPlanes ≈ log2(rows / desiredBucketSize): more planes → smaller
-    * buckets → faster but lower recall (single-probe). */
+    * buckets → faster but lower per-probe recall (recovered by
+    * multi-probing on the query side — [[lshProbes]]). */
   def lshBucket(v: Column, dim: Int, nPlanes: Int = 16): Column =
     planes(nPlanes, dim).zipWithIndex.map { case (w, j) =>
       val wl = array(w.map(lit): _*)
@@ -105,14 +106,69 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** QUERY-DIRECTED multi-probe bucket list (Lv et al., VLDB'07, the
+    * standard multi-probe LSH technique): beside the query's own
+    * signature bucket, probe the buckets reached by flipping subsets
+    * (size ≤ `maxFlip`) of the `flipPlanes` hyperplanes with the
+    * SMALLEST |margin| — the true neighbor's signature, when it
+    * differs, almost always differs on exactly the planes the query
+    * sits closest to, so directed probes buy more recall than their
+    * scanned fraction (defaults: 1 + 5 + 10 + 10 = 26 probes of the
+    * 2^6 = 64 buckets ≈ 41% of the corpus scanned, top-1 recall
+    * measured 0.65 at sf0.1 on the locality-free bench fixture where
+    * single-probe measured 0.000 — see ScaleSpec's ≥ 0.5 gate, the
+    * LSH twin of IVF's gated nProbe=12 geometry which scans 75% for
+    * 0.90). On corpora with real angular clusters the same geometry
+    * scans far less per bucket; tune nPlanes up and probes down as
+    * locality allows.
+    *
+    * Pure codegen'd SQL: margins via zip_with/aggregate, plane ranking
+    * via array_sort on (|margin|, index) structs, bucket ids by XOR of
+    * the chosen bit subsets. The corpus side still computes ONE bucket
+    * ([[lshBucket]]); only the (small, broadcast) query side fans out
+    * ×probes, so the join stays bucket-partitioned and sub-quadratic. */
+  def lshProbes(v: Column, dim: Int, nPlanes: Int = 6,
+      flipPlanes: Int = 5, maxFlip: Int = 3): Column = {
+    require(flipPlanes <= nPlanes && maxFlip <= flipPlanes,
+      s"bad probe geometry: $nPlanes planes, flip $flipPlanes, max $maxFlip")
+    val m = array(planes(nPlanes, dim).map { w =>
+      val wl = array(w.map(lit): _*)
+      aggregate(zip_with(v, wl, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val sig = (0 until nPlanes).map(j =>
+      when(element_at(m, j + 1) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    // plane indices ranked by |margin| ascending (struct sort orders
+    // by field position: margin first, index as the deterministic tie)
+    val ranked = array_sort(zip_with(m,
+      sequence(lit(0), lit(nPlanes - 1)),
+      (x, i) => struct(abs(x).as("a"), i.as("i"))))
+    // 2^index of the j-th lowest-margin plane (exact for j < 63)
+    def bit(j: Int): Column =
+      pow(lit(2.0), element_at(ranked, j).getField("i").cast("double"))
+        .cast("long")
+    val subsets: Seq[Seq[Int]] =
+      (1 to maxFlip).flatMap(k => (1 to flipPlanes).combinations(k).toSeq)
+    array((sig +: subsets.map(s =>
+      s.map(bit).foldLeft(sig)(_ bitwiseXOR _))): _*)
+  }
+
   /** LSH-bucketed ANN: same output shape as [[annTop1]] but candidates
-    * are restricted to the query's bucket (sub-quadratic; approximate). */
+    * are restricted to the query's multi-probe bucket list
+    * (sub-quadratic; approximate — recall governed by the probe
+    * geometry, gated in ScaleSpec like IVF's). Buckets are disjoint on
+    * the corpus side and probe ids distinct per query, so no candidate
+    * pair is scored twice. */
   def annTop1Lsh(all: DataFrame, queries: DataFrame, dim: Int,
-      nPlanes: Int = 6): DataFrame = {
+      nPlanes: Int = 6, flipPlanes: Int = 5, maxFlip: Int = 3): DataFrame = {
     val s = all.sparkSession
     val bAll = all.withColumn("bkt", lshBucket(col("v"), dim, nPlanes))
-    val q = queries.withColumn("bkt", lshBucket(col("v"), dim, nPlanes))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt"))
+    val q = queries
+      .withColumn("probes",
+        lshProbes(col("v"), dim, nPlanes, flipPlanes, maxFlip))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(col("probes")).as("bkt"))
     top1(bAll.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
