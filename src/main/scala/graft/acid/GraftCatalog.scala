@@ -260,9 +260,47 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "restore" => new RestoreProcedure(this)
       case "create_mv" => new CreateMvProcedure(this)
       case "refresh_mv" => new RefreshMvProcedure(this)
+      case "set_partitioning" => new SetPartitioningProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
-        "materialize, restore, create_mv, refresh_mv)")
+        "materialize, restore, create_mv, refresh_mv, set_partitioning)")
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION: replace the identity-partition column
+    * list for NEW writes — metadata-only (one `_catalog.json`
+    * rewrite, zero data IO). Old files keep their layout: readers
+    * already union mixed layouts per file, partition-filter pruning
+    * stays conservative for files without the segment (they fall back
+    * to their footer stats), and a later `CALL system.compact`
+    * re-lays the old generation out under the current spec when
+    * pruning on the new key matters for it. At 100 TB yesterday's
+    * partition key is tomorrow's skew — the spec must be able to move
+    * without rewriting the table. */
+  /** The current identity-partition columns of `dotted`, if any. */
+  private[acid] def partitionColsFor(dotted: String): Option[Seq[String]] = {
+    val parts = dotted.split('.')
+    readPartitionBy(Identifier.of(parts.dropRight(1), parts.last))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  private[acid] def setPartitioning(dotted: String,
+      cols: Seq[String]): Unit = {
+    val parts = dotted.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val inst = openInstance(dotted)
+    val schemaCols = StructType
+      .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
+    cols.foreach(c => require(schemaCols.contains(c),
+      s"partition column $c not in table schema"))
+    val p = new Path(tablePath(ident), "_catalog.json")
+    if (fs.exists(p)) fs.delete(p, false)
+    if (cols.nonEmpty) {
+      val out = fs.create(p, false)
+      out.write(s"""{"partitionBy":"${cols.mkString(",")}"}"""
+        .getBytes("UTF-8"))
+      out.close()
     }
   }
 
@@ -526,11 +564,42 @@ private[acid] final class CompactProcedure(cat: GraftCatalog)
       .comment("comma-separated cluster columns; empty = none")
       .defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val dotted = input.getUTF8String(0).toString
+    val inst = cat.openInstance(dotted)
     val cluster = input.getUTF8String(2).toString
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    val replaced = inst.compact(input.getInt(1), clusterBy = cluster)
+    // the catalog's CURRENT spec drives the rewrite layout, so a
+    // compaction after set_partitioning migrates the old generation;
+    // tables without a spec keep the inferred-from-paths behavior
+    val replaced = inst.compact(input.getInt(1), clusterBy = cluster,
+      partitionBy = cat.partitionColsFor(dotted))
     java.util.Collections.singletonList[Scan](
       new MetricScan("replaced_files", replaced.toLong)).iterator()
+  }
+}
+
+/** `CALL system.set_partitioning(table, partition_by)` — partition-
+  * spec evolution: metadata-only change of the identity-partition
+  * columns for NEW writes (see [[GraftCatalog.setPartitioning]]). */
+private[acid] final class SetPartitioningProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_partitioning"
+  override def description(): String =
+    "Replace the table's identity-partition columns for new writes " +
+    "(metadata-only; existing files keep their layout; compact migrates)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("partition_by", StringType)
+      .comment("comma-separated identity partition columns; empty = " +
+        "unpartition").defaultValue("''").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val cols = input.getUTF8String(1).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    cat.setPartitioning(input.getUTF8String(0).toString, cols)
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("partition_columns", cols.size.toLong)).iterator()
   }
 }

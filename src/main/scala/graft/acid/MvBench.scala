@@ -37,8 +37,14 @@ object MvBench {
       val dir = Files.createTempDirectory("graft_mvbench_").toUri.toString
       val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
       val t = inst.begin()
+      // CONSTANT file size across table sizes (like any deployment
+      // with a target file size): the churn then touches the same
+      // file volume at every scale — the delta the O(churn) claim is
+      // about. Scaling the file size WITH the table would instead
+      // measure the CoW copy-back growing, a layout artifact.
       t.insert(spark.range(rows).select(col("id").as("obj_id"),
-        (col("id") % 1000L).as("value")).repartition(8))
+        (col("id") % 1000L).as("value"))
+        .repartitionByRange((rows / 2500L).toInt, col("obj_id")))
       inst.commit(t)
       val viewDir = Files.createTempDirectory("graft_mvview_").toUri.toString
       val mv = MaterializedAggView.create(spark, viewDir, inst,

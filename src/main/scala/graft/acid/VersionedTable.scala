@@ -3677,9 +3677,18 @@ final class Instance(val spark: SparkSession, val root: String,
     * because only obj_id ranges were indexed. A single-column
     * `clusterBy` is a plain range cluster on that column.
     *
+    * `partitionBy` overrides the rewrite's hive layout (logical
+    * names): None infers it from the current file paths (the restore-
+    * after-CoW behavior); Some(cols) re-lays every file out under THAT
+    * spec — the migration arm of partition-spec evolution (a spec
+    * change is metadata-only and applies to new writes; one compaction
+    * migrates the old generation when pruning on the new key matters
+    * for it). Some(Nil) un-partitions.
+    *
     * Returns the number of files replaced (0 = nothing to do). */
   def compact(targetFiles: Int = 1, clusterByObjId: Boolean = false,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      partitionBy: Option[Seq[String]] = None): Int = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val cluster =
       if (clusterBy.nonEmpty) clusterBy
@@ -3716,11 +3725,20 @@ final class Instance(val spark: SparkSession, val root: String,
     // path segments spell PHYSICAL names; writeStaged takes logical
     // (and maps back), so invert the column mapping here
     val logicalOf = st.renames.map(_.swap)
-    val partCols = files.flatMap(_.split('/').drop(1).dropRight(1))
-      .flatMap { seg =>
-        val i = seg.indexOf('=')
-        if (i > 0) Some(seg.substring(0, i)) else None
-      }.distinct.map(p => logicalOf.getOrElse(p, p)).sorted
+    val partCols: Seq[String] = partitionBy.getOrElse(
+      files.flatMap(_.split('/').drop(1).dropRight(1))
+        .flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i > 0) Some(seg.substring(0, i)) else None
+        }.distinct.map(p => logicalOf.getOrElse(p, p)).sorted)
+    val missingPart = partCols.filterNot(
+      StructType.fromDDL(ddl).map(_.name).toSet)
+    if (missingPart.nonEmpty) {
+      rollback(txn)
+      throw new IllegalArgumentException(
+        s"partitionBy column(s) ${missingPart.mkString(", ")} " +
+        "not in table schema")
+    }
     // compaction MATERIALIZES outstanding deletion vectors: the rewrite
     // reads through the masks and the retired files' dv entries drop
     // with them, healing read overhead back to zero

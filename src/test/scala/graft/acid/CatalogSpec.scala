@@ -267,6 +267,44 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 16L)
   }
 
+  test("partition-spec evolution: metadata-only; new writes re-lay out; compact migrates") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.pev")
+    sql("CREATE TABLE gcat.pev.t (obj_id BIGINT, lang STRING, n BIGINT)")
+    sql("INSERT INTO gcat.pev.t VALUES (1, 'en', 5), (2, 'de', 7)")
+    // evolve the spec: metadata-only (zero data IO), applies to NEW
+    // writes only — the old generation keeps its flat layout
+    sql("CALL gcat.system.set_partitioning('pev.t', partition_by => 'lang')")
+    sql("INSERT INTO gcat.pev.t VALUES (3, 'en', 11), (4, 'fr', 13)")
+    // reads are correct across the generation boundary
+    assert(sql("SELECT sum(n) FROM gcat.pev.t").head().getLong(0) == 36L)
+    assert(sql("SELECT sum(n) FROM gcat.pev.t WHERE lang = 'en'")
+      .head().getLong(0) == 16L)
+    // the new generation actually carries the hive layout; the old one
+    // stays flat (mixed groups in $partitions)
+    val gen1 = sql("SELECT partition_values FROM gcat.pev.`t$partitions`")
+      .collect().map(_.getString(0)).toSet
+    assert(gen1.contains("") && gen1.contains("lang=en") &&
+      gen1.contains("lang=fr"), s"got $gen1")
+    // one compaction migrates the old generation under the current spec
+    sql("CALL gcat.system.compact('pev.t', target_files => 1)")
+    val gen2 = sql("SELECT partition_values FROM gcat.pev.`t$partitions`")
+      .collect().map(_.getString(0)).toSet
+    assert(gen2 == Set("lang=en", "lang=de", "lang=fr"), s"got $gen2")
+    assert(sql("SELECT sum(n) FROM gcat.pev.t WHERE lang = 'de'")
+      .head().getLong(0) == 7L)
+    // partition pruning now prunes BOTH generations' rows by path
+    assert(sql("SELECT count(*) FROM gcat.pev.t WHERE lang = 'en'")
+      .head().getLong(0) == 2L)
+    // evolve again: unpartition for new writes
+    sql("CALL gcat.system.set_partitioning('pev.t', partition_by => '')")
+    sql("INSERT INTO gcat.pev.t VALUES (5, 'de', 17)")
+    assert(sql("SELECT sum(n) FROM gcat.pev.t WHERE lang = 'de'")
+      .head().getLong(0) == 24L)
+    // an unknown column is rejected before the spec moves
+    intercept[Exception](sql(
+      "CALL gcat.system.set_partitioning('pev.t', partition_by => 'nope')"))
+  }
+
   test("CALL system.restore rolls back as a new commit; history stays time-travelable") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.rst")
     sql("CREATE TABLE gcat.rst.t (obj_id BIGINT, value BIGINT)")
