@@ -404,7 +404,47 @@ object AcidQueries {
       "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
       "CAST(sum_v AS BIGINT) AS sum_v " +
       "FROM (VALUES ('a', 1, 30), ('b', 2, 75)) AS t(grp, cnt, sum_v) " +
-      "ORDER BY grp")((s, _) => filteredMvScenario(s)))
+      "ORDER BY grp")((s, _) => filteredMvScenario(s)),
+
+    // MIN/MAX materialized view: the DELETE kills group a's stored
+    // minimum (targeted recompute path), the UPDATE raises group b's
+    // maximum (pure least/greatest fold), and a plain insert extends a
+    // min — final view is a hand-computable constant
+    "q66_minmax_mv" -> Q(
+      "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v " +
+      "FROM (VALUES ('a', 2, 8, 40), ('b', 2, 20, 90)) " +
+      "AS t(grp, cnt, min_v, max_v) ORDER BY grp")(
+      (s, _) => minmaxMvScenario(s)))
+
+  /** Full-SQL min/max-view lifecycle (see q66 above): insert
+    * {1:a/10, 2:a/40, 3:b/20, 4:b/50}, materialize count+min+max by
+    * grp, then DELETE row 1 (group a's stored min 10 dies — the
+    * refresh must RECOMPUTE group a: min becomes 40), UPDATE row 4 to
+    * v=90 (group b's max rises — pure greatest fold; its old max 50
+    * also dies, exercising death+cover in one interval), and INSERT
+    * row 5 a/8 (min extends via least). Final: a:(2,8,40),
+    * b:(2,20,90). */
+  def minmaxMvScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq66$tag"
+    val wh = Files.createTempDirectory("graft_wh_q66_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.mv.src (obj_id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.mv.src VALUES " +
+      "(1, 'a', 10), (2, 'a', 40), (3, 'b', 20), (4, 'b', 50)") // v1
+    spark.sql(s"CALL $cat.system.create_mv('mv.agg', source => 'mv.src', " +
+      "group_by => 'grp', mins => 'v', maxs => 'v')")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    spark.sql(s"DELETE FROM $cat.mv.src WHERE obj_id = 1")       // v2: min dies
+    spark.sql(s"UPDATE $cat.mv.src SET v = 90 WHERE obj_id = 4") // v3: max up
+    spark.sql(s"INSERT INTO $cat.mv.src VALUES (5, 'a', 8)")     // v4: min ext
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    // final rows: a = {40, 8} -> (2, 8, 40); b = {20, 90} -> (2, 20, 90)
+    spark.sql(s"SELECT grp, cnt, min_v, max_v FROM $cat.mv.agg ORDER BY grp")
+  }
 
   /** Full-SQL filtered-view lifecycle (see q65 above): insert
     * {1:a/10, 2:a/3, 3:b/50, 4:b/20}, materialize counts+sums by grp

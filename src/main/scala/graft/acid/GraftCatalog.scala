@@ -508,20 +508,25 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
     ProcedureParameter.in("where", StringType)
       .comment("optional SQL predicate over source columns restricting " +
         "the view's rows; empty = whole table")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("mins", StringType)
+      .comment("comma-separated columns to keep MIN of (orderable; a " +
+        "deleted extremum triggers a targeted group recompute)")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("maxs", StringType)
+      .comment("comma-separated columns to keep MAX of")
       .defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    def list(i: Int): Seq[String] = input.getUTF8String(i).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val viewName = input.getUTF8String(0).toString
     val src = cat.openInstance(input.getUTF8String(1).toString)
-    val groups = input.getUTF8String(2).toString
-      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    val sums = input.getUTF8String(3).toString
-      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val where = Option(input.getUTF8String(4).toString.trim)
       .filter(_.nonEmpty)
     val viewPath = cat.pathFor(viewName)
     MaterializedAggView.create(SparkSession.active, viewPath.toString, src,
-      groups, sums, sourceSpec = Some(input.getUTF8String(1).toString),
-      where = where)
+      list(2), list(3), sourceSpec = Some(input.getUTF8String(1).toString),
+      where = where, minCols = list(5), maxCols = list(6))
     java.util.Collections.singletonList[Scan](
       new MetricScan("created_version", 0L)).iterator()
   }

@@ -19,9 +19,23 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * all NULL is NULL, not 0; without the witness a maintained 0 and a
   * true NULL are indistinguishable). `avg` is `sum/cnt` at read.
   * COUNT and SUM are *self-maintainable* aggregates: a change delta
-  * alone updates them exactly (MIN/MAX are not — a deleted extremum
-  * forces a rescan — and are deliberately out of scope; answer those
-  * with metadata-only aggregate pushdown instead).
+  * alone updates them exactly.
+  *
+  * MIN/MAX (`min_<c>` / `max_<c>`, any atomic orderable type) are NOT
+  * self-maintainable — a deleted extremum invalidates the stored value
+  * — so refresh maintains them with the standard IVM split: inserts
+  * fold as `least/greatest(stored, inserted-extremum)` (exact, free),
+  * and a group is RECOMPUTED from the source snapshot only when the
+  * interval deleted a value at the stored extremum WITHOUT inserting
+  * one at least as extreme (if `ins_min <= del_min` the inserted value
+  * already covers any death: every remaining row is >= the old min, so
+  * the new min is exactly `least(stored, ins)` — this also makes CoW
+  * copy-backs self-cancel, since a copied-back extremum appears on
+  * both sides). The recompute is a ONE-JOB scan of the source
+  * restricted to the dirty groups (semi join by group hash), O(dirty
+  * groups' rows) — proportional to extremum churn, not the table; a
+  * view whose extrema never die never rescans, and a COUNT/SUM-only
+  * view never rescans at all.
   *
   * An optional `WHERE` predicate (over source columns, head logical
   * names) restricts the view to matching rows. COUNT/SUM stay
@@ -79,14 +93,16 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
 final class MaterializedAggView private (
     val source: Instance, val view: Instance,
     val groupCols: Seq[String], val sumCols: Seq[String],
+    val minCols: Seq[String], val maxCols: Seq[String],
     val where: Option[String],
-    // fixed PHYSICAL names of the group/sum columns, captured at
-    // create: refresh re-resolves them to the head's logical names,
+    // fixed PHYSICAL names of the group/sum/min/max columns, captured
+    // at create: refresh re-resolves them to the head's logical names,
     // so renaming a view column in the source neither breaks the
     // refresh nor (worse) folds pre-rename rows into the NULL group.
     // None = legacy definition; the stored logical names are assumed
     // still current and their physicals derived from the head.
-    groupPhys0: Option[Seq[String]], sumPhys0: Option[Seq[String]]) {
+    groupPhys0: Option[Seq[String]], sumPhys0: Option[Seq[String]],
+    minPhys0: Option[Seq[String]], maxPhys0: Option[Seq[String]]) {
 
   private def appId: String = "mv:" + view.root
 
@@ -133,33 +149,55 @@ final class MaterializedAggView private (
           }
       val gNow = resolve(groupPhys0, groupCols)
       val sNow = resolve(sumPhys0, sumCols)
+      val mNow = resolve(minPhys0, minCols)
+      val xNow = resolve(maxPhys0, maxCols)
       // the signed row delta — NOT the classified change feed: an
       // aggregate needs net multiplicities only, and weightedDelta skips
       // the feed's per-row identity diff (copy-backs cancel in the Σ)
       val weighted0 = source.weightedDelta(last, head, alignToHead = true)
       val weighted = where.fold(weighted0)(p => weighted0.filter(expr(p)))
         // back to the view's own (create-time) column names
-        .select(((gNow ++ sNow).distinct.map { case (now, orig) =>
-          col(now).as(orig) } :+ col("_w")): _*)
+        .select(((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
+          case (now, orig) => col(now).as(orig) } :+ col("_w")): _*)
       val aggs: Seq[Column] =
-        sum(col("_w")).as("cnt") +: sumCols.flatMap(c => Seq(
+        sum(col("_w")).as("cnt") +:
+        (sumCols.flatMap(c => Seq(
           sum(col(c).cast("long") * col("_w")).as(s"sum_$c"),
           sum(when(col(c).isNotNull, col("_w")).otherwise(lit(0L)))
-            .as(s"nn_$c")))
+            .as(s"nn_$c"))) ++
+        // inserted/deleted extremum candidates of the interval: the
+        // insert side becomes the merge's least/greatest input (and
+        // the INSERT value, spelled with the view column's name); the
+        // delete side is the death detector
+        minCols.flatMap(c => Seq(
+          min(when(col("_w") > 0, col(c))).as(s"min_$c"),
+          min(when(col("_w") < 0, col(c))).as(s"del_min_$c"))) ++
+        maxCols.flatMap(c => Seq(
+          max(when(col("_w") > 0, col(c))).as(s"max_$c"),
+          max(when(col("_w") < 0, col(c))).as(s"del_max_$c"))))
       val delta = weighted
         .groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         // an interval whose effects cancel exactly (e.g. an update that
         // kept the group and the summed values) must neither rewrite
         // the group's file nor insert a zero group; nn participates —
-        // a NULL→0 update moves nn without moving cnt or the sum
-        .filter(col("cnt") =!= 0L || sumCols.map(c =>
+        // a NULL→0 update moves nn without moving cnt or the sum —
+        // and any min/max activity keeps the group in play (the merge
+        // decides whether it actually changes anything)
+        .filter(col("cnt") =!= 0L || (sumCols.map(c =>
           coalesce(col(s"sum_$c"), lit(0L)) =!= 0L ||
-            col(s"nn_$c") =!= 0L)
+            col(s"nn_$c") =!= 0L) ++
+          minCols.map(c => col(s"min_$c").isNotNull ||
+            col(s"del_min_$c").isNotNull) ++
+          maxCols.map(c => col(s"max_$c").isNotNull ||
+            col(s"del_max_$c").isNotNull))
           .foldLeft(lit(false))(_ || _))
         .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
         .select(("obj_id" +: groupCols ++: "cnt" +:
-          sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c"))).map(col): _*)
+          (sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+           minCols.flatMap(c => Seq(s"min_$c", s"del_min_$c")) ++
+           maxCols.flatMap(c => Seq(s"max_$c", s"del_max_$c"))))
+          .map(col): _*)
       try {
         view.withRetry() { t =>
           // the delta above is valid ONLY against watermark `last`; if
@@ -171,7 +209,59 @@ final class MaterializedAggView private (
               .exists(w => math.max(0L, w) != last))
             throw new StaleWatermark
           t.markEpoch(appId, head, fence = true)
-          t.merge(delta,
+          // min/max death repair: groups whose stored extremum the
+          // interval deleted without covering (see class doc) get
+          // ABSOLUTE recomputed values from the head snapshot, scanned
+          // once and restricted to exactly those groups by group hash
+          val deltaFinal =
+            if (minCols.isEmpty && maxCols.isEmpty) delta
+            else {
+              val stored = t.read().select((col("obj_id").as("_vid") +:
+                minCols.map(c => col(s"min_$c").as(s"_t_min_$c")) ++:
+                maxCols.map(c => col(s"max_$c").as(s"_t_max_$c"))): _*)
+              val joined = delta.join(stored,
+                col("obj_id") === col("_vid"), "left")
+              val dirtyCond =
+                (minCols.map(c =>
+                  col(s"del_min_$c").isNotNull && col("_vid").isNotNull &&
+                  (col(s"_t_min_$c").isNull ||
+                    col(s"del_min_$c") <= col(s"_t_min_$c")) &&
+                  (col(s"min_$c").isNull ||
+                    col(s"min_$c") > col(s"del_min_$c"))) ++
+                 maxCols.map(c =>
+                  col(s"del_max_$c").isNotNull && col("_vid").isNotNull &&
+                  (col(s"_t_max_$c").isNull ||
+                    col(s"del_max_$c") >= col(s"_t_max_$c")) &&
+                  (col(s"max_$c").isNull ||
+                    col(s"max_$c") < col(s"del_max_$c"))))
+                .reduce(_ || _)
+              val flagged = joined.withColumn("_dirty",
+                coalesce(dirtyCond, lit(false)))
+              val dirtyKeys = flagged.filter(col("_dirty"))
+                .select(col("obj_id").as("_did"))
+              // ONE bounded scan: head snapshot, the view's predicate,
+              // restricted to dirty groups by hash (null group keys
+              // hash like any value, so no null-join pitfalls)
+              val mmSel = (mNow ++ xNow).distinct
+              val srcRows = where.fold(source.snapshot(head))(p =>
+                source.snapshot(head).filter(expr(p)))
+                .select((gNow.map { case (now, orig) =>
+                  col(now).as(orig) } ++
+                  mmSel.map { case (now, orig) => col(now).as(orig) }): _*)
+                .withColumn("_sid", xxhash64(groupCols.map(col): _*))
+                .join(dirtyKeys, col("_sid") === col("_did"), "left_semi")
+              val absAggs =
+                minCols.map(c => min(col(c)).as(s"_abs_min_$c")) ++
+                maxCols.map(c => max(col(c)).as(s"_abs_max_$c"))
+              val recomputed = srcRows.groupBy(col("_sid"))
+                .agg(absAggs.head, absAggs.tail: _*)
+              flagged.join(recomputed,
+                  col("obj_id") === col("_sid"), "left")
+                .drop(("_vid" +: "_sid" +:
+                  (minCols.map(c => s"_t_min_$c") ++
+                   maxCols.map(c => s"_t_max_$c"))): _*)
+            }
+          t.merge(deltaFinal,
             matchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
             matchedUpdate =
               Map("cnt" -> (col("t.cnt") + col("s.cnt"))) ++
@@ -182,7 +272,13 @@ final class MaterializedAggView private (
                     .otherwise(coalesce(col(s"t.sum_$c"), lit(0L)) +
                       coalesce(col(s"s.sum_$c"), lit(0L))),
                   s"nn_$c" -> nn)
-              }.toMap,
+              }.toMap ++
+              minCols.map(c => s"min_$c" ->
+                when(col("s._dirty"), col(s"s._abs_min_$c"))
+                  .otherwise(least(col(s"t.min_$c"), col(s"s.min_$c")))) ++
+              maxCols.map(c => s"max_$c" ->
+                when(col("s._dirty"), col(s"s._abs_max_$c"))
+                  .otherwise(greatest(col(s"t.max_$c"), col(s"s.max_$c")))),
             insertUnmatched = true)
         }
         return head
@@ -213,15 +309,21 @@ object MaterializedAggView {
   }
   private def writeDef(view: Instance, source: String,
       groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
       where: Option[String],
-      groupPhys: Seq[String], sumPhys: Seq[String]): Unit = {
+      groupPhys: Seq[String], sumPhys: Seq[String],
+      minPhys: Seq[String], maxPhys: Seq[String]): Unit = {
     def arr(xs: Seq[String]) =
-      s"[${xs.map(c => s""""${esc(c)}"""").mkString(",")}]"
+      s"[${xs.map(c => "\"" + esc(c) + "\"").mkString(",")}]"
     val json = s"""{"source":"${esc(source)}",""" +
       s""""groupCols":${arr(groupCols)},""" +
       s""""sumCols":${arr(sumCols)},""" +
+      s""""minCols":${arr(minCols)},""" +
+      s""""maxCols":${arr(maxCols)},""" +
       s""""groupPhys":${arr(groupPhys)},""" +
-      s""""sumPhys":${arr(sumPhys)}""" +
+      s""""sumPhys":${arr(sumPhys)},""" +
+      s""""minPhys":${arr(minPhys)},""" +
+      s""""maxPhys":${arr(maxPhys)}""" +
       where.fold("")(w => s""","where":"${esc(w)}"""") + "}"
     val out = view.fs.create(
       new org.apache.hadoop.fs.Path(view.root, DefFile), false)
@@ -230,10 +332,14 @@ object MaterializedAggView {
   }
 
   /** Parsed [[DefFile]] contents (physical-name arrays absent on
-    * definitions written before renames were tracked). */
+    * definitions written before renames were tracked; min/max arrays
+    * absent on pre-min/max definitions — both fold to empty/None). */
   private[acid] final case class MvDef(source: String,
-      groupCols: Seq[String], sumCols: Seq[String], where: Option[String],
-      groupPhys: Option[Seq[String]], sumPhys: Option[Seq[String]])
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      where: Option[String],
+      groupPhys: Option[Seq[String]], sumPhys: Option[Seq[String]],
+      minPhys: Option[Seq[String]], maxPhys: Option[Seq[String]])
 
   /** The persisted definition. The array parse is a real quote-aware
     * scan — column names containing commas, brackets, quotes or
@@ -307,8 +413,11 @@ object MaterializedAggView {
       throw new IllegalStateException(s"bad $DefFile: no $k"))
     MvDef(strs.getOrElse("source",
         throw new IllegalStateException(s"bad $DefFile: no source")),
-      arrField("groupCols"), arrField("sumCols"), strs.get("where"),
-      arrs.get("groupPhys"), arrs.get("sumPhys"))
+      arrField("groupCols"), arrField("sumCols"),
+      arrs.getOrElse("minCols", Nil), arrs.getOrElse("maxCols", Nil),
+      strs.get("where"),
+      arrs.get("groupPhys"), arrs.get("sumPhys"),
+      arrs.get("minPhys"), arrs.get("maxPhys"))
   }
 
   /** Open a view from its persisted definition. `resolveSource` maps
@@ -326,20 +435,28 @@ object MaterializedAggView {
           "the catalog")
         resolveSource(d.source)
       }
-    new MaterializedAggView(inst, view, d.groupCols, d.sumCols, d.where,
-      d.groupPhys, d.sumPhys)
+    new MaterializedAggView(inst, view, d.groupCols, d.sumCols,
+      d.minCols, d.maxCols, d.where,
+      d.groupPhys, d.sumPhys, d.minPhys, d.maxPhys)
   }
 
   private def viewSchema(srcSchema: StructType, groupCols: Seq[String],
-      sumCols: Seq[String]): StructType = {
+      sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): StructType = {
     require(groupCols.nonEmpty, "at least one group column is required " +
       "(for a global aggregate, use metadata-only aggregate pushdown)")
     // reserved spellings: the view's own columns and the delta's
-    // weight column must not collide with source columns in play
-    val reserved = Set("obj_id", "cnt", "_w") ++
-      sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c"))
-    (groupCols ++ sumCols).foreach(c => require(!reserved(c),
-      s"column $c collides with a reserved view/delta column name"))
+    // working columns must not collide with source columns in play
+    val reserved = Set("obj_id", "cnt", "_w", "_dirty", "_vid", "_sid",
+        "_did") ++
+      sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+      minCols.flatMap(c => Seq(s"min_$c", s"del_min_$c",
+        s"_t_min_$c", s"_abs_min_$c")) ++
+      maxCols.flatMap(c => Seq(s"max_$c", s"del_max_$c",
+        s"_t_max_$c", s"_abs_max_$c"))
+    (groupCols ++ sumCols ++ minCols ++ maxCols).foreach(c =>
+      require(!reserved(c),
+        s"column $c collides with a reserved view/delta column name"))
     val byName = srcSchema.fields.map(f => f.name -> f).toMap
     groupCols.foreach(c => require(byName.contains(c),
       s"group column $c not in source schema"))
@@ -351,13 +468,32 @@ object MaterializedAggView {
         s"sum column $c must be integral (got ${f.dataType.simpleString}); " +
           "pre-scale floats/decimals to integers upstream")
     }
+    (minCols ++ maxCols).foreach { c =>
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"min/max column $c not in source schema"))
+      // atomic orderable types only (no arrays/maps/structs): the
+      // stored extremum must compare with least/greatest
+      import org.apache.spark.sql.types._
+      val orderable = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | _: BinaryType =>
+          false
+        case _ => true
+      }
+      require(orderable,
+        s"min/max column $c must be an atomic orderable type " +
+          s"(got ${f.dataType.simpleString})")
+    }
     StructType(
       StructField("obj_id", LongType, nullable = false) +:
       groupCols.map(byName(_).copy(nullable = true)) ++:
       StructField("cnt", LongType, nullable = false) +:
-      sumCols.flatMap(c => Seq(
+      (sumCols.flatMap(c => Seq(
         StructField(s"sum_$c", LongType, nullable = true),
-        StructField(s"nn_$c", LongType, nullable = false))))
+        StructField(s"nn_$c", LongType, nullable = false))) ++
+       minCols.map(c =>
+        StructField(s"min_$c", byName(c).dataType, nullable = true)) ++
+       maxCols.map(c =>
+        StructField(s"max_$c", byName(c).dataType, nullable = true))))
   }
 
   /** Create the (empty) view table beside its persisted definition.
@@ -369,10 +505,12 @@ object MaterializedAggView {
   def create(spark: SparkSession, viewRoot: String, source: Instance,
       groupCols: Seq[String], sumCols: Seq[String],
       sourceSpec: Option[String] = None,
-      where: Option[String] = None): MaterializedAggView = {
+      where: Option[String] = None,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): MaterializedAggView = {
     val head = source.latestVersion
     val srcSchema = StructType.fromDDL(source.stateAt(head)._2)
-    val schema = viewSchema(srcSchema, groupCols, sumCols)
+    val schema = viewSchema(srcSchema, groupCols, sumCols, minCols, maxCols)
     // fail at create, not first refresh: the predicate must resolve
     // against the source schema alone (no view/delta columns)
     where.foreach { w =>
@@ -385,11 +523,14 @@ object MaterializedAggView {
     val ren = source.tableStateAt(head).renames
     val groupPhys = groupCols.map(c => ren.getOrElse(c, c))
     val sumPhys = sumCols.map(c => ren.getOrElse(c, c))
+    val minPhys = minCols.map(c => ren.getOrElse(c, c))
+    val maxPhys = maxCols.map(c => ren.getOrElse(c, c))
     val view = VersionedTable.create(spark, viewRoot, schema)
     writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols,
-      where, groupPhys, sumPhys)
-    new MaterializedAggView(source, view, groupCols, sumCols, where,
-      Some(groupPhys), Some(sumPhys))
+      minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys)
+    new MaterializedAggView(source, view, groupCols, sumCols,
+      minCols, maxCols, where,
+      Some(groupPhys), Some(sumPhys), Some(minPhys), Some(maxPhys))
   }
 
   /** Re-open an existing view (definition is supplied by the caller;
@@ -399,7 +540,9 @@ object MaterializedAggView {
     * which carries the create-time physical identities. */
   def open(spark: SparkSession, viewRoot: String, source: Instance,
       groupCols: Seq[String], sumCols: Seq[String],
-      where: Option[String] = None): MaterializedAggView =
+      where: Option[String] = None,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): MaterializedAggView =
     new MaterializedAggView(source, VersionedTable.open(spark, viewRoot),
-      groupCols, sumCols, where, None, None)
+      groupCols, sumCols, minCols, maxCols, where, None, None, None, None)
 }

@@ -131,27 +131,36 @@ object Similarity {
       flipPlanes: Int = 5, maxFlip: Int = 3): Column = {
     require(flipPlanes <= nPlanes && maxFlip <= flipPlanes,
       s"bad probe geometry: $nPlanes planes, flip $flipPlanes, max $maxFlip")
+    // every intermediate is referenced ONCE (higher-order functions
+    // over a single margins array) — a per-probe expression would
+    // duplicate the margins subtree ~|probes| times and melt codegen
+    // (the first cut of this function cost ~14 s of janino time per
+    // plan); this form keeps the tree linear in nPlanes + |probes|
     val m = array(planes(nPlanes, dim).map { w =>
       val wl = array(w.map(lit): _*)
       aggregate(zip_with(v, wl, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
     }: _*)
-    val sig = (0 until nPlanes).map(j =>
-      when(element_at(m, j + 1) > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    // plane indices ranked by |margin| ascending (struct sort orders
-    // by field position: margin first, index as the deterministic tie)
-    val ranked = array_sort(zip_with(m,
-      sequence(lit(0), lit(nPlanes - 1)),
-      (x, i) => struct(abs(x).as("a"), i.as("i"))))
-    // 2^index of the j-th lowest-margin plane (exact for j < 63)
-    def bit(j: Int): Column =
-      pow(lit(2.0), element_at(ranked, j).getField("i").cast("double"))
-        .cast("long")
+    def bitOf(i: Column): Column =
+      pow(lit(2.0), i.cast("double")).cast("long")
+    // signature: one fold over (margin, index) pairs
+    val sig = aggregate(
+      zip_with(m, sequence(lit(0), lit(nPlanes - 1)),
+        (x, i) => when(x > 0, bitOf(i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    // bit values of the flipPlanes lowest-|margin| planes (struct sort
+    // orders by field position: margin first, index breaks ties)
+    val low = transform(
+      slice(array_sort(zip_with(m, sequence(lit(0), lit(nPlanes - 1)),
+        (x, i) => struct(abs(x).as("a"), i.as("i")))), 1, flipPlanes),
+      r => bitOf(r.getField("i")))
+    // static subset spec (1-based positions into `low`); the probe
+    // buckets fold each subset's bits into sig by XOR
     val subsets: Seq[Seq[Int]] =
       (1 to maxFlip).flatMap(k => (1 to flipPlanes).combinations(k).toSeq)
-    array((sig +: subsets.map(s =>
-      s.map(bit).foldLeft(sig)(_ bitwiseXOR _))): _*)
+    val spec = array(subsets.map(s => array(s.map(lit): _*)): _*)
+    concat(array(sig), transform(spec, s =>
+      aggregate(s, sig, (acc, j) => acc.bitwiseXOR(element_at(low, j)))))
   }
 
   /** LSH-bucketed ANN: same output shape as [[annTop1]] but candidates

@@ -361,4 +361,100 @@ class MaterializedViewSpec extends AnyFunSuite {
       spark, vd, src, groupCols = Seq("obj_id"), sumCols = Nil))
     assert(e4.getMessage.contains("reserved"))
   }
+
+  private def freshMinMax(): (Instance, MaterializedAggView) = {
+    val srcDir = Files.createTempDirectory("graft_mv_mm_src_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_mm_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Nil,
+      minCols = Seq("v"), maxCols = Seq("v"))
+    (src, mv)
+  }
+
+  private def mmRecompute(src: Instance): Seq[(String, Long, Any, Any)] =
+    src.read().groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .toSeq.sortBy(_._1)
+
+  private def mmView(mv: MaterializedAggView): Seq[(String, Long, Any, Any)] =
+    mv.read().select("grp", "cnt", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .toSeq.sortBy(_._1)
+
+  test("min/max view: inserts fold free, a deleted extremum recomputes its group") {
+    val (src, mv) = freshMinMax()
+    val t1 = src.begin()
+    t1.insert(Seq((1L, "a", 10L), (2L, "a", 40L), (3L, "b", 20L),
+      (4L, "b", 50L)).toDF("obj_id", "grp", "v"))
+    src.commit(t1)
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv) == Seq(("a", 2L, 10L, 40L), ("b", 2L, 20L, 50L)))
+
+    // non-extremum delete: min/max unchanged, no recompute needed
+    src.withRetry() { t => t.insert(Seq((5L, "a", 25L))
+      .toDF("obj_id", "grp", "v")) }
+    src.withRetry() { t => t.delete(Seq(5L)) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+
+    // EXTREMUM death: group a's stored min 10 dies — refresh must
+    // recompute exactly that group from the head snapshot
+    src.withRetry() { t => t.delete(Seq(1L)) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv) == Seq(("a", 1L, 40L, 40L), ("b", 2L, 20L, 50L)))
+
+    // death + cover in ONE interval: b's max 50 is rewritten to 90 —
+    // the CoW pre-image deletes 50, the post-image inserts 90 >= 50,
+    // so greatest() covers it with no rescan; the result is exact
+    src.withRetry() { t =>
+      t.update(Seq(4L), df => df.withColumn("v", lit(90L)))
+    }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv) == Seq(("a", 1L, 40L, 40L), ("b", 2L, 20L, 90L)))
+
+    // min extends via least() on a plain insert
+    src.withRetry() { t => t.insert(Seq((6L, "a", 8L))
+      .toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    assert(mmView(mv) == Seq(("a", 2L, 8L, 40L), ("b", 2L, 20L, 90L)))
+
+    // null handling: an all-null group holds null extrema; deleting
+    // the last non-null value returns the group's min/max to null
+    src.withRetry() { t => t.insert(Seq[(Long, String, Option[Long])](
+      (7L, "c", None), (8L, "c", Some(70L))).toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    src.withRetry() { t => t.delete(Seq(8L)) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv).collect { case ("c", n, mn, mx) => (n, mn, mx) } ==
+      Seq((1L, null, null)))
+
+    // group death removes the row entirely
+    src.withRetry() { t => t.delete(Seq(7L)) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(!mmView(mv).exists(_._1 == "c"))
+  }
+
+  test("min/max view survives a reopen from its persisted definition") {
+    val (src, mv) = freshMinMax()
+    src.withRetry() { t => t.insert(Seq((1L, "a", 3L), (2L, "a", 9L))
+      .toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    val again = MaterializedAggView.openFromDef(spark, mv.view.root)
+    assert(again.minCols == Seq("v") && again.maxCols == Seq("v"))
+    src.withRetry() { t => t.delete(Seq(1L)) } // min dies
+    again.refresh()
+    assert(mmView(again) == Seq(("a", 1L, 9L, 9L)))
+  }
 }
