@@ -415,7 +415,49 @@ object AcidQueries {
       "CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v " +
       "FROM (VALUES ('a', 2, 8, 40), ('b', 2, 20, 90)) " +
       "AS t(grp, cnt, min_v, max_v) ORDER BY grp")(
-      (s, _) => minmaxMvScenario(s)))
+      (s, _) => minmaxMvScenario(s)),
+
+    // JOIN materialized view (fact ⨝ dim, grouped by a DIM column):
+    // the interval deletes a fact row, MOVES a customer's region (a
+    // dim-side group move that re-aggregates every matching fact row),
+    // and inserts a new order — one refresh nets all three through the
+    // signed join delta; the emptied region's group row is deleted
+    "q67_join_mv" -> Q(
+      "SELECT region, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(sum_amount AS BIGINT) AS sum_amount " +
+      "FROM (VALUES ('west', 3, 200)) AS t(region, cnt, sum_amount) " +
+      "ORDER BY region")((s, _) => joinMvScenario(s)))
+
+  /** Full-SQL join-view lifecycle (see q67 above): dim customers
+    * {1:east, 2:west}, fact orders {10:c1/100, 11:c1/50, 12:c2/70};
+    * materialize SUM(amount) by region over orders ⨝ customers; then
+    * DELETE order 11, move customer 1 east→west (every one of their
+    * orders re-groups), INSERT order 13:c2/30 — final view is only
+    * west = {100, 70, 30} → (3, 200); east empties and its row dies. */
+  def joinMvScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq67$tag"
+    val wh = Files.createTempDirectory("graft_wh_q67_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.mv.cust (obj_id BIGINT, region STRING)")
+    spark.sql(s"INSERT INTO $cat.mv.cust VALUES (1, 'east'), (2, 'west')")
+    spark.sql(s"CREATE TABLE $cat.mv.orders " +
+      "(obj_id BIGINT, cust BIGINT, amount BIGINT)")
+    spark.sql(s"INSERT INTO $cat.mv.orders VALUES " +
+      "(10, 1, 100), (11, 1, 50), (12, 2, 70)")
+    spark.sql(s"CALL $cat.system.create_mv('mv.agg', " +
+      "source => 'mv.orders', group_by => 'region', sums => 'amount', " +
+      "dim_source => 'mv.cust', fact_key => 'cust', dim_key => 'obj_id')")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    spark.sql(s"DELETE FROM $cat.mv.orders WHERE obj_id = 11")
+    spark.sql(s"UPDATE $cat.mv.cust SET region = 'west' WHERE obj_id = 1")
+    spark.sql(s"INSERT INTO $cat.mv.orders VALUES (13, 2, 30)")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    spark.sql(s"SELECT region, cnt, sum_amount FROM $cat.mv.agg " +
+      "ORDER BY region")
+  }
 
   /** Full-SQL min/max-view lifecycle (see q66 above): insert
     * {1:a/10, 2:a/40, 3:b/20, 4:b/50}, materialize count+min+max by

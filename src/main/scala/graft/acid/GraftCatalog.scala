@@ -515,18 +515,37 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
       .defaultValue("''").build(),
     ProcedureParameter.in("maxs", StringType)
       .comment("comma-separated columns to keep MAX of")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("dim_source", StringType)
+      .comment("dotted name of a dimension table to JOIN the source " +
+        "against (group/sum columns may then come from either side)")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("fact_key", StringType)
+      .comment("join key column on the source side")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("dim_key", StringType)
+      .comment("join key column on the dimension side")
       .defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     def list(i: Int): Seq[String] = input.getUTF8String(i).toString
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    def str(i: Int): Option[String] =
+      Option(input.getUTF8String(i).toString.trim).filter(_.nonEmpty)
     val viewName = input.getUTF8String(0).toString
     val src = cat.openInstance(input.getUTF8String(1).toString)
-    val where = Option(input.getUTF8String(4).toString.trim)
-      .filter(_.nonEmpty)
+    val where = str(4)
+    val dj = str(7).map { dimName =>
+      MaterializedAggView.DimJoin(cat.openInstance(dimName),
+        str(8).getOrElse(throw new IllegalArgumentException(
+          "dim_source requires fact_key")),
+        str(9).getOrElse(throw new IllegalArgumentException(
+          "dim_source requires dim_key")),
+        dimSpec = dimName)
+    }
     val viewPath = cat.pathFor(viewName)
     MaterializedAggView.create(SparkSession.active, viewPath.toString, src,
       list(2), list(3), sourceSpec = Some(input.getUTF8String(1).toString),
-      where = where, minCols = list(5), maxCols = list(6))
+      where = where, minCols = list(5), maxCols = list(6), dimJoin = dj)
     java.util.Collections.singletonList[Scan](
       new MetricScan("created_version", 0L)).iterator()
   }

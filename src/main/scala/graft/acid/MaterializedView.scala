@@ -94,6 +94,7 @@ final class MaterializedAggView private (
     val source: Instance, val view: Instance,
     val groupCols: Seq[String], val sumCols: Seq[String],
     val minCols: Seq[String], val maxCols: Seq[String],
+    val dimJoin: Option[MaterializedAggView.DimJoin],
     val where: Option[String],
     // fixed PHYSICAL names of the group/sum/min/max columns, captured
     // at create: refresh re-resolves them to the head's logical names,
@@ -127,11 +128,19 @@ final class MaterializedAggView private (
     * Returns the source version the view now reflects. Safe to call
     * concurrently or re-call after a crash: the watermark rides the
     * merge commit, fenced against rival refreshers (see class doc). */
+  private def appIdDim: String = appId + "#dim"
+
+  /** Dimension version the view currently reflects (join views). */
+  def refreshedDimVersion: Long =
+    view.lastCommittedEpoch(appIdDim).getOrElse(-1L)
+
   def refresh(): Long = {
     while (true) {
       val head = source.latestVersion
       val last = math.max(0L, refreshedVersion)
-      if (head <= last) return head
+      val headD = dimJoin.map(_.dim.latestVersion).getOrElse(0L)
+      val lastD = math.max(0L, refreshedDimVersion)
+      if (head <= last && (dimJoin.isEmpty || headD <= lastD)) return head
       // resolve the view columns' fixed physical names to the HEAD's
       // logical names: the delta below is head-aligned, so a source
       // rename mid-interval is transparent — unless the column was
@@ -147,18 +156,67 @@ final class MaterializedAggView private (
               s"view column '$orig' (physical '$p') no longer exists in " +
               s"the source at v$head; drop and rebuild the view")) -> orig
           }
-      val gNow = resolve(groupPhys0, groupCols)
-      val sNow = resolve(sumPhys0, sumCols)
-      val mNow = resolve(minPhys0, minCols)
-      val xNow = resolve(maxPhys0, maxCols)
+      // join views bind ALL columns by logical name (dim columns have
+      // no fact-side physical identity); rename resilience applies to
+      // plain views only — forcing these in a join view would throw on
+      // dim-side names, so they stay lazy
+      lazy val gNow = resolve(groupPhys0, groupCols)
+      lazy val sNow = resolve(sumPhys0, sumCols)
+      lazy val mNow = resolve(minPhys0, minCols)
+      lazy val xNow = resolve(maxPhys0, maxCols)
       // the signed row delta — NOT the classified change feed: an
       // aggregate needs net multiplicities only, and weightedDelta skips
       // the feed's per-row identity diff (copy-backs cancel in the Σ)
-      val weighted0 = source.weightedDelta(last, head, alignToHead = true)
-      val weighted = where.fold(weighted0)(p => weighted0.filter(expr(p)))
-        // back to the view's own (create-time) column names
-        .select(((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
-          case (now, orig) => col(now).as(orig) } :+ col("_w")): _*)
+      val weighted = dimJoin match {
+        case None =>
+          val weighted0 = source.weightedDelta(last, head, alignToHead = true)
+          where.fold(weighted0)(p => weighted0.filter(expr(p)))
+            // back to the view's own (create-time) column names
+            .select(((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
+              case (now, orig) => col(now).as(orig) } :+ col("_w")): _*)
+        case Some(dj) =>
+          // SIGNED delta of the join, all terms against NEW-side
+          // relations (no old snapshots):
+          //   Δ(F ⨝ D) = ΔF ⨝ D_new  +  F_new ⨝ ΔD  −  ΔF ⨝ ΔD
+          // Weights multiply through the join, so a dim row whose
+          // group attribute changed contributes −1 under its old
+          // values and +1 under its new ones against EVERY matching
+          // fact row — group moves, key retargets, deletes and
+          // duplicate dim keys all fall out of the algebra. F_new in
+          // the middle term is restricted to the CHANGED dim keys
+          // (semi join), so the fact side is scanned only where the
+          // dimension actually moved; an interval with no dim churn
+          // costs exactly the plain fact delta.
+          val factSide = (groupCols ++ sumCols)
+            .filter(dj.factCols.contains).distinct
+          val dimSide = (groupCols ++ sumCols)
+            .filterNot(dj.factCols.contains).distinct
+          def joined(f: DataFrame, d: DataFrame, sign: Int): DataFrame =
+            f.alias("F").join(d.alias("D"),
+              col(s"F.${dj.factKey}") === col(s"D.${dj.dimKey}"))
+              .select((factSide.map(c => col(s"F.$c").as(c)) ++
+                dimSide.map(c => col(s"D.$c").as(c)) :+
+                (lit(sign.toLong) * col("F._wf") * col("D._wd"))
+                  .as("_w")): _*)
+          val dF0 = source.weightedDelta(last, head)
+          val dF = where.fold(dF0)(p => dF0.filter(expr(p)))
+            .withColumnRenamed("_w", "_wf")
+          val dNew = dj.dim.snapshot(headD).withColumn("_wd", lit(1L))
+          val term1 = joined(dF, dNew, 1)
+          if (headD <= lastD) term1
+          else {
+            val dD = dj.dim.weightedDelta(lastD, headD)
+              .withColumnRenamed("_w", "_wd")
+            val changed = dD.select(col(dj.dimKey).as("_ck")).distinct()
+            val fNew0 = source.snapshot(head)
+            val fNew = where.fold(fNew0)(p => fNew0.filter(expr(p)))
+              .join(changed, col(dj.factKey) === col("_ck"), "left_semi")
+              .withColumn("_wf", lit(1L))
+            val term2 = joined(fNew, dD, 1)
+            val term3 = joined(dF, dD, -1)
+            term1.unionByName(term2).unionByName(term3)
+          }
+      }
       val aggs: Seq[Column] =
         sum(col("_w")).as("cnt") +:
         (sumCols.flatMap(c => Seq(
@@ -208,7 +266,18 @@ final class MaterializedAggView private (
           if (view.appTxnsAt(t.readVersion).get(appId)
               .exists(w => math.max(0L, w) != last))
             throw new StaleWatermark
-          t.markEpoch(appId, head, fence = true)
+          if (dimJoin.isDefined &&
+              view.appTxnsAt(t.readVersion).get(appIdDim)
+                .exists(w => math.max(0L, w) != lastD))
+            throw new StaleWatermark
+          // each watermark moves only when its side advanced: a
+          // re-mark at the SAME epoch would read as already-committed
+          // and silently skip the fold (a dim-only interval leaves the
+          // fact watermark untouched, and vice versa); at least one
+          // side advanced or refresh returned above
+          if (head > last) t.markEpoch(appId, head, fence = true)
+          if (dimJoin.isDefined && headD > lastD)
+            t.markEpoch(appIdDim, headD, fence = true)
           // min/max death repair: groups whose stored extremum the
           // interval deleted without covering (see class doc) get
           // ABSOLUTE recomputed values from the head snapshot, scanned
@@ -296,6 +365,17 @@ final class MaterializedAggView private (
 
 object MaterializedAggView {
 
+  /** Dimension side of a JOIN view: `view = fact JOIN dim ON
+    * fact.factKey = dim.dimKey`, grouped/summed over columns from
+    * EITHER side (COUNT/SUM only). Maintained by signed-delta algebra
+    * over both tables (see [[MaterializedAggView.refresh]]); group
+    * and sum columns bind by LOGICAL name on both sides (renaming an
+    * involved column breaks the view loudly — rebuild it). `factCols`
+    * caches the fact schema's field names for side resolution;
+    * `dimSpec` is the persisted source spec of the dimension. */
+  final case class DimJoin(dim: Instance, factKey: String, dimKey: String,
+      factCols: Set[String] = Set.empty, dimSpec: String = "")
+
   /** Definition side file under the view root — written ONCE at create
     * (the definition is immutable), so `open(viewRoot)` and the SQL
     * `CALL system.refresh_mv` need no re-specification. `source` is
@@ -312,7 +392,8 @@ object MaterializedAggView {
       minCols: Seq[String], maxCols: Seq[String],
       where: Option[String],
       groupPhys: Seq[String], sumPhys: Seq[String],
-      minPhys: Seq[String], maxPhys: Seq[String]): Unit = {
+      minPhys: Seq[String], maxPhys: Seq[String],
+      dim: Option[(String, String, String)] = None): Unit = {
     def arr(xs: Seq[String]) =
       s"[${xs.map(c => "\"" + esc(c) + "\"").mkString(",")}]"
     val json = s"""{"source":"${esc(source)}",""" +
@@ -324,7 +405,10 @@ object MaterializedAggView {
       s""""sumPhys":${arr(sumPhys)},""" +
       s""""minPhys":${arr(minPhys)},""" +
       s""""maxPhys":${arr(maxPhys)}""" +
-      where.fold("")(w => s""","where":"${esc(w)}"""") + "}"
+      where.fold("")(w => s""","where":"${esc(w)}"""") +
+      dim.fold("") { case (spec, fk, dk) =>
+        s""","dimSource":"${esc(spec)}","factKey":"${esc(fk)}",""" +
+        s""""dimKey":"${esc(dk)}"""" } + "}"
     val out = view.fs.create(
       new org.apache.hadoop.fs.Path(view.root, DefFile), false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -339,7 +423,9 @@ object MaterializedAggView {
       minCols: Seq[String], maxCols: Seq[String],
       where: Option[String],
       groupPhys: Option[Seq[String]], sumPhys: Option[Seq[String]],
-      minPhys: Option[Seq[String]], maxPhys: Option[Seq[String]])
+      minPhys: Option[Seq[String]], maxPhys: Option[Seq[String]],
+      dimSource: Option[String] = None, factKey: Option[String] = None,
+      dimKey: Option[String] = None)
 
   /** The persisted definition. The array parse is a real quote-aware
     * scan — column names containing commas, brackets, quotes or
@@ -417,7 +503,8 @@ object MaterializedAggView {
       arrs.getOrElse("minCols", Nil), arrs.getOrElse("maxCols", Nil),
       strs.get("where"),
       arrs.get("groupPhys"), arrs.get("sumPhys"),
-      arrs.get("minPhys"), arrs.get("maxPhys"))
+      arrs.get("minPhys"), arrs.get("maxPhys"),
+      strs.get("dimSource"), strs.get("factKey"), strs.get("dimKey"))
   }
 
   /** Open a view from its persisted definition. `resolveSource` maps
@@ -427,16 +514,23 @@ object MaterializedAggView {
       resolveSource: String => Instance = null): MaterializedAggView = {
     val view = VersionedTable.open(spark, viewRoot)
     val d = readDef(view)
-    val inst =
-      if (d.source.contains('/')) VersionedTable.open(spark, d.source)
+    def open1(spec: String): Instance =
+      if (spec.contains('/')) VersionedTable.open(spark, spec)
       else {
         require(resolveSource != null,
-          s"view source '${d.source}' is a catalog name; open it through " +
+          s"view source '$spec' is a catalog name; open it through " +
           "the catalog")
-        resolveSource(d.source)
+        resolveSource(spec)
       }
+    val inst = open1(d.source)
+    val dj = d.dimSource.map { spec =>
+      val dimInst = open1(spec)
+      val factCols = StructType
+        .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
+      DimJoin(dimInst, d.factKey.get, d.dimKey.get, factCols, spec)
+    }
     new MaterializedAggView(inst, view, d.groupCols, d.sumCols,
-      d.minCols, d.maxCols, d.where,
+      d.minCols, d.maxCols, dj, d.where,
       d.groupPhys, d.sumPhys, d.minPhys, d.maxPhys)
   }
 
@@ -507,29 +601,65 @@ object MaterializedAggView {
       sourceSpec: Option[String] = None,
       where: Option[String] = None,
       minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): MaterializedAggView = {
+      maxCols: Seq[String] = Nil,
+      dimJoin: Option[DimJoin] = None): MaterializedAggView = {
     val head = source.latestVersion
-    val srcSchema = StructType.fromDDL(source.stateAt(head)._2)
+    val factSchema = StructType.fromDDL(source.stateAt(head)._2)
+    // join views resolve each group/sum column against exactly ONE
+    // side; ambiguous or missing names fail at create
+    val srcSchema = dimJoin match {
+      case None => factSchema
+      case Some(dj) =>
+        require(minCols.isEmpty && maxCols.isEmpty,
+          "MIN/MAX are not supported on join views (a dim change would " +
+          "force recompute storms); use a plain view on the fact table")
+        val dimSchema = StructType.fromDDL(
+          dj.dim.stateAt(dj.dim.latestVersion)._2)
+        require(factSchema.fieldNames.contains(dj.factKey),
+          s"factKey ${dj.factKey} not in fact schema")
+        require(dimSchema.fieldNames.contains(dj.dimKey),
+          s"dimKey ${dj.dimKey} not in dim schema")
+        val factNames = factSchema.fieldNames.toSet
+        val dimNames = dimSchema.fieldNames.toSet
+        (groupCols ++ sumCols).foreach { c =>
+          require(!(factNames(c) && dimNames(c)),
+            s"column $c is ambiguous: present in both fact and dim")
+          require(factNames(c) || dimNames(c),
+            s"column $c in neither fact nor dim schema")
+        }
+        StructType(factSchema.fields ++
+          dimSchema.fields.filterNot(f => factNames(f.name)))
+    }
     val schema = viewSchema(srcSchema, groupCols, sumCols, minCols, maxCols)
     // fail at create, not first refresh: the predicate must resolve
     // against the source schema alone (no view/delta columns)
     where.foreach { w =>
+      // join views: the predicate is applied to the FACT side before
+      // the join, so it must resolve against the fact schema alone
       val probe = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), srcSchema)
+        new java.util.ArrayList[org.apache.spark.sql.Row](), factSchema)
       probe.filter(expr(w)).queryExecution.analyzed
     }
     // pin each view column's PHYSICAL source name now — the stable
     // identity refresh resolves against future renames
     val ren = source.tableStateAt(head).renames
-    val groupPhys = groupCols.map(c => ren.getOrElse(c, c))
-    val sumPhys = sumCols.map(c => ren.getOrElse(c, c))
-    val minPhys = minCols.map(c => ren.getOrElse(c, c))
-    val maxPhys = maxCols.map(c => ren.getOrElse(c, c))
+    def phys(c: String) =
+      if (dimJoin.isDefined) c else ren.getOrElse(c, c)
+    val groupPhys = groupCols.map(phys)
+    val sumPhys = sumCols.map(phys)
+    val minPhys = minCols.map(phys)
+    val maxPhys = maxCols.map(phys)
+    // normalize the caller's DimJoin: factCols always reflects the
+    // fact schema here, and an empty dimSpec records the dim's root
+    val dj2 = dimJoin.map(dj => dj.copy(
+      factCols = factSchema.fieldNames.toSet,
+      dimSpec = if (dj.dimSpec.nonEmpty) dj.dimSpec else dj.dim.root))
     val view = VersionedTable.create(spark, viewRoot, schema)
     writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols,
-      minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys)
+      minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys,
+      dj2.map(dj => (dj.dimSpec, dj.factKey, dj.dimKey)))
     new MaterializedAggView(source, view, groupCols, sumCols,
-      minCols, maxCols, where,
+      minCols, maxCols, dj2, where,
       Some(groupPhys), Some(sumPhys), Some(minPhys), Some(maxPhys))
   }
 
@@ -544,5 +674,6 @@ object MaterializedAggView {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil): MaterializedAggView =
     new MaterializedAggView(source, VersionedTable.open(spark, viewRoot),
-      groupCols, sumCols, minCols, maxCols, where, None, None, None, None)
+      groupCols, sumCols, minCols, maxCols, None, where,
+      None, None, None, None)
 }

@@ -3108,7 +3108,7 @@ final class Instance(val spark: SparkSession, val root: String,
         throw new UnsupportedOperationException(
           "schema evolution inside a cross-table transaction is not supported")
       }
-      if (txn.appTxn.isDefined) {
+      if (txn.appTxn.nonEmpty) {
         txn.abort()
         throw new UnsupportedOperationException(
           "streaming-epoch watermarks inside a cross-table transaction " +
@@ -3997,10 +3997,11 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // with EVERY interleaved commit (see Instance.commit)
   private[acid] var schemaEvolved = false
   private var allowEvolve = false
-  // streaming-epoch watermark this commit will publish (exactly-once
-  // sink support): commit refuses to land if the same query already
-  // committed this epoch or a later one — see Instance.commit
-  private[acid] var appTxn: Option[(String, Long)] = None
+  // streaming-epoch watermarks this commit will publish (exactly-once
+  // sink support; a join view marks TWO — fact and dim): commit
+  // refuses to land if any marked query already committed its epoch
+  // or a later one — see Instance.commit
+  private[acid] var appTxn: List[(String, Long)] = Nil
   // fenced watermark (markEpoch(..., fence = true)): commit ALSO
   // conflicts (retryable) with any interleaved commit that moved the
   // same query's watermark at all — even to a SMALLER epoch — so a
@@ -4343,8 +4344,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * fold the overlapping interval. */
   def markEpoch(appId: String, epoch: Long, fence: Boolean = false): Unit = {
     require(appId.nonEmpty, "appId must be non-empty")
-    appTxn = Some((appId, epoch))
-    appTxnFence = fence
+    appTxn = (appId -> epoch) :: appTxn.filterNot(_._1 == appId)
+    appTxnFence = appTxnFence || fence
   }
 
   /** Validate `df`'s schema against the txn-local table schema and

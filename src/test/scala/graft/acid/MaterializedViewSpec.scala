@@ -446,6 +446,151 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!mmView(mv).exists(_._1 == "c"))
   }
 
+  test("property: random churn never diverges count/sum/min/max from recompute") {
+    // deterministic adversarial sequences over every maintained
+    // aggregate at once: inserts (incl. nulls), value updates, group
+    // moves, deletes (which sooner or later kill extrema), refreshed
+    // at irregular intervals so each delta folds MULTIPLE commits
+    val rnd = new scala.util.Random(20260814L)
+    val srcDir = Files.createTempDirectory("graft_mv_prop_src_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_prop_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+    val groups = Seq("a", "b", "c")
+    var nextId = 1L
+    val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def oracle(): Seq[(String, Long, Any, Any, Any)] =
+      src.read().groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))
+        .toSeq.sortBy(_._1)
+    def viewNow(): Seq[(String, Long, Any, Any, Any)] =
+      mv.read().select("grp", "cnt", "sum_v", "min_v", "max_v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))
+        .toSeq.sortBy(_._1)
+    (1 to 30).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // insert 1-3 rows, ~1/5 null values
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; live += id
+            (id, groups(rnd.nextInt(groups.size)),
+              if (rnd.nextInt(5) == 0) None
+              else Some(rnd.nextInt(100).toLong))
+          }
+          src.withRetry() { t => t.insert(
+            rows.toDF("obj_id", "grp", "v")) }
+        case 2 if live.nonEmpty => // delete a random row (extrema die)
+          val id = live.remove(rnd.nextInt(live.size))
+          src.withRetry() { t => t.delete(Seq(id)) }
+        case 3 if live.nonEmpty => // update: new value or group move
+          val id = live(rnd.nextInt(live.size))
+          val g = groups(rnd.nextInt(groups.size))
+          val nv = rnd.nextInt(100).toLong
+          src.withRetry() { t => t.update(Seq(id), df =>
+            df.withColumn("v", lit(nv)).withColumn("grp", lit(g))) }
+        case _ => ()
+      }
+      if (step % 6 == 0 || step == 30) {
+        mv.refresh()
+        assert(viewNow() == oracle(),
+          s"diverged at step $step:\nview   ${viewNow()}\noracle ${oracle()}")
+      }
+    }
+  }
+
+  test("join view: fact churn, dim group moves and dim deletes all net exactly") {
+    val factSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val factDir = Files.createTempDirectory("graft_mv_jf_").toUri.toString
+    val dimDir = Files.createTempDirectory("graft_mv_jd_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_jv_").toUri.toString
+    val fact = VersionedTable.create(spark, factDir, factSchema)
+    val dim = VersionedTable.create(spark, dimDir, dimSchema)
+    val mv = MaterializedAggView.create(spark, viewDir, fact,
+      groupCols = Seq("region"), sumCols = Seq("v"),
+      dimJoin = Some(MaterializedAggView.DimJoin(dim, "cust", "obj_id")))
+    def oracle(): Seq[(String, Long, Long)] =
+      fact.read().alias("F").join(dim.read().alias("D"),
+          col("F.cust") === col("D.obj_id"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    def viewNow(): Seq[(String, Long, Long)] =
+      mv.read().select("region", "cnt", "sum_v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+
+    dim.withRetry() { t => t.insert(Seq((1L, "east"), (2L, "west"))
+      .toDF("obj_id", "region")) }
+    fact.withRetry() { t => t.insert(Seq((10L, 1L, 100L), (11L, 1L, 50L),
+      (12L, 2L, 70L)).toDF("obj_id", "cust", "v")) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    assert(viewNow() == Seq(("east", 2L, 150L), ("west", 1L, 70L)))
+
+    // fact-only churn: pure fact-delta path (no dim scan)
+    fact.withRetry() { t => t.delete(Seq(11L)) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+
+    // dim-side group move: every matching fact row re-groups
+    dim.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("region", lit("west")))
+    }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    assert(viewNow() == Seq(("west", 2L, 170L)))
+
+    // combined interval: fact insert + fact delete + dim move back,
+    // folded by ONE refresh (the three-term algebra nets them all)
+    fact.withRetry() { t => t.insert(Seq((13L, 2L, 30L))
+      .toDF("obj_id", "cust", "v")) }
+    dim.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("region", lit("east")))
+    }
+    fact.withRetry() { t => t.delete(Seq(12L)) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    assert(viewNow() == Seq(("east", 1L, 100L), ("west", 1L, 30L)))
+
+    // dim DELETE orphans its fact rows out of the inner join
+    dim.withRetry() { t => t.delete(Seq(1L)) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    assert(viewNow() == Seq(("west", 1L, 30L)))
+
+    // a refresh with nothing new is a no-op; dim-only advance refreshes
+    val before = mv.view.latestVersion
+    mv.refresh()
+    assert(mv.view.latestVersion == before)
+    dim.withRetry() { t => t.insert(Seq((3L, "north"))
+      .toDF("obj_id", "region")) } // no matching facts: no group appears
+    mv.refresh()
+    assert(viewNow() == oracle())
+
+    // reopen from the persisted definition keeps the join wiring
+    val again = MaterializedAggView.openFromDef(spark, mv.view.root)
+    fact.withRetry() { t => t.insert(Seq((14L, 3L, 5L))
+      .toDF("obj_id", "cust", "v")) }
+    again.refresh()
+    assert(viewNow() == Seq(("north", 1L, 5L), ("west", 1L, 30L)))
+  }
+
   test("min/max view survives a reopen from its persisted definition") {
     val (src, mv) = freshMinMax()
     src.withRetry() { t => t.insert(Seq((1L, "a", 3L), (2L, "a", 9L))
