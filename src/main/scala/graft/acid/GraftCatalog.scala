@@ -556,7 +556,8 @@ private[acid] final class RefreshMvProcedure(cat: GraftCatalog)
   override def name(): String = "refresh_mv"
   override def description(): String =
     "Fold the source commits since the last refresh into the view — " +
-    "O(delta) via the change feed, one atomic idempotent MERGE commit"
+    "O(delta) via the signed row delta, one atomic idempotent MERGE " +
+    "commit (join views also fold the dimension's delta)"
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] = Array(
