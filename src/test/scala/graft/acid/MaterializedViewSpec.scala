@@ -591,6 +591,67 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewNow() == Seq(("north", 1L, 5L), ("west", 1L, 30L)))
   }
 
+  test("feature interactions: WHERE composes with min/max recompute and with joins") {
+    // 1) filtered min/max: the predicate bounds BOTH the delta fold
+    // and the death-recompute scan — deleting the in-filter minimum
+    // recomputes to the next in-filter value, not the global one
+    val srcDir = Files.createTempDirectory("graft_mv_fx_src_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_fx_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Nil,
+      where = Some("v >= 10"), minCols = Seq("v"), maxCols = Seq("v"))
+    src.withRetry() { t => t.insert(Seq(
+      (1L, "a", 5L),   // below the filter: never visible
+      (2L, "a", 10L),  // the in-filter minimum
+      (3L, "a", 30L)).toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    def rows() = mv.read().select("grp", "cnt", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows() == Seq(("a", 2L, 10L, 30L)))
+    // kill the in-filter minimum: recompute must respect the filter
+    // (min becomes 30, NOT the out-of-filter 5)
+    src.withRetry() { t => t.delete(Seq(2L)) }
+    mv.refresh()
+    assert(rows() == Seq(("a", 1L, 30L, 30L)))
+
+    // 2) filtered join view: the fact-side predicate composes with
+    // the dim delta terms (a dim group move re-aggregates only the
+    // IN-FILTER fact rows)
+    val fSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("v", LongType)))
+    val dSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_fx_f_").toUri.toString, fSchema)
+    val dim = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_fx_d_").toUri.toString, dSchema)
+    val jmv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_fx_jv_").toUri.toString, fact,
+      groupCols = Seq("region"), sumCols = Seq("v"),
+      where = Some("v >= 100"),
+      dimJoin = Some(MaterializedAggView.DimJoin(dim, "cust", "obj_id")))
+    dim.withRetry() { t => t.insert(Seq((1L, "east"))
+      .toDF("obj_id", "region")) }
+    fact.withRetry() { t => t.insert(Seq((10L, 1L, 100L), (11L, 1L, 7L))
+      .toDF("obj_id", "cust", "v")) }
+    jmv.refresh()
+    def jrows() = jmv.read().select("region", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(jrows() == Seq(("east", 1L, 100L)))
+    // dim move: only the in-filter order follows the customer
+    dim.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("region", lit("west")))
+    }
+    jmv.refresh()
+    assert(jrows() == Seq(("west", 1L, 100L)))
+  }
+
   test("min/max view survives a reopen from its persisted definition") {
     val (src, mv) = freshMinMax()
     src.withRetry() { t => t.insert(Seq((1L, "a", 3L), (2L, "a", 9L))
