@@ -261,9 +261,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "create_mv" => new CreateMvProcedure(this)
       case "refresh_mv" => new RefreshMvProcedure(this)
       case "set_partitioning" => new SetPartitioningProcedure(this)
+      case "mv_status" => new MvStatusProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
-        "materialize, restore, create_mv, refresh_mv, set_partitioning)")
+        "materialize, restore, create_mv, refresh_mv, " +
+        "set_partitioning, mv_status)")
     }
   }
 
@@ -423,6 +425,20 @@ private[acid] final class MetricScan(field: String, value: Long)
     StructType(Seq(StructField(field, LongType, nullable = false)))
   override def rows(): Array[InternalRow] =
     Array(new GenericInternalRow(Array[Any](value)))
+}
+
+/** One-row string-typed result for admin procedures that report more
+  * than a single metric (mv_status). */
+private[acid] final class InfoScan(fields: Seq[(String, String)])
+    extends LocalScan {
+  override def readSchema(): StructType =
+    StructType(fields.map { case (n, _) =>
+      StructField(n, StringType, nullable = true) })
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(fields.map { case (_, v) =>
+      if (v == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    }.toArray[Any]))
 }
 
 private[acid] final class VacuumProcedure(cat: GraftCatalog)
@@ -600,6 +616,42 @@ private[acid] final class CompactProcedure(cat: GraftCatalog)
       partitionBy = cat.partitionColsFor(dotted))
     java.util.Collections.singletonList[Scan](
       new MetricScan("replaced_files", replaced.toLong)).iterator()
+  }
+}
+
+/** `CALL system.mv_status(view)` — the admin surface for a
+  * materialized view: its persisted definition and the source (and,
+  * for join views, dimension) versions the stored rows reflect —
+  * "how stale am I" in one row, without touching any data file. */
+private[acid] final class MvStatusProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "mv_status"
+  override def description(): String =
+    "Report a materialized view's definition and refresh watermarks"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("view", StringType)
+      .comment("dotted name of a view created by create_mv").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val mv = MaterializedAggView.openFromDef(SparkSession.active,
+      cat.pathFor(input.getUTF8String(0).toString).toString,
+      resolveSource = cat.openInstance)
+    def csv(xs: Seq[String]) = if (xs.isEmpty) null else xs.mkString(",")
+    java.util.Collections.singletonList[Scan](new InfoScan(Seq(
+      "group_by" -> csv(mv.groupCols),
+      "sums" -> csv(mv.sumCols),
+      "mins" -> csv(mv.minCols),
+      "maxs" -> csv(mv.maxCols),
+      "where" -> mv.where.orNull,
+      "dim_join" -> mv.dimJoin.map(dj =>
+        s"${dj.dimSpec} ON ${dj.factKey} = ${dj.dimKey}").orNull,
+      "refreshed_source_version" -> mv.refreshedVersion.toString,
+      "source_head_version" -> mv.source.latestVersion.toString,
+      "refreshed_dim_version" -> mv.dimJoin.map(_ =>
+        mv.refreshedDimVersion.toString).orNull,
+      "dim_head_version" -> mv.dimJoin.map(
+        _.dim.latestVersion.toString).orNull))).iterator()
   }
 }
 

@@ -201,7 +201,16 @@ final class MaterializedAggView private (
           val dF0 = source.weightedDelta(last, head)
           val dF = where.fold(dF0)(p => dF0.filter(expr(p)))
             .withColumnRenamed("_w", "_wf")
-          val dNew = dj.dim.snapshot(headD).withColumn("_wd", lit(1L))
+          // D_new restricted to the fact delta's keys BEFORE the join:
+          // the inner join only ever matches those keys, and the
+          // explicit semi join (small build side) lets the dim scan
+          // prune by its obj_id stats index / runtime filters instead
+          // of reading the whole dimension every refresh — term1 costs
+          // O(fact churn), not O(dim)
+          val factKeys = dF.select(col(dj.factKey).as("_fk")).distinct()
+          val dNew = dj.dim.snapshot(headD)
+            .join(factKeys, col(dj.dimKey) === col("_fk"), "left_semi")
+            .withColumn("_wd", lit(1L))
           val term1 = joined(dF, dNew, 1)
           if (headD <= lastD) term1
           else {

@@ -434,4 +434,34 @@ class CatalogSpec extends AnyFunSuite {
       .toSeq
     assert(rows == Seq(("a", 1L, 30L), ("b", 2L, 75L)), s"got $rows")
   }
+
+  test("create_mv with mins/maxs and a dim join; mv_status reports both watermarks") {
+    val mm = AcidQueries.minmaxMvScenario(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(mm == Seq(("a", 2L, 8L, 40L), ("b", 2L, 20L, 90L)), s"got $mm")
+    val jr = AcidQueries.joinMvScenario(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(jr == Seq(("west", 3L, 200L)), s"got $jr")
+    // mv_status on a fresh join view: definition echoed, both
+    // watermarks current after refresh
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.mvs")
+    sql("CREATE TABLE gcat.mvs.d (obj_id BIGINT, region STRING)")
+    sql("INSERT INTO gcat.mvs.d VALUES (1, 'east')")
+    sql("CREATE TABLE gcat.mvs.f (obj_id BIGINT, cust BIGINT, v BIGINT)")
+    sql("INSERT INTO gcat.mvs.f VALUES (10, 1, 5)")
+    sql("CALL gcat.system.create_mv('mvs.agg', source => 'mvs.f', " +
+      "group_by => 'region', sums => 'v', dim_source => 'mvs.d', " +
+      "fact_key => 'cust', dim_key => 'obj_id')")
+    sql("CALL gcat.system.refresh_mv('mvs.agg')")
+    val st = sql("CALL gcat.system.mv_status('mvs.agg')").head()
+    assert(st.getAs[String]("group_by") == "region")
+    assert(st.getAs[String]("dim_join") == "mvs.d ON cust = obj_id")
+    assert(st.getAs[String]("refreshed_source_version") ==
+      st.getAs[String]("source_head_version"))
+    assert(st.getAs[String]("refreshed_dim_version") ==
+      st.getAs[String]("dim_head_version"))
+    assert(st.getAs[String]("mins") == null &&
+      st.getAs[String]("where") == null)
+  }
 }
