@@ -198,7 +198,11 @@ final class MaterializedAggView private (
                 dimSide.map(c => col(s"D.$c").as(c)) :+
                 (lit(sign.toLong) * col("F._wf") * col("D._wd"))
                   .as("_w")): _*)
-          val dF0 = source.weightedDelta(last, head)
+          // head-aligned like the plain-view delta, so a FACT-side
+          // rename mid-interval keeps pre-rename rows under their
+          // current names (dim-side renames stay unsupported — the
+          // dim delta binds by logical name and breaks loudly)
+          val dF0 = source.weightedDelta(last, head, alignToHead = true)
           val dF = where.fold(dF0)(p => dF0.filter(expr(p)))
             .withColumnRenamed("_w", "_wf")
           // D_new restricted to the fact delta's keys BEFORE the join:
