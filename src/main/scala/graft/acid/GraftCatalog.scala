@@ -297,12 +297,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     cols.foreach(c => require(schemaCols.contains(c),
       s"partition column $c not in table schema"))
     val p = new Path(tablePath(ident), "_catalog.json")
-    if (fs.exists(p)) fs.delete(p, false)
-    if (cols.nonEmpty) {
-      val out = fs.create(p, false)
-      out.write(s"""{"partitionBy":"${cols.mkString(",")}"}"""
+    if (cols.isEmpty) {
+      // un-partitioning IS the absence of the spec file
+      if (fs.exists(p)) fs.delete(p, false)
+    } else {
+      // write-then-rename, never delete-then-create: a crash between
+      // a delete and a create would silently leave the table
+      // unpartitioned for every subsequent write, and a concurrent
+      // reader in the window would see no spec at all
+      val tmp = new Path(tablePath(ident),
+        s"._catalog-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"partitionBy":"${cols.mkString(",")}"}"""
         .getBytes("UTF-8"))
-      out.close()
+      finally out.close()
+      try {
+        if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+      } finally {
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

@@ -29,9 +29,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * interval deleted a value at the stored extremum WITHOUT inserting
   * one at least as extreme (if `ins_min <= del_min` the inserted value
   * already covers any death: every remaining row is >= the old min, so
-  * the new min is exactly `least(stored, ins)` — this also makes CoW
-  * copy-backs self-cancel, since a copied-back extremum appears on
-  * both sides). The recompute is a ONE-JOB scan of the source
+  * the new min is exactly `least(stored, ins)`). Both candidate sides
+  * are computed from the delta NETTED per (group, value) — `Σ_w` per
+  * value tuple first, insert candidates from net > 0, death detectors
+  * from net < 0 — so a transient value inserted and deleted within the
+  * interval (across commits) and CoW copy-back pairs cancel exactly
+  * instead of corrupting the fold or falsely covering a real death,
+  * which makes the `ins <= del` cover inequality sound.
+  * The recompute is a ONE-JOB scan of the source
   * restricted to the dirty groups (semi join by group hash), O(dirty
   * groups' rows) — proportional to extremum churn, not the table; a
   * view whose extrema never die never rescans, and a COUNT/SUM-only
@@ -108,8 +113,9 @@ final class MaterializedAggView private (
   private def appId: String = "mv:" + view.root
 
   /** Version of the source the view currently reflects (-1 = never
-    * refreshed; the first refresh folds the whole history, which for
-    * an insert-only prefix IS the initial full build). */
+    * refreshed; the first refresh folds the HEAD SNAPSHOT at +1 — the
+    * telescoped equivalent of folding the whole history, one scan,
+    * immune to vacuumed pre-images — see [[fullFold]]). */
   def refreshedVersion: Long = view.lastCommittedEpoch(appId).getOrElse(-1L)
 
   /** The view's stored groups with derived `avg_<c>` columns. */
@@ -134,13 +140,75 @@ final class MaterializedAggView private (
   def refreshedDimVersion: Long =
     view.lastCommittedEpoch(appIdDim).getOrElse(-1L)
 
+  /** How the LAST [[refresh]] call applied its interval — "noop" (no
+    * new commits), "incremental" (signed-delta fold + MERGE),
+    * "initial" (first build: one telescoped snapshot fold), or
+    * "rebuild" (full rebuild fallback: the interval referenced
+    * vacuum-reclaimed pre-images, or was longer than
+    * [[EngineConf.mvRebuildMaxInterval]]). Diagnostic only. */
+  @volatile var lastRefreshMode: String = "none"
+
+  /** The COMPLETE view contents at `(head, headD)` — one snapshot
+    * scan (plus the dim snapshot join for join views), no history
+    * read. This is the telescoped identity behind the initial build:
+    * `weightedDelta(0, head)` sums (post − pre) over every commit,
+    * which telescopes to `snapshot(head)` at weight +1 — so the first
+    * fold costs one table scan instead of O(total historical churn)
+    * pre-image reads, and never touches a file vacuum may have
+    * reclaimed. The same fold is the rebuild fallback for a refresh
+    * whose incremental interval is no longer readable. Reference
+    * analog: recovery reads the checkpoint, not the whole WAL
+    * (io.rs:260-289). */
+  private def fullFold(head: Long, headD: Long,
+      // by-name: join views bind these by logical name and the lazy
+      // resolvers would throw on dim-side columns if forced here
+      gNow: => Seq[(String, String)], sNow: => Seq[(String, String)],
+      mNow: => Seq[(String, String)], xNow: => Seq[(String, String)]): DataFrame = {
+    val rows = dimJoin match {
+      case None =>
+        val s0 = source.snapshot(head)
+        val sF = where.fold(s0)(p => s0.filter(expr(p)))
+        sF.select((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
+          case (now, orig) => col(now).as(orig) }: _*)
+      case Some(dj) =>
+        val factSide = (groupCols ++ sumCols)
+          .filter(dj.factCols.contains).distinct
+        val dimSide = (groupCols ++ sumCols)
+          .filterNot(dj.factCols.contains).distinct
+        val f0 = source.snapshot(head)
+        val f = where.fold(f0)(p => f0.filter(expr(p)))
+        f.alias("F").join(dj.dim.snapshot(headD).alias("D"),
+            col(s"F.${dj.factKey}") === col(s"D.${dj.dimKey}"))
+          .select((factSide.map(c => col(s"F.$c").as(c)) ++
+            dimSide.map(c => col(s"D.$c").as(c))): _*)
+    }
+    val aggs: Seq[Column] =
+      count(lit(1)).as("cnt") +:
+      (sumCols.flatMap(c => Seq(
+        sum(col(c).cast("long")).as(s"sum_$c"),
+        count(col(c)).as(s"nn_$c"))) ++
+       minCols.map(c => min(col(c)).as(s"min_$c")) ++
+       maxCols.map(c => max(col(c)).as(s"max_$c")))
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
+      .select(("obj_id" +: groupCols ++: "cnt" +:
+        (sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+         minCols.map(c => s"min_$c") ++ maxCols.map(c => s"max_$c")))
+        .map(col): _*)
+  }
+
   def refresh(): Long = {
+    var forceRebuild = false
     while (true) {
       val head = source.latestVersion
+      val initial = refreshedVersion < 0
       val last = math.max(0L, refreshedVersion)
       val headD = dimJoin.map(_.dim.latestVersion).getOrElse(0L)
       val lastD = math.max(0L, refreshedDimVersion)
-      if (head <= last && (dimJoin.isEmpty || headD <= lastD)) return head
+      if (head <= last && (dimJoin.isEmpty || headD <= lastD)) {
+        lastRefreshMode = "noop"; return head
+      }
       // resolve the view columns' fixed physical names to the HEAD's
       // logical names: the delta below is head-aligned, so a source
       // rename mid-interval is transparent — unless the column was
@@ -164,6 +232,53 @@ final class MaterializedAggView private (
       lazy val sNow = resolve(sumPhys0, sumCols)
       lazy val mNow = resolve(minPhys0, minCols)
       lazy val xNow = resolve(maxPhys0, maxCols)
+      // rebuild triggers: the interval's pre-images may be reclaimed
+      // (vacuum horizon, or a FileNotFound already surfaced below), or
+      // the catch-up interval is long enough that a bounded-plan
+      // snapshot rebuild beats an O(interval) incremental fold
+      val vacuumStale = !initial &&
+        ((head > last && last < source.vacuumHorizon) ||
+         dimJoin.exists(dj =>
+           headD > lastD && lastD < dj.dim.vacuumHorizon))
+      val longInterval =
+        (head - last) > source.conf.mvRebuildMaxInterval ||
+        dimJoin.exists(dj =>
+          (headD - lastD) > dj.dim.conf.mvRebuildMaxInterval)
+      if (initial || forceRebuild || vacuumStale || longInterval) {
+        val full = fullFold(head, headD, gNow, sNow, mNow, xNow)
+        try {
+          view.withRetry() { t =>
+            // same stale-watermark + fence discipline as the
+            // incremental path: the fold is valid only against the
+            // watermarks it was derived from
+            if (view.appTxnsAt(t.readVersion).get(appId)
+                .exists(w => math.max(0L, w) != last))
+              throw new StaleWatermark
+            if (dimJoin.isDefined &&
+                view.appTxnsAt(t.readVersion).get(appIdDim)
+                  .exists(w => math.max(0L, w) != lastD))
+              throw new StaleWatermark
+            if (head > last) t.markEpoch(appId, head, fence = true)
+            else if (dimJoin.isDefined) t.fenceEpoch(appId)
+            if (dimJoin.isDefined) {
+              if (headD > lastD) t.markEpoch(appIdDim, headD, fence = true)
+              else t.fenceEpoch(appIdDim)
+            }
+            // truncate + insert in ONE commit: stale groups (dead in
+            // the lost interval) must not linger, and the saturated
+            // truncate summary conflicts with any rival merge
+            t.truncate()
+            if (!full.isEmpty) t.insert(full)
+          }
+          lastRefreshMode = if (initial) "initial" else "rebuild"
+          return head
+        } catch {
+          case _: EpochAlreadyCommittedException =>
+            lastRefreshMode = if (initial) "initial" else "rebuild"
+            return head
+          case _: StaleWatermark => ()
+        }
+      } else try {
       // the signed row delta — NOT the classified change feed: an
       // aggregate needs net multiplicities only, and weightedDelta skips
       // the feed's per-row identity diff (copy-backs cancel in the Σ)
@@ -230,25 +345,58 @@ final class MaterializedAggView private (
             term1.unionByName(term2).unionByName(term3)
           }
       }
-      val aggs: Seq[Column] =
+      val mmCols = (minCols ++ maxCols).distinct
+      // the delta is consumed once for the base aggregates plus once
+      // per min/max column (the netting pass below): materialize it so
+      // the file-restricted scans don't re-run per consumer, and the
+      // lineage stays bounded
+      val weightedShared =
+        if (mmCols.isEmpty) weighted else weighted.localCheckpoint()
+      val baseAggs: Seq[Column] =
         sum(col("_w")).as("cnt") +:
-        (sumCols.flatMap(c => Seq(
+        sumCols.flatMap(c => Seq(
           sum(col(c).cast("long") * col("_w")).as(s"sum_$c"),
           sum(when(col(c).isNotNull, col("_w")).otherwise(lit(0L)))
-            .as(s"nn_$c"))) ++
-        // inserted/deleted extremum candidates of the interval: the
-        // insert side becomes the merge's least/greatest input (and
-        // the INSERT value, spelled with the view column's name); the
-        // delete side is the death detector
-        minCols.flatMap(c => Seq(
-          min(when(col("_w") > 0, col(c))).as(s"min_$c"),
-          min(when(col("_w") < 0, col(c))).as(s"del_min_$c"))) ++
-        maxCols.flatMap(c => Seq(
-          max(when(col("_w") > 0, col(c))).as(s"max_$c"),
-          max(when(col("_w") < 0, col(c))).as(s"del_max_$c"))))
-      val delta = weighted
+            .as(s"nn_$c")))
+      val base = weightedShared
         .groupBy(groupCols.map(col): _*)
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(baseAggs.head, baseAggs.tail: _*)
+        .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
+      // inserted/deleted extremum candidates of the interval, from the
+      // NETTED per-(group, value) multiplicities — NOT the raw signed
+      // rows: a value inserted and deleted in SEPARATE commits of one
+      // interval (or a CoW copy-back pair split across commits) sums
+      // to net 0 and contributes to NEITHER side. Raw-row candidates
+      // would surface such a transient value on BOTH sides — as an
+      // insert candidate it corrupts the least/greatest fold with a
+      // value no longer in the table, and as a delete candidate it
+      // falsely "covers" a genuine extremum death through the
+      // ins <= del test, skipping the recompute. Net > 0 values are
+      // the true insert candidates (merge's least/greatest input and
+      // the unmatched-INSERT value); net < 0 the true death detectors.
+      val withCand = mmCols.foldLeft(base) { (acc, c) =>
+        val perValue = weightedShared
+          .groupBy((groupCols :+ c).distinct.map(col): _*)
+          .agg(sum(col("_w")).as("_net"))
+          .filter(col("_net") =!= 0L)
+        val candAggs: Seq[Column] =
+          (if (minCols.contains(c)) Seq(
+            min(when(col("_net") > 0, col(c))).as(s"min_$c"),
+            min(when(col("_net") < 0, col(c))).as(s"del_min_$c")) else Nil) ++
+          (if (maxCols.contains(c)) Seq(
+            max(when(col("_net") > 0, col(c))).as(s"max_$c"),
+            max(when(col("_net") < 0, col(c))).as(s"del_max_$c")) else Nil)
+        val candNames =
+          (if (minCols.contains(c)) Seq(s"min_$c", s"del_min_$c") else Nil) ++
+          (if (maxCols.contains(c)) Seq(s"max_$c", s"del_max_$c") else Nil)
+        // joined back by group hash (null group keys hash like values)
+        val cand = perValue.groupBy(groupCols.map(col): _*)
+          .agg(candAggs.head, candAggs.tail: _*)
+          .withColumn("_mmid", xxhash64(groupCols.map(col): _*))
+          .select(("_mmid" +: candNames).map(col): _*)
+        acc.join(cand, col("obj_id") === col("_mmid"), "left").drop("_mmid")
+      }
+      val delta = withCand
         // an interval whose effects cancel exactly (e.g. an update that
         // kept the group and the summed values) must neither rewrite
         // the group's file nor insert a zero group; nn participates —
@@ -263,13 +411,11 @@ final class MaterializedAggView private (
           maxCols.map(c => col(s"max_$c").isNotNull ||
             col(s"del_max_$c").isNotNull))
           .foldLeft(lit(false))(_ || _))
-        .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
         .select(("obj_id" +: groupCols ++: "cnt" +:
           (sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
            minCols.flatMap(c => Seq(s"min_$c", s"del_min_$c")) ++
            maxCols.flatMap(c => Seq(s"max_$c", s"del_max_$c"))))
           .map(col): _*)
-      try {
         view.withRetry() { t =>
           // the delta above is valid ONLY against watermark `last`; if
           // a rival refresher advanced it (visible in this snapshot, or
@@ -283,14 +429,20 @@ final class MaterializedAggView private (
               view.appTxnsAt(t.readVersion).get(appIdDim)
                 .exists(w => math.max(0L, w) != lastD))
             throw new StaleWatermark
-          // each watermark moves only when its side advanced: a
+          // each watermark MOVES only when its side advanced (a
           // re-mark at the SAME epoch would read as already-committed
-          // and silently skip the fold (a dim-only interval leaves the
-          // fact watermark untouched, and vice versa); at least one
-          // side advanced or refresh returned above
+          // and silently skip the fold), but a join view FENCES both
+          // sides regardless: the delta was derived from both
+          // watermarks, so two refreshers that each observed only one
+          // side's churn must still collide — otherwise both merges
+          // land on disjoint appIds and the cross term ΔF ⨝ ΔD is
+          // never applied (fenceEpoch watches without moving)
           if (head > last) t.markEpoch(appId, head, fence = true)
-          if (dimJoin.isDefined && headD > lastD)
-            t.markEpoch(appIdDim, headD, fence = true)
+          else if (dimJoin.isDefined) t.fenceEpoch(appId)
+          if (dimJoin.isDefined) {
+            if (headD > lastD) t.markEpoch(appIdDim, headD, fence = true)
+            else t.fenceEpoch(appIdDim)
+          }
           // min/max death repair: groups whose stored extremum the
           // interval deleted without covering (see class doc) get
           // ABSOLUTE recomputed values from the head snapshot, scanned
@@ -363,13 +515,23 @@ final class MaterializedAggView private (
                   .otherwise(greatest(col(s"t.max_$c"), col(s"s.max_$c")))),
             insertUnmatched = true)
         }
+        lastRefreshMode = "incremental"
         return head
       } catch {
         // another refresher already folded this exact head — its
         // commit is the one we wanted
-        case _: EpochAlreadyCommittedException => return head
+        case _: EpochAlreadyCommittedException =>
+          lastRefreshMode = "incremental"; return head
         // watermark moved underneath us: loop and recompute from it
         case _: StaleWatermark => ()
+        // a reclaimed data file surfaced mid-fold: vacuum outran this
+        // view (no horizon marker warned us — lost marker, or a rival
+        // vacuumed between our check and the fold). Fall back to the
+        // snapshot rebuild — the same fold the initial build uses —
+        // instead of dying with no recovery path.
+        case e: Throwable if !forceRebuild &&
+            MaterializedAggView.isMissingInput(e) =>
+          forceRebuild = true
       }
     }
     throw new IllegalStateException("unreachable")
@@ -377,6 +539,29 @@ final class MaterializedAggView private (
 }
 
 object MaterializedAggView {
+
+  /** Does this failure chain bottom out in a missing input file — the
+    * signature of a refresh interval whose pre-images vacuum already
+    * reclaimed? Spark wraps the task's FileNotFoundException in
+    * several layers (SparkException, AnalysisException for a missing
+    * path at plan time), so both the cause chain and the message text
+    * are probed. Used only to choose the rebuild fallback — a false
+    * positive costs one snapshot rebuild, never a wrong answer. */
+  private[acid] def isMissingInput(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 20) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = t.getMessage
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("PATH_NOT_FOUND") ||
+          m.contains("FILE_NOT_EXIST") ||
+          m.contains("does not exist")))
+        return true
+      t = t.getCause; depth += 1
+    }
+    false
+  }
 
   /** Dimension side of a JOIN view: `view = fact JOIN dim ON
     * fact.factKey = dim.dimKey`, grouped/summed over columns from
@@ -555,7 +740,7 @@ object MaterializedAggView {
     // reserved spellings: the view's own columns and the delta's
     // working columns must not collide with source columns in play
     val reserved = Set("obj_id", "cnt", "_w", "_dirty", "_vid", "_sid",
-        "_did") ++
+        "_did", "_mmid", "_net") ++
       sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
       minCols.flatMap(c => Seq(s"min_$c", s"del_min_$c",
         s"_t_min_$c", s"_abs_min_$c")) ++

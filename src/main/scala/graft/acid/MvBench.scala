@@ -67,6 +67,38 @@ object MvBench {
       (initial, incr)
     }
 
+    // third artifact row (round 10): initial fold on a CHURNED
+    // history — `commits` CoW merge commits of `churn` rows each on
+    // top of the bulk load, THEN create + first refresh. The
+    // telescoped initial fold reads the head snapshot only, so this
+    // must track the one-commit initial number; the pre-telescoping
+    // fold (weightedDelta(0, head)) re-read every commit's pre-images
+    // and scaled ~commits x.
+    def churnedInitial(rows: Long, commits: Int): Double = {
+      val dir = Files.createTempDirectory("graft_mvbench_c_").toUri.toString
+      val inst = VersionedTable.create(spark, dir, AcidQueries.schema)
+      val t = inst.begin()
+      t.insert(spark.range(rows).select(col("id").as("obj_id"),
+        (col("id") % 1000L).as("value"))
+        .repartitionByRange((rows / 2500L).toInt, col("obj_id")))
+      inst.commit(t)
+      (1 to commits).foreach { i =>
+        inst.withRetry() { tx =>
+          tx.merge(spark.range(churn).select(col("id").as("obj_id"),
+            lit(i.toLong % 1000L).as("value")),
+            matchedUpdate = Map("value" ->
+              org.apache.spark.sql.functions.col("s.value")),
+            insertUnmatched = false)
+        }
+      }
+      val viewDir = Files.createTempDirectory("graft_mvview_c_").toUri.toString
+      val mv = MaterializedAggView.create(spark, viewDir, inst,
+        groupCols = Seq("value"), sumCols = Seq("value"))
+      val t0 = System.nanoTime()
+      mv.refresh() // measured: must match the one-commit initial fold
+      (System.nanoTime() - t0) / 1e9
+    }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -78,11 +110,20 @@ object MvBench {
       val rs = (1 to n).map(_ => round(rows))
       rows -> (median(rs.map(_._1)), median(rs.map(_._2)))
     }
+    val churnedCommits = 50
+    val churnedInit = median(
+      (1 to n).map(_ => churnedInitial(sizes.head, churnedCommits)))
     val body = out.map { case (rows, (init, incr)) =>
       f""""rows_$rows":{"initial_s":$init%.2f,"incremental_s":$incr%.2f}"""
     }.mkString(",")
     val ratio = out.last._2._2 / math.max(1e-9, out.head._2._2)
-    println(f"""{"churn_rows":$churn,"runs":$n,$body,"incremental_ratio_10x":$ratio%.2f}""")
+    // ratio of the churned-history initial to the clean one-commit
+    // initial at the same table size: ~1 = telescoped, ~commits x = O(churn)
+    val churnedRatio = churnedInit / math.max(1e-9, out.head._2._1)
+    println(f"""{"churn_rows":$churn,"runs":$n,$body,""" +
+      f""""initial_churned${churnedCommits}_s":$churnedInit%.2f,""" +
+      f""""initial_churned_ratio":$churnedRatio%.2f,""" +
+      f""""incremental_ratio_10x":$ratio%.2f}""")
     spark.stop()
   }
 }

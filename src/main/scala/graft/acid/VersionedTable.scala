@@ -994,6 +994,15 @@ final case class EngineConf(
     claimer: ManifestClaimer = LinkRenameClaimer,
     appTxnRetentionMs: Long = Long.MaxValue,
     statsColumns: Int = 32,
+    // longest commit interval a materialized-view refresh folds
+    // INCREMENTALLY: a view catching up over more versions than this
+    // (e.g. after weeks offline) rebuilds from the head snapshot
+    // instead — O(table), but with a bounded plan, instead of an
+    // incremental fold whose cost and plan size grow linearly with an
+    // arbitrarily long history (and which may reference files vacuum
+    // already reclaimed). Sized so routine refresh cadences never hit
+    // it; the rebuild is the same fold the initial build uses.
+    mvRebuildMaxInterval: Int = 512,
     // how long a reader waits for an in-flight cross-table commit's
     // decision record before arbitrating it ABORTED (the commit window
     // is pointer publishes + one claim, normally milliseconds; a
@@ -1020,6 +1029,7 @@ final case class EngineConf(
   require(multiGraceMs >= 0, s"multiGraceMs must be >= 0")
   require(commitLockTimeoutMs >= 1, s"commitLockTimeoutMs must be >= 1")
   require(fastPathRows >= 0, s"fastPathRows must be >= 0")
+  require(mvRebuildMaxInterval >= 1, s"mvRebuildMaxInterval must be >= 1")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -3214,6 +3224,17 @@ final class Instance(val spark: SparkSession, val root: String,
               s"watermark for $appId moved by interleaved commit v$v")
           }
         }
+        // fence-only watermarks (Txn.fenceEpoch): conflict with ANY
+        // interleaved movement of the watched watermark — no epoch is
+        // published for these and no idempotence skip applies
+        txn.appTxnFenceOnly.foreach { appId =>
+          if (m.appTxns.contains(appId)) {
+            txn.abort()
+            throw new ConflictException(
+              s"fence-only watermark for $appId moved by interleaved " +
+              s"commit v$v")
+          }
+        }
         val fileOverlap = m.removed.toSet.intersect(txn.removed.toSet)
         // deletion-vector structure conflicts: a dv entry REPLACES the
         // file's sidecar list, so concurrent dv writers on one file
@@ -3609,7 +3630,59 @@ final class Instance(val spark: SparkSession, val root: String,
           fs.delete(d.getPath, true)
       }
     }
+    // record the pre-image horizon: data files dead at every retained
+    // version may now be gone, so an incremental reader (a
+    // materialized view's weightedDelta) whose interval starts below
+    // the horizon must fall back to a snapshot rebuild instead of
+    // failing mid-job on a reclaimed file. Monotone max across
+    // vacuums; best-effort (a lost marker only degrades the reader to
+    // its FileNotFound fallback, never to a wrong answer).
+    recordVacuumHorizon(horizon)
     removed
+  }
+
+  /** First version whose [[weightedDelta]] pre-images are guaranteed
+    * intact after every past [[vacuum]]: intervals `(from, to]` with
+    * `from >= vacuumHorizon` read only files that were live at a
+    * retained version. 0 = never vacuumed (or marker unreadable — the
+    * caller's FileNotFound fallback covers that window). */
+  def vacuumHorizon: Long = {
+    val p = new Path(root, "_vacuum.json")
+    try {
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        val s = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+        """"horizon"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong).getOrElse(0L)
+      }
+    } catch { case _: java.io.IOException => 0L }
+  }
+
+  private def recordVacuumHorizon(h: Long): Unit = {
+    if (h <= vacuumHorizon) return
+    val p = new Path(root, "_vacuum.json")
+    val tmp = new Path(root,
+      s"._vacuum-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"horizon":$h}""".getBytes("UTF-8"))
+      finally out.close()
+      // rename over the target where the store allows it; fall back to
+      // delete + rename (the transient absence only reads as horizon 0,
+      // which the FileNotFound fallback covers)
+      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+    } catch { case _: java.io.IOException => () }
+    finally {
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Materialize outstanding deletion vectors WITHOUT a full
@@ -3834,14 +3907,22 @@ final class Instance(val spark: SparkSession, val root: String,
   private def withCommitLock[A](body: => A): A = {
     if (!conf.commitLock) return body
     val lockPath = new Path(manifestDir, "_commitlock")
+    // unique claim token: release deletes the lock ONLY if the file
+    // still carries this writer's token. An unconditional delete
+    // would evict the NEW holder whenever a waiter legitimately stole
+    // a slow holder's claim (the slow holder's finally-delete removes
+    // the stealer's fresh lock, letting a third writer in and
+    // cascading steals under load — exactly the contended case the
+    // lock exists for). A token mismatch means "already stolen":
+    // skip the delete; correctness never depended on the lock anyway.
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + conf.commitLockTimeoutMs
     var acquired = false
     while (!acquired) {
       try {
         val out = fs.create(lockPath, false) // exclusive create
         try out.write(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         acquired = true
       } catch {
@@ -3863,8 +3944,20 @@ final class Instance(val spark: SparkSession, val root: String,
     }
     try body
     finally {
-      try fs.delete(lockPath, false)
-      catch { case scala.util.control.NonFatal(_) => () }
+      // read-check-delete is not atomic (a steal in the window still
+      // deletes the stealer's claim), but the window shrinks from the
+      // whole body to one read — the residue degrades to the
+      // pre-token behavior, never worse
+      try {
+        val in = fs.open(lockPath)
+        val cur = try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n <= 0) "" else new String(buf, 0, n,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        if (cur == token) fs.delete(lockPath, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -4009,6 +4102,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // (an incremental view refresh) re-reads it instead of folding a
   // stale delta over the rival's commit. See Instance.commit.
   private[acid] var appTxnFence = false
+  // fence-ONLY watermarks (Txn.fenceEpoch): appIds whose epoch this
+  // commit does NOT move but whose interleaved movement must conflict
+  // — the "watch the side that did not advance" half of a join-view
+  // refresh. Never published; exempt from the epoch-already-committed
+  // idempotence skip (an unchanged epoch is not a replay).
+  private[acid] var appTxnFenceOnly: Set[String] = Set.empty
   // merge-on-read dv delta this commit publishes: data file -> its FULL
   // replacement sidecar list (empty = clear). Maintained by deleteMoR
   // and restore; entries for files this txn later rewrites are dropped
@@ -4346,6 +4445,26 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     require(appId.nonEmpty, "appId must be non-empty")
     appTxn = (appId -> epoch) :: appTxn.filterNot(_._1 == appId)
     appTxnFence = appTxnFence || fence
+  }
+
+  /** Fence-ONLY participation in a watermark: this commit does NOT
+    * move `appId`'s epoch (and publishes nothing for it), but it
+    * CONFLICTS — retryable, like [[markEpoch]]'s `fence` — with any
+    * interleaved commit that moved that watermark, and is EXEMPT from
+    * the epoch-already-committed idempotence skip (fencing at the
+    * unchanged epoch is not a replay; a re-mark at the current epoch
+    * would be swallowed as one and silently skip the whole commit).
+    *
+    * Why it exists: a join-view refresh derives its payload from BOTH
+    * watermarks but historically marked only the sides that advanced.
+    * Two concurrent refreshers that each observed only one side's
+    * churn then mark DISJOINT appIds — neither fences the other, both
+    * merges can land, and the cross term ΔF ⨝ ΔD is never applied.
+    * Fencing the unchanged side closes that hole: any interleaved
+    * movement of either watermark forces a restart. */
+  def fenceEpoch(appId: String): Unit = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    appTxnFenceOnly += appId
   }
 
   /** Validate `df`'s schema against the txn-local table schema and

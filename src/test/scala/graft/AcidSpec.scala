@@ -2206,4 +2206,31 @@ class AcidSpec extends AnyFunSuite {
     assert(inst.read().filter(col("obj_id") === 9L).count() == 1L)
     assert(!hfs.exists(lock), "stolen lock must release after commit")
   }
+
+  test("commit lock release deletes only its OWN claim (steal-safe token)") {
+    val conf = graft.acid.EngineConf(commitLock = true)
+    val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
+      conf)
+    val lock = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(inst.root), "_manifests/_commitlock")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inst.root), spark.sparkContext.hadoopConfiguration)
+    // a slow holder whose claim a waiter stole mid-body: simulate the
+    // steal by replacing the lock file (the new holder's token) INSIDE
+    // the body. The slow holder's release must detect the foreign
+    // token and SKIP the delete — an unconditional delete would evict
+    // the new holder and cascade steals under load.
+    inst.withRetry() { t =>
+      t.insert(Seq((1L, 1L)).toDF("obj_id", "value"))
+      hfs.delete(lock, false)
+      val out = hfs.create(lock, false)
+      out.write("stolen-by-waiter".getBytes("UTF-8")); out.close()
+    }
+    assert(hfs.exists(lock),
+      "release must not evict the new holder's claim")
+    val in = hfs.open(lock)
+    val buf = new Array[Byte](64); val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") == "stolen-by-waiter")
+    hfs.delete(lock, false)
+  }
 }

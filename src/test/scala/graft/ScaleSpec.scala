@@ -198,6 +198,60 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall1 >= 0.5, f"sf0.1 LSH top-1 agreement $recall1%.3f < 0.5")
   }
 
+  test("MV catch-up over a 500-commit interval takes the bounded rebuild path") {
+    // a view left behind for weeks of micro-batch commits must not
+    // fold an O(interval) plan: past mvRebuildMaxInterval the refresh
+    // rebuilds from the head snapshot (O(table), bounded plan); below
+    // it, the incremental fold's 32-version localCheckpoint batches
+    // bound the plan depth. Both regimes exercised on one table.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.acid.{EngineConf, MaterializedAggView, VersionedTable}
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("grp", StringType),
+      StructField("v", LongType)))
+    val src = VersionedTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_scale_mv_").toUri.toString,
+      schema, EngineConf(mvRebuildMaxInterval = 300))
+    val mv = MaterializedAggView.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_scale_mvv_").toUri.toString,
+      src, groupCols = Seq("grp"), sumCols = Seq("v"))
+    src.withRetry() { t =>
+      t.insert(Seq((0L, "g0", 0L)).toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    (1 to 500).foreach { i =>
+      src.withRetry() { t => t.insert(
+        Seq((i.toLong, s"g${i % 8}", i.toLong)).toDF("obj_id", "grp", "v")) }
+    }
+    val t0 = System.nanoTime()
+    mv.refresh()
+    val rebuildS = (System.nanoTime() - t0) / 1e9
+    assert(mv.lastRefreshMode == "rebuild",
+      s"500-commit interval should rebuild, got ${mv.lastRefreshMode}")
+    def viewRows() = mv.read().select("grp", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    def oracle() = src.read().groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(viewRows() == oracle())
+    // sub-threshold catch-up folds incrementally (bounded by the
+    // 32-version localCheckpoint batching inside weightedDelta)
+    (501 to 600).foreach { i =>
+      src.withRetry() { t => t.insert(
+        Seq((i.toLong, s"g${i % 8}", i.toLong)).toDF("obj_id", "grp", "v")) }
+    }
+    val t1 = System.nanoTime()
+    mv.refresh()
+    val incrS = (System.nanoTime() - t1) / 1e9
+    assert(mv.lastRefreshMode == "incremental",
+      s"100-commit interval should fold incrementally, got ${mv.lastRefreshMode}")
+    assert(viewRows() == oracle())
+    info(f"catch-up refresh: 500-commit rebuild $rebuildS%.2f s, " +
+      f"100-commit incremental $incrS%.2f s")
+  }
+
   test("codegen'd HyperplaneBands matches the interpreted plane generator") {
     // the expression and Similarity.lshBucket draw signs from the same
     // (plane, dim) integer mix — cross-check one vector end to end

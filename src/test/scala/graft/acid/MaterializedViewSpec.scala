@@ -340,6 +340,43 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(inst.lastCommittedEpoch("q") == Some(10L))
   }
 
+  test("fence-only watermarks make disjoint-side refreshers collide") {
+    val dir = Files.createTempDirectory("graft_fenceonly_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    // seed both watermarks (fact 'f' at 5, dim 'd' at 7)
+    val s = inst.begin()
+    s.insert(Seq((1L, "a", 1L)).toDF("obj_id", "grp", "v"))
+    s.markEpoch("f", 5L); s.markEpoch("d", 7L)
+    inst.commit(s)
+    // refresher A observed only FACT churn: moves f, fences d
+    val a = inst.begin()
+    a.insert(Seq((2L, "b", 2L)).toDF("obj_id", "grp", "v"))
+    a.markEpoch("f", 6L, fence = true)
+    a.fenceEpoch("d")
+    // rival B observed only DIM churn: moves d, fences f — lands first
+    val b = inst.begin()
+    b.insert(Seq((3L, "c", 3L)).toDF("obj_id", "grp", "v"))
+    b.markEpoch("d", 8L, fence = true)
+    b.fenceEpoch("f")
+    inst.commit(b)
+    // pre-fix the two marked DISJOINT appIds and both landed (the
+    // cross term ΔF ⨝ ΔD silently dropped); now A's fence on d
+    // collides with B's interleaved movement of d
+    intercept[ConflictException](inst.commit(a))
+    // fence-only marks never move an epoch
+    assert(inst.lastCommittedEpoch("f") == Some(5L))
+    assert(inst.lastCommittedEpoch("d") == Some(8L))
+    // with no interleaved movement, fencing the unchanged epoch is
+    // free — NOT swallowed by the already-committed idempotence skip
+    val c = inst.begin()
+    c.insert(Seq((4L, "e", 4L)).toDF("obj_id", "grp", "v"))
+    c.markEpoch("f", 6L, fence = true)
+    c.fenceEpoch("d")
+    inst.commit(c)
+    assert(inst.lastCommittedEpoch("f") == Some(6L))
+    assert(inst.lastCommittedEpoch("d") == Some(8L))
+  }
+
   test("sum columns must be integral; group columns must exist") {
     val srcDir = Files.createTempDirectory("graft_mv_bad_").toUri.toString
     val src = VersionedTable.create(spark, srcDir, StructType(Seq(
@@ -444,6 +481,40 @@ class MaterializedViewSpec extends AnyFunSuite {
     mv.refresh()
     assert(mmView(mv) == mmRecompute(src))
     assert(!mmView(mv).exists(_._1 == "c"))
+  }
+
+  test("min/max: a transient insert+delete across commits neither corrupts nor covers") {
+    val (src, mv) = freshMinMax()
+    src.withRetry() { t => t.insert(Seq((1L, "a", 10L), (2L, "a", 40L))
+      .toDF("obj_id", "grp", "v")) }
+    mv.refresh() // stored min 10, max 40
+    // commit A inserts v=1, commit B deletes that row: net zero for
+    // the interval. Raw-row candidates would see ins_min=1 (fold
+    // least(10,1)=1 — a value no longer in the table) and del_min=1
+    // "covered" by the transient insert; netted candidates cancel
+    src.withRetry() { t => t.insert(Seq((9L, "a", 1L))
+      .toDF("obj_id", "grp", "v")) }
+    src.withRetry() { t => t.delete(Seq(9L)) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv) == Seq(("a", 2L, 10L, 40L)))
+    // transient pair PLUS a genuine extremum death in ONE interval:
+    // the transient 1 must not cover the real min 10's death via
+    // ins <= del — the group must recompute (min becomes 40)
+    src.withRetry() { t => t.insert(Seq((8L, "a", 1L))
+      .toDF("obj_id", "grp", "v")) }
+    src.withRetry() { t => t.delete(Seq(8L)) }
+    src.withRetry() { t => t.delete(Seq(1L)) } // the stored min dies
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv) == Seq(("a", 1L, 40L, 40L)))
+    // symmetric for MAX: transient 99 above the stored max 40
+    src.withRetry() { t => t.insert(Seq((7L, "a", 99L))
+      .toDF("obj_id", "grp", "v")) }
+    src.withRetry() { t => t.delete(Seq(7L)) }
+    mv.refresh()
+    assert(mmView(mv) == mmRecompute(src))
+    assert(mmView(mv) == Seq(("a", 1L, 40L, 40L)))
   }
 
   test("property: random churn never diverges count/sum/min/max from recompute") {
@@ -650,6 +721,127 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
     jmv.refresh()
     assert(jrows() == Seq(("west", 1L, 100L)))
+  }
+
+  test("initial fold telescopes: a view created AFTER vacuum builds green") {
+    // CoW-heavy history: every commit rewrites the rows' files, piling
+    // up pre-images; vacuum(1) reclaims everything not live at head.
+    // The initial fold must read the head snapshot (one scan), never
+    // weightedDelta(0, head)'s per-commit pre-images — which are gone.
+    val srcDir = Files.createTempDirectory("graft_mv_vac_src_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    src.withRetry() { t => t.insert(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("obj_id", "grp", "v")) }
+    (1 to 6).foreach { _ =>
+      src.withRetry() { t =>
+        t.update(Seq(1L), df => df.withColumn("v", col("v") + 1L)) }
+    }
+    assert(src.vacuum(1) > 0, "vacuum must reclaim the CoW pre-images")
+    assert(src.vacuumHorizon == src.latestVersion)
+    val viewDir = Files.createTempDirectory("graft_mv_vac_view_").toUri.toString
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Seq("v"))
+    mv.refresh()
+    assert(mv.lastRefreshMode == "initial")
+    assert(viewRows(mv) == recompute(src))
+    assert(viewRows(mv) == Seq(("a", 1L, 16L), ("b", 1L, 20L)))
+    // and the fold is idempotent noops afterwards
+    mv.refresh()
+    assert(mv.lastRefreshMode == "noop")
+  }
+
+  test("a view staler than vacuum retention rebuilds instead of failing") {
+    val (src, mv) = freshPair()
+    src.withRetry() { t => t.insert(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("obj_id", "grp", "v")) }
+    mv.refresh() // watermark at v1
+    assert(mv.lastRefreshMode == "initial")
+    (1 to 6).foreach { _ =>
+      src.withRetry() { t =>
+        t.update(Seq(1L), df => df.withColumn("v", col("v") + 3L)) }
+    }
+    src.vacuum(1) // the view's interval (1, head] pre-images are gone
+    mv.refresh()
+    assert(mv.lastRefreshMode == "rebuild")
+    assert(viewRows(mv) == recompute(src))
+    assert(viewRows(mv) == Seq(("a", 1L, 28L), ("b", 1L, 20L)))
+    // incremental service resumes after the rebuild re-based the view
+    src.withRetry() { t =>
+      t.update(Seq(2L), df => df.withColumn("v", lit(50L))) }
+    mv.refresh()
+    assert(mv.lastRefreshMode == "incremental")
+    assert(viewRows(mv) == Seq(("a", 1L, 28L), ("b", 1L, 50L)))
+  }
+
+  test("a reclaimed interval with NO horizon marker falls back via FileNotFound") {
+    val (src, mv) = freshPair()
+    src.withRetry() { t => t.insert(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    (1 to 6).foreach { _ =>
+      src.withRetry() { t =>
+        t.update(Seq(1L), df => df.withColumn("v", col("v") + 3L)) }
+    }
+    src.vacuum(1)
+    // simulate a legacy/lost marker: the proactive check reads 0, the
+    // incremental fold hits the reclaimed pre-image mid-job, and the
+    // reactive fallback must still land the rebuild
+    src.fs.delete(new org.apache.hadoop.fs.Path(src.root, "_vacuum.json"),
+      false)
+    assert(src.vacuumHorizon == 0L)
+    mv.refresh()
+    assert(mv.lastRefreshMode == "rebuild")
+    assert(viewRows(mv) == recompute(src))
+  }
+
+  test("min/max and join views rebuild green after vacuum") {
+    // min/max: the rebuild recomputes extrema from the snapshot
+    val (src, mv) = freshMinMax()
+    src.withRetry() { t => t.insert(Seq((1L, "a", 10L), (2L, "a", 40L))
+      .toDF("obj_id", "grp", "v")) }
+    mv.refresh()
+    (1 to 6).foreach { i =>
+      src.withRetry() { t =>
+        t.update(Seq(1L), df => df.withColumn("v", lit(10L + i))) }
+    }
+    src.vacuum(1)
+    mv.refresh()
+    assert(mv.lastRefreshMode == "rebuild")
+    assert(mmView(mv) == mmRecompute(src))
+
+    // join view: fact vacuumed beyond the view's watermark
+    val fSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("v", LongType)))
+    val dSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_vacj_f_").toUri.toString, fSchema)
+    val dim = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_vacj_d_").toUri.toString, dSchema)
+    val jmv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_vacj_v_").toUri.toString, fact,
+      groupCols = Seq("region"), sumCols = Seq("v"),
+      dimJoin = Some(MaterializedAggView.DimJoin(dim, "cust", "obj_id")))
+    dim.withRetry() { t => t.insert(Seq((1L, "east"), (2L, "west"))
+      .toDF("obj_id", "region")) }
+    fact.withRetry() { t => t.insert(Seq((10L, 1L, 100L), (11L, 2L, 50L))
+      .toDF("obj_id", "cust", "v")) }
+    jmv.refresh()
+    assert(jmv.lastRefreshMode == "initial")
+    (1 to 6).foreach { _ =>
+      fact.withRetry() { t =>
+        t.update(Seq(10L), df => df.withColumn("v", col("v") + 1L)) }
+    }
+    fact.vacuum(1)
+    jmv.refresh()
+    assert(jmv.lastRefreshMode == "rebuild")
+    val rows = jmv.read().select("region", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(("east", 1L, 106L), ("west", 1L, 50L)))
   }
 
   test("min/max view survives a reopen from its persisted definition") {
