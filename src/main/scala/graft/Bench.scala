@@ -119,18 +119,27 @@ object Bench {
           exact.count { case (k, v) => got.get(k).contains(v) }
             .toDouble / exact.size
         }
+        // the SHIPPED keys are recall-targeted (calibrated to >= 0.9
+        // on a seeded sample) — measure exactly what they ship, and
+        // emit the chosen geometry/probes so the cost point is visible
         val ivf = recallOf(graft.operators.Similarity
-          .annTop1Ivf(e, q, dim = 64))
+          .annTop1IvfTargeted(e, q, dim = 64, targetRecall = 0.9))
+        val ivfProbe = graft.operators.Similarity.lastIvfCalibration._1
         val lsh = recallOf(graft.operators.Similarity
-          .annTop1Lsh(e, q, dim = 64))
-        // the quality-bound geometry ScaleSpec gates at >= 0.9
-        // recall@5 / >= 0.75 top-1 (nProbe=12 of 16 cells) — emitted
-        // beside the shipped keys' default-probe numbers so the
-        // artifact carries both the cost point and the quality point
+          .annTop1LshTargeted(e, q, dim = 64, targetRecall = 0.9))
+        val (lshFp, lshMf, _) =
+          graft.operators.Similarity.lastLshCalibration
+        // fixed-geometry comparison rows (the pre-calibration
+        // defaults), so the artifact still carries the cheap points
         val ivf12 = recallOf(graft.operators.Similarity
           .annTop1Ivf(e, q, dim = 64, nCells = 16, nProbe = 12))
+        val lshFixed = recallOf(graft.operators.Similarity
+          .annTop1Lsh(e, q, dim = 64))
         f""","recall":{"q26_ann_ivf":$ivf%.3f,"q26_ann_lsh":$lsh%.3f,""" +
-          f""""q26_ann_ivf_probe12":$ivf12%.3f}"""
+          f""""q26_ann_ivf_nprobe":$ivfProbe,""" +
+          f""""q26_ann_lsh_geometry":"flip<=$lshMf of $lshFp",""" +
+          f""""q26_ann_ivf_probe12":$ivf12%.3f,""" +
+          f""""q26_ann_lsh_fixed26":$lshFixed%.3f}"""
       } catch { case _: Throwable => "" }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$recallJson%s}""")
     spark.stop()

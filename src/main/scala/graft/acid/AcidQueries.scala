@@ -426,7 +426,65 @@ object AcidQueries {
       "SELECT region, CAST(cnt AS BIGINT) AS cnt, " +
       "CAST(sum_amount AS BIGINT) AS sum_amount " +
       "FROM (VALUES ('west', 3, 200)) AS t(region, cnt, sum_amount) " +
-      "ORDER BY region")((s, _) => joinMvScenario(s)))
+      "ORDER BY region")((s, _) => joinMvScenario(s)),
+
+    // MULTI-dimension (star) JOIN materialized view: fact orders ⨝
+    // customers ⨝ products grouped by one column from EACH dim. The
+    // refreshes cover fact churn alone, each dim churning alone, and
+    // fact + both dims churning in ONE interval (the 7-term
+    // inclusion–exclusion delta) — final view is a hand-computable
+    // constant
+    "q68_star_mv" -> Q(
+      "SELECT region, category, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(sum_amount AS BIGINT) AS sum_amount " +
+      "FROM (VALUES ('east', 'games', 1, 11), ('east', 'tools', 1, 3), " +
+      "('west', 'games', 1, 5)) AS t(region, category, cnt, sum_amount) " +
+      "ORDER BY region, category")((s, _) => starMvScenario(s)))
+
+  /** Full-SQL star-join-view lifecycle (see q68 above): dims customers
+    * {1:east, 2:west} and products {10:toys, 11:tools}; fact orders
+    * {100:c1/p10/5, 101:c1/p11/7, 102:c2/p10/11}; materialize
+    * SUM(amount) by (region, category). Refresh 1 is the initial
+    * star fold. Then: DELETE order 101 (fact alone), refresh; move
+    * customer 1 east→west (dim-1 alone), refresh; and in ONE interval
+    * rename product 10 toys→games, move customer 2 west→east, and
+    * INSERT order 103:c2/p11/3 — the 7-term delta nets all three.
+    * Final rows: order 100 (c1 west, p10 games, 5), order 102 (c2
+    * east, p10 games, 11), order 103 (c2 east, p11 tools, 3). */
+  def starMvScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq68$tag"
+    val wh = Files.createTempDirectory("graft_wh_q68_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.mv.cust (obj_id BIGINT, region STRING)")
+    spark.sql(s"INSERT INTO $cat.mv.cust VALUES (1, 'east'), (2, 'west')")
+    spark.sql(s"CREATE TABLE $cat.mv.prod (obj_id BIGINT, category STRING)")
+    spark.sql(s"INSERT INTO $cat.mv.prod VALUES (10, 'toys'), (11, 'tools')")
+    spark.sql(s"CREATE TABLE $cat.mv.orders " +
+      "(obj_id BIGINT, cust BIGINT, prod BIGINT, amount BIGINT)")
+    spark.sql(s"INSERT INTO $cat.mv.orders VALUES " +
+      "(100, 1, 10, 5), (101, 1, 11, 7), (102, 2, 10, 11)")
+    spark.sql(s"CALL $cat.system.create_mv('mv.agg', " +
+      "source => 'mv.orders', group_by => 'region,category', " +
+      "sums => 'amount', dim_source => 'mv.cust,mv.prod', " +
+      "fact_key => 'cust,prod', dim_key => 'obj_id,obj_id')")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    // fact churn alone
+    spark.sql(s"DELETE FROM $cat.mv.orders WHERE obj_id = 101")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    // dim 1 churn alone
+    spark.sql(s"UPDATE $cat.mv.cust SET region = 'west' WHERE obj_id = 1")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    // fact + BOTH dims in one interval
+    spark.sql(s"UPDATE $cat.mv.prod SET category = 'games' WHERE obj_id = 10")
+    spark.sql(s"UPDATE $cat.mv.cust SET region = 'east' WHERE obj_id = 2")
+    spark.sql(s"INSERT INTO $cat.mv.orders VALUES (103, 2, 11, 3)")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
+    spark.sql(s"SELECT region, category, cnt, sum_amount FROM $cat.mv.agg " +
+      "ORDER BY region, category")
+  }
 
   /** Full-SQL join-view lifecycle (see q67 above): dim customers
     * {1:east, 2:west}, fact orders {10:c1/100, 11:c1/50, 12:c2/70};

@@ -547,35 +547,38 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
       .comment("comma-separated columns to keep MAX of")
       .defaultValue("''").build(),
     ProcedureParameter.in("dim_source", StringType)
-      .comment("dotted name of a dimension table to JOIN the source " +
-        "against (group/sum columns may then come from either side)")
+      .comment("comma-separated dotted names of dimension tables to " +
+        "JOIN the source against (a star view joins several; group/sum " +
+        "columns may then come from any side)")
       .defaultValue("''").build(),
     ProcedureParameter.in("fact_key", StringType)
-      .comment("join key column on the source side")
+      .comment("join key column(s) on the source side, one per " +
+        "dim_source entry")
       .defaultValue("''").build(),
     ProcedureParameter.in("dim_key", StringType)
-      .comment("join key column on the dimension side")
+      .comment("join key column(s) on the dimension side, one per " +
+        "dim_source entry")
       .defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     def list(i: Int): Seq[String] = input.getUTF8String(i).toString
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    def str(i: Int): Option[String] =
-      Option(input.getUTF8String(i).toString.trim).filter(_.nonEmpty)
     val viewName = input.getUTF8String(0).toString
     val src = cat.openInstance(input.getUTF8String(1).toString)
-    val where = str(4)
-    val dj = str(7).map { dimName =>
-      MaterializedAggView.DimJoin(cat.openInstance(dimName),
-        str(8).getOrElse(throw new IllegalArgumentException(
-          "dim_source requires fact_key")),
-        str(9).getOrElse(throw new IllegalArgumentException(
-          "dim_source requires dim_key")),
-        dimSpec = dimName)
-    }
+    val where = Option(input.getUTF8String(4).toString.trim)
+      .filter(_.nonEmpty)
+    val dimNames = list(7); val factKeys = list(8); val dimKeys = list(9)
+    require(dimNames.size == factKeys.size &&
+      dimNames.size == dimKeys.size,
+      s"dim_source (${dimNames.size}), fact_key (${factKeys.size}) and " +
+      s"dim_key (${dimKeys.size}) must list one entry per dimension")
+    val djs = dimNames.indices.map(i =>
+      MaterializedAggView.DimJoin(cat.openInstance(dimNames(i)),
+        factKeys(i), dimKeys(i), dimSpec = dimNames(i)))
     val viewPath = cat.pathFor(viewName)
     MaterializedAggView.create(SparkSession.active, viewPath.toString, src,
       list(2), list(3), sourceSpec = Some(input.getUTF8String(1).toString),
-      where = where, minCols = list(5), maxCols = list(6), dimJoin = dj)
+      where = where, minCols = list(5), maxCols = list(6),
+      dimJoins = djs)
     java.util.Collections.singletonList[Scan](
       new MetricScan("created_version", 0L)).iterator()
   }
@@ -658,14 +661,18 @@ private[acid] final class MvStatusProcedure(cat: GraftCatalog)
       "mins" -> csv(mv.minCols),
       "maxs" -> csv(mv.maxCols),
       "where" -> mv.where.orNull,
-      "dim_join" -> mv.dimJoin.map(dj =>
-        s"${dj.dimSpec} ON ${dj.factKey} = ${dj.dimKey}").orNull,
+      "dim_join" -> (if (mv.dimJoins.isEmpty) null
+        else mv.dimJoins.map(dj =>
+          s"${dj.dimSpec} ON ${dj.factKey} = ${dj.dimKey}")
+          .mkString("; ")),
       "refreshed_source_version" -> mv.refreshedVersion.toString,
       "source_head_version" -> mv.source.latestVersion.toString,
-      "refreshed_dim_version" -> mv.dimJoin.map(_ =>
-        mv.refreshedDimVersion.toString).orNull,
-      "dim_head_version" -> mv.dimJoin.map(
-        _.dim.latestVersion.toString).orNull))).iterator()
+      "refreshed_dim_version" -> (if (mv.dimJoins.isEmpty) null
+        else mv.dimJoins.indices.map(i =>
+          mv.refreshedDimVersion(i).toString).mkString(",")),
+      "dim_head_version" -> (if (mv.dimJoins.isEmpty) null
+        else mv.dimJoins.map(_.dim.latestVersion.toString)
+          .mkString(","))))).iterator()
   }
 }
 

@@ -99,16 +99,28 @@ final class MaterializedAggView private (
     val source: Instance, val view: Instance,
     val groupCols: Seq[String], val sumCols: Seq[String],
     val minCols: Seq[String], val maxCols: Seq[String],
-    val dimJoin: Option[MaterializedAggView.DimJoin],
+    val dimJoins: Seq[MaterializedAggView.DimJoin],
     val where: Option[String],
-    // fixed PHYSICAL names of the group/sum/min/max columns, captured
-    // at create: refresh re-resolves them to the head's logical names,
-    // so renaming a view column in the source neither breaks the
-    // refresh nor (worse) folds pre-rename rows into the NULL group.
-    // None = legacy definition; the stored logical names are assumed
-    // still current and their physicals derived from the head.
+    // fixed PHYSICAL names of the group/sum/min/max columns IN THEIR
+    // OWNING RELATION, captured at create: refresh re-resolves them to
+    // that relation's head logical names, so renaming a view column in
+    // the fact OR a dimension neither breaks the refresh nor (worse)
+    // folds pre-rename rows into the NULL group. None = legacy
+    // definition; the stored logical names are assumed still current
+    // and their physicals derived from the head.
     groupPhys0: Option[Seq[String]], sumPhys0: Option[Seq[String]],
-    minPhys0: Option[Seq[String]], maxPhys0: Option[Seq[String]]) {
+    minPhys0: Option[Seq[String]], maxPhys0: Option[Seq[String]],
+    // owning relation per group/sum column (0 = fact, i >= 1 =
+    // dimJoins(i-1)); None = legacy definition, resolved by schema
+    // membership (fact first) at refresh
+    groupRel0: Option[Seq[Int]], sumRel0: Option[Seq[Int]],
+    // fixed physical names of the join keys (fact side aligned with
+    // dimJoins; dim side one per dim); None = legacy, assumed current
+    factKeyPhys0: Option[Seq[String]], dimKeyPhys0: Option[Seq[String]]) {
+
+  /** First dimension, if any — compatibility accessor for the
+    * single-dim surface (mv_status, older callers). */
+  def dimJoin: Option[MaterializedAggView.DimJoin] = dimJoins.headOption
 
   private def appId: String = "mv:" + view.root
 
@@ -130,15 +142,18 @@ final class MaterializedAggView private (
   // control flow only, never escapes refresh()
   private final class StaleWatermark extends RuntimeException
 
-  /** Fold all source commits since the last refresh into the view.
-    * Returns the source version the view now reflects. Safe to call
-    * concurrently or re-call after a crash: the watermark rides the
-    * merge commit, fenced against rival refreshers (see class doc). */
-  private def appIdDim: String = appId + "#dim"
+  // one fenced watermark per dimension; index 0 keeps the legacy
+  // "#dim" spelling so single-dim views created before multi-dim
+  // support carry their watermark forward unchanged
+  private def appIdDim(i: Int): String =
+    if (i == 0) appId + "#dim" else appId + s"#dim$i"
 
-  /** Dimension version the view currently reflects (join views). */
-  def refreshedDimVersion: Long =
-    view.lastCommittedEpoch(appIdDim).getOrElse(-1L)
+  /** Version of dimension `i` the view currently reflects. */
+  def refreshedDimVersion(i: Int): Long =
+    view.lastCommittedEpoch(appIdDim(i)).getOrElse(-1L)
+
+  /** First dimension's reflected version (single-dim compatibility). */
+  def refreshedDimVersion: Long = refreshedDimVersion(0)
 
   /** How the LAST [[refresh]] call applied its interval — "noop" (no
     * new commits), "incremental" (signed-delta fold + MERGE),
@@ -147,6 +162,87 @@ final class MaterializedAggView private (
     * vacuum-reclaimed pre-images, or was longer than
     * [[EngineConf.mvRebuildMaxInterval]]). Diagnostic only. */
   @volatile var lastRefreshMode: String = "none"
+
+  /** Star-join resolution context pinned at per-relation heads
+    * (`heads(0)` = fact, `heads(i)` = dimJoins(i-1)'s head): resolves
+    * every view column and join key from its CREATE-TIME physical
+    * identity to the owning relation's head logical name — so a
+    * rename on EITHER side mid-interval is transparent and a dropped
+    * column fails loudly — and builds the normalized per-relation
+    * inputs the signed join delta and the snapshot fold share. */
+  private final class StarCtx(heads: Seq[Long]) {
+    private val rels: Seq[Instance] = source +: dimJoins.map(_.dim)
+    private val states =
+      rels.zip(heads).map { case (r, v) => r.tableStateAt(v) }
+    private val headMaps: Seq[Map[String, String]] = states.map { st =>
+      StructType.fromDDL(st.ddl).fields
+        .map(f => st.renames.getOrElse(f.name, f.name) -> f.name).toMap
+    }
+    /** Owning relation index per view column (0 = fact). */
+    val relOf: Map[String, Int] = (groupRel0, sumRel0) match {
+      case (Some(gr), Some(sr)) =>
+        (groupCols.zip(gr) ++ sumCols.zip(sr)).toMap
+      case _ =>
+        // legacy single-dim definition: fact membership decides
+        val fc = dimJoins.head.factCols
+        (groupCols ++ sumCols).map(c =>
+          c -> (if (fc(c)) 0 else 1)).toMap
+    }
+    private def resolve1(orig: String, phys: String, r: Int): String =
+      headMaps(r).getOrElse(phys, throw new IllegalStateException(
+        s"view column '$orig' (physical '$phys') no longer exists in " +
+        s"${if (r == 0) "the fact table" else s"dimension ${r - 1}"} " +
+        "at its head; drop and rebuild the view"))
+    // create-time physical name per view column (legacy: the stored
+    // logical IS the physical — pre-rename dims could not rename)
+    private val colPhys: Map[String, String] = (groupPhys0, sumPhys0) match {
+      case (Some(gp), Some(sp)) =>
+        (groupCols.zip(gp) ++ sumCols.zip(sp)).toMap
+      case _ => (groupCols ++ sumCols).map(c => c -> c).toMap
+    }
+    /** Head logical name per view column. */
+    val colNow: Map[String, String] = (groupCols ++ sumCols).distinct
+      .map(c => c -> resolve1(c, colPhys(c), relOf(c))).toMap
+    /** (factKeyHeadName, dimKeyHeadName) per dim. */
+    val keyNow: Seq[(String, String)] = dimJoins.zipWithIndex.map {
+      case (dj, i) =>
+        val fkP = factKeyPhys0.map(_(i)).getOrElse(
+          states(0).renames.getOrElse(dj.factKey, dj.factKey))
+        val dkP = dimKeyPhys0.map(_(i)).getOrElse(
+          states(i + 1).renames.getOrElse(dj.dimKey, dj.dimKey))
+        (resolve1(dj.factKey, fkP, 0), resolve1(dj.dimKey, dkP, i + 1))
+    }
+    /** Project relation `r`'s head-named rows down to its owned view
+      * columns + its join keys, spelled with their CREATE-TIME names,
+      * plus weight `_w<r>` (from `_w`, or the given literal). */
+    def normalized(df: DataFrame, r: Int, w: Option[Long]): DataFrame = {
+      val owned = (groupCols ++ sumCols).distinct.filter(relOf(_) == r)
+        .map(c => (colNow(c), c))
+      val keys =
+        if (r == 0) keyNow.zipWithIndex.map { case ((fk, _), i) =>
+          (fk, dimJoins(i).factKey) }
+        else Seq((keyNow(r - 1)._2, dimJoins(r - 1).dimKey))
+      val pairs = (owned ++ keys).distinctBy(_._2)
+      val wCol = w.map(lit(_)).getOrElse(col("_w"))
+      df.select((pairs.map { case (now, orig) => col(now).as(orig) } :+
+        wCol.as(s"_w$r")): _*)
+    }
+    /** Inner star join of normalized relation inputs: the view
+      * columns (create-time names) + signed weight product `_w`. */
+    def starJoin(fact: DataFrame, dims: Seq[DataFrame],
+        sign: Long): DataFrame = {
+      var j = fact.alias("R0")
+      dimJoins.zipWithIndex.foreach { case (dj, i) =>
+        j = j.join(dims(i).alias(s"R${i + 1}"),
+          col(s"R0.${dj.factKey}") === col(s"R${i + 1}.${dj.dimKey}"))
+      }
+      val outs = (groupCols ++ sumCols).distinct.map(c =>
+        col(s"R${relOf(c)}.$c").as(c))
+      val w = (0 to dimJoins.size).map(r => col(s"R$r._w$r"))
+        .reduce(_ * _) * lit(sign)
+      j.select((outs :+ w.as("_w")): _*)
+    }
+  }
 
   /** The COMPLETE view contents at `(head, headD)` — one snapshot
     * scan (plus the dim snapshot join for join views), no history
@@ -159,29 +255,27 @@ final class MaterializedAggView private (
     * whose incremental interval is no longer readable. Reference
     * analog: recovery reads the checkpoint, not the whole WAL
     * (io.rs:260-289). */
-  private def fullFold(head: Long, headD: Long,
-      // by-name: join views bind these by logical name and the lazy
-      // resolvers would throw on dim-side columns if forced here
+  private def fullFold(head: Long, headDs: Seq[Long],
+      // by-name: join views resolve through StarCtx instead and the
+      // lazy fact-only resolvers would throw on dim-side columns
       gNow: => Seq[(String, String)], sNow: => Seq[(String, String)],
       mNow: => Seq[(String, String)], xNow: => Seq[(String, String)]): DataFrame = {
-    val rows = dimJoin match {
-      case None =>
+    val rows =
+      if (dimJoins.isEmpty) {
         val s0 = source.snapshot(head)
         val sF = where.fold(s0)(p => s0.filter(expr(p)))
         sF.select((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
           case (now, orig) => col(now).as(orig) }: _*)
-      case Some(dj) =>
-        val factSide = (groupCols ++ sumCols)
-          .filter(dj.factCols.contains).distinct
-        val dimSide = (groupCols ++ sumCols)
-          .filterNot(dj.factCols.contains).distinct
+      } else {
+        val ctx = new StarCtx(head +: headDs)
         val f0 = source.snapshot(head)
-        val f = where.fold(f0)(p => f0.filter(expr(p)))
-        f.alias("F").join(dj.dim.snapshot(headD).alias("D"),
-            col(s"F.${dj.factKey}") === col(s"D.${dj.dimKey}"))
-          .select((factSide.map(c => col(s"F.$c").as(c)) ++
-            dimSide.map(c => col(s"D.$c").as(c))): _*)
-    }
+        val f = ctx.normalized(
+          where.fold(f0)(p => f0.filter(expr(p))), 0, Some(1L))
+        val ds = dimJoins.indices.map(i =>
+          ctx.normalized(dimJoins(i).dim.snapshot(headDs(i)), i + 1,
+            Some(1L)))
+        ctx.starJoin(f, ds, 1L).drop("_w")
+      }
     val aggs: Seq[Column] =
       count(lit(1)).as("cnt") +:
       (sumCols.flatMap(c => Seq(
@@ -204,9 +298,11 @@ final class MaterializedAggView private (
       val head = source.latestVersion
       val initial = refreshedVersion < 0
       val last = math.max(0L, refreshedVersion)
-      val headD = dimJoin.map(_.dim.latestVersion).getOrElse(0L)
-      val lastD = math.max(0L, refreshedDimVersion)
-      if (head <= last && (dimJoin.isEmpty || headD <= lastD)) {
+      val headDs: Seq[Long] = dimJoins.map(_.dim.latestVersion)
+      val lastDs: Seq[Long] =
+        dimJoins.indices.map(i => math.max(0L, refreshedDimVersion(i)))
+      if (head <= last &&
+          dimJoins.indices.forall(i => headDs(i) <= lastDs(i))) {
         lastRefreshMode = "noop"; return head
       }
       // resolve the view columns' fixed physical names to the HEAD's
@@ -238,14 +334,16 @@ final class MaterializedAggView private (
       // snapshot rebuild beats an O(interval) incremental fold
       val vacuumStale = !initial &&
         ((head > last && last < source.vacuumHorizon) ||
-         dimJoin.exists(dj =>
-           headD > lastD && lastD < dj.dim.vacuumHorizon))
+         dimJoins.indices.exists(i =>
+           headDs(i) > lastDs(i) &&
+           lastDs(i) < dimJoins(i).dim.vacuumHorizon))
       val longInterval =
         (head - last) > source.conf.mvRebuildMaxInterval ||
-        dimJoin.exists(dj =>
-          (headD - lastD) > dj.dim.conf.mvRebuildMaxInterval)
+        dimJoins.indices.exists(i =>
+          (headDs(i) - lastDs(i)) >
+            dimJoins(i).dim.conf.mvRebuildMaxInterval)
       if (initial || forceRebuild || vacuumStale || longInterval) {
-        val full = fullFold(head, headD, gNow, sNow, mNow, xNow)
+        val full = fullFold(head, headDs, gNow, sNow, mNow, xNow)
         try {
           view.withRetry() { t =>
             // same stale-watermark + fence discipline as the
@@ -254,15 +352,17 @@ final class MaterializedAggView private (
             if (view.appTxnsAt(t.readVersion).get(appId)
                 .exists(w => math.max(0L, w) != last))
               throw new StaleWatermark
-            if (dimJoin.isDefined &&
-                view.appTxnsAt(t.readVersion).get(appIdDim)
-                  .exists(w => math.max(0L, w) != lastD))
-              throw new StaleWatermark
+            dimJoins.indices.foreach { i =>
+              if (view.appTxnsAt(t.readVersion).get(appIdDim(i))
+                  .exists(w => math.max(0L, w) != lastDs(i)))
+                throw new StaleWatermark
+            }
             if (head > last) t.markEpoch(appId, head, fence = true)
-            else if (dimJoin.isDefined) t.fenceEpoch(appId)
-            if (dimJoin.isDefined) {
-              if (headD > lastD) t.markEpoch(appIdDim, headD, fence = true)
-              else t.fenceEpoch(appIdDim)
+            else if (dimJoins.nonEmpty) t.fenceEpoch(appId)
+            dimJoins.indices.foreach { i =>
+              if (headDs(i) > lastDs(i))
+                t.markEpoch(appIdDim(i), headDs(i), fence = true)
+              else t.fenceEpoch(appIdDim(i))
             }
             // truncate + insert in ONE commit: stale groups (dead in
             // the lost interval) must not linger, and the saturated
@@ -282,69 +382,79 @@ final class MaterializedAggView private (
       // the signed row delta — NOT the classified change feed: an
       // aggregate needs net multiplicities only, and weightedDelta skips
       // the feed's per-row identity diff (copy-backs cancel in the Σ)
-      val weighted = dimJoin match {
-        case None =>
+      val weighted =
+        if (dimJoins.isEmpty) {
           val weighted0 = source.weightedDelta(last, head, alignToHead = true)
           where.fold(weighted0)(p => weighted0.filter(expr(p)))
             // back to the view's own (create-time) column names
             .select(((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
               case (now, orig) => col(now).as(orig) } :+ col("_w")): _*)
-        case Some(dj) =>
-          // SIGNED delta of the join, all terms against NEW-side
-          // relations (no old snapshots):
-          //   Δ(F ⨝ D) = ΔF ⨝ D_new  +  F_new ⨝ ΔD  −  ΔF ⨝ ΔD
-          // Weights multiply through the join, so a dim row whose
-          // group attribute changed contributes −1 under its old
-          // values and +1 under its new ones against EVERY matching
-          // fact row — group moves, key retargets, deletes and
-          // duplicate dim keys all fall out of the algebra. F_new in
-          // the middle term is restricted to the CHANGED dim keys
-          // (semi join), so the fact side is scanned only where the
-          // dimension actually moved; an interval with no dim churn
-          // costs exactly the plain fact delta.
-          val factSide = (groupCols ++ sumCols)
-            .filter(dj.factCols.contains).distinct
-          val dimSide = (groupCols ++ sumCols)
-            .filterNot(dj.factCols.contains).distinct
-          def joined(f: DataFrame, d: DataFrame, sign: Int): DataFrame =
-            f.alias("F").join(d.alias("D"),
-              col(s"F.${dj.factKey}") === col(s"D.${dj.dimKey}"))
-              .select((factSide.map(c => col(s"F.$c").as(c)) ++
-                dimSide.map(c => col(s"D.$c").as(c)) :+
-                (lit(sign.toLong) * col("F._wf") * col("D._wd"))
-                  .as("_w")): _*)
-          // head-aligned like the plain-view delta, so a FACT-side
-          // rename mid-interval keeps pre-rename rows under their
-          // current names (dim-side renames stay unsupported — the
-          // dim delta binds by logical name and breaks loudly)
-          val dF0 = source.weightedDelta(last, head, alignToHead = true)
-          val dF = where.fold(dF0)(p => dF0.filter(expr(p)))
-            .withColumnRenamed("_w", "_wf")
-          // D_new restricted to the fact delta's keys BEFORE the join:
-          // the inner join only ever matches those keys, and the
-          // explicit semi join (small build side) lets the dim scan
-          // prune by its obj_id stats index / runtime filters instead
-          // of reading the whole dimension every refresh — term1 costs
-          // O(fact churn), not O(dim)
-          val factKeys = dF.select(col(dj.factKey).as("_fk")).distinct()
-          val dNew = dj.dim.snapshot(headD)
-            .join(factKeys, col(dj.dimKey) === col("_fk"), "left_semi")
-            .withColumn("_wd", lit(1L))
-          val term1 = joined(dF, dNew, 1)
-          if (headD <= lastD) term1
-          else {
-            val dD = dj.dim.weightedDelta(lastD, headD)
-              .withColumnRenamed("_w", "_wd")
-            val changed = dD.select(col(dj.dimKey).as("_ck")).distinct()
-            val fNew0 = source.snapshot(head)
-            val fNew = where.fold(fNew0)(p => fNew0.filter(expr(p)))
-              .join(changed, col(dj.factKey) === col("_ck"), "left_semi")
-              .withColumn("_wf", lit(1L))
-            val term2 = joined(fNew, dD, 1)
-            val term3 = joined(dF, dD, -1)
-            term1.unionByName(term2).unionByName(term3)
+        } else {
+          // SIGNED delta of the star join F ⨝ D1 ⨝ … ⨝ Dk by
+          // inclusion–exclusion over the CHANGED relations: expanding
+          // Π r_new − Π (r_new − Δr) gives
+          //   Δ(Π r) = Σ_{∅≠S⊆changed} (−1)^{|S|+1} ·
+          //            Π_{r∈S} Δr ⨝ Π_{r∉S} r_new
+          // Weights multiply through the join, so dim group moves,
+          // key retargets, deletes and duplicate keys all fall out of
+          // the algebra; QUIET relations never appear as deltas, so a
+          // fact-only interval costs exactly one term (ΔF against
+          // key-restricted dim snapshots), and a single-dim view gets
+          // the classic ΔF⨝D_new + F_new⨝ΔD − ΔF⨝ΔD. Every full
+          // snapshot in a term is SEMI-JOIN restricted to the keys
+          // the term's deltas can actually match — lossless for an
+          // inner join — so dim and fact reads stay O(churn) and
+          // prune by their obj_id stats index / runtime filters.
+          // All relations resolve by create-time PHYSICAL identity
+          // (StarCtx), so renames on either side are transparent and
+          // the deltas fold head-aligned.
+          val ctx = new StarCtx(head +: headDs)
+          def whereF(df: DataFrame): DataFrame =
+            where.fold(df)(p => df.filter(expr(p)))
+          val dFact = ctx.normalized(
+            whereF(source.weightedDelta(last, head, alignToHead = true)),
+            0, None)
+          val dDims: Seq[DataFrame] = dimJoins.indices.map(i =>
+            ctx.normalized(dimJoins(i).dim.weightedDelta(
+              lastDs(i), headDs(i), alignToHead = true), i + 1, None))
+          val fSnap = ctx.normalized(
+            whereF(source.snapshot(head)), 0, Some(1L))
+          def dimSnap(i: Int): DataFrame = ctx.normalized(
+            dimJoins(i).dim.snapshot(headDs(i)), i + 1, Some(1L))
+          val changed: Seq[Int] =
+            (if (head > last) Seq(0) else Nil) ++
+            dimJoins.indices.collect {
+              case i if headDs(i) > lastDs(i) => i + 1 }
+          val terms = (1 until (1 << changed.size)).map { m =>
+            val s = changed.indices.collect {
+              case j if (m & (1 << j)) != 0 => changed(j) }.toSet
+            val sign = if (s.size % 2 == 1) 1L else -1L
+            // fact component: its own delta, or the head snapshot
+            // restricted to keys each in-term dim delta can match
+            val fact0 =
+              if (s(0)) dFact
+              else s.toSeq.sorted.filter(_ > 0).foldLeft(fSnap) { (f, r) =>
+                val i = r - 1
+                val probe = dDims(i)
+                  .select(col(dimJoins(i).dimKey).as(s"_k$i")).distinct()
+                f.join(probe,
+                  col(dimJoins(i).factKey) === col(s"_k$i"), "left_semi")
+              }
+            // dim components: delta if in-term, else the snapshot
+            // restricted to the fact component's join keys
+            val dimDfs = dimJoins.indices.map { i =>
+              if (s(i + 1)) dDims(i)
+              else {
+                val probe = fact0
+                  .select(col(dimJoins(i).factKey).as(s"_k$i")).distinct()
+                dimSnap(i).join(probe,
+                  col(dimJoins(i).dimKey) === col(s"_k$i"), "left_semi")
+              }
+            }
+            ctx.starJoin(fact0, dimDfs, sign)
           }
-      }
+          terms.reduce(_.unionByName(_))
+        }
       val mmCols = (minCols ++ maxCols).distinct
       // the delta is consumed once for the base aggregates plus once
       // per min/max column (the netting pass below): materialize it so
@@ -425,23 +535,25 @@ final class MaterializedAggView private (
           if (view.appTxnsAt(t.readVersion).get(appId)
               .exists(w => math.max(0L, w) != last))
             throw new StaleWatermark
-          if (dimJoin.isDefined &&
-              view.appTxnsAt(t.readVersion).get(appIdDim)
-                .exists(w => math.max(0L, w) != lastD))
-            throw new StaleWatermark
+          dimJoins.indices.foreach { i =>
+            if (view.appTxnsAt(t.readVersion).get(appIdDim(i))
+                .exists(w => math.max(0L, w) != lastDs(i)))
+              throw new StaleWatermark
+          }
           // each watermark MOVES only when its side advanced (a
           // re-mark at the SAME epoch would read as already-committed
-          // and silently skip the fold), but a join view FENCES both
-          // sides regardless: the delta was derived from both
+          // and silently skip the fold), but a join view FENCES every
+          // side regardless: the delta was derived from ALL the
           // watermarks, so two refreshers that each observed only one
           // side's churn must still collide — otherwise both merges
-          // land on disjoint appIds and the cross term ΔF ⨝ ΔD is
-          // never applied (fenceEpoch watches without moving)
+          // land on disjoint appIds and the cross terms are never
+          // applied (fenceEpoch watches without moving)
           if (head > last) t.markEpoch(appId, head, fence = true)
-          else if (dimJoin.isDefined) t.fenceEpoch(appId)
-          if (dimJoin.isDefined) {
-            if (headD > lastD) t.markEpoch(appIdDim, headD, fence = true)
-            else t.fenceEpoch(appIdDim)
+          else if (dimJoins.nonEmpty) t.fenceEpoch(appId)
+          dimJoins.indices.foreach { i =>
+            if (headDs(i) > lastDs(i))
+              t.markEpoch(appIdDim(i), headDs(i), fence = true)
+            else t.fenceEpoch(appIdDim(i))
           }
           // min/max death repair: groups whose stored extremum the
           // interval deleted without covering (see class doc) get
@@ -563,14 +675,52 @@ object MaterializedAggView {
     false
   }
 
-  /** Dimension side of a JOIN view: `view = fact JOIN dim ON
-    * fact.factKey = dim.dimKey`, grouped/summed over columns from
-    * EITHER side (COUNT/SUM only). Maintained by signed-delta algebra
-    * over both tables (see [[MaterializedAggView.refresh]]); group
-    * and sum columns bind by LOGICAL name on both sides (renaming an
-    * involved column breaks the view loudly — rebuild it). `factCols`
-    * caches the fact schema's field names for side resolution;
-    * `dimSpec` is the persisted source spec of the dimension. */
+  /** Best-effort resolver for view SOURCE specs when no catalog handle
+    * is in scope (the streaming sink's refresh-on-epoch): path specs
+    * open directly; dotted names re-instantiate each GraftCatalog
+    * registered in the active session's conf and try them in turn. */
+  private[acid] def sessionResolver(spark: SparkSession): String => Instance =
+    spec =>
+      if (spec.contains('/')) VersionedTable.open(spark, spec)
+      else {
+        val all = spark.conf.getAll
+        val names = all.collect {
+          case (k, v) if k.startsWith("spark.sql.catalog.") &&
+              !k.stripPrefix("spark.sql.catalog.").contains('.') &&
+              v == classOf[GraftCatalog].getName =>
+            k.stripPrefix("spark.sql.catalog.")
+        }.toSeq
+        val resolved = names.iterator.flatMap { n =>
+          try {
+            val c = new GraftCatalog
+            val opts = all.collect {
+              case (k, v) if k.startsWith(s"spark.sql.catalog.$n.") =>
+                k.stripPrefix(s"spark.sql.catalog.$n.") -> v
+            }
+            c.initialize(n,
+              new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+                scala.jdk.CollectionConverters.MapHasAsJava(opts.toMap)
+                  .asJava))
+            Some(c.openInstance(spec))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        if (resolved.hasNext) resolved.next()
+        else throw new IllegalArgumentException(
+          s"cannot resolve view source '$spec': no registered graft " +
+          "catalog knows it")
+      }
+
+  /** One dimension side of a JOIN view: `view = fact JOIN dim ON
+    * fact.factKey = dim.dimKey`, stackable — a star view joins the
+    * fact against SEVERAL dims (`create(..., dimJoins = Seq(...))`),
+    * grouped/summed over columns from ANY side (COUNT/SUM only).
+    * Maintained by the inclusion–exclusion signed-delta algebra over
+    * all relations (see [[MaterializedAggView.refresh]]); view
+    * columns and join keys bind by create-time PHYSICAL identity on
+    * every side, so renames anywhere are transparent and a dropped
+    * column breaks the view loudly. `factCols` caches the fact
+    * schema's field names for legacy side resolution; `dimSpec` is
+    * the persisted source spec of the dimension. */
   final case class DimJoin(dim: Instance, factKey: String, dimKey: String,
       factCols: Set[String] = Set.empty, dimSpec: String = "")
 
@@ -591,7 +741,10 @@ object MaterializedAggView {
       where: Option[String],
       groupPhys: Seq[String], sumPhys: Seq[String],
       minPhys: Seq[String], maxPhys: Seq[String],
-      dim: Option[(String, String, String)] = None): Unit = {
+      dims: Seq[(String, String, String)] = Nil,
+      groupRels: Seq[Int] = Nil, sumRels: Seq[Int] = Nil,
+      factKeyPhys: Seq[String] = Nil,
+      dimKeyPhys: Seq[String] = Nil): Unit = {
     def arr(xs: Seq[String]) =
       s"[${xs.map(c => "\"" + esc(c) + "\"").mkString(",")}]"
     val json = s"""{"source":"${esc(source)}",""" +
@@ -604,9 +757,23 @@ object MaterializedAggView {
       s""""minPhys":${arr(minPhys)},""" +
       s""""maxPhys":${arr(maxPhys)}""" +
       where.fold("")(w => s""","where":"${esc(w)}"""") +
-      dim.fold("") { case (spec, fk, dk) =>
-        s""","dimSource":"${esc(spec)}","factKey":"${esc(fk)}",""" +
-        s""""dimKey":"${esc(dk)}"""" } + "}"
+      (if (dims.isEmpty) "" else {
+        // singular spellings kept for one dim so pre-multi-dim code
+        // can still open the definition; the plural arrays are the
+        // authoritative multi-dim record
+        (if (dims.size == 1)
+          s""","dimSource":"${esc(dims.head._1)}",""" +
+          s""""factKey":"${esc(dims.head._2)}",""" +
+          s""""dimKey":"${esc(dims.head._3)}""""
+        else "") +
+        s""","dimSources":${arr(dims.map(_._1))}""" +
+        s""","factKeys":${arr(dims.map(_._2))}""" +
+        s""","dimKeys":${arr(dims.map(_._3))}""" +
+        s""","groupRels":${arr(groupRels.map(_.toString))}""" +
+        s""","sumRels":${arr(sumRels.map(_.toString))}""" +
+        s""","factKeyPhys":${arr(factKeyPhys)}""" +
+        s""","dimKeyPhys":${arr(dimKeyPhys)}"""
+      }) + "}"
     val out = view.fs.create(
       new org.apache.hadoop.fs.Path(view.root, DefFile), false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -623,7 +790,16 @@ object MaterializedAggView {
       groupPhys: Option[Seq[String]], sumPhys: Option[Seq[String]],
       minPhys: Option[Seq[String]], maxPhys: Option[Seq[String]],
       dimSource: Option[String] = None, factKey: Option[String] = None,
-      dimKey: Option[String] = None)
+      dimKey: Option[String] = None,
+      // multi-dim arrays (absent on pre-multi-dim definitions, which
+      // carry at most the singular fields above)
+      dimSources: Option[Seq[String]] = None,
+      factKeys: Option[Seq[String]] = None,
+      dimKeys: Option[Seq[String]] = None,
+      groupRels: Option[Seq[String]] = None,
+      sumRels: Option[Seq[String]] = None,
+      factKeyPhys: Option[Seq[String]] = None,
+      dimKeyPhys: Option[Seq[String]] = None)
 
   /** The persisted definition. The array parse is a real quote-aware
     * scan — column names containing commas, brackets, quotes or
@@ -702,7 +878,10 @@ object MaterializedAggView {
       strs.get("where"),
       arrs.get("groupPhys"), arrs.get("sumPhys"),
       arrs.get("minPhys"), arrs.get("maxPhys"),
-      strs.get("dimSource"), strs.get("factKey"), strs.get("dimKey"))
+      strs.get("dimSource"), strs.get("factKey"), strs.get("dimKey"),
+      arrs.get("dimSources"), arrs.get("factKeys"), arrs.get("dimKeys"),
+      arrs.get("groupRels"), arrs.get("sumRels"),
+      arrs.get("factKeyPhys"), arrs.get("dimKeyPhys"))
   }
 
   /** Open a view from its persisted definition. `resolveSource` maps
@@ -721,15 +900,20 @@ object MaterializedAggView {
         resolveSource(spec)
       }
     val inst = open1(d.source)
-    val dj = d.dimSource.map { spec =>
-      val dimInst = open1(spec)
-      val factCols = StructType
-        .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
-      DimJoin(dimInst, d.factKey.get, d.dimKey.get, factCols, spec)
+    lazy val factCols = StructType
+      .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
+    val dims: Seq[DimJoin] = d.dimSources match {
+      case Some(specs) => specs.zipWithIndex.map { case (spec, i) =>
+        DimJoin(open1(spec), d.factKeys.get(i), d.dimKeys.get(i),
+          factCols, spec) }
+      case None => d.dimSource.toSeq.map(spec =>
+        DimJoin(open1(spec), d.factKey.get, d.dimKey.get, factCols, spec))
     }
     new MaterializedAggView(inst, view, d.groupCols, d.sumCols,
-      d.minCols, d.maxCols, dj, d.where,
-      d.groupPhys, d.sumPhys, d.minPhys, d.maxPhys)
+      d.minCols, d.maxCols, dims, d.where,
+      d.groupPhys, d.sumPhys, d.minPhys, d.maxPhys,
+      d.groupRels.map(_.map(_.toInt)), d.sumRels.map(_.map(_.toInt)),
+      d.factKeyPhys, d.dimKeyPhys)
   }
 
   private def viewSchema(srcSchema: StructType, groupCols: Seq[String],
@@ -800,34 +984,48 @@ object MaterializedAggView {
       where: Option[String] = None,
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
-      dimJoin: Option[DimJoin] = None): MaterializedAggView = {
+      dimJoin: Option[DimJoin] = None,
+      dimJoins: Seq[DimJoin] = Nil): MaterializedAggView = {
+    val dims0 = dimJoin.toSeq ++ dimJoins
     val head = source.latestVersion
     val factSchema = StructType.fromDDL(source.stateAt(head)._2)
+    val dimSchemas = dims0.map(dj =>
+      StructType.fromDDL(dj.dim.stateAt(dj.dim.latestVersion)._2))
     // join views resolve each group/sum column against exactly ONE
-    // side; ambiguous or missing names fail at create
-    val srcSchema = dimJoin match {
-      case None => factSchema
-      case Some(dj) =>
+    // relation (fact or one dim); ambiguous or missing names fail at
+    // create — the owning relation is PERSISTED so refresh never has
+    // to re-guess sides against evolved schemas
+    val nameSets: Seq[Set[String]] =
+      factSchema.fieldNames.toSet +: dimSchemas.map(_.fieldNames.toSet)
+    val srcSchema =
+      if (dims0.isEmpty) factSchema
+      else {
         require(minCols.isEmpty && maxCols.isEmpty,
           "MIN/MAX are not supported on join views (a dim change would " +
           "force recompute storms); use a plain view on the fact table")
-        val dimSchema = StructType.fromDDL(
-          dj.dim.stateAt(dj.dim.latestVersion)._2)
-        require(factSchema.fieldNames.contains(dj.factKey),
-          s"factKey ${dj.factKey} not in fact schema")
-        require(dimSchema.fieldNames.contains(dj.dimKey),
-          s"dimKey ${dj.dimKey} not in dim schema")
-        val factNames = factSchema.fieldNames.toSet
-        val dimNames = dimSchema.fieldNames.toSet
-        (groupCols ++ sumCols).foreach { c =>
-          require(!(factNames(c) && dimNames(c)),
-            s"column $c is ambiguous: present in both fact and dim")
-          require(factNames(c) || dimNames(c),
-            s"column $c in neither fact nor dim schema")
+        dims0.zip(dimSchemas).foreach { case (dj, ds) =>
+          require(factSchema.fieldNames.contains(dj.factKey),
+            s"factKey ${dj.factKey} not in fact schema")
+          require(ds.fieldNames.contains(dj.dimKey),
+            s"dimKey ${dj.dimKey} not in dim schema")
         }
-        StructType(factSchema.fields ++
-          dimSchema.fields.filterNot(f => factNames(f.name)))
-    }
+        (groupCols ++ sumCols).foreach { c =>
+          val n = nameSets.count(_(c))
+          require(n > 0, s"column $c in neither fact nor any dim schema")
+          require(n == 1,
+            s"column $c is ambiguous: present in $n of the joined relations")
+        }
+        // the join algebra's working columns must stay free
+        val work = (0 to dims0.size).map(r => s"_w$r").toSet ++
+          dims0.indices.map(i => s"_k$i")
+        (groupCols ++ sumCols).foreach(c => require(!work(c),
+          s"column $c collides with a reserved join working column"))
+        StructType(dimSchemas.zipWithIndex.foldLeft(factSchema.fields.toSeq) {
+          case (acc, (ds, _)) =>
+            val taken = acc.map(_.name).toSet
+            acc ++ ds.fields.filterNot(f => taken(f.name))
+        })
+      }
     val schema = viewSchema(srcSchema, groupCols, sumCols, minCols, maxCols)
     // fail at create, not first refresh: the predicate must resolve
     // against the source schema alone (no view/delta columns)
@@ -838,27 +1036,42 @@ object MaterializedAggView {
         new java.util.ArrayList[org.apache.spark.sql.Row](), factSchema)
       probe.filter(expr(w)).queryExecution.analyzed
     }
-    // pin each view column's PHYSICAL source name now — the stable
-    // identity refresh resolves against future renames
-    val ren = source.tableStateAt(head).renames
-    def phys(c: String) =
-      if (dimJoin.isDefined) c else ren.getOrElse(c, c)
-    val groupPhys = groupCols.map(phys)
-    val sumPhys = sumCols.map(phys)
-    val minPhys = minCols.map(phys)
-    val maxPhys = maxCols.map(phys)
-    // normalize the caller's DimJoin: factCols always reflects the
+    // pin each view column's PHYSICAL name in its OWNING relation now
+    // — the stable identity refresh resolves against future renames
+    // on any side
+    val relOfC: Map[String, Int] =
+      (groupCols ++ sumCols).map(c => c -> math.max(0,
+        nameSets.indexWhere(_(c)))).toMap
+    val renSeq: Seq[Map[String, String]] =
+      source.tableStateAt(head).renames +:
+      dims0.map(dj => dj.dim.tableStateAt(dj.dim.latestVersion).renames)
+    def physOf(c: String, r: Int) = renSeq(r).getOrElse(c, c)
+    val groupPhys = groupCols.map(c => physOf(c, relOfC(c)))
+    val sumPhys = sumCols.map(c => physOf(c, relOfC(c)))
+    val minPhys = minCols.map(c => physOf(c, 0))
+    val maxPhys = maxCols.map(c => physOf(c, 0))
+    val groupRels = groupCols.map(relOfC)
+    val sumRels = sumCols.map(relOfC)
+    val factKeyPhys = dims0.map(dj => physOf(dj.factKey, 0))
+    val dimKeyPhys = dims0.zipWithIndex.map { case (dj, i) =>
+      physOf(dj.dimKey, i + 1) }
+    // normalize the caller's DimJoins: factCols always reflects the
     // fact schema here, and an empty dimSpec records the dim's root
-    val dj2 = dimJoin.map(dj => dj.copy(
+    val dims2 = dims0.map(dj => dj.copy(
       factCols = factSchema.fieldNames.toSet,
       dimSpec = if (dj.dimSpec.nonEmpty) dj.dimSpec else dj.dim.root))
     val view = VersionedTable.create(spark, viewRoot, schema)
     writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols,
       minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys,
-      dj2.map(dj => (dj.dimSpec, dj.factKey, dj.dimKey)))
+      dims2.map(dj => (dj.dimSpec, dj.factKey, dj.dimKey)),
+      groupRels, sumRels, factKeyPhys, dimKeyPhys)
     new MaterializedAggView(source, view, groupCols, sumCols,
-      minCols, maxCols, dj2, where,
-      Some(groupPhys), Some(sumPhys), Some(minPhys), Some(maxPhys))
+      minCols, maxCols, dims2, where,
+      Some(groupPhys), Some(sumPhys), Some(minPhys), Some(maxPhys),
+      if (dims2.isEmpty) None else Some(groupRels),
+      if (dims2.isEmpty) None else Some(sumRels),
+      if (dims2.isEmpty) None else Some(factKeyPhys),
+      if (dims2.isEmpty) None else Some(dimKeyPhys))
   }
 
   /** Re-open an existing view (definition is supplied by the caller;
@@ -872,6 +1085,6 @@ object MaterializedAggView {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil): MaterializedAggView =
     new MaterializedAggView(source, VersionedTable.open(spark, viewRoot),
-      groupCols, sumCols, minCols, maxCols, None, where,
-      None, None, None, None)
+      groupCols, sumCols, minCols, maxCols, Nil, where,
+      None, None, None, None, None, None, None, None)
 }

@@ -45,7 +45,13 @@ private[acid] final class GraftStreamingWrite(root: String,
     tableSchema: StructType, writeSchema: StructType, queryId: String,
     complete: Boolean, partitionBy: Seq[String] = Nil,
     upsert: Boolean = false,
-    conf: EngineConf = EngineConf()) extends StreamingWrite {
+    conf: EngineConf = EngineConf(),
+    // refresh-on-epoch (opt-in, `.option("refreshViews", "root1,root2")`):
+    // materialized-view roots to advance after each epoch commit — the
+    // push half of the otherwise pull-only MV plane (the reference's
+    // checkpointer daemon closes the same loop for its own derived
+    // state, checkpointer.rs:86-176)
+    refreshViews: Seq[String] = Nil) extends StreamingWrite {
 
   {
     val t = tableSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -169,6 +175,29 @@ private[acid] final class GraftStreamingWrite(root: String,
       case e: Throwable =>
         try inst.rollback(txn) catch { case _: Throwable => () }
         throw e
+    }
+    // refresh-on-epoch AFTER the epoch is durable (also on the
+    // replayed-epoch path: the original attempt may have died between
+    // its commit and its refresh)
+    refreshDependents()
+  }
+
+  /** Advance the opted-in dependent views. Failures must NEVER fail
+    * the epoch — the data commit is already durable and the views are
+    * pull-based anyway; a lagging view is visible through `mv_status`
+    * and heals on its next refresh (its fenced watermark makes the
+    * catch-up exact regardless of how many epochs it missed). */
+  private def refreshDependents(): Unit = refreshViews.foreach { vr =>
+    try {
+      val spark = SparkSession.active
+      MaterializedAggView.openFromDef(spark, vr,
+        resolveSource = MaterializedAggView.sessionResolver(spark))
+        .refresh()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft refresh-on-epoch: view $vr lags (will heal on its " +
+          s"next refresh): $e")
     }
   }
 

@@ -184,6 +184,99 @@ object Similarity {
         round(cosine(s, col("qv"), col("v")), 4).as("cs")))
   }
 
+  /** Strict top-1 agreement of `approx` with `exact` over one query
+    * set — the calibration metric ([[annTop1LshTargeted]]), the same
+    * number Bench's recall row and ScaleSpec's gates report. */
+  private def recall1Counts(exact: DataFrame,
+      approx: DataFrame): (Long, Long) = {
+    val e = exact.select(col("vec_id"), col("neighbor_id").as("_en"))
+    val a = approx.select(col("vec_id"), col("neighbor_id").as("_an"))
+    val total = e.count()
+    val hits = e.join(a, Seq("vec_id")).filter(col("_en") === col("_an"))
+      .count()
+    (hits, total)
+  }
+
+  /** One-sided Wilson lower bound (default z = 1.28 ≈ 80%): the
+    * calibration ladder accepts a rung only when its SAMPLE recall
+    * statistically supports the target — a raw small-sample ratio
+    * (11/12 = 0.917) routinely flatters a geometry whose population
+    * recall is well below it. */
+  private def wilsonLcb(hits: Long, n: Long, z: Double = 1.28): Double = {
+    if (n == 0) return 0.0
+    val p = hits.toDouble / n; val z2 = z * z
+    (p + z2 / (2.0 * n) -
+      z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))) / (1 + z2 / n)
+  }
+
+  /** Deterministic calibration queries: the TAIL of the hash-rank
+    * permutation (id-order-free, reproducible). The tail, not the
+    * head: IVF's k-means seeds are the permutation's HEAD, and
+    * calibrating recall on the seed rows flatters the index (their
+    * cells' centroids are biased toward them — a train/test leak that
+    * measured 1.000 on the sample vs 0.55 on the population). */
+  private def calibrationSample(all: DataFrame, n: Int): DataFrame =
+    all.orderBy(Sampling.splitBucket(col("vec_id"), Int.MaxValue).desc,
+      col("vec_id").desc).limit(n)
+
+  /** Chosen geometry and measured sample recall of the LAST targeted
+    * calibration on this JVM — diagnostic only (Bench prints them). */
+  @volatile var lastLshCalibration: (Int, Int, Double) = (0, 0, -1.0)
+  @volatile var lastIvfCalibration: (Int, Double) = (0, -1.0)
+
+  /** Recall-TARGETED multi-probe LSH top-1: walk a monotone ladder of
+    * probe geometries (wider flip sets → more buckets probed) and ship
+    * the CHEAPEST one whose measured recall@1 on a small deterministic
+    * query sample reaches `targetRecall`; the final rung probes every
+    * bucket, so the walk always terminates at exact-equivalent answers
+    * in the worst case. The calibration pays a handful of bounded jobs
+    * (sample × ladder); the recall/scanned-fraction tradeoff is PRICED
+    * instead of fixed — a user states the recall they need and the
+    * geometry follows the corpus's actual locality. */
+  def annTop1LshTargeted(all: DataFrame, queries: DataFrame, dim: Int,
+      targetRecall: Double = 0.9, nPlanes: Int = 6,
+      sampleQueries: Int = 16): DataFrame = {
+    val ladder: Seq[(Int, Int)] = Seq(
+      (math.min(4, nPlanes), 2), (math.min(5, nPlanes), 3),
+      (nPlanes, 3), (nPlanes, 4), (nPlanes, nPlanes))
+      .map { case (fp, mf) => (fp, math.min(mf, fp)) }.distinct
+    val sample = calibrationSample(all, sampleQueries)
+    val exactS = annTop1(all, sample).localCheckpoint()
+    var measured = -1.0
+    val chosen = ladder.find { case (fp, mf) =>
+      val (hits, n) =
+        recall1Counts(exactS, annTop1Lsh(all, sample, dim, nPlanes, fp, mf))
+      measured = if (n == 0) 1.0 else hits.toDouble / n
+      // LCB, not the raw ratio: on a locality-free corpus the ladder
+      // correctly escalates to the full-probe rung (= exact answers at
+      // brute-force price — the honest outcome when the data gives LSH
+      // nothing to exploit); on clustered corpora it stops early
+      wilsonLcb(hits, n) >= targetRecall
+    }.getOrElse(ladder.last)
+    lastLshCalibration = (chosen._1, chosen._2, measured)
+    annTop1Lsh(all, queries, dim, nPlanes, chosen._1, chosen._2)
+  }
+
+  /** Recall-TARGETED IVF top-1: same contract as
+    * [[annTop1LshTargeted]] with the nProbe ladder (the final rung
+    * probes every cell = exact-equivalent). */
+  def annTop1IvfTargeted(all: DataFrame, queries: DataFrame, dim: Int,
+      targetRecall: Double = 0.9, nCells: Int = 16,
+      sampleQueries: Int = 16): DataFrame = {
+    val ladder = Seq(4, 8, 12, nCells).filter(_ <= nCells).distinct
+    val sample = calibrationSample(all, sampleQueries)
+    val exactS = annTop1(all, sample).localCheckpoint()
+    var measured = -1.0
+    val chosen = ladder.find { p =>
+      val (hits, n) =
+        recall1Counts(exactS, annTop1Ivf(all, sample, dim, nCells, p))
+      measured = if (n == 0) 1.0 else hits.toDouble / n
+      wilsonLcb(hits, n) >= targetRecall
+    }.getOrElse(nCells)
+    lastIvfCalibration = (chosen, measured)
+    annTop1Ivf(all, queries, dim, nCells, chosen)
+  }
+
   /** IVF (inverted-file) ANN: k-means cells + nProbe-cell search — the
     * other classic sub-quadratic index besides LSH.
     *
@@ -440,19 +533,25 @@ object Similarity {
         annTopK(all, all.filter(col("vec_id") < 20), 5)
     },
 
-    // approximate (single-probe LSH): deterministic but not SQL-derivable
+    // approximate (recall-targeted multi-probe LSH): the shipped key
+    // calibrates its probe geometry against a seeded sample until
+    // measured recall@1 >= 0.9 — a user gets the recall they asked
+    // for, not whatever a fixed geometry happens to give. Rows-only
+    // (recall < 1 by construction); ScaleSpec gates >= 0.8 measured.
     "q26_ann_lsh" -> Q.noOracle {
       (s, dir) =>
         val all = emb(s, dir)
-        annTop1Lsh(all, all.filter(col("vec_id") < 20), dim = 64)
+        annTop1LshTargeted(all, all.filter(col("vec_id") < 20), dim = 64,
+          targetRecall = 0.9)
     },
 
-    // approximate (IVF, 4-of-16 cells probed): deterministic seeded
-    // k-means, rows-only; ScaleSpec pins recall vs the exact query
+    // approximate (recall-targeted IVF): same contract on the nProbe
+    // ladder; deterministic seeded k-means, rows-only
     "q26_ann_ivf" -> Q.noOracle {
       (s, dir) =>
         val all = emb(s, dir)
-        annTop1Ivf(all, all.filter(col("vec_id") < 20), dim = 64)
+        annTop1IvfTargeted(all, all.filter(col("vec_id") < 20), dim = 64,
+          targetRecall = 0.9)
     },
 
     "q25_embed_neardup" -> Q(

@@ -662,6 +662,139 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewNow() == Seq(("north", 1L, 5L), ("west", 1L, 30L)))
   }
 
+  test("star view: two dimensions maintained by the inclusion-exclusion delta") {
+    val factSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("prod", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val dimSchemaP = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("category", StringType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_sf_").toUri.toString, factSchema)
+    val dimC = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_sc_").toUri.toString, dimSchema)
+    val dimP = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_sp_").toUri.toString, dimSchemaP)
+    val mv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_sv_").toUri.toString, fact,
+      groupCols = Seq("region", "category"), sumCols = Seq("v"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(dimC, "cust", "obj_id"),
+        MaterializedAggView.DimJoin(dimP, "prod", "obj_id")))
+    def oracle(): Seq[(String, String, Long, Long)] =
+      fact.read().alias("F")
+        .join(dimC.read().alias("C"), col("F.cust") === col("C.obj_id"))
+        .join(dimP.read().alias("P"), col("F.prod") === col("P.obj_id"))
+        .groupBy("region", "category")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq.sortBy(t => (t._1, t._2))
+    def viewNow(): Seq[(String, String, Long, Long)] =
+      mv.read().select("region", "category", "cnt", "sum_v")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq.sortBy(t => (t._1, t._2))
+
+    dimC.withRetry() { t => t.insert(Seq((1L, "east"), (2L, "west"))
+      .toDF("obj_id", "region")) }
+    dimP.withRetry() { t => t.insert(Seq((10L, "toys"), (11L, "tools"))
+      .toDF("obj_id", "category")) }
+    fact.withRetry() { t => t.insert(Seq((100L, 1L, 10L, 5L),
+      (101L, 1L, 11L, 7L), (102L, 2L, 10L, 11L))
+      .toDF("obj_id", "cust", "prod", "v")) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    assert(viewNow() == Seq(("east", "tools", 1L, 7L),
+      ("east", "toys", 1L, 5L), ("west", "toys", 1L, 11L)))
+
+    // fact churn alone: ONE term (dims read key-restricted)
+    fact.withRetry() { t => t.delete(Seq(101L)) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+
+    // each dim alone
+    dimC.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("region", lit("west"))) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    dimP.withRetry() { t =>
+      t.update(Seq(10L), df => df.withColumn("category", lit("games"))) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+
+    // fact + BOTH dims in one interval: the full 7-term delta
+    dimC.withRetry() { t =>
+      t.update(Seq(2L), df => df.withColumn("region", lit("east"))) }
+    dimP.withRetry() { t =>
+      t.update(Seq(11L), df => df.withColumn("category", lit("kits"))) }
+    fact.withRetry() { t => t.insert(Seq((103L, 2L, 11L, 3L))
+      .toDF("obj_id", "cust", "prod", "v")) }
+    mv.refresh()
+    assert(viewNow() == oracle())
+    assert(viewNow() == Seq(("east", "games", 1L, 11L),
+      ("east", "kits", 1L, 3L), ("west", "games", 1L, 5L)))
+
+    // a dim DELETE orphans matching facts; reopen keeps the wiring
+    dimP.withRetry() { t => t.delete(Seq(11L)) }
+    val again = MaterializedAggView.openFromDef(spark, mv.view.root)
+    again.refresh()
+    assert(viewNow() == oracle())
+    assert(again.dimJoins.size == 2)
+    // watermarks advanced independently per dimension
+    assert(again.refreshedDimVersion(0) == dimC.latestVersion)
+    assert(again.refreshedDimVersion(1) == dimP.latestVersion)
+  }
+
+  test("dim-side renames mid-interval keep the join view green; drops fail loudly") {
+    val factSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_drf_").toUri.toString, factSchema)
+    val dim = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_drd_").toUri.toString, dimSchema)
+    val mv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_drv_").toUri.toString, fact,
+      groupCols = Seq("region"), sumCols = Seq("v"),
+      dimJoin = Some(MaterializedAggView.DimJoin(dim, "cust", "obj_id")))
+    dim.withRetry() { t => t.insert(Seq((1L, "east"), (2L, "west"))
+      .toDF("obj_id", "region")) }
+    fact.withRetry() { t => t.insert(Seq((10L, 1L, 100L), (11L, 2L, 50L))
+      .toDF("obj_id", "cust", "v")) }
+    mv.refresh()
+    // rename the dim GROUP column mid-interval, then churn both sides
+    // under the new name: the view binds by the dim's physical
+    // identity, so pre-rename pre-images subtract from the same
+    // groups post-rename post-images add to
+    dim.withRetry() { t => t.renameColumn("region", "zone") }
+    dim.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("zone", lit("west"))) }
+    fact.withRetry() { t => t.insert(Seq((12L, 1L, 7L))
+      .toDF("obj_id", "cust", "v")) }
+    val again = MaterializedAggView.openFromDef(spark, mv.view.root)
+    again.refresh()
+    // the view keeps its create-time column name
+    val rows = again.read().select("region", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(("west", 3L, 157L)), s"got $rows")
+    // a DROPPED dim view-column still fails loudly
+    dim.withRetry() { t => t.alterSchema(StructType(Seq(
+      StructField("obj_id", LongType, nullable = false)))) }
+    dim.withRetry() { t => t.insert(Seq(Tuple1(3L)).toDF("obj_id")) }
+    val again3 = MaterializedAggView.openFromDef(spark, mv.view.root)
+    val e = intercept[IllegalStateException](again3.refresh())
+    assert(e.getMessage.contains("no longer exists"))
+  }
+
   test("feature interactions: WHERE composes with min/max recompute and with joins") {
     // 1) filtered min/max: the predicate bounds BOTH the delta fold
     // and the death-recompute scan — deleting the in-filter minimum

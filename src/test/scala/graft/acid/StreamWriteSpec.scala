@@ -469,4 +469,50 @@ class StreamWriteSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       (1 to 12).map(i => (i.toLong, i * 10L)))
   }
+
+  test("refresh-on-epoch: dependent views track the sink with zero lag") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = freshDir()
+    val schema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("grp", StringType),
+      StructField("v", LongType)))
+    val inst = VersionedTable.create(spark, dir, schema)
+    val viewDir = Files.createTempDirectory("graft_swrite_mv_").toUri.toString
+    val mv = MaterializedAggView.create(spark, viewDir, inst,
+      groupCols = Seq("grp"), sumCols = Seq("v"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_swrite_mv_ckpt_").toString
+    def drain(extraViews: String = ""): Unit = {
+      val q = mem.toDF().toDF("obj_id", "grp", "v")
+        .writeStream.format("graft").option("path", dir)
+        .option("refreshViews", viewDir + extraViews)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows() = mv.read().select("grp", "cnt", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    mem.addData((1L, "a", 10L), (2L, "b", 20L))
+    drain()
+    // the view advanced WITH the epoch — no manual refresh() anywhere
+    assert(mv.refreshedVersion == inst.latestVersion,
+      s"view lags the sink: ${mv.refreshedVersion} < ${inst.latestVersion}")
+    assert(rows() == Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    mem.addData((3L, "a", 5L))
+    drain()
+    assert(mv.refreshedVersion == inst.latestVersion)
+    assert(rows() == Seq(("a", 2L, 15L), ("b", 1L, 20L)))
+    // a broken view entry must NOT fail the epoch — the data commit
+    // is durable, the healthy view still advances, the broken one
+    // only logs
+    mem.addData((4L, "b", 1L))
+    drain(extraViews = "," + dir + "/not-a-view")
+    assert(inst.read().count() == 4L,
+      "a failing view refresh must not fail the epoch")
+    assert(mv.refreshedVersion == inst.latestVersion)
+    assert(rows() == Seq(("a", 2L, 15L), ("b", 2L, 21L)))
+  }
 }
