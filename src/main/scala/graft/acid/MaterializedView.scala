@@ -122,7 +122,14 @@ final class MaterializedAggView private (
     * single-dim surface (mv_status, older callers). */
   def dimJoin: Option[MaterializedAggView.DimJoin] = dimJoins.headOption
 
-  private def appId: String = "mv:" + view.root
+  // CANONICAL root spelling (Hadoop Path normalization collapses
+  // duplicate slashes and folds file:/// to file:/): the watermark's
+  // appId must not depend on how the caller spelled the view path, or
+  // a refresher opened via one spelling (the streaming sink's
+  // refreshViews option) records a watermark a reader opened via
+  // another (the SQL catalog's mv_status) can never see
+  private def appId: String =
+    "mv:" + new org.apache.hadoop.fs.Path(view.root).toString
 
   /** Version of the source the view currently reflects (-1 = never
     * refreshed; the first refresh folds the HEAD SNAPSHOT at +1 — the

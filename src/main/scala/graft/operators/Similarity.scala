@@ -243,18 +243,23 @@ object Similarity {
     val sample = calibrationSample(all, sampleQueries)
     val exactS = annTop1(all, sample).localCheckpoint()
     var measured = -1.0
-    val chosen = ladder.find { case (fp, mf) =>
+    val chosen = ladder.init.find { case (fp, mf) =>
       val (hits, n) =
         recall1Counts(exactS, annTop1Lsh(all, sample, dim, nPlanes, fp, mf))
       measured = if (n == 0) 1.0 else hits.toDouble / n
       // LCB, not the raw ratio: on a locality-free corpus the ladder
-      // correctly escalates to the full-probe rung (= exact answers at
-      // brute-force price — the honest outcome when the data gives LSH
-      // nothing to exploit); on clustered corpora it stops early
+      // correctly escalates to the full-probe rung (= exact answers —
+      // the honest outcome when the data gives LSH nothing to
+      // exploit); on clustered corpora it stops early
       wilsonLcb(hits, n) >= targetRecall
     }.getOrElse(ladder.last)
-    lastLshCalibration = (chosen._1, chosen._2, measured)
-    annTop1Lsh(all, queries, dim, nPlanes, chosen._1, chosen._2)
+    lastLshCalibration = (chosen._1, chosen._2,
+      if (chosen == ladder.last) 1.0 else measured)
+    // the full-probe rung visits every bucket — identical answers to
+    // the exact scan, so run the cheaper brute-force plan directly
+    // (no bucket explode/join machinery for the same candidates)
+    if (chosen == ladder.last) annTop1(all, queries)
+    else annTop1Lsh(all, queries, dim, nPlanes, chosen._1, chosen._2)
   }
 
   /** Recall-TARGETED IVF top-1: same contract as
@@ -266,15 +271,19 @@ object Similarity {
     val ladder = Seq(4, 8, 12, nCells).filter(_ <= nCells).distinct
     val sample = calibrationSample(all, sampleQueries)
     val exactS = annTop1(all, sample).localCheckpoint()
+    // ONE training for the whole ladder: every rung probes the same
+    // index, only nProbe changes
+    val cents = trainIvfCentroids(all, dim, nCells, iters = 3,
+      trainSample = 4096, distributedTrain = false)
     var measured = -1.0
     val chosen = ladder.find { p =>
-      val (hits, n) =
-        recall1Counts(exactS, annTop1Ivf(all, sample, dim, nCells, p))
+      val (hits, n) = recall1Counts(exactS,
+        annTop1Ivf(all, sample, dim, nCells, p, centroids0 = Some(cents)))
       measured = if (n == 0) 1.0 else hits.toDouble / n
       wilsonLcb(hits, n) >= targetRecall
     }.getOrElse(nCells)
     lastIvfCalibration = (chosen, measured)
-    annTop1Ivf(all, queries, dim, nCells, chosen)
+    annTop1Ivf(all, queries, dim, nCells, chosen, centroids0 = Some(cents))
   }
 
   /** IVF (inverted-file) ANN: k-means cells + nProbe-cell search — the
@@ -302,7 +311,25 @@ object Similarity {
     * the verifiable anchor. */
   def annTop1Ivf(all: DataFrame, queries: DataFrame, dim: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
-      trainSample: Int = 4096, distributedTrain: Boolean = false): DataFrame = {
+      trainSample: Int = 4096, distributedTrain: Boolean = false,
+      // pre-trained centroids (e.g. from [[annTop1IvfTargeted]]'s
+      // calibration ladder, which probes the SAME index at several
+      // nProbe settings — retraining per rung would pay the sample
+      // collect + Lloyd arithmetic once per rung for bit-identical
+      // centroids)
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
+    val s = all.sparkSession
+    val cents: Array[Array[Double]] = centroids0.getOrElse(
+      trainIvfCentroids(all, dim, nCells, iters, trainSample,
+        distributedTrain))
+    ivfQuery(s, all, queries, cents, nProbe)
+  }
+
+  /** Deterministic Lloyd k-means coarse quantizer (the `train` half of
+    * [[annTop1Ivf]], reusable across probe settings). */
+  private[operators] def trainIvfCentroids(all: DataFrame, dim: Int,
+      nCells: Int, iters: Int, trainSample: Int,
+      distributedTrain: Boolean): Array[Array[Double]] = {
     val s = all.sparkSession
     // ---- train: deterministic Lloyd k-means --------------------------
     // Two regimes, one seed rule. Seeds (and the driver regime's whole
@@ -397,6 +424,14 @@ object Similarity {
         }
       }
     }
+    cents
+  }
+
+  /** The `index + probe` half of [[annTop1Ivf]]: assign corpus cells,
+    * probe each query's nProbe nearest cells, exact-score candidates. */
+  private def ivfQuery(s: SparkSession, all: DataFrame,
+      queries: DataFrame, cents: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
     val centroids: Array[(Int, Seq[Double])] =
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     def nearestCell(v: Column): Column = {

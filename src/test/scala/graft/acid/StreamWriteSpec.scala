@@ -515,4 +515,40 @@ class StreamWriteSpec extends AnyFunSuite {
     assert(mv.refreshedVersion == inst.latestVersion)
     assert(rows() == Seq(("a", 2L, 15L), ("b", 2L, 21L)))
   }
+
+  test("refresh-on-epoch resolves dotted view sources through registered catalogs") {
+    // a catalog-created view records its source as a DOTTED name; the
+    // streaming sink has no catalog handle, so its resolver must
+    // re-instantiate the conf-registered GraftCatalog to open the
+    // source — and mv_status must then show zero lag after stop
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gros$tag"
+    val wh = Files.createTempDirectory("graft_wh_ros_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.s.t (obj_id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"CALL $cat.system.create_mv('s.v', source => 's.t', " +
+      "group_by => 'grp', sums => 'v')")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_ros_ckpt_").toString
+    mem.addData((1L, "a", 7L), (2L, "b", 9L))
+    val q = mem.toDF().toDF("obj_id", "grp", "v")
+      .writeStream.format("graft").option("path", s"$wh/s/t")
+      .option("refreshViews", s"$wh/s/v")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val st = spark.sql(s"CALL $cat.system.mv_status('s.v')").collect().head
+    val cols = spark.sql(s"CALL $cat.system.mv_status('s.v')").columns
+    val m = cols.zip(st.toSeq.map(v => if (v == null) null else v.toString))
+      .toMap
+    assert(m("refreshed_source_version") == m("source_head_version"),
+      s"view lags after stop: $m")
+    val rows = spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.s.v ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == Seq(("a", 1L, 7L), ("b", 1L, 9L)))
+  }
 }
