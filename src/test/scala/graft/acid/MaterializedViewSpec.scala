@@ -749,6 +749,122 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(again.refreshedDimVersion(1) == dimP.latestVersion)
   }
 
+  test("property: random star churn never diverges from the join recompute") {
+    // adversarial sequences over fact + 2 dims at once — fact
+    // inserts/updates/deletes/key-retargets, dim group moves, dim
+    // inserts and deletes (orphaning facts out of the inner join) —
+    // refreshed at irregular intervals so each delta folds MULTIPLE
+    // commits and regularly exercises several inclusion–exclusion
+    // terms. The view sums a FACT column and a DIM column (weights
+    // multiply through the join on both sides). Deterministic seed.
+    val rnd = new scala.util.Random(20260814L)
+    val factSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("prod", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val dimSchemaP = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("category", StringType),
+      StructField("w", LongType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_prop_sf_").toUri.toString,
+      factSchema)
+    val dimC = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_prop_sc_").toUri.toString,
+      dimSchema)
+    val dimP = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_prop_sp_").toUri.toString,
+      dimSchemaP)
+    val mv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_prop_sv_").toUri.toString, fact,
+      groupCols = Seq("region", "category"), sumCols = Seq("v", "w"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(dimC, "cust", "obj_id"),
+        MaterializedAggView.DimJoin(dimP, "prod", "obj_id")))
+    val regions = Seq("east", "west", "north")
+    val cats = Seq("toys", "tools", "games")
+    dimC.withRetry() { t => t.insert(Seq((1L, "east"), (2L, "west"))
+      .toDF("obj_id", "region")) }
+    dimP.withRetry() { t => t.insert(
+      Seq((10L, "toys", 2L), (11L, "tools", 5L))
+        .toDF("obj_id", "category", "w")) }
+    var nextFact = 100L
+    val liveFacts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val liveCusts = scala.collection.mutable.ArrayBuffer(1L, 2L)
+    val liveProds = scala.collection.mutable.ArrayBuffer(10L, 11L)
+    var nextCust = 3L; var nextProd = 12L
+    def oracle(): Seq[(String, String, Long, Long, Long)] =
+      fact.read().alias("F")
+        .join(dimC.read().alias("C"), col("F.cust") === col("C.obj_id"))
+        .join(dimP.read().alias("P"), col("F.prod") === col("P.obj_id"))
+        .groupBy("region", "category")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sv"), sum("w").as("sw"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    def viewNow(): Seq[(String, String, Long, Long, Long)] =
+      mv.read().select("region", "category", "cnt", "sum_v", "sum_w")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    (1 to 24).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 | 1 => // fact insert
+          val id = nextFact; nextFact += 1; liveFacts += id
+          fact.withRetry() { t => t.insert(Seq(
+            (id, liveCusts(rnd.nextInt(liveCusts.size)),
+              liveProds(rnd.nextInt(liveProds.size)),
+              rnd.nextInt(50).toLong)).toDF("obj_id", "cust", "prod", "v")) }
+        case 2 if liveFacts.nonEmpty => // fact value update or retarget
+          val id = liveFacts(rnd.nextInt(liveFacts.size))
+          val nc = liveCusts(rnd.nextInt(liveCusts.size))
+          val nv = rnd.nextInt(50).toLong
+          fact.withRetry() { t => t.update(Seq(id), df =>
+            df.withColumn("cust", lit(nc)).withColumn("v", lit(nv))) }
+        case 3 if liveFacts.nonEmpty => // fact delete
+          val id = liveFacts.remove(rnd.nextInt(liveFacts.size))
+          fact.withRetry() { t => t.delete(Seq(id)) }
+        case 4 => // dim-C group move
+          val id = liveCusts(rnd.nextInt(liveCusts.size))
+          val r = regions(rnd.nextInt(regions.size))
+          dimC.withRetry() { t => t.update(Seq(id), df =>
+            df.withColumn("region", lit(r))) }
+        case 5 => // dim-P move and/or weight change (dim-side SUM)
+          val id = liveProds(rnd.nextInt(liveProds.size))
+          val c = cats(rnd.nextInt(cats.size))
+          val w = rnd.nextInt(9).toLong
+          dimP.withRetry() { t => t.update(Seq(id), df =>
+            df.withColumn("category", lit(c)).withColumn("w", lit(w))) }
+        case 6 => // dim insert (new cust or prod)
+          if (rnd.nextBoolean()) {
+            val id = nextCust; nextCust += 1; liveCusts += id
+            dimC.withRetry() { t => t.insert(
+              Seq((id, regions(rnd.nextInt(regions.size))))
+                .toDF("obj_id", "region")) }
+          } else {
+            val id = nextProd; nextProd += 1; liveProds += id
+            dimP.withRetry() { t => t.insert(
+              Seq((id, cats(rnd.nextInt(cats.size)), rnd.nextInt(9).toLong))
+                .toDF("obj_id", "category", "w")) }
+          }
+        case 7 if liveCusts.size > 1 => // dim delete orphans its facts
+          val id = liveCusts.remove(rnd.nextInt(liveCusts.size))
+          dimC.withRetry() { t => t.delete(Seq(id)) }
+        case _ => ()
+      }
+      if (step % 5 == 0 || step == 24) {
+        mv.refresh()
+        assert(viewNow() == oracle(),
+          s"star view diverged at step $step:\n view  ${viewNow()}\n" +
+          s" oracle ${oracle()}")
+      }
+    }
+  }
+
   test("dim-side renames mid-interval keep the join view green; drops fail loudly") {
     val factSchema = StructType(Seq(
       StructField("obj_id", LongType, nullable = false),
@@ -975,6 +1091,59 @@ class MaterializedViewSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_._1)
     assert(rows == Seq(("east", 1L, 106L), ("west", 1L, 50L)))
+  }
+
+  test("WHERE composes with the star-view delta (fact predicate, two dims)") {
+    val factSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("prod", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val dimSchemaP = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("category", StringType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_swf_").toUri.toString, factSchema)
+    val dimC = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_swc_").toUri.toString, dimSchema)
+    val dimP = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_swp_").toUri.toString, dimSchemaP)
+    val mv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_swv_").toUri.toString, fact,
+      groupCols = Seq("region", "category"), sumCols = Seq("v"),
+      where = Some("v >= 10"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(dimC, "cust", "obj_id"),
+        MaterializedAggView.DimJoin(dimP, "prod", "obj_id")))
+    dimC.withRetry() { t => t.insert(Seq((1L, "east"))
+      .toDF("obj_id", "region")) }
+    dimP.withRetry() { t => t.insert(Seq((10L, "toys"))
+      .toDF("obj_id", "category")) }
+    fact.withRetry() { t => t.insert(Seq((100L, 1L, 10L, 15L),
+      (101L, 1L, 10L, 3L)).toDF("obj_id", "cust", "prod", "v")) }
+    mv.refresh()
+    def rows() = mv.read().select("region", "category", "cnt", "sum_v")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(t => (t._1, t._2))
+    assert(rows() == Seq(("east", "toys", 1L, 15L)))
+    // one interval: an out->in boundary crossing on the fact PLUS a
+    // move on each dim — the filtered fact delta rides every term
+    fact.withRetry() { t =>
+      t.update(Seq(101L), df => df.withColumn("v", lit(30L))) }
+    dimC.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("region", lit("west"))) }
+    dimP.withRetry() { t =>
+      t.update(Seq(10L), df => df.withColumn("category", lit("games"))) }
+    mv.refresh()
+    assert(rows() == Seq(("west", "games", 2L, 45L)))
+    // and in->out kills the group member
+    fact.withRetry() { t =>
+      t.update(Seq(100L), df => df.withColumn("v", lit(1L))) }
+    mv.refresh()
+    assert(rows() == Seq(("west", "games", 1L, 30L)))
   }
 
   test("min/max view survives a reopen from its persisted definition") {
