@@ -262,10 +262,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_mv" => new RefreshMvProcedure(this)
       case "set_partitioning" => new SetPartitioningProcedure(this)
       case "mv_status" => new MvStatusProcedure(this)
+      case "list_mvs" => new ListMvsProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
         "materialize, restore, create_mv, refresh_mv, " +
-        "set_partitioning, mv_status)")
+        "set_partitioning, mv_status, list_mvs)")
     }
   }
 
@@ -673,6 +674,67 @@ private[acid] final class MvStatusProcedure(cat: GraftCatalog)
       "dim_head_version" -> (if (mv.dimJoins.isEmpty) null
         else mv.dimJoins.map(_.dim.latestVersion.toString)
           .mkString(","))))).iterator()
+  }
+}
+
+/** Multi-row local result for procedures that report a LIST (one row
+  * per item), sibling of the single-row [[InfoScan]]. */
+private[acid] final class ListScan(names: Seq[String],
+    rowsIn: Seq[Seq[String]]) extends LocalScan {
+  override def readSchema(): StructType =
+    StructType(names.map(n => StructField(n, StringType, nullable = true)))
+  override def rows(): Array[InternalRow] =
+    rowsIn.map(r => new GenericInternalRow(r.map { v =>
+      if (v == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    }.toArray[Any]): InternalRow).toArray
+}
+
+/** `CALL system.list_mvs(table)` — the DISCOVERY half of the
+  * vacuum↔view contract: one row per materialized view registered
+  * against `table` (as fact OR dimension), with the view's lag
+  * RELATIVE TO THIS TABLE — the thing an operator checks before
+  * tightening vacuum retention or dropping the table. Registry is
+  * best-effort create-time metadata; entries whose view no longer
+  * opens are reported with a note instead of failing the call. All
+  * driver metadata reads, never a data scan. */
+private[acid] final class ListMvsProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_mvs"
+  override def description(): String =
+    "List materialized views registered against a table (fact or dim) " +
+    "with their refresh lag relative to it"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val canon = new Path(inst.root).toString
+    val rows = MaterializedAggView.registeredViews(inst).map { vr =>
+      try {
+        val mv = MaterializedAggView.openFromDef(SparkSession.active, vr,
+          resolveSource = cat.openInstance)
+        val dimIdx = mv.dimJoins.indexWhere(dj =>
+          new Path(dj.dim.root).toString == canon)
+        val (role, refreshed, head) =
+          if (new Path(mv.source.root).toString == canon)
+            ("fact", mv.refreshedVersion, mv.source.latestVersion)
+          else if (dimIdx >= 0)
+            (s"dim$dimIdx", mv.refreshedDimVersion(dimIdx),
+              mv.dimJoins(dimIdx).dim.latestVersion)
+          else ("unknown", -1L, -1L)
+        Seq(vr, role, refreshed.toString, head.toString,
+          (head - math.max(0L, refreshed)).toString, null)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(vr, null, null, null, null, s"unreadable: ${e.getMessage}")
+      }
+    }
+    java.util.Collections.singletonList[Scan](new ListScan(
+      Seq("view_root", "role", "refreshed_version", "head_version",
+        "lag_versions", "note"), rows)).iterator()
   }
 }
 

@@ -731,6 +731,65 @@ object MaterializedAggView {
   final case class DimJoin(dim: Instance, factKey: String, dimKey: String,
       factCols: Set[String] = Set.empty, dimSpec: String = "")
 
+  /** Best-effort dependent-view registry under a SOURCE table's root
+    * (`_mv_registry.json`): [[create]] registers the new view's root
+    * with its fact AND every dimension, so an operator can DISCOVER
+    * the views a table feeds (`CALL system.list_mvs('ns.t')`) before
+    * vacuuming aggressively or dropping the table. Discovery metadata
+    * only — the authoritative definition lives under the view root; a
+    * registration lost to a racing create (read-modify-rename) or a
+    * stale entry pointing at a dropped view degrades the LISTING,
+    * never correctness (refresh carries its own vacuum fallback). */
+  private val RegistryFile = "_mv_registry.json"
+
+  /** View roots registered against `table` (fact or dim side). */
+  private[acid] def registeredViews(table: Instance): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(table.root, RegistryFile)
+    try {
+      if (!table.fs.exists(p)) Nil
+      else {
+        val in = table.fs.open(p)
+        val s = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        // quote-aware scan of the single string array (paths may in
+        // principle carry escaped quotes/backslashes via esc)
+        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(
+          s.dropWhile(_ != '[')).map(m => m.group(1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+          .filterNot(_ == "views")
+      }
+    } catch { case _: java.io.IOException => Nil }
+  }
+
+  private def registerView(table: Instance, viewRoot: String): Unit = try {
+    val canon = new org.apache.hadoop.fs.Path(viewRoot).toString
+    val cur = registeredViews(table)
+    if (cur.contains(canon)) return
+    val next = cur :+ canon
+    val json =
+      s"""{"views":[${next.map(v => "\"" + esc(v) + "\"").mkString(",")}]}"""
+    val p = new org.apache.hadoop.fs.Path(table.root, RegistryFile)
+    val tmp = new org.apache.hadoop.fs.Path(table.root,
+      s"._mvreg-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = table.fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      if (!table.fs.rename(tmp, p)) {
+        table.fs.delete(p, false); table.fs.rename(tmp, p)
+      }
+    } finally {
+      try { if (table.fs.exists(tmp)) table.fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
   /** Definition side file under the view root — written ONCE at create
     * (the definition is immutable), so `open(viewRoot)` and the SQL
     * `CALL system.refresh_mv` need no re-specification. `source` is
@@ -1072,6 +1131,9 @@ object MaterializedAggView {
       minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys,
       dims2.map(dj => (dj.dimSpec, dj.factKey, dj.dimKey)),
       groupRels, sumRels, factKeyPhys, dimKeyPhys)
+    // discovery registry: every relation that feeds this view learns
+    // about it (best-effort — see RegistryFile)
+    (source +: dims2.map(_.dim)).foreach(t => registerView(t, viewRoot))
     new MaterializedAggView(source, view, groupCols, sumCols,
       minCols, maxCols, dims2, where,
       Some(groupPhys), Some(sumPhys), Some(minPhys), Some(maxPhys),

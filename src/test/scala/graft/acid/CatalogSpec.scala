@@ -464,4 +464,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(st.getAs[String]("mins") == null &&
       st.getAs[String]("where") == null)
   }
+
+  test("list_mvs discovers views registered on fact AND dims with their lag") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.lmv")
+    sql("CREATE TABLE gcat.lmv.f (obj_id BIGINT, cust BIGINT, v BIGINT)")
+    sql("CREATE TABLE gcat.lmv.d (obj_id BIGINT, region STRING)")
+    sql("INSERT INTO gcat.lmv.d VALUES (1, 'east')")
+    sql("INSERT INTO gcat.lmv.f VALUES (10, 1, 5), (11, 1, 7)")
+    sql("CALL gcat.system.create_mv('lmv.v', source => 'lmv.f', " +
+      "group_by => 'region', sums => 'v', dim_source => 'lmv.d', " +
+      "fact_key => 'cust', dim_key => 'obj_id')")
+    // never refreshed: the fact row reports full lag
+    val before = sql("CALL gcat.system.list_mvs('lmv.f')").collect()
+    assert(before.length == 1)
+    assert(before.head.getAs[String]("role") == "fact")
+    assert(before.head.getAs[String]("lag_versions") == "1")
+    sql("CALL gcat.system.refresh_mv('lmv.v')")
+    // zero lag on BOTH relations after refresh
+    val fRow = sql("CALL gcat.system.list_mvs('lmv.f')").collect().head
+    assert(fRow.getAs[String]("role") == "fact" &&
+      fRow.getAs[String]("lag_versions") == "0", s"got $fRow")
+    val dRow = sql("CALL gcat.system.list_mvs('lmv.d')").collect().head
+    assert(dRow.getAs[String]("role") == "dim0" &&
+      dRow.getAs[String]("lag_versions") == "0", s"got $dRow")
+    // dim-only churn shows lag on the dim listing
+    sql("UPDATE gcat.lmv.d SET region = 'west' WHERE obj_id = 1")
+    val dLag = sql("CALL gcat.system.list_mvs('lmv.d')").collect().head
+    assert(dLag.getAs[String]("lag_versions") == "1", s"got $dLag")
+    // an unreadable registry entry reports a note instead of failing
+    val viewRoot = fRow.getAs[String]("view_root")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(viewRoot), spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(viewRoot, "_mv.json"), false)
+    val broken = sql("CALL gcat.system.list_mvs('lmv.f')").collect().head
+    assert(broken.getAs[String]("note") != null &&
+      broken.getAs[String]("note").startsWith("unreadable"), s"got $broken")
+  }
 }
