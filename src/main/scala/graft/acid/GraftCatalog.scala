@@ -263,10 +263,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "set_partitioning" => new SetPartitioningProcedure(this)
       case "mv_status" => new MvStatusProcedure(this)
       case "list_mvs" => new ListMvsProcedure(this)
+      case "drop_mv" => new DropMvProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
         "materialize, restore, create_mv, refresh_mv, " +
-        "set_partitioning, mv_status, list_mvs)")
+        "set_partitioning, mv_status, list_mvs, drop_mv)")
     }
   }
 
@@ -456,6 +457,20 @@ private[acid] final class InfoScan(fields: Seq[(String, String)])
     }.toArray[Any]))
 }
 
+/** vacuum's result row: the reclaim metric first (callers read
+  * `getLong(0)`) plus the dependent views the new horizon degrades to
+  * a full rebuild on their next refresh (null = none). */
+private[acid] final class VacuumScan(deleted: Long, rebuild: String)
+    extends LocalScan {
+  override def readSchema(): StructType = StructType(Seq(
+    StructField("deleted_files", LongType, nullable = false),
+    StructField("rebuild_views", StringType, nullable = true)))
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(Array[Any](deleted,
+      if (rebuild == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(rebuild))))
+}
+
 private[acid] final class VacuumProcedure(cat: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {
   override def name(): String = "vacuum"
@@ -472,9 +487,39 @@ private[acid] final class VacuumProcedure(cat: GraftCatalog)
       .defaultValue("true").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val inst = cat.openInstance(input.getUTF8String(0).toString)
-    val deleted = inst.vacuum(input.getInt(1), input.getBoolean(2))
-    java.util.Collections.singletonList[Scan](
-      new MetricScan("deleted_files", deleted.toLong)).iterator()
+    val retain = input.getInt(1)
+    // the GUARD half of the vacuum↔view contract (list_mvs is the
+    // discovery half): a registered view whose watermark on THIS
+    // table sits below the new pre-image horizon loses its next
+    // incremental interval's pre-images and will take the
+    // full-rebuild path at its next refresh (refresh checks
+    // _vacuum.json proactively). Surface those views in the result so
+    // tightening retention is never a silent rebuild storm. Computed
+    // BEFORE deletion with the horizon this call establishes;
+    // best-effort — an unreadable view is the refresh path's problem,
+    // not vacuum's.
+    val horizon = math.max(0L, inst.latestVersion - retain + 1)
+    val canon = new Path(inst.root).toString
+    val degraded = MaterializedAggView.registeredViews(inst).filter { vr =>
+      try {
+        val mv = MaterializedAggView.openFromDef(SparkSession.active, vr,
+          resolveSource = cat.openInstance)
+        // a table can feed the same view as fact AND dimension
+        // (self-join star): any matching role below the horizon counts
+        val wms = (if (new Path(mv.source.root).toString == canon)
+            Seq(mv.refreshedVersion) else Nil) ++
+          mv.dimJoins.zipWithIndex.collect {
+            case (dj, i) if new Path(dj.dim.root).toString == canon =>
+              mv.refreshedDimVersion(i)
+          }
+        // -1 = never refreshed: the initial fold is a snapshot scan,
+        // vacuum-safe by construction
+        wms.exists(wm => wm >= 0 && wm < horizon)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val deleted = inst.vacuum(retain, input.getBoolean(2))
+    java.util.Collections.singletonList[Scan](new VacuumScan(deleted.toLong,
+      if (degraded.isEmpty) null else degraded.mkString(","))).iterator()
   }
 }
 
@@ -712,29 +757,58 @@ private[acid] final class ListMvsProcedure(cat: GraftCatalog)
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val inst = cat.openInstance(input.getUTF8String(0).toString)
     val canon = new Path(inst.root).toString
-    val rows = MaterializedAggView.registeredViews(inst).map { vr =>
+    val rows = MaterializedAggView.registeredViews(inst).flatMap { vr =>
       try {
         val mv = MaterializedAggView.openFromDef(SparkSession.active, vr,
           resolveSource = cat.openInstance)
-        val dimIdx = mv.dimJoins.indexWhere(dj =>
-          new Path(dj.dim.root).toString == canon)
-        val (role, refreshed, head) =
-          if (new Path(mv.source.root).toString == canon)
-            ("fact", mv.refreshedVersion, mv.source.latestVersion)
-          else if (dimIdx >= 0)
-            (s"dim$dimIdx", mv.refreshedDimVersion(dimIdx),
-              mv.dimJoins(dimIdx).dim.latestVersion)
-          else ("unknown", -1L, -1L)
-        Seq(vr, role, refreshed.toString, head.toString,
-          (head - math.max(0L, refreshed)).toString, null)
+        // one row per ROLE: a self-join star feeds the same view as
+        // fact and dimension, and each role carries its own watermark
+        val roles: Seq[(String, Long, Long)] =
+          (if (new Path(mv.source.root).toString == canon)
+            Seq(("fact", mv.refreshedVersion, mv.source.latestVersion))
+          else Nil) ++
+          mv.dimJoins.zipWithIndex.collect {
+            case (dj, i) if new Path(dj.dim.root).toString == canon =>
+              (s"dim$i", mv.refreshedDimVersion(i), dj.dim.latestVersion)
+          }
+        (if (roles.isEmpty) Seq(("unknown", -1L, -1L)) else roles)
+          .map { case (role, refreshed, head) =>
+            Seq(vr, role, refreshed.toString, head.toString,
+              (head - math.max(0L, refreshed)).toString, null) }
       } catch {
         case scala.util.control.NonFatal(e) =>
-          Seq(vr, null, null, null, null, s"unreadable: ${e.getMessage}")
+          Seq(Seq(vr, null, null, null, null,
+            s"unreadable: ${e.getMessage}"))
       }
     }
     java.util.Collections.singletonList[Scan](new ListScan(
       Seq("view_root", "role", "refreshed_version", "head_version",
         "lag_versions", "note"), rows)).iterator()
+  }
+}
+
+/** `CALL system.drop_mv(view)` — the lifecycle close of `create_mv`:
+  * de-registers the view from its fact and every dimension (so
+  * `list_mvs` and vacuum's rebuild report stop naming it) and deletes
+  * the view table. */
+private[acid] final class DropMvProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "drop_mv"
+  override def description(): String =
+    "Drop a materialized view created by create_mv: de-register it " +
+    "from its source tables and delete the view table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("view", StringType)
+      .comment("dotted name of a view created by create_mv").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val name = input.getUTF8String(0).toString
+    val dropped = MaterializedAggView.dropView(SparkSession.active,
+      cat.pathFor(name).toString, resolveSource = cat.openInstance)
+    if (!dropped) throw new NoSuchElementException(s"no view $name")
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("dropped", 1L)).iterator()
   }
 }
 

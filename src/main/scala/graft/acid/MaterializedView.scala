@@ -697,7 +697,7 @@ object MaterializedAggView {
               v == classOf[GraftCatalog].getName =>
             k.stripPrefix("spark.sql.catalog.")
         }.toSeq
-        val resolved = names.iterator.flatMap { n =>
+        val resolved = names.flatMap { n =>
           try {
             val c = new GraftCatalog
             val opts = all.collect {
@@ -708,13 +708,24 @@ object MaterializedAggView {
               new org.apache.spark.sql.util.CaseInsensitiveStringMap(
                 scala.jdk.CollectionConverters.MapHasAsJava(opts.toMap)
                   .asJava))
-            Some(c.openInstance(spec))
+            Some(n -> c.openInstance(spec))
           } catch { case scala.util.control.NonFatal(_) => None }
         }
-        if (resolved.hasNext) resolved.next()
-        else throw new IllegalArgumentException(
-          s"cannot resolve view source '$spec': no registered graft " +
-          "catalog knows it")
+        // legacy fallback only (defs since path binding carry
+        // sourcePath): NEVER guess between catalogs — conf map order
+        // is arbitrary, and a which-answers-first pick silently binds
+        // the wrong table when two warehouses know the same name
+        val distinctRoots = resolved
+          .map { case (_, i) =>
+            new org.apache.hadoop.fs.Path(i.root).toString }.distinct
+        if (distinctRoots.size > 1) throw new IllegalArgumentException(
+          s"view source '$spec' is ambiguous: catalogs " +
+          s"${resolved.map(_._1).mkString(", ")} all resolve it " +
+          "(recreate the view to bind it by path)")
+        resolved.headOption.map(_._2).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot resolve view source '$spec': no registered graft " +
+            "catalog knows it"))
       }
 
   /** One dimension side of a JOIN view: `view = fact JOIN dim ON
@@ -770,10 +781,28 @@ object MaterializedAggView {
   private def registerView(table: Instance, viewRoot: String): Unit = try {
     val canon = new org.apache.hadoop.fs.Path(viewRoot).toString
     val cur = registeredViews(table)
-    if (cur.contains(canon)) return
-    val next = cur :+ canon
+    if (!cur.contains(canon)) writeRegistry(table, cur :+ canon)
+  } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  /** Remove `viewRoot` from `table`'s registry — [[dropView]]'s half
+    * of the lifecycle. Best-effort like registration: a survivor
+    * entry only makes `list_mvs` report a stale row, never breaks a
+    * refresh. An emptied registry file is deleted outright. */
+  private[acid] def deregisterView(table: Instance,
+      viewRoot: String): Unit = try {
+    val canon = new org.apache.hadoop.fs.Path(viewRoot).toString
+    val cur = registeredViews(table)
+    if (!cur.contains(canon)) return
+    val next = cur.filterNot(_ == canon)
+    if (next.isEmpty)
+      table.fs.delete(
+        new org.apache.hadoop.fs.Path(table.root, RegistryFile), false)
+    else writeRegistry(table, next)
+  } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  private def writeRegistry(table: Instance, views: Seq[String]): Unit = {
     val json =
-      s"""{"views":[${next.map(v => "\"" + esc(v) + "\"").mkString(",")}]}"""
+      s"""{"views":[${views.map(v => "\"" + esc(v) + "\"").mkString(",")}]}"""
     val p = new org.apache.hadoop.fs.Path(table.root, RegistryFile)
     val tmp = new org.apache.hadoop.fs.Path(table.root,
       s"._mvreg-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -788,7 +817,25 @@ object MaterializedAggView {
       try { if (table.fs.exists(tmp)) table.fs.delete(tmp, false) }
       catch { case _: java.io.IOException => () }
     }
-  } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+  }
+
+  /** Drop a view: de-register it from its fact and every dimension,
+    * then delete the view table's directory. The delete is the
+    * authoritative step; de-registration is best-effort (a view whose
+    * definition no longer opens is still dropped — its registry
+    * entries then surface as notes in `list_mvs` until re-written).
+    * Returns false if the view root didn't exist. */
+  def dropView(spark: SparkSession, viewRoot: String,
+      resolveSource: String => Instance = null): Boolean = {
+    try {
+      val mv = openFromDef(spark, viewRoot, resolveSource)
+      (mv.source +: mv.dimJoins.map(_.dim))
+        .foreach(t => deregisterView(t, viewRoot))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val p = new org.apache.hadoop.fs.Path(viewRoot)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.delete(p, true)
+  }
 
   /** Definition side file under the view root — written ONCE at create
     * (the definition is immutable), so `open(viewRoot)` and the SQL
@@ -810,10 +857,19 @@ object MaterializedAggView {
       dims: Seq[(String, String, String)] = Nil,
       groupRels: Seq[Int] = Nil, sumRels: Seq[Int] = Nil,
       factKeyPhys: Seq[String] = Nil,
-      dimKeyPhys: Seq[String] = Nil): Unit = {
+      dimKeyPhys: Seq[String] = Nil,
+      sourcePath: String = "",
+      dimPaths: Seq[String] = Nil): Unit = {
     def arr(xs: Seq[String]) =
       s"[${xs.map(c => "\"" + esc(c) + "\"").mkString(",")}]"
     val json = s"""{"source":"${esc(source)}",""" +
+      // the AUTHORITATIVE binding: `source`/`dimSources` may be dotted
+      // catalog names (display + catalog ops), but two registered
+      // catalogs can both resolve the same dotted name — opening binds
+      // by the physical root recorded at create time, never by a
+      // which-catalog-answers-first guess
+      (if (sourcePath.isEmpty) ""
+       else s""""sourcePath":"${esc(sourcePath)}",""") +
       s""""groupCols":${arr(groupCols)},""" +
       s""""sumCols":${arr(sumCols)},""" +
       s""""minCols":${arr(minCols)},""" +
@@ -833,6 +889,8 @@ object MaterializedAggView {
           s""""dimKey":"${esc(dims.head._3)}""""
         else "") +
         s""","dimSources":${arr(dims.map(_._1))}""" +
+        (if (dimPaths.isEmpty) ""
+         else s""","dimPaths":${arr(dimPaths)}""") +
         s""","factKeys":${arr(dims.map(_._2))}""" +
         s""","dimKeys":${arr(dims.map(_._3))}""" +
         s""","groupRels":${arr(groupRels.map(_.toString))}""" +
@@ -865,7 +923,11 @@ object MaterializedAggView {
       groupRels: Option[Seq[String]] = None,
       sumRels: Option[Seq[String]] = None,
       factKeyPhys: Option[Seq[String]] = None,
-      dimKeyPhys: Option[Seq[String]] = None)
+      dimKeyPhys: Option[Seq[String]] = None,
+      // authoritative physical roots (absent on defs written before
+      // path binding; those fall back to spec resolution)
+      sourcePath: Option[String] = None,
+      dimPaths: Option[Seq[String]] = None)
 
   /** The persisted definition. The array parse is a real quote-aware
     * scan — column names containing commas, brackets, quotes or
@@ -947,7 +1009,8 @@ object MaterializedAggView {
       strs.get("dimSource"), strs.get("factKey"), strs.get("dimKey"),
       arrs.get("dimSources"), arrs.get("factKeys"), arrs.get("dimKeys"),
       arrs.get("groupRels"), arrs.get("sumRels"),
-      arrs.get("factKeyPhys"), arrs.get("dimKeyPhys"))
+      arrs.get("factKeyPhys"), arrs.get("dimKeyPhys"),
+      strs.get("sourcePath"), arrs.get("dimPaths"))
   }
 
   /** Open a view from its persisted definition. `resolveSource` maps
@@ -957,23 +1020,31 @@ object MaterializedAggView {
       resolveSource: String => Instance = null): MaterializedAggView = {
     val view = VersionedTable.open(spark, viewRoot)
     val d = readDef(view)
-    def open1(spec: String): Instance =
-      if (spec.contains('/')) VersionedTable.open(spark, spec)
-      else {
-        require(resolveSource != null,
-          s"view source '$spec' is a catalog name; open it through " +
-          "the catalog")
-        resolveSource(spec)
+    // binding precedence: the physical root recorded at create time
+    // (unambiguous — a dotted spec can resolve through WHICHEVER
+    // registered catalog answers first, and two catalogs may both
+    // know the name), then the spec (path or catalog resolution) for
+    // defs written before path binding
+    def open1(spec: String, path: Option[String]): Instance =
+      path match {
+        case Some(p) => VersionedTable.open(spark, p)
+        case None if spec.contains('/') => VersionedTable.open(spark, spec)
+        case None =>
+          require(resolveSource != null,
+            s"view source '$spec' is a catalog name; open it through " +
+            "the catalog")
+          resolveSource(spec)
       }
-    val inst = open1(d.source)
+    val inst = open1(d.source, d.sourcePath)
     lazy val factCols = StructType
       .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
     val dims: Seq[DimJoin] = d.dimSources match {
       case Some(specs) => specs.zipWithIndex.map { case (spec, i) =>
-        DimJoin(open1(spec), d.factKeys.get(i), d.dimKeys.get(i),
-          factCols, spec) }
+        DimJoin(open1(spec, d.dimPaths.flatMap(_.lift(i))),
+          d.factKeys.get(i), d.dimKeys.get(i), factCols, spec) }
       case None => d.dimSource.toSeq.map(spec =>
-        DimJoin(open1(spec), d.factKey.get, d.dimKey.get, factCols, spec))
+        DimJoin(open1(spec, d.dimPaths.flatMap(_.headOption)),
+          d.factKey.get, d.dimKey.get, factCols, spec))
     }
     new MaterializedAggView(inst, view, d.groupCols, d.sumCols,
       d.minCols, d.maxCols, dims, d.where,
@@ -1130,7 +1201,8 @@ object MaterializedAggView {
     writeDef(view, sourceSpec.getOrElse(source.root), groupCols, sumCols,
       minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys,
       dims2.map(dj => (dj.dimSpec, dj.factKey, dj.dimKey)),
-      groupRels, sumRels, factKeyPhys, dimKeyPhys)
+      groupRels, sumRels, factKeyPhys, dimKeyPhys,
+      sourcePath = source.root, dimPaths = dims2.map(_.dim.root))
     // discovery registry: every relation that feeds this view learns
     // about it (best-effort — see RegistryFile)
     (source +: dims2.map(_.dim)).foreach(t => registerView(t, viewRoot))

@@ -465,6 +465,54 @@ class CatalogSpec extends AnyFunSuite {
       st.getAs[String]("where") == null)
   }
 
+  test("drop_mv de-registers from fact and dims and deletes the view") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.dmv")
+    sql("CREATE TABLE gcat.dmv.f (obj_id BIGINT, cust BIGINT, v BIGINT)")
+    sql("CREATE TABLE gcat.dmv.d (obj_id BIGINT, region STRING)")
+    sql("INSERT INTO gcat.dmv.d VALUES (1, 'east')")
+    sql("INSERT INTO gcat.dmv.f VALUES (10, 1, 5)")
+    sql("CALL gcat.system.create_mv('dmv.v', source => 'dmv.f', " +
+      "group_by => 'region', sums => 'v', dim_source => 'dmv.d', " +
+      "fact_key => 'cust', dim_key => 'obj_id')")
+    sql("CALL gcat.system.create_mv('dmv.v2', source => 'dmv.f', " +
+      "group_by => 'cust', sums => 'v')")
+    assert(sql("CALL gcat.system.list_mvs('dmv.f')").count() == 2)
+    assert(sql("CALL gcat.system.drop_mv('dmv.v')").head().getLong(0) == 1L)
+    // only the surviving view stays registered, on every relation
+    val left = sql("CALL gcat.system.list_mvs('dmv.f')").collect()
+    assert(left.length == 1 &&
+      left.head.getAs[String]("view_root").endsWith("v2"), s"got $left")
+    assert(sql("CALL gcat.system.list_mvs('dmv.d')").count() == 0)
+    // the view table itself is gone; a second drop fails loudly
+    intercept[Exception](sql("SELECT * FROM gcat.dmv.v").collect())
+    intercept[Exception](sql("CALL gcat.system.drop_mv('dmv.v')"))
+  }
+
+  test("vacuum reports dependent views its horizon degrades to a rebuild") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.vmv")
+    sql("CREATE TABLE gcat.vmv.t (obj_id BIGINT, g STRING, v BIGINT)")
+    sql("INSERT INTO gcat.vmv.t VALUES (1, 'a', 5)")
+    sql("CALL gcat.system.create_mv('vmv.v', source => 'vmv.t', " +
+      "group_by => 'g', sums => 'v')")
+    sql("CALL gcat.system.refresh_mv('vmv.v')")
+    // CoW churn past the view's watermark: the tight horizon below
+    // reclaims pre-images the next incremental refresh would read
+    sql("UPDATE gcat.vmv.t SET v = 6 WHERE obj_id = 1")
+    sql("UPDATE gcat.vmv.t SET v = 7 WHERE obj_id = 1")
+    val r = sql("CALL gcat.system.vacuum('vmv.t', retain_versions => 1)")
+      .head()
+    assert(r.getAs[String]("rebuild_views") != null &&
+      r.getAs[String]("rebuild_views").contains("vmv"), s"got $r")
+    // the degradation is to the REBUILD path, never a wrong answer
+    sql("CALL gcat.system.refresh_mv('vmv.v')")
+    assert(sql("SELECT g, sum_v FROM gcat.vmv.v").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq == Seq(("a", 7L)))
+    // freshly refreshed: the same retention no longer degrades anything
+    val r2 = sql("CALL gcat.system.vacuum('vmv.t', retain_versions => 1)")
+      .head()
+    assert(r2.getAs[String]("rebuild_views") == null, s"got $r2")
+  }
+
   test("list_mvs discovers views registered on fact AND dims with their lag") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.lmv")
     sql("CREATE TABLE gcat.lmv.f (obj_id BIGINT, cust BIGINT, v BIGINT)")

@@ -578,6 +578,66 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
   }
 
+  test("property: churn interleaved with tight vacuums never diverges") {
+    // the vacuum↔view contract end-to-end: random churn plus
+    // vacuum(1-2) BETWEEN refreshes (and periodic compactions for
+    // rewrite amplification), so the view is routinely staler than
+    // retention when it refreshes. Whichever path refresh takes —
+    // incremental when the interval's pre-images survive, the
+    // snapshot rebuild when the horizon ate them — the view must
+    // match a full recompute every time.
+    val rnd = new scala.util.Random(20260815L)
+    val srcDir = Files.createTempDirectory("graft_mv_vprop_src_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_vprop_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, schema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+    val groups = Seq("a", "b")
+    var nextId = 1L
+    val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    def oracle() = snap(src.read().groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx")))
+    def viewNow() = snap(mv.read()
+      .select("grp", "cnt", "sum_v", "min_v", "max_v"))
+    (1 to 24).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; live += id
+            (id, groups(rnd.nextInt(groups.size)),
+              rnd.nextInt(100).toLong)
+          }
+          src.withRetry() { t => t.insert(rows.toDF("obj_id", "grp", "v")) }
+        case 2 if live.nonEmpty =>
+          val id = live.remove(rnd.nextInt(live.size))
+          src.withRetry() { t => t.delete(Seq(id)) }
+        case 3 if live.nonEmpty =>
+          val id = live(rnd.nextInt(live.size))
+          src.withRetry() { t => t.update(Seq(id), df =>
+            df.withColumn("v", lit(rnd.nextInt(100).toLong))) }
+        case _ => ()
+      }
+      if (step % 11 == 0) src.compact(1)
+      if (step % 5 == 0) src.vacuum(1 + rnd.nextInt(2))
+      if (step % 7 == 0 || step == 24) {
+        mv.refresh()
+        assert(viewNow() == oracle(),
+          s"diverged at step $step:\nview   ${viewNow()}\noracle ${oracle()}")
+      }
+    }
+    // and the degraded-refresh report composes: a final tight vacuum
+    // right after heavy churn leaves the vacuumHorizon AT head
+    assert(src.vacuumHorizon > 0L)
+  }
+
   test("join view: fact churn, dim group moves and dim deletes all net exactly") {
     val factSchema = StructType(Seq(
       StructField("obj_id", LongType, nullable = false),

@@ -525,6 +525,17 @@ class StreamWriteSpec extends AnyFunSuite {
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
     val cat = s"gros$tag"
     val wh = Files.createTempDirectory("graft_wh_ros_").toUri.toString
+    // a DECOY catalog whose warehouse also knows 's.t' (incompatible
+    // schema): the view must bind its source by the PATH recorded at
+    // create time, not by whichever registered catalog happens to
+    // resolve the dotted name first in conf-map order — this is
+    // exactly how the original guess-first resolver silently lagged
+    // under a full test run's conf population
+    val decoy = s"grosd$tag"
+    val dwh = Files.createTempDirectory("graft_wh_rosd_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$decoy", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$decoy.warehouse", dwh)
+    spark.sql(s"CREATE TABLE $decoy.s.t (obj_id BIGINT, other STRING)")
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE TABLE $cat.s.t (obj_id BIGINT, grp STRING, v BIGINT)")
