@@ -225,7 +225,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && fs.delete(tablePath(ident), true)
+    tableExists(ident) && {
+      // the registry can't veto a standard DROP TABLE, but it can make
+      // it non-silent: views fed by this table break at next refresh
+      try {
+        val views = MaterializedAggView.registeredViews(fs,
+          tablePath(ident).toString)
+        if (views.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dropping $ident which feeds ${views.size} materialized " +
+            s"view(s): ${views.mkString(", ")} — they will fail at " +
+            "their next refresh (CALL system.list_mvs to inspect; " +
+            "CALL system.drop_mv to retire them)")
+      } catch { case scala.util.control.NonFatal(_) => () }
+      fs.delete(tablePath(ident), true)
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
@@ -500,9 +514,11 @@ private[acid] final class VacuumProcedure(cat: GraftCatalog)
     // not vacuum's.
     val horizon = math.max(0L, inst.latestVersion - retain + 1)
     val canon = new Path(inst.root).toString
-    val degraded = MaterializedAggView.registeredViews(inst).filter { vr =>
+    val spark = SparkSession.active
+    val degraded = inst.pooledMap(
+        MaterializedAggView.registeredViews(inst)) { vr =>
       try {
-        val mv = MaterializedAggView.openFromDef(SparkSession.active, vr,
+        val mv = MaterializedAggView.openFromDef(spark, vr,
           resolveSource = cat.openInstance)
         // a table can feed the same view as fact AND dimension
         // (self-join star): any matching role below the horizon counts
@@ -514,9 +530,9 @@ private[acid] final class VacuumProcedure(cat: GraftCatalog)
           }
         // -1 = never refreshed: the initial fold is a snapshot scan,
         // vacuum-safe by construction
-        wms.exists(wm => wm >= 0 && wm < horizon)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    }
+        if (wms.exists(wm => wm >= 0 && wm < horizon)) Some(vr) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
     val deleted = inst.vacuum(retain, input.getBoolean(2))
     java.util.Collections.singletonList[Scan](new VacuumScan(deleted.toLong,
       if (degraded.isEmpty) null else degraded.mkString(","))).iterator()
@@ -757,9 +773,13 @@ private[acid] final class ListMvsProcedure(cat: GraftCatalog)
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val inst = cat.openInstance(input.getUTF8String(0).toString)
     val canon = new Path(inst.root).toString
-    val rows = MaterializedAggView.registeredViews(inst).flatMap { vr =>
+    // pooled: each view open is a handful of ~10ms metadata reads; a
+    // table feeding hundreds of views should list interactively
+    val spark = SparkSession.active
+    val rows = inst.pooledMap(
+        MaterializedAggView.registeredViews(inst)) { vr =>
       try {
-        val mv = MaterializedAggView.openFromDef(SparkSession.active, vr,
+        val mv = MaterializedAggView.openFromDef(spark, vr,
           resolveSource = cat.openInstance)
         // one row per ROLE: a self-join star feeds the same view as
         // fact and dimension, and each role carries its own watermark
@@ -780,7 +800,7 @@ private[acid] final class ListMvsProcedure(cat: GraftCatalog)
           Seq(Seq(vr, null, null, null, null,
             s"unreadable: ${e.getMessage}"))
       }
-    }
+    }.flatten
     java.util.Collections.singletonList[Scan](new ListScan(
       Seq("view_root", "role", "refreshed_version", "head_version",
         "lag_versions", "note"), rows)).iterator()

@@ -754,12 +754,16 @@ object MaterializedAggView {
   private val RegistryFile = "_mv_registry.json"
 
   /** View roots registered against `table` (fact or dim side). */
-  private[acid] def registeredViews(table: Instance): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(table.root, RegistryFile)
+  private[acid] def registeredViews(table: Instance): Seq[String] =
+    registeredViews(table.fs, table.root)
+
+  private[acid] def registeredViews(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, RegistryFile)
     try {
-      if (!table.fs.exists(p)) Nil
+      if (!fs.exists(p)) Nil
       else {
-        val in = table.fs.open(p)
+        val in = fs.open(p)
         val s = try {
           val buf = new java.io.ByteArrayOutputStream()
           val tmp = new Array[Byte](8192)
@@ -780,24 +784,35 @@ object MaterializedAggView {
 
   private def registerView(table: Instance, viewRoot: String): Unit = try {
     val canon = new org.apache.hadoop.fs.Path(viewRoot).toString
-    val cur = registeredViews(table)
-    if (!cur.contains(canon)) writeRegistry(table, cur :+ canon)
+    // read-modify-rename is lost-update racy (two concurrent creates
+    // both read, last rename wins): each writer VERIFIES its own entry
+    // landed and retries, so concurrent registrations converge — each
+    // retry folds in whatever the other writer published
+    var attempts = 0
+    while (attempts < 4 && !registeredViews(table).contains(canon)) {
+      val cur = registeredViews(table)
+      if (!cur.contains(canon)) writeRegistry(table, cur :+ canon)
+      attempts += 1
+    }
   } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 
   /** Remove `viewRoot` from `table`'s registry — [[dropView]]'s half
-    * of the lifecycle. Best-effort like registration: a survivor
-    * entry only makes `list_mvs` report a stale row, never breaks a
-    * refresh. An emptied registry file is deleted outright. */
+    * of the lifecycle. Best-effort like registration (same
+    * verify-and-retry): a survivor entry only makes `list_mvs` report
+    * a stale row, never breaks a refresh. An emptied registry file is
+    * deleted outright. */
   private[acid] def deregisterView(table: Instance,
       viewRoot: String): Unit = try {
     val canon = new org.apache.hadoop.fs.Path(viewRoot).toString
-    val cur = registeredViews(table)
-    if (!cur.contains(canon)) return
-    val next = cur.filterNot(_ == canon)
-    if (next.isEmpty)
-      table.fs.delete(
-        new org.apache.hadoop.fs.Path(table.root, RegistryFile), false)
-    else writeRegistry(table, next)
+    var attempts = 0
+    while (attempts < 4 && registeredViews(table).contains(canon)) {
+      val next = registeredViews(table).filterNot(_ == canon)
+      if (next.isEmpty)
+        table.fs.delete(
+          new org.apache.hadoop.fs.Path(table.root, RegistryFile), false)
+      else writeRegistry(table, next)
+      attempts += 1
+    }
   } catch { case scala.util.control.NonFatal(_) => () } // best-effort
 
   private def writeRegistry(table: Instance, views: Seq[String]): Unit = {
