@@ -248,6 +248,48 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
       throw new IllegalStateException(
         s"rename ${oldIdent} -> ${newIdent} failed")
+    // post-rename rewiring of the view plane (best-effort — a miss
+    // degrades to the loud dangling-binding failure, never silence):
+    try {
+      val spark = SparkSession.active
+      val oldPath = new Path(tablePath(oldIdent).toString).toString
+      val newPath = new Path(tablePath(newIdent).toString).toString
+      def dotted(id: Identifier) = (id.namespace :+ id.name).mkString(".")
+      val remap: String => String = s =>
+        if (s == dotted(oldIdent)) dotted(newIdent)
+        else if (new Path(s).toString == oldPath) newPath
+        else s
+      // renamed SOURCE: rewrite each dependent view's recorded
+      // binding (dotted spec AND physical path) so refresh follows
+      // the move instead of dangling
+      MaterializedAggView.registeredViews(fs, newPath).foreach { vr =>
+        try MaterializedAggView.rebindDef(
+          VersionedTable.open(spark, vr), remap)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"rename $oldIdent -> $newIdent: could not rebind " +
+              s"dependent view $vr (it will fail loudly at next " +
+              s"refresh): $e")
+        }
+      }
+      // renamed VIEW: re-register the new root with every source and
+      // carry the refresh watermarks to the new identity (their appId
+      // embeds the view root; without the migration the next refresh
+      // would re-fold the snapshot into the populated view)
+      if (MaterializedAggView.isViewRoot(fs, newPath)) {
+        MaterializedAggView.migrateWatermarks(spark, oldPath, newPath)
+        val mv = MaterializedAggView.openFromDef(spark, newPath,
+          resolveSource = openInstance)
+        (mv.source +: mv.dimJoins.map(_.dim)).foreach(t =>
+          MaterializedAggView.moveRegistration(t, oldPath, newPath))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"rename $oldIdent -> $newIdent: view-plane rewiring " +
+          s"incomplete (CALL system.list_mvs to inspect): $e")
+    }
   }
 
   // ---- procedures ------------------------------------------------------

@@ -834,6 +834,48 @@ object MaterializedAggView {
     }
   }
 
+  /** Whether `root` holds a materialized view's persisted definition
+    * (the catalog's rename hook asks before treating a moved table as
+    * a view). */
+  private[acid] def isViewRoot(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Boolean =
+    try fs.exists(new org.apache.hadoop.fs.Path(root, DefFile))
+    catch { case _: java.io.IOException => false }
+
+  /** Re-point a source table's registry entry after a VIEW rename. */
+  private[acid] def moveRegistration(table: Instance,
+      oldViewRoot: String, newViewRoot: String): Unit = {
+    deregisterView(table, oldViewRoot)
+    registerView(table, newViewRoot)
+  }
+
+  /** Carry a renamed view's refresh watermarks to its new identity.
+    * The watermark appIds embed the CANONICAL view root ("mv:<root>",
+    * see appId) — after a rename the old marks are unreachable and a
+    * refresh would re-fold the snapshot into the already-populated
+    * view (double counting). Re-marking every `mv:<oldRoot>`-prefixed
+    * epoch under the new prefix is one ordinary commit on the view
+    * table; the orphaned old marks age out via appTxn retention. */
+  private[acid] def migrateWatermarks(spark: SparkSession,
+      oldRoot: String, newRoot: String): Unit = {
+    val view = VersionedTable.open(spark, newRoot)
+    val oldApp = "mv:" + new org.apache.hadoop.fs.Path(oldRoot).toString
+    val newApp = "mv:" + new org.apache.hadoop.fs.Path(newRoot).toString
+    if (oldApp == newApp) return
+    val cur = view.appTxnsAt(view.latestVersion)
+    // only ever ADVANCE the new identity's marks (a rename bounced
+    // back and forth leaves stale marks under both prefixes; marking
+    // an equal epoch throws, and marking a LOWER one would regress
+    // the watermark and double-fold the interval on next refresh)
+    val moves = cur.collect {
+      case (k, v) if k == oldApp || k.startsWith(oldApp + "#") =>
+        (newApp + k.stripPrefix(oldApp)) -> v
+    }.filter { case (k, v) => v > cur.getOrElse(k, -1L) }
+    if (moves.nonEmpty) view.withRetry() { t =>
+      moves.foreach { case (k, v) => t.markEpoch(k, v) }
+    }
+  }
+
   /** Drop a view: de-register it from its fact and every dimension,
     * then delete the view table's directory. The delete is the
     * authoritative step; de-registration is best-effort (a view whose
@@ -949,6 +991,28 @@ object MaterializedAggView {
     * backslashes round-trip exactly as [[writeDef]]'s escaper
     * produced them. */
   private[acid] def readDef(view: Instance): MvDef = {
+    val (strs, arrs) = readDefRaw(view)
+    def arrField(k: String): Seq[String] = arrs.getOrElse(k,
+      throw new IllegalStateException(s"bad $DefFile: no $k"))
+    MvDef(strs.getOrElse("source",
+        throw new IllegalStateException(s"bad $DefFile: no source")),
+      arrField("groupCols"), arrField("sumCols"),
+      arrs.getOrElse("minCols", Nil), arrs.getOrElse("maxCols", Nil),
+      strs.get("where"),
+      arrs.get("groupPhys"), arrs.get("sumPhys"),
+      arrs.get("minPhys"), arrs.get("maxPhys"),
+      strs.get("dimSource"), strs.get("factKey"), strs.get("dimKey"),
+      arrs.get("dimSources"), arrs.get("factKeys"), arrs.get("dimKeys"),
+      arrs.get("groupRels"), arrs.get("sumRels"),
+      arrs.get("factKeyPhys"), arrs.get("dimKeyPhys"),
+      strs.get("sourcePath"), arrs.get("dimPaths"))
+  }
+
+  /** The def file as raw (string-field, array-field) maps — every key
+    * preserved verbatim, so a rewrite re-serializing these maps is
+    * lossless for fields it doesn't touch (see [[rebindDef]]). */
+  private def readDefRaw(
+      view: Instance): (Map[String, String], Map[String, Seq[String]]) = {
     val p = new org.apache.hadoop.fs.Path(view.root, DefFile)
     require(view.fs.exists(p), s"${view.root} is not a materialized view " +
       s"(no $DefFile)")
@@ -1012,20 +1076,42 @@ object MaterializedAggView {
       }
       if (i < json.length && json.charAt(i) == ',') i = skipWs(i + 1)
     }
-    def arrField(k: String): Seq[String] = arrs.getOrElse(k,
-      throw new IllegalStateException(s"bad $DefFile: no $k"))
-    MvDef(strs.getOrElse("source",
-        throw new IllegalStateException(s"bad $DefFile: no source")),
-      arrField("groupCols"), arrField("sumCols"),
-      arrs.getOrElse("minCols", Nil), arrs.getOrElse("maxCols", Nil),
-      strs.get("where"),
-      arrs.get("groupPhys"), arrs.get("sumPhys"),
-      arrs.get("minPhys"), arrs.get("maxPhys"),
-      strs.get("dimSource"), strs.get("factKey"), strs.get("dimKey"),
-      arrs.get("dimSources"), arrs.get("factKeys"), arrs.get("dimKeys"),
-      arrs.get("groupRels"), arrs.get("sumRels"),
-      arrs.get("factKeyPhys"), arrs.get("dimKeyPhys"),
-      strs.get("sourcePath"), arrs.get("dimPaths"))
+    (strs, arrs)
+  }
+
+  /** Rewrite the BINDING fields of a persisted definition through
+    * `remap` (old spec/path → new), leaving every other field
+    * byte-equivalent — the catalog calls this when a SOURCE table is
+    * renamed so dependent views follow the move instead of dangling.
+    * The write is temp+rename like every other marker file. */
+  private[acid] def rebindDef(view: Instance,
+      remap: String => String): Unit = {
+    val (strs, arrs) = readDefRaw(view)
+    val bindStr = Set("source", "sourcePath", "dimSource")
+    val bindArr = Set("dimSources", "dimPaths")
+    val fields =
+      strs.map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" +
+          esc(if (bindStr(k)) remap(v) else v) + "\"" } ++
+      arrs.map { case (k, vs) =>
+        "\"" + esc(k) + "\":[" +
+          (if (bindArr(k)) vs.map(remap) else vs)
+            .map(v => "\"" + esc(v) + "\"").mkString(",") + "]" }
+    val json = fields.mkString("{", ",", "}")
+    val p = new org.apache.hadoop.fs.Path(view.root, DefFile)
+    val tmp = new org.apache.hadoop.fs.Path(view.root,
+      s".$DefFile-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = view.fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      if (!view.fs.rename(tmp, p)) {
+        view.fs.delete(p, false); view.fs.rename(tmp, p)
+      }
+    } finally {
+      try { if (view.fs.exists(tmp)) view.fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Open a view from its persisted definition. `resolveSource` maps

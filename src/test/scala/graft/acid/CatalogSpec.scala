@@ -465,6 +465,42 @@ class CatalogSpec extends AnyFunSuite {
       st.getAs[String]("where") == null)
   }
 
+  test("renamed source tables and renamed views stay wired") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.rnv")
+    sql("CREATE TABLE gcat.rnv.t (obj_id BIGINT, grp STRING, v BIGINT)")
+    sql("INSERT INTO gcat.rnv.t VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("CALL gcat.system.create_mv('rnv.v', source => 'rnv.t', " +
+      "group_by => 'grp', sums => 'v')")
+    sql("CALL gcat.system.refresh_mv('rnv.v')")
+    // renamed SOURCE: the dependent view's binding is rewritten (spec
+    // + path) so refresh follows the move
+    sql("ALTER TABLE gcat.rnv.t RENAME TO rnv.t2")
+    sql("INSERT INTO gcat.rnv.t2 VALUES (3, 'a', 5)")
+    sql("CALL gcat.system.refresh_mv('rnv.v')")
+    assert(sql("SELECT grp, sum_v FROM gcat.rnv.v ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 15L), ("b", 20L)))
+    val listed = sql("CALL gcat.system.list_mvs('rnv.t2')").collect()
+    assert(listed.length == 1 &&
+      listed.head.getAs[String]("lag_versions") == "0", s"got $listed")
+    // renamed VIEW: registration moves to the new root and the
+    // refresh watermark rides along — the next refresh folds ONLY the
+    // new commit (an orphaned watermark would re-fold the snapshot
+    // into the populated view and double every count)
+    sql("ALTER TABLE gcat.rnv.v RENAME TO rnv.v2")
+    sql("INSERT INTO gcat.rnv.t2 VALUES (4, 'b', 7)")
+    sql("CALL gcat.system.refresh_mv('rnv.v2')")
+    assert(sql("SELECT grp, cnt, sum_v FROM gcat.rnv.v2 ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 2L, 15L), ("b", 2L, 27L)))
+    val listed2 = sql("CALL gcat.system.list_mvs('rnv.t2')").collect()
+    assert(listed2.length == 1 &&
+      listed2.head.getAs[String]("view_root").endsWith("v2"), s"got $listed2")
+    // lifecycle still closes on the new name
+    sql("CALL gcat.system.drop_mv('rnv.v2')")
+    assert(sql("CALL gcat.system.list_mvs('rnv.t2')").count() == 0)
+  }
+
   test("drop_mv de-registers from fact and dims and deletes the view") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.dmv")
     sql("CREATE TABLE gcat.dmv.f (obj_id BIGINT, cust BIGINT, v BIGINT)")
