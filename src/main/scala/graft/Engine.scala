@@ -20,6 +20,9 @@ object Engine {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // optimizer extensions (MV rewrite; inert until its conf flag
+      // is enabled) — applied only when this call CREATES the session
+      .withExtensions(new graft.acid.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -439,7 +439,64 @@ object AcidQueries {
       "CAST(sum_amount AS BIGINT) AS sum_amount " +
       "FROM (VALUES ('east', 'games', 1, 11), ('east', 'tools', 1, 3), " +
       "('west', 'games', 1, 5)) AS t(region, category, cnt, sum_amount) " +
-      "ORDER BY region, category")((s, _) => starMvScenario(s)))
+      "ORDER BY region, category")((s, _) => starMvScenario(s)),
+
+    // TRANSPARENT MV rewrite: the query aggregates the SOURCE table;
+    // the optimizer silently reads the exactly-fresh registered view
+    // (the scenario throws if the plan still scans the source). The
+    // oracle aggregates the raw parquet — the rewrite must be
+    // answer-identical, including the avg lowered to sum/nn. Both
+    // sides spell avg as the same IEEE division of exact integer sums
+    // so the doubles hash bit-equal.
+    "q69_mv_rewrite" -> Q(
+      "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+      "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck, " +
+      "CAST(SUM(o_custkey) AS DOUBLE) / CAST(COUNT(o_custkey) AS DOUBLE) " +
+      "AS avg_ck, " +
+      "MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")(
+      (s, dir) => mvRewriteScenario(s, dir)))
+
+  /** Load orders into a versioned table, materialize the per-status
+    * aggregate, refresh, then run the aggregate AGAINST THE SOURCE
+    * with `spark.graft.mv.rewrite` on — the plan must read the view
+    * (checked; loud failure otherwise), and the answer must match the
+    * oracle computed from the raw parquet. */
+  def mvRewriteScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = graft.Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("obj_id"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_custkey"))
+    val srcTmp = Files.createTempDirectory("graft_mvrw_src_").toUri.toString
+    val viewTmp = Files.createTempDirectory("graft_mvrw_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcTmp, ord.schema)
+    val t1 = src.begin(); t1.insert(ord); src.commit(t1)
+    MaterializedAggView.create(spark, viewTmp, src,
+      groupCols = Seq("o_orderstatus"), sumCols = Seq("o_custkey"),
+      minCols = Seq("o_orderkey"), maxCols = Seq("o_orderkey")).refresh()
+    val before = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try {
+      val q = spark.read.format("graft").option("path", srcTmp).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_custkey").as("sum_ck"),
+          avg("o_custkey").as("avg_ck"),
+          min("o_orderkey").as("min_ok"),
+          max("o_orderkey").as("max_ok"))
+        .orderBy("o_orderstatus")
+      // forcing optimizedPlan here pins the (rewritten) plan; the conf
+      // restore below cannot un-rewrite it
+      val plan = q.queryExecution.optimizedPlan.treeString
+      if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
+        throw new IllegalStateException(
+          s"transparent MV rewrite did not fire; plan:\n$plan")
+      q
+    } finally before match {
+      case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)
+      case None => spark.conf.unset(MvRewriteRule.EnabledKey)
+    }
+  }
 
   /** Full-SQL star-join-view lifecycle (see q68 above): dims customers
     * {1:east, 2:west} and products {10:toys, 11:tools}; fact orders

@@ -753,6 +753,10 @@ private[acid] final class GraftTable(root: String, version: Long,
     with org.apache.spark.sql.sources.InsertableRelation {
   override def name(): String = s"graft `$root` @v$version"
   override def schema(): StructType = tableSchema
+  // identity for the MV rewrite rule: which table, pinned at which
+  // version, this relation will scan
+  private[acid] def tableRoot: String = root
+  private[acid] def tableVersion: Long = version
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,

@@ -1,0 +1,216 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Transparent MV rewrite: aggregates over a graft table silently read
+  * an exactly-fresh registered view; every guard fails toward the
+  * original plan, never toward a wrong answer. */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+
+  private def canon(root: String): String = new Path(root).toString
+
+  // after the early scan-pushdown batch the relation is a
+  // DataSourceV2ScanRelation; match both shapes by the table identity
+  // each prints (the canonical view root)
+  private def scansView(df: DataFrame, viewRoot: String): Boolean =
+    df.queryExecution.optimizedPlan.treeString.contains(canon(viewRoot))
+
+  private def withRewrite[A](on: Boolean)(f: => A): A = {
+    val before = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, on.toString)
+    try f
+    finally before match {
+      case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)
+      case None => spark.conf.unset(MvRewriteRule.EnabledKey)
+    }
+  }
+
+  /** Source table {obj_id, g, g2, v, m} with null keys and null
+    * addends, plus a registered refreshed view grouped by (g, g2). */
+  private def fixture(): (Instance, String, String) = {
+    val srcRoot = Files.createTempDirectory("graft_mvrw_src_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvrw_view_").toUri.toString
+    val df = spark.createDataFrame(Seq(
+      (1L, "a", "x", java.lang.Long.valueOf(10L), java.lang.Long.valueOf(5L)),
+      (2L, "a", "y", java.lang.Long.valueOf(20L), null.asInstanceOf[java.lang.Long]),
+      (3L, "b", "x", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(7L)),
+      (4L, "b", "x", java.lang.Long.valueOf(40L), java.lang.Long.valueOf(1L)),
+      (5L, null.asInstanceOf[String], "y", java.lang.Long.valueOf(50L),
+        java.lang.Long.valueOf(9L))))
+      .toDF("obj_id", "g", "g2", "v", "m")
+    val src = VersionedTable.create(spark, srcRoot, df.schema)
+    val t = src.begin(); t.insert(df); src.commit(t)
+    val mv = MaterializedAggView.create(spark, viewRoot, src,
+      groupCols = Seq("g", "g2"), sumCols = Seq("v"),
+      minCols = Seq("m"), maxCols = Seq("m"))
+    mv.refresh()
+    MvRewriteRule.invalidateCache()
+    (src, srcRoot, viewRoot)
+  }
+
+  private def srcDf(root: String): DataFrame =
+    spark.read.format("graft").option("path", root).load()
+
+  test("fresh view answers count/sum/min/max/avg with identical results") {
+    val (_, srcRoot, viewRoot) = fixture()
+    def q(): DataFrame = srcDf(srcRoot).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), count(col("v")).as("nnv"),
+        sum("v").as("sv"), avg("v").as("av"),
+        min("m").as("mn"), max("m").as("mx"),
+        min("g2").as("gmin"))
+      .orderBy(col("g").asc_nulls_first)
+    val expected = withRewrite(on = false) {
+      assert(!scansView(q(), viewRoot))
+      q().collect().toSeq
+    }
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot), "rewrite did not fire")
+      assert(q().collect().toSeq == expected)
+    }
+  }
+
+  test("rollup compensation: grouping by a subset re-aggregates the view") {
+    val (_, srcRoot, viewRoot) = fixture()
+    def q(): DataFrame = srcDf(srcRoot).groupBy("g2")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      .orderBy("g2")
+    val expected = withRewrite(on = false)(q().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot))
+      assert(q().collect().toSeq == expected)
+    }
+  }
+
+  test("global aggregate rewrites; empty table still counts zero") {
+    val (_, srcRoot, viewRoot) = fixture()
+    def q(): DataFrame = srcDf(srcRoot)
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    val expected = withRewrite(on = false)(q().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot))
+      assert(q().collect().toSeq == expected)
+    }
+
+    // empty source + refreshed (empty) view: count must be 0, not null
+    val eRoot = Files.createTempDirectory("graft_mvrw_e_").toUri.toString
+    val evRoot = Files.createTempDirectory("graft_mvrw_ev_").toUri.toString
+    val schema = srcDf(srcRoot).schema
+    val e = VersionedTable.create(spark, eRoot, schema)
+    val t = e.begin()
+    t.insert(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    e.commit(t)
+    MaterializedAggView.create(spark, evRoot, e,
+      groupCols = Seq("g"), sumCols = Seq("v")).refresh()
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      val eq = srcDf(eRoot).agg(count(lit(1)).as("cnt"))
+      assert(scansView(eq, evRoot))
+      assert(eq.collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("stale view never answers: a new commit disables the rewrite") {
+    val (src, srcRoot, viewRoot) = fixture()
+    val t = src.begin()
+    t.insert(spark.createDataFrame(Seq(
+      (6L, "c", "z", java.lang.Long.valueOf(60L), java.lang.Long.valueOf(2L))))
+      .toDF("obj_id", "g", "g2", "v", "m"))
+    src.commit(t)
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      val q = srcDf(srcRoot).groupBy("g").agg(sum("v").as("sv"))
+      assert(!scansView(q, viewRoot), "stale view must not answer")
+      assert(q.filter(col("g") === "c").collect().head.getLong(1) == 60L)
+      // refresh re-arms the rewrite at the new head
+      MaterializedAggView.openFromDef(spark, viewRoot,
+        resolveSource = MaterializedAggView.sessionResolver(spark)).refresh()
+      MvRewriteRule.invalidateCache()
+      assert(scansView(
+        srcDf(srcRoot).groupBy("g").agg(sum("v").as("sv")), viewRoot))
+    }
+  }
+
+  test("filtered views match their WHERE; residual group filters survive") {
+    val srcRoot = Files.createTempDirectory("graft_mvrw_fsrc_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvrw_fview_").toUri.toString
+    val df = spark.createDataFrame(Seq(
+      (1L, "a", 5L), (2L, "a", 15L), (3L, "b", 25L), (4L, "b", 8L)))
+      .toDF("obj_id", "g", "v")
+    val src = VersionedTable.create(spark, srcRoot, df.schema)
+    val t = src.begin(); t.insert(df); src.commit(t)
+    MaterializedAggView.create(spark, viewRoot, src,
+      groupCols = Seq("g"), sumCols = Seq("v"),
+      where = Some("v >= 10")).refresh()
+    MvRewriteRule.invalidateCache()
+    def q(): DataFrame = srcDf(srcRoot).filter(col("v") >= 10)
+      .groupBy("g").agg(sum("v").as("sv")).orderBy("g")
+    def qResidual(): DataFrame = srcDf(srcRoot)
+      .filter(col("v") >= 10 && col("g") === "a")
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val expected = withRewrite(on = false)(q().collect().toSeq)
+    val expectedR = withRewrite(on = false)(qResidual().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot))
+      assert(q().collect().toSeq == expected)
+      assert(scansView(qResidual(), viewRoot))
+      assert(qResidual().collect().toSeq == expectedR)
+      // missing the view's WHERE must NOT rewrite (the view lacks rows)
+      val bare = srcDf(srcRoot).groupBy("g").agg(sum("v").as("sv"))
+      assert(!scansView(bare, viewRoot))
+      assert(bare.orderBy("g").collect().map(_.getLong(1)).toSeq ==
+        Seq(20L, 33L))
+      // a filter on a NON-group, non-WHERE column must not rewrite
+      val off = srcDf(srcRoot).filter(col("v") >= 11)
+        .groupBy("g").agg(sum("v").as("sv"))
+      assert(!scansView(off, viewRoot))
+    }
+  }
+
+  test("untranslatable aggregates and distinct fall back to the source") {
+    val (_, srcRoot, viewRoot) = fixture()
+    withRewrite(on = true) {
+      // sum over a column the view does not maintain
+      assert(!scansView(
+        srcDf(srcRoot).groupBy("g").agg(sum("m").as("sm")), viewRoot))
+      // distinct aggregates are not derivable from the view
+      assert(!scansView(
+        srcDf(srcRoot).groupBy("g").agg(countDistinct("g2")), viewRoot))
+      // max over a sum-only column
+      assert(!scansView(
+        srcDf(srcRoot).groupBy("g").agg(max("v")), viewRoot))
+    }
+  }
+
+  test("SQL catalog front door: GROUP BY over gcat reads the view") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"grw$tag"
+    val wh = Files.createTempDirectory("graft_wh_mvrw_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (obj_id BIGINT, g STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1,'a',10),(2,'a',20),(3,'b',5)")
+    spark.sql(s"CALL $cat.system.create_mv('ns.tv', source => 'ns.t', " +
+      "group_by => 'g', sums => 'v')")
+    spark.sql(s"CALL $cat.system.refresh_mv('ns.tv')")
+    MvRewriteRule.invalidateCache()
+    val viewRoot = s"$wh/ns/tv"
+    withRewrite(on = true) {
+      val q = spark.sql(
+        s"SELECT g, sum(v) AS sv FROM $cat.ns.t GROUP BY g ORDER BY g")
+      assert(scansView(q, viewRoot))
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 30L), ("b", 5L)))
+    }
+  }
+}
