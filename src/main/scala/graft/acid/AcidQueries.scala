@@ -455,7 +455,116 @@ object AcidQueries {
       "AS avg_ck, " +
       "MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok " +
       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")(
-      (s, dir) => mvRewriteScenario(s, dir)))
+      (s, dir) => mvRewriteScenario(s, dir)),
+
+    // STAR-JOIN transparent rewrite: the query joins the fact against
+    // BOTH dims on the view's exact keys and aggregates; the optimizer
+    // reads the star view instead of shuffling the three-way join
+    // (throws if the plan still joins). The oracle runs the raw join
+    // on the parquet fixtures.
+    "q70_star_rewrite" -> Q(
+      "SELECT p_brand, CAST(s_nationkey AS BIGINT) AS s_nationkey, " +
+      "COUNT(*) AS cnt, CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey")(
+      (s, dir) => starRewriteScenario(s, dir)),
+
+    // NDV materialized view: per-group HLL sketches maintained
+    // incrementally (inserts union in; the delete interval marks
+    // touched groups for targeted recompute). The bucketed column
+    // keeps per-group cardinality ≤ 64, inside the sketch's EXACT
+    // (coupon) regime, so the estimate is hash-comparable against
+    // DuckDB's exact COUNT(DISTINCT)
+    "q71_ndv_mv" -> Q(
+      "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+      "COUNT(DISTINCT o_custkey % 64) AS ndv_ck " +
+      "FROM orders WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey < 30000) " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
+      (s, dir) => ndvMvScenario(s, dir)))
+
+  /** Load orders (with a 64-bucket custkey column), materialize
+    * per-status count + NDV sketch, refresh, CoW-delete ~1/7 of the
+    * rows (marking every group for the targeted sketch recompute),
+    * refresh again, and read the estimates — exact at this
+    * cardinality, so DuckDB's COUNT(DISTINCT) is the oracle. */
+  def ndvMvScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = graft.Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("obj_id"), col("o_orderkey"),
+        col("o_orderstatus"), (col("o_custkey") % 64).as("ck64"))
+    val srcTmp = Files.createTempDirectory("graft_ndv_src_").toUri.toString
+    val viewTmp = Files.createTempDirectory("graft_ndv_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcTmp, ord.schema)
+    val t1 = src.begin(); t1.insert(ord); src.commit(t1)
+    val mv = MaterializedAggView.create(spark, viewTmp, src,
+      groupCols = Seq("o_orderstatus"), sumCols = Nil,
+      ndvCols = Seq("ck64"))
+    mv.refresh()
+    val t2 = src.begin()
+    t2.deleteMatching(src.read()
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 30000)
+      .select("obj_id"))
+    src.commit(t2)
+    mv.refresh() // the delete marks groups dirty -> sketch recompute
+    mv.read().select(col("o_orderstatus"), col("cnt"),
+        col("approx_ndv_ck64").as("ndv_ck"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Load lineitem/part/supplier into versioned tables, materialize
+    * `(p_brand, s_nationkey) -> count, sum(l_linenumber)` as a star
+    * view, refresh, then run the three-way join aggregate with
+    * `spark.graft.mv.rewrite` on — the plan must read the view. */
+  def starRewriteScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Engine.table(spark, dir, "lineitem")
+      .select(monotonically_increasing_id().as("obj_id"),
+        col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"))
+    val pt = graft.Engine.table(spark, dir, "part")
+      .select(col("p_partkey").as("obj_id"), col("p_partkey"),
+        col("p_brand"))
+    val sp = graft.Engine.table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("obj_id"), col("s_suppkey"),
+        col("s_nationkey").cast("long").as("s_nationkey"))
+    def mk(tag: String, df: DataFrame): Instance = {
+      val root = Files.createTempDirectory(s"graft_q70_$tag").toUri.toString
+      val i = VersionedTable.create(spark, root, df.schema)
+      val t = i.begin(); t.insert(df); i.commit(t); i
+    }
+    val fact = mk("fact", li); val part = mk("part", pt)
+    val supp = mk("supp", sp)
+    val viewRoot = Files.createTempDirectory("graft_q70_view_").toUri.toString
+    MaterializedAggView.create(spark, viewRoot, fact,
+      groupCols = Seq("p_brand", "s_nationkey"),
+      sumCols = Seq("l_linenumber"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(part, "l_partkey", "p_partkey"),
+        MaterializedAggView.DimJoin(supp, "l_suppkey", "s_suppkey")))
+      .refresh()
+    val before = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try {
+      val f = spark.read.format("graft").option("path", fact.root).load()
+      val p = spark.read.format("graft").option("path", part.root).load()
+      val s2 = spark.read.format("graft").option("path", supp.root).load()
+      val q = f.join(p, f("l_partkey") === p("p_partkey"))
+        .join(s2, f("l_suppkey") === s2("s_suppkey"))
+        .groupBy("p_brand", "s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_linenumber").as("sum_ln"))
+        .orderBy("p_brand", "s_nationkey")
+      val plan = q.queryExecution.optimizedPlan.treeString
+      if (!plan.contains(new org.apache.hadoop.fs.Path(viewRoot).toString))
+        throw new IllegalStateException(
+          s"star MV rewrite did not fire; plan:\n$plan")
+      q
+    } finally before match {
+      case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)
+      case None => spark.conf.unset(MvRewriteRule.EnabledKey)
+    }
+  }
 
   /** Load orders into a versioned table, materialize the per-status
     * aggregate, refresh, then run the aggregate AGAINST THE SOURCE

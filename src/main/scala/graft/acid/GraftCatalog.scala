@@ -662,6 +662,11 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
     ProcedureParameter.in("dim_key", StringType)
       .comment("join key column(s) on the dimension side, one per " +
         "dim_source entry")
+      .defaultValue("''").build(),
+    ProcedureParameter.in("ndv", StringType)
+      .comment("comma-separated columns to keep an approximate " +
+        "distinct-count HLL sketch of (int/bigint/string/binary; a " +
+        "net-removed value triggers a targeted group recompute)")
       .defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     def list(i: Int): Seq[String] = input.getUTF8String(i).toString
@@ -682,7 +687,7 @@ private[acid] final class CreateMvProcedure(cat: GraftCatalog)
     MaterializedAggView.create(SparkSession.active, viewPath.toString, src,
       list(2), list(3), sourceSpec = Some(input.getUTF8String(1).toString),
       where = where, minCols = list(5), maxCols = list(6),
-      dimJoins = djs)
+      dimJoins = djs, ndvCols = list(10))
     java.util.Collections.singletonList[Scan](
       new MetricScan("created_version", 0L)).iterator()
   }
@@ -764,6 +769,7 @@ private[acid] final class MvStatusProcedure(cat: GraftCatalog)
       "sums" -> csv(mv.sumCols),
       "mins" -> csv(mv.minCols),
       "maxs" -> csv(mv.maxCols),
+      "ndv" -> csv(mv.ndvCols),
       "where" -> mv.where.orNull,
       "dim_join" -> (if (mv.dimJoins.isEmpty) null
         else mv.dimJoins.map(dj =>

@@ -2,7 +2,7 @@ package graft.acid
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Incrementally-maintained aggregate view over a versioned table —
   * the warehouse "materialized view with incremental refresh", built
@@ -116,7 +116,13 @@ final class MaterializedAggView private (
     groupRel0: Option[Seq[Int]], sumRel0: Option[Seq[Int]],
     // fixed physical names of the join keys (fact side aligned with
     // dimJoins; dim side one per dim); None = legacy, assumed current
-    factKeyPhys0: Option[Seq[String]], dimKeyPhys0: Option[Seq[String]]) {
+    factKeyPhys0: Option[Seq[String]], dimKeyPhys0: Option[Seq[String]],
+    // approximate-distinct columns: `ndv_<c>` stores a DataSketches
+    // HLL sketch per group (binary). Inserts UNION in (mergeable);
+    // a net-removed value marks the group for a targeted recompute —
+    // sketches cannot subtract. Plain (fact-only) views only.
+    val ndvCols: Seq[String] = Nil,
+    ndvPhys0: Option[Seq[String]] = None) {
 
   /** First dimension, if any — compatibility accessor for the
     * single-dim surface (mv_status, older callers). */
@@ -137,12 +143,18 @@ final class MaterializedAggView private (
     * immune to vacuumed pre-images — see [[fullFold]]). */
   def refreshedVersion: Long = view.lastCommittedEpoch(appId).getOrElse(-1L)
 
-  /** The view's stored groups with derived `avg_<c>` columns. */
+  /** The view's stored groups with derived `avg_<c>` columns and, for
+    * ndv columns, `approx_ndv_<c>` estimates (0 for a group whose
+    * values are all null — matching `count(distinct c)` semantics). */
   def read(): DataFrame = {
     val base = view.read()
-    sumCols.foldLeft(base)((df, c) =>
+    val withAvg = sumCols.foldLeft(base)((df, c) =>
       df.withColumn(s"avg_$c",
         col(s"sum_$c").cast("double") / col("cnt").cast("double")))
+    ndvCols.foldLeft(withAvg)((df, c) =>
+      df.withColumn(s"approx_ndv_$c",
+        when(col(s"ndv_$c").isNull, lit(0L))
+          .otherwise(hll_sketch_estimate(col(s"ndv_$c")))))
   }
 
   // restart signal: the watermark we derived the delta from moved —
@@ -266,12 +278,13 @@ final class MaterializedAggView private (
       // by-name: join views resolve through StarCtx instead and the
       // lazy fact-only resolvers would throw on dim-side columns
       gNow: => Seq[(String, String)], sNow: => Seq[(String, String)],
-      mNow: => Seq[(String, String)], xNow: => Seq[(String, String)]): DataFrame = {
+      mNow: => Seq[(String, String)], xNow: => Seq[(String, String)],
+      nNow: => Seq[(String, String)] = Nil): DataFrame = {
     val rows =
       if (dimJoins.isEmpty) {
         val s0 = source.snapshot(head)
         val sF = where.fold(s0)(p => s0.filter(expr(p)))
-        sF.select((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
+        sF.select((gNow ++ sNow ++ mNow ++ xNow ++ nNow).distinct.map {
           case (now, orig) => col(now).as(orig) }: _*)
       } else {
         val ctx = new StarCtx(head +: headDs)
@@ -289,13 +302,15 @@ final class MaterializedAggView private (
         sum(col(c).cast("long")).as(s"sum_$c"),
         count(col(c)).as(s"nn_$c"))) ++
        minCols.map(c => min(col(c)).as(s"min_$c")) ++
-       maxCols.map(c => max(col(c)).as(s"max_$c")))
+       maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+       ndvCols.map(c => hll_sketch_agg(col(c)).as(s"ndv_$c")))
     rows.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
       .select(("obj_id" +: groupCols ++: "cnt" +:
         (sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
-         minCols.map(c => s"min_$c") ++ maxCols.map(c => s"max_$c")))
+         minCols.map(c => s"min_$c") ++ maxCols.map(c => s"max_$c") ++
+         ndvCols.map(c => s"ndv_$c")))
         .map(col): _*)
   }
 
@@ -335,6 +350,7 @@ final class MaterializedAggView private (
       lazy val sNow = resolve(sumPhys0, sumCols)
       lazy val mNow = resolve(minPhys0, minCols)
       lazy val xNow = resolve(maxPhys0, maxCols)
+      lazy val nNow = resolve(ndvPhys0, ndvCols)
       // rebuild triggers: the interval's pre-images may be reclaimed
       // (vacuum horizon, or a FileNotFound already surfaced below), or
       // the catch-up interval is long enough that a bounded-plan
@@ -350,7 +366,7 @@ final class MaterializedAggView private (
           (headDs(i) - lastDs(i)) >
             dimJoins(i).dim.conf.mvRebuildMaxInterval)
       if (initial || forceRebuild || vacuumStale || longInterval) {
-        val full = fullFold(head, headDs, gNow, sNow, mNow, xNow)
+        val full = fullFold(head, headDs, gNow, sNow, mNow, xNow, nNow)
         try {
           view.withRetry() { t =>
             // same stale-watermark + fence discipline as the
@@ -394,7 +410,7 @@ final class MaterializedAggView private (
           val weighted0 = source.weightedDelta(last, head, alignToHead = true)
           where.fold(weighted0)(p => weighted0.filter(expr(p)))
             // back to the view's own (create-time) column names
-            .select(((gNow ++ sNow ++ mNow ++ xNow).distinct.map {
+            .select(((gNow ++ sNow ++ mNow ++ xNow ++ nNow).distinct.map {
               case (now, orig) => col(now).as(orig) } :+ col("_w")): _*)
         } else {
           // SIGNED delta of the star join F ⨝ D1 ⨝ … ⨝ Dk by
@@ -462,11 +478,13 @@ final class MaterializedAggView private (
           }
           terms.reduce(_.unionByName(_))
         }
-      val mmCols = (minCols ++ maxCols).distinct
+      // min/max and ndv columns all consume the NETTED per-(group,
+      // value) multiplicities below
+      val mmCols = (minCols ++ maxCols ++ ndvCols).distinct
       // the delta is consumed once for the base aggregates plus once
-      // per min/max column (the netting pass below): materialize it so
-      // the file-restricted scans don't re-run per consumer, and the
-      // lineage stays bounded
+      // per min/max/ndv column (the netting pass below): materialize
+      // it so the file-restricted scans don't re-run per consumer, and
+      // the lineage stays bounded
       val weightedShared =
         if (mmCols.isEmpty) weighted else weighted.localCheckpoint()
       val baseAggs: Seq[Column] =
@@ -502,10 +520,24 @@ final class MaterializedAggView private (
             min(when(col("_net") < 0, col(c))).as(s"del_min_$c")) else Nil) ++
           (if (maxCols.contains(c)) Seq(
             max(when(col("_net") > 0, col(c))).as(s"max_$c"),
-            max(when(col("_net") < 0, col(c))).as(s"del_max_$c")) else Nil)
+            max(when(col("_net") < 0, col(c))).as(s"del_max_$c")) else Nil) ++
+          // ndv: net-inserted values union into the sketch; ANY
+          // net-removed non-null value marks the group (a sketch
+          // cannot subtract — conservative: the value may survive in
+          // other rows, costing one bounded recompute, never a wrong
+          // estimate)
+          (if (ndvCols.contains(c)) Seq(
+            // NULL (not an empty sketch) when the interval inserted no
+            // values: a cancelling interval must not read as activity
+            when(max(when(col("_net") > 0 && col(c).isNotNull, lit(true))),
+              hll_sketch_agg(when(col("_net") > 0, col(c))))
+              .as(s"ndv_$c"),
+            max(when(col("_net") < 0 && col(c).isNotNull, lit(true)))
+              .as(s"del_ndv_$c")) else Nil)
         val candNames =
           (if (minCols.contains(c)) Seq(s"min_$c", s"del_min_$c") else Nil) ++
-          (if (maxCols.contains(c)) Seq(s"max_$c", s"del_max_$c") else Nil)
+          (if (maxCols.contains(c)) Seq(s"max_$c", s"del_max_$c") else Nil) ++
+          (if (ndvCols.contains(c)) Seq(s"ndv_$c", s"del_ndv_$c") else Nil)
         // joined back by group hash (null group keys hash like values)
         val cand = perValue.groupBy(groupCols.map(col): _*)
           .agg(candAggs.head, candAggs.tail: _*)
@@ -526,12 +558,15 @@ final class MaterializedAggView private (
           minCols.map(c => col(s"min_$c").isNotNull ||
             col(s"del_min_$c").isNotNull) ++
           maxCols.map(c => col(s"max_$c").isNotNull ||
-            col(s"del_max_$c").isNotNull))
+            col(s"del_max_$c").isNotNull) ++
+          ndvCols.map(c => col(s"ndv_$c").isNotNull ||
+            coalesce(col(s"del_ndv_$c"), lit(false))))
           .foldLeft(lit(false))(_ || _))
         .select(("obj_id" +: groupCols ++: "cnt" +:
           (sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
            minCols.flatMap(c => Seq(s"min_$c", s"del_min_$c")) ++
-           maxCols.flatMap(c => Seq(s"max_$c", s"del_max_$c"))))
+           maxCols.flatMap(c => Seq(s"max_$c", s"del_max_$c")) ++
+           ndvCols.flatMap(c => Seq(s"ndv_$c", s"del_ndv_$c"))))
           .map(col): _*)
         view.withRetry() { t =>
           // the delta above is valid ONLY against watermark `last`; if
@@ -567,7 +602,7 @@ final class MaterializedAggView private (
           // ABSOLUTE recomputed values from the head snapshot, scanned
           // once and restricted to exactly those groups by group hash
           val deltaFinal =
-            if (minCols.isEmpty && maxCols.isEmpty) delta
+            if (minCols.isEmpty && maxCols.isEmpty && ndvCols.isEmpty) delta
             else {
               val stored = t.read().select((col("obj_id").as("_vid") +:
                 minCols.map(c => col(s"min_$c").as(s"_t_min_$c")) ++:
@@ -575,7 +610,7 @@ final class MaterializedAggView private (
               val joined = delta.join(stored,
                 col("obj_id") === col("_vid"), "left")
               val dirtyCond =
-                (minCols.map(c =>
+                ((minCols.map(c =>
                   col(s"del_min_$c").isNotNull && col("_vid").isNotNull &&
                   (col(s"_t_min_$c").isNull ||
                     col(s"del_min_$c") <= col(s"_t_min_$c")) &&
@@ -586,16 +621,27 @@ final class MaterializedAggView private (
                   (col(s"_t_max_$c").isNull ||
                     col(s"del_max_$c") >= col(s"_t_max_$c")) &&
                   (col(s"max_$c").isNull ||
-                    col(s"max_$c") < col(s"del_max_$c"))))
-                .reduce(_ || _)
+                    col(s"max_$c") < col(s"del_max_$c")))) match {
+                  case Nil => lit(false)
+                  case cs => cs.reduce(_ || _)
+                })
               val flagged = joined.withColumn("_dirty",
                 coalesce(dirtyCond, lit(false)))
-              val dirtyKeys = flagged.filter(col("_dirty"))
+              // ndv has no cover inequality: any net-removed value in
+              // a SURVIVING group forces its recompute (sketches
+              // cannot subtract); a fully-dying group is deleted by
+              // the merge instead
+              val anyNdvDel = ndvCols
+                .map(c => coalesce(col(s"del_ndv_$c"), lit(false)) &&
+                  col("_vid").isNotNull)
+                .foldLeft(lit(false))(_ || _)
+              val dirtyKeys = flagged
+                .filter(col("_dirty") || anyNdvDel)
                 .select(col("obj_id").as("_did"))
               // ONE bounded scan: head snapshot, the view's predicate,
               // restricted to dirty groups by hash (null group keys
               // hash like any value, so no null-join pitfalls)
-              val mmSel = (mNow ++ xNow).distinct
+              val mmSel = (mNow ++ xNow ++ nNow).distinct
               val srcRows = where.fold(source.snapshot(head))(p =>
                 source.snapshot(head).filter(expr(p)))
                 .select((gNow.map { case (now, orig) =>
@@ -605,7 +651,12 @@ final class MaterializedAggView private (
                 .join(dirtyKeys, col("_sid") === col("_did"), "left_semi")
               val absAggs =
                 minCols.map(c => min(col(c)).as(s"_abs_min_$c")) ++
-                maxCols.map(c => max(col(c)).as(s"_abs_max_$c"))
+                maxCols.map(c => max(col(c)).as(s"_abs_max_$c")) ++
+                // absolute sketch; NULL when the surviving group has
+                // no non-null values left (estimate then reads 0)
+                ndvCols.map(c =>
+                  when(max(col(c).isNotNull), hll_sketch_agg(col(c)))
+                    .as(s"_abs_ndv_$c"))
               val recomputed = srcRows.groupBy(col("_sid"))
                 .agg(absAggs.head, absAggs.tail: _*)
               flagged.join(recomputed,
@@ -631,7 +682,18 @@ final class MaterializedAggView private (
                   .otherwise(least(col(s"t.min_$c"), col(s"s.min_$c")))) ++
               maxCols.map(c => s"max_$c" ->
                 when(col("s._dirty"), col(s"s._abs_max_$c"))
-                  .otherwise(greatest(col(s"t.max_$c"), col(s"s.max_$c")))),
+                  .otherwise(greatest(col(s"t.max_$c"), col(s"s.max_$c")))) ++
+              ndvCols.map(c => s"ndv_$c" ->
+                // a net-removed value invalidates the stored sketch
+                // (recomputed absolute); otherwise UNION the interval's
+                // insert sketch in (null-tolerant on either side)
+                when(coalesce(col(s"s.del_ndv_$c"), lit(false)),
+                    col(s"s._abs_ndv_$c"))
+                  .otherwise(
+                    when(col(s"t.ndv_$c").isNull, col(s"s.ndv_$c"))
+                      .when(col(s"s.ndv_$c").isNull, col(s"t.ndv_$c"))
+                      .otherwise(hll_union(
+                        col(s"t.ndv_$c"), col(s"s.ndv_$c"))))),
             insertUnmatched = true)
         }
         lastRefreshMode = "incremental"
@@ -916,7 +978,9 @@ object MaterializedAggView {
       factKeyPhys: Seq[String] = Nil,
       dimKeyPhys: Seq[String] = Nil,
       sourcePath: String = "",
-      dimPaths: Seq[String] = Nil): Unit = {
+      dimPaths: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil,
+      ndvPhys: Seq[String] = Nil): Unit = {
     def arr(xs: Seq[String]) =
       s"[${xs.map(c => "\"" + esc(c) + "\"").mkString(",")}]"
     val json = s"""{"source":"${esc(source)}",""" +
@@ -935,6 +999,8 @@ object MaterializedAggView {
       s""""sumPhys":${arr(sumPhys)},""" +
       s""""minPhys":${arr(minPhys)},""" +
       s""""maxPhys":${arr(maxPhys)}""" +
+      (if (ndvCols.isEmpty) ""
+       else s""","ndvCols":${arr(ndvCols)},"ndvPhys":${arr(ndvPhys)}""") +
       where.fold("")(w => s""","where":"${esc(w)}"""") +
       (if (dims.isEmpty) "" else {
         // singular spellings kept for one dim so pre-multi-dim code
@@ -984,7 +1050,10 @@ object MaterializedAggView {
       // authoritative physical roots (absent on defs written before
       // path binding; those fall back to spec resolution)
       sourcePath: Option[String] = None,
-      dimPaths: Option[Seq[String]] = None)
+      dimPaths: Option[Seq[String]] = None,
+      // approximate-distinct sketch columns (absent pre-ndv)
+      ndvCols: Seq[String] = Nil,
+      ndvPhys: Option[Seq[String]] = None)
 
   /** The persisted definition. The array parse is a real quote-aware
     * scan — column names containing commas, brackets, quotes or
@@ -1005,7 +1074,8 @@ object MaterializedAggView {
       arrs.get("dimSources"), arrs.get("factKeys"), arrs.get("dimKeys"),
       arrs.get("groupRels"), arrs.get("sumRels"),
       arrs.get("factKeyPhys"), arrs.get("dimKeyPhys"),
-      strs.get("sourcePath"), arrs.get("dimPaths"))
+      strs.get("sourcePath"), arrs.get("dimPaths"),
+      arrs.getOrElse("ndvCols", Nil), arrs.get("ndvPhys"))
   }
 
   /** The def file as raw (string-field, array-field) maps — every key
@@ -1151,12 +1221,12 @@ object MaterializedAggView {
       d.minCols, d.maxCols, dims, d.where,
       d.groupPhys, d.sumPhys, d.minPhys, d.maxPhys,
       d.groupRels.map(_.map(_.toInt)), d.sumRels.map(_.map(_.toInt)),
-      d.factKeyPhys, d.dimKeyPhys)
+      d.factKeyPhys, d.dimKeyPhys, d.ndvCols, d.ndvPhys)
   }
 
   private def viewSchema(srcSchema: StructType, groupCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String],
-      maxCols: Seq[String]): StructType = {
+      maxCols: Seq[String], ndvCols: Seq[String] = Nil): StructType = {
     require(groupCols.nonEmpty, "at least one group column is required " +
       "(for a global aggregate, use metadata-only aggregate pushdown)")
     // reserved spellings: the view's own columns and the delta's
@@ -1167,8 +1237,9 @@ object MaterializedAggView {
       minCols.flatMap(c => Seq(s"min_$c", s"del_min_$c",
         s"_t_min_$c", s"_abs_min_$c")) ++
       maxCols.flatMap(c => Seq(s"max_$c", s"del_max_$c",
-        s"_t_max_$c", s"_abs_max_$c"))
-    (groupCols ++ sumCols ++ minCols ++ maxCols).foreach(c =>
+        s"_t_max_$c", s"_abs_max_$c")) ++
+      ndvCols.flatMap(c => Seq(s"ndv_$c", s"del_ndv_$c", s"_abs_ndv_$c"))
+    (groupCols ++ sumCols ++ minCols ++ maxCols ++ ndvCols).foreach(c =>
       require(!reserved(c),
         s"column $c collides with a reserved view/delta column name"))
     val byName = srcSchema.fields.map(f => f.name -> f).toMap
@@ -1197,6 +1268,15 @@ object MaterializedAggView {
         s"min/max column $c must be an atomic orderable type " +
           s"(got ${f.dataType.simpleString})")
     }
+    ndvCols.foreach { c =>
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"ndv column $c not in source schema"))
+      // the types Spark's DataSketches hll_sketch_agg accepts
+      require(Seq(LongType, IntegerType, StringType, BinaryType)
+        .contains(f.dataType),
+        s"ndv column $c must be int/bigint/string/binary " +
+          s"(got ${f.dataType.simpleString})")
+    }
     StructType(
       StructField("obj_id", LongType, nullable = false) +:
       groupCols.map(byName(_).copy(nullable = true)) ++:
@@ -1207,7 +1287,11 @@ object MaterializedAggView {
        minCols.map(c =>
         StructField(s"min_$c", byName(c).dataType, nullable = true)) ++
        maxCols.map(c =>
-        StructField(s"max_$c", byName(c).dataType, nullable = true))))
+        StructField(s"max_$c", byName(c).dataType, nullable = true)) ++
+       // DataSketches HLL sketch bytes; NULL while the group has no
+       // non-null values
+       ndvCols.map(c =>
+        StructField(s"ndv_$c", BinaryType, nullable = true))))
   }
 
   /** Create the (empty) view table beside its persisted definition.
@@ -1223,7 +1307,8 @@ object MaterializedAggView {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       dimJoin: Option[DimJoin] = None,
-      dimJoins: Seq[DimJoin] = Nil): MaterializedAggView = {
+      dimJoins: Seq[DimJoin] = Nil,
+      ndvCols: Seq[String] = Nil): MaterializedAggView = {
     val dims0 = dimJoin.toSeq ++ dimJoins
     val head = source.latestVersion
     val factSchema = StructType.fromDDL(source.stateAt(head)._2)
@@ -1238,9 +1323,10 @@ object MaterializedAggView {
     val srcSchema =
       if (dims0.isEmpty) factSchema
       else {
-        require(minCols.isEmpty && maxCols.isEmpty,
-          "MIN/MAX are not supported on join views (a dim change would " +
-          "force recompute storms); use a plain view on the fact table")
+        require(minCols.isEmpty && maxCols.isEmpty && ndvCols.isEmpty,
+          "MIN/MAX/NDV are not supported on join views (a dim change " +
+          "would force recompute storms); use a plain view on the fact " +
+          "table")
         dims0.zip(dimSchemas).foreach { case (dj, ds) =>
           require(factSchema.fieldNames.contains(dj.factKey),
             s"factKey ${dj.factKey} not in fact schema")
@@ -1264,7 +1350,8 @@ object MaterializedAggView {
             acc ++ ds.fields.filterNot(f => taken(f.name))
         })
       }
-    val schema = viewSchema(srcSchema, groupCols, sumCols, minCols, maxCols)
+    val schema = viewSchema(srcSchema, groupCols, sumCols, minCols, maxCols,
+      ndvCols)
     // fail at create, not first refresh: the predicate must resolve
     // against the source schema alone (no view/delta columns)
     where.foreach { w =>
@@ -1288,6 +1375,7 @@ object MaterializedAggView {
     val sumPhys = sumCols.map(c => physOf(c, relOfC(c)))
     val minPhys = minCols.map(c => physOf(c, 0))
     val maxPhys = maxCols.map(c => physOf(c, 0))
+    val ndvPhys = ndvCols.map(c => physOf(c, 0))
     val groupRels = groupCols.map(relOfC)
     val sumRels = sumCols.map(relOfC)
     val factKeyPhys = dims0.map(dj => physOf(dj.factKey, 0))
@@ -1303,7 +1391,8 @@ object MaterializedAggView {
       minCols, maxCols, where, groupPhys, sumPhys, minPhys, maxPhys,
       dims2.map(dj => (dj.dimSpec, dj.factKey, dj.dimKey)),
       groupRels, sumRels, factKeyPhys, dimKeyPhys,
-      sourcePath = source.root, dimPaths = dims2.map(_.dim.root))
+      sourcePath = source.root, dimPaths = dims2.map(_.dim.root),
+      ndvCols = ndvCols, ndvPhys = ndvPhys)
     // discovery registry: every relation that feeds this view learns
     // about it (best-effort — see RegistryFile)
     (source +: dims2.map(_.dim)).foreach(t => registerView(t, viewRoot))
@@ -1313,7 +1402,8 @@ object MaterializedAggView {
       if (dims2.isEmpty) None else Some(groupRels),
       if (dims2.isEmpty) None else Some(sumRels),
       if (dims2.isEmpty) None else Some(factKeyPhys),
-      if (dims2.isEmpty) None else Some(dimKeyPhys))
+      if (dims2.isEmpty) None else Some(dimKeyPhys),
+      ndvCols, Some(ndvPhys))
   }
 
   /** Re-open an existing view (definition is supplied by the caller;

@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types._
@@ -25,49 +26,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => MvRewriteRule(s))
 }
 
-/** Rewrites an aggregate over a graft table to scan a REGISTERED,
-  * EXACTLY-FRESH materialized view instead — the optimizer-side payoff
-  * of the dependent-view registry: users keep writing
-  * `SELECT g, sum(v) FROM fact GROUP BY g` and the plan silently reads
-  * the (tiny) view when one answers the query.
+/** Rewrites an aggregate over a graft table — or over the fact ⨝ dims
+  * join graph of a STAR view — to scan a REGISTERED, EXACTLY-FRESH
+  * materialized view instead: the optimizer-side payoff of the
+  * dependent-view registry. Users keep writing
+  * `SELECT g, sum(v) FROM fact JOIN dim ON ... GROUP BY g` and the
+  * plan silently reads the (tiny) view when one answers the query.
   *
   * A rewrite fires only when ALL of the following hold — every guard
   * fails toward "no rewrite", never toward a wrong answer:
   *
-  *  - the aggregate's input is a graft DSv2 relation (optionally under
-  *    attribute-only Projects and Filters), pinned at version V;
-  *  - a view registered on that table has its refresh watermark at
-  *    EXACTLY V (the view then reflects precisely the snapshot the
-  *    relation would scan — fresher or staler both disqualify) and no
-  *    dimension joins;
-  *  - the recorded group/sum/min/max columns still carry their
-  *    definition-time logical names at V (physical-identity guard: a
-  *    rename + re-add of a column name must not silently bind the view
-  *    to the wrong data);
+  *  - the aggregate's input is a graft DSv2 relation, or an INNER
+  *    equi-join tree of graft relations (under attribute-only Projects
+  *    and Filters), each pinned at a version;
+  *  - a registered view exists whose fact watermark equals the fact
+  *    relation's pinned version EXACTLY, and — for join views — whose
+  *    per-dimension watermarks equal each dim relation's pinned
+  *    version (the view then reflects precisely the snapshots the
+  *    query would scan; fresher or staler both disqualify);
+  *  - for join views, the query's join graph matches the view's: the
+  *    same set of relations (fact + every dim, each once) and a
+  *    factKey = dimKey equi-conjunct per dimension — no extra
+  *    relations, no missing key, no non-key cross-relation predicate;
+  *  - the recorded group/sum/key columns still carry their
+  *    definition-time logical names in their OWNING relation at the
+  *    pinned versions (physical-identity guard: a rename + re-add must
+  *    not silently bind the view to the wrong data);
   *  - the query groups by a SUBSET of the view's group columns (plain
-  *    column references; rollup compensation re-aggregates), and every
-  *    aggregate translates: `count(*)` → `sum(cnt)`, `count(c)` →
-  *    `sum(nn_c)`, `sum(c)` → `sum(sum_c)`, `avg(c)` →
-  *    `sum(sum_c)/sum(nn_c)`, `min/max(c)` → `min/max(min_c/max_c)`,
-  *    min/max/count over group columns directly — no DISTINCT, no
-  *    FILTER clauses;
+  *    column references from the owning relation; rollup compensation
+  *    re-aggregates), and every aggregate translates: `count(*)` →
+  *    `sum(cnt)`, `count(c)` → `sum(nn_c)`, `sum(c)` → `sum(sum_c)`,
+  *    `avg(c)` → `sum(sum_c)/sum(nn_c)`, `min/max(c)` →
+  *    `min/max(min_c/max_c)`, min/max/count over group columns
+  *    directly — no DISTINCT, no FILTER clauses;
   *  - the query's WHERE conjuncts partition into (a) conjuncts
   *    semantically equal to the view's own WHERE conjuncts (all of
-  *    which must be covered) and (b) residual conjuncts over group
+  *    which must be covered; plain views only — filtered join views
+  *    are not rewritten) and (b) residual conjuncts over group
   *    columns only, which are kept over the view scan.
   *
   * The rewritten child pins the view at ITS head version (a snapshot is
   * immutable), so a concurrent refresh between optimization and
-  * execution cannot skew results. Global aggregates coalesce counts to
-  * 0 so an empty table still answers `count(*) = 0`.
+  * execution cannot skew results — the same pinning makes the
+  * candidate cache safe: an entry's watermarks were read AT the pinned
+  * view version and stay true for it forever. Global aggregates
+  * coalesce counts to 0 so an empty table still answers
+  * `count(*) = 0`.
   *
   * Scale design: the driver-side candidate lookup is a few metadata
   * reads memoized per (table, version) for [[MvRewriteRule.TtlNanos]] —
-  * at 100 TB the rewrite turns a full fact scan into a view scan, and
-  * the lookup cost is the same handful of object-store RPCs the catalog
-  * already pays to resolve the table. Correctness never depends on the
-  * cache: entries are keyed by the PINNED source version, and a view
-  * matching that version keeps matching it forever.
+  * at 100 TB the rewrite turns a fact scan (or a fact ⨝ dims shuffle
+  * join) into a view scan, and the lookup cost is the same handful of
+  * object-store RPCs the catalog already pays to resolve the table.
   *
   * Reference analog: db-core answers summary probes from its derived
   * per-object summaries rather than the heap (free_info.rs:34-88); here
@@ -93,41 +103,78 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // peel attribute-only Projects and collect Filter conjuncts down to
-    // a graft relation; anything else disqualifies
-    @annotation.tailrec
-    def peel(p: LogicalPlan, conds: Seq[Expression])
-        : Option[(DataSourceV2Relation, GraftTable, Seq[Expression])] =
-      p match {
-        case f: Filter =>
-          peel(f.child, conds ++ splitConjunctivePredicates(f.condition))
-        case pr: org.apache.spark.sql.catalyst.plans.logical.Project
-            if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-          peel(pr.child, conds)
-        case r: DataSourceV2Relation => r.table match {
-          case t: GraftTable => Some((r, t, conds))
-          case _ => None
-        }
+  /** Peel attribute-only Projects, collect Filter conjuncts and INNER
+    * join conditions, and flatten to graft leaves; None = a node shape
+    * the rewrite does not understand. */
+  private def peel(p: LogicalPlan)
+      : Option[(Seq[(DataSourceV2Relation, GraftTable)], Seq[Expression])] =
+    p match {
+      case f: Filter => peel(f.child).map { case (ls, cs) =>
+        (ls, cs ++ splitConjunctivePredicates(f.condition)) }
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(pr.child)
+      case j: Join if j.joinType == Inner =>
+        for {
+          (ll, lc) <- peel(j.left)
+          (rl, rc) <- peel(j.right)
+        } yield (ll ++ rl, lc ++ rc ++
+          j.condition.toSeq.flatMap(splitConjunctivePredicates))
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((Seq((r, t)), Nil))
         case _ => None
       }
-    peel(agg.child, Nil).flatMap { case (rel, table, conds) =>
-      val cands = candidates(table.tableRoot, table.tableVersion)
-      // smallest view first: fewer group columns = coarser = cheaper
-      cands.sortBy(_.d.groupCols.size).iterator
-        .map(c => try Some(tryMatch(agg, rel, conds, c))
-          catch { case Bail => None })
-        .collectFirst { case Some(p) => p }
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    peel(agg.child).flatMap { case (leaves, conds) =>
+      // self-joins have no single-view answer
+      if (leaves.map(l => canon(l._2.tableRoot)).distinct.size != leaves.size)
+        None
+      else {
+        val cands = leaves
+          .flatMap(l => candidates(l._2.tableRoot, l._2.tableVersion))
+          .distinctBy(_.root)
+          .filter(_.dims.size + 1 == leaves.size)
+        // smallest view first: fewer group columns = coarser = cheaper
+        cands.sortBy(_.d.groupCols.size).iterator
+          .map(c => try Some(tryMatch(agg, leaves, conds, c))
+            catch { case Bail => None })
+          .collectFirst { case Some(p) => p }
+      }
     }
   }
 
   /** Attempt the rewrite against one candidate; throws [[Bail]] on any
     * disqualifier. */
-  private def tryMatch(agg: Aggregate, rel: DataSourceV2Relation,
+  private def tryMatch(agg: Aggregate,
+      leaves: Seq[(DataSourceV2Relation, GraftTable)],
       conds: Seq[Expression], cand: Candidate): LogicalPlan = {
     def fail(): Nothing = throw Bail
     val resolver = conf.resolver
     val d = cand.d
+
+    // ---- leaf alignment: fact + each dim, exactly once, versions
+    // matching the watermarks the view was pinned against -------------
+    val factLeaf = leaves.find(l => canon(l._2.tableRoot) == cand.srcRoot)
+      .getOrElse(fail())
+    val dimLeaves = cand.dims.map(db =>
+      leaves.find(l => canon(l._2.tableRoot) == db.root).getOrElse(fail()))
+    if ((factLeaf +: dimLeaves).distinct.size != leaves.size) fail()
+    cand.dims.zip(dimLeaves).foreach { case (db, dl) =>
+      if (dl._2.tableVersion != db.wm) fail() }
+    def relLeaf(rel: Int): DataSourceV2Relation =
+      if (rel == 0) factLeaf._1 else dimLeaves(rel - 1)._1
+
+    val groupRel: Seq[Int] =
+      d.groupRels.map(_.map(_.toInt))
+        .getOrElse(Seq.fill(d.groupCols.size)(0))
+    val sumRel: Seq[Int] =
+      d.sumRels.map(_.map(_.toInt)).getOrElse(Seq.fill(d.sumCols.size)(0))
+    if (cand.dims.nonEmpty &&
+        (groupRel.size != d.groupCols.size ||
+         sumRel.size != d.sumCols.size)) fail()
 
     val vTable = new GraftTable(cand.root, cand.version, cand.schema,
       timeTraveled = true)
@@ -137,20 +184,54 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case a: AttributeReference if resolver(a.name, name) => a
       }.getOrElse(fail())
 
-    def defName(cols: Seq[String], n: String): String =
-      cols.find(resolver(_, n)).getOrElse(fail())
-    def isGroup(n: String) = d.groupCols.exists(resolver(_, n))
-    def isSum(n: String) = d.sumCols.exists(resolver(_, n))
-    def isMin(n: String) = d.minCols.exists(resolver(_, n))
-    def isMax(n: String) = d.maxCols.exists(resolver(_, n))
+    // def-column index of a query attribute, honoring the OWNING
+    // relation (two relations may both have a column of the name)
+    def colIdx(cols: Seq[String], rels: Seq[Int],
+        a: AttributeReference): Option[Int] =
+      cols.indices.find(j => resolver(cols(j), a.name) &&
+        relLeaf(rels(j)).outputSet.contains(a))
+    def groupIdx(a: AttributeReference) = colIdx(d.groupCols, groupRel, a)
+    def sumIdx(a: AttributeReference) = colIdx(d.sumCols, sumRel, a)
+    // min/max views are plain (fact-only) by construction
+    def minIdx(a: AttributeReference): Option[Int] =
+      d.minCols.indices.find(j => resolver(d.minCols(j), a.name) &&
+        factLeaf._1.outputSet.contains(a))
+    def maxIdx(a: AttributeReference): Option[Int] =
+      d.maxCols.indices.find(j => resolver(d.maxCols(j), a.name) &&
+        factLeaf._1.outputSet.contains(a))
+
+    // ---- join-key conditions ------------------------------------------
+    def attrIn(rel: DataSourceV2Relation, name: String): AttributeReference =
+      rel.output.collectFirst {
+        case a: AttributeReference if resolver(a.name, name) => a
+      }.getOrElse(fail())
+    val keyPairs = cand.dims.zip(dimLeaves).map { case (db, dl) =>
+      (attrIn(factLeaf._1, db.factKey), attrIn(dl._1, db.dimKey)) }
+    def isKeyCond(e: Expression): Boolean = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        keyPairs.exists { case (fk, dk) =>
+          (a.exprId == fk.exprId && b.exprId == dk.exprId) ||
+          (a.exprId == dk.exprId && b.exprId == fk.exprId) }
+      case _ => false
+    }
+    keyPairs.foreach { case (fk, dk) =>
+      if (!conds.exists {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          (a.exprId == fk.exprId && b.exprId == dk.exprId) ||
+          (a.exprId == dk.exprId && b.exprId == fk.exprId)
+        case _ => false
+      }) fail()
+    }
+    val nonKey = conds.filterNot(isKeyCond)
 
     // ---- WHERE compatibility ------------------------------------------
+    if (cand.dims.nonEmpty && d.where.isDefined) fail()
     val whereConjs: Seq[Expression] = d.where match {
       case None => Nil
       case Some(sql) =>
         val parsed = spark.sessionState.sqlParser.parseExpression(sql)
         val analyzed =
-          try spark.sessionState.analyzer.execute(Filter(parsed, rel))
+          try spark.sessionState.analyzer.execute(Filter(parsed, factLeaf._1))
           catch { case NonFatal(_) => fail() }
         org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed) match {
           case Filter(c, _) => splitConjunctivePredicates(c)
@@ -159,12 +240,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     // every view-WHERE conjunct must appear in the query's conjuncts
     // (else the view is missing rows the query wants)
-    if (!whereConjs.forall(wc => conds.exists(_.semanticEquals(wc)))) fail()
+    if (!whereConjs.forall(wc => nonKey.exists(_.semanticEquals(wc)))) fail()
     // residual conjuncts must be deterministic and over group columns
-    val residual = conds.filterNot(c => whereConjs.exists(_.semanticEquals(c)))
+    val residual = nonKey.filterNot(c => whereConjs.exists(_.semanticEquals(c)))
     def remapGroupOnly(e: Expression): Expression = e.transformUp {
-      case a: AttributeReference =>
-        if (isGroup(a.name)) viewAttr(defName(d.groupCols, a.name)) else fail()
+      case a: AttributeReference => groupIdx(a) match {
+        case Some(j) => viewAttr(d.groupCols(j))
+        case None => fail()
+      }
     }
     if (!residual.forall(_.deterministic)) fail()
     val remappedResidual = residual.map(remapGroupOnly)
@@ -172,8 +255,10 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // ---- grouping -----------------------------------------------------
     val groupMap: Map[ExprId, AttributeReference] =
       agg.groupingExpressions.map {
-        case a: AttributeReference if isGroup(a.name) =>
-          a.exprId -> viewAttr(defName(d.groupCols, a.name))
+        case a: AttributeReference => groupIdx(a) match {
+          case Some(j) => a.exprId -> viewAttr(d.groupCols(j))
+          case None => fail()
+        }
         case _ => fail()
       }.toMap
 
@@ -197,11 +282,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             if c.children.forall(ch => ch.foldable && ch.eval(null) != null) =>
           cntShape(aggE(new Sum(viewAttr("cnt"))))
         case c: Count => c.children match {
-          case Seq(a: AttributeReference) if isSum(a.name) =>
+          case Seq(a: AttributeReference) if sumIdx(a).isDefined =>
             cntShape(aggE(new Sum(
-              viewAttr("nn_" + defName(d.sumCols, a.name)))))
-          case Seq(a: AttributeReference) if isGroup(a.name) =>
-            val g = viewAttr(defName(d.groupCols, a.name))
+              viewAttr("nn_" + d.sumCols(sumIdx(a).get)))))
+          case Seq(a: AttributeReference) if groupIdx(a).isDefined =>
+            val g = viewAttr(d.groupCols(groupIdx(a).get))
             cntShape(aggE(new Sum(
               If(IsNull(g), Literal(0L), viewAttr("cnt")))))
           case _ => fail()
@@ -210,15 +295,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           // the view stores sum_<c> as the exact long sum; only integral
           // sources produce LongType sums, which is exactly when the
           // stored partial is lossless
-          case a: AttributeReference if isSum(a.name) &&
+          case a: AttributeReference if sumIdx(a).isDefined &&
               s.dataType == LongType =>
-            aggE(new Sum(viewAttr("sum_" + defName(d.sumCols, a.name))))
+            aggE(new Sum(viewAttr("sum_" + d.sumCols(sumIdx(a).get))))
           case _ => fail()
         }
         case av: Average => av.child match {
-          case a: AttributeReference if isSum(a.name) &&
+          case a: AttributeReference if sumIdx(a).isDefined &&
               av.dataType == DoubleType && integral(a.dataType) =>
-            val n = defName(d.sumCols, a.name)
+            val n = d.sumCols(sumIdx(a).get)
             // avg(c) = sum(c) / count(NON-NULL c); null-safe division:
             // an all-null group sums to null -> null, never /0
             new Divide(
@@ -227,17 +312,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           case _ => fail()
         }
         case m: Min => m.child match {
-          case a: AttributeReference if isMin(a.name) =>
-            aggE(Min(viewAttr("min_" + defName(d.minCols, a.name))))
-          case a: AttributeReference if isGroup(a.name) =>
-            aggE(Min(viewAttr(defName(d.groupCols, a.name))))
+          case a: AttributeReference if minIdx(a).isDefined =>
+            aggE(Min(viewAttr("min_" + d.minCols(minIdx(a).get))))
+          case a: AttributeReference if groupIdx(a).isDefined =>
+            aggE(Min(viewAttr(d.groupCols(groupIdx(a).get))))
           case _ => fail()
         }
         case m: Max => m.child match {
-          case a: AttributeReference if isMax(a.name) =>
-            aggE(Max(viewAttr("max_" + defName(d.maxCols, a.name))))
-          case a: AttributeReference if isGroup(a.name) =>
-            aggE(Max(viewAttr(defName(d.groupCols, a.name))))
+          case a: AttributeReference if maxIdx(a).isDefined =>
+            aggE(Max(viewAttr("max_" + d.maxCols(maxIdx(a).get))))
+          case a: AttributeReference if groupIdx(a).isDefined =>
+            aggE(Max(viewAttr(d.groupCols(groupIdx(a).get))))
           case _ => fail()
         }
         case _ => fail()
@@ -272,19 +357,23 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => fail()
     }
     logInfo(s"mv rewrite: aggregate over ${cand.srcRoot}@v" +
-      s"${cand.srcVersion} now reads view ${cand.root}@v${cand.version}")
+      s"${cand.srcVersion}" +
+      (if (cand.dims.isEmpty) ""
+       else s" ⨝ ${cand.dims.map(_.root).mkString(", ")}") +
+      s" now reads view ${cand.root}@v${cand.version}")
     Aggregate(newGes, newAes, child)
   }
 
-  /** Views of (root, pinned version) that are exactly fresh, dim-free,
-    * and rename-stable — memoized for [[TtlNanos]]. */
+  /** Views of (root, pinned version) that are exactly fresh (fact
+    * watermark == version; join views additionally carry the per-dim
+    * watermarks the query's dim relations must be pinned at) and
+    * rename-stable — memoized for [[TtlNanos]]. */
   private def candidates(root: String, version: Long): Seq[Candidate] = {
-    val canon = new Path(root).toString
-    val key = (canon, version)
+    val key = (canon(root), version)
     val now = System.nanoTime()
     val hit = cache.get(key)
     if (hit != null && now - hit.at < TtlNanos) return hit.cands
-    val cands = try computeCandidates(canon, version)
+    val cands = try computeCandidates(key._1, version)
       catch { case NonFatal(_) => Nil }
     if (cache.size > MaxCacheEntries) cache.clear()
     cache.put(key, Entry(now, cands))
@@ -298,36 +387,84 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (viewRoots.isEmpty) return Nil
     // logical -> physical mapping at the PINNED version, for the
     // rename-stability guard
-    val renames = inst.tableStateAt(version).renames
+    lazy val factRenames = inst.tableStateAt(version).renames
     viewRoots.flatMap { vr =>
       try {
         val vInst = VersionedTable.open(spark, vr)
         val d = MaterializedAggView.readDef(vInst)
-        val dims = d.dimSources.getOrElse(d.dimSource.toSeq)
-        if (dims.nonEmpty) None
+        // this lookup treats `root` as the view's FACT; a view whose
+        // fact is elsewhere (we are one of its dims) is surfaced by
+        // the lookup keyed on ITS fact leaf instead
+        if (canon(d.sourcePath.getOrElse(d.source)) != canon(root)) None
         else {
           val vv = vInst.latestVersion
-          val wm = vInst.appTxnsAt(vv)
-            .getOrElse("mv:" + new Path(vr).toString, -1L)
-          if (wm != version) None
+          val marks = vInst.appTxnsAt(vv)
+          val app = "mv:" + canon(vr)
+          if (marks.getOrElse(app, -1L) != version) None
           else {
-            def stable(cols: Seq[String], phys: Option[Seq[String]]) =
-              phys.forall(_.zip(cols).forall { case (p, c) =>
-                renames.getOrElse(c, c) == p })
-            if (!stable(d.groupCols, d.groupPhys) ||
-                !stable(d.sumCols, d.sumPhys) ||
-                !stable(d.minCols, d.minPhys) ||
-                !stable(d.maxCols, d.maxPhys)) None
+            val dimSpecs = d.dimSources.getOrElse(d.dimSource.toSeq)
+            val dimRoots = d.dimPaths.getOrElse(Nil)
+            val factKeys = d.factKeys.getOrElse(d.factKey.toSeq)
+            val dimKeys = d.dimKeys.getOrElse(d.dimKey.toSeq)
+            // join views rewrite only with full path binding + owning
+            // relations recorded (older defs refresh fine but are not
+            // rewrite candidates)
+            if (dimSpecs.nonEmpty && (dimRoots.size != dimSpecs.size ||
+                factKeys.size != dimSpecs.size ||
+                dimKeys.size != dimSpecs.size ||
+                d.groupRels.isEmpty || d.sumRels.isEmpty)) None
             else {
-              val schema = StructType.fromDDL(vInst.stateAt(vv)._2)
-              Some(Candidate(new Path(vr).toString, vv, schema, d,
-                root, version))
+              val dims = dimRoots.indices.map { i =>
+                val wmKey = app + (if (i == 0) "#dim" else s"#dim$i")
+                DimBind(canon(dimRoots(i)), factKeys(i), dimKeys(i),
+                  marks.getOrElse(wmKey, -1L))
+              }
+              if (dims.exists(_.wm < 0)) None
+              else if (!renameStable(d, version, factRenames, dims)) None
+              else {
+                val schema = StructType.fromDDL(vInst.stateAt(vv)._2)
+                Some(Candidate(canon(vr), vv, schema, d,
+                  canon(root), version, dims))
+              }
             }
           }
         }
       } catch { case NonFatal(_) => None }
     }
   }
+
+  /** Every recorded column (group/sum/min/max + join keys) must still
+    * carry its definition-time logical name in its OWNING relation at
+    * the version the rewrite would read. */
+  private def renameStable(d: MaterializedAggView.MvDef, factVersion: Long,
+      factRenames: Map[String, String], dims: Seq[DimBind]): Boolean = {
+    // dim renames at the dim WATERMARK version — exactly the snapshot
+    // the query's dim relation must be pinned at for the rewrite
+    lazy val dimRenames: Seq[Map[String, String]] = dims.map(db =>
+      VersionedTable.open(spark, db.root).tableStateAt(db.wm).renames)
+    def renamesOf(rel: Int): Map[String, String] =
+      if (rel == 0) factRenames else dimRenames(rel - 1)
+    def stable(cols: Seq[String], phys: Option[Seq[String]],
+        rels: Seq[Int]): Boolean =
+      phys.forall(_.lazyZip(cols).lazyZip(rels).forall { (p, c, r) =>
+        renamesOf(r).getOrElse(c, c) == p })
+    val groupRel = d.groupRels.map(_.map(_.toInt))
+      .getOrElse(Seq.fill(d.groupCols.size)(0))
+    val sumRel = d.sumRels.map(_.map(_.toInt))
+      .getOrElse(Seq.fill(d.sumCols.size)(0))
+    val zeros = (n: Int) => Seq.fill(n)(0)
+    stable(d.groupCols, d.groupPhys, groupRel) &&
+    stable(d.sumCols, d.sumPhys, sumRel) &&
+    stable(d.minCols, d.minPhys, zeros(d.minCols.size)) &&
+    stable(d.maxCols, d.maxPhys, zeros(d.maxCols.size)) &&
+    stable(d.ndvCols, d.ndvPhys, zeros(d.ndvCols.size)) &&
+    stable(d.factKeys.getOrElse(d.factKey.toSeq), d.factKeyPhys,
+      zeros(dims.size)) &&
+    stable(d.dimKeys.getOrElse(d.dimKey.toSeq), d.dimKeyPhys,
+      (1 to dims.size))
+  }
+
+  private def canon(root: String): String = new Path(root).toString
 }
 
 object MvRewriteRule {
@@ -337,9 +474,13 @@ object MvRewriteRule {
 
   private case object Bail extends ControlThrowable
 
+  private[acid] final case class DimBind(root: String, factKey: String,
+      dimKey: String, wm: Long)
+
   private[acid] final case class Candidate(root: String, version: Long,
       schema: StructType, d: MaterializedAggView.MvDef,
-      srcRoot: String, srcVersion: Long)
+      srcRoot: String, srcVersion: Long,
+      dims: Seq[DimBind] = Nil)
 
   private final case class Entry(at: Long, cands: Seq[Candidate])
 

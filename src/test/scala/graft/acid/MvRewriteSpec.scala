@@ -190,6 +190,89 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("star view answers aggregates over the matching join graph") {
+    val factRoot = Files.createTempDirectory("graft_mvrw_f_").toUri.toString
+    val custRoot = Files.createTempDirectory("graft_mvrw_d1_").toUri.toString
+    val prodRoot = Files.createTempDirectory("graft_mvrw_d2_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvrw_sv_").toUri.toString
+    val factDf = spark.createDataFrame(Seq(
+      (100L, 1L, 10L, 5L), (101L, 1L, 11L, 7L), (102L, 2L, 10L, 11L),
+      (103L, 2L, 11L, 3L)))
+      .toDF("obj_id", "cust", "prod", "amount")
+    val custDf = spark.createDataFrame(Seq((1L, "east"), (2L, "west")))
+      .toDF("obj_id", "region")
+    val prodDf = spark.createDataFrame(Seq((10L, "toys"), (11L, "tools")))
+      .toDF("obj_id", "category")
+    def mk(root: String, df: org.apache.spark.sql.DataFrame): Instance = {
+      val i = VersionedTable.create(spark, root, df.schema)
+      val t = i.begin(); t.insert(df); i.commit(t); i
+    }
+    val fact = mk(factRoot, factDf)
+    val cust = mk(custRoot, custDf)
+    val prod = mk(prodRoot, prodDf)
+    val mv = MaterializedAggView.create(spark, viewRoot, fact,
+      groupCols = Seq("region", "category"), sumCols = Seq("amount"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(cust, "cust", "obj_id"),
+        MaterializedAggView.DimJoin(prod, "prod", "obj_id")))
+    mv.refresh()
+    MvRewriteRule.invalidateCache()
+    def f() = srcDf(factRoot)
+    def c() = srcDf(custRoot)
+    def p() = srcDf(prodRoot)
+    def q(): DataFrame = {
+      val fd = f(); val cd = c(); val pd = p()
+      fd.join(cd, fd("cust") === cd("obj_id"))
+        .join(pd, fd("prod") === pd("obj_id"))
+        .groupBy("region", "category")
+        .agg(count(lit(1)).as("cnt"), sum("amount").as("sa"),
+          avg("amount").as("aa"))
+        .orderBy("region", "category")
+    }
+    def qRollup(): DataFrame = {
+      val fd = f(); val cd = c(); val pd = p()
+      fd.join(cd, fd("cust") === cd("obj_id"))
+        .join(pd, fd("prod") === pd("obj_id"))
+        .groupBy("region").agg(sum("amount").as("sa")).orderBy("region")
+    }
+    val expected = withRewrite(on = false)(q().collect().toSeq)
+    val expectedR = withRewrite(on = false)(qRollup().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot), "star rewrite did not fire")
+      assert(q().collect().toSeq == expected)
+      assert(scansView(qRollup(), viewRoot))
+      assert(qRollup().collect().toSeq == expectedR)
+      // a PARTIAL join graph (missing one dim) must not rewrite: the
+      // view's rows are restricted by the missing dim's inner join
+      val fd = f(); val cd = c()
+      val partial = fd.join(cd, fd("cust") === cd("obj_id"))
+        .groupBy("region").agg(sum("amount").as("sa"))
+      assert(!scansView(partial, viewRoot))
+      // a non-key filter on an unmaintained column must not rewrite
+      val fd2 = f(); val cd2 = c(); val pd2 = p()
+      val filtered = fd2.join(cd2, fd2("cust") === cd2("obj_id"))
+        .join(pd2, fd2("prod") === pd2("obj_id"))
+        .filter(col("amount") > 4)
+        .groupBy("region").agg(sum("amount").as("sa"))
+      assert(!scansView(filtered, viewRoot))
+    }
+    // DIM churn staleness: moving a customer makes the view stale on
+    // that dimension alone — the rewrite must fall back until refresh
+    val t = cust.begin()
+    t.merge(spark.createDataFrame(Seq((1L, "west"))).toDF("obj_id", "nr"),
+      matchedUpdate = Map("region" -> col("s.nr")), insertUnmatched = false)
+    cust.commit(t)
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      assert(!scansView(q(), viewRoot), "stale dim must disable the rewrite")
+      mv.refresh()
+      MvRewriteRule.invalidateCache()
+      assert(scansView(q(), viewRoot))
+      assert(q().collect().toSeq ==
+        withRewrite(on = false)(q().collect().toSeq))
+    }
+  }
+
   test("SQL catalog front door: GROUP BY over gcat reads the view") {
     val tag = java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
