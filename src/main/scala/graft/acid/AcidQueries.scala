@@ -481,7 +481,70 @@ object AcidQueries {
       "COUNT(DISTINCT o_custkey % 64) AS ndv_ck " +
       "FROM orders WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey < 30000) " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
-      (s, dir) => ndvMvScenario(s, dir)))
+      (s, dir) => ndvMvScenario(s, dir)),
+
+    // TRANSPARENT approximate-distinct rewrite: the query asks the
+    // SOURCE for count(*), count(DISTINCT group-col) and a sketch
+    // estimate; with both rewrite flags on the plan reads the NDV view
+    // instead (throws if it still scans the source). The 64-bucket
+    // column keeps every sketch in its EXACT coupon regime — merges
+    // of coupon sketches stay exact — so even the substituted
+    // estimate hash-matches DuckDB's COUNT(DISTINCT)
+    "q72_ndv_rewrite" -> Q(
+      "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+      "COUNT(DISTINCT o_orderpriority) AS ndv_prio, " +
+      "COUNT(DISTINCT o_custkey % 64) AS ndv_ck " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")(
+      (s, dir) => ndvRewriteScenario(s, dir)))
+
+  /** Load orders (with a 64-bucket custkey column), materialize
+    * per-(status, priority) count + NDV sketch, refresh, then run a
+    * per-status aggregate AGAINST THE SOURCE with the rewrite AND the
+    * sketch-substitution opt-in enabled: count(*) folds the view's
+    * cnt, count(DISTINCT o_orderpriority) re-counts the preserved
+    * group tuples, and the sketch estimate unions the stored
+    * per-priority sketches (rollup compensation on all three). The
+    * plan must read the view — loud failure otherwise. */
+  def ndvRewriteScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = graft.Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("obj_id"), col("o_orderstatus"),
+        col("o_orderpriority"), (col("o_custkey") % 64).as("ck64"))
+    val srcTmp = Files.createTempDirectory("graft_ndvrw_src_").toUri.toString
+    val viewTmp = Files.createTempDirectory("graft_ndvrw_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcTmp, ord.schema)
+    val t1 = src.begin(); t1.insert(ord); src.commit(t1)
+    MaterializedAggView.create(spark, viewTmp, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"), sumCols = Nil,
+      ndvCols = Seq("ck64")).refresh()
+    MvRewriteRule.invalidateCache()
+    val beforeOn = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    val beforeSub = spark.conf.getOption(MvRewriteRule.NdvSubstituteKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    spark.conf.set(MvRewriteRule.NdvSubstituteKey, "true")
+    try {
+      val q = spark.read.format("graft").option("path", srcTmp).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct("o_orderpriority").as("ndv_prio"),
+          hll_sketch_estimate(hll_sketch_agg(col("ck64"))).as("ndv_ck"))
+        .orderBy("o_orderstatus")
+      // forcing optimizedPlan here pins the (rewritten) plan; the conf
+      // restore below cannot un-rewrite it
+      val plan = q.queryExecution.optimizedPlan.treeString
+      if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
+        throw new IllegalStateException(
+          s"ndv rewrite did not fire; plan:\n$plan")
+      q
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(s) => spark.conf.set(k, s)
+        case None => spark.conf.unset(k)
+      }
+      restore(MvRewriteRule.EnabledKey, beforeOn)
+      restore(MvRewriteRule.NdvSubstituteKey, beforeSub)
+    }
+  }
 
   /** Load orders (with a 64-bucket custkey column), materialize
     * per-status count + NDV sketch, refresh, CoW-delete ~1/7 of the

@@ -303,7 +303,8 @@ final class MaterializedAggView private (
         count(col(c)).as(s"nn_$c"))) ++
        minCols.map(c => min(col(c)).as(s"min_$c")) ++
        maxCols.map(c => max(col(c)).as(s"max_$c")) ++
-       ndvCols.map(c => hll_sketch_agg(col(c)).as(s"ndv_$c")))
+       ndvCols.map(c => hll_sketch_agg(col(c),
+         MaterializedAggView.NdvLgK).as(s"ndv_$c")))
     rows.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
@@ -530,7 +531,8 @@ final class MaterializedAggView private (
             // NULL (not an empty sketch) when the interval inserted no
             // values: a cancelling interval must not read as activity
             when(max(when(col("_net") > 0 && col(c).isNotNull, lit(true))),
-              hll_sketch_agg(when(col("_net") > 0, col(c))))
+              hll_sketch_agg(when(col("_net") > 0, col(c)),
+                MaterializedAggView.NdvLgK))
               .as(s"ndv_$c"),
             max(when(col("_net") < 0 && col(c).isNotNull, lit(true)))
               .as(s"del_ndv_$c")) else Nil)
@@ -655,7 +657,8 @@ final class MaterializedAggView private (
                 // absolute sketch; NULL when the surviving group has
                 // no non-null values left (estimate then reads 0)
                 ndvCols.map(c =>
-                  when(max(col(c).isNotNull), hll_sketch_agg(col(c)))
+                  when(max(col(c).isNotNull), hll_sketch_agg(col(c),
+                    MaterializedAggView.NdvLgK))
                     .as(s"_abs_ndv_$c"))
               val recomputed = srcRows.groupBy(col("_sid"))
                 .agg(absAggs.head, absAggs.tail: _*)
@@ -720,6 +723,20 @@ final class MaterializedAggView private (
 }
 
 object MaterializedAggView {
+
+  /** lgConfigK of every `ndv_<c>` sketch the view maintains — pinned
+    * so the optimizer rewrite can prove a query's `hll_sketch_agg(c)`
+    * (same default lgK) is answerable by unioning stored sketches:
+    * HLL merge is register-max, so the union of per-group sketches is
+    * state-identical to a sketch of the union at equal lgK. 12 is
+    * Spark's own function default (rsd ~1.6%). */
+  val NdvLgK = 12
+
+  /** The relative standard deviation the stored sketches deliver —
+    * 1.04/sqrt(2^lgK). An `approx_count_distinct(c, rsd)` may be
+    * answered from the sketches only when rsd >= this (the substitute
+    * estimate is at least as accurate as requested). */
+  val NdvRsd: Double = 1.04 / math.sqrt((1L << NdvLgK).toDouble)
 
   /** Does this failure chain bottom out in a missing input file — the
     * signature of a refresh interval whose pre-images vacuum already

@@ -58,7 +58,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *    `sum(cnt)`, `count(c)` → `sum(nn_c)`, `sum(c)` → `sum(sum_c)`,
   *    `avg(c)` → `sum(sum_c)/sum(nn_c)`, `min/max(c)` →
   *    `min/max(min_c/max_c)`, min/max/count over group columns
-  *    directly — no DISTINCT, no FILTER clauses;
+  *    directly, and — exactly, because the view holds each live group
+  *    tuple once and both are pure functions of the distinct set —
+  *    `count(DISTINCT g...)` and `approx_count_distinct(g)` over
+  *    group columns (Spark's HLL++ is a register max: multiplicity-,
+  *    order- and partition-insensitive) — no other DISTINCT, no
+  *    FILTER clauses. Under the SECOND opt-in
+  *    [[MvRewriteRule.NdvSubstituteKey]] the rule additionally
+  *    answers `approx_count_distinct(c)` over an NDV column and
+  *    `hll_sketch_estimate(hll_sketch_agg(...))` over an NDV or group
+  *    column from the maintained DataSketches sketches: those answers
+  *    honor the requested rsd but are not bit-identical (DataSketches
+  *    estimates depend on merge structure — HIP vs composite — so
+  *    even the direct plan's value shifts with partitioning), which
+  *    is a substitution [[EnabledKey]] alone must never make;
+  *  - the rewritten output must not widen nullability: the view
+  *    stores group columns as nullable, so an aggregate whose output
+  *    binds a NON-nullable source group column is refused (downstream
+  *    operators may have compiled away null checks);
   *  - the query's WHERE conjuncts partition into (a) conjuncts
   *    semantically equal to the view's own WHERE conjuncts (all of
   *    which must be covered; plain views only — filtered join views
@@ -151,7 +168,12 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def tryMatch(agg: Aggregate,
       leaves: Seq[(DataSourceV2Relation, GraftTable)],
       conds: Seq[Expression], cand: Candidate): LogicalPlan = {
-    def fail(): Nothing = throw Bail
+    def fail(): Nothing =
+      if (conf.getConfString("spark.graft.mv.rewrite.debugBail", "false")
+          .toBoolean)
+        throw new RuntimeException("bail at " +
+          Thread.currentThread.getStackTrace.drop(2).take(4).mkString(" <- "))
+      else throw Bail
     val resolver = conf.resolver
     val d = cand.d
 
@@ -192,12 +214,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         relLeaf(rels(j)).outputSet.contains(a))
     def groupIdx(a: AttributeReference) = colIdx(d.groupCols, groupRel, a)
     def sumIdx(a: AttributeReference) = colIdx(d.sumCols, sumRel, a)
-    // min/max views are plain (fact-only) by construction
+    // min/max/ndv views are plain (fact-only) by construction
     def minIdx(a: AttributeReference): Option[Int] =
       d.minCols.indices.find(j => resolver(d.minCols(j), a.name) &&
         factLeaf._1.outputSet.contains(a))
     def maxIdx(a: AttributeReference): Option[Int] =
       d.maxCols.indices.find(j => resolver(d.maxCols(j), a.name) &&
+        factLeaf._1.outputSet.contains(a))
+    def ndvIdx(a: AttributeReference): Option[Int] =
+      d.ndvCols.indices.find(j => resolver(d.ndvCols(j), a.name) &&
         factLeaf._1.outputSet.contains(a))
 
     // ---- join-key conditions ------------------------------------------
@@ -275,8 +300,36 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // estimate(union of stored per-group sketches) answers within the
+    // sketches' rsd but is NOT bit-identical to the direct plan's
+    // estimate: a DataSketches sketch built by streaming carries the
+    // HIP estimator while a merged one falls back to the composite
+    // estimator, so the value depends on merge structure — Spark's own
+    // hll_sketch_agg already shifts with partitioning for the same
+    // reason. Hence every sketch-estimate answer sits behind
+    // [[NdvSubstituteKey]]. All-null groups store NULL sketches; a
+    // NULL union estimates as 0, matching the empty direct sketch.
+    def ndvEstimate(c: String): Expression =
+      Coalesce(Seq(HllSketchEstimate(aggE(new HllUnionAgg(
+        viewAttr("ndv_" + c), false))), Literal(0L)))
+    lazy val ndvSubstitute =
+      conf.getConfString(NdvSubstituteKey, "false").toBoolean
     def translate(ae: AggregateExpression): Expression = {
-      if (ae.isDistinct || ae.filter.isDefined) fail()
+      if (ae.filter.isDefined) fail()
+      if (ae.isDistinct) ae.aggregateFunction match {
+        // count(DISTINCT g...) over group columns only: the view holds
+        // each live group tuple exactly once, so the distinct set of
+        // any subset of group columns is preserved verbatim
+        case c: Count =>
+          val remapped = c.children.map {
+            case a: AttributeReference if groupIdx(a).isDefined =>
+              viewAttr(d.groupCols(groupIdx(a).get))
+            case _ => fail()
+          }
+          return AggregateExpression(Count(remapped), Complete,
+            isDistinct = true)
+        case _ => fail()
+      }
       ae.aggregateFunction match {
         case c: Count
             if c.children.forall(ch => ch.foldable && ch.eval(null) != null) =>
@@ -325,6 +378,25 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             aggE(Max(viewAttr(d.groupCols(groupIdx(a).get))))
           case _ => fail()
         }
+        case h: HyperLogLogPlusPlus => h.child match {
+          // over a GROUP column the same function over the view rows
+          // is register-identical (HLL++ state is multiplicity- and
+          // order-insensitive; the distinct set is preserved verbatim)
+          case a: AttributeReference if groupIdx(a).isDefined =>
+            aggE(new HyperLogLogPlusPlus(
+              viewAttr(d.groupCols(groupIdx(a).get)), h.relativeSD, 0, 0))
+          // over an NDV column: substitute the stored DataSketches
+          // estimate for the HLL++ one — a DIFFERENT estimator whose
+          // rsd is <= the one the query requested, so the value may
+          // shift within the declared error band. That is a semantics
+          // change an approximate function's contract permits but the
+          // default must not make: opt-in via [[NdvSubstituteKey]]
+          case a: AttributeReference if ndvIdx(a).isDefined &&
+              ndvSubstitute &&
+              h.relativeSD >= MaterializedAggView.NdvRsd - 1e-12 =>
+            ndvEstimate(d.ndvCols(ndvIdx(a).get))
+          case _ => fail()
+        }
         case _ => fail()
       }
     }
@@ -332,6 +404,31 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // so a transform must not rewrite attributes underneath an
     // AggregateExpression before the aggregate itself is seen
     def tx(e: Expression): Expression = e match {
+      // hll_sketch_estimate(hll_sketch_agg(c[, lgK])) — matched as a
+      // PAIR so only the (long) estimate is ever substituted, never a
+      // raw sketch binary (whose serialized form the rewrite does not
+      // promise to reproduce). Substituted estimates stay within the
+      // sketch's rsd but are not bit-identical (see [[ndvEstimate]]),
+      // so the whole family needs the second opt-in
+      case HllSketchEstimate(ae: AggregateExpression)
+          if ndvSubstitute && !ae.isDistinct && ae.filter.isEmpty &&
+            ae.aggregateFunction.isInstanceOf[HllSketchAgg] =>
+        val h = ae.aggregateFunction.asInstanceOf[HllSketchAgg]
+        if (!h.right.foldable) fail()
+        h.left match {
+          // a sketch of a GROUP column re-sketches the view's rows —
+          // the distinct set is preserved verbatim, so any lgK keeps
+          // the requested accuracy
+          case a: AttributeReference if groupIdx(a).isDefined =>
+            HllSketchEstimate(aggE(new HllSketchAgg(
+              viewAttr(d.groupCols(groupIdx(a).get)), h.right, 0, 0)))
+          // a sketch of an NDV column merges the STORED sketches —
+          // same rsd only at the lgK they were built with
+          case a: AttributeReference if ndvIdx(a).isDefined &&
+              h.lgConfigK == MaterializedAggView.NdvLgK =>
+            ndvEstimate(d.ndvCols(ndvIdx(a).get))
+          case _ => fail()
+        }
       case ae: AggregateExpression => translate(ae)
       case a: AttributeReference => groupMap.getOrElse(a.exprId, fail())
       case other => other.mapChildren(tx)
@@ -347,7 +444,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // output contract: same names and types, nullability may not narrow
     agg.aggregateExpressions.zip(newAes).foreach { case (o, n) =>
       if (o.name != n.name || o.dataType != n.dataType ||
-          (!o.nullable && n.nullable)) fail()
+          (!o.nullable && n.nullable)) {
+        if (conf.getConfString("spark.graft.mv.rewrite.debugBail", "false")
+            .toBoolean)
+          throw new RuntimeException(s"contract mismatch: o=${o.name}:" +
+            s"${o.dataType}:${o.nullable} n=${n.name}:${n.dataType}:" +
+            s"${n.nullable} (${n.asInstanceOf[Alias].child})")
+        fail()
+      }
     }
     val child: LogicalPlan =
       if (remappedResidual.isEmpty) vRel
@@ -379,6 +483,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     cache.put(key, Entry(now, cands))
     cands
   }
+
+  private[acid] def debugCandidates(root: String, version: Long)
+      : Seq[Candidate] = computeCandidates(canon(root), version)
 
   private def computeCandidates(root: String, version: Long)
       : Seq[Candidate] = {
@@ -471,6 +578,20 @@ object MvRewriteRule {
   /** Session conf flag; default off — plans are untouched unless the
     * user opts in. */
   val EnabledKey = "spark.graft.mv.rewrite"
+
+  /** Second opt-in: allow approximate-distinct answers from the view's
+    * maintained DataSketches sketches — `approx_count_distinct(c)`
+    * over an NDV column, and `hll_sketch_estimate(hll_sketch_agg(..))`
+    * over an NDV column (at the stored lgK) or a group column. The
+    * substitute honors the requested rsd (the stored sketches' rsd is
+    * tighter or equal) but the VALUE may shift within the error band:
+    * DataSketches estimates depend on merge structure (a streamed
+    * sketch keeps the HIP estimator, a merged one falls back to the
+    * composite estimator), so they are not a pure function of the
+    * distinct set. Unlike every other rewrite, which is
+    * result-identical, this one needs the separate flag;
+    * [[EnabledKey]] alone never changes a result. */
+  val NdvSubstituteKey = "spark.graft.mv.rewrite.ndvSubstitute"
 
   private case object Bail extends ControlThrowable
 

@@ -181,12 +181,30 @@ class MvRewriteSpec extends AnyFunSuite {
       // sum over a column the view does not maintain
       assert(!scansView(
         srcDf(srcRoot).groupBy("g").agg(sum("m").as("sm")), viewRoot))
-      // distinct aggregates are not derivable from the view
+      // distinct aggregates over NON-group columns are not derivable
+      // (the view collapsed their multiplicity AND their values)
       assert(!scansView(
-        srcDf(srcRoot).groupBy("g").agg(countDistinct("g2")), viewRoot))
+        srcDf(srcRoot).groupBy("g").agg(countDistinct("v")), viewRoot))
       // max over a sum-only column
       assert(!scansView(
         srcDf(srcRoot).groupBy("g").agg(max("v")), viewRoot))
+    }
+  }
+
+  test("count(DISTINCT g) over group columns re-aggregates the view") {
+    val (_, srcRoot, viewRoot) = fixture()
+    def q(): DataFrame = srcDf(srcRoot).groupBy("g")
+      .agg(countDistinct("g2").as("dg2"), count(lit(1)).as("cnt"))
+      .orderBy(col("g").asc_nulls_first)
+    def qGlobal(): DataFrame = srcDf(srcRoot)
+      .agg(countDistinct("g", "g2").as("dgg2"))
+    val expected = withRewrite(on = false)(q().collect().toSeq)
+    val expectedG = withRewrite(on = false)(qGlobal().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot), "count-distinct rewrite did not fire")
+      assert(q().collect().toSeq == expected)
+      assert(scansView(qGlobal(), viewRoot))
+      assert(qGlobal().collect().toSeq == expectedG)
     }
   }
 
@@ -270,6 +288,96 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(scansView(q(), viewRoot))
       assert(q().collect().toSeq ==
         withRewrite(on = false)(q().collect().toSeq))
+    }
+  }
+
+  test("sketch estimates answer from the view under the second opt-in; " +
+      "group-column approx stays exact without it") {
+    val srcRoot = Files.createTempDirectory("graft_mvrw_nsrc_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvrw_nview_").toUri.toString
+    // 2 groups × 8 subgroups, ~6000 distinct values per group — far
+    // beyond the sketch's exact coupon regime, so the equalities below
+    // pin STATE-identity (union of the view's per-subgroup sketches ==
+    // one direct sketch over the raw rows), not small-count exactness.
+    // Columns are kept NULLABLE (otherwise-less CASE WHEN): the view
+    // stores nullable group columns, and the rewrite's output contract
+    // refuses to widen a non-nullable source output
+    val nullably = (c: org.apache.spark.sql.Column) => when(lit(true), c)
+    val df = spark.range(16000).select(
+      col("id").as("obj_id"),
+      when(col("id") % 2 === 0, "a").when(col("id") % 2 === 1, "b").as("g"),
+      nullably(col("id") % 8).as("g2"),
+      nullably(col("id") * 2654435761L % 6000).as("v"))
+    val src = VersionedTable.create(spark, srcRoot, df.schema)
+    val t = src.begin(); t.insert(df); src.commit(t)
+    MaterializedAggView.create(spark, viewRoot, src,
+      groupCols = Seq("g", "g2"), sumCols = Nil,
+      ndvCols = Seq("v")).refresh()
+    MvRewriteRule.invalidateCache()
+    def q(): DataFrame = srcDf(srcRoot).groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"))).as("ndv"))
+      .orderBy("g")
+    def qGlobal(): DataFrame = srcDf(srcRoot)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 12)).as("ndv"))
+    // sketches of a GROUP column re-sketch the view at any lgK
+    def qGroupCol(): DataFrame = srcDf(srcRoot).groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("g2"), 10)).as("ndv"))
+      .orderBy("g")
+    val exact = srcDf(srcRoot).groupBy("g")
+      .agg(countDistinct("v").as("x")).orderBy("g")
+      .collect().map(_.getLong(1))
+    val exactAll = srcDf(srcRoot).agg(countDistinct("v")).head.getLong(0)
+    // 5 sigma at the stored lgK 12 (rsd 1.6%)
+    def inBand(est: Long, ex: Long): Unit =
+      assert(math.abs(est - ex).toDouble / ex < 0.09,
+        s"substituted estimate $est too far from exact $ex")
+    withRewrite(on = true) {
+      // sketch estimates are in-band but NOT bit-identical (merge
+      // structure moves DataSketches estimates — HIP vs composite),
+      // so the base flag alone must leave them untouched
+      assert(!scansView(q(), viewRoot),
+        "sketch estimate must not rewrite without ndvSubstitute")
+      spark.conf.set(MvRewriteRule.NdvSubstituteKey, "true")
+      try {
+        assert(scansView(q(), viewRoot), "ndv estimate rewrite did not fire")
+        q().collect().map(_.getLong(1)).zip(exact).foreach {
+          case (est, ex) => inBand(est, ex) }
+        assert(scansView(qGlobal(), viewRoot))
+        inBand(qGlobal().head.getLong(0), exactAll)
+        assert(scansView(qGroupCol(), viewRoot))
+        // 4 distinct subgroup ids per parity group (even ids hit
+        // {0,2,4,6}, odd {1,3,5,7}): far inside lgK 10's exact regime
+        assert(qGroupCol().collect().map(_.getLong(1)).toSeq == Seq(4L, 4L))
+        // an ndv sketch at a DIFFERENT lgK changes the rsd: no rewrite
+        assert(!scansView(srcDf(srcRoot).groupBy("g")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 10)).as("n")),
+          viewRoot))
+        // the raw sketch BINARY is never substituted
+        assert(!scansView(srcDf(srcRoot).groupBy("g")
+          .agg(hll_sketch_agg(col("v")).as("sk")), viewRoot))
+
+        // approx_count_distinct over an ndv column: same flag
+        def acd(): DataFrame = srcDf(srcRoot).groupBy("g")
+          .agg(approx_count_distinct("v").as("ndv")).orderBy("g")
+        assert(scansView(acd(), viewRoot))
+        acd().collect().map(_.getLong(1)).zip(exact).foreach {
+          case (est, ex) => inBand(est, ex) }
+        // a REQUESTED rsd tighter than the stored sketches': no rewrite
+        assert(!scansView(srcDf(srcRoot).groupBy("g")
+          .agg(approx_count_distinct(col("v"), 0.01).as("n")), viewRoot))
+      } finally spark.conf.unset(MvRewriteRule.NdvSubstituteKey)
+
+      // approx_count_distinct over a GROUP column is a pure register
+      // max of the preserved distinct set: exactly the direct plan's
+      // value, so it rewrites WITHOUT the second opt-in
+      def acdG(): DataFrame = srcDf(srcRoot).groupBy("g")
+        .agg(approx_count_distinct("g2").as("n")).orderBy("g")
+      val expectedA = withRewrite(on = false)(acdG().collect().toSeq)
+      assert(scansView(acdG(), viewRoot))
+      assert(acdG().collect().toSeq == expectedA)
+      // ... and over an NDV column without the flag: no rewrite
+      assert(!scansView(srcDf(srcRoot).groupBy("g")
+        .agg(approx_count_distinct("v").as("n")), viewRoot))
     }
   }
 
