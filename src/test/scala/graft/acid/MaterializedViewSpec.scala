@@ -520,33 +520,40 @@ class MaterializedViewSpec extends AnyFunSuite {
   test("property: random churn never diverges count/sum/min/max from recompute") {
     // deterministic adversarial sequences over every maintained
     // aggregate at once: inserts (incl. nulls), value updates, group
-    // moves, deletes (which sooner or later kill extrema), refreshed
-    // at irregular intervals so each delta folds MULTIPLE commits
+    // moves, deletes (which sooner or later kill extrema AND net
+    // values out of the ndv sketches), refreshed at irregular
+    // intervals so each delta folds MULTIPLE commits. Values stay
+    // < 100 so every sketch sits in its exact coupon regime and the
+    // ndv estimate must EQUAL count(distinct v) at every checkpoint
     val rnd = new scala.util.Random(20260814L)
     val srcDir = Files.createTempDirectory("graft_mv_prop_src_").toUri.toString
     val viewDir = Files.createTempDirectory("graft_mv_prop_view_").toUri.toString
     val src = VersionedTable.create(spark, srcDir, schema)
     val mv = MaterializedAggView.create(spark, viewDir, src,
       groupCols = Seq("grp"), sumCols = Seq("v"),
-      minCols = Seq("v"), maxCols = Seq("v"))
+      minCols = Seq("v"), maxCols = Seq("v"), ndvCols = Seq("v"))
     val groups = Seq("a", "b", "c")
     var nextId = 1L
     val live = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def oracle(): Seq[(String, Long, Any, Any, Any)] =
+    def oracle(): Seq[(String, Long, Any, Any, Any, Long)] =
       src.read().groupBy("grp")
         .agg(count(lit(1)).as("cnt"), sum("v").as("s"),
-          min("v").as("mn"), max("v").as("mx"))
+          min("v").as("mn"), max("v").as("mx"),
+          countDistinct(col("v")).as("nd"))
         .collect().map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) null else r.getLong(2),
           if (r.isNullAt(3)) null else r.getLong(3),
-          if (r.isNullAt(4)) null else r.getLong(4)))
+          if (r.isNullAt(4)) null else r.getLong(4),
+          r.getLong(5)))
         .toSeq.sortBy(_._1)
-    def viewNow(): Seq[(String, Long, Any, Any, Any)] =
-      mv.read().select("grp", "cnt", "sum_v", "min_v", "max_v")
+    def viewNow(): Seq[(String, Long, Any, Any, Any, Long)] =
+      mv.read().select("grp", "cnt", "sum_v", "min_v", "max_v",
+          "approx_ndv_v")
         .collect().map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) null else r.getLong(2),
           if (r.isNullAt(3)) null else r.getLong(3),
-          if (r.isNullAt(4)) null else r.getLong(4)))
+          if (r.isNullAt(4)) null else r.getLong(4),
+          r.getLong(5)))
         .toSeq.sortBy(_._1)
     (1 to 30).foreach { step =>
       rnd.nextInt(4) match {
@@ -592,21 +599,25 @@ class MaterializedViewSpec extends AnyFunSuite {
     val src = VersionedTable.create(spark, srcDir, schema)
     val mv = MaterializedAggView.create(spark, viewDir, src,
       groupCols = Seq("grp"), sumCols = Seq("v"),
-      minCols = Seq("v"), maxCols = Seq("v"))
+      minCols = Seq("v"), maxCols = Seq("v"), ndvCols = Seq("v"))
     val groups = Seq("a", "b")
     var nextId = 1L
     val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // ndv rides along (coupon-exact at < 100 values): the snapshot
+    // REBUILD path must reconstruct sketches, not just fold them
     def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) null else r.getLong(2),
         if (r.isNullAt(3)) null else r.getLong(3),
-        if (r.isNullAt(4)) null else r.getLong(4)))
+        if (r.isNullAt(4)) null else r.getLong(4),
+        r.getLong(5)))
       .toSeq.sortBy(_._1)
     def oracle() = snap(src.read().groupBy("grp")
       .agg(count(lit(1)).as("cnt"), sum("v").as("s"),
-        min("v").as("mn"), max("v").as("mx")))
+        min("v").as("mn"), max("v").as("mx"),
+        countDistinct(col("v")).as("nd")))
     def viewNow() = snap(mv.read()
-      .select("grp", "cnt", "sum_v", "min_v", "max_v"))
+      .select("grp", "cnt", "sum_v", "min_v", "max_v", "approx_ndv_v"))
     (1 to 24).foreach { step =>
       rnd.nextInt(4) match {
         case 0 | 1 =>
