@@ -495,7 +495,18 @@ object AcidQueries {
       "COUNT(DISTINCT o_orderpriority) AS ndv_prio, " +
       "COUNT(DISTINCT o_custkey % 64) AS ndv_ck " +
       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")(
-      (s, dir) => ndvRewriteScenario(s, dir)))
+      (s, dir) => ndvRewriteScenario(s, dir)),
+
+    // CHECK constraints: declared via CALL add_constraint (validated
+    // against existing rows), enforced INSIDE every write job — a
+    // violating INSERT and a violating row-level UPDATE both fail
+    // loudly and land NOTHING, an unsatisfiable add is rejected, and
+    // the surviving table aggregates to a hand-computable constant
+    "q73_constraints" -> Q(
+      "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(sum_v AS BIGINT) AS sum_v " +
+      "FROM (VALUES ('a', 2, 30), ('b', 1, 5)) AS t(grp, cnt, sum_v) " +
+      "ORDER BY grp")((s, _) => constraintScenario(s)))
 
   /** Load orders (with a 64-bucket custkey column), materialize
     * per-(status, priority) count + NDV sketch, refresh, then run a
@@ -826,6 +837,58 @@ object AcidQueries {
     spark.sql(s"CALL $cat.system.refresh_mv('mv.agg')")
     // final source rows: (1,a,10), (3,b,30), (4,b,35)
     spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.mv.agg ORDER BY grp")
+  }
+
+  /** Full-SQL CHECK-constraint lifecycle (q73): seed a table, declare
+    * `v > 0` via CALL add_constraint (validated against existing
+    * rows), prove a violating INSERT and a violating row-level UPDATE
+    * both fail loudly naming the constraint and land NOTHING, prove an
+    * add the existing data violates is rejected, then aggregate the
+    * surviving rows — the oracle's constants a:(2,30) b:(1,5). */
+  def constraintScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq73$tag"
+    val wh = Files.createTempDirectory("graft_wh_q73_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.t (obj_id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 5)")
+    spark.sql(s"CALL $cat.system.add_constraint('ns.t', 'v_pos', 'v > 0')")
+    def mustFail(sql: String, frag: String): Unit = {
+      val failed =
+        try { spark.sql(sql).collect(); false }
+        catch {
+          case e: Throwable =>
+            var t: Throwable = e; var hit = false; var d = 0
+            while (t != null && d < 20) {
+              if (Option(t.getMessage).exists(_.contains(frag))) hit = true
+              t = t.getCause; d += 1
+            }
+            if (!hit) throw new IllegalStateException(
+              s"expected failure mentioning '$frag' from [$sql], got: " +
+              e.getMessage)
+            true
+        }
+      if (!failed)
+        throw new IllegalStateException(s"expected failure: $sql")
+    }
+    mustFail(s"INSERT INTO $cat.ns.t VALUES (4, 'c', -1)",
+      "CHECK constraint v_pos")
+    mustFail(s"UPDATE $cat.ns.t SET v = -5 WHERE obj_id = 1",
+      "CHECK constraint v_pos")
+    // an add the EXISTING rows violate must be rejected whole
+    mustFail(s"CALL $cat.system.add_constraint('ns.t', 'v_small', 'v < 15')",
+      "v_small")
+    val shown =
+      spark.sql(s"CALL $cat.system.show_constraints('ns.t')").collect()
+    if (shown.length != 1 || shown.head.getString(0) != "v_pos")
+      throw new IllegalStateException(
+        s"expected exactly constraint v_pos, got ${shown.mkString(",")}")
+    spark.sql(s"SELECT grp, CAST(count(*) AS BIGINT) AS cnt, " +
+      s"CAST(sum(v) AS BIGINT) AS sum_v FROM $cat.ns.t " +
+      "GROUP BY grp ORDER BY grp")
   }
 
   /** Orders-backed incremental-view lifecycle (see q63 above):

@@ -320,10 +320,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "mv_status" => new MvStatusProcedure(this)
       case "list_mvs" => new ListMvsProcedure(this)
       case "drop_mv" => new DropMvProcedure(this)
+      case "add_constraint" => new AddConstraintProcedure(this)
+      case "drop_constraint" => new DropConstraintProcedure(this)
+      case "show_constraints" => new ShowConstraintsProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
         "materialize, restore, create_mv, refresh_mv, " +
-        "set_partitioning, mv_status, list_mvs, drop_mv)")
+        "set_partitioning, mv_status, list_mvs, drop_mv, " +
+        "add_constraint, drop_constraint, show_constraints)")
     }
   }
 
@@ -852,6 +856,79 @@ private[acid] final class ListMvsProcedure(cat: GraftCatalog)
     java.util.Collections.singletonList[Scan](new ListScan(
       Seq("view_root", "role", "refreshed_version", "head_version",
         "lag_versions", "note"), rows)).iterator()
+  }
+}
+
+/** `CALL system.add_constraint(table, name, check)` — declare a CHECK
+  * invariant: validates existing rows (first violation fails the
+  * call), then every later write validates its staged rows inside the
+  * write job itself ([[Instance.enforceConstraints]]). NOT NULL is
+  * the special case `c IS NOT NULL`. */
+private[acid] final class AddConstraintProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "add_constraint"
+  override def description(): String =
+    "Add a CHECK constraint: validate existing rows, then enforce on " +
+    "every write (rows failing the boolean expression are rejected)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("constraint name (letters, digits, _)").build(),
+    ProcedureParameter.in("check", StringType)
+      .comment("boolean SQL expression over the table's columns; " +
+        "NULL passes, FALSE violates").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    inst.addConstraint(input.getUTF8String(1).toString,
+      input.getUTF8String(2).toString)
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("version", inst.latestVersion)).iterator()
+  }
+}
+
+/** `CALL system.drop_constraint(table, name)`. */
+private[acid] final class DropConstraintProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "drop_constraint"
+  override def description(): String =
+    "Drop a CHECK constraint added by add_constraint"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("name", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val hit = inst.dropConstraint(input.getUTF8String(1).toString)
+    if (!hit) throw new IllegalArgumentException(
+      s"no constraint named ${input.getUTF8String(1)} on " +
+      s"${input.getUTF8String(0)}")
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("version", inst.latestVersion)).iterator()
+  }
+}
+
+/** `CALL system.show_constraints(table)` — one row per constraint. */
+private[acid] final class ShowConstraintsProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "show_constraints"
+  override def description(): String =
+    "List the CHECK constraints in force on a table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val rows = inst.constraints.toSeq.sortBy(_._1)
+      .map { case (n, c) => Seq(n, c) }
+    java.util.Collections.singletonList[Scan](new ListScan(
+      Seq("name", "check"), rows)).iterator()
   }
 }
 

@@ -366,7 +366,16 @@ final class MaterializedAggView private (
         dimJoins.indices.exists(i =>
           (headDs(i) - lastDs(i)) >
             dimJoins(i).dim.conf.mvRebuildMaxInterval)
-      if (initial || forceRebuild || vacuumStale || longInterval) {
+      // inclusion–exclusion width guard: k churning sides plan
+      // 2^k - 1 union terms; past the cap the bounded snapshot
+      // rebuild (one join, O(table)) beats an exponentially wide
+      // incremental plan. Routine cadences (fact-only, fact + one
+      // dim) never come near it.
+      val changedSides = (if (head > last) 1 else 0) +
+        dimJoins.indices.count(i => headDs(i) > lastDs(i))
+      val tooManySides = changedSides > source.conf.mvMaxChangedSides
+      if (initial || forceRebuild || vacuumStale || longInterval ||
+          tooManySides) {
         val full = fullFold(head, headDs, gNow, sNow, mNow, xNow, nNow)
         try {
           view.withRetry() { t =>
@@ -435,12 +444,25 @@ final class MaterializedAggView private (
           val ctx = new StarCtx(head +: headDs)
           def whereF(df: DataFrame): DataFrame =
             where.fold(df)(p => df.filter(expr(p)))
-          val dFact = ctx.normalized(
+          // each changed side's delta appears in 2^(k-1) of the union
+          // terms below; past the 3-term single-dim shape, materialize
+          // the (O(churn)-sized) deltas once so the file-restricted
+          // delta scans don't re-run per term and the term plans stay
+          // shallow. Quiet sides' deltas are never evaluated — only
+          // changed ones may be checkpointed.
+          val ckptDeltas = changedSides >= 3
+          val dFact0 = ctx.normalized(
             whereF(source.weightedDelta(last, head, alignToHead = true)),
             0, None)
-          val dDims: Seq[DataFrame] = dimJoins.indices.map(i =>
-            ctx.normalized(dimJoins(i).dim.weightedDelta(
-              lastDs(i), headDs(i), alignToHead = true), i + 1, None))
+          val dFact =
+            if (ckptDeltas && head > last) dFact0.localCheckpoint()
+            else dFact0
+          val dDims: Seq[DataFrame] = dimJoins.indices.map { i =>
+            val d = ctx.normalized(dimJoins(i).dim.weightedDelta(
+              lastDs(i), headDs(i), alignToHead = true), i + 1, None)
+            if (ckptDeltas && headDs(i) > lastDs(i)) d.localCheckpoint()
+            else d
+          }
           val fSnap = ctx.normalized(
             whereF(source.snapshot(head)), 0, Some(1L))
           def dimSnap(i: Int): DataFrame = ctx.normalized(

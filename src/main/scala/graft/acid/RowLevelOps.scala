@@ -114,6 +114,25 @@ private[acid] final class GraftCowWrite(root: String, dataSchema: StructType,
       // the pinned (DDL, renames): staged files spell the mapping
       // resolved at op.version, so mapping drift must conflict too.
       val pinnedSt = inst.tableStateAt(op.version)
+      // CHECK constraints: this path stages its replacement rows on
+      // the executors (bypassing writeStaged's in-job validator), so
+      // the staged files are probed here — one bounded read of the
+      // operation's own churn, failing the whole op before anything
+      // lands. Constraints are read at the TXN snapshot (the current
+      // invariants); the files spell the op-pinned mapping.
+      val consNow = inst.tableStateAt(txn.readVersion).constraints
+      if (consNow.nonEmpty && staged.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        val rows = inst.viewOf(staged, pinnedSt.ddl, Map.empty,
+          pinnedSt.renames)
+        consNow.toSeq.sortBy(_._1).foreach { case (n, check) =>
+          val bad = rows.filter(coalesce(expr(check), lit(true)) === false)
+            .limit(1).collect()
+          if (bad.nonEmpty)
+            throw new ConstraintViolationException(
+              s"CHECK constraint $n ($check) violated by row ${bad.head}")
+        }
+      }
       txn.replaceScanned(scanned, staged,
         if (op.scan == null) Map.empty else op.scan.pinnedDvs,
         Some((pinnedSt.ddl, pinnedSt.renames)))

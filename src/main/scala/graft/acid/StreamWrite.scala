@@ -164,6 +164,25 @@ private[acid] final class GraftStreamingWrite(root: String,
             s"upstream, e.g. dropDuplicates(\"obj_id\"))")
         txn.deleteMatching(keys)
       }
+      // CHECK constraints: the streaming path stages its files on the
+      // executors (bypassing writeStaged's in-job validator), so each
+      // epoch validates its staged rows here — one bounded probe over
+      // THIS epoch's files only, failing the epoch before anything
+      // lands (the batch paths validate inside the write job itself)
+      val consNow = inst.tableStateAt(txn.readVersion).constraints
+      if (consNow.nonEmpty && staged.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        val rows = inst.viewOf(staged, pinnedMapping._1,
+          Map.empty, pinnedMapping._2)
+        consNow.toSeq.sortBy(_._1).foreach { case (n, check) =>
+          val bad = rows.filter(coalesce(expr(check), lit(true)) === false)
+            .limit(1).collect()
+          if (bad.nonEmpty)
+            throw new ConstraintViolationException(
+              s"streaming epoch $epochId: CHECK constraint $n ($check) " +
+              s"violated by row ${bad.head}")
+        }
+      }
       if (staged.nonEmpty)
         txn.replaceScanned(Nil, staged, Map.empty, Some(pinnedMapping))
       inst.commit(txn)

@@ -179,7 +179,18 @@ object VersionedTable {
       // bump): a reader ignoring the fields falls back to the
       // fail/ignoreChanges behavior — degraded, never wrong.
       cdc: Seq[String] = Nil,
-      cdcExact: Boolean = false)
+      cdcExact: Boolean = false,
+      // CHECK constraints (name -> boolean SQL expression over logical
+      // column names): every writer validates staged rows against the
+      // current map — a row for which any expression is FALSE (NULL
+      // passes, like SQL CHECK) fails the write loudly. Carried as the
+      // FULL current map on every manifest (like renames/schemaDDL);
+      // add/drop is a metadata-only commit that conflicts table-wide
+      // (the interleaved writer's rows were never validated against
+      // the new invariant). formatVersion-9 gated: a WRITER ignoring
+      // the map would land unvalidated rows and silently void the
+      // invariant every reader relies on.
+      constraints: Map[String, String] = Map.empty)
 
   /** Universal statistic for ONE leaf column of one data file, read
     * from the parquet footer at write time. `kind` tags the value
@@ -262,7 +273,10 @@ object VersionedTable {
       // exact live-file count; -1 = derive from inlineFiles (inline
       // states). Segmented folds compute it arithmetically from the
       // checkpoint's recorded count — never by materializing names.
-      liveCount: Long = -1L) {
+      liveCount: Long = -1L,
+      // CHECK constraints (name -> boolean SQL over logical names)
+      // in force at this version
+      constraints: Map[String, String] = Map.empty) {
     /** Physical (on-disk) name of logical column `n` under this
       * state's column mapping — identity for never-renamed columns. */
     def phys(n: String): String = renames.getOrElse(n, n)
@@ -406,10 +420,14 @@ object VersionedTable {
     * SEGMENTED checkpoints (`ckptRef`, the per-file state in a parquet
     * side file instead of inline): a reader ignoring the pointer would
     * fold an EMPTY checkpoint and see a vanished table.
+    * 9 added `constraints` (CHECK invariants): a WRITER ignoring the
+    * map would land rows nobody validated and silently void the
+    * invariant — so manifests carrying a non-empty map declare 9;
+    * unconstrained tables keep their earlier generation.
     * Each manifest declares the MINIMUM generation its own fields
     * need, so only tables actually using a feature lock out older
     * deployments. */
-  val FormatVersion = 8
+  val FormatVersion = 9
 
   private[graft] def toJson(m: Manifest): String = {
     def arrS(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -475,13 +493,22 @@ object VersionedTable {
     val tombs =
       if (m.tombstones.isEmpty) ""
       else s""""tombstones":${arrS(m.tombstones.sorted)},"""
+    // CHECK constraints as two parallel arrays (name, expression),
+    // sorted for byte-stable output; expressions are arbitrary SQL so
+    // they esc like ustat string bounds
+    val consKeys = m.constraints.keys.toSeq.sorted
+    val cons =
+      if (consKeys.isEmpty) ""
+      else s""""consNames":${arrS(consKeys)},""" +
+        s""""consExprs":${arrS(consKeys.map(m.constraints(_)))},"""
     val ckpt = m.ckptRef.map(r =>
       s""""ckptRef":"${esc(r)}","ckptFiles":${m.ckptFiles},""").getOrElse("")
     val cdcJson =
       if (!m.cdcExact && m.cdc.isEmpty) ""
       else s""""cdcFiles":${arrS(m.cdc)},"cdcExact":${m.cdcExact},"""
     val declaredFv =
-      if (m.tombstones.nonEmpty || m.ckptRef.isDefined) 8
+      if (m.constraints.nonEmpty) 9
+      else if (m.tombstones.nonEmpty || m.ckptRef.isDefined) 8
       else if (m.renames.nonEmpty) 7
       else if (m.multiRef.isDefined) 6
       else if ((m.dvs.valuesIterator ++ m.allDvs.valuesIterator)
@@ -496,8 +523,8 @@ object VersionedTable {
       s""""tsMillis":${m.tsMillis},"schemaDDL":"${esc(m.schemaDDL)}",""" +
       s""""added":${arrS(m.added)},"removed":${arrS(m.removed)},""" +
       s""""objects":${arrL(m.objects)},"checkpoint":${m.checkpoint},""" +
-      summary + cstats + apps + dvsJson + ustats + rens + tombs + ckpt +
-      cdcJson +
+      summary + cstats + apps + dvsJson + ustats + rens + tombs + cons +
+      ckpt + cdcJson +
       s""""allFiles":${arrS(m.allFiles)},""" +
       s""""statsFiles":${arrS(statKeys)},""" +
       s""""statsMin":${arrL(statKeys.map(m.stats(_)._1))},""" +
@@ -818,6 +845,9 @@ object VersionedTable {
       else Map.empty,
       tombstones = if (s.contains("\"tombstones\":"))
         strArr("tombstones") else Nil,
+      constraints = if (s.contains("\"consNames\":"))
+        strArr("consNames").zip(strArr("consExprs").map(unesc)).toMap
+      else Map.empty,
       ckptRef = if (s.contains("\"ckptRef\":\""))
         Some(strField("ckptRef")) else None,
       ckptFiles = if (s.contains("\"ckptFiles\":"))
@@ -1003,6 +1033,16 @@ final case class EngineConf(
     // already reclaimed). Sized so routine refresh cadences never hit
     // it; the rebuild is the same fold the initial build uses.
     mvRebuildMaxInterval: Int = 512,
+    // most relations (fact + dims) that may carry churn in ONE
+    // incremental star-view refresh interval: the signed join delta is
+    // an inclusion–exclusion over the CHANGED sides, so k churning
+    // relations plan 2^k - 1 union terms — fine for the routine cases
+    // (fact-only = 1 term, fact + a dim = 3), but a wide star whose
+    // every side moved in a long-offline interval would otherwise
+    // build an exponentially wide plan. Past the cap the refresh
+    // falls back to the bounded snapshot rebuild (same fallback as
+    // mvRebuildMaxInterval). Default 5 = at most 31 terms.
+    mvMaxChangedSides: Int = 5,
     // how long a reader waits for an in-flight cross-table commit's
     // decision record before arbitrating it ABORTED (the commit window
     // is pointer publishes + one claim, normally milliseconds; a
@@ -1030,11 +1070,18 @@ final case class EngineConf(
   require(commitLockTimeoutMs >= 1, s"commitLockTimeoutMs must be >= 1")
   require(fastPathRows >= 0, s"fastPathRows must be >= 0")
   require(mvRebuildMaxInterval >= 1, s"mvRebuildMaxInterval must be >= 1")
+  require(mvMaxChangedSides >= 1, s"mvMaxChangedSides must be >= 1")
 }
 
 /** Conflict = another transaction committed the same objects after this
   * transaction's snapshot (optimistic analog of tran_mgr lock waits). */
 final class ConflictException(msg: String) extends RuntimeException(msg)
+
+/** A write staged a row for which a CHECK constraint evaluates FALSE,
+  * or an addConstraint found an existing violating row. Carries the
+  * constraint name, its expression, and the first offending row. */
+final class ConstraintViolationException(msg: String)
+  extends RuntimeException(msg)
 
 /** The manifest declares a format generation newer than this reader —
   * a mixed-version deployment must upgrade, not parse-with-defaults.
@@ -1307,6 +1354,7 @@ final class Instance(val spark: SparkSession, val root: String,
     // so the fold just takes the last one
     var ren = ckpt.renames
     var tomb = ckpt.tombstones
+    var cons = ckpt.constraints
     // a checkpoint's full dv state lives in allDvs (segmented: in the
     // side files' dv column); its own delta is already folded in
     var dvs = segmented match {
@@ -1335,6 +1383,7 @@ final class Instance(val spark: SparkSession, val root: String,
       ddl = m.schemaDDL
       ren = m.renames
       tomb = m.tombstones
+      cons = m.constraints
       m.removed.foreach { f =>
         if (tailLive(f)) tailLive -= f else excluded += f
       }
@@ -1345,10 +1394,11 @@ final class Instance(val spark: SparkSession, val root: String,
         TableState(tailLive.toSeq.sorted, ddl, stats, colStats, dvs,
           fileStats, ren, tomb,
           Some(SidecarState(ref, excluded, tailLive)),
-          liveCount = ckptCount - excluded.size + tailLive.size)
+          liveCount = ckptCount - excluded.size + tailLive.size,
+          constraints = cons)
       case None =>
         TableState(files.toSeq.sorted, ddl, stats, colStats, dvs,
-          fileStats, ren, tomb, None)
+          fileStats, ren, tomb, None, constraints = cons)
     }
   }
 
@@ -1592,7 +1642,13 @@ final class Instance(val spark: SparkSession, val root: String,
     val dvBase = curState.dvs -- drop
     val dvFix = (dvBase.keySet ++ oldState.dvs.keySet).filter(f =>
       dvBase.get(f) != oldState.dvs.get(f))
-    if (reAdd.isEmpty && drop.isEmpty && dvFix.isEmpty) {
+    // METADATA-only differences restore too: a rename, schema change,
+    // or constraint add/drop after v leaves the file set identical but
+    // must still revert (the early no-op here used to swallow them)
+    val metaFix = oldState.ddl != curState.ddl ||
+      oldState.renames != curState.renames ||
+      oldState.constraints != curState.constraints
+    if (reAdd.isEmpty && drop.isEmpty && dvFix.isEmpty && !metaFix) {
       rollback(txn); return txn.readVersion
     }
     dvFix.foreach(f => txn.dvDelta(f) = oldState.dvs.getOrElse(f, Nil))
@@ -1658,11 +1714,16 @@ final class Instance(val spark: SparkSession, val root: String,
     }
     txn.schemaDDL = Some(oldDdl)
     txn.renames = Some(oldState.renames)
+    // restore reverts the whole metadata plane: constraints added (or
+    // dropped) after v revert with the data they were validated
+    // against — the restored rows all passed the restored map
+    txn.consOverride = Some(oldState.constraints)
     // restoring across a schema evolution (rename included) republishes
     // the old schema and column mapping — a table-wide change that must
     // conflict with any interleaved commit
     txn.schemaEvolved =
-      oldDdl != curDdl || oldState.renames != curState.renames
+      oldDdl != curDdl || oldState.renames != curState.renames ||
+      oldState.constraints != curState.constraints
     commit(txn)
   }
 
@@ -2240,15 +2301,59 @@ final class Instance(val spark: SparkSession, val root: String,
     * (reference: update_read_csn, instance.rs:384-386). */
   def refresh(txn: Txn): Unit = txn.readVersion = latestVersion
 
+  /** Top-level logical column names a constraint expression references
+    * (nested paths count their root) — the input to the rename/drop
+    * guards and the violation message's row context. */
+  private[acid] def constraintRefs(check: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(check).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.toSet
+
+  /** Wrap a staged DataFrame so the WRITE JOB ITSELF validates every
+    * row against the CHECK constraints — a lazily-throwing conjunct
+    * per constraint (`coalesce(check, true) OR raise_error(...)`):
+    * rows that pass short-circuit before the error branch, a FALSE row
+    * throws with the constraint name and the referenced columns'
+    * values as JSON. Zero extra IO — the predicate rides the write's
+    * own scan under whole-stage codegen; at 100 TB this is the only
+    * enforcement shape that doesn't double-read the staged data. The
+    * message expression always references at least one column
+    * (addConstraint guarantees refs.nonEmpty), so no branch is
+    * foldable and the optimizer can neither pre-evaluate nor drop
+    * it. */
+  private[acid] def enforceConstraints(df: DataFrame,
+      cons: Map[String, String]): DataFrame =
+    if (cons.isEmpty) df
+    else {
+      val colsLower = df.columns.map(c => c.toLowerCase -> c).toMap
+      val pred = cons.toSeq.sortBy(_._1).map { case (n, check) =>
+        val refs = constraintRefs(check)
+          .flatMap(r => colsLower.get(r.toLowerCase)).toSeq.sorted
+        val ctx =
+          if (refs.isEmpty) lit("(row context unavailable)")
+          else to_json(struct(refs.map(col): _*))
+        coalesce(expr(check), lit(true)) ||
+          raise_error(concat(
+            lit(s"CHECK constraint $n ($check) violated by row "), ctx))
+            .cast("boolean")
+      }.reduce(_ && _)
+      df.filter(pred)
+    }
+
   private[acid] def writeStaged(df0: DataFrame, txn: Txn,
       partitionBy0: Seq[String] = Nil): Seq[String] = {
+    // CHECK constraints ride the write job itself: every staged row —
+    // inserts, CoW rewrite survivors with their updated values, merge
+    // outputs — passes the throwing validator before any file lands
+    val dfC = enforceConstraints(df0, txn.localCons)
     // column mapping: callers hand LOGICAL column names; files always
     // spell the PHYSICAL names (fixed at each column's first
     // appearance), so renamed tables stage uniformly-named files
     val ren = txn.localRen
     val (df, partitionBy) =
-      if (ren.isEmpty) (df0, partitionBy0)
-      else (df0.select(df0.columns.toSeq.map(c =>
+      if (ren.isEmpty) (dfC, partitionBy0)
+      else (dfC.select(dfC.columns.toSeq.map(c =>
           col(c).as(ren.getOrElse(c, c))): _*),
         partitionBy0.map(c => ren.getOrElse(c, c)))
     // UUID suffix: staging dirs can never collide even if two processes
@@ -3189,6 +3294,9 @@ final class Instance(val spark: SparkSession, val root: String,
       // publish-race retry (each retry would re-pay an
       // O(checkpointInterval) manifest walk on an object store).
       var prevDdl = if (window.nonEmpty) snapshotDdl else ""
+      val prevCons =
+        if (window.nonEmpty) readManifest(txn.readVersion).constraints
+        else Map.empty[String, String]
       val txnIds = txn.objects.toSet
       // object overlap across the list/summary combinations: exact when
       // either side carries a literal id list (bloom membership has no
@@ -3265,6 +3373,15 @@ final class Instance(val spark: SparkSession, val root: String,
               s"schema changed by interleaved commit tsn ${m.tsn}")
         }
         prevDdl = m.schemaDDL
+        // an interleaved CONSTRAINT change leaves the DDL untouched but
+        // invalidates this txn's staged rows all the same (they were
+        // validated — or not — against the OLD map): conflict and let
+        // the retry re-stage under the new invariants
+        if (m.constraints != prevCons) {
+          txn.abort()
+          throw new ConflictException(
+            s"CHECK constraints changed by interleaved commit tsn ${m.tsn}")
+        }
       }
       val isCkpt = multiRef.isEmpty && attempt % checkpointInterval == 0
       val addedStats =
@@ -3359,6 +3476,7 @@ final class Instance(val spark: SparkSession, val root: String,
         // the snapshot's are current because any interleaved schema
         // change altered the DDL and already conflicted above
         renames = txn.localRen, tombstones = txn.localTomb,
+        constraints = txn.localCons,
         ckptRef = segRef,
         ckptFiles = if (segRef.isDefined) liveAfterCount else 0L,
         cdc = cdcWritten.getOrElse(Nil), cdcExact = cdcWritten.isDefined)
@@ -3640,6 +3758,24 @@ final class Instance(val spark: SparkSession, val root: String,
     recordVacuumHorizon(horizon)
     removed
   }
+
+  /** Add a CHECK constraint and validate existing rows — see
+    * [[Txn.addConstraint]]. One retried commit; a conflict re-runs the
+    * validation against the fresh snapshot. */
+  def addConstraint(name: String, check: String): Unit =
+    withRetry() { t => t.addConstraint(name, check) }
+
+  /** Drop a CHECK constraint; false = no such constraint (no commit
+    * is published for the no-op). */
+  def dropConstraint(name: String): Boolean = {
+    var hit = false
+    withRetry() { t => hit = t.dropConstraint(name) }
+    hit
+  }
+
+  /** CHECK constraints in force at the current head. */
+  def constraints: Map[String, String] =
+    tableStateAt(latestVersion).constraints
 
   /** First version whose [[weightedDelta]] pre-images are guaranteed
     * intact after every past [[vacuum]]: intervals `(from, to]` with
@@ -4085,6 +4221,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // txn-local retired-physical-name override, grown by drops in
   // adoptSchemaType; None = the snapshot's set applies
   private[acid] var tombstones: Option[Seq[String]] = None
+  // txn-local CHECK-constraint override (name -> boolean SQL over
+  // logical names), set by addConstraint/dropConstraint; None = the
+  // snapshot's map applies
+  private[acid] var consOverride: Option[Map[String, String]] = None
   // set when this txn will publish a DIFFERENT schema than its snapshot:
   // schema changes are table-wide, so commit treats one like a conflict
   // with EVERY interleaved commit (see Instance.commit)
@@ -4162,6 +4302,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   /** Txn-local retired-physical-name set (read-your-own-drops). */
   private[acid] def localTomb: Seq[String] =
     tombstones.getOrElse(cachedBaseState().tombstones)
+
+  /** Txn-local CHECK constraints (read-your-own-adds). */
+  private[acid] def localCons: Map[String, String] =
+    consOverride.getOrElse(cachedBaseState().constraints)
 
   /** Txn-local logical table schema (snapshot's, plus any evolution
     * this transaction already recorded). */
@@ -4510,6 +4654,15 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       "obj_id is the engine's primary key and cannot be renamed")
     require(to != null && to.nonEmpty && !to.contains(".") &&
       to != "obj_id", s"invalid target column name '$to'")
+    // a constraint is SQL text over logical names: renaming a column
+    // it references would silently unbind it (or bind it to a later
+    // re-added column). Loud and manual: drop the constraint first.
+    localCons.foreach { case (n, check) =>
+      if (inst.constraintRefs(check).exists(_.equalsIgnoreCase(from)))
+        throw new IllegalArgumentException(
+          s"column $from is referenced by CHECK constraint $n ($check); " +
+          "drop the constraint before renaming")
+    }
     val cur = localSchema
     require(cur.fieldNames.contains(from), s"no such column $from")
     require(!cur.fieldNames.contains(to), s"column $to already exists")
@@ -4523,6 +4676,71 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       if (f.name == from) f.copy(name = to) else f)).toDDL)
     schemaEvolved = true
     renames = Some(ren1)
+  }
+
+  /** Add a CHECK constraint (SQL `ALTER TABLE ... ADD CONSTRAINT name
+    * CHECK (expr)`): `check` is a boolean SQL expression over the
+    * table's LOGICAL column names; SQL semantics — a row passes when
+    * the expression is TRUE or NULL, violates only on FALSE. Existing
+    * rows are validated HERE (one probe scan, first violation
+    * surfaces), and from this commit on every writer validates its
+    * staged rows inside the write job itself (zero extra IO — see
+    * [[Instance.enforceConstraints]]); a violating write fails loudly
+    * with the constraint name and the offending row. Constraint
+    * changes are table-wide like schema changes: the commit conflicts
+    * with every interleaved commit, whose rows were never validated
+    * against the new invariant. NOT NULL is the special case
+    * `c IS NOT NULL`. Reference analog: db-core validates every
+    * write's target block invariants before it lands
+    * (block.rs checked adds via free-info accounting); here the
+    * invariant is user-declared and rides the manifest. */
+  def addConstraint(name: String, check: String): Unit = {
+    require(name != null && name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid constraint name '$name' (letters, digits, _ only)")
+    val cur = localCons
+    require(!cur.contains(name), s"constraint $name already exists")
+    // must analyze as a BOOLEAN over the current schema and reference
+    // at least one column (a column-free constraint is a constant —
+    // meaningless, and its enforcement expression would be foldable)
+    val probe =
+      try {
+        val sel = read().select(expr(check).as("_c"))
+        val dt = sel.schema.head.dataType
+        if (dt != org.apache.spark.sql.types.BooleanType)
+          throw new IllegalArgumentException(
+            s"constraint $name must be a boolean expression, got $dt")
+        if (!sel.queryExecution.analyzed.expressions.forall(_.deterministic))
+          throw new IllegalArgumentException(
+            s"constraint $name must be deterministic")
+        read().filter(coalesce(expr(check), lit(true)) === false).limit(1)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"constraint $name does not analyze against the table " +
+            s"schema: ${e.getMessage}")
+      }
+    if (inst.constraintRefs(check).isEmpty)
+      throw new IllegalArgumentException(
+        s"constraint $name references no table column")
+    val bad = probe.collect()
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(
+        s"cannot add constraint $name: existing row violates ($check): " +
+        bad.head.toString)
+    consOverride = Some(cur + (name -> check))
+    schemaEvolved = true // table-wide conflict semantics, like schema
+  }
+
+  /** Drop a CHECK constraint; returns false if no such constraint. */
+  def dropConstraint(name: String): Boolean = {
+    val cur = localCons
+    if (!cur.contains(name)) false
+    else {
+      consOverride = Some(cur - name)
+      schemaEvolved = true
+      true
+    }
   }
 
   /** Metadata-only type WIDENING (SQL `ALTER TABLE ... ALTER COLUMN
@@ -4583,6 +4801,16 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     }
     val addedCols = nextMap.keySet -- curMap.keySet
     val dropped = curMap.keySet -- nextMap.keySet
+    // dropping a constrained column would leave a constraint over a
+    // vanished name (every later write would fail analysis) — reject
+    // here, where the drop is stated, not at the next insert
+    if (dropped.nonEmpty) localCons.foreach { case (n, check) =>
+      val hit = inst.constraintRefs(check)
+        .find(r => dropped.exists(_.equalsIgnoreCase(r)))
+      hit.foreach(c => throw new SchemaEvolutionException(
+        s"column $c is referenced by CHECK constraint $n ($check); " +
+        "drop the constraint before dropping the column"))
+    }
     if (!allowEvolve) {
       throw new SchemaEvolutionException(
         s"insert schema differs from table schema (adds: " +
@@ -5186,7 +5414,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     addedStats.clear(); addedColStats.clear(); addedFileStats.clear()
     adopted.clear(); cdcStaged.clear()
     schemaDDL = None; schemaEvolved = false; renames = None
-    tombstones = None
+    tombstones = None; consOverride = None
     objSummary = None
   }
 }

@@ -1,0 +1,210 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** CHECK constraints: declared once, validated against existing rows
+  * at add time, then enforced INSIDE every write job (insert, CoW
+  * update/merge survivors, fast-path tiny commits) — a violating row
+  * fails the write loudly with the constraint name; NULL passes like
+  * SQL CHECK. Constraint changes conflict table-wide, ride the
+  * manifest full-map like renames, and revert with restore. */
+class ConstraintSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("obj_id", LongType, nullable = false),
+    StructField("grp", StringType),
+    StructField("v", LongType)))
+
+  private def fresh(conf: EngineConf = EngineConf()): Instance =
+    VersionedTable.create(spark,
+      Files.createTempDirectory("graft_cons_").toUri.toString, schema, conf)
+
+  private def messages(e: Throwable): String = {
+    var t: Throwable = e
+    val sb = new StringBuilder
+    var depth = 0
+    while (t != null && depth < 20) {
+      sb.append(Option(t.getMessage).getOrElse("")).append('\n')
+      t = t.getCause; depth += 1
+    }
+    sb.toString
+  }
+
+  test("insert validates in the write job; violating row names the constraint") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("obj_id", "grp", "v")) }
+    t.addConstraint("v_pos", "v > 0")
+    assert(t.constraints == Map("v_pos" -> "v > 0"))
+    // a LARGE insert takes the job path: force it past fastPathRows
+    val big = spark.range(100, 200)
+      .select(col("id").as("obj_id"), lit("c").as("grp"),
+        (col("id") - lit(150)).as("v")) // half the rows violate
+    val e = intercept[Exception] { t.withRetry() { x => x.insert(big) } }
+    assert(messages(e).contains("CHECK constraint v_pos"))
+    // nothing landed
+    assert(t.read().count() == 2)
+    // valid big insert lands
+    t.withRetry() { x => x.insert(spark.range(100, 200)
+      .select(col("id").as("obj_id"), lit("c").as("grp"),
+        col("id").as("v"))) }
+    assert(t.read().count() == 102)
+  }
+
+  test("fast-path tiny insert validates too; NULL passes like SQL CHECK") {
+    val t = fresh()
+    t.addConstraint("v_pos", "v > 0")
+    val e = intercept[Exception] { t.withRetry() { x =>
+      x.insert(Seq((1L, "a", -5L)).toDF("obj_id", "grp", "v")) } }
+    assert(messages(e).contains("CHECK constraint v_pos"))
+    assert(t.read().count() == 0)
+    // NULL v: the expression is NULL -> passes (SQL CHECK semantics)
+    t.withRetry() { x => x.insert(Seq((2L, "a")).toDF("obj_id", "grp")
+      .withColumn("v", lit(null).cast("long"))) }
+    assert(t.read().count() == 1)
+  }
+
+  test("addConstraint validates existing rows and rejects bad definitions") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, "a", -3L))
+      .toDF("obj_id", "grp", "v")) }
+    val e = intercept[ConstraintViolationException] {
+      t.addConstraint("v_pos", "v > 0") }
+    assert(e.getMessage.contains("v_pos"))
+    assert(t.constraints.isEmpty)
+    // non-boolean expression
+    intercept[IllegalArgumentException] { t.addConstraint("bad", "v + 1") }
+    // unknown column
+    intercept[IllegalArgumentException] { t.addConstraint("bad", "nope > 0") }
+    // column-free constant
+    intercept[IllegalArgumentException] { t.addConstraint("bad", "1 = 1") }
+    // non-deterministic
+    intercept[IllegalArgumentException] {
+      t.addConstraint("bad", "v > rand()") }
+    // bad name
+    intercept[IllegalArgumentException] { t.addConstraint("no-dash", "v > 0") }
+  }
+
+  test("update and merge outputs validate; drop lifts the invariant") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("obj_id", "grp", "v")) }
+    t.addConstraint("v_pos", "v > 0")
+    val e = intercept[Exception] { t.withRetry() { x =>
+      x.update(Seq(1L), df => df.withColumn("v", lit(-1L))) } }
+    assert(messages(e).contains("CHECK constraint v_pos"))
+    assert(t.read().filter(col("obj_id") === 1L).select("v")
+      .head().getLong(0) == 10L)
+    val e2 = intercept[Exception] { t.withRetry() { x =>
+      x.merge(Seq((3L, "c", -9L)).toDF("obj_id", "grp", "v"),
+        insertUnmatched = true) } }
+    assert(messages(e2).contains("CHECK constraint v_pos"))
+    assert(t.dropConstraint("v_pos"))
+    assert(!t.dropConstraint("v_pos"))
+    t.withRetry() { x => x.insert(Seq((4L, "d", -7L))
+      .toDF("obj_id", "grp", "v")) }
+    assert(t.read().count() == 3)
+  }
+
+  test("rename/drop of a referenced column is rejected; constraints survive checkpoints and reopen") {
+    val t = fresh(EngineConf(checkpointInterval = 2))
+    t.addConstraint("v_pos", "v > 0")
+    intercept[Exception] { t.withRetry() { x => x.renameColumn("v", "w") } }
+    intercept[Exception] { t.withRetry() { x =>
+      x.alterSchema(StructType(schema.filterNot(_.name == "v"))) } }
+    // unrelated rename is fine
+    t.withRetry() { x => x.renameColumn("grp", "g") }
+    // churn past several checkpoints, then reopen cold
+    (0 until 5).foreach { i =>
+      t.withRetry() { x => x.insert(Seq((i.toLong, "a", i + 1L))
+        .toDF("obj_id", "g", "v")) }
+    }
+    val re = VersionedTable.open(spark, t.root)
+    assert(re.constraints == Map("v_pos" -> "v > 0"))
+    val e = intercept[Exception] { re.withRetry() { x =>
+      x.insert(Seq((99L, "z", 0L)).toDF("obj_id", "g", "v")) } }
+    assert(messages(e).contains("CHECK constraint v_pos"))
+  }
+
+  test("a writer pinned before an interleaved constraint change conflicts") {
+    val t = fresh()
+    val txn = t.begin()
+    txn.insert(Seq((1L, "a", -5L)).toDF("obj_id", "grp", "v"))
+    // constraint lands AFTER the writer's snapshot: its staged rows
+    // were never validated against it, so the commit must conflict
+    t.addConstraint("v_pos", "v > 0")
+    val e = intercept[ConflictException] { t.commit(txn) }
+    assert(e.getMessage.contains("constraints changed"))
+    assert(t.read().count() == 0)
+  }
+
+  test("restore reverts the constraint plane with the data") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, "a", 5L))
+      .toDF("obj_id", "grp", "v")) }
+    val before = t.latestVersion
+    t.addConstraint("v_pos", "v > 0")
+    t.restore(before)
+    assert(t.constraints.isEmpty)
+    t.withRetry() { x => x.insert(Seq((2L, "b", -1L))
+      .toDF("obj_id", "grp", "v")) }
+    assert(t.read().count() == 2)
+  }
+
+  test("streaming sink: a violating micro-batch fails its epoch, lands nothing") {
+    val dir = Files.createTempDirectory("graft_cons_stream_").toUri.toString
+    val t = VersionedTable.create(spark, dir, schema)
+    t.addConstraint("v_pos", "v > 0")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_cons_sck_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "grp", "v")
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((1L, "a", 10L))
+    drain()
+    assert(t.read().count() == 1)
+    mem.addData((2L, "b", -5L))
+    val e = intercept[Exception] { drain() }
+    assert(messages(e).contains("CHECK constraint v_pos"))
+    assert(t.read().count() == 1)
+  }
+
+  test("SQL surface: add_constraint / show_constraints / drop_constraint") {
+    val wh = Files.createTempDirectory("graft_cons_sql_").toUri.toString
+    val cat = "gcons" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.t (obj_id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1, 'a', 10)")
+    spark.sql(s"CALL $cat.system.add_constraint('ns.t', 'v_pos', 'v > 0')")
+    val shown =
+      spark.sql(s"CALL $cat.system.show_constraints('ns.t')").collect()
+    assert(shown.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("v_pos", "v > 0")))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (2, 'b', -5)") }
+    assert(messages(e).contains("CHECK constraint v_pos"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)
+      == 1L)
+    spark.sql(s"CALL $cat.system.drop_constraint('ns.t', 'v_pos')")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (2, 'b', -5)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)
+      == 2L)
+  }
+}

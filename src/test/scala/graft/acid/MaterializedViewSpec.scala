@@ -820,6 +820,50 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(again.refreshedDimVersion(1) == dimP.latestVersion)
   }
 
+  test("star view: past mvMaxChangedSides the refresh rebuilds, not folds") {
+    // the inclusion–exclusion plan is 2^k - 1 terms for k churning
+    // sides; with the cap at 1, a fact+dim interval must take the
+    // bounded snapshot rebuild and still land the exact answer
+    val factSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("cust", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("region", StringType)))
+    val fact = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_cap_f_").toUri.toString,
+      factSchema, conf = EngineConf(mvMaxChangedSides = 1))
+    val dimC = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_mv_cap_d_").toUri.toString, dimSchema)
+    val mv = MaterializedAggView.create(spark,
+      Files.createTempDirectory("graft_mv_cap_v_").toUri.toString, fact,
+      groupCols = Seq("region"), sumCols = Seq("v"),
+      dimJoins = Seq(MaterializedAggView.DimJoin(dimC, "cust", "obj_id")))
+    dimC.withRetry() { t => t.insert(Seq((1L, "east"), (2L, "west"))
+      .toDF("obj_id", "region")) }
+    fact.withRetry() { t => t.insert(Seq((100L, 1L, 5L), (101L, 2L, 7L))
+      .toDF("obj_id", "cust", "v")) }
+    mv.refresh()
+    assert(mv.lastRefreshMode == "initial")
+
+    // fact-only churn: 1 changed side <= cap, stays incremental
+    fact.withRetry() { t => t.insert(Seq((102L, 1L, 3L))
+      .toDF("obj_id", "cust", "v")) }
+    mv.refresh()
+    assert(mv.lastRefreshMode == "incremental")
+
+    // fact + dim in one interval: 2 changed sides > cap -> rebuild
+    fact.withRetry() { t => t.delete(Seq(101L)) }
+    dimC.withRetry() { t =>
+      t.update(Seq(1L), df => df.withColumn("region", lit("north"))) }
+    mv.refresh()
+    assert(mv.lastRefreshMode == "rebuild")
+    val got = mv.read().select("region", "cnt", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq(("north", 2L, 8L)))
+  }
+
   test("property: random star churn never diverges from the join recompute") {
     // adversarial sequences over fact + 2 dims at once — fact
     // inserts/updates/deletes/key-retargets, dim group moves, dim
