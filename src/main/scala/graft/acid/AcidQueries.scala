@@ -506,7 +506,14 @@ object AcidQueries {
       "SELECT grp, CAST(cnt AS BIGINT) AS cnt, " +
       "CAST(sum_v AS BIGINT) AS sum_v " +
       "FROM (VALUES ('a', 2, 30), ('b', 1, 5)) AS t(grp, cnt, sum_v) " +
-      "ORDER BY grp")((s, _) => constraintScenario(s)))
+      "ORDER BY grp")((s, _) => constraintScenario(s)),
+
+    // SNAPSHOT TAGS: pin a version under a name, churn + vacuum at
+    // retention 1 — the tag holds the vacuum horizon, so
+    // `VERSION AS OF 'r1'` still reads the pinned snapshot exactly
+    "q74_tags" -> Q(
+      "SELECT obj_id, v FROM (VALUES (1, 10), (2, 20), (3, 30)) " +
+      "AS t(obj_id, v) ORDER BY obj_id")((s, _) => tagScenario(s)))
 
   /** Load orders (with a 64-bucket custkey column), materialize
     * per-(status, priority) count + NDV sketch, refresh, then run a
@@ -889,6 +896,29 @@ object AcidQueries {
     spark.sql(s"SELECT grp, CAST(count(*) AS BIGINT) AS cnt, " +
       s"CAST(sum(v) AS BIGINT) AS sum_v FROM $cat.ns.t " +
       "GROUP BY grp ORDER BY grp")
+  }
+
+  /** Snapshot-tag lifecycle (q74): seed, `CALL tag('ns.t','r1')`,
+    * churn with UPDATE + DELETE + INSERT, vacuum at retention 1 (the
+    * tag pins the horizon), then read `VERSION AS OF 'r1'` — exactly
+    * the pinned rows, files intact through the aggressive vacuum. */
+  def tagScenario(spark: SparkSession): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq74$tag"
+    val wh = Files.createTempDirectory("graft_wh_q74_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.t (obj_id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"CALL $cat.system.tag('ns.t', 'r1')")
+    // CoW churn that would retire the pinned generation's files
+    spark.sql(s"UPDATE $cat.ns.t SET v = 99 WHERE obj_id = 1")
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE obj_id = 2")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (4, 40)")
+    spark.sql(s"CALL $cat.system.vacuum('ns.t', retain_versions => 1)")
+    spark.sql(
+      s"SELECT obj_id, v FROM $cat.ns.t VERSION AS OF 'r1' ORDER BY obj_id")
   }
 
   /** Orders-backed incremental-view lifecycle (see q63 above):

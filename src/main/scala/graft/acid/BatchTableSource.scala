@@ -103,7 +103,8 @@ private[acid] object GraftTableSource {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "versionAsOf and timestampAsOf are mutually exclusive")
       case (Some(s), None) =>
-        val v = s.trim.toLong
+        // numeric = version; anything else = a snapshot TAG
+        val v = inst.resolveVersionSpec(s)
         val head = inst.latestVersion
         require(v >= 0 && v <= head,
           s"versionAsOf $v out of range [0, $head] for ${inst.root}")
@@ -745,7 +746,8 @@ private[acid] object GraftTableSource {
 
 private[acid] final class GraftTable(root: String, version: Long,
     tableSchema: StructType, timeTraveled: Boolean = false,
-    partitionByOpt: Option[String] = None)
+    partitionByOpt: Option[String] = None,
+    clusterByOpt: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -795,14 +797,38 @@ private[acid] final class GraftTable(root: String, version: Long,
   private[acid] def insert(data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean, appTxn: Option[(String, Long)]): Unit = {
     val inst = VersionedTable.open(data.sparkSession, root)
+    // ingest clustering (set_clustering / cluster_by table property):
+    // range-partition + locally sort the batch on the cluster columns
+    // BEFORE staging, so each landed file covers a disjoint range of
+    // the leading column and footer-stat pruning is tight from the
+    // first insert — not only after the next compact. One shuffle per
+    // insert (AQE coalesces the range partitions to data size). Tiny
+    // local batches skip the shape: clustering a fastPathRows-sized
+    // file buys nothing and would forfeit the driver fast path.
+    val clusterCols = clusterByOpt
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val tinyLocal = clusterCols.nonEmpty &&
+      (data.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.length <= inst.conf.fastPathRows
+        case _ => false
+      })
+    val shaped =
+      if (clusterCols.isEmpty || tinyLocal) data
+      else data
+        .repartitionByRange(clusterCols.map(org.apache.spark.sql
+          .functions.col): _*)
+        .sortWithinPartitions(clusterCols.map(org.apache.spark.sql
+          .functions.col): _*)
     val txn = inst.begin()
     try {
       appTxn.foreach { case (id, v) => txn.markEpoch(id, v) }
       if (overwrite) txn.truncate()
       partitionByOpt.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty) match {
-        case Some(cols) => txn.insertPartitioned(data, cols)
-        case None => txn.insert(data)
+        case Some(cols) => txn.insertPartitioned(shaped, cols)
+        case None => txn.insert(shaped)
       }
       inst.commit(txn)
     } catch {

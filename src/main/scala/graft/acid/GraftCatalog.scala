@@ -88,7 +88,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val inst = VersionedTable.open(SparkSession.active, root)
     new GraftTable(root, version,
       StructType.fromDDL(inst.stateAt(version)._2), timeTraveled,
-      partitionByOpt = readPartitionBy(ident))
+      partitionByOpt = readPartitionBy(ident),
+      clusterByOpt = readClusterBy(ident))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -119,10 +120,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     graftTable(ident, inst.latestVersion, timeTraveled = false)
   }
 
-  /** SQL `VERSION AS OF v`. */
+  /** SQL `VERSION AS OF v` — or `VERSION AS OF 'tag'` (snapshot tags,
+    * [[Instance.tagVersion]]; tag names can't be all-digits, so the
+    * two namespaces never collide). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    graftTable(ident, version.trim.toLong, timeTraveled = true)
+    val inst = VersionedTable.open(SparkSession.active,
+      tablePath(ident).toString)
+    graftTable(ident, inst.resolveVersionSpec(version), timeTraveled = true)
   }
 
   /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds. */
@@ -146,27 +151,67 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
+    // CREATE TABLE ... TBLPROPERTIES ('cluster_by' = 'c1,c2'): ingest
+    // clustering from the first insert (see [[setClustering]])
+    val clusterCols = Option(properties.get("cluster_by")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column $c not in schema"))
     val root = tablePath(ident)
     fs.mkdirs(root.getParent)
     VersionedTable.create(SparkSession.active, root.toString, schema)
-    if (partCols.nonEmpty) {
-      val out = fs.create(new Path(root, "_catalog.json"), false)
-      out.write(s"""{"partitionBy":"${partCols.mkString(",")}"}"""
-        .getBytes("UTF-8"))
-      out.close()
-    }
+    if (partCols.nonEmpty || clusterCols.nonEmpty)
+      writeCatalogSpec(ident, partCols, clusterCols)
     graftTable(ident, 0L, timeTraveled = false)
   }
 
-  private def readPartitionBy(ident: Identifier): Option[String] = {
+  private def readCatalogKey(ident: Identifier, key: String)
+      : Option[String] = {
     val p = new Path(tablePath(ident), "_catalog.json")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val m = """"partitionBy":"([^"]*)"""".r.findFirstMatchIn(s)
+      val m = (s""""$key":"([^"]*)"""").r.findFirstMatchIn(s)
       m.map(_.group(1)).filter(_.nonEmpty)
+    }
+  }
+
+  private def readPartitionBy(ident: Identifier): Option[String] =
+    readCatalogKey(ident, "partitionBy")
+
+  private def readClusterBy(ident: Identifier): Option[String] =
+    readCatalogKey(ident, "clusterBy")
+
+  /** Rewrite `_catalog.json` with the given specs (absent when both
+    * are empty) — write-then-rename, never delete-then-create: a crash
+    * between a delete and a create would silently leave the table
+    * spec-less for every subsequent write, and a concurrent reader in
+    * the window would see no spec at all. */
+  private def writeCatalogSpec(ident: Identifier,
+      partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+    val p = new Path(tablePath(ident), "_catalog.json")
+    if (partitionBy.isEmpty && clusterBy.isEmpty) {
+      if (fs.exists(p)) fs.delete(p, false)
+      return
+    }
+    val json = "{" + Seq(
+      if (partitionBy.isEmpty) None
+      else Some(s""""partitionBy":"${partitionBy.mkString(",")}""""),
+      if (clusterBy.isEmpty) None
+      else Some(s""""clusterBy":"${clusterBy.mkString(",")}"""")
+    ).flatten.mkString(",") + "}"
+    val tmp = new Path(tablePath(ident),
+      s"._catalog-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+    try {
+      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+    } finally {
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
     }
   }
 
@@ -204,14 +249,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"no such column $name")
           require(!partCols.contains(name),
             s"cannot drop partition column $name")
+          require(!readClusterBy(ident)
+              .exists(_.split(',').map(_.trim).contains(name)),
+            s"cannot drop cluster column $name " +
+            "(clear it with CALL system.set_clustering first)")
           txn.alterSchema(StructType(
             txn.localSchema.filterNot(_.name == name)))
         case ren: TableChange.RenameColumn =>
           val from = one(ren.fieldNames(), "RENAME COLUMN")
-          // the partition list in _catalog.json names logical columns;
-          // keeping renames off them keeps that file authoritative
+          // the partition/cluster lists in _catalog.json name logical
+          // columns; keeping renames off them keeps that file
+          // authoritative
           require(!partCols.contains(from),
             s"cannot rename partition column $from")
+          require(!readClusterBy(ident)
+              .exists(_.split(',').map(_.trim).contains(from)),
+            s"cannot rename cluster column $from " +
+            "(clear it with CALL system.set_clustering first)")
           txn.renameColumn(from, ren.newName())
         case upd: TableChange.UpdateColumnType =>
           txn.widenColumn(one(upd.fieldNames(), "ALTER COLUMN TYPE"),
@@ -317,17 +371,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "create_mv" => new CreateMvProcedure(this)
       case "refresh_mv" => new RefreshMvProcedure(this)
       case "set_partitioning" => new SetPartitioningProcedure(this)
+      case "set_clustering" => new SetClusteringProcedure(this)
       case "mv_status" => new MvStatusProcedure(this)
       case "list_mvs" => new ListMvsProcedure(this)
       case "drop_mv" => new DropMvProcedure(this)
       case "add_constraint" => new AddConstraintProcedure(this)
       case "drop_constraint" => new DropConstraintProcedure(this)
       case "show_constraints" => new ShowConstraintsProcedure(this)
+      case "tag" => new TagProcedure(this)
+      case "delete_tag" => new DeleteTagProcedure(this)
+      case "list_tags" => new ListTagsProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
         "materialize, restore, create_mv, refresh_mv, " +
-        "set_partitioning, mv_status, list_mvs, drop_mv, " +
-        "add_constraint, drop_constraint, show_constraints)")
+        "set_partitioning, set_clustering, mv_status, list_mvs, " +
+        "drop_mv, add_constraint, drop_constraint, show_constraints, " +
+        "tag, delete_tag, list_tags)")
     }
   }
 
@@ -358,28 +417,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
     cols.foreach(c => require(schemaCols.contains(c),
       s"partition column $c not in table schema"))
-    val p = new Path(tablePath(ident), "_catalog.json")
-    if (cols.isEmpty) {
-      // un-partitioning IS the absence of the spec file
-      if (fs.exists(p)) fs.delete(p, false)
-    } else {
-      // write-then-rename, never delete-then-create: a crash between
-      // a delete and a create would silently leave the table
-      // unpartitioned for every subsequent write, and a concurrent
-      // reader in the window would see no spec at all
-      val tmp = new Path(tablePath(ident),
-        s"._catalog-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write(s"""{"partitionBy":"${cols.mkString(",")}"}"""
-        .getBytes("UTF-8"))
-      finally out.close()
-      try {
-        if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
-      } finally {
-        try { if (fs.exists(tmp)) fs.delete(tmp, false) }
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-    }
+    writeCatalogSpec(ident, cols,
+      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil))
+  }
+
+  /** CLUSTER-SPEC EVOLUTION (the ingest-side half of `compact`'s
+    * clusterBy): record the columns every catalog INSERT should
+    * range-cluster + locally sort its files on, so the universal
+    * footer-stat index prunes point/range predicates on them to
+    * O(files-per-range) from the moment rows land — instead of
+    * degrading until the next OPTIMIZE pass. Metadata-only; Nil
+    * clears. The leading column gets disjoint per-file ranges; a
+    * periodic `compact(clusterBy = ...)` still gives the multi-column
+    * Z-order layout across the whole table. */
+  private[acid] def setClustering(dotted: String,
+      cols: Seq[String]): Unit = {
+    val parts = dotted.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val inst = openInstance(dotted)
+    val schemaCols = StructType
+      .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
+    cols.foreach(c => require(schemaCols.contains(c),
+      s"cluster column $c not in table schema"))
+    writeCatalogSpec(ident,
+      readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil), cols)
   }
 
   private[acid] def pathFor(dotted: String): Path = {
@@ -932,6 +994,80 @@ private[acid] final class ShowConstraintsProcedure(cat: GraftCatalog)
   }
 }
 
+/** `CALL system.tag(table, name[, version])` — pin a committed version
+  * under a name: `VERSION AS OF 'name'` reads it, and vacuum's horizon
+  * never passes the oldest tag, so the pinned snapshot stays readable
+  * until `delete_tag`. Version defaults to the current head. */
+private[acid] final class TagProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "tag"
+  override def description(): String =
+    "Pin a committed version under a name: readable via VERSION AS OF " +
+    "'name', protected from vacuum until delete_tag"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag name (letters, digits, _ - .; not all digits)")
+      .build(),
+    ProcedureParameter.in("version", LongType)
+      .comment("committed version to pin; default = current head")
+      .defaultValue("-1").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val v = inst.tagVersion(input.getUTF8String(1).toString,
+      input.getLong(2))
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("tagged_version", v)).iterator()
+  }
+}
+
+/** `CALL system.delete_tag(table, name)` — unpin; reclamation of the
+  * previously pinned history resumes at the next vacuum. */
+private[acid] final class DeleteTagProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "delete_tag"
+  override def description(): String =
+    "Drop a snapshot tag created by tag(); vacuum may then reclaim the " +
+    "previously pinned history"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("name", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val hit = inst.deleteTag(input.getUTF8String(1).toString)
+    if (!hit) throw new IllegalArgumentException(
+      s"no tag named ${input.getUTF8String(1)} on " +
+      s"${input.getUTF8String(0)}")
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("deleted", 1L)).iterator()
+  }
+}
+
+/** `CALL system.list_tags(table)` — one row per tag. */
+private[acid] final class ListTagsProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "list_tags"
+  override def description(): String = "List a table's snapshot tags"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val inst = cat.openInstance(input.getUTF8String(0).toString)
+    val rows = inst.tags.toSeq.sortBy(_._1)
+      .map { case (n, v) => Seq(n, v.toString) }
+    java.util.Collections.singletonList[Scan](new ListScan(
+      Seq("name", "version"), rows)).iterator()
+  }
+}
+
 /** `CALL system.drop_mv(view)` — the lifecycle close of `create_mv`:
   * de-registers the view from its fact and every dimension (so
   * `list_mvs` and vacuum's rebuild report stop naming it) and deletes
@@ -980,5 +1116,33 @@ private[acid] final class SetPartitioningProcedure(cat: GraftCatalog)
     cat.setPartitioning(input.getUTF8String(0).toString, cols)
     java.util.Collections.singletonList[Scan](
       new MetricScan("partition_columns", cols.size.toLong)).iterator()
+  }
+}
+
+/** `CALL system.set_clustering(table, cluster_by)` — ingest-side
+  * clustering: every later catalog INSERT range-clusters + locally
+  * sorts its staged files on these columns, so footer-stat pruning on
+  * them stays tight from the moment rows land (compact's Z-order
+  * remains the whole-table layout pass). Metadata-only; empty clears. */
+private[acid] final class SetClusteringProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_clustering"
+  override def description(): String =
+    "Set the columns new catalog INSERTs range-cluster + sort their " +
+    "files on (metadata-only; empty = clear; compact re-lays old files)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("cluster_by", StringType)
+      .comment("comma-separated cluster columns; empty = clear")
+      .defaultValue("''").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val cols = input.getUTF8String(1).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    cat.setClustering(input.getUTF8String(0).toString, cols)
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("cluster_columns", cols.size.toLong)).iterator()
   }
 }

@@ -3574,7 +3574,14 @@ final class Instance(val spark: SparkSession, val root: String,
     * bounded. */
   def vacuum(retainVersions: Int, sweepOrphans: Boolean = true): Int = {
     val head = latestVersion
-    val horizon = math.max(0L, head - retainVersions + 1)
+    // tag protection: the horizon never passes the OLDEST tag, so a
+    // tagged snapshot (and everything after it) stays fully readable —
+    // the walk below then covers a longer window (manifest READS only,
+    // pooled; the file retention itself is what the tag asks for).
+    // Deleting the tag re-allows reclamation at the next vacuum.
+    val minTag = tags.values.minOption.getOrElse(Long.MaxValue)
+    val horizon = math.max(0L,
+      math.min(head - retainVersions + 1, minTag))
     // EVERY manifest is read exactly ONCE: one backward walk from the
     // horizon to its governing checkpoint, one pooled forward read of
     // (horizon, head]. The live set is the horizon snapshot plus every
@@ -3757,6 +3764,97 @@ final class Instance(val spark: SparkSession, val root: String,
     // its FileNotFound fallback, never to a wrong answer).
     recordVacuumHorizon(horizon)
     removed
+  }
+
+  /** SNAPSHOT TAGS: name a committed version (`_tags.json` under the
+    * root, write-then-rename like the other side specs). A tagged
+    * version is PROTECTED from [[vacuum]] — the effective horizon
+    * never passes the oldest tag, so the tag's whole snapshot (and
+    * every later one) stays readable and restorable until the tag is
+    * deleted. Time travel accepts tags wherever it accepts versions:
+    * SQL `VERSION AS OF 'name'`, `.option("versionAsOf", "name")`,
+    * [[snapshotByTag]]. The operational shape: pin the exact snapshot
+    * a training run consumed, vacuum freely, reproduce later.
+    * Reference analog: a checkpoint CSN pins recoverable state
+    * (checkpointer.rs) — here the pin is named and user-held. */
+  def tagVersion(name: String, version: Long = -1L): Long = {
+    require(name != null && name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' ||
+        c == '.'),
+      s"invalid tag name '$name' (letters, digits, _ - . only)")
+    require(name.exists(!_.isDigit),
+      s"tag name '$name' must not be all digits (ambiguous with a " +
+      "version number in VERSION AS OF)")
+    val v = if (version < 0L) latestVersion else version
+    require(v >= 0L && v <= latestVersion,
+      s"cannot tag uncommitted version $v (head ${latestVersion})")
+    val cur = tags
+    require(!cur.contains(name),
+      s"tag '$name' already exists (at v${cur(name)}); delete it first")
+    writeTags(cur + (name -> v))
+    v
+  }
+
+  /** Drop a tag; false = no such tag. Reclamation of the previously
+    * pinned history resumes at the next [[vacuum]]. */
+  def deleteTag(name: String): Boolean = {
+    val cur = tags
+    cur.contains(name) && { writeTags(cur - name); true }
+  }
+
+  /** Current tags (name -> version). */
+  def tags: Map[String, Long] = {
+    val p = new Path(root, "_tags.json")
+    try {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val s = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+        """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+    } catch { case _: java.io.IOException => Map.empty }
+  }
+
+  /** Version a tag names, or the parsed number if `spec` is numeric —
+    * the shared resolver behind `VERSION AS OF` / `versionAsOf`. */
+  private[acid] def resolveVersionSpec(spec: String): Long = {
+    val t = spec.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else tags.getOrElse(t, throw new IllegalArgumentException(
+      s"no tag '$t' on $root (have: " +
+      s"${tags.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  /** The pinned snapshot a tag names. */
+  def snapshotByTag(name: String): DataFrame =
+    snapshot(resolveVersionSpec(name))
+
+  private def writeTags(m: Map[String, Long]): Unit = {
+    val p = new Path(root, "_tags.json")
+    if (m.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
+    val json = "{" + m.toSeq.sortBy(_._1).map { case (n, v) =>
+      "\"" + n.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      } + "\":" + v
+    }.mkString(",") + "}"
+    val tmp = new Path(root,
+      s"._tags-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+    try {
+      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+    } finally {
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Add a CHECK constraint and validate existing rows — see

@@ -80,8 +80,21 @@ class ManifestSpec extends AnyFunSuite {
     assert(toJson(plain).contains("\"formatVersion\":2"))
     // a manifest declaring a future generation still fails loudly
     val future = toJson(plain).replace("\"formatVersion\":2",
-      "\"formatVersion\":9")
+      "\"formatVersion\":10")
     intercept[ManifestFormatException] { fromJson(future) }
+  }
+
+  test("CHECK constraints declare formatVersion 9 and round-trip exactly") {
+    val cons = Map("v_pos" -> "v > 0",
+      "weird" -> """s LIKE '%"x\\%' AND v != 0""")
+    val m = Manifest(1, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = false, Nil, constraints = cons)
+    assert(toJson(m).contains("\"formatVersion\":9"))
+    assert(fromJson(toJson(m)).constraints == cons)
+    // constraint-free manifests keep their earlier generation
+    val plain = Manifest(1, 2, "a BIGINT", Nil, Nil, Nil,
+      checkpoint = false, Nil, tombstones = Seq("old_col"))
+    assert(toJson(plain).contains("\"formatVersion\":8"))
   }
 
   test("tombstones and segmented-checkpoint refs declare formatVersion 8") {

@@ -1,0 +1,104 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Snapshot tags: named, vacuum-protected versions. `tag` pins, time
+  * travel accepts the name everywhere a version number works, vacuum's
+  * horizon never passes the oldest tag, and `delete_tag` releases the
+  * pin (reclamation resumes at the next vacuum). */
+class TagSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  // grace 0: retired-below-horizon files fall to the orphan sweep
+  // immediately (default 24h shields live in-flight staging; no
+  // in-flight txns here), so reclamation is observable in-test
+  private def fresh(): Instance =
+    VersionedTable.create(spark,
+      Files.createTempDirectory("graft_tag_").toUri.toString,
+      AcidQueries.schema,
+      EngineConf(checkpointInterval = 2, orphanGraceMs = 0L))
+
+  test("tag + time travel by name across every surface") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, 10L), (2L, 20L))
+      .toDF("obj_id", "value")) }
+    val v = t.tagVersion("baseline")
+    assert(v == t.latestVersion)
+    t.withRetry() { x => x.update(Seq(1L),
+      df => df.withColumn("value", lit(99L))) }
+    // programmatic
+    assert(t.snapshotByTag("baseline").orderBy("obj_id").collect()
+      .map(_.getLong(1)).toSeq == Seq(10L, 20L))
+    // DataFrame option
+    assert(spark.read.format("graft").option("path", t.root)
+      .option("versionAsOf", "baseline").load()
+      .orderBy("obj_id").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L))
+    // current head unaffected
+    assert(t.read().orderBy("obj_id").collect()
+      .map(_.getLong(1)).toSeq == Seq(99L, 20L))
+    // validation
+    intercept[IllegalArgumentException] { t.tagVersion("baseline") }
+    intercept[IllegalArgumentException] { t.tagVersion("123") }
+    intercept[IllegalArgumentException] { t.tagVersion("bad name") }
+    intercept[IllegalArgumentException] {
+      t.tagVersion("future", t.latestVersion + 5) }
+    intercept[IllegalArgumentException] { t.snapshotByTag("nope") }
+    assert(t.tags == Map("baseline" -> v))
+  }
+
+  test("vacuum never passes the oldest tag; delete_tag releases the pin") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, 10L), (2L, 20L))
+      .toDF("obj_id", "value")) }
+    val pinned = t.tagVersion("pin")
+    // CoW churn: each update retires the previous generation's file
+    (0 until 6).foreach { i =>
+      t.withRetry() { x => x.update(Seq(1L),
+        df => df.withColumn("value", lit(100L + i))) }
+    }
+    t.vacuum(retainVersions = 1)
+    // the tagged snapshot survived aggressive retention
+    assert(t.snapshot(pinned).orderBy("obj_id").collect()
+      .map(_.getLong(1)).toSeq == Seq(10L, 20L))
+    // and so did every version after it (horizon = the tag)
+    assert(t.snapshot(pinned + 3).count() == 2)
+    // releasing the pin lets the next vacuum reclaim the old
+    // generations (grace 0 -> the orphan sweep takes them now)
+    assert(t.deleteTag("pin"))
+    assert(!t.deleteTag("pin"))
+    val reclaimed = t.vacuum(retainVersions = 1)
+    assert(reclaimed > 0, "expected the unpinned history to be reclaimed")
+    intercept[Exception] { t.snapshot(pinned).collect() }
+  }
+
+  test("SQL surface: tag / list_tags / VERSION AS OF 'name' / delete_tag") {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gtag$tag"
+    val wh = Files.createTempDirectory("graft_tag_wh_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.t (obj_id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"CALL $cat.system.tag('ns.t', 'r1')")
+    spark.sql(s"UPDATE $cat.ns.t SET v = 99 WHERE obj_id = 1")
+    val listed = spark.sql(s"CALL $cat.system.list_tags('ns.t')").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("r1", "1")))
+    assert(spark.sql(
+      s"SELECT v FROM $cat.ns.t VERSION AS OF 'r1' ORDER BY obj_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    assert(spark.sql(
+      s"SELECT v FROM $cat.ns.t ORDER BY obj_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(99L, 20L))
+    spark.sql(s"CALL $cat.system.delete_tag('ns.t', 'r1')")
+    assert(spark.sql(s"CALL $cat.system.list_tags('ns.t')").count() == 0)
+  }
+}
