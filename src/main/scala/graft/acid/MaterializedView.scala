@@ -767,7 +767,7 @@ object MaterializedAggView {
     * path at plan time), so both the cause chain and the message text
     * are probed. Used only to choose the rebuild fallback — a false
     * positive costs one snapshot rebuild, never a wrong answer. */
-  private[acid] def isMissingInput(e: Throwable): Boolean = {
+  private[graft] def isMissingInput(e: Throwable): Boolean = {
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 20) {

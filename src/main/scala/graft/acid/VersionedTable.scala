@@ -1407,7 +1407,7 @@ final class Instance(val spark: SparkSession, val root: String,
     * — checkpoints carry the full fold, deltas override their entry —
     * so the lookup is O(commits-since-checkpoint) manifest reads, and
     * a watermark written 10k commits ago survives via the folds. */
-  private[acid] def appTxnsAt(v: Long): Map[String, Long] =
+  private[graft] def appTxnsAt(v: Long): Map[String, Long] =
     appTxnsWithTsAt(v).view.mapValues(_._1).toMap
 
   /** [[appTxnsAt]] plus each entry's last-update wall-clock stamp
@@ -4284,7 +4284,7 @@ final class Instance(val spark: SparkSession, val root: String,
 
 /** A transaction handle (reference: Transaction, instance.rs:369-397). */
 final class Txn private[acid] (inst: Instance, val tsn: Long,
-    @volatile private[acid] var readVersion: Long) {
+    @volatile private[graft] var readVersion: Long) {
   import VersionedTable._
 
   private[acid] val added = mutable.ArrayBuffer[String]()

@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+import graft.acid.{EpochAlreadyCommittedException, Instance, MaterializedAggView, VersionedTable}
+
+/** PERSISTED IVF ANN index — the "index once, search forever" shape
+  * [[Similarity.annTop1Ivf]] (which trains + assigns per call) needs
+  * at 100 TB, where re-running distributed k-means and a full corpus
+  * assignment per query batch is the dominant cost:
+  *
+  *  - `build` trains the coarse quantizer ONCE (the same deterministic
+  *    Lloyd — driver-sample or distributed partial-sums regime) and
+  *    persists centroids (`_ivf.json` under the index root) plus the
+  *    corpus assignments as a GRAFT TABLE hive-partitioned by `cell` —
+  *    so the index itself is versioned, ACID, vacuumable, and its
+  *    bucket layout is the partition index;
+  *  - `search` probes each query's `nProbe` nearest cells and reads
+  *    ONLY those cell partitions (the probed cell set is bounded by
+  *    the index geometry, never the data, so the filter is a plan-time
+  *    partition prune), then exact-scores candidates with the codegen
+  *    cosine. `nProbe = nCells` degrades to exact brute force —
+  *    the verifiable anchor;
+  *  - for a graft SOURCE table, `refresh` keeps the index current
+  *    incrementally: the commit interval's changed ids (one
+  *    [[Instance.weightedDelta]] scan, O(churn)) are deleted from the
+  *    assignment table and their head rows re-assigned to their
+  *    nearest (FIXED) centroid, landed as one atomic commit under the
+  *    same fenced watermark discipline as materialized views — crash-
+  *    safe, idempotent, concurrent-refresher-proof. Centroids are
+  *    deliberately not retrained (the standard IVF contract); rebuild
+  *    when drift degrades recall. A refresh whose interval was
+  *    vacuumed (or a never-refreshed index) rebuilds from the head
+  *    snapshot — O(table), bounded plan, never a dead FileNotFound.
+  *
+  * Reference analog: db-core's free-info hierarchy is a persistent,
+  * write-maintained index over block state (free_info.rs:84-194); here
+  * the maintained index is over vector space. */
+final class IvfIndex private[operators] (
+    spark: SparkSession, val root: String,
+    val dim: Int, val nCells: Int,
+    val centroids: Array[Array[Double]],
+    val assign: Instance,
+    val sourceRoot: Option[String],
+    val idCol: String, val vecCol: String) {
+
+  private def appId = "ivf:" + new Path(root).toString
+
+  /** Source version the assignments reflect (-1 = plain-DataFrame
+    * build or never refreshed). */
+  def indexedVersion: Long =
+    assign.lastCommittedEpoch(appId).getOrElse(-1L)
+
+  /** Nearest-centroid cell id for a vector column — the same
+    * first-wins argmax (cs desc, cell asc) the trainer uses. */
+  private def nearestCell(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (w, c) =>
+      struct(Similarity.cosine(spark, v,
+        array(w.toSeq.map(lit): _*)).as("cs"), lit(-c).as("nc"))
+    }
+    val best =
+      if (scored.length == 1) scored.head
+      else greatest(scored.toIndexedSeq: _*)
+    (-best("nc")).cast("int")
+  }
+
+  private def assignRows(rows: DataFrame): DataFrame =
+    rows.select(col(idCol).cast("long").as("obj_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v")))
+
+  /** Per-query exact top-1 over the probed cells: `(vec_id,
+    * neighbor_id, cs)`, ordered — same shape (and at `nProbe =
+    * nCells`, same ANSWER) as the brute-force [[Similarity.annTop1]].
+    * Candidate reading is a partition-pruned scan of exactly the
+    * probed cells' files. */
+  def search(queries: DataFrame, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, $nCells]")
+    val probes = queryProbes(queries, nProbe)
+    // the DISTINCT probed cells: bounded by the index geometry
+    // (<= nCells ints), so collecting them turns the corpus read into
+    // a plan-time partition prune of exactly those cell directories
+    val cells: Seq[Int] =
+      probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = assign.read().filter(col("cell").isin(cells: _*))
+    Similarity.top1(corpus.join(probes, Seq("cell"))
+      .filter(col("obj_id") =!= col("qid"))
+      .select(col("qid"), col("obj_id").as("nid"),
+        round(Similarity.cosine(spark, col("qv"), col("v")), 4).as("cs")))
+  }
+
+  /** Exact top-k over the probed cells: `(vec_id, neighbor_id, cs,
+    * rank)` — [[Similarity.annTopK]]'s shape. */
+  def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, $nCells]")
+    val probes = queryProbes(queries, nProbe)
+    val cells: Seq[Int] =
+      probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = assign.read().filter(col("cell").isin(cells: _*))
+    corpus.join(probes, Seq("cell"))
+      .filter(col("obj_id") =!= col("qid"))
+      .select(col("qid"), col("obj_id").as("nid"),
+        round(Similarity.cosine(spark, col("qv"), col("v")), 4).as("cs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+        col("cs"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private def queryProbes(queries: DataFrame, nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(array(centroids.zipWithIndex.map { case (w, c) =>
+          struct(Similarity.cosine(spark, col("qv"),
+            array(w.toSeq.map(lit): _*)).as("cs"), lit(c).as("cell"))
+        }.toIndexedSeq: _*)).as("sc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("sc.cs").desc, col("sc.cell"))))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("sc.cell").as("cell"))
+
+  // restart signal: the watermark moved under this refresher
+  private final class Stale extends RuntimeException
+
+  /** Catch the assignment table up to the source head — incremental
+    * (O(interval churn)) when the interval's pre-images are intact,
+    * full rebuild otherwise. No-op when current. Returns the indexed
+    * source version. */
+  def refresh(): Long = {
+    val srcRoot = sourceRoot.getOrElse(throw new IllegalStateException(
+      "this index was built from a plain DataFrame; rebuild to update"))
+    val src = VersionedTable.open(spark, srcRoot)
+    var forceRebuild = false
+    while (true) {
+      val head = src.latestVersion
+      val last = math.max(0L, indexedVersion)
+      if (indexedVersion >= 0 && head <= last) return head
+      val rebuild = forceRebuild || indexedVersion < 0 ||
+        last < src.vacuumHorizon
+      try {
+        if (rebuild) {
+          val rows = assignRows(src.snapshot(head))
+          assign.withRetry() { t =>
+            if (assign.appTxnsAt(t.readVersion).get(appId)
+                .exists(w => math.max(0L, w) != last)) throw new Stale
+            t.markEpoch(appId, head, fence = true)
+            t.truncate()
+            t.insertPartitioned(rows, Seq("cell"))
+          }
+        } else {
+          // changed ids, not signed rows: an UPDATE nets to zero in
+          // the weighted delta but its vector (and so possibly its
+          // cell) changed — delete every touched id, re-insert its
+          // head row freshly assigned. One delta scan + one
+          // key-restricted snapshot read, both O(churn).
+          val changed = src
+            .weightedDelta(last, head, alignToHead = true)
+            .select(col("obj_id")).distinct()
+          val fresh = src.snapshot(head)
+            .join(changed, Seq("obj_id"), "left_semi")
+          val rows = assignRows(fresh).localCheckpoint()
+          assign.withRetry() { t =>
+            if (assign.appTxnsAt(t.readVersion).get(appId)
+                .exists(w => math.max(0L, w) != last)) throw new Stale
+            t.markEpoch(appId, head, fence = true)
+            t.deleteMatching(changed)
+            t.insertPartitioned(rows, Seq("cell"))
+          }
+        }
+        return head
+      } catch {
+        case _: EpochAlreadyCommittedException => return head
+        case _: Stale => ()
+        case e: Throwable if !forceRebuild &&
+            MaterializedAggView.isMissingInput(e) =>
+          forceRebuild = true // vacuum outran the marker: rebuild
+      }
+    }
+    -1L
+  }
+}
+
+object IvfIndex {
+
+  private val MetaFile = "_ivf.json"
+
+  /** Train + persist an index over `corpus` (columns `idCol`,
+    * `vecCol`). With `source` set, the corpus is the source's head
+    * snapshot and [[IvfIndex.refresh]] keeps the index current. */
+  def build(corpus: DataFrame, root: String, dim: Int, nCells: Int,
+      iters: Int = 3, trainSample: Int = 4096,
+      distributedTrain: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "v"): IvfIndex =
+    buildInternal(corpus.sparkSession, Some(corpus), None, root, dim,
+      nCells, iters, trainSample, distributedTrain, idCol, vecCol)
+
+  /** Build over a GRAFT table's head snapshot — the refreshable form. */
+  def buildFromTable(source: Instance, root: String, dim: Int,
+      nCells: Int, iters: Int = 3, trainSample: Int = 4096,
+      distributedTrain: Boolean = false,
+      idCol: String = "obj_id", vecCol: String = "v"): IvfIndex =
+    buildInternal(source.spark, None, Some(source), root, dim, nCells,
+      iters, trainSample, distributedTrain, idCol, vecCol)
+
+  private def buildInternal(spark: SparkSession,
+      corpus0: Option[DataFrame], source: Option[Instance], root: String,
+      dim: Int, nCells: Int, iters: Int, trainSample: Int,
+      distributedTrain: Boolean, idCol: String, vecCol: String)
+      : IvfIndex = {
+    val head = source.map(_.latestVersion)
+    val corpus = corpus0.getOrElse(source.get.snapshot(head.get))
+    // the trainer's fixed shape: (vec_id, v)
+    val norm = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = Similarity.trainIvfCentroids(norm, dim, nCells, iters,
+      trainSample, distributedTrain)
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(rootP)
+    writeMeta(fs, rootP, dim, nCells, cents,
+      source.map(s => new Path(s.root).toString), idCol, vecCol)
+    val assign = VersionedTable.create(spark,
+      new Path(rootP, "assign").toString,
+      StructType(Seq(
+        StructField("obj_id", LongType, nullable = false),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("cell", IntegerType))))
+    val idx = new IvfIndex(spark, root, dim, nCells, cents, assign,
+      source.map(s => new Path(s.root).toString), idCol, vecCol)
+    source match {
+      case Some(_) => idx.refresh()
+      case None =>
+        // one-shot assignment of the given corpus (no watermark)
+        assign.withRetry() { t =>
+          t.insertPartitioned(
+            norm.select(col("vec_id").as("obj_id"), col("v"))
+              .withColumn("cell", idxCell(spark, cents, col("v"))),
+            Seq("cell"))
+        }
+    }
+    idx
+  }
+
+  private def idxCell(spark: SparkSession, cents: Array[Array[Double]],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = cents.zipWithIndex.map { case (w, c) =>
+      struct(Similarity.cosine(spark, v,
+        array(w.toSeq.map(lit): _*)).as("cs"), lit(-c).as("nc"))
+    }
+    val best =
+      if (scored.length == 1) scored.head
+      else greatest(scored.toIndexedSeq: _*)
+    (-best("nc")).cast("int")
+  }
+
+  /** Reopen a persisted index. */
+  def open(spark: SparkSession, root: String): IvfIndex = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(rootP, MetaFile))
+    val s = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](65536)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    def strField(k: String): Option[String] =
+      (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+    def intField(k: String): Int =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(s).get.group(1).toInt
+    val dim = intField("dim"); val nCells = intField("nCells")
+    // parse "centroids":[[a,b],[c,d],...] — numbers only, depth-matched
+    val centsStr = s.substring(s.indexOf("\"centroids\":") + 12)
+    val body = {
+      var depth = 0; var i = 0; var end = -1
+      while (end < 0 && i < centsStr.length) {
+        val c = centsStr.charAt(i)
+        if (c == '[') depth += 1
+        else if (c == ']') { depth -= 1; if (depth == 0) end = i }
+        i += 1
+      }
+      centsStr.substring(1, end) // inside the outer [ ]
+    }
+    val cents: Array[Array[Double]] =
+      body.split("\\],\\[").map(_.replace("[", "").replace("]", "")
+        .split(',').map(_.trim.toDouble))
+    require(cents.length == nCells && cents.forall(_.length == dim),
+      s"corrupt $MetaFile at $root")
+    val assign = VersionedTable.open(spark,
+      new Path(rootP, "assign").toString)
+    new IvfIndex(spark, root, dim, nCells, cents, assign,
+      strField("sourceRoot"),
+      strField("idCol").getOrElse("vec_id"),
+      strField("vecCol").getOrElse("v"))
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: Path, dim: Int, nCells: Int, cents: Array[Array[Double]],
+      sourceRoot: Option[String], idCol: String, vecCol: String): Unit = {
+    val json =
+      s"""{"dim":$dim,"nCells":$nCells,""" +
+      sourceRoot.map(r => s""""sourceRoot":"$r",""").getOrElse("") +
+      s""""idCol":"$idCol","vecCol":"$vecCol",""" +
+      s""""centroids":[${cents.map(_.mkString("[", ",", "]"))
+        .mkString(",")}]}"""
+    val tmp = new Path(rootP,
+      s"._ivf-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+    val p = new Path(rootP, MetaFile)
+    try {
+      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+    } finally {
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}

@@ -45,7 +45,7 @@ object Similarity {
     * O(queries · corpus). Tie-break matches the oracle's
     * ORDER BY cs DESC, nid ASC: max on (cs, -nid) picks the smallest
     * neighbor id among equal scores. */
-  private def top1(cand: DataFrame): DataFrame =
+  private[operators] def top1(cand: DataFrame): DataFrame =
     cand.groupBy("qid")
       .agg(max(struct(col("cs"), (-col("nid")).as("nn"))).as("m"))
       .select(col("qid").as("vec_id"), (-col("m.nn")).as("neighbor_id"),
@@ -587,6 +587,30 @@ object Similarity {
         val all = emb(s, dir)
         annTop1IvfTargeted(all, all.filter(col("vec_id") < 20), dim = 64,
           targetRecall = 0.9)
+    },
+
+    // PERSISTED IVF index: build (train + bucket-partitioned assignment
+    // table) -> reopen from disk -> search at FULL probe, which is
+    // exactly brute force by construction — so the persisted-index
+    // machinery (metadata round-trip, partition-pruned candidate read,
+    // probe ranking) is hash-gated against the same DuckDB oracle as
+    // q26_ann_top1. Partial-probe recall is gated in IvfIndexSpec.
+    "q75_ann_index" -> Q(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      "p AS (SELECT qid, e.vec_id AS nid, " +
+      s"ROUND($cosSql, 4) AS cs FROM q, e WHERE e.vec_id <> qid) " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, cs FROM (" +
+      "SELECT qid, nid, cs, ROW_NUMBER() OVER (" +
+      "PARTITION BY qid ORDER BY cs DESC, nid) AS rn FROM p) t " +
+      "WHERE rn = 1 ORDER BY vec_id") {
+      (s, dir) =>
+        val all = emb(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx_").toUri.toString
+        IvfIndex.build(all, root, dim = 64, nCells = 8)
+        val idx = IvfIndex.open(s, root) // exercise the reopen path
+        idx.search(all.filter(col("vec_id") < 20), nProbe = 8)
     },
 
     "q25_embed_neardup" -> Q(

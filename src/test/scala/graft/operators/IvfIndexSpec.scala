@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+import graft.acid.{EngineConf, VersionedTable}
+
+/** Persisted IVF index ([[IvfIndex]]): build trains once and lands a
+  * bucket-partitioned assignment table; search reads only the probed
+  * cells; full probe IS brute force; refresh folds a graft source's
+  * churn incrementally under the fenced-watermark discipline. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private val dim = 8
+
+  // deterministic unit-ish vectors spread around the circle in the
+  // first two dims (the rest zero): cosine structure is easy to reason
+  // about and k-means has real clusters to find
+  private def vec(i: Long): Seq[Double] = {
+    val angle = (i % 32).toDouble / 32.0 * 2 * math.Pi
+    Seq(math.cos(angle), math.sin(angle)) ++ Seq.fill(dim - 2)(0.0)
+  }
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, vec(i.toLong))).toDF("vec_id", "v")
+
+  test("full probe equals brute force; reopen round-trips; partial probe recalls") {
+    val root = Files.createTempDirectory("graft_ivf_t1_").toUri.toString
+    val all = corpus(128)
+    IvfIndex.build(all, root, dim = dim, nCells = 4)
+    val idx = IvfIndex.open(spark, root)
+    assert(idx.dim == dim && idx.nCells == 4)
+    val queries = all.filter(col("vec_id") < 10)
+    val exact = Similarity.annTop1(all, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = idx.search(queries, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == exact)
+    // partial probe: vectors cluster by angle, so 2 of 4 cells should
+    // recall most top-1s (gate loosely; geometry is deterministic)
+    val part = idx.search(queries, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = exact.count { case (q, n) => part.get(q).contains(n) }
+    assert(hits >= 7, s"partial-probe recall too low: $hits/10")
+    // topK shape
+    val topk = idx.searchTopK(queries, k = 3, nProbe = 4).collect()
+    assert(topk.length == 30)
+  }
+
+  test("graft-source index refreshes incrementally and survives vacuum") {
+    val srcRoot = Files.createTempDirectory("graft_ivf_src_").toUri.toString
+    val src = VersionedTable.create(spark, srcRoot, StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType)))),
+      EngineConf(checkpointInterval = 2, orphanGraceMs = 0L))
+    src.withRetry() { t => t.insert(
+      (0 until 64).map(i => (i.toLong, vec(i.toLong)))
+        .toDF("obj_id", "v")) }
+    val root = Files.createTempDirectory("graft_ivf_t2_").toUri.toString
+    val idx = IvfIndex.buildFromTable(src, root, dim = dim, nCells = 4)
+    assert(idx.indexedVersion == src.latestVersion)
+
+    // churn: move a vector to the opposite side (likely a CELL MOVE),
+    // delete one, insert a new one
+    src.withRetry() { t => t.update(Seq(0L),
+      df => df.withColumn("v",
+        array((Seq(-1.0, 0.0) ++ Seq.fill(dim - 2)(0.0)).map(lit): _*))) }
+    src.withRetry() { t => t.delete(Seq(1L)) }
+    src.withRetry() { t => t.insert(Seq((100L, vec(100L)))
+      .toDF("obj_id", "v")) }
+    val reopened = IvfIndex.open(spark, root)
+    reopened.refresh()
+    assert(reopened.indexedVersion == src.latestVersion)
+
+    // the index answers EXACTLY like brute force over the CURRENT
+    // source at full probe — deletions gone, update re-assigned
+    val now = src.read().select(col("obj_id").as("vec_id"), col("v"))
+    val queries = now.filter(col("vec_id") < 8)
+    val exact = Similarity.annTop1(now, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = reopened.search(
+      queries.select(col("vec_id").as("obj_id"), col("v")), nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact)
+
+    // refresh is idempotent (no new commits -> no-op)
+    val v = reopened.refresh()
+    assert(v == src.latestVersion)
+
+    // a refresh interval older than vacuum retention rebuilds instead
+    // of dying: churn several versions, vacuum hard, then refresh an
+    // index that is many versions stale
+    (0 until 5).foreach { i =>
+      src.withRetry() { t => t.update(Seq(2L),
+        df => df.withColumn("v", array(
+          (Seq(math.cos(i + 1.0), math.sin(i + 1.0)) ++
+            Seq.fill(dim - 2)(0.0)).map(lit): _*))) }
+    }
+    src.vacuum(retainVersions = 1)
+    reopened.refresh()
+    assert(reopened.indexedVersion == src.latestVersion)
+    val now2 = src.read().select(col("obj_id").as("vec_id"), col("v"))
+    val q2 = now2.filter(col("vec_id") < 8)
+    val exact2 = Similarity.annTop1(now2, q2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got2 = reopened.search(
+      q2.select(col("vec_id").as("obj_id"), col("v")), nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == exact2)
+  }
+}
