@@ -83,12 +83,7 @@ final class IvfIndex private[operators] (
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, $nCells]")
     val probes = queryProbes(queries, nProbe)
-    // the DISTINCT probed cells: bounded by the index geometry
-    // (<= nCells ints), so collecting them turns the corpus read into
-    // a plan-time partition prune of exactly those cell directories
-    val cells: Seq[Int] =
-      probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = assign.read().filter(col("cell").isin(cells: _*))
+    val corpus = probedCorpus(probes)
     Similarity.top1(corpus.join(probes, Seq("cell"))
       .filter(col("obj_id") =!= col("qid"))
       .select(col("qid"), col("obj_id").as("nid"),
@@ -101,9 +96,7 @@ final class IvfIndex private[operators] (
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, $nCells]")
     val probes = queryProbes(queries, nProbe)
-    val cells: Seq[Int] =
-      probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = assign.read().filter(col("cell").isin(cells: _*))
+    val corpus = probedCorpus(probes)
     corpus.join(probes, Seq("cell"))
       .filter(col("obj_id") =!= col("qid"))
       .select(col("qid"), col("obj_id").as("nid"),
@@ -115,6 +108,28 @@ final class IvfIndex private[operators] (
         col("cs"), col("rank"))
       .orderBy("vec_id", "rank")
   }
+
+  /** The assignment rows of exactly the probed cells. Small probed
+    * sets (the common case) collect to an `isin` literal filter —
+    * bounded by the index geometry, never the data — which the
+    * partition-column reconstruction constant-folds into a PLAN-TIME
+    * prune of the other cell directories. A large probed set (big
+    * nCells × many queries) would bloat the plan as literals, so past
+    * the cap it degrades to a semi join on the partition column —
+    * still O(probed cells) files read via runtime filtering, just not
+    * plan-time-pruned. */
+  private def probedCorpus(probes: DataFrame): DataFrame = {
+    val cells: Seq[Int] = probes.select("cell").distinct()
+      .limit(MaxInlineCells + 1).collect().map(_.getInt(0)).toSeq
+    if (cells.size <= MaxInlineCells)
+      assign.read().filter(col("cell").isin(cells: _*))
+    else
+      assign.read().join(
+        broadcast(probes.select("cell").distinct()), Seq("cell"),
+        "left_semi")
+  }
+
+  private val MaxInlineCells = 128
 
   private def queryProbes(queries: DataFrame, nProbe: Int): DataFrame =
     queries.select(col(idCol).as("qid"),
@@ -218,6 +233,15 @@ object IvfIndex {
       dim: Int, nCells: Int, iters: Int, trainSample: Int,
       distributedTrain: Boolean, idCol: String, vecCol: String)
       : IvfIndex = {
+    // the centroid matrix rides the PLAN as literal arrays (codegen'd
+    // straight-line scoring — the fastest shape while it fits janino);
+    // past this cap the right architecture is a broadcast-variable
+    // mapPartitions scorer, which this index deliberately does not
+    // grow into silently
+    require(nCells >= 1 && nCells <= 256,
+      s"nCells must be in [1, 256] (got $nCells): the centroid matrix " +
+      "is compiled into the scoring plan; larger quantizers need a " +
+      "broadcast scorer")
     val head = source.map(_.latestVersion)
     val corpus = corpus0.getOrElse(source.get.snapshot(head.get))
     // the trainer's fixed shape: (vec_id, v)

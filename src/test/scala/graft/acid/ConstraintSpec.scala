@@ -184,6 +184,71 @@ class ConstraintSpec extends AnyFunSuite {
     assert(t.read().count() == 1)
   }
 
+  test("property: random op sequences never leave a violating row behind") {
+    // invariant after EVERY commit: no live row violates any in-force
+    // constraint (adds validate existing rows; writes validate staged
+    // rows; drops only relax) — and a rejected op changes NOTHING
+    val rnd = new scala.util.Random(0xC0457L)
+    val t = fresh()
+    var nextId = 0L
+    var pool = Vector.empty[Long] // live ids
+    def snapshotState(): (Long, Long) =
+      (t.latestVersion, t.read().count())
+    (0 until 40).foreach { step =>
+      val cons = t.constraints
+      val before = snapshotState()
+      val v = rnd.nextInt(200) - 50 // [-50, 150): sometimes negative
+      val violates = (n: Long) =>
+        cons.contains("v_pos") && n <= 0
+      rnd.nextInt(6) match {
+        case 0 | 1 => // insert one row (maybe violating)
+          val id = { nextId += 1; nextId }
+          val ok = !violates(v)
+          try {
+            t.withRetry() { x => x.insert(Seq((id, s"g${id % 3}", v.toLong))
+              .toDF("obj_id", "grp", "v")) }
+            assert(ok, s"step $step: violating insert ($v) landed")
+            pool :+= id
+          } catch { case e: Throwable =>
+            assert(!ok, s"step $step: valid insert ($v) failed: $e")
+            assert(snapshotState() == before)
+          }
+        case 2 if pool.nonEmpty => // update one row (maybe violating)
+          val id = pool(rnd.nextInt(pool.size))
+          val ok = !violates(v)
+          try {
+            t.withRetry() { x => x.update(Seq(id),
+              df => df.withColumn("v", lit(v.toLong))) }
+            assert(ok, s"step $step: violating update ($v) landed")
+          } catch { case e: Throwable =>
+            assert(!ok, s"step $step: valid update ($v) failed: $e")
+            assert(snapshotState() == before)
+          }
+        case 3 if pool.nonEmpty => // delete
+          val id = pool(rnd.nextInt(pool.size))
+          t.withRetry() { x => x.delete(Seq(id)) }
+          pool = pool.filterNot(_ == id)
+        case 4 if !cons.contains("v_pos") => // try to add the invariant
+          val hasBad = t.read().filter(col("v") <= 0).limit(1).count() > 0
+          try {
+            t.addConstraint("v_pos", "v > 0")
+            assert(!hasBad, s"step $step: add landed over violating rows")
+          } catch { case _: ConstraintViolationException =>
+            assert(hasBad, s"step $step: clean add rejected")
+          }
+        case 5 if cons.contains("v_pos") =>
+          assert(t.dropConstraint("v_pos"))
+        case _ => ()
+      }
+      // the standing invariant
+      t.constraints.foreach { case (n, check) =>
+        val bad = t.read()
+          .filter(coalesce(expr(check), lit(true)) === false).count()
+        assert(bad == 0L, s"step $step: $bad rows violate $n")
+      }
+    }
+  }
+
   test("SQL surface: add_constraint / show_constraints / drop_constraint") {
     val wh = Files.createTempDirectory("graft_cons_sql_").toUri.toString
     val cat = "gcons" + java.lang.Long.toHexString(
