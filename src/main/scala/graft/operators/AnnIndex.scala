@@ -56,7 +56,8 @@ final class IvfIndex private[operators] (
     assign.lastCommittedEpoch(appId).getOrElse(-1L)
 
   /** Nearest-centroid cell id for a vector column — the same
-    * first-wins argmax (cs desc, cell asc) the trainer uses. */
+    * first-wins argmax (cs desc, cell asc) the trainer uses. Codegen'd
+    * straight-line literals while the centroid matrix is small. */
   private def nearestCell(v: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val scored = centroids.zipWithIndex.map { case (w, c) =>
@@ -69,10 +70,33 @@ final class IvfIndex private[operators] (
     (-best("nc")).cast("int")
   }
 
-  private def assignRows(rows: DataFrame): DataFrame =
-    rows.select(col(idCol).cast("long").as("obj_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cell", nearestCell(col("v")))
+  /** Two regimes, same answer: up to [[IvfIndex.PlanCells]] centroids
+    * the scorer is compiled into the plan (literal arrays, widest
+    * whole-stage codegen); past it the matrix rides a BROADCAST
+    * variable through one mapPartitions pass — O(nCells·dim) heap per
+    * executor, plan size O(1), the shape a 100k-cell quantizer needs
+    * (janino would choke on — or spend seconds compiling — a plan
+    * carrying the matrix as literals). */
+  private[operators] def assignRows(rows: DataFrame): DataFrame = {
+    val norm = rows.select(col(idCol).cast("long").as("obj_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    if (nCells <= IvfIndex.PlanCells)
+      norm.withColumn("cell", nearestCell(col("v")))
+    else {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val out = StructType(norm.schema.fields :+
+        StructField("cell", IntegerType, nullable = false))
+      spark.createDataFrame(
+        norm.rdd.mapPartitions { it =>
+          val cs = bc.value
+          it.map { r =>
+            val v = r.getSeq[Double](1).toArray
+            org.apache.spark.sql.Row(r.get(0), r.get(1),
+              IvfIndex.nearestIdx(v, cs))
+          }
+        }, out)
+    }
+  }
 
   /** Per-query exact top-1 over the probed cells: `(vec_id,
     * neighbor_id, cs)`, ordered — same shape (and at `nProbe =
@@ -131,19 +155,41 @@ final class IvfIndex private[operators] (
 
   private val MaxInlineCells = 128
 
-  private def queryProbes(queries: DataFrame, nProbe: Int): DataFrame =
-    queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .select(col("qid"), col("qv"),
-        explode(array(centroids.zipWithIndex.map { case (w, c) =>
-          struct(Similarity.cosine(spark, col("qv"),
-            array(w.toSeq.map(lit): _*)).as("cs"), lit(c).as("cell"))
-        }.toIndexedSeq: _*)).as("sc"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid")
-          .orderBy(col("sc.cs").desc, col("sc.cell"))))
-      .filter(col("rnk") <= nProbe)
-      .select(col("qid"), col("qv"), col("sc.cell").as("cell"))
+  /** `(qid, qv, cell)` — one row per (query, probed cell). Same two
+    * regimes as [[assignRows]]; the broadcast path also skips the
+    * row_number shuffle (the per-query top-nProbe is computed in the
+    * map, not a window). */
+  private def queryProbes(queries: DataFrame, nProbe: Int): DataFrame = {
+    // qid keeps the caller's type: the result's vec_id column must
+    // match the query relation's schema exactly
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    if (nCells <= IvfIndex.PlanCells)
+      q.select(col("qid"), col("qv"),
+          explode(array(centroids.zipWithIndex.map { case (w, c) =>
+            struct(Similarity.cosine(spark, col("qv"),
+              array(w.toSeq.map(lit): _*)).as("cs"), lit(c).as("cell"))
+          }.toIndexedSeq: _*)).as("sc"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("sc.cs").desc, col("sc.cell"))))
+        .filter(col("rnk") <= nProbe)
+        .select(col("qid"), col("qv"), col("sc.cell").as("cell"))
+    else {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val out = StructType(q.schema.fields :+
+        StructField("cell", IntegerType, nullable = false))
+      spark.createDataFrame(
+        q.rdd.mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { r =>
+            val v = r.getSeq[Double](1).toArray
+            IvfIndex.topCells(v, cs, nProbe).map(c =>
+              org.apache.spark.sql.Row(r.get(0), r.get(1), c))
+          }
+        }, out)
+    }
+  }
 
   // restart signal: the watermark moved under this refresher
   private final class Stale extends RuntimeException
@@ -210,6 +256,40 @@ object IvfIndex {
 
   private val MetaFile = "_ivf.json"
 
+  /** Largest centroid count compiled into the plan as literals; past
+    * it scoring rides a broadcast variable (see [[IvfIndex.assignRows]]). */
+  private[operators] val PlanCells = 64
+
+  private[operators] def cosSim(a: Array[Double],
+      b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** First-wins argmax over a fixed scan order (ties deterministic). */
+  private[operators] def nearestIdx(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestCs = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val cs = cosSim(v, cents(c))
+      if (cs > bestCs) { bestCs = cs; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Top-`n` cells by (cs desc, cell asc) — a full score pass plus a
+    * bounded sort of nCells scores per query. */
+  private[operators] def topCells(v: Array[Double],
+      cents: Array[Array[Double]], n: Int): Seq[Int] =
+    cents.indices
+      .map(c => (cosSim(v, cents(c)), c))
+      .sortBy { case (cs, c) => (-cs, c) }
+      .take(n).map(_._2)
+
   /** Train + persist an index over `corpus` (columns `idCol`,
     * `vecCol`). With `source` set, the corpus is the source's head
     * snapshot and [[IvfIndex.refresh]] keeps the index current. */
@@ -233,15 +313,8 @@ object IvfIndex {
       dim: Int, nCells: Int, iters: Int, trainSample: Int,
       distributedTrain: Boolean, idCol: String, vecCol: String)
       : IvfIndex = {
-    // the centroid matrix rides the PLAN as literal arrays (codegen'd
-    // straight-line scoring — the fastest shape while it fits janino);
-    // past this cap the right architecture is a broadcast-variable
-    // mapPartitions scorer, which this index deliberately does not
-    // grow into silently
-    require(nCells >= 1 && nCells <= 256,
-      s"nCells must be in [1, 256] (got $nCells): the centroid matrix " +
-      "is compiled into the scoring plan; larger quantizers need a " +
-      "broadcast scorer")
+    require(nCells >= 1 && nCells <= (1 << 20),
+      s"nCells must be in [1, 2^20] (got $nCells)")
     val head = source.map(_.latestVersion)
     val corpus = corpus0.getOrElse(source.get.snapshot(head.get))
     // the trainer's fixed shape: (vec_id, v)
@@ -267,25 +340,10 @@ object IvfIndex {
       case None =>
         // one-shot assignment of the given corpus (no watermark)
         assign.withRetry() { t =>
-          t.insertPartitioned(
-            norm.select(col("vec_id").as("obj_id"), col("v"))
-              .withColumn("cell", idxCell(spark, cents, col("v"))),
-            Seq("cell"))
+          t.insertPartitioned(idx.assignRows(corpus), Seq("cell"))
         }
     }
     idx
-  }
-
-  private def idxCell(spark: SparkSession, cents: Array[Array[Double]],
-      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scored = cents.zipWithIndex.map { case (w, c) =>
-      struct(Similarity.cosine(spark, v,
-        array(w.toSeq.map(lit): _*)).as("cs"), lit(-c).as("nc"))
-    }
-    val best =
-      if (scored.length == 1) scored.head
-      else greatest(scored.toIndexedSeq: _*)
-    (-best("nc")).cast("int")
   }
 
   /** Reopen a persisted index. */

@@ -53,6 +53,21 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(topk.length == 30)
   }
 
+  test("broadcast-scorer regime (nCells > PlanCells) answers identically") {
+    val root = Files.createTempDirectory("graft_ivf_t3_").toUri.toString
+    val all = corpus(256)
+    IvfIndex.build(all, root, dim = dim, nCells = 80,
+      distributedTrain = true)
+    val idx = IvfIndex.open(spark, root)
+    assert(idx.nCells == 80)
+    val queries = all.filter(col("vec_id") < 6)
+    val exact = Similarity.annTop1(all, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = idx.search(queries, nProbe = 80).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == exact)
+  }
+
   test("graft-source index refreshes incrementally and survives vacuum") {
     val srcRoot = Files.createTempDirectory("graft_ivf_src_").toUri.toString
     val src = VersionedTable.create(spark, srcRoot, StructType(Seq(
