@@ -944,7 +944,9 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
           autoCompactFiles = info.options().getInt("autoCompactFiles", 0),
           autoCompactTarget = info.options().getInt("autoCompactTarget", 4),
           autoMaterializeDvs =
-            info.options().getInt("autoMaterializeDvs", 0)),
+            info.options().getInt("autoMaterializeDvs", 0),
+          // append epochs probe staged ids like batch inserts do
+          uniqueIds = info.options().getBoolean("uniqueIds", false)),
         // refresh-on-epoch: dependent materialized-view roots advanced
         // after each epoch commit (best-effort; see GraftStreamingWrite)
         refreshViews = Option(info.options().get("refreshViews"))

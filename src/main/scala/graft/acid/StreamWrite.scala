@@ -183,6 +183,10 @@ private[acid] final class GraftStreamingWrite(root: String,
               s"violated by row ${bad.head}")
         }
       }
+      // opt-in append-time id uniqueness: append epochs probe like
+      // batch inserts (upsert epochs replace by key — unique by
+      // construction, and already dup-checked above)
+      if (!upsert) txn.assertUniqueIds(staged)
       if (staged.nonEmpty)
         txn.replaceScanned(Nil, staged, Map.empty, Some(pinnedMapping))
       inst.commit(txn)

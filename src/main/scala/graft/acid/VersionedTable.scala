@@ -1043,6 +1043,13 @@ final case class EngineConf(
     // falls back to the bounded snapshot rebuild (same fallback as
     // mvRebuildMaxInterval). Default 5 = at most 31 terms.
     mvMaxChangedSides: Int = 5,
+    // OPT-IN append-time id-uniqueness: plain INSERTs (batch and
+    // streaming-append epochs) probe their staged ids against the
+    // snapshot (candidate-file pruned) and within the batch, failing
+    // loudly instead of landing a duplicate that would corrupt point
+    // ops. merge/upsert paths are unaffected (unique by construction).
+    // Costs one extra batch read + a pruned id semi join per append.
+    uniqueIds: Boolean = false,
     // how long a reader waits for an in-flight cross-table commit's
     // decision record before arbitrating it ABORTED (the commit window
     // is pointer publishes + one claim, normally milliseconds; a
@@ -4624,8 +4631,64 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   def insert(df: DataFrame): Unit = {
     adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this)
+    assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
+  }
+
+  /** OPT-IN append-time id-uniqueness ([[EngineConf.uniqueIds]]): the
+    * engine's point ops, MoR masks, and change feed all assume obj_id
+    * is unique per snapshot — merge/upsert enforce it by construction,
+    * but a plain INSERT of an already-present id silently lands a
+    * duplicate that corrupts later point ops. With the flag on, every
+    * append batch is probed BEFORE it joins the transaction: one
+    * within-batch duplicate check over the staged ids, and one
+    * existing-id semi join restricted to the files whose recorded
+    * id range overlaps the batch's (the same manifest prune a point
+    * delete uses — O(overlapping files), not O(table); an id-clustered
+    * table probes a handful of files). Runs BETWEEN staging and
+    * adoption, so prior same-txn batches count as existing
+    * (read-your-own-writes) and this batch never self-collides.
+    * MoR-masked (deleted) ids do not count as existing. Off by
+    * default: the probe costs one extra read of the batch plus the
+    * candidate files' id columns per insert. */
+  private[acid] def assertUniqueIds(staged: Seq[String]): Unit = {
+    if (!inst.conf.uniqueIds || staged.isEmpty) return
+    // raw ids, NOT stagedIdsDf (whose distinct() would hide
+    // within-batch duplicates from the check below)
+    val batchIds = inst.spark.read
+      .parquet(staged.map(f => new Path(inst.dataDir, f).toString): _*)
+      .select("obj_id")
+    val dup = batchIds.groupBy("obj_id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new ConstraintViolationException(
+        s"uniqueIds: batch contains duplicate obj_id ${dup.head.getLong(0)}")
+    // batch id bounds from the already-read footer stats (fall back to
+    // one agg when a staged file carried no range)
+    val ranges = staged.flatMap(addedStats.get)
+    val (lo, hi) =
+      if (ranges.size == staged.size)
+        (ranges.map(_._1).min, ranges.map(_._2).max)
+      else {
+        val b = batchIds.agg(
+          org.apache.spark.sql.functions.min(col("obj_id")),
+          org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
+        if (b.isNullAt(0)) return // empty batch
+        (b.getLong(0), b.getLong(1))
+      }
+    val cand = candidateFilesRange(lo, hi)
+    if (cand.nonEmpty) {
+      val (_, ddl, _) = localState()
+      val existing = inst.viewOf(cand, ddl, localMasks(cand), localRen)
+        .select("obj_id")
+      val clash = existing.join(batchIds, Seq("obj_id"), "left_semi")
+        .limit(1).collect()
+      if (clash.nonEmpty)
+        throw new ConstraintViolationException(
+          s"uniqueIds: obj_id ${clash.head.getLong(0)} already exists " +
+          "in the table (use upsert/merge to replace rows)")
+    }
   }
 
   /** Track the ids a staging round touched: a literal list while it
@@ -4954,6 +5017,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       "obj_id cannot be a partition column (footer stats need it in-file)")
     adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this, partitionBy)
+    assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
   }

@@ -184,6 +184,56 @@ class ConstraintSpec extends AnyFunSuite {
     assert(t.read().count() == 1)
   }
 
+  test("uniqueIds: plain inserts cannot land a duplicate id (batch, cross-txn, streaming)") {
+    val t = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_uniq_").toUri.toString, schema,
+      EngineConf(uniqueIds = true))
+    t.withRetry() { x => x.insert(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("obj_id", "grp", "v")) }
+    // within-batch duplicate
+    val e1 = intercept[Exception] { t.withRetry() { x =>
+      x.insert(Seq((3L, "c", 1L), (3L, "c", 2L))
+        .toDF("obj_id", "grp", "v")) } }
+    assert(messages(e1).contains("duplicate obj_id 3"))
+    // vs existing
+    val e2 = intercept[Exception] { t.withRetry() { x =>
+      x.insert(Seq((1L, "z", 99L)).toDF("obj_id", "grp", "v")) } }
+    assert(messages(e2).contains("obj_id 1 already exists"))
+    assert(t.read().count() == 2)
+    // read-your-own-writes: two batches in ONE txn collide too
+    val e3 = intercept[Exception] { t.withRetry() { x =>
+      x.insert(Seq((5L, "e", 1L)).toDF("obj_id", "grp", "v"))
+      x.insert(Seq((5L, "e", 2L)).toDF("obj_id", "grp", "v")) } }
+    assert(messages(e3).contains("obj_id 5 already exists"))
+    // a deleted id may be re-inserted
+    t.withRetry() { x => x.delete(Seq(2L)) }
+    t.withRetry() { x => x.insert(Seq((2L, "b2", 21L))
+      .toDF("obj_id", "grp", "v")) }
+    assert(t.read().count() == 2)
+    // merge/upsert replace rows (unique by construction, unaffected)
+    t.withRetry() { x => x.upsert(Seq((1L, "a", 11L))
+      .toDF("obj_id", "grp", "v")) }
+    assert(t.read().filter(col("obj_id") === 1L).head().getLong(2) == 11L)
+    // streaming APPEND epochs probe too
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_uniq_ck_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "grp", "v")
+        .writeStream.format("graft").option("path", t.root)
+        .option("checkpointLocation", ckpt)
+        .option("uniqueIds", "true")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((10L, "s", 1L))
+    drain()
+    mem.addData((10L, "s", 2L))
+    val e4 = intercept[Exception] { drain() }
+    assert(messages(e4).contains("obj_id 10 already exists"))
+    assert(t.read().filter(col("obj_id") === 10L).count() == 1)
+  }
+
   test("property: random op sequences never leave a violating row behind") {
     // invariant after EVERY commit: no live row violates any in-force
     // constraint (adds validate existing rows; writes validate staged
