@@ -102,13 +102,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val kind = ident.name().drop(dollar + 1)
       if (tableExists(base) &&
           (kind == "history" || kind == "detail" || kind == "files" ||
-            kind == "partitions")) {
+            kind == "partitions" || kind == "tags" ||
+            kind == "constraints")) {
         val inst = VersionedTable.open(SparkSession.active,
           tablePath(base).toString)
+        val spark = SparkSession.active
+        import spark.implicits._
         val df = kind match {
           case "history" => inst.history()
           case "detail" => inst.detail()
           case "partitions" => inst.partitions()
+          case "tags" => inst.tags.toSeq.sortBy(_._1)
+            .toDF("name", "version")
+          case "constraints" => inst.constraints.toSeq.sortBy(_._1)
+            .toDF("name", "check")
           case _ => inst.files()
         }
         return new GraftMetadataTable(s"${ident.name()}", df)

@@ -317,6 +317,10 @@ class ConstraintSpec extends AnyFunSuite {
     assert(messages(e).contains("CHECK constraint v_pos"))
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)
       == 1L)
+    // metadata table twin of show_constraints
+    assert(spark.sql(s"SELECT name, `check` FROM $cat.ns.`t$$constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("v_pos", "v > 0")))
     spark.sql(s"CALL $cat.system.drop_constraint('ns.t', 'v_pos')")
     spark.sql(s"INSERT INTO $cat.ns.t VALUES (2, 'b', -5)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)

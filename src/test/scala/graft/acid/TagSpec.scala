@@ -98,7 +98,12 @@ class TagSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT v FROM $cat.ns.t ORDER BY obj_id")
       .collect().map(_.getLong(0)).toSeq == Seq(99L, 20L))
+    // metadata table twin of list_tags
+    assert(spark.sql(s"SELECT name, version FROM $cat.ns.`t$$tags`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("r1", 1L)))
     spark.sql(s"CALL $cat.system.delete_tag('ns.t', 'r1')")
     assert(spark.sql(s"CALL $cat.system.list_tags('ns.t')").count() == 0)
+    assert(spark.sql(s"SELECT * FROM $cat.ns.`t$$tags`").count() == 0)
   }
 }
