@@ -747,7 +747,8 @@ private[acid] object GraftTableSource {
 private[acid] final class GraftTable(root: String, version: Long,
     tableSchema: StructType, timeTraveled: Boolean = false,
     partitionByOpt: Option[String] = None,
-    clusterByOpt: Option[String] = None)
+    clusterByOpt: Option[String] = None,
+    private[acid] val uniqueIdsOpt: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -796,7 +797,8 @@ private[acid] final class GraftTable(root: String, version: Long,
     * (appId, version) write lands nothing the second time. */
   private[acid] def insert(data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean, appTxn: Option[(String, Long)]): Unit = {
-    val inst = VersionedTable.open(data.sparkSession, root)
+    val inst = VersionedTable.open(data.sparkSession, root,
+      EngineConf(uniqueIds = uniqueIdsOpt))
     // ingest clustering (set_clustering / cluster_by table property):
     // range-partition + locally sort the batch on the cluster columns
     // BEFORE staging, so each landed file covers a disjoint range of
@@ -946,7 +948,9 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
           autoMaterializeDvs =
             info.options().getInt("autoMaterializeDvs", 0),
           // append epochs probe staged ids like batch inserts do
-          uniqueIds = info.options().getBoolean("uniqueIds", false)),
+          // (sink option, or the table's unique_ids catalog property)
+          uniqueIds = info.options().getBoolean("uniqueIds", false) ||
+            table.uniqueIdsOpt),
         // refresh-on-epoch: dependent materialized-view roots advanced
         // after each epoch commit (best-effort; see GraftStreamingWrite)
         refreshViews = Option(info.options().get("refreshViews"))

@@ -89,7 +89,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(root, version,
       StructType.fromDDL(inst.stateAt(version)._2), timeTraveled,
       partitionByOpt = readPartitionBy(ident),
-      clusterByOpt = readClusterBy(ident))
+      clusterByOpt = readClusterBy(ident),
+      uniqueIdsOpt = readUniqueIds(ident))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -164,11 +165,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     clusterCols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c not in schema"))
+    // CREATE TABLE ... TBLPROPERTIES ('unique_ids' = 'true'): every
+    // SQL INSERT probes for duplicate obj_ids (EngineConf.uniqueIds)
+    val uniq = Option(properties.get("unique_ids")).exists(_ == "true")
     val root = tablePath(ident)
     fs.mkdirs(root.getParent)
     VersionedTable.create(SparkSession.active, root.toString, schema)
-    if (partCols.nonEmpty || clusterCols.nonEmpty)
-      writeCatalogSpec(ident, partCols, clusterCols)
+    if (partCols.nonEmpty || clusterCols.nonEmpty || uniq)
+      writeCatalogSpec(ident, partCols, clusterCols, uniq)
     graftTable(ident, 0L, timeTraveled = false)
   }
 
@@ -191,15 +195,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def readClusterBy(ident: Identifier): Option[String] =
     readCatalogKey(ident, "clusterBy")
 
-  /** Rewrite `_catalog.json` with the given specs (absent when both
-    * are empty) — write-then-rename, never delete-then-create: a crash
-    * between a delete and a create would silently leave the table
-    * spec-less for every subsequent write, and a concurrent reader in
-    * the window would see no spec at all. */
+  private def readUniqueIds(ident: Identifier): Boolean =
+    readCatalogKey(ident, "uniqueIds").contains("true")
+
+  /** Rewrite `_catalog.json` with the given specs (absent when all
+    * are empty/off) — write-then-rename, never delete-then-create: a
+    * crash between a delete and a create would silently leave the
+    * table spec-less for every subsequent write, and a concurrent
+    * reader in the window would see no spec at all. */
   private def writeCatalogSpec(ident: Identifier,
-      partitionBy: Seq[String], clusterBy: Seq[String]): Unit = {
+      partitionBy: Seq[String], clusterBy: Seq[String],
+      uniqueIds: Boolean = false): Unit = {
     val p = new Path(tablePath(ident), "_catalog.json")
-    if (partitionBy.isEmpty && clusterBy.isEmpty) {
+    if (partitionBy.isEmpty && clusterBy.isEmpty && !uniqueIds) {
       if (fs.exists(p)) fs.delete(p, false)
       return
     }
@@ -207,7 +215,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (partitionBy.isEmpty) None
       else Some(s""""partitionBy":"${partitionBy.mkString(",")}""""),
       if (clusterBy.isEmpty) None
-      else Some(s""""clusterBy":"${clusterBy.mkString(",")}"""")
+      else Some(s""""clusterBy":"${clusterBy.mkString(",")}""""),
+      if (!uniqueIds) None else Some(""""uniqueIds":"true"""")
     ).flatten.mkString(",") + "}"
     val tmp = new Path(tablePath(ident),
       s"._catalog-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -379,6 +388,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_mv" => new RefreshMvProcedure(this)
       case "set_partitioning" => new SetPartitioningProcedure(this)
       case "set_clustering" => new SetClusteringProcedure(this)
+      case "set_unique_ids" => new SetUniqueIdsProcedure(this)
       case "mv_status" => new MvStatusProcedure(this)
       case "list_mvs" => new ListMvsProcedure(this)
       case "drop_mv" => new DropMvProcedure(this)
@@ -425,7 +435,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     cols.foreach(c => require(schemaCols.contains(c),
       s"partition column $c not in table schema"))
     writeCatalogSpec(ident, cols,
-      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil))
+      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil),
+      readUniqueIds(ident))
   }
 
   /** CLUSTER-SPEC EVOLUTION (the ingest-side half of `compact`'s
@@ -448,7 +459,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     cols.foreach(c => require(schemaCols.contains(c),
       s"cluster column $c not in table schema"))
     writeCatalogSpec(ident,
-      readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil), cols)
+      readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil), cols,
+      readUniqueIds(ident))
+  }
+
+  /** Toggle append-time id-uniqueness enforcement for SQL writes to
+    * this table ([[EngineConf.uniqueIds]]'s catalog face; also the
+    * CREATE TABLE `unique_ids` property). */
+  private[acid] def setUniqueIds(dotted: String, on: Boolean): Unit = {
+    val parts = dotted.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    writeCatalogSpec(ident,
+      readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil),
+      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil), on)
   }
 
   private[acid] def pathFor(dotted: String): Path = {
@@ -998,6 +1022,28 @@ private[acid] final class ShowConstraintsProcedure(cat: GraftCatalog)
       .map { case (n, c) => Seq(n, c) }
     java.util.Collections.singletonList[Scan](new ListScan(
       Seq("name", "check"), rows)).iterator()
+  }
+}
+
+/** `CALL system.set_unique_ids(table, enabled)` — toggle append-time
+  * id-uniqueness probing for SQL writes ([[EngineConf.uniqueIds]]). */
+private[acid] final class SetUniqueIdsProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_unique_ids"
+  override def description(): String =
+    "Toggle duplicate-obj_id probing on INSERTs to this table " +
+    "(merge/upsert are unique by construction)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("enabled", BooleanType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    cat.setUniqueIds(input.getUTF8String(0).toString, input.getBoolean(1))
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("unique_ids",
+        if (input.getBoolean(1)) 1L else 0L)).iterator()
   }
 }
 

@@ -232,6 +232,23 @@ class ConstraintSpec extends AnyFunSuite {
     val e4 = intercept[Exception] { drain() }
     assert(messages(e4).contains("obj_id 10 already exists"))
     assert(t.read().filter(col("obj_id") === 10L).count() == 1)
+
+    // SQL face: unique_ids table property + set_unique_ids toggle
+    val cat = "guniq" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val wh = Files.createTempDirectory("graft_uniq_wh_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.u (obj_id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('unique_ids' = 'true')")
+    spark.sql(s"INSERT INTO $cat.ns.u VALUES (1, 1)")
+    val e5 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ns.u VALUES (1, 2)") }
+    assert(messages(e5).contains("obj_id 1 already exists"))
+    spark.sql(s"CALL $cat.system.set_unique_ids('ns.u', false)")
+    spark.sql(s"INSERT INTO $cat.ns.u VALUES (1, 2)") // now allowed
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.u").head.getLong(0)
+      == 2L)
   }
 
   test("property: random op sequences never leave a violating row behind") {
