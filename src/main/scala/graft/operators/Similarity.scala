@@ -613,6 +613,25 @@ object Similarity {
         idx.search(all.filter(col("vec_id") < 20), nProbe = 8)
     },
 
+    // the persisted index's top-k path, full probe = exact — gated
+    // against q26_ann_topk's brute-force oracle
+    "q76_ann_index_topk" -> Q(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      "p AS (SELECT qid, e.vec_id AS nid, " +
+      s"ROUND($cosSql, 4) AS cs FROM q, e WHERE e.vec_id <> qid) " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, cs, rank FROM (" +
+      "SELECT qid, nid, cs, ROW_NUMBER() OVER (" +
+      "PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM p) t " +
+      "WHERE rank <= 5 ORDER BY vec_id, rank") {
+      (s, dir) =>
+        val all = emb(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx_k_").toUri.toString
+        val idx = IvfIndex.build(all, root, dim = 64, nCells = 8)
+        idx.searchTopK(all.filter(col("vec_id") < 20), k = 5, nProbe = 8)
+    },
+
     "q25_embed_neardup" -> Q(
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "p AS (SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi, " +
