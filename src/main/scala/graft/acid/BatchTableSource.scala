@@ -93,7 +93,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     new GraftTable(root, v, StructType.fromDDL(inst.stateAt(v)._2),
       timeTraveled = options.containsKey("versionAsOf") ||
         options.containsKey("timestampAsOf"),
-      partitionByOpt = Option(options.get("partitionBy")))
+      partitionByOpt = Option(options.get("partitionBy")),
+      uniqueIdsOpt = options.getBoolean("uniqueIds", false))
   }
 }
 
@@ -799,6 +800,15 @@ private[acid] final class GraftTable(root: String, version: Long,
       overwrite: Boolean, appTxn: Option[(String, Long)]): Unit = {
     val inst = VersionedTable.open(data.sparkSession, root,
       EngineConf(uniqueIds = uniqueIdsOpt))
+    // replayed idempotent write (txnAppId/txnVersion): its first
+    // attempt's rows are durable — return before staging, both to
+    // save the work and so the uniqueIds probe can't mistake the
+    // earlier attempt's rows for duplicates (a racing zombie that
+    // slips past still lands nothing: commit's watermark checks throw
+    // EpochAlreadyCommitted, caught below)
+    appTxn.foreach { case (id, v) =>
+      if (inst.lastCommittedEpoch(id).exists(_ >= v)) return
+    }
     // ingest clustering (set_clustering / cluster_by table property):
     // range-partition + locally sort the batch on the cluster columns
     // BEFORE staging, so each landed file covers a disjoint range of

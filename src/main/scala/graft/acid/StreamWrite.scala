@@ -185,8 +185,15 @@ private[acid] final class GraftStreamingWrite(root: String,
       }
       // opt-in append-time id uniqueness: append epochs probe like
       // batch inserts (upsert epochs replace by key — unique by
-      // construction, and already dup-checked above)
-      if (!upsert) txn.assertUniqueIds(staged)
+      // construction, and already dup-checked above). A REPLAYED
+      // epoch must skip the probe: its own first attempt's rows are
+      // durable, so the probe would see them as duplicates and fail
+      // the stream where the watermark check would no-op it — the
+      // watermark is consulted first (a zombie racing past this check
+      // still dies at commit's window scan, caught below).
+      if (!upsert &&
+          inst.lastCommittedEpoch(queryId).forall(_ < epochId))
+        txn.assertUniqueIds(staged)
       if (staged.nonEmpty)
         txn.replaceScanned(Nil, staged, Map.empty, Some(pinnedMapping))
       inst.commit(txn)

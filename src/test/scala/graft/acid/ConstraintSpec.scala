@@ -233,6 +233,24 @@ class ConstraintSpec extends AnyFunSuite {
     assert(messages(e4).contains("obj_id 10 already exists"))
     assert(t.read().filter(col("obj_id") === 10L).count() == 1)
 
+    // idempotent-replay interplay: a REPLAYED txnAppId write must
+    // no-op gracefully, not trip the duplicate probe on its own first
+    // attempt's rows; a genuinely NEW version with duplicate ids still
+    // fails
+    val t2 = VersionedTable.create(spark,
+      Files.createTempDirectory("graft_uniq_rep_").toUri.toString, schema)
+    def idemWrite(ver: Long, id: Long): Unit =
+      Seq((id, "r", ver)).toDF("obj_id", "grp", "v")
+        .write.format("graft").option("path", t2.root)
+        .option("uniqueIds", "true")
+        .option("txnAppId", "job-A").option("txnVersion", ver)
+        .mode("append").save()
+    idemWrite(1L, 7L)
+    idemWrite(1L, 7L) // replay: lands nothing, no error
+    assert(t2.read().count() == 1)
+    val e6 = intercept[Exception] { idemWrite(2L, 7L) } // new version, dup id
+    assert(messages(e6).contains("obj_id 7 already exists"))
+
     // SQL face: unique_ids table property + set_unique_ids toggle
     val cat = "guniq" + java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
