@@ -651,7 +651,12 @@ private[acid] final class VacuumProcedure(cat: GraftCatalog)
     // BEFORE deletion with the horizon this call establishes;
     // best-effort — an unreadable view is the refresh path's problem,
     // not vacuum's.
-    val horizon = math.max(0L, inst.latestVersion - retain + 1)
+    // the SAME horizon vacuum() itself will establish — including the
+    // oldest-tag clamp; without it a tagged table over-reports views
+    // as rebuild-degraded whose pre-images the clamp actually keeps
+    val horizon = math.max(0L,
+      math.min(inst.latestVersion - retain + 1,
+        inst.tags.values.minOption.getOrElse(Long.MaxValue)))
     val canon = new Path(inst.root).toString
     val spark = SparkSession.active
     val degraded = inst.pooledMap(

@@ -319,11 +319,16 @@ final class MaterializedAggView private (
     var forceRebuild = false
     while (true) {
       val head = source.latestVersion
-      val initial = refreshedVersion < 0
-      val last = math.max(0L, refreshedVersion)
+      // ONE watermark walk per loop iteration serves the fact and
+      // every dimension (each lastCommittedEpoch call would otherwise
+      // re-walk manifests back to the last checkpoint — 1+k metadata
+      // round-trip sets per attempt on an object store)
+      val wmHead = view.appTxnsAt(view.latestVersion)
+      val initial = !wmHead.contains(appId) || wmHead(appId) < 0
+      val last = math.max(0L, wmHead.getOrElse(appId, -1L))
       val headDs: Seq[Long] = dimJoins.map(_.dim.latestVersion)
-      val lastDs: Seq[Long] =
-        dimJoins.indices.map(i => math.max(0L, refreshedDimVersion(i)))
+      val lastDs: Seq[Long] = dimJoins.indices.map(i =>
+        math.max(0L, wmHead.getOrElse(appIdDim(i), -1L)))
       if (head <= last &&
           dimJoins.indices.forall(i => headDs(i) <= lastDs(i))) {
         lastRefreshMode = "noop"; return head
@@ -381,12 +386,12 @@ final class MaterializedAggView private (
           view.withRetry() { t =>
             // same stale-watermark + fence discipline as the
             // incremental path: the fold is valid only against the
-            // watermarks it was derived from
-            if (view.appTxnsAt(t.readVersion).get(appId)
-                .exists(w => math.max(0L, w) != last))
+            // watermarks it was derived from (one walk for all sides)
+            val wmNow = view.appTxnsAt(t.readVersion)
+            if (wmNow.get(appId).exists(w => math.max(0L, w) != last))
               throw new StaleWatermark
             dimJoins.indices.foreach { i =>
-              if (view.appTxnsAt(t.readVersion).get(appIdDim(i))
+              if (wmNow.get(appIdDim(i))
                   .exists(w => math.max(0L, w) != lastDs(i)))
                 throw new StaleWatermark
             }
@@ -597,12 +602,13 @@ final class MaterializedAggView private (
           // a rival refresher advanced it (visible in this snapshot, or
           // surfaced as a fence conflict that re-ran this body), the
           // overlap of the two intervals must not fold twice — restart
-          // from the new watermark with a fresh delta
-          if (view.appTxnsAt(t.readVersion).get(appId)
-              .exists(w => math.max(0L, w) != last))
+          // from the new watermark with a fresh delta (one walk for
+          // all sides)
+          val wmNow = view.appTxnsAt(t.readVersion)
+          if (wmNow.get(appId).exists(w => math.max(0L, w) != last))
             throw new StaleWatermark
           dimJoins.indices.foreach { i =>
-            if (view.appTxnsAt(t.readVersion).get(appIdDim(i))
+            if (wmNow.get(appIdDim(i))
                 .exists(w => math.max(0L, w) != lastDs(i)))
               throw new StaleWatermark
           }
@@ -992,7 +998,13 @@ object MaterializedAggView {
     } catch { case scala.util.control.NonFatal(_) => () }
     val p = new org.apache.hadoop.fs.Path(viewRoot)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.delete(p, true)
+    val dropped = fs.exists(p) && fs.delete(p, true)
+    // the rewrite rule memoizes candidates for up to its TTL: without
+    // this, a query planned in the window after the drop would be
+    // rewritten to scan the DELETED view root and fail where the
+    // un-rewritten plan would have succeeded against the source
+    if (dropped) MvRewriteRule.invalidateCache()
+    dropped
   }
 
   /** Definition side file under the view root — written ONCE at create

@@ -3305,6 +3305,22 @@ final class Instance(val spark: SparkSession, val root: String,
         if (window.nonEmpty) readManifest(txn.readVersion).constraints
         else Map.empty[String, String]
       val txnIds = txn.objects.toSet
+      // fence baseline: the fenced/fence-only watermarks' values AT
+      // THIS TXN'S SNAPSHOT. A CHECKPOINT manifest in the window
+      // carries the FULL folded watermark map (not just its own
+      // commit's delta), so "entry present" does NOT mean "moved" —
+      // an interleaved compact landing as a checkpoint would
+      // spuriously fence every concurrent view refresh. A watermark
+      // has MOVED only if a window manifest carries it at a DIFFERENT
+      // epoch than the snapshot's. One walk, only when fences exist.
+      lazy val fenceBase: Map[String, Option[Long]] = {
+        val at = appTxnsAt(txn.readVersion)
+        (txn.appTxnFenceOnly ++
+          (if (txn.appTxnFence) txn.appTxn.map(_._1) else Nil))
+          .map(id => id -> at.get(id)).toMap
+      }
+      def fenceMoved(m: Manifest, appId: String): Boolean =
+        m.appTxns.get(appId).exists(e => !fenceBase(appId).contains(e))
       // object overlap across the list/summary combinations: exact when
       // either side carries a literal id list (bloom membership has no
       // false negatives), range-conservative when both are summaries —
@@ -3329,21 +3345,24 @@ final class Instance(val spark: SparkSession, val root: String,
               s"epoch $epoch for query $appId already committed at $root " +
               s"by interleaved commit v$v")
           }
-          // a fenced watermark conflicts with ANY interleaved movement
+          // a fenced watermark conflicts with ANY interleaved MOVEMENT
           // of the same watermark (a rival refresh landed a smaller
           // head): the caller's payload was computed from the OLD
-          // watermark and must be rebuilt, not merged on top
-          if (txn.appTxnFence && m.appTxns.contains(appId)) {
+          // watermark and must be rebuilt, not merged on top. "Moved"
+          // = a window manifest carries it at a different epoch than
+          // the snapshot's — a checkpoint folding the UNCHANGED value
+          // forward is not movement (see fenceBase)
+          if (txn.appTxnFence && fenceMoved(m, appId)) {
             txn.abort()
             throw new ConflictException(
               s"watermark for $appId moved by interleaved commit v$v")
           }
         }
         // fence-only watermarks (Txn.fenceEpoch): conflict with ANY
-        // interleaved movement of the watched watermark — no epoch is
+        // interleaved MOVEMENT of the watched watermark — no epoch is
         // published for these and no idempotence skip applies
         txn.appTxnFenceOnly.foreach { appId =>
-          if (m.appTxns.contains(appId)) {
+          if (fenceMoved(m, appId)) {
             txn.abort()
             throw new ConflictException(
               s"fence-only watermark for $appId moved by interleaved " +
@@ -3795,38 +3814,68 @@ final class Instance(val spark: SparkSession, val root: String,
     val v = if (version < 0L) latestVersion else version
     require(v >= 0L && v <= latestVersion,
       s"cannot tag uncommitted version $v (head ${latestVersion})")
-    val cur = tags
-    require(!cur.contains(name),
-      s"tag '$name' already exists (at v${cur(name)}); delete it first")
-    writeTags(cur + (name -> v))
+    require(!tags.contains(name),
+      s"tag '$name' already exists (at v${tags(name)}); delete it first")
+    // read-modify-rename is lost-update racy (two concurrent taggers
+    // both read, last rename wins — and a LOST tag means vacuum can
+    // reclaim the snapshot its holder believes pinned): verify our
+    // entry landed and retry, folding in whatever the rival published;
+    // still losing after the retries is a loud error, never a silent
+    // unprotected snapshot
+    var attempts = 0
+    while (attempts < 4 && !tags.get(name).contains(v)) {
+      val cur = tags
+      if (cur.get(name).exists(_ != v))
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (at v${cur(name)}); delete it first")
+      writeTags(cur + (name -> v))
+      attempts += 1
+    }
+    if (!tags.get(name).contains(v))
+      throw new java.io.IOException(
+        s"could not durably record tag '$name' at $root after " +
+        s"$attempts attempts (concurrent tag churn)")
     v
   }
 
   /** Drop a tag; false = no such tag. Reclamation of the previously
-    * pinned history resumes at the next [[vacuum]]. */
+    * pinned history resumes at the next [[vacuum]]. Same
+    * verify-and-retry as [[tagVersion]] (a racing tagger must not
+    * resurrect the dropped entry silently). */
   def deleteTag(name: String): Boolean = {
-    val cur = tags
-    cur.contains(name) && { writeTags(cur - name); true }
+    if (!tags.contains(name)) return false
+    var attempts = 0
+    while (attempts < 4 && tags.contains(name)) {
+      writeTags(tags - name)
+      attempts += 1
+    }
+    if (tags.contains(name))
+      throw new java.io.IOException(
+        s"could not durably drop tag '$name' at $root after " +
+        s"$attempts attempts (concurrent tag churn)")
+    true
   }
 
-  /** Current tags (name -> version). */
+  /** Current tags (name -> version). A missing file is the empty map;
+    * a READ FAILURE throws — every consumer of this map makes a
+    * protection decision (vacuum's horizon clamp above all), and
+    * degrading a transient store error to "no tags" would let a
+    * vacuum permanently reclaim a snapshot the user believes pinned. */
   def tags: Map[String, Long] = {
     val p = new Path(root, "_tags.json")
-    try {
-      if (!fs.exists(p)) Map.empty
-      else {
-        val in = fs.open(p)
-        val s = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          var n = in.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          new String(buf.toByteArray, "UTF-8")
-        } finally in.close()
-        """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
-      }
-    } catch { case _: java.io.IOException => Map.empty }
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val s = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      """"((?:[^"\\]|\\.)+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
   }
 
   /** Version a tag names, or the parsed number if `spec` is numeric —

@@ -106,7 +106,10 @@ final class IvfIndex private[operators] (
   def search(queries: DataFrame, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, $nCells]")
-    val probes = queryProbes(queries, nProbe)
+    // materialized once: the probe assignment (per-query O(nCells·dim)
+    // scoring) is consumed by the cell collection/broadcast AND the
+    // candidate join — without this it would re-execute per consumer
+    val probes = queryProbes(queries, nProbe).localCheckpoint()
     val corpus = probedCorpus(probes)
     Similarity.top1(corpus.join(probes, Seq("cell"))
       .filter(col("obj_id") =!= col("qid"))
@@ -119,7 +122,7 @@ final class IvfIndex private[operators] (
   def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, $nCells]")
-    val probes = queryProbes(queries, nProbe)
+    val probes = queryProbes(queries, nProbe).localCheckpoint()
     val corpus = probedCorpus(probes)
     corpus.join(probes, Seq("cell"))
       .filter(col("obj_id") =!= col("qid"))

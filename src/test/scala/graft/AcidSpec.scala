@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.acid.{AcidQueries, ConflictException, VersionedTable}
+import graft.acid.{AcidQueries, ConflictException, EngineConf, VersionedTable}
 
 /** ACID-layer scenario tests mirroring the reference's E2E coverage
   * (instance.rs:599-762): visibility, snapshot isolation, rollback,
@@ -2232,5 +2232,34 @@ class AcidSpec extends AnyFunSuite {
     val buf = new Array[Byte](64); val n = in.read(buf); in.close()
     assert(new String(buf, 0, n, "UTF-8") == "stolen-by-waiter")
     hfs.delete(lock, false)
+  }
+
+  test("fence tolerates a checkpoint folding the UNCHANGED watermark; movement still conflicts") {
+    import spark.implicits._
+    // checkpointInterval = 1: EVERY commit is a checkpoint whose
+    // manifest carries the FULL folded watermark map — "entry present"
+    // must not read as "watermark moved" or every interleaved commit
+    // would spuriously fence every concurrent view refresh
+    val t = VersionedTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_fence_")
+        .toUri.toString,
+      AcidQueries.schema, EngineConf(checkpointInterval = 1))
+    t.withRetry() { x => x.markEpoch("w", 5) }
+    // fence-only watcher pinned BEFORE an interleaved checkpoint that
+    // folds w=5 forward without moving it
+    val txn = t.begin()
+    txn.fenceEpoch("w")
+    txn.insert(Seq((1L, 10L)).toDF("obj_id", "value"))
+    t.withRetry() { x => x.insert(Seq((2L, 20L))
+      .toDF("obj_id", "value")) }
+    t.commit(txn) // folded-but-unmoved watermark: no conflict
+    assert(t.read().count() == 2)
+    // a genuine MOVE of the watched watermark still fences
+    val txn2 = t.begin()
+    txn2.fenceEpoch("w")
+    txn2.insert(Seq((3L, 30L)).toDF("obj_id", "value"))
+    t.withRetry() { x => x.markEpoch("w", 6) }
+    intercept[ConflictException] { t.commit(txn2) }
+    assert(t.read().count() == 2)
   }
 }
