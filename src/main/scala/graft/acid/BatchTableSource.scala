@@ -961,8 +961,11 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
           // (sink option, or the table's unique_ids catalog property)
           uniqueIds = info.options().getBoolean("uniqueIds", false) ||
             table.uniqueIdsOpt),
-        // refresh-on-epoch: dependent materialized-view roots advanced
-        // after each epoch commit (best-effort; see GraftStreamingWrite)
+        // refresh-on-epoch: dependent materialized-view (and ANN
+        // index) roots advanced after each epoch commit (best-effort;
+        // see GraftStreamingWrite)
+        refreshIndexes = Option(info.options().get("refreshIndexes"))
+          .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
         refreshViews = Option(info.options().get("refreshViews"))
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))

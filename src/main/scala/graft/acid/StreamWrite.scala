@@ -51,11 +51,37 @@ private[acid] final class GraftStreamingWrite(root: String,
     // push half of the otherwise pull-only MV plane (the reference's
     // checkpointer daemon closes the same loop for its own derived
     // state, checkpointer.rs:86-176)
-    refreshViews: Seq[String] = Nil) extends StreamingWrite {
+    refreshViews: Seq[String] = Nil,
+    // same loop for persisted ANN indexes over this table
+    // (`.option("refreshIndexes", "idxRoot1,idxRoot2")`): each epoch
+    // commit advances the named [[graft.operators.IvfIndex]]es —
+    // best-effort exactly like refreshViews (a lagging index heals on
+    // its next refresh; its watermark makes the catch-up exact)
+    refreshIndexes: Seq[String] = Nil) extends StreamingWrite {
 
   {
+    // nested nullability (array containsNull, inner struct fields) is
+    // as irrelevant to parquet compatibility as top-level nullability:
+    // a Dataset built from Seq[Double] carries containsNull=false and
+    // must write into an ARRAY<DOUBLE> (containsNull=true) column —
+    // same comparison adoptSchemaType uses for evolving batch inserts
+    def sameType(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+      case (x: org.apache.spark.sql.types.ArrayType,
+            y: org.apache.spark.sql.types.ArrayType) =>
+        sameType(x.elementType, y.elementType)
+      case (x: org.apache.spark.sql.types.MapType,
+            y: org.apache.spark.sql.types.MapType) =>
+        sameType(x.keyType, y.keyType) && sameType(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name && sameType(f.dataType, g.dataType)
+        }
+      case _ => a == b
+    }
     val t = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-    val bad = writeSchema.fields.filterNot(f => t.get(f.name).contains(f.dataType))
+    val bad = writeSchema.fields.filterNot(f =>
+      t.get(f.name).exists(sameType(_, f.dataType)))
     val missing = tableSchema.fieldNames.filterNot(writeSchema.fieldNames.contains)
     if (bad.nonEmpty || missing.nonEmpty)
       throw new IllegalArgumentException(
@@ -217,17 +243,28 @@ private[acid] final class GraftStreamingWrite(root: String,
     * pull-based anyway; a lagging view is visible through `mv_status`
     * and heals on its next refresh (its fenced watermark makes the
     * catch-up exact regardless of how many epochs it missed). */
-  private def refreshDependents(): Unit = refreshViews.foreach { vr =>
-    try {
-      val spark = SparkSession.active
-      MaterializedAggView.openFromDef(spark, vr,
-        resolveSource = MaterializedAggView.sessionResolver(spark))
-        .refresh()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"graft refresh-on-epoch: view $vr lags (will heal on its " +
-          s"next refresh): $e")
+  private def refreshDependents(): Unit = {
+    refreshViews.foreach { vr =>
+      try {
+        val spark = SparkSession.active
+        MaterializedAggView.openFromDef(spark, vr,
+          resolveSource = MaterializedAggView.sessionResolver(spark))
+          .refresh()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft refresh-on-epoch: view $vr lags (will heal on its " +
+            s"next refresh): $e")
+      }
+    }
+    refreshIndexes.foreach { ir =>
+      try graft.operators.IvfIndex.open(SparkSession.active, ir).refresh()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft refresh-on-epoch: ANN index $ir lags (will heal on " +
+            s"its next refresh): $e")
+      }
     }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
-import graft.acid.{EpochAlreadyCommittedException, Instance, MaterializedAggView, VersionedTable}
+import graft.acid.{EngineConf, EpochAlreadyCommittedException, Instance, MaterializedAggView, VersionedTable}
 
 /** PERSISTED IVF ANN index — the "index once, search forever" shape
   * [[Similarity.annTop1Ivf]] (which trains + assigns per call) needs
@@ -263,6 +263,14 @@ object IvfIndex {
     * it scoring rides a broadcast variable (see [[IvfIndex.assignRows]]). */
   private[operators] val PlanCells = 64
 
+  /** The assignment table's config: a long-lived refreshed index lands
+    * one churn-sized commit per refresh, so small files accrete —
+    * post-commit auto-compaction bounds them without an external
+    * maintenance job (EngineConf is caller-side, so open() re-applies
+    * it rather than relying on build-time state). */
+  private[operators] def assignConf: EngineConf =
+    EngineConf(autoCompactFiles = 64, autoCompactTarget = 8)
+
   private[operators] def cosSim(a: Array[Double],
       b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -335,7 +343,7 @@ object IvfIndex {
       StructType(Seq(
         StructField("obj_id", LongType, nullable = false),
         StructField("v", ArrayType(DoubleType)),
-        StructField("cell", IntegerType))))
+        StructField("cell", IntegerType))), assignConf)
     val idx = new IvfIndex(spark, root, dim, nCells, cents, assign,
       source.map(s => new Path(s.root).toString), idCol, vecCol)
     source match {
@@ -384,7 +392,7 @@ object IvfIndex {
     require(cents.length == nCells && cents.forall(_.length == dim),
       s"corrupt $MetaFile at $root")
     val assign = VersionedTable.open(spark,
-      new Path(rootP, "assign").toString)
+      new Path(rootP, "assign").toString, assignConf)
     new IvfIndex(spark, root, dim, nCells, cents, assign,
       strField("sourceRoot"),
       strField("idCol").getOrElse("vec_id"),

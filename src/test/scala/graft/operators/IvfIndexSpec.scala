@@ -68,6 +68,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("refresh-on-epoch: the streaming sink advances the index per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val srcRoot = Files.createTempDirectory("graft_ivf_se_").toUri.toString
+    val src = VersionedTable.create(spark, srcRoot, StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType)))))
+    src.withRetry() { t => t.insert(
+      (0 until 32).map(i => (i.toLong, vec(i.toLong)))
+        .toDF("obj_id", "v")) }
+    val root = Files.createTempDirectory("graft_ivf_se_i_").toUri.toString
+    IvfIndex.buildFromTable(src, root, dim = dim, nCells = 4)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = Files.createTempDirectory("graft_ivf_se_ck_").toString
+    mem.addData((100L, vec(100L)), (101L, vec(101L)))
+    val q = mem.toDF().toDF("obj_id", "v")
+      .writeStream.format("graft").option("path", srcRoot)
+      .option("checkpointLocation", ckpt)
+      .option("refreshIndexes", root)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val idx = IvfIndex.open(spark, root)
+    assert(idx.indexedVersion == src.latestVersion)
+    // the streamed rows are searchable without any manual refresh
+    val queries = src.read().filter(col("obj_id") === 100L)
+      .select(col("obj_id"), col("v"))
+    assert(idx.search(queries, nProbe = 4).count() == 1)
+  }
+
   test("graft-source index refreshes incrementally and survives vacuum") {
     val srcRoot = Files.createTempDirectory("graft_ivf_src_").toUri.toString
     val src = VersionedTable.create(spark, srcRoot, StructType(Seq(
