@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.util.control.{ControlThrowable, NonFatal}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -43,7 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *    relation's pinned version EXACTLY, and — for join views — whose
   *    per-dimension watermarks equal each dim relation's pinned
   *    version (the view then reflects precisely the snapshots the
-  *    query would scan; fresher or staler both disqualify);
+  *    query would scan; fresher disqualifies). A PLAIN view staler by
+  *    up to [[MvRewriteRule.MaxStalenessKey]] commits is still used,
+  *    compensated read-side with the refresh's own signed delta fold
+  *    — see [[tryMatchStale]]; sum-shaped aggregates only;
   *  - for join views, the query's join graph matches the view's: the
   *    same set of relations (fact + every dim, each once) and a
   *    factKey = dimKey equi-conjunct per dimension — no extra
@@ -154,8 +157,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           .flatMap(l => candidates(l._2.tableRoot, l._2.tableVersion))
           .distinctBy(_.root)
           .filter(_.dims.size + 1 == leaves.size)
+        // exactly-fresh before stale (no compensation delta), then
         // smallest view first: fewer group columns = coarser = cheaper
-        cands.sortBy(_.d.groupCols.size).iterator
+        cands.sortBy(c => (c.staleBy, c.d.groupCols.size)).iterator
           .map(c => try Some(tryMatch(agg, leaves, conds, c))
             catch { case Bail => None })
           .collectFirst { case Some(p) => p }
@@ -168,6 +172,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def tryMatch(agg: Aggregate,
       leaves: Seq[(DataSourceV2Relation, GraftTable)],
       conds: Seq[Expression], cand: Candidate): LogicalPlan = {
+    if (cand.staleBy > 0) return tryMatchStale(agg, leaves, conds, cand)
     def fail(): Nothing =
       if (conf.getConfString("spark.graft.mv.rewrite.debugBail", "false")
           .toBoolean)
@@ -468,6 +473,221 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     Aggregate(newGes, newAes, child)
   }
 
+  /** STALE-TOLERANT rewrite: the view's watermark `wm` lags the
+    * query's pinned fact version by `staleBy` commits (0 < staleBy <=
+    * [[MvRewriteRule.MaxStalenessKey]]). The answer is compensated
+    * READ-SIDE with exactly the signed fold refresh would apply —
+    * `view(wm) ∪ shape(weightedDelta(wm, pinned))` — so the rewrite
+    * stays RESULT-IDENTICAL: rows visible after each missed commit
+    * weigh +1, rows visible before it −1, and every sum-shaped
+    * aggregate nets out to the pinned snapshot's exact value. This is
+    * the read-side analog of checkpoint + WAL-tail recovery
+    * (reference: instance.rs:239-304, io.rs:260-289) — the view is
+    * the checkpoint, the weighted delta the log tail.
+    *
+    * Only SUM-SHAPED translations are sound over the union (signed
+    * weights cancel inside a Σ): `count(*)` → Σcnt, `count(c)` →
+    * Σnn_c, `count(g)` → Σ(g null ? 0 : cnt), `sum(c)` → Σsum_c
+    * gated on the Σnn_c witness (a cancelled-to-0 sum must read back
+    * as SQL NULL), `avg(c)` → Σsum/Σnn. MIN/MAX, sketch and DISTINCT
+    * translations are refused: a view group that died inside the
+    * missed interval still contributes its stored extremum /
+    * distinct tuple to the union, and no signed fold can retract it.
+    * Grouped queries get a `Σcnt > 0` liveness filter (net row count
+    * per group is always >= 0) so dead groups drop exactly like the
+    * refresh's merge-delete; global aggregates skip the filter — an
+    * emptied table still answers `count(*) = 0` / `sum = NULL`.
+    *
+    * Plain (fact-only) views only: a stale star view would need the
+    * full inclusion–exclusion algebra read-side per query. Scale: the
+    * compensated plan costs the view scan + O(missed churn) delta
+    * files — with the staleness bound it is strictly cheaper than the
+    * fact scan it replaces whenever the view is, which is the same
+    * economics as the refresh itself. A vacuum that reclaims the
+    * interval's pre-images between candidate lookup and execution
+    * fails the read loudly (FileNotFound), never silently. */
+  private def tryMatchStale(agg: Aggregate,
+      leaves: Seq[(DataSourceV2Relation, GraftTable)],
+      conds: Seq[Expression], cand: Candidate): LogicalPlan = {
+    def fail(): Nothing =
+      if (conf.getConfString("spark.graft.mv.rewrite.debugBail", "false")
+          .toBoolean)
+        throw new RuntimeException("stale bail at " +
+          Thread.currentThread.getStackTrace.drop(2).take(4).mkString(" <- "))
+      else throw Bail
+    val maxStale =
+      try conf.getConfString(MaxStalenessKey, DefaultMaxStaleness.toString)
+        .toLong
+      catch { case NonFatal(_) => 0L }
+    if (maxStale <= 0 || cand.staleBy > maxStale) fail()
+    val resolver = conf.resolver
+    val d = cand.d
+    if (cand.dims.nonEmpty || leaves.size != 1) fail()
+    val factLeaf = leaves.head
+    if (canon(factLeaf._2.tableRoot) != cand.srcRoot) fail()
+
+    // ---- WHERE compatibility (same contract as the exact path) ------
+    val whereConjs: Seq[Expression] = d.where match {
+      case None => Nil
+      case Some(sql) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val analyzed =
+          try spark.sessionState.analyzer.execute(Filter(parsed, factLeaf._1))
+          catch { case NonFatal(_) => fail() }
+        org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed) match {
+          case Filter(c, _) => splitConjunctivePredicates(c)
+          case _ => fail()
+        }
+    }
+    if (!whereConjs.forall(wc => conds.exists(_.semanticEquals(wc)))) fail()
+    val residual = conds.filterNot(c => whereConjs.exists(_.semanticEquals(c)))
+    if (!residual.forall(_.deterministic)) fail()
+
+    // ---- compensated child: view(wm) ∪ shape(Δ(wm, pinned]) ----------
+    // The view snapshot is pinned at the candidate's view version and
+    // the delta at the watermark THAT version recorded — a concurrent
+    // refresh between lookup and execution cannot skew the pair.
+    import org.apache.spark.sql.functions.{col, expr => sqlExpr, lit, when}
+    val srcInst = VersionedTable.open(spark, cand.srcRoot)
+    val partialCols: Seq[Column] =
+      d.groupCols.map(col) ++ (col("cnt") +:
+        d.sumCols.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))))
+    // the view reads through the DSv2 provider (version-pinned) so the
+    // rewritten plan carries the view's identity — observable in
+    // explain output, and the same scan path the exact rewrite uses
+    val viewDf = spark.read.format("graft").option("path", cand.root)
+      .option("versionAsOf", cand.version).load().select(partialCols: _*)
+    val delta0 = srcInst.weightedDelta(cand.wmLast, cand.srcVersion,
+      alignToHead = true)
+    val deltaF = d.where.fold(delta0)(p => delta0.filter(sqlExpr(p)))
+    val deltaDf = deltaF.select(
+      (d.groupCols.map(col) ++ (col("_w").as("cnt") +:
+        d.sumCols.flatMap(c => Seq(
+          (col(c).cast("long") * col("_w")).as(s"sum_$c"),
+          when(col(c).isNotNull, col("_w")).otherwise(lit(0L))
+            .as(s"nn_$c"))))): _*)
+    val unionPlan = viewDf.unionByName(deltaDf).queryExecution.analyzed
+    def uAttr(name: String): AttributeReference =
+      unionPlan.output.collectFirst {
+        case a: AttributeReference if resolver(a.name, name) => a
+      }.getOrElse(fail())
+
+    def groupIdx(a: AttributeReference): Option[Int] =
+      d.groupCols.indices.find(j => resolver(d.groupCols(j), a.name) &&
+        factLeaf._1.outputSet.contains(a))
+    def sumIdx(a: AttributeReference): Option[Int] =
+      d.sumCols.indices.find(j => resolver(d.sumCols(j), a.name) &&
+        factLeaf._1.outputSet.contains(a))
+
+    def remapGroupOnly(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => groupIdx(a) match {
+        case Some(j) => uAttr(d.groupCols(j))
+        case None => fail()
+      }
+    }
+    val remappedResidual = residual.map(remapGroupOnly)
+
+    val groupMap: Map[ExprId, AttributeReference] =
+      agg.groupingExpressions.map {
+        case a: AttributeReference => groupIdx(a) match {
+          case Some(j) => a.exprId -> uAttr(d.groupCols(j))
+          case None => fail()
+        }
+        case _ => fail()
+      }.toMap
+
+    // ---- sum-shaped translations only ---------------------------------
+    def aggE(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    def cntShape(e: Expression): Expression =
+      Coalesce(Seq(e, Literal(0L)))
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def translate(ae: AggregateExpression): Expression = {
+      if (ae.filter.isDefined || ae.isDistinct) fail()
+      ae.aggregateFunction match {
+        case c: Count
+            if c.children.forall(ch => ch.foldable && ch.eval(null) != null) =>
+          cntShape(aggE(new Sum(uAttr("cnt"))))
+        case c: Count => c.children match {
+          case Seq(a: AttributeReference) if sumIdx(a).isDefined =>
+            cntShape(aggE(new Sum(
+              uAttr("nn_" + d.sumCols(sumIdx(a).get)))))
+          case Seq(a: AttributeReference) if groupIdx(a).isDefined =>
+            val g = uAttr(d.groupCols(groupIdx(a).get))
+            cntShape(aggE(new Sum(
+              If(IsNull(g), Literal(0L), uAttr("cnt")))))
+          case _ => fail()
+        }
+        case s: Sum => s.child match {
+          case a: AttributeReference if sumIdx(a).isDefined &&
+              s.dataType == LongType =>
+            // cancellation can net a dead-value sum to 0 where SQL
+            // wants NULL — gate on the non-null witness, exactly the
+            // stored view's nn contract
+            val n = d.sumCols(sumIdx(a).get)
+            If(EqualTo(cntShape(aggE(new Sum(uAttr("nn_" + n)))),
+                Literal(0L)),
+              Literal(null, LongType),
+              aggE(new Sum(uAttr("sum_" + n))))
+          case _ => fail()
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if sumIdx(a).isDefined &&
+              av.dataType == DoubleType && integral(a.dataType) =>
+            val n = d.sumCols(sumIdx(a).get)
+            val nn = cntShape(aggE(new Sum(uAttr("nn_" + n))))
+            If(EqualTo(nn, Literal(0L)), Literal(null, DoubleType),
+              new Divide(
+                Cast(aggE(new Sum(uAttr("sum_" + n))), DoubleType),
+                Cast(nn, DoubleType)))
+          case _ => fail()
+        }
+        case _ => fail()
+      }
+    }
+    def tx(e: Expression): Expression = e match {
+      case ae: AggregateExpression => translate(ae)
+      case a: AttributeReference => groupMap.getOrElse(a.exprId, fail())
+      case other => other.mapChildren(tx)
+    }
+    val newAes: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al: Alias =>
+        Alias(tx(al.child), al.name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
+      case a: AttributeReference =>
+        Alias(tx(a), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case _ => fail()
+    }
+    agg.aggregateExpressions.zip(newAes).foreach { case (o, n) =>
+      if (o.name != n.name || o.dataType != n.dataType ||
+          (!o.nullable && n.nullable)) fail()
+    }
+    val child: LogicalPlan =
+      if (remappedResidual.isEmpty) unionPlan
+      else Filter(remappedResidual.reduce(And), unionPlan)
+    val newGes = agg.groupingExpressions.map {
+      case a: AttributeReference => groupMap(a.exprId)
+      case _ => fail()
+    }
+    logInfo(s"mv rewrite (stale by ${cand.staleBy}): aggregate over " +
+      s"${cand.srcRoot}@v${cand.srcVersion} now reads view " +
+      s"${cand.root}@v${cand.version} ⊕ Δ(${cand.wmLast}, " +
+      s"${cand.srcVersion}]")
+    if (agg.groupingExpressions.isEmpty) Aggregate(Nil, newAes, child)
+    else {
+      // liveness: a group whose rows all died inside the missed
+      // interval nets Σcnt = 0 and must not surface (the refresh's
+      // merge would have deleted it); Σcnt is never negative
+      val live = Alias(cntShape(aggE(new Sum(uAttr("cnt")))), "_live")()
+      Project(newAes.map(_.toAttribute),
+        Filter(GreaterThan(live.toAttribute, Literal(0L)),
+          Aggregate(newGes, newAes :+ live, child)))
+    }
+  }
+
   /** Views of (root, pinned version) that are exactly fresh (fact
     * watermark == version; join views additionally carry the per-dim
     * watermarks the query's dim relations must be pinned at) and
@@ -507,7 +727,19 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           val vv = vInst.latestVersion
           val marks = vInst.appTxnsAt(vv)
           val app = "mv:" + canon(vr)
-          if (marks.getOrElse(app, -1L) != version) None
+          val wm = marks.getOrElse(app, -1L)
+          val isJoinView =
+            d.dimSources.getOrElse(d.dimSource.toSeq).nonEmpty
+          // plain views may lag the pinned version: tryMatchStale
+          // compensates read-side with weightedDelta(wmLast, version]
+          // — but only when that interval's pre-images are still
+          // inside the vacuum horizon (a reclaimed interval has no
+          // incremental answer; bound enforcement against the
+          // session's maxStaleness happens at match time so cached
+          // candidates survive conf changes)
+          val staleOk = !isJoinView && wm < version &&
+            math.max(0L, wm) >= inst.vacuumHorizon
+          if (wm != version && !staleOk) None
           else {
             val dimSpecs = d.dimSources.getOrElse(d.dimSource.toSeq)
             val dimRoots = d.dimPaths.getOrElse(Nil)
@@ -531,7 +763,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
               else {
                 val schema = StructType.fromDDL(vInst.stateAt(vv)._2)
                 Some(Candidate(canon(vr), vv, schema, d,
-                  canon(root), version, dims))
+                  canon(root), version, dims,
+                  staleBy = version - math.max(0L, wm),
+                  wmLast = math.max(0L, wm)))
               }
             }
           }
@@ -593,6 +827,22 @@ object MvRewriteRule {
     * [[EnabledKey]] alone never changes a result. */
   val NdvSubstituteKey = "spark.graft.mv.rewrite.ndvSubstitute"
 
+  /** Bounded-staleness knob for the read-side-compensated rewrite
+    * ([[MvRewriteRule.tryMatchStale]]): a plain view whose watermark
+    * lags the query's pinned fact version by up to this many commits
+    * is still used, compensated with `view ⊕ weightedDelta(wm,
+    * pinned)` — RESULT-IDENTICAL (the compensation is the refresh's
+    * own signed fold applied read-side), so it shares [[EnabledKey]]
+    * rather than needing a second correctness opt-in. 0 disables
+    * stale compensation (exact freshness required, the pre-r11
+    * behavior). The default stays below the delta's internal
+    * localCheckpoint batching threshold so candidate planning never
+    * runs a job. Past the bound the rewrite falls back to the source
+    * scan — at that point the view should be refreshed, not
+    * compensated around. */
+  val MaxStalenessKey = "spark.graft.mv.rewrite.maxStaleness"
+  val DefaultMaxStaleness = 16L
+
   private case object Bail extends ControlThrowable
 
   private[acid] final case class DimBind(root: String, factKey: String,
@@ -601,7 +851,10 @@ object MvRewriteRule {
   private[acid] final case class Candidate(root: String, version: Long,
       schema: StructType, d: MaterializedAggView.MvDef,
       srcRoot: String, srcVersion: Long,
-      dims: Seq[DimBind] = Nil)
+      dims: Seq[DimBind] = Nil,
+      // commits the view lags the pinned fact version by (0 = exactly
+      // fresh) and the watermark the compensation delta starts from
+      staleBy: Long = 0L, wmLast: Long = 0L)
 
   private final case class Entry(at: Long, cands: Seq[Candidate])
 

@@ -118,24 +118,124 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("stale view never answers: a new commit disables the rewrite") {
+  test("stale view compensates read-side: sum-shaped aggregates rewrite " +
+      "to view ⊕ delta, result-identical") {
     val (src, srcRoot, viewRoot) = fixture()
+    // commit 1 AFTER the refresh: a brand-new group c
     val t = src.begin()
     t.insert(spark.createDataFrame(Seq(
       (6L, "c", "z", java.lang.Long.valueOf(60L), java.lang.Long.valueOf(2L))))
       .toDF("obj_id", "g", "g2", "v", "m"))
     src.commit(t)
+    // commit 2: kill group b entirely (liveness filter must drop it)
+    val t2 = src.begin()
+    t2.deleteMatching(src.read().filter(col("g") === "b").select("obj_id"))
+    src.commit(t2)
     MvRewriteRule.invalidateCache()
     withRewrite(on = true) {
-      val q = srcDf(srcRoot).groupBy("g").agg(sum("v").as("sv"))
-      assert(!scansView(q, viewRoot), "stale view must not answer")
-      assert(q.filter(col("g") === "c").collect().head.getLong(1) == 60L)
-      // refresh re-arms the rewrite at the new head
+      def q(): DataFrame = srcDf(srcRoot).groupBy("g")
+        .agg(count(lit(1)).as("cnt"), count(col("v")).as("nnv"),
+          sum("v").as("sv"), avg("v").as("av"), count(col("g2")).as("ng2"))
+        .orderBy(col("g").asc_nulls_first)
+      val expected = withRewrite(on = false)(q().collect().toSeq)
+      assert(scansView(q(), viewRoot), "stale compensation did not fire")
+      assert(q().collect().toSeq == expected)
+      // dead group b must NOT surface
+      assert(!q().collect().exists(r => r.getString(0) == "b"))
+      // new group c must surface from the delta side
+      assert(q().collect().exists(r => r.getString(0) == "c"))
+      // global aggregates skip the liveness filter but stay exact
+      def g(): DataFrame = srcDf(srcRoot)
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      val expectedG = withRewrite(on = false)(g().collect().toSeq)
+      assert(scansView(g(), viewRoot))
+      assert(g().collect().toSeq == expectedG)
+      // rollup to a subset of the view's group columns
+      def r2(): DataFrame = srcDf(srcRoot).groupBy("g2")
+        .agg(sum("v").as("sv")).orderBy("g2")
+      val expectedR = withRewrite(on = false)(r2().collect().toSeq)
+      assert(scansView(r2(), viewRoot))
+      assert(r2().collect().toSeq == expectedR)
+      // MIN/MAX are not compensable (a dead extremum cannot be
+      // retracted by a signed fold): stale view must NOT answer
+      assert(!scansView(srcDf(srcRoot).groupBy("g")
+        .agg(min("m").as("mn")), viewRoot))
+      // neither are DISTINCT translations (sub-group death)
+      assert(!scansView(srcDf(srcRoot).groupBy("g")
+        .agg(countDistinct("g2").as("d")), viewRoot))
+      // staleness bound: below the lag, fall back to the source scan
+      spark.conf.set(MvRewriteRule.MaxStalenessKey, "1")
+      try assert(!scansView(q(), viewRoot),
+        "staleBy=2 must not fire under maxStaleness=1")
+      finally spark.conf.unset(MvRewriteRule.MaxStalenessKey)
+      // 0 disables stale compensation outright
+      spark.conf.set(MvRewriteRule.MaxStalenessKey, "0")
+      try assert(!scansView(q(), viewRoot))
+      finally spark.conf.unset(MvRewriteRule.MaxStalenessKey)
+      // refresh re-arms the EXACT rewrite at the new head (min/max
+      // answer again)
       MaterializedAggView.openFromDef(spark, viewRoot,
         resolveSource = MaterializedAggView.sessionResolver(spark)).refresh()
       MvRewriteRule.invalidateCache()
       assert(scansView(
-        srcDf(srcRoot).groupBy("g").agg(sum("v").as("sv")), viewRoot))
+        srcDf(srcRoot).groupBy("g").agg(min("m").as("mn")), viewRoot))
+    }
+  }
+
+  test("stale compensation: emptied table reads count 0 / sum NULL; " +
+      "filtered views compensate through their WHERE") {
+    // empty-out case: every row deleted after the refresh
+    val srcRoot = Files.createTempDirectory("graft_mvrw_st0_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvrw_st0v_").toUri.toString
+    val df = spark.createDataFrame(Seq((1L, "a", 10L), (2L, "b", 20L)))
+      .toDF("obj_id", "g", "v")
+    val src = VersionedTable.create(spark, srcRoot, df.schema)
+    val t = src.begin(); t.insert(df); src.commit(t)
+    MaterializedAggView.create(spark, viewRoot, src,
+      groupCols = Seq("g"), sumCols = Seq("v")).refresh()
+    val t2 = src.begin()
+    t2.deleteMatching(src.read().select("obj_id"))
+    src.commit(t2)
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      val g = srcDf(srcRoot).agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      assert(scansView(g, viewRoot))
+      val row = g.collect().head
+      assert(row.getLong(0) == 0L, "emptied table must count 0")
+      assert(row.isNullAt(1), "emptied table must sum NULL")
+      // grouped: every group dead -> zero rows
+      val q = srcDf(srcRoot).groupBy("g").agg(count(lit(1)).as("cnt"))
+      assert(scansView(q, viewRoot))
+      assert(q.collect().isEmpty)
+    }
+
+    // filtered view: the delta must flow through the view's WHERE
+    val fRoot = Files.createTempDirectory("graft_mvrw_stf_").toUri.toString
+    val fvRoot = Files.createTempDirectory("graft_mvrw_stfv_").toUri.toString
+    val fdf = spark.createDataFrame(Seq(
+      (1L, "a", 5L), (2L, "a", 15L), (3L, "b", 25L)))
+      .toDF("obj_id", "g", "v")
+    val fsrc = VersionedTable.create(spark, fRoot, fdf.schema)
+    val ft = fsrc.begin(); ft.insert(fdf); fsrc.commit(ft)
+    MaterializedAggView.create(spark, fvRoot, fsrc,
+      groupCols = Seq("g"), sumCols = Seq("v"),
+      where = Some("v >= 10")).refresh()
+    // post-refresh churn on BOTH sides of the predicate: only the
+    // v >= 10 row may reach the compensated answer
+    val ft2 = fsrc.begin()
+    ft2.insert(spark.createDataFrame(Seq((4L, "c", 7L), (5L, "c", 12L)))
+      .toDF("obj_id", "g", "v"))
+    fsrc.commit(ft2)
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      def q(): DataFrame = srcDf(fRoot).filter(col("v") >= 10)
+        .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+        .orderBy("g")
+      val expected = withRewrite(on = false)(q().collect().toSeq)
+      assert(scansView(q(), fvRoot), "filtered stale compensation must fire")
+      assert(q().collect().toSeq == expected)
+      assert(q().collect().map(r => (r.getString(0), r.getLong(2))).toSeq ==
+        Seq(("a", 15L), ("b", 25L), ("c", 12L)))
     }
   }
 
