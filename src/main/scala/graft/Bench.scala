@@ -50,6 +50,21 @@ object Bench {
 
     val selected = SparkEntry.selectedRegistry
 
+    // Per-STREAMING-key untimed warmup: streaming queries pay a
+    // first-run state-store + sink init cost that batch keys don't,
+    // and it drifts with the host (r9→r11 showed 2×+ cumulative drift
+    // on stream keys with zero code changes while batch canaries got
+    // faster). One discarded execution per streaming key moves that
+    // init cost out of the timed medians; the warmup wall time is
+    // still recorded (stderr + JSON) so init-cost drift stays
+    // observable instead of invisible.
+    val streamWarmup: Seq[(String, Double)] =
+      selected.collect { case (n, q) if n.contains("stream") =>
+        val t = once(n, q)
+        System.err.println(f"[bench] stream warmup $n: $t%.3f s")
+        n -> t
+      }
+
     val samples: Seq[Seq[(String, Double)]] =
       (1 to runs).map(_ => selected.map { case (n, q) => n -> once(n, q) })
 
@@ -136,13 +151,29 @@ object Bench {
           .annTop1Ivf(e, q, dim = 64, nCells = 16, nProbe = 12))
         val lshFixed = recallOf(graft.operators.Similarity
           .annTop1Lsh(e, q, dim = 64))
+        // the PERSISTED index's recall-targeted path (q78): curve
+        // calibrated at build, read back through open() — the probe
+        // choice pays no per-call jobs; its recall is measured here
+        val idxRoot = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivfidx_").toUri.toString
+        graft.operators.IvfIndex
+          .build(e, idxRoot, dim = 64, nCells = 8).calibrate()
+        val idx = graft.operators.IvfIndex.open(spark, idxRoot)
+        val idxRecall = recallOf(idx.searchTargeted(q, targetRecall = 0.9))
+        val idxProbe = idx.probeFor(0.9)
         f""","recall":{"q26_ann_ivf":$ivf%.3f,"q26_ann_lsh":$lsh%.3f,""" +
           f""""q26_ann_ivf_nprobe":$ivfProbe,""" +
           f""""q26_ann_lsh_geometry":"flip<=$lshMf of $lshFp",""" +
           f""""q26_ann_ivf_probe12":$ivf12%.3f,""" +
-          f""""q26_ann_lsh_fixed26":$lshFixed%.3f}"""
+          f""""q26_ann_lsh_fixed26":$lshFixed%.3f,""" +
+          f""""q78_ann_index_targeted":$idxRecall%.3f,""" +
+          f""""q78_ann_index_nprobe":$idxProbe}"""
       } catch { case _: Throwable => "" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$recallJson%s}""")
+    val warmupJson =
+      if (streamWarmup.isEmpty) ""
+      else streamWarmup.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString(""","stream_warmup":{""", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$recallJson%s$warmupJson%s}""")
     spark.stop()
   }
 }

@@ -55,10 +55,12 @@ object Engine {
     * oracle agrees. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(path))
-    } else spark.read.parquet(path)
+    // nanosAsLong is set at session build time (Engine.session, Bench,
+    // Verify) — every session reaching here already carries it, and a
+    // per-read session-global conf mutation would be a surprising side
+    // effect of a read API
+    if (name == "events") normalizeEventTs(spark.read.parquet(path))
+    else spark.read.parquet(path)
   }
 
   /** Register fixture tables as temp views so `spark.sql(...)` works

@@ -513,7 +513,84 @@ object AcidQueries {
     // `VERSION AS OF 'r1'` still reads the pinned snapshot exactly
     "q74_tags" -> Q(
       "SELECT obj_id, v FROM (VALUES (1, 10), (2, 20), (3, 30)) " +
-      "AS t(obj_id, v) ORDER BY obj_id")((s, _) => tagScenario(s)))
+      "AS t(obj_id, v) ORDER BY obj_id")((s, _) => tagScenario(s)),
+
+    // STALE-TOLERANT transparent rewrite: the source takes TWO commits
+    // AFTER the view's last refresh (an insert, then a delete that
+    // kills the whole 'P' group), yet the optimizer still answers from
+    // the view, compensated read-side with the refresh's own signed
+    // delta fold — view ⊕ Δ(wm, pinned]. The scenario throws unless
+    // the plan reads the view AND carries the compensation Union.
+    // The oracle replays the churn in SQL over the raw parquet: the
+    // rewrite must be answer-identical, including sum-NULL gating and
+    // the dropped dead group, with avg spelled as the same IEEE
+    // division of exact integer sums so the doubles hash bit-equal.
+    "q77_stale_mv_rewrite" -> Q(
+      "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+      "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck, " +
+      "CAST(SUM(o_custkey) AS DOUBLE) / CAST(COUNT(o_custkey) AS DOUBLE) " +
+      "AS avg_ck " +
+      "FROM (SELECT o_orderstatus, o_custkey FROM orders UNION ALL " +
+      "SELECT o_orderstatus, o_custkey FROM orders WHERE o_orderkey < 3000) " +
+      "WHERE o_orderstatus <> 'P' " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
+      (s, dir) => staleMvRewriteScenario(s, dir)),
+
+    // ANN index plane, FULL-SQL lifecycle: seed a catalog table from
+    // embeddings (two INSERTs), CALL create_ann_index on the partial
+    // corpus, CALL refresh_ann_index after the second insert folds the
+    // churn, then CALL ann_search at FULL probe — exact brute force,
+    // hash-gated against DuckDB's brute-force top-3 over the whole
+    // corpus. The $indexes metadata table is asserted in CatalogSpec.
+    "q79_ann_sql" -> Q(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      "p AS (SELECT qid, e.vec_id AS nid, ROUND(" +
+      "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*" +
+      "sqrt(list_dot_product(v, v))), 4) AS cs " +
+      "FROM q, e WHERE e.vec_id <> qid) " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, cs, rank FROM (" +
+      "SELECT qid, nid, cs, ROW_NUMBER() OVER (" +
+      "PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM p) t " +
+      "WHERE rank <= 3 ORDER BY vec_id, rank")(
+      (s, dir) => annSqlScenario(s, dir)))
+
+  /** Full-SQL ANN index lifecycle (q79): catalog table `ann.vecs`
+    * seeded with the `vec_id % 5 != 0` embeddings, index built over
+    * that PARTIAL corpus (`CALL create_ann_index`), the remaining
+    * rows inserted as post-build churn, `CALL refresh_ann_index`
+    * folds them in (O(churn)), and `CALL ann_search(n_probe =
+    * n_cells)` answers exactly — the same brute-force anchor
+    * discipline as q75/q76, driven end-to-end through spark.sql. */
+  def annSqlScenario(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gq79$tag"
+    val wh = Files.createTempDirectory("graft_wh_q79_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val srcView = s"gq79_emb_$tag"
+    graft.Engine.table(spark, dir, "embeddings")
+      .createOrReplaceTempView(srcView)
+    spark.sql(s"CREATE TABLE $cat.ann.vecs (obj_id BIGINT, v ARRAY<DOUBLE>)")
+    spark.sql(s"INSERT INTO $cat.ann.vecs " +
+      s"SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) FROM $srcView " +
+      "WHERE vec_id % 5 != 0")
+    spark.sql(s"CALL $cat.system.create_ann_index('ann.idx', 'ann.vecs', " +
+      "dim => 64, n_cells => 8, calibrate => false)")
+    // post-build churn: the index must NOT answer from its build-time
+    // corpus after refresh folds these in
+    spark.sql(s"INSERT INTO $cat.ann.vecs " +
+      s"SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) FROM $srcView " +
+      "WHERE vec_id % 5 = 0")
+    spark.sql(s"CALL $cat.system.refresh_ann_index('ann.idx')")
+    spark.sql(s"CREATE TABLE $cat.ann.q (obj_id BIGINT, v ARRAY<DOUBLE>)")
+    spark.sql(s"INSERT INTO $cat.ann.q " +
+      s"SELECT obj_id, v FROM $cat.ann.vecs WHERE obj_id < 20")
+    spark.sql(s"CALL $cat.system.ann_search('ann.idx', 'ann.q', " +
+      "k => 3, n_probe => 8)")
+  }
 
   /** Load orders (with a 64-bucket custkey column), materialize
     * per-(status, priority) count + NDV sketch, refresh, then run a
@@ -681,6 +758,66 @@ object AcidQueries {
       if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
         throw new IllegalStateException(
           s"transparent MV rewrite did not fire; plan:\n$plan")
+      q
+    } finally before match {
+      case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)
+      case None => spark.conf.unset(MvRewriteRule.EnabledKey)
+    }
+  }
+
+  /** Stale-tolerant rewrite E2E (q77): load orders, materialize the
+    * per-status (count, sum(custkey)) view, refresh — then commit TWO
+    * more source versions WITHOUT refreshing: re-insert the
+    * o_orderkey < 3000 rows under shifted obj_ids, and delete every
+    * 'P'-status row (killing that group outright, inserted copies
+    * included). The aggregate against the source must still read the
+    * view, compensated with `view ⊕ weightedDelta(wm, pinned]` — the
+    * plan is checked for BOTH the view root and the compensation
+    * Union, loud failure otherwise. The read-side analog of
+    * checkpoint + WAL-tail recovery (reference: instance.rs:239-304 —
+    * the view is the checkpoint, the missed interval the log tail). */
+  def staleMvRewriteScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = graft.Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("obj_id"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_custkey"))
+    val srcTmp = Files.createTempDirectory("graft_q77_src_").toUri.toString
+    val viewTmp = Files.createTempDirectory("graft_q77_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcTmp, ord.schema)
+    val t1 = src.begin(); t1.insert(ord); src.commit(t1)
+    MaterializedAggView.create(spark, viewTmp, src,
+      groupCols = Seq("o_orderstatus"), sumCols = Seq("o_custkey"))
+      .refresh() // view watermark pins here (v1) — and never advances
+    // missed commit #1: insert (shifted ids, same status/custkey)
+    val t2 = src.begin()
+    t2.insert(ord.filter(col("o_orderkey") < 3000)
+      .withColumn("obj_id", col("obj_id") + 10000000L))
+    src.commit(t2)
+    // missed commit #2: group-killing delete (all of 'P', copies too)
+    val t3 = src.begin()
+    t3.deleteMatching(src.read()
+      .filter(col("o_orderstatus") === "P").select("obj_id"))
+    src.commit(t3)
+    MvRewriteRule.invalidateCache()
+    val before = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try {
+      val q = spark.read.format("graft").option("path", srcTmp).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_custkey").as("sum_ck"),
+          avg("o_custkey").as("avg_ck"))
+        .orderBy("o_orderstatus")
+      // forcing optimizedPlan pins the (rewritten) plan; the conf
+      // restore below cannot un-rewrite it
+      val plan = q.queryExecution.optimizedPlan.treeString
+      if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
+        throw new IllegalStateException(
+          s"stale MV rewrite did not fire (no view scan); plan:\n$plan")
+      if (!plan.contains("Union"))
+        throw new IllegalStateException(
+          "stale MV rewrite fired without the compensation union — " +
+          s"exact-match path on a stale view?; plan:\n$plan")
       q
     } finally before match {
       case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)

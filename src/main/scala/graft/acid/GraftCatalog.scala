@@ -104,7 +104,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (tableExists(base) &&
           (kind == "history" || kind == "detail" || kind == "files" ||
             kind == "partitions" || kind == "tags" ||
-            kind == "constraints")) {
+            kind == "constraints" || kind == "indexes")) {
         val inst = VersionedTable.open(SparkSession.active,
           tablePath(base).toString)
         val spark = SparkSession.active
@@ -117,6 +117,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             .toDF("name", "version")
           case "constraints" => inst.constraints.toSeq.sortBy(_._1)
             .toDF("name", "check")
+          case "indexes" =>
+            // ANN indexes registered against this table (discovery
+            // twin of $tags / list_mvs): all driver metadata reads
+            val head = inst.latestVersion
+            graft.operators.IvfIndex
+              .registeredIndexes(spark, inst.root).map { r =>
+                try {
+                  val ix = graft.operators.IvfIndex.open(spark, r)
+                  val iv = ix.indexedVersion
+                  (r, ix.dim, ix.nCells, iv,
+                    head - math.max(0L, iv),
+                    ix.calibrationCurve.nonEmpty, None: Option[String])
+                } catch { case scala.util.control.NonFatal(e) =>
+                  (r, -1, -1, -1L, -1L, false,
+                    Some(s"unopenable: ${e.getMessage}"))
+                }
+              }.toDF("root", "dim", "n_cells", "indexed_version",
+                "lag", "calibrated", "note")
           case _ => inst.files()
         }
         return new GraftMetadataTable(s"${ident.name()}", df)
@@ -398,12 +416,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "tag" => new TagProcedure(this)
       case "delete_tag" => new DeleteTagProcedure(this)
       case "list_tags" => new ListTagsProcedure(this)
+      case "create_ann_index" => new CreateAnnIndexProcedure(this)
+      case "refresh_ann_index" => new RefreshAnnIndexProcedure(this)
+      case "drop_ann_index" => new DropAnnIndexProcedure(this)
+      case "ann_search" => new AnnSearchProcedure(this)
       case other => throw new NoSuchElementException(
         s"no procedure system.$other (have: vacuum, compact, " +
         "materialize, restore, create_mv, refresh_mv, " +
         "set_partitioning, set_clustering, mv_status, list_mvs, " +
         "drop_mv, add_constraint, drop_constraint, show_constraints, " +
-        "tag, delete_tag, list_tags)")
+        "tag, delete_tag, list_tags, create_ann_index, " +
+        "refresh_ann_index, drop_ann_index, ann_search)")
     }
   }
 
@@ -1202,5 +1225,171 @@ private[acid] final class SetClusteringProcedure(cat: GraftCatalog)
     cat.setClustering(input.getUTF8String(0).toString, cols)
     java.util.Collections.singletonList[Scan](
       new MetricScan("cluster_columns", cols.size.toLong)).iterator()
+  }
+}
+
+/** Local scan over an already-computed driver-side DataFrame — the
+  * row-returning sibling of [[MetricScan]] for procedures whose result
+  * IS a (bounded) relation. */
+private[acid] final class DfScan(df: org.apache.spark.sql.DataFrame)
+    extends LocalScan {
+  override def readSchema(): StructType = df.schema
+  override def rows(): Array[InternalRow] =
+    df.queryExecution.executedPlan.executeCollect().map(_.copy())
+}
+
+/** `CALL system.create_ann_index(index, source, dim, n_cells, ...)` —
+  * the SQL front door of [[graft.operators.IvfIndex.buildFromTable]]:
+  * train the coarse quantizer over the source's head snapshot, land
+  * the cell-partitioned assignment table under the catalog path
+  * `index`, register the index with its source (visible in
+  * `` source$indexes ``), and (by default) persist the probe→recall
+  * calibration curve so `ann_search` can honor target_recall with
+  * zero per-call measurement. */
+private[acid] final class CreateAnnIndexProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "create_ann_index"
+  override def description(): String =
+    "Build a persisted IVF ANN index over a table's vector column: " +
+    "centroids trained once, assignments cell-partitioned, searchable " +
+    "via ann_search; refresh_ann_index folds source churn"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index", StringType)
+      .comment("dotted name for the NEW index inside this catalog").build(),
+    ProcedureParameter.in("source", StringType)
+      .comment("dotted name of the source table").build(),
+    ProcedureParameter.in("dim", IntegerType)
+      .comment("embedding dimensionality").build(),
+    ProcedureParameter.in("n_cells", IntegerType)
+      .comment("coarse-quantizer cell count").build(),
+    ProcedureParameter.in("id_col", StringType)
+      .comment("id column on the source").defaultValue("'obj_id'").build(),
+    ProcedureParameter.in("vec_col", StringType)
+      .comment("vector (array) column on the source")
+      .defaultValue("'v'").build(),
+    ProcedureParameter.in("distributed_train", BooleanType)
+      .comment("Lloyd over distributed partial sums instead of a " +
+        "driver sample (for large n_cells)")
+      .defaultValue("false").build(),
+    ProcedureParameter.in("calibrate", BooleanType)
+      .comment("measure + persist the probe-recall curve (enables " +
+        "target_recall in ann_search)")
+      .defaultValue("true").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = cat.openInstance(input.getUTF8String(1).toString)
+    val idx = graft.operators.IvfIndex.buildFromTable(src,
+      cat.pathFor(input.getUTF8String(0).toString).toString,
+      dim = input.getInt(2), nCells = input.getInt(3),
+      distributedTrain = input.getBoolean(6),
+      idCol = input.getUTF8String(4).toString,
+      vecCol = input.getUTF8String(5).toString)
+    if (input.getBoolean(7)) idx.calibrate()
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("indexed_version", idx.indexedVersion)).iterator()
+  }
+}
+
+/** `CALL system.refresh_ann_index(index)` — catch the assignment table
+  * up to the source head: O(churn) incremental, full rebuild when the
+  * interval was vacuumed. Optional re-calibration re-measures the
+  * persisted recall curve against the refreshed assignments. */
+private[acid] final class RefreshAnnIndexProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "refresh_ann_index"
+  override def description(): String =
+    "Fold source churn since the indexed version into the ANN index " +
+    "(O(churn); rebuilds when the interval was vacuumed)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index", StringType)
+      .comment("dotted name of an index created by create_ann_index")
+      .build(),
+    ProcedureParameter.in("recalibrate", BooleanType)
+      .comment("re-measure + persist the probe-recall curve after the " +
+        "refresh").defaultValue("false").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val idx = graft.operators.IvfIndex.open(SparkSession.active,
+      cat.pathFor(input.getUTF8String(0).toString).toString)
+    val v = idx.refresh()
+    if (input.getBoolean(1)) idx.calibrate()
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("indexed_version", v)).iterator()
+  }
+}
+
+/** `CALL system.drop_ann_index(index)` — lifecycle close: deregister
+  * from the source and delete the index directory. */
+private[acid] final class DropAnnIndexProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "drop_ann_index"
+  override def description(): String =
+    "Drop an ANN index created by create_ann_index: deregister it " +
+    "from its source table and delete the index directory"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index", StringType)
+      .comment("dotted name of an index created by create_ann_index")
+      .build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val name = input.getUTF8String(0).toString
+    if (!graft.operators.IvfIndex.drop(SparkSession.active,
+        cat.pathFor(name).toString))
+      throw new NoSuchElementException(s"no ANN index $name")
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("dropped", 1L)).iterator()
+  }
+}
+
+/** `CALL system.ann_search(index, queries, k, n_probe|target_recall)`
+  * — top-k cosine neighbors of every row in `queries` against the
+  * persisted index, `(vec_id, neighbor_id, cs, rank)` per row.
+  * `n_probe > 0` probes exactly that many cells (n_probe = n_cells is
+  * EXACT brute force, the verifiable anchor); otherwise
+  * `target_recall > 0` picks the cheapest calibrated probe rung;
+  * neither set = full probe. The result materializes on the driver
+  * (the CALL contract — bounded by |queries| × k, never the corpus);
+  * corpus-scale batch search goes through the Scala `IvfIndex` API. */
+private[acid] final class AnnSearchProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "ann_search"
+  override def description(): String =
+    "Top-k ANN search over a persisted index: one row per (query, " +
+    "rank); exact at n_probe = n_cells, recall-targeted via the " +
+    "persisted calibration curve otherwise"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index", StringType)
+      .comment("dotted name of an index created by create_ann_index")
+      .build(),
+    ProcedureParameter.in("queries", StringType)
+      .comment("dotted table of query rows (must carry the index's " +
+        "id_col and vec_col columns)").build(),
+    ProcedureParameter.in("k", IntegerType)
+      .comment("neighbors per query").defaultValue("1").build(),
+    ProcedureParameter.in("n_probe", IntegerType)
+      .comment("cells to probe; 0 = derive from target_recall / full")
+      .defaultValue("0").build(),
+    ProcedureParameter.in("target_recall", org.apache.spark.sql.types.DoubleType)
+      .comment("pick the cheapest calibrated probe rung supporting " +
+        "this recall (needs create_ann_index calibrate => true)")
+      .defaultValue("0.0").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val idx = graft.operators.IvfIndex.open(SparkSession.active,
+      cat.pathFor(input.getUTF8String(0).toString).toString)
+    val queries = cat.openInstance(input.getUTF8String(1).toString).read()
+    val k = input.getInt(2)
+    val nProbe = input.getInt(3)
+    val target = input.getDouble(4)
+    val probe =
+      if (nProbe > 0) nProbe
+      else if (target > 0.0) idx.probeFor(target)
+      else idx.nCells
+    java.util.Collections.singletonList[Scan](
+      new DfScan(idx.searchTopK(queries, k, probe))).iterator()
   }
 }

@@ -515,16 +515,37 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         throw new RuntimeException("stale bail at " +
           Thread.currentThread.getStackTrace.drop(2).take(4).mkString(" <- "))
       else throw Bail
-    val maxStale =
+    // the effective bound is CLAMPED to the delta's internal
+    // localCheckpoint batching threshold: weightedDelta folds up to
+    // ChangesBatchVersions manifests into ONE lazy union, so within
+    // the clamp candidate planning never launches a Spark job — a
+    // user raising the knob past it gets the largest job-free bound,
+    // not a job inside the optimizer
+    val maxStale = math.min(
       try conf.getConfString(MaxStalenessKey, DefaultMaxStaleness.toString)
         .toLong
-      catch { case NonFatal(_) => 0L }
+      catch { case NonFatal(_) => 0L },
+      Instance.ChangesBatchVersions.toLong)
     if (maxStale <= 0 || cand.staleBy > maxStale) fail()
     val resolver = conf.resolver
     val d = cand.d
     if (cand.dims.nonEmpty || leaves.size != 1) fail()
     val factLeaf = leaves.head
     if (canon(factLeaf._2.tableRoot) != cand.srcRoot) fail()
+
+    // pre-screen BEFORE any manifest read or nested analyzer pass:
+    // untranslatable shapes (min/max/distinct/filter) over a stale
+    // candidate would otherwise pay the O(staleBy) delta-plan build on
+    // every optimizer fixed-point iteration just to bail in translate()
+    def sumShaped(e: Expression): Boolean = e match {
+      case ae: AggregateExpression =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case _: Count | _: Sum | _: Average => true
+          case _ => false
+        })
+      case other => other.children.forall(sumShaped)
+    }
+    if (!agg.aggregateExpressions.forall(sumShaped)) fail()
 
     // ---- WHERE compatibility (same contract as the exact path) ------
     val whereConjs: Seq[Expression] = d.where match {
@@ -549,6 +570,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // refresh between lookup and execution cannot skew the pair.
     import org.apache.spark.sql.functions.{col, expr => sqlExpr, lit, when}
     val srcInst = VersionedTable.open(spark, cand.srcRoot)
+    // re-check the vacuum horizon at MATCH time (candidates are cached
+    // up to 10s): a vacuum that reclaimed (wm, pinned] pre-images after
+    // candidate compute must fall back to the source scan, not build a
+    // delta over missing files. The residual window (vacuum between
+    // here and execution) fails loudly with FileNotFound — and NOTE:
+    // spark.sql.files.ignoreMissingFiles=true would turn that loud
+    // failure into silently dropped compensation rows; compensated
+    // reads require it off (the default).
+    if (cand.wmLast < srcInst.vacuumHorizon) fail()
     val partialCols: Seq[Column] =
       d.groupCols.map(col) ++ (col("cnt") +:
         d.sumCols.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))))
@@ -699,7 +729,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (hit != null && now - hit.at < TtlNanos) return hit.cands
     val cands = try computeCandidates(key._1, version)
       catch { case NonFatal(_) => Nil }
-    if (cache.size > MaxCacheEntries) cache.clear()
+    if (cache.size > MaxCacheEntries) {
+      // evict the stalest entry, not the whole cache: a hot
+      // multi-table session keeps its warm candidates
+      var oldestKey: (String, Long) = null
+      var oldestAt = Long.MaxValue
+      cache.forEach { (k, v) =>
+        if (v.at < oldestAt) { oldestAt = v.at; oldestKey = k }
+      }
+      if (oldestKey != null) cache.remove(oldestKey)
+    }
     cache.put(key, Entry(now, cands))
     cands
   }
@@ -732,13 +771,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             d.dimSources.getOrElse(d.dimSource.toSeq).nonEmpty
           // plain views may lag the pinned version: tryMatchStale
           // compensates read-side with weightedDelta(wmLast, version]
-          // — but only when that interval's pre-images are still
-          // inside the vacuum horizon (a reclaimed interval has no
-          // incremental answer; bound enforcement against the
-          // session's maxStaleness happens at match time so cached
-          // candidates survive conf changes)
-          val staleOk = !isJoinView && wm < version &&
-            math.max(0L, wm) >= inst.vacuumHorizon
+          // — but only when the view has completed at least one
+          // refresh (wm >= 0; a never-refreshed view would "compensate"
+          // an empty scan with a full-history fold — result-correct but
+          // strictly worse than the plan it replaces) and when that
+          // interval's pre-images are still inside the vacuum horizon
+          // (a reclaimed interval has no incremental answer; bound
+          // enforcement against the session's maxStaleness happens at
+          // match time so cached candidates survive conf changes)
+          val staleOk = !isJoinView && wm >= 0 && wm < version &&
+            wm >= inst.vacuumHorizon
           if (wm != version && !staleOk) None
           else {
             val dimSpecs = d.dimSources.getOrElse(d.dimSource.toSeq)
@@ -835,11 +877,12 @@ object MvRewriteRule {
     * own signed fold applied read-side), so it shares [[EnabledKey]]
     * rather than needing a second correctness opt-in. 0 disables
     * stale compensation (exact freshness required, the pre-r11
-    * behavior). The default stays below the delta's internal
-    * localCheckpoint batching threshold so candidate planning never
-    * runs a job. Past the bound the rewrite falls back to the source
-    * scan — at that point the view should be refreshed, not
-    * compensated around. */
+    * behavior). The EFFECTIVE bound is clamped to
+    * [[Instance.ChangesBatchVersions]] so the compensation delta always
+    * folds into one lazy union — candidate planning can never launch a
+    * localCheckpoint job, no matter how high the knob is set. Past the
+    * bound the rewrite falls back to the source scan — at that point
+    * the view should be refreshed, not compensated around. */
   val MaxStalenessKey = "spark.graft.mv.rewrite.maxStaleness"
   val DefaultMaxStaleness = 16L
 

@@ -3718,6 +3718,18 @@ final class Instance(val spark: SparkSession, val root: String,
             fs.delete(e.getPath, true); removed += 1
           }
         }
+      // claim temps from crashed TAGGERS (same lifecycle as publish
+      // temps: never claimed, invisible to tags() — the .tag suffix
+      // filter skips them — reclaimable past the grace)
+      if (fs.exists(tagsDir))
+        fs.listStatus(tagsDir)
+          .filter(e => e.isFile && (e.getPath.getName.startsWith(".tmp-") ||
+            e.getPath.getName.startsWith("..tmp-")))
+          .foreach { e =>
+            if (e.getModificationTime < cutoff) {
+              fs.delete(e.getPath, false); removed += 1
+            }
+          }
       // dv sidecars live FLAT in dataDir (never inside staging dirs):
       // sweep unreferenced ones past the grace — an in-flight txn's
       // just-written sidecar is shielded exactly like staged data
@@ -3792,15 +3804,27 @@ final class Instance(val spark: SparkSession, val root: String,
     removed
   }
 
-  /** SNAPSHOT TAGS: name a committed version (`_tags.json` under the
-    * root, write-then-rename like the other side specs). A tagged
-    * version is PROTECTED from [[vacuum]] — the effective horizon
-    * never passes the oldest tag, so the tag's whole snapshot (and
-    * every later one) stays readable and restorable until the tag is
-    * deleted. Time travel accepts tags wherever it accepts versions:
-    * SQL `VERSION AS OF 'name'`, `.option("versionAsOf", "name")`,
-    * [[snapshotByTag]]. The operational shape: pin the exact snapshot
-    * a training run consumed, vacuum freely, reproduce later.
+  /** SNAPSHOT TAGS: name a committed version — ONE FILE PER TAG under
+    * `_tags/`, bound via the same fails-if-exists [[ManifestClaimer]]
+    * primitive manifests use. A tagged version is PROTECTED from
+    * [[vacuum]] — the effective horizon never passes the oldest tag,
+    * so the tag's whole snapshot (and every later one) stays readable
+    * and restorable until the tag is deleted. Time travel accepts
+    * tags wherever it accepts versions: SQL `VERSION AS OF 'name'`,
+    * `.option("versionAsOf", "name")`, [[snapshotByTag]]. The
+    * operational shape: pin the exact snapshot a training run
+    * consumed, vacuum freely, reproduce later.
+    *
+    * Why per-tag files: the previous single `_tags.json` was
+    * read-modify-rename — two concurrent taggers of DIFFERENT names
+    * could last-writer-win each other, and a LOST tag lets vacuum
+    * reclaim a snapshot its holder believes pinned (verify-and-retry
+    * only narrowed the window). With one file per tag, creation is an
+    * atomic claim (no rival to clobber), deletion touches only its
+    * own file, and no interleaving can un-publish a verified tag.
+    * Legacy `_tags.json` files are readable and migrated to per-tag
+    * files on the first tag mutation.
+    *
     * Reference analog: a checkpoint CSN pins recoverable state
     * (checkpointer.rs) — here the pin is named and user-held. */
   def tagVersion(name: String, version: Long = -1L): Long = {
@@ -3811,57 +3835,98 @@ final class Instance(val spark: SparkSession, val root: String,
     require(name.exists(!_.isDigit),
       s"tag name '$name' must not be all digits (ambiguous with a " +
       "version number in VERSION AS OF)")
+    require(name != "." && name != "..",
+      s"invalid tag name '$name'")
     val v = if (version < 0L) latestVersion else version
     require(v >= 0L && v <= latestVersion,
       s"cannot tag uncommitted version $v (head ${latestVersion})")
-    require(!tags.contains(name),
-      s"tag '$name' already exists (at v${tags(name)}); delete it first")
-    // read-modify-rename is lost-update racy (two concurrent taggers
-    // both read, last rename wins — and a LOST tag means vacuum can
-    // reclaim the snapshot its holder believes pinned): verify our
-    // entry landed and retry, folding in whatever the rival published;
-    // still losing after the retries is a loud error, never a silent
-    // unprotected snapshot
-    var attempts = 0
-    while (attempts < 4 && !tags.get(name).contains(v)) {
-      val cur = tags
-      if (cur.get(name).exists(_ != v))
-        throw new IllegalArgumentException(
-          s"tag '$name' already exists (at v${cur(name)}); delete it first")
-      writeTags(cur + (name -> v))
-      attempts += 1
-    }
-    if (!tags.get(name).contains(v))
-      throw new java.io.IOException(
-        s"could not durably record tag '$name' at $root after " +
-        s"$attempts attempts (concurrent tag churn)")
+    migrateLegacyTags()
+    fs.mkdirs(tagsDir)
+    if (!claimSmallFile(tagFile(name), v.toString.getBytes("UTF-8")))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists (at v${tags.getOrElse(name, -1L)}); " +
+        "delete it first")
     v
   }
 
   /** Drop a tag; false = no such tag. Reclamation of the previously
-    * pinned history resumes at the next [[vacuum]]. Same
-    * verify-and-retry as [[tagVersion]] (a racing tagger must not
-    * resurrect the dropped entry silently). */
+    * pinned history resumes at the next [[vacuum]]. Deleting one
+    * file cannot disturb concurrent taggers of OTHER names — the
+    * single-json lost-update hazard is structurally gone. */
   def deleteTag(name: String): Boolean = {
-    if (!tags.contains(name)) return false
-    var attempts = 0
-    while (attempts < 4 && tags.contains(name)) {
-      writeTags(tags - name)
-      attempts += 1
-    }
-    if (tags.contains(name))
-      throw new java.io.IOException(
-        s"could not durably drop tag '$name' at $root after " +
-        s"$attempts attempts (concurrent tag churn)")
-    true
+    migrateLegacyTags()
+    fs.delete(tagFile(name), false)
   }
 
-  /** Current tags (name -> version). A missing file is the empty map;
-    * a READ FAILURE throws — every consumer of this map makes a
-    * protection decision (vacuum's horizon clamp above all), and
-    * degrading a transient store error to "no tags" would let a
-    * vacuum permanently reclaim a snapshot the user believes pinned. */
+  private def tagsDir = new Path(root, "_tags")
+  private def tagFile(name: String) = new Path(tagsDir, name + ".tag")
+
+  /** Atomically bind `target` to `body` via [[EngineConf.claimer]];
+    * false = already claimed. */
+  private def claimSmallFile(target: Path, body: Array[Byte]): Boolean =
+    if (!conf.claimer.needsTemp) {
+      try conf.claimer.claim(fs, null, target, body)
+      catch { case _: java.io.IOException => false }
+    } else {
+      val tmp = new Path(target.getParent,
+        s".tmp-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      try conf.claimer.claim(fs, tmp, target, body)
+      catch { case _: java.io.IOException => false }
+      finally {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+      }
+    }
+
+  /** Move every legacy `_tags.json` entry to its own claim file, then
+    * drop the json. Idempotent and race-tolerant: concurrent migrators
+    * claim the same (name, version) content, so whoever wins each file
+    * binds the identical pin, and [[tags]] reads the union until the
+    * json disappears. */
+  private def migrateLegacyTags(): Unit = {
+    val legacy = legacyTags()
+    if (legacy.isEmpty) return
+    fs.mkdirs(tagsDir)
+    legacy.foreach { case (n, v) =>
+      if (!fs.exists(tagFile(n)))
+        claimSmallFile(tagFile(n), v.toString.getBytes("UTF-8"))
+    }
+    try fs.delete(new Path(root, "_tags.json"), false)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Current tags (name -> version): the `_tags/` claim files, plus
+    * any not-yet-migrated legacy `_tags.json` entries (per-tag file
+    * wins on collision). A missing dir/file is the empty map; a READ
+    * FAILURE throws — every consumer of this map makes a protection
+    * decision (vacuum's horizon clamp above all), and degrading a
+    * transient store error to "no tags" would let a vacuum permanently
+    * reclaim a snapshot the user believes pinned. */
   def tags: Map[String, Long] = {
+    val fromFiles: Map[String, Long] =
+      if (!fs.exists(tagsDir)) Map.empty
+      else fs.listStatus(tagsDir).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".tag"))
+        .map { st =>
+          val p = st.getPath
+          val in = fs.open(p)
+          val s = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](64)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            new String(buf.toByteArray, "UTF-8").trim
+          } finally in.close()
+          require(s.nonEmpty && s.forall(_.isDigit),
+            s"corrupt tag file $p (content '$s')")
+          p.getName.dropRight(4) -> s.toLong
+        }.toMap
+    legacyTags() ++ fromFiles
+  }
+
+  /** Pre-migration single-file tag map (empty once migrated). */
+  private def legacyTags(): Map[String, Long] = {
     val p = new Path(root, "_tags.json")
     if (!fs.exists(p)) Map.empty
     else {
@@ -3891,27 +3956,6 @@ final class Instance(val spark: SparkSession, val root: String,
   /** The pinned snapshot a tag names. */
   def snapshotByTag(name: String): DataFrame =
     snapshot(resolveVersionSpec(name))
-
-  private def writeTags(m: Map[String, Long]): Unit = {
-    val p = new Path(root, "_tags.json")
-    if (m.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
-    val json = "{" + m.toSeq.sortBy(_._1).map { case (n, v) =>
-      "\"" + n.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
-      } + "\":" + v
-    }.mkString(",") + "}"
-    val tmp = new Path(root,
-      s"._tags-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8"))
-    finally out.close()
-    try {
-      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
-    } finally {
-      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
-      catch { case _: java.io.IOException => () }
-    }
-  }
 
   /** Add a CHECK constraint and validate existing rows — see
     * [[Txn.addConstraint]]. One retried commit; a conflict re-runs the

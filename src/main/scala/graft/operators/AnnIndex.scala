@@ -46,9 +46,18 @@ final class IvfIndex private[operators] (
     val centroids: Array[Array[Double]],
     val assign: Instance,
     val sourceRoot: Option[String],
-    val idCol: String, val vecCol: String) {
+    val idCol: String, val vecCol: String,
+    calibration0: Seq[(Int, Long, Long)] = Nil) {
 
   private def appId = "ivf:" + new Path(root).toString
+
+  /** Persisted recall curve: per probe rung, (nProbe, top-1 hits, n)
+    * measured against the full-probe (= exact) answers on a
+    * deterministic sample — written into `_ivf.json` by [[calibrate]]
+    * and read back by [[IvfIndex.open]], so recall-targeted search
+    * pays ZERO measurement or training jobs per call. */
+  @volatile private var curve: Seq[(Int, Long, Long)] = calibration0
+  def calibrationCurve: Seq[(Int, Long, Long)] = curve
 
   /** Source version the assignments reflect (-1 = plain-DataFrame
     * build or never refreshed). */
@@ -57,12 +66,22 @@ final class IvfIndex private[operators] (
 
   /** Nearest-centroid cell id for a vector column — the same
     * first-wins argmax (cs desc, cell asc) the trainer uses. Codegen'd
-    * straight-line literals while the centroid matrix is small. */
+    * straight-line literals while the centroid matrix is small.
+    *
+    * NaN CONTRACT (shared with the broadcast regime): a zero-norm
+    * vector or centroid scores cosine NaN. Spark SQL sorts NaN
+    * GREATEST while the broadcast scorer's `cs > bestCs` NEVER
+    * accepts NaN — left raw, the two regimes would assign such a row
+    * to DIFFERENT cells and a partial probe could silently miss it.
+    * `nanvl(cs, -Inf)` pins NaN to "worst score" in the SQL regime,
+    * matching [[IvfIndex.cosSim]]'s -Inf mapping: both regimes rank a
+    * degenerate pair last and tie-break to the lowest cell id. */
   private def nearestCell(v: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val scored = centroids.zipWithIndex.map { case (w, c) =>
-      struct(Similarity.cosine(spark, v,
-        array(w.toSeq.map(lit): _*)).as("cs"), lit(-c).as("nc"))
+      struct(nanvl(Similarity.cosine(spark, v,
+        array(w.toSeq.map(lit): _*)), lit(Double.NegativeInfinity))
+        .as("cs"), lit(-c).as("nc"))
     }
     val best =
       if (scored.length == 1) scored.head
@@ -136,6 +155,77 @@ final class IvfIndex private[operators] (
       .orderBy("vec_id", "rank")
   }
 
+  /** Measure and PERSIST the probe→recall curve: for each rung of a
+    * doubling nProbe ladder, top-1 agreement with the full-probe
+    * (= exact) answers on a deterministic calibration sample — the
+    * TAIL of the hash-rank permutation, never the k-means seeds (the
+    * seeds' cells are biased toward them; a head sample measured
+    * 1.000 vs 0.55 population in the per-call path's history). The
+    * curve lands in `_ivf.json` next to the centroids, so
+    * [[searchTargeted]] on a REOPENED index picks its probe count
+    * with zero measurement/training jobs. Raw (hits, n) counts are
+    * stored, not a boolean per target: any future targetRecall
+    * evaluates against the same curve via the Wilson LCB.
+    *
+    * Call after [[refresh]] when churn accumulates — the curve
+    * measures a snapshot of the assignments; the IVF contract
+    * (centroids fixed, rebuild on drift) makes it drift-slowly, not
+    * wrong, under incremental refresh. Not run per-refresh by
+    * default: a streaming sink advancing the index every epoch must
+    * not pay a ladder of measurement jobs per micro-batch. */
+  def calibrate(sampleQueries: Int = 16): Seq[(Int, Long, Long)] = {
+    val corpus = assign.read()
+      .select(col("obj_id").as(idCol), col("v").as(vecCol))
+    val sample = corpus
+      .orderBy(Sampling.splitBucket(col(idCol), Int.MaxValue).desc,
+        col(idCol).desc)
+      .limit(sampleQueries).localCheckpoint()
+    val exact = search(sample, nCells)
+      .select(col("vec_id"), col("neighbor_id").as("_en"))
+      .localCheckpoint()
+    val n = exact.count()
+    val ladder =
+      Iterator.iterate(1)(_ * 2).takeWhile(_ < nCells).toSeq
+    val measured = ladder.map { p =>
+      val got = search(sample, p)
+        .select(col("vec_id"), col("neighbor_id").as("_an"))
+      val hits = exact.join(got, Seq("vec_id"))
+        .filter(col("_en") === col("_an")).count()
+      (p, hits, n)
+    }
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    IvfIndex.writeMeta(fs, rootP, dim, nCells, centroids, sourceRoot,
+      idCol, vecCol, measured)
+    curve = measured
+    measured
+  }
+
+  /** Cheapest persisted rung whose Wilson lower bound supports
+    * `targetRecall`; full probe (exact) when no rung does — the same
+    * acceptance rule as the per-call targeted paths, read from the
+    * stored curve instead of measured per call. */
+  def probeFor(targetRecall: Double): Int = {
+    require(curve.nonEmpty,
+      s"index at $root has no calibration curve; run calibrate() once")
+    curve.collectFirst {
+      case (p, h, cn) if Similarity.wilsonLcb(h, cn) >= targetRecall => p
+    }.getOrElse(nCells)
+  }
+
+  /** Recall-targeted top-1 over the persisted index: the probe count
+    * comes from the stored calibration curve ([[probeFor]]) — no
+    * retraining, no per-call measurement. */
+  def searchTargeted(queries: DataFrame,
+      targetRecall: Double = 0.9): DataFrame =
+    search(queries, probeFor(targetRecall))
+
+  /** Recall-targeted top-k (same probe selection as [[searchTargeted]];
+    * the curve is measured at top-1, the standard proxy). */
+  def searchTopKTargeted(queries: DataFrame, k: Int,
+      targetRecall: Double = 0.9): DataFrame =
+    searchTopK(queries, k, probeFor(targetRecall))
+
   /** The assignment rows of exactly the probed cells. Small probed
     * sets (the common case) collect to an `isin` literal filter —
     * bounded by the index geometry, never the data — which the
@@ -170,8 +260,12 @@ final class IvfIndex private[operators] (
     if (nCells <= IvfIndex.PlanCells)
       q.select(col("qid"), col("qv"),
           explode(array(centroids.zipWithIndex.map { case (w, c) =>
-            struct(Similarity.cosine(spark, col("qv"),
-              array(w.toSeq.map(lit): _*)).as("cs"), lit(c).as("cell"))
+            // nanvl: same NaN-ranks-last contract as nearestCell —
+            // Spark's NaN-sorts-greatest would otherwise probe
+            // degenerate cells FIRST here and last in topCells
+            struct(nanvl(Similarity.cosine(spark, col("qv"),
+              array(w.toSeq.map(lit): _*)),
+              lit(Double.NegativeInfinity)).as("cs"), lit(c).as("cell"))
           }.toIndexedSeq: _*)).as("sc"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid")
@@ -259,6 +353,80 @@ object IvfIndex {
 
   private val MetaFile = "_ivf.json"
 
+  /** DISCOVERY registry: a source table records which ANN indexes
+    * index it, one CLAIM FILE per index under `_ann_registry/` on the
+    * source root (file name = hash of the canonical index root, body =
+    * the root). Per-file claims need no read-modify-write, so
+    * concurrent builders/droppers of different indexes can never lose
+    * each other's entry — the same shape the tag plane uses. Registry
+    * is metadata for `$indexes` / ops tooling only; a missing entry
+    * hides a listing row, never breaks refresh or search. */
+  private val RegistryDir = "_ann_registry"
+
+  private def registryFile(sourceRoot: Path, indexRoot: String): Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(indexRoot.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new Path(new Path(sourceRoot, RegistryDir), h + ".idx")
+  }
+
+  private[operators] def registerIndex(source: Instance,
+      indexRoot: String): Unit = try {
+    val canon = new Path(indexRoot).toString
+    val srcRoot = new Path(source.root)
+    val fs = srcRoot.getFileSystem(
+      source.spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(srcRoot, RegistryDir))
+    val f = registryFile(srcRoot, canon)
+    if (!fs.exists(f)) {
+      val out = fs.create(f, false)
+      try out.write(canon.getBytes("UTF-8")) finally out.close()
+    }
+  } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  private[operators] def deregisterIndex(source: Instance,
+      indexRoot: String): Unit = try {
+    val srcRoot = new Path(source.root)
+    val fs = srcRoot.getFileSystem(
+      source.spark.sessionState.newHadoopConf())
+    fs.delete(registryFile(srcRoot, new Path(indexRoot).toString), false)
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Index roots registered against a source table root. */
+  def registeredIndexes(spark: SparkSession, sourceRoot: String)
+      : Seq[String] = {
+    val dir = new Path(new Path(sourceRoot), RegistryDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".idx"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      }.sorted
+  }
+
+  /** Drop a persisted index: deregister from its source (when it has
+    * one) and delete the index directory. False = nothing at `root`. */
+  def drop(spark: SparkSession, root: String): Boolean = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(rootP, MetaFile))) return false
+    try {
+      val idx = open(spark, root)
+      idx.sourceRoot.foreach { sr =>
+        deregisterIndex(VersionedTable.open(spark, sr), root)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    fs.delete(rootP, true)
+  }
+
   /** Largest centroid count compiled into the plan as literals; past
     * it scoring rides a broadcast variable (see [[IvfIndex.assignRows]]). */
   private[operators] val PlanCells = 64
@@ -277,7 +445,13 @@ object IvfIndex {
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val cs = dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm pair → NaN → pin to "worst": keeps this regime's
+    // ranking identical to the SQL scorers' nanvl(cs, -Inf) (see
+    // IvfIndex.nearestCell) — without it `cs > bestCs` never accepts
+    // NaN while Spark SQL sorts NaN greatest, and the two regimes
+    // would place the same row in different cells
+    if (cs.isNaN) Double.NegativeInfinity else cs
   }
 
   /** First-wins argmax over a fixed scan order (ties deterministic). */
@@ -347,7 +521,9 @@ object IvfIndex {
     val idx = new IvfIndex(spark, root, dim, nCells, cents, assign,
       source.map(s => new Path(s.root).toString), idCol, vecCol)
     source match {
-      case Some(_) => idx.refresh()
+      case Some(src) =>
+        idx.refresh()
+        registerIndex(src, root) // discovery metadata ($indexes)
       case None =>
         // one-shot assignment of the given corpus (no watermark)
         assign.withRetry() { t =>
@@ -369,8 +545,12 @@ object IvfIndex {
       while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
+    // field values are escaped by writeMeta (same convention as the
+    // manifest esc): the char class must step over \" and \\ or a
+    // root path / column name containing a quote corrupts the parse
     def strField(k: String): Option[String] =
-      (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+      (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
+        .map(m => unesc(m.group(1)))
     def intField(k: String): Int =
       (s""""$k":(\\d+)""").r.findFirstMatchIn(s).get.group(1).toInt
     val dim = intField("dim"); val nCells = intField("nCells")
@@ -391,21 +571,74 @@ object IvfIndex {
         .split(',').map(_.trim.toDouble))
     require(cents.length == nCells && cents.forall(_.length == dim),
       s"corrupt $MetaFile at $root")
+    // optional persisted recall curve: "calibration":[[p,hits,n],...]
+    val calibration: Seq[(Int, Long, Long)] = {
+      val at = s.indexOf("\"calibration\":")
+      if (at < 0) Nil
+      else {
+        val cs0 = s.substring(at + 14)
+        var depth = 0; var i = 0; var end = -1
+        while (end < 0 && i < cs0.length) {
+          val c = cs0.charAt(i)
+          if (c == '[') depth += 1
+          else if (c == ']') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        val body = cs0.substring(1, end)
+        if (body.isEmpty) Nil
+        else body.split("\\],\\[").toSeq.map { t =>
+          val xs = t.replace("[", "").replace("]", "").split(',')
+          (xs(0).trim.toInt, xs(1).trim.toLong, xs(2).trim.toLong)
+        }
+      }
+    }
     val assign = VersionedTable.open(spark,
       new Path(rootP, "assign").toString, assignConf)
     new IvfIndex(spark, root, dim, nCells, cents, assign,
       strField("sourceRoot"),
       strField("idCol").getOrElse("vec_id"),
-      strField("vecCol").getOrElse("v"))
+      strField("vecCol").getOrElse("v"), calibration)
   }
 
-  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+  /** JSON string escaping for meta fields (the manifest's convention,
+    * VersionedTable.esc) — a root path or column name containing a
+    * quote/backslash must round-trip, not corrupt the file. */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  private def unesc(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case o => sb.append(o); i += 2 // \" and \\
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  private[operators] def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
       rootP: Path, dim: Int, nCells: Int, cents: Array[Array[Double]],
-      sourceRoot: Option[String], idCol: String, vecCol: String): Unit = {
+      sourceRoot: Option[String], idCol: String, vecCol: String,
+      calibration: Seq[(Int, Long, Long)] = Nil): Unit = {
+    val calJson =
+      if (calibration.isEmpty) ""
+      else calibration.map { case (p, h, n) => s"[$p,$h,$n]" }
+        .mkString(""""calibration":[""", ",", "],")
     val json =
       s"""{"dim":$dim,"nCells":$nCells,""" +
-      sourceRoot.map(r => s""""sourceRoot":"$r",""").getOrElse("") +
-      s""""idCol":"$idCol","vecCol":"$vecCol",""" +
+      sourceRoot.map(r => s""""sourceRoot":"${esc(r)}",""").getOrElse("") +
+      s""""idCol":"${esc(idCol)}","vecCol":"${esc(vecCol)}",""" + calJson +
       s""""centroids":[${cents.map(_.mkString("[", ",", "]"))
         .mkString(",")}]}"""
     val tmp = new Path(rootP,

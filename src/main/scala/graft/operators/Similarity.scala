@@ -202,7 +202,8 @@ object Similarity {
     * statistically supports the target — a raw small-sample ratio
     * (11/12 = 0.917) routinely flatters a geometry whose population
     * recall is well below it. */
-  private def wilsonLcb(hits: Long, n: Long, z: Double = 1.28): Double = {
+  private[operators] def wilsonLcb(hits: Long, n: Long,
+      z: Double = 1.28): Double = {
     if (n == 0) return 0.0
     val p = hits.toDouble / n; val z2 = z * z
     (p + z2 / (2.0 * n) -
@@ -611,6 +612,24 @@ object Similarity {
         IvfIndex.build(all, root, dim = 64, nCells = 8)
         val idx = IvfIndex.open(s, root) // exercise the reopen path
         idx.search(all.filter(col("vec_id") < 20), nProbe = 8)
+    },
+
+    // recall-TARGETED search on the REOPENED persisted index: the
+    // probe count comes from the calibration curve stored in
+    // _ivf.json at build time — zero training or measurement jobs at
+    // search. Approximate by construction (probe < full) → rows-only;
+    // the recall (>= 0.9 target via Wilson-LCB acceptance) is
+    // measured per-round in Bench's recall row, and the full-probe
+    // rung of the SAME index is the hash-gated q75/q76 anchor.
+    "q78_ann_index_targeted" -> Q.noOracle {
+      (s, dir) =>
+        val all = emb(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx_t_").toUri.toString
+        IvfIndex.build(all, root, dim = 64, nCells = 8).calibrate()
+        val idx = IvfIndex.open(s, root) // curve read from _ivf.json
+        idx.searchTargeted(all.filter(col("vec_id") < 20),
+          targetRecall = 0.9)
     },
 
     // the persisted index's top-k path, full probe = exact — gated

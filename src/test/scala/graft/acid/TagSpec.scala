@@ -78,6 +78,75 @@ class TagSpec extends AnyFunSuite {
     intercept[Exception] { t.snapshot(pinned).collect() }
   }
 
+  test("concurrent taggers: both tags survive and vacuum respects both") {
+    // the old single-json read-modify-rename could last-writer-win a
+    // rival's just-verified tag — a lost tag silently un-pins its
+    // snapshot. Per-tag claim files make the interleaving structurally
+    // impossible; this spec races REAL threads to pin it.
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, 10L), (2L, 20L))
+      .toDF("obj_id", "value")) }
+    val v = t.latestVersion
+    (0 until 8).foreach { round =>
+      val names = Seq(s"a$round", s"b$round", s"c$round", s"d$round")
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = names.map { n =>
+        val th = new Thread(() => {
+          gate.await()
+          try t.tagVersion(n, v)
+          catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      gate.countDown()
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"tagger failed: ${errs.peek()}")
+      val now = t.tags
+      names.foreach(n => assert(now.get(n).contains(v),
+        s"tag $n lost in round $round: $now"))
+      // delete half CONCURRENTLY with a new tagger: deletion of one
+      // file cannot clobber an unrelated tag
+      val delThreads = names.take(2).map { n =>
+        val th = new Thread(() => {
+          try t.deleteTag(n)
+          catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      delThreads.foreach(_.join())
+      assert(errs.isEmpty)
+      names.drop(2).foreach(n => assert(t.tags.contains(n)))
+      names.take(2).foreach(n => assert(!t.tags.contains(n)))
+    }
+    // every surviving tag holds the vacuum horizon
+    (0 until 3).foreach { i =>
+      t.withRetry() { x => x.update(Seq(1L),
+        df => df.withColumn("value", lit(100L + i))) }
+    }
+    t.vacuum(retainVersions = 1)
+    assert(t.snapshot(v).orderBy("obj_id").collect()
+      .map(_.getLong(1)).toSeq == Seq(10L, 20L))
+  }
+
+  test("legacy _tags.json reads and migrates to per-tag files") {
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, 10L)).toDF("obj_id", "value")) }
+    // plant a pre-migration single-file tag map
+    val legacy = new org.apache.hadoop.fs.Path(t.root, "_tags.json")
+    val out = t.fs.create(legacy, true)
+    try out.write("""{"old1":1,"old2":1}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(t.tags == Map("old1" -> 1L, "old2" -> 1L))
+    assert(t.snapshotByTag("old1").count() == 1)
+    // first mutation migrates: entries move to _tags/, json disappears
+    t.tagVersion("fresh1", 1L)
+    assert(!t.fs.exists(legacy))
+    assert(t.tags == Map("old1" -> 1L, "old2" -> 1L, "fresh1" -> 1L))
+    assert(t.deleteTag("old1"))
+    assert(t.tags == Map("old2" -> 1L, "fresh1" -> 1L))
+  }
+
   test("SQL surface: tag / list_tags / VERSION AS OF 'name' / delete_tag") {
     val tag = java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)

@@ -68,6 +68,92 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("zero-norm vectors assign identically across scorer regimes") {
+    // a zero-norm vector (or centroid) scores cosine NaN: Spark SQL
+    // sorts NaN GREATEST while the broadcast scorer's `cs > bestCs`
+    // never accepts it — unfixed, the regimes assign the same row to
+    // DIFFERENT cells and a partial probe silently loses it. Both now
+    // pin NaN to -Inf (rank last, tie-break lowest cell).
+    val cents: Array[Array[Double]] = Array(
+      Array.fill(dim)(0.0), // zero-norm centroid: NaN against everything
+      (Seq(1.0, 0.0) ++ Seq.fill(dim - 2)(0.0)).toArray,
+      (Seq(0.0, 1.0) ++ Seq.fill(dim - 2)(0.0)).toArray)
+    val aRoot = Files.createTempDirectory("graft_ivf_nan_a_").toUri.toString
+    val assign = VersionedTable.create(spark, aRoot, StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("cell", org.apache.spark.sql.types.IntegerType))))
+    val idx = new IvfIndex(spark,
+      Files.createTempDirectory("graft_ivf_nan_").toUri.toString,
+      dim, 3, cents, assign, None, "vec_id", "v")
+    val rows = Seq(
+      (0L, Seq.fill(dim)(0.0)),                          // zero vector
+      (1L, Seq(1.0, 0.0) ++ Seq.fill(dim - 2)(0.0)),
+      (2L, Seq(0.0, 1.0) ++ Seq.fill(dim - 2)(0.0)),
+      (3L, Seq(-1.0, -1.0) ++ Seq.fill(dim - 2)(0.0))
+    ).toDF("vec_id", "v")
+    val sqlCells = idx.assignRows(rows).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val bcCells = rows.collect().map(r =>
+      r.getLong(0) -> IvfIndex.nearestIdx(r.getSeq[Double](1).toArray,
+        cents)).toMap
+    assert(sqlCells == bcCells,
+      s"regimes disagree: sql=$sqlCells broadcast=$bcCells")
+    // the degenerate scores rank LAST: the zero vector falls to the
+    // lowest cell id, and no real vector is captured by the dead
+    // centroid (pre-fix, SQL assigned rows 1-3 to cell 0: NaN wins)
+    assert(sqlCells(0L) == 0)
+    assert(sqlCells(1L) == 1 && sqlCells(2L) == 2)
+    assert(sqlCells(3L) != 0)
+  }
+
+  test("calibration curve persists, reopens, and prices targeted search") {
+    val root = Files.createTempDirectory("graft_ivf_cal_").toUri.toString
+    val all = corpus(128)
+    val built = IvfIndex.build(all, root, dim = dim, nCells = 4)
+    assert(built.calibrationCurve.isEmpty)
+    // targeted search without a curve must fail loudly, not guess
+    intercept[IllegalArgumentException](built.probeFor(0.9))
+    val curve = built.calibrate()
+    assert(curve.map(_._1) == Seq(1, 2)) // doubling ladder below nCells
+    // the curve comes back through _ivf.json, not recomputed
+    val idx = IvfIndex.open(spark, root)
+    assert(idx.calibrationCurve == curve)
+    val p = idx.probeFor(0.9)
+    assert(p >= 1 && p <= 4)
+    // an unreachable target escalates to the full (= exact) probe
+    assert(idx.probeFor(1.0) == 4)
+    // targeted result IS the chosen rung's result
+    val queries = all.filter(col("vec_id") < 10)
+    val targeted = idx.searchTargeted(queries, targetRecall = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val manual = idx.search(queries, nProbe = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(targeted == manual)
+    // and it actually recalls: >= 9/10 against brute force (the
+    // Wilson-LCB acceptance is calibrated on a held-out-style tail
+    // sample, so this is a genuine generalization check)
+    val exact = Similarity.annTop1(all, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = targeted.count { case (q, nb) => exact.get(q).contains(nb) }
+    assert(hits >= 9, s"targeted recall too low: $hits/10")
+    // topK variant shares the probe selection
+    assert(idx.searchTopKTargeted(queries, k = 3).count() == 30)
+  }
+
+  test("meta fields with quotes/backslashes round-trip through _ivf.json") {
+    val root = Files.createTempDirectory("graft_ivf_esc_").toUri.toString
+    val hostile = "v\"co\\l"
+    val all = corpus(32).withColumnRenamed("v", hostile)
+    IvfIndex.build(all, root, dim = dim, nCells = 2, vecCol = hostile)
+    val idx = IvfIndex.open(spark, root)
+    assert(idx.vecCol == hostile)
+    assert(idx.idCol == "vec_id")
+    // the index still searches through the hostile-named column
+    assert(idx.search(all.filter(col("vec_id") < 4), nProbe = 2)
+      .count() == 4)
+  }
+
   test("refresh-on-epoch: the streaming sink advances the index per epoch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
