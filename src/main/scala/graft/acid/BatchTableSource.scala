@@ -90,15 +90,48 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     // pin here: schema and every later scan agree on one version even
     // if writers commit between resolution and execution
     val v = GraftTableSource.resolveVersion(inst, options)
+    // table-level specs recorded by the CATALOG (set_unique_ids /
+    // set_partitioning / set_clustering write _catalog.json at the
+    // table root) apply to PATH-based access too — a table protected
+    // via CALL set_unique_ids must not accept duplicate obj_ids just
+    // because the writer came through .option("path", ...). Explicit
+    // options still win (the caller asked for that behavior by name).
+    def catalogSpec(key: String): Option[String] =
+      GraftTableSource.readCatalogSpec(SparkSession.active, root, key)
     new GraftTable(root, v, StructType.fromDDL(inst.stateAt(v)._2),
       timeTraveled = options.containsKey("versionAsOf") ||
         options.containsKey("timestampAsOf"),
-      partitionByOpt = Option(options.get("partitionBy")),
-      uniqueIdsOpt = options.getBoolean("uniqueIds", false))
+      partitionByOpt = Option(options.get("partitionBy"))
+        .orElse(catalogSpec("partitionBy")),
+      clusterByOpt = Option(options.get("clusterBy"))
+        .orElse(catalogSpec("clusterBy")),
+      uniqueIdsOpt =
+        if (options.containsKey("uniqueIds"))
+          options.getBoolean("uniqueIds", false)
+        else catalogSpec("uniqueIds").contains("true"))
   }
 }
 
 private[acid] object GraftTableSource {
+
+  /** One string field of the table root's `_catalog.json` (the spec
+    * file [[GraftCatalog]] maintains); None when absent/empty — shared
+    * by the catalog and the path-based provider so both front doors
+    * honor the same recorded table specs. */
+  def readCatalogSpec(spark: SparkSession, root: String,
+      key: String): Option[String] = {
+    val p = new Path(root, "_catalog.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      (s""""$key":"([^"]*)"""").r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty)
+    }
+  }
+
   def resolveVersion(inst: Instance, options: CaseInsensitiveStringMap): Long =
     (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf"))) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(

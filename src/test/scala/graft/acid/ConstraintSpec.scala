@@ -269,6 +269,35 @@ class ConstraintSpec extends AnyFunSuite {
       == 2L)
   }
 
+  test("uniqueIds: catalog protection holds for path-based writes too") {
+    // CALL set_unique_ids records the spec in _catalog.json; a writer
+    // coming through .option("path", ...) (no catalog) must inherit
+    // it — otherwise the protection has a side door. An explicit
+    // option still overrides by name.
+    val cat = "guniqp" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val wh = Files.createTempDirectory("graft_uniqp_wh_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.p (obj_id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.p VALUES (1, 1)")
+    spark.sql(s"CALL $cat.system.set_unique_ids('ns.p', true)")
+    val root = s"$wh/ns/p"
+    val dup = Seq((1L, 99L)).toDF("obj_id", "v")
+    val e = intercept[Exception] {
+      dup.write.format("graft").option("path", root)
+        .mode("append").save() // NO uniqueIds option: spec must apply
+    }
+    assert(messages(e).contains("obj_id 1 already exists"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.p").head.getLong(0)
+      == 1L)
+    // explicit opt-out by name wins over the recorded spec
+    dup.write.format("graft").option("path", root)
+      .option("uniqueIds", "false").mode("append").save()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.p").head.getLong(0)
+      == 2L)
+  }
+
   test("property: random op sequences never leave a violating row behind") {
     // invariant after EVERY commit: no live row violates any in-force
     // constraint (adds validate existing rows; writes validate staged

@@ -184,6 +184,60 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(idx.search(queries, nProbe = 4).count() == 1)
   }
 
+  test("SQL front door: create/refresh/search/drop + $indexes metadata") {
+    import graft.acid.GraftCatalog
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gann$tag"
+    val wh = Files.createTempDirectory("graft_ann_wh_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ann.vecs (obj_id BIGINT, v ARRAY<DOUBLE>)")
+    corpus(64).createOrReplaceTempView(s"ann_src_$tag")
+    spark.sql(s"INSERT INTO $cat.ann.vecs SELECT * FROM ann_src_$tag " +
+      "WHERE vec_id < 48")
+    spark.sql(s"CALL $cat.system.create_ann_index('ann.idx', 'ann.vecs', " +
+      "dim => 8, n_cells => 4)")
+    // $indexes: one row, fresh, calibrated (create default)
+    val meta = spark.sql(
+      s"SELECT n_cells, lag, calibrated FROM $cat.ann.`vecs$$indexes`")
+      .collect()
+    assert(meta.length == 1)
+    assert(meta(0).getInt(0) == 4 && meta(0).getLong(1) == 0L &&
+      meta(0).getBoolean(2))
+    // churn + refresh: lag closes
+    spark.sql(s"INSERT INTO $cat.ann.vecs SELECT * FROM ann_src_$tag " +
+      "WHERE vec_id >= 48")
+    assert(spark.sql(s"SELECT lag FROM $cat.ann.`vecs$$indexes`")
+      .head.getLong(0) == 1L)
+    spark.sql(s"CALL $cat.system.refresh_ann_index('ann.idx')")
+    assert(spark.sql(s"SELECT lag FROM $cat.ann.`vecs$$indexes`")
+      .head.getLong(0) == 0L)
+    // full-probe search through SQL == brute force over the WHOLE
+    // corpus (post-churn rows included)
+    spark.sql(s"CREATE TABLE $cat.ann.q (obj_id BIGINT, v ARRAY<DOUBLE>)")
+    spark.sql(s"INSERT INTO $cat.ann.q " +
+      s"SELECT obj_id, v FROM $cat.ann.vecs WHERE obj_id < 6")
+    val got = spark.sql(s"CALL $cat.system.ann_search('ann.idx', " +
+      "'ann.q', k => 1, n_probe => 4)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val all = corpus(64)
+    val exact = Similarity.annTop1(all, all.filter(col("vec_id") < 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact)
+    // target_recall path reads the persisted curve (no retraining)
+    assert(spark.sql(s"CALL $cat.system.ann_search('ann.idx', 'ann.q', " +
+      "k => 1, target_recall => 0.9)").count() == 6)
+    // drop: deregisters + deletes
+    spark.sql(s"CALL $cat.system.drop_ann_index('ann.idx')")
+    assert(spark.sql(s"SELECT * FROM $cat.ann.`vecs$$indexes`").count()
+      == 0L)
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.ann_search('ann.idx', 'ann.q', " +
+        "k => 1)").collect()
+    }
+  }
+
   test("graft-source index refreshes incrementally and survives vacuum") {
     val srcRoot = Files.createTempDirectory("graft_ivf_src_").toUri.toString
     val src = VersionedTable.create(spark, srcRoot, StructType(Seq(
