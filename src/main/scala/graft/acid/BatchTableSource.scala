@@ -108,7 +108,9 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
       uniqueIdsOpt =
         if (options.containsKey("uniqueIds"))
           options.getBoolean("uniqueIds", false)
-        else catalogSpec("uniqueIds").contains("true"))
+        else catalogSpec("uniqueIds").contains("true"),
+      bloomColsOpt = Option(options.get("bloomFilters"))
+        .orElse(catalogSpec("bloomFilters")))
   }
 }
 
@@ -225,6 +227,12 @@ private[acid] object GraftTableSource {
               else r.uCols.indexOf(pc)
             ui < 0 || ustatMayMatch(f, VersionedTable.UStat(
               r.uKinds(ui).head, r.uMins(ui), r.uMaxs(ui), r.uNulls(ui)))
+          } && {
+            // per-file bloom veto (same logic as the driver path):
+            // side-file rows carry the #fb: entries like any ustat
+            val bi = r.uCols.indexOf(VersionedTable.BloomKeyPrefix + pc)
+            bi < 0 || bloomMayMatch(f, VersionedTable.UStat(
+              r.uKinds(bi).head, r.uMins(bi), r.uMaxs(bi), r.uNulls(bi)))
           }
         }
       }
@@ -258,6 +266,31 @@ private[acid] object GraftTableSource {
       case sources.GreaterThanOrEqual(_, v) => asL(v).forall(hi >= _)
       case sources.LessThan(_, v) => asL(v).forall(lo < _)
       case sources.LessThanOrEqual(_, v) => asL(v).forall(lo <= _)
+      case _ => true
+    }
+  }
+
+  /** Bloom veto for equality/IN pushdown on declared
+    * [[EngineConf.fileBloomCols]] columns: false ONLY when the file's
+    * `#fb:` bloom PROVES every probed value absent — blooms have no
+    * false negatives, so a veto can only drop dead IO. Anything
+    * unexpected (wrong kind, corrupt base64, unhashable literal type,
+    * null member) keeps the file. */
+  def bloomMayMatch(flt: sources.Filter, u: VersionedTable.UStat)
+      : Boolean = {
+    if (u.kind != 'F') return true // a colliding user column, not a bloom
+    lazy val bloom: Option[IdBloom] =
+      try Some(IdBloom.fromBase64(u.min, u.max.toInt))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def mayContain(v: Any): Boolean = IdBloom.hashValue(v) match {
+      case Some(h) => bloom.forall(_.contains(h))
+      case None => true
+    }
+    flt match {
+      case sources.EqualTo(_, v) if v != null => mayContain(v)
+      case sources.EqualNullSafe(_, v) if v != null => mayContain(v)
+      case sources.In(_, vs) if vs != null && vs.nonEmpty =>
+        vs.exists(v => v == null || mayContain(v))
       case _ => true
     }
   }
@@ -782,7 +815,8 @@ private[acid] final class GraftTable(root: String, version: Long,
     tableSchema: StructType, timeTraveled: Boolean = false,
     partitionByOpt: Option[String] = None,
     clusterByOpt: Option[String] = None,
-    private[acid] val uniqueIdsOpt: Boolean = false)
+    private[acid] val uniqueIdsOpt: Boolean = false,
+    private[acid] val bloomColsOpt: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -832,7 +866,10 @@ private[acid] final class GraftTable(root: String, version: Long,
   private[acid] def insert(data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean, appTxn: Option[(String, Long)]): Unit = {
     val inst = VersionedTable.open(data.sparkSession, root,
-      EngineConf(uniqueIds = uniqueIdsOpt))
+      EngineConf(uniqueIds = uniqueIdsOpt,
+        fileBloomCols = bloomColsOpt
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)))
     // replayed idempotent write (txnAppId/txnVersion): its first
     // attempt's rows are durable — return before staging, both to
     // save the work and so the uniqueIds probe can't mistake the
@@ -993,7 +1030,13 @@ private[acid] final class GraftWriteBuilder(table: GraftTable,
           // append epochs probe staged ids like batch inserts do
           // (sink option, or the table's unique_ids catalog property)
           uniqueIds = info.options().getBoolean("uniqueIds", false) ||
-            table.uniqueIdsOpt),
+            table.uniqueIdsOpt,
+          // per-file skipping blooms for declared columns (sink
+          // option, or the table's bloom_filters catalog spec)
+          fileBloomCols = Option(info.options().get("bloomFilters"))
+            .orElse(table.bloomColsOpt)
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)),
         // refresh-on-epoch: dependent materialized-view (and ANN
         // index) roots advanced after each epoch commit (best-effort;
         // see GraftStreamingWrite)
@@ -1360,7 +1403,11 @@ private[acid] final class GraftScan(root: String, version: Long,
             // simply not skippable (its key holds the row-count stat)
             (pc == VersionedTable.RowsKey ||
               state.fileStats.get(rel).flatMap(_.get(pc))
-                .forall(GraftTableSource.ustatMayMatch(f, _)))
+                .forall(GraftTableSource.ustatMayMatch(f, _))) &&
+            // per-file bloom veto for equality/IN on declared columns
+            state.fileStats.get(rel)
+              .flatMap(_.get(VersionedTable.BloomKeyPrefix + pc))
+              .forall(GraftTableSource.bloomMayMatch(f, _))
         }
       }
     }

@@ -90,7 +90,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructType.fromDDL(inst.stateAt(version)._2), timeTraveled,
       partitionByOpt = readPartitionBy(ident),
       clusterByOpt = readClusterBy(ident),
-      uniqueIdsOpt = readUniqueIds(ident))
+      uniqueIdsOpt = readUniqueIds(ident),
+      bloomColsOpt = readBloomFilters(ident))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -186,11 +187,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // CREATE TABLE ... TBLPROPERTIES ('unique_ids' = 'true'): every
     // SQL INSERT probes for duplicate obj_ids (EngineConf.uniqueIds)
     val uniq = Option(properties.get("unique_ids")).exists(_ == "true")
+    // CREATE TABLE ... TBLPROPERTIES ('bloom_filters' = 'c1,c2'):
+    // per-file skipping blooms from the first insert
+    val bloomCols = Option(properties.get("bloom_filters")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    bloomCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"bloom column $c not in schema"))
     val root = tablePath(ident)
     fs.mkdirs(root.getParent)
     VersionedTable.create(SparkSession.active, root.toString, schema)
-    if (partCols.nonEmpty || clusterCols.nonEmpty || uniq)
-      writeCatalogSpec(ident, partCols, clusterCols, uniq)
+    if (partCols.nonEmpty || clusterCols.nonEmpty || uniq ||
+        bloomCols.nonEmpty)
+      writeCatalogSpec(ident, partCols, clusterCols, uniq, bloomCols)
     graftTable(ident, 0L, timeTraveled = false)
   }
 
@@ -216,6 +224,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def readUniqueIds(ident: Identifier): Boolean =
     readCatalogKey(ident, "uniqueIds").contains("true")
 
+  private def readBloomFilters(ident: Identifier): Option[String] =
+    readCatalogKey(ident, "bloomFilters")
+
   /** Rewrite `_catalog.json` with the given specs (absent when all
     * are empty/off) — write-then-rename, never delete-then-create: a
     * crash between a delete and a create would silently leave the
@@ -223,9 +234,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * reader in the window would see no spec at all. */
   private def writeCatalogSpec(ident: Identifier,
       partitionBy: Seq[String], clusterBy: Seq[String],
-      uniqueIds: Boolean = false): Unit = {
+      uniqueIds: Boolean = false,
+      bloomFilters: Seq[String] = Nil): Unit = {
     val p = new Path(tablePath(ident), "_catalog.json")
-    if (partitionBy.isEmpty && clusterBy.isEmpty && !uniqueIds) {
+    if (partitionBy.isEmpty && clusterBy.isEmpty && !uniqueIds &&
+        bloomFilters.isEmpty) {
       if (fs.exists(p)) fs.delete(p, false)
       return
     }
@@ -234,7 +247,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       else Some(s""""partitionBy":"${partitionBy.mkString(",")}""""),
       if (clusterBy.isEmpty) None
       else Some(s""""clusterBy":"${clusterBy.mkString(",")}""""),
-      if (!uniqueIds) None else Some(""""uniqueIds":"true"""")
+      if (!uniqueIds) None else Some(""""uniqueIds":"true""""),
+      if (bloomFilters.isEmpty) None
+      else Some(s""""bloomFilters":"${bloomFilters.mkString(",")}"""")
     ).flatten.mkString(",") + "}"
     val tmp = new Path(tablePath(ident),
       s"._catalog-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -416,6 +431,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "tag" => new TagProcedure(this)
       case "delete_tag" => new DeleteTagProcedure(this)
       case "list_tags" => new ListTagsProcedure(this)
+      case "set_bloom_filters" => new SetBloomFiltersProcedure(this)
       case "create_ann_index" => new CreateAnnIndexProcedure(this)
       case "refresh_ann_index" => new RefreshAnnIndexProcedure(this)
       case "drop_ann_index" => new DropAnnIndexProcedure(this)
@@ -425,8 +441,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         "materialize, restore, create_mv, refresh_mv, " +
         "set_partitioning, set_clustering, mv_status, list_mvs, " +
         "drop_mv, add_constraint, drop_constraint, show_constraints, " +
-        "tag, delete_tag, list_tags, create_ann_index, " +
-        "refresh_ann_index, drop_ann_index, ann_search)")
+        "tag, delete_tag, list_tags, set_bloom_filters, " +
+        "create_ann_index, refresh_ann_index, drop_ann_index, " +
+        "ann_search)")
     }
   }
 
@@ -459,7 +476,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition column $c not in table schema"))
     writeCatalogSpec(ident, cols,
       readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil),
-      readUniqueIds(ident))
+      readUniqueIds(ident),
+      readBloomFilters(ident).map(_.split(',').toSeq).getOrElse(Nil))
   }
 
   /** CLUSTER-SPEC EVOLUTION (the ingest-side half of `compact`'s
@@ -483,7 +501,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"cluster column $c not in table schema"))
     writeCatalogSpec(ident,
       readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil), cols,
-      readUniqueIds(ident))
+      readUniqueIds(ident),
+      readBloomFilters(ident).map(_.split(',').toSeq).getOrElse(Nil))
   }
 
   /** Toggle append-time id-uniqueness enforcement for SQL writes to
@@ -495,7 +514,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     writeCatalogSpec(ident,
       readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil),
-      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil), on)
+      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil), on,
+      readBloomFilters(ident).map(_.split(',').toSeq).getOrElse(Nil))
+  }
+
+  /** BLOOM-FILTER spec evolution: declare (or clear) the columns every
+    * later INSERT builds per-file skipping blooms for — metadata-only;
+    * existing files simply have no bloom entries (kept at prune,
+    * veto-only) until a compact/rewrite re-stages them. */
+  private[acid] def setBloomFilters(dotted: String,
+      cols: Seq[String]): Unit = {
+    val parts = dotted.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val inst = openInstance(dotted)
+    val schemaCols = StructType
+      .fromDDL(inst.stateAt(inst.latestVersion)._2).fieldNames.toSet
+    cols.foreach(c => require(schemaCols.contains(c),
+      s"bloom column $c not in table schema"))
+    writeCatalogSpec(ident,
+      readPartitionBy(ident).map(_.split(',').toSeq).getOrElse(Nil),
+      readClusterBy(ident).map(_.split(',').toSeq).getOrElse(Nil),
+      readUniqueIds(ident), cols)
   }
 
   private[acid] def pathFor(dotted: String): Path = {
@@ -1391,5 +1431,34 @@ private[acid] final class AnnSearchProcedure(cat: GraftCatalog)
       else idx.nCells
     java.util.Collections.singletonList[Scan](
       new DfScan(idx.searchTopK(queries, k, probe))).iterator()
+  }
+}
+
+/** `CALL system.set_bloom_filters(table, columns)` — declare the
+  * columns every later INSERT builds per-file skipping blooms for
+  * (equality/IN pushdown consults them; see
+  * [[EngineConf.fileBloomCols]]). Metadata-only; empty clears;
+  * existing files gain blooms on their next compact/rewrite. */
+private[acid] final class SetBloomFiltersProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "set_bloom_filters"
+  override def description(): String =
+    "Set the columns new INSERTs build per-file skipping bloom " +
+    "filters for (metadata-only; empty = clear; equality/IN " +
+    "predicates then prune files the blooms prove value-free)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog").build(),
+    ProcedureParameter.in("columns", StringType)
+      .comment("comma-separated bloom columns (integral/string/" +
+        "binary); empty = clear").defaultValue("''").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val cols = input.getUTF8String(1).toString
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    cat.setBloomFilters(input.getUTF8String(0).toString, cols)
+    java.util.Collections.singletonList[Scan](
+      new MetricScan("bloom_columns", cols.size.toLong)).iterator()
   }
 }

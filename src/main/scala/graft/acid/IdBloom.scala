@@ -115,6 +115,35 @@ object IdBloom {
     while (i < longs.length) { longs(i) = bb.getLong(); i += 1 }
     new IdBloom(longs, k)
   }
+
+  /** FNV-1a 64 over raw bytes — the deterministic byte→long reduction
+    * for NON-long bloom domains (string/binary column values in the
+    * per-file skipping blooms). Pure function of content: a bloom
+    * built in any partition/JVM probes identically at plan time. */
+  def hashBytes(b: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** External/Catalyst value → bloom domain long; None = type outside
+    * the bloom contract (never added, never vetoed). Integral widths
+    * collapse to the SAME long, so `int` file data still vetoes an
+    * `EqualTo(col, 5L)` after a lossless type widening. */
+  def hashValue(v: Any): Option[Long] = v match {
+    case null => None
+    case l: Long => Some(l)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case s: String =>
+      Some(hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(hashBytes(u.getBytes))
+    case b: Array[Byte] => Some(hashBytes(b))
+    case _ => None
+  }
 }
 
 /** Bounded summary of the object ids a transaction touched: exact

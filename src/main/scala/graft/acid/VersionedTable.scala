@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, MapType, ShortType, StringType, StructType}
 
 /** Versioned ACID table layer — capability parity with db-core's
   * transactional storage engine (SURVEY.md §2.1), re-expressed Spark-first
@@ -321,11 +321,12 @@ object VersionedTable {
     // fields keep their names; only roots get physical indirection).
     // [[RowsKey]] is reserved for the per-file row-count pseudo-stat —
     // a user column spelled exactly like it is simply not stat-indexed.
-    (logicalPaths.toSet + "obj_id" - RowsKey).map { p =>
-      val i = p.indexOf('.')
-      if (i < 0) ren.getOrElse(p, p)
-      else ren.getOrElse(p.take(i), p.take(i)) + p.substring(i)
-    }
+    (logicalPaths.toSet + "obj_id" - RowsKey)
+      .filterNot(_.startsWith(BloomKeyPrefix)).map { p =>
+        val i = p.indexOf('.')
+        if (i < 0) ren.getOrElse(p, p)
+        else ren.getOrElse(p.take(i), p.take(i)) + p.substring(i)
+      }
   }
 
   /** Reserved [[Manifest.fileStats]] key carrying each data file's
@@ -336,6 +337,14 @@ object VersionedTable {
     * with no format change. Never a real column: [[statLeafCols]]
     * excludes it from the allowed footer paths. */
   private[acid] val RowsKey = "#rows"
+
+  /** Reserved [[Manifest.fileStats]] key PREFIX for the per-file
+    * skipping blooms ([[EngineConf.fileBloomCols]]): `#fb:<physCol>`
+    * holds a degenerate `UStat('F', base64(bits), k, 0)`. Like
+    * [[RowsKey]], never a real column ([[statLeafCols]] excludes the
+    * prefix), and consumers probe it only under the 'F' kind so a
+    * colliding user column can never be misread as a bloom. */
+  private[acid] val BloomKeyPrefix = "#fb:"
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -979,6 +988,25 @@ final case class EngineConf(
     // a wide table index only its filter columns, and nested leaves
     // like `props.country` become skippable.
     statsColumnList: Seq[String] = Nil,
+    // OPT-IN per-file BLOOM FILTERS for point-predicate file skipping
+    // on declared (logical) columns — min/max ranges can't skip a
+    // high-cardinality point lookup on a NON-clustered column (every
+    // file's range straddles most values), a bloom can. Each commit's
+    // staged files get one fileBloomBits-bit filter per declared
+    // column (one bounded pass over the JUST-WRITTEN data), stored as
+    // a reserved `#fb:<col>` entry in the manifest's universal file
+    // stats — so blooms ride checkpoints, segmented side files, and
+    // restore with zero format change, and equality/IN pushdown
+    // consults them on both the driver and the distributed skip
+    // paths. Sizing: ~n·1.44·log2(1/p) bits for n distinct values at
+    // false-positive rate p — the 2^16 default holds ~6.5k
+    // NDV/file at 1% (saturation only costs pruning, never answers).
+    // Files written without blooms (pre-declaration history, CoW
+    // rewrites, compaction output) are simply kept — veto-only.
+    // Reference analog: free-info bitmaps as a maintained skipping
+    // structure over block state (free_info.rs:84-194).
+    fileBloomCols: Seq[String] = Nil,
+    fileBloomBits: Int = 1 << 16,
     // OPT-IN post-commit auto-maintenance (Delta's autoCompact
     // analog): once a successful commit leaves the snapshot with >=
     // autoCompactFiles live files, the committer immediately folds
@@ -1068,6 +1096,8 @@ final case class EngineConf(
   require(objectListThreshold >= 1, s"objectListThreshold must be >= 1")
   require(bloomBits >= 64 && bloomBits % 64 == 0,
     s"bloomBits must be a positive multiple of 64")
+  require(fileBloomBits >= 64 && fileBloomBits % 64 == 0,
+    s"fileBloomBits must be a positive multiple of 64")
   require(appTxnRetentionMs >= 0, s"appTxnRetentionMs must be >= 0")
   require(autoCompactFiles >= 0, s"autoCompactFiles must be >= 0")
   require(autoCompactTarget >= 1, s"autoCompactTarget must be >= 1")
@@ -2429,7 +2459,72 @@ final class Instance(val spark: SparkSession, val root: String,
         val rest = us - "obj_id" // primary index already carries it
         if (rest.nonEmpty) txn.addedFileStats(f) = rest
       }
+    // per-file bloom filters for the declared columns: ONE bounded
+    // pass over the just-written files (O(new data), never the
+    // table), landed as reserved `#fb:<physCol>` ustat entries so
+    // they ride every stat surface unchanged (see
+    // [[EngineConf.fileBloomCols]])
+    val bloomPcols = conf.fileBloomCols.map(c => ren.getOrElse(c, c))
+      .distinct
+      .filterNot(partitionBy.contains) // path values: already pruned
+      .filter(pc => df.schema.fields.exists(fd => fd.name == pc &&
+        (fd.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               StringType | BinaryType => true
+          case _ => false
+        })))
+    if (bloomPcols.nonEmpty && staged.nonEmpty)
+      fileBlooms(staged, bloomPcols, conf.fileBloomBits).foreach {
+        case (f, entries) =>
+          txn.addedFileStats(f) =
+            txn.addedFileStats.getOrElse(f, Map.empty) ++ entries
+      }
     staged
+  }
+
+  /** Per-(staged file, declared column) bloom filters, built by one
+    * distributed pass over the staged files themselves (footers can't
+    * provide them). Partial per-partition filters union bitwise —
+    * [[IdBloom]] hashing is a pure function of (value, geometry), so
+    * a distributed build equals a serial one. Returned as `#fb:` ustat
+    * entries ready to merge into the txn's file stats. */
+  private def fileBlooms(staged: Seq[String], pcols: Seq[String],
+      mBits: Int): Map[String, Map[String, UStat]] = {
+    val byName: Map[String, String] =
+      staged.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val paths = staged.map(f => new Path(dataDir, f).toString)
+    val k = IdBloom.DefaultK
+    val nCols = pcols.length
+    val built = spark.read.parquet(paths: _*)
+      .select(input_file_name() +: pcols.map(col): _*)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[(String, Int), IdBloom]
+        it.foreach { r =>
+          val p = r.getString(0)
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i + 1))
+              IdBloom.hashValue(r.get(i + 1)).foreach { h =>
+                acc.getOrElseUpdate((name, i),
+                  IdBloom.empty(mBits.toLong, k)).add(h)
+              }
+            i += 1
+          }
+        }
+        acc.iterator
+      }
+      .reduceByKey(_.unionInPlace(_))
+      .collect()
+    built.groupBy(_._1._1).flatMap { case (name, entries) =>
+      byName.get(name).map { rel =>
+        rel -> entries.map { case ((_, i), b) =>
+          (BloomKeyPrefix + pcols(i)) ->
+            UStat('F', b.toBase64, k.toString, 0L)
+        }.toMap
+      }
+    }
   }
 
   /** Driver-side single-file parquet write through Spark's OWN

@@ -1,0 +1,151 @@
+package graft.acid
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Engine
+
+/** Per-file bloom skipping ([[EngineConf.fileBloomCols]]): equality/IN
+  * point predicates on declared non-clustered columns prune files the
+  * blooms PROVE value-free. Soundness (no false negatives, answers
+  * identical with blooms on/off) and effectiveness (>90% of files
+  * pruned for a point lookup across many files) are both pinned. */
+class FileBloomSpec extends AnyFunSuite {
+  lazy val spark = Engine.session("4")
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("obj_id", LongType, nullable = false),
+    StructField("uname", StringType),
+    StructField("score", LongType)))
+
+  // FILES surviving the manifest skip (input partitions would
+  // under-count: small files bin-pack many-per-partition)
+  private def plannedFiles(df: DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    scans.collect { case g: GraftScan => g.prunedFiles.size }.sum
+  }
+
+  // 24 single-file commits, user ids disjoint per file but with
+  // INTERLEAVED hashes (user strings), so min/max ranges on `user`
+  // are useless while blooms are surgical
+  private def seeded(conf: EngineConf): Instance = {
+    val dir = Files.createTempDirectory("graft_fbloom_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema, conf)
+    (0 until 24).foreach { c =>
+      val rows = (0 until 40).map { i =>
+        val id = c * 1000L + i
+        (id, s"uname_${id * 2654435761L % 100000}", id % 7)
+      }
+      inst.withRetry() { t => t.insert(
+        rows.toDF("obj_id", "uname", "score").coalesce(1)) }
+    }
+    inst
+  }
+
+  // the DSv2 front door — manifest skipping (and so the bloom veto)
+  // lives in GraftScan, not the programmatic snapshot view
+  private def dsv2(inst: Instance): DataFrame =
+    spark.read.format("graft").option("path", inst.root).load()
+
+  test("point predicates on a bloom column prune >90% of files") {
+    val inst = seeded(EngineConf(fileBloomCols = Seq("uname"),
+      fileBloomBits = 1 << 14))
+    assert(inst.tableStateAt(inst.latestVersion).numFiles == 24L)
+    // a value that exists in exactly one file
+    val probe = s"uname_${5007L * 2654435761L % 100000}"
+    val q = dsv2(inst).filter(col("uname") === probe)
+    val planned = plannedFiles(q)
+    assert(planned <= 2, s"expected <=2 files planned of 24, got $planned")
+    assert(q.count() == 1)
+    // IN over two files' values: both kept, rest pruned
+    val probe2 = s"uname_${11013L * 2654435761L % 100000}"
+    val q2 = dsv2(inst).filter(col("uname").isin(probe, probe2))
+    assert(plannedFiles(q2) <= 3)
+    assert(q2.count() == 2)
+    // an ABSENT value prunes everything (zero partitions planned)
+    val qa = dsv2(inst).filter(col("uname") === "uname_nope")
+    assert(plannedFiles(qa) == 0)
+    assert(qa.count() == 0)
+    // long bloom column too
+    val instL = seeded(EngineConf(fileBloomCols = Seq("obj_id", "uname")))
+    val ql = dsv2(instL).filter(col("obj_id") === 17011L)
+    // obj_id also has the primary range index; bloom + range agree
+    assert(plannedFiles(ql) <= 1 && ql.count() == 1)
+  }
+
+  test("bloom skipping is sound: answers equal the bloom-free table") {
+    val withB = seeded(EngineConf(fileBloomCols = Seq("uname")))
+    val noB = seeded(EngineConf())
+    // every present value answers identically (no false negatives)
+    val probes = Seq(3L, 21037L, 5007L, 11013L, 23039L).map(id =>
+      s"uname_${id * 2654435761L % 100000}") ++ Seq("uname_absent")
+    probes.foreach { v =>
+      val a = dsv2(withB).filter(col("uname") === v)
+        .orderBy("obj_id").collect().map(_.getLong(0)).toSeq
+      val b = dsv2(noB).filter(col("uname") === v)
+        .orderBy("obj_id").collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"bloom table diverged for $v")
+    }
+    // non-equality predicates ignore blooms (no veto, same answers)
+    assert(dsv2(withB).filter(col("uname") > "uname_5").count() ==
+      dsv2(noB).filter(col("uname") > "uname_5").count())
+    // deletes: a masked row's value still keeps its file (veto-only),
+    // and the answer excludes the dead row
+    val victim = s"uname_${5007L * 2654435761L % 100000}"
+    withB.withRetry() { t => t.delete(Seq(5007L)) }
+    assert(dsv2(withB).filter(col("uname") === victim).count() == 0)
+    // null handling: IS NULL / null-safe probes never bloom-veto
+    withB.withRetry() { t => t.insert(
+      Seq((90000L, null.asInstanceOf[String], 1L))
+        .toDF("obj_id", "uname", "score")) }
+    assert(dsv2(withB).filter(col("uname").isNull).count() == 1)
+    assert(dsv2(withB).filter(col("uname") <=> lit(null)).count() == 1)
+  }
+
+  test("blooms survive checkpoints, restore, and the SQL catalog face") {
+    // tight checkpoint interval: the fold must carry #fb entries
+    val inst = seeded(EngineConf(fileBloomCols = Seq("uname"),
+      checkpointInterval = 2))
+    val probe = s"uname_${5007L * 2654435761L % 100000}"
+    assert(plannedFiles(
+      dsv2(inst).filter(col("uname") === probe)) <= 2)
+    // restore: re-pinned files keep their bloom entries
+    val head = inst.latestVersion
+    inst.withRetry() { t => t.delete(Seq(5007L)) }
+    inst.restore(head)
+    val q = dsv2(inst).filter(col("uname") === probe)
+    assert(plannedFiles(q) <= 2 && q.count() == 1)
+
+    // SQL lifecycle: TBLPROPERTIES + set_bloom_filters + path writes
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val cat = s"gfb$tag"
+    val wh = Files.createTempDirectory("graft_fb_wh_").toUri.toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.b (obj_id BIGINT, uname STRING) " +
+      "TBLPROPERTIES ('bloom_filters' = 'uname')")
+    (0 until 6).foreach { c =>
+      spark.sql(s"INSERT INTO $cat.ns.b VALUES " +
+        (0 until 20).map(i => s"(${c * 100 + i}, 'u${c * 100 + i}')")
+          .mkString(", "))
+    }
+    val sq = spark.sql(s"SELECT * FROM $cat.ns.b WHERE uname = 'u307'")
+    assert(plannedFiles(sq) <= 1 && sq.count() == 1)
+    // path-based writes inherit the catalog bloom spec
+    Seq((9000L, "u9000")).toDF("obj_id", "uname")
+      .write.format("graft").option("path", s"$wh/ns/b")
+      .mode("append").save()
+    val sq2 = spark.sql(s"SELECT * FROM $cat.ns.b WHERE uname = 'u9000'")
+    assert(plannedFiles(sq2) <= 1 && sq2.count() == 1)
+  }
+}
