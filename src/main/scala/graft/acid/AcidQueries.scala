@@ -554,7 +554,49 @@ object AcidQueries {
       "SELECT qid, nid, cs, ROW_NUMBER() OVER (" +
       "PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM p) t " +
       "WHERE rank <= 3 ORDER BY vec_id, rank")(
-      (s, dir) => annSqlScenario(s, dir)))
+      (s, dir) => annSqlScenario(s, dir)),
+
+    // PER-FILE BLOOM skipping: customers land as 8 files split by
+    // c_custkey % 8, so every file's c_name min/max straddles the
+    // whole name range (ranges prune nothing) while the declared
+    // bloom is surgical — the point lookup must plan <= 2 of 8 files
+    // (loud failure otherwise) and still hash-match DuckDB's answer
+    // over the raw parquet.
+    "q80_bloom_skip" -> Q(
+      "SELECT c_custkey, c_nationkey FROM customer " +
+      "WHERE c_name = (SELECT min(c_name) FROM customer) " +
+      "ORDER BY c_custkey")((s, dir) => bloomSkipScenario(s, dir)))
+
+  /** Bloom-skipping E2E (q80): seed a versioned table with
+    * `fileBloomCols = c_name` as 8 custkey-interleaved files, point-
+    * probe the minimum name through the DSv2 scan, and assert the
+    * bloom veto pruned the plan to <= 2 files before returning the
+    * (hash-gated) rows. */
+  def bloomSkipScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cust = graft.Engine.table(spark, dir, "customer")
+      .select(col("c_custkey").as("obj_id"), col("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+    val root = Files.createTempDirectory("graft_q80_").toUri.toString
+    val inst = VersionedTable.create(spark, root, cust.schema,
+      EngineConf(fileBloomCols = Seq("c_name")))
+    (0 until 8).foreach { b =>
+      inst.withRetry() { t => t.insert(
+        cust.filter(col("c_custkey") % 8 === b).coalesce(1)) }
+    }
+    val probe = cust.agg(min("c_name")).head.getString(0)
+    val df = spark.read.format("graft").option("path", root).load()
+      .filter(col("c_name") === probe)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy("c_custkey")
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case g: GraftScan => g.prunedFiles.size }.sum
+    if (planned > 2) throw new IllegalStateException(
+      s"bloom skipping did not prune: $planned of 8 files planned")
+    df
+  }
 
   /** Full-SQL ANN index lifecycle (q79): catalog table `ann.vecs`
     * seeded with the `vec_id % 5 != 0` embeddings, index built over
