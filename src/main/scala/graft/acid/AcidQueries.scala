@@ -565,7 +565,67 @@ object AcidQueries {
     "q80_bloom_skip" -> Q(
       "SELECT c_custkey, c_nationkey FROM customer " +
       "WHERE c_name = (SELECT min(c_name) FROM customer) " +
-      "ORDER BY c_custkey")((s, dir) => bloomSkipScenario(s, dir)))
+      "ORDER BY c_custkey")((s, dir) => bloomSkipScenario(s, dir)),
+
+    // DECIMAL-summed materialized view + transparent rewrite: the view
+    // stores DECIMAL(38,2) partials (exact, associative — unlike
+    // float/double sums, which stay refused), is maintained through a
+    // post-refresh churn commit + second refresh, and the aggregate
+    // against the SOURCE silently reads it (plan-checked). The decimal
+    // source column derives from an integer key, so both engines'
+    // decimals are bit-exact (no double->decimal rounding ties).
+    "q81_decimal_mv" -> Q(
+      "SELECT o_orderstatus, COUNT(*) AS cnt, " +
+      "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DECIMAL(38,2)) " +
+      "AS sum_dec " +
+      "FROM orders WHERE NOT (o_orderkey % 5 = 0) " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
+      (s, dir) => decimalMvScenario(s, dir)))
+
+  /** Decimal-sum MV lifecycle (q81): orders with
+    * `dec_ck = CAST(o_custkey AS DECIMAL(18,2))`, per-status
+    * (count, sum(dec_ck)) view, refresh — then a churn commit
+    * (delete every o_orderkey % 5 = 0 row) and a second refresh fold
+    * it exactly. The final aggregate runs AGAINST THE SOURCE with the
+    * rewrite on: the plan must read the view's DECIMAL(38,2)
+    * partials, cast back to the query's own Sum type. */
+  def decimalMvScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = graft.Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("obj_id"), col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_custkey").cast("decimal(18,2)").as("dec_ck"))
+    val srcTmp = Files.createTempDirectory("graft_q81_src_").toUri.toString
+    val viewTmp = Files.createTempDirectory("graft_q81_view_").toUri.toString
+    val src = VersionedTable.create(spark, srcTmp, ord.schema)
+    val t1 = src.begin(); t1.insert(ord); src.commit(t1)
+    val mv = MaterializedAggView.create(spark, viewTmp, src,
+      groupCols = Seq("o_orderstatus"), sumCols = Seq("dec_ck"))
+    mv.refresh()
+    val t2 = src.begin()
+    t2.deleteMatching(src.read()
+      .filter(col("o_orderkey") % 5 === 0).select("obj_id"))
+    src.commit(t2)
+    mv.refresh() // the signed decimal fold nets the deletes exactly
+    MvRewriteRule.invalidateCache()
+    val before = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try {
+      val q = spark.read.format("graft").option("path", srcTmp).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("dec_ck").cast("decimal(38,2)").as("sum_dec"))
+        .orderBy("o_orderstatus")
+      val plan = q.queryExecution.optimizedPlan.treeString
+      if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
+        throw new IllegalStateException(
+          s"decimal MV rewrite did not fire; plan:\n$plan")
+      q
+    } finally before match {
+      case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)
+      case None => spark.conf.unset(MvRewriteRule.EnabledKey)
+    }
+  }
 
   /** Bloom-skipping E2E (q80): seed a versioned table with
     * `fileBloomCols = c_name` as 8 custkey-interleaved files, point-

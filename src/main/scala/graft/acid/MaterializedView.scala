@@ -2,7 +2,7 @@ package graft.acid
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Incrementally-maintained aggregate view over a versioned table —
   * the warehouse "materialized view with incremental refresh", built
@@ -136,6 +136,17 @@ final class MaterializedAggView private (
   // another (the SQL catalog's mv_status) can never see
   private def appId: String =
     "mv:" + new org.apache.hadoop.fs.Path(view.root).toString
+
+  /** Stored partial-sum type per sum column, read from the VIEW's own
+    * schema (fixed at create): LongType for integral sources,
+    * DECIMAL(38, s) for decimal sources — every fold/merge casts to
+    * exactly what the table stores, so integral views behave
+    * bit-identically to the pre-decimal implementation. */
+  private lazy val sumStore: Map[String, DataType] = {
+    val st = StructType.fromDDL(view.stateAt(view.latestVersion)._2)
+      .fields.map(f => f.name -> f.dataType).toMap
+    sumCols.map(c => c -> st.getOrElse(s"sum_$c", LongType)).toMap
+  }
 
   /** Version of the source the view currently reflects (-1 = never
     * refreshed; the first refresh folds the HEAD SNAPSHOT at +1 — the
@@ -299,7 +310,7 @@ final class MaterializedAggView private (
     val aggs: Seq[Column] =
       count(lit(1)).as("cnt") +:
       (sumCols.flatMap(c => Seq(
-        sum(col(c).cast("long")).as(s"sum_$c"),
+        sum(col(c).cast(sumStore(c))).cast(sumStore(c)).as(s"sum_$c"),
         count(col(c)).as(s"nn_$c"))) ++
        minCols.map(c => min(col(c)).as(s"min_$c")) ++
        maxCols.map(c => max(col(c)).as(s"max_$c")) ++
@@ -518,7 +529,13 @@ final class MaterializedAggView private (
       val baseAggs: Seq[Column] =
         sum(col("_w")).as("cnt") +:
         sumCols.flatMap(c => Seq(
-          sum(col(c).cast("long") * col("_w")).as(s"sum_$c"),
+          // cast-sandwich: input to the stored type (exact for both
+          // long and decimal(38,s)), the +/-1-weighted product back to
+          // it (Spark widens decimal*long precision), and the sum back
+          // to it (Sum re-caps precision) — the delta's sum_<c> lands
+          // EXACTLY as the view stores it
+          sum((col(c).cast(sumStore(c)) * col("_w")).cast(sumStore(c)))
+            .cast(sumStore(c)).as(s"sum_$c"),
           sum(when(col(c).isNotNull, col("_w")).otherwise(lit(0L)))
             .as(s"nn_$c")))
       val base = weightedShared
@@ -702,10 +719,11 @@ final class MaterializedAggView private (
               Map("cnt" -> (col("t.cnt") + col("s.cnt"))) ++
               sumCols.flatMap { c =>
                 val nn = col(s"t.nn_$c") + col(s"s.nn_$c")
+                val zero = lit(0L).cast(sumStore(c))
                 Seq(
-                  s"sum_$c" -> when(nn === 0L, lit(null).cast("long"))
-                    .otherwise(coalesce(col(s"t.sum_$c"), lit(0L)) +
-                      coalesce(col(s"s.sum_$c"), lit(0L))),
+                  s"sum_$c" -> when(nn === 0L, lit(null).cast(sumStore(c)))
+                    .otherwise((coalesce(col(s"t.sum_$c"), zero) +
+                      coalesce(col(s"s.sum_$c"), zero)).cast(sumStore(c))),
                   s"nn_$c" -> nn)
               }.toMap ++
               minCols.map(c => s"min_$c" ->
@@ -1299,10 +1317,17 @@ object MaterializedAggView {
     sumCols.foreach { c =>
       val f = byName.getOrElse(c,
         throw new IllegalArgumentException(s"sum column $c not in source schema"))
-      require(Seq(LongType, IntegerType, ShortType, ByteType)
-        .contains(f.dataType),
-        s"sum column $c must be integral (got ${f.dataType.simpleString}); " +
-          "pre-scale floats/decimals to integers upstream")
+      val ok = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _: DecimalType => true // exact + associative: stored at
+                                    // full precision DECIMAL(38, s)
+        case _ => false
+      }
+      require(ok,
+        s"sum column $c must be integral or decimal " +
+          s"(got ${f.dataType.simpleString}); float/double sums are " +
+          "order-dependent and cannot be maintained exactly — " +
+          "pre-scale them to integers or decimals upstream")
     }
     (minCols ++ maxCols).foreach { c =>
       val f = byName.getOrElse(c, throw new IllegalArgumentException(
@@ -1333,7 +1358,13 @@ object MaterializedAggView {
       groupCols.map(byName(_).copy(nullable = true)) ++:
       StructField("cnt", LongType, nullable = false) +:
       (sumCols.flatMap(c => Seq(
-        StructField(s"sum_$c", LongType, nullable = true),
+        StructField(s"sum_$c", byName(c).dataType match {
+          // full precision: sums of decimal(p, s) values stay exact
+          // (and overflow to SQL NULL past 38 digits, like the
+          // direct aggregate)
+          case d: DecimalType => DecimalType(38, d.scale)
+          case _ => LongType
+        }, nullable = true),
         StructField(s"nn_$c", LongType, nullable = false))) ++
        minCols.map(c =>
         StructField(s"min_$c", byName(c).dataType, nullable = true)) ++

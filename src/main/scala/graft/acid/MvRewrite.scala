@@ -356,6 +356,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           case a: AttributeReference if sumIdx(a).isDefined &&
               s.dataType == LongType =>
             aggE(new Sum(viewAttr("sum_" + d.sumCols(sumIdx(a).get))))
+          // decimal: the stored partial is the full-precision
+          // DECIMAL(38, s) sum; re-summing and casting to the query's
+          // Sum type (p+10 capped at 38) matches the direct plan,
+          // including overflow-to-NULL past the narrower precision
+          case a: AttributeReference if sumIdx(a).isDefined &&
+              s.dataType.isInstanceOf[DecimalType] &&
+              a.dataType.isInstanceOf[DecimalType] =>
+            Cast(aggE(new Sum(
+              viewAttr("sum_" + d.sumCols(sumIdx(a).get)))), s.dataType)
           case _ => fail()
         }
         case av: Average => av.child match {
@@ -590,10 +599,18 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val delta0 = srcInst.weightedDelta(cand.wmLast, cand.srcVersion,
       alignToHead = true)
     val deltaF = d.where.fold(delta0)(p => delta0.filter(sqlExpr(p)))
+    // per-column STORED partial type (long, or DECIMAL(38, s) for
+    // decimal sources) from the view's own schema: the compensation
+    // partials must union against the view columns type-exactly
+    def sumStore(c: String): DataType =
+      cand.schema.fields.collectFirst {
+        case f if f.name == s"sum_$c" => f.dataType
+      }.getOrElse(LongType)
     val deltaDf = deltaF.select(
       (d.groupCols.map(col) ++ (col("_w").as("cnt") +:
         d.sumCols.flatMap(c => Seq(
-          (col(c).cast("long") * col("_w")).as(s"sum_$c"),
+          (col(c).cast(sumStore(c)) * col("_w")).cast(sumStore(c))
+            .as(s"sum_$c"),
           when(col(c).isNotNull, col("_w")).otherwise(lit(0L))
             .as(s"nn_$c"))))): _*)
     val unionPlan = viewDf.unionByName(deltaDf).queryExecution.analyzed
@@ -662,6 +679,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
                 Literal(0L)),
               Literal(null, LongType),
               aggE(new Sum(uAttr("sum_" + n))))
+          // decimal: same nn-gated shape over the DECIMAL(38, s)
+          // partials, cast to the query's Sum type (overflow-to-NULL
+          // matches the direct plan's narrower precision)
+          case a: AttributeReference if sumIdx(a).isDefined &&
+              s.dataType.isInstanceOf[DecimalType] &&
+              a.dataType.isInstanceOf[DecimalType] =>
+            val n = d.sumCols(sumIdx(a).get)
+            If(EqualTo(cntShape(aggE(new Sum(uAttr("nn_" + n)))),
+                Literal(0L)),
+              Literal(null, s.dataType),
+              Cast(aggE(new Sum(uAttr("sum_" + n))), s.dataType))
           case _ => fail()
         }
         case av: Average => av.child match {

@@ -377,6 +377,62 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(inst.lastCommittedEpoch("d") == Some(8L))
   }
 
+  test("decimal sums: refresh equals recompute; NULL gating; exact merge") {
+    // DECIMAL(p, s) sums are exact and associative, so they maintain
+    // like longs — stored at full precision DECIMAL(38, s). Double
+    // sums stay refused (order-dependent).
+    val decSchema = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("grp", StringType),
+      StructField("d", org.apache.spark.sql.types.DecimalType(12, 2))))
+    val srcDir = Files.createTempDirectory("graft_mv_dec_").toUri.toString
+    val viewDir = Files.createTempDirectory("graft_mv_decv_").toUri.toString
+    val src = VersionedTable.create(spark, srcDir, decSchema)
+    val mv = MaterializedAggView.create(spark, viewDir, src,
+      groupCols = Seq("grp"), sumCols = Seq("d"))
+    // the stored partial is DECIMAL(38, 2)
+    assert(StructType.fromDDL(mv.view.stateAt(mv.view.latestVersion)._2)
+      .apply("sum_d").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    def dec(s: String): java.math.BigDecimal =
+      new java.math.BigDecimal(s).setScale(2)
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.map { case (i, g, v) =>
+        (i, g, if (v == null) null else dec(v)) }
+        .toDF("obj_id", "grp", "d")
+        .withColumn("d", col("d").cast("decimal(12,2)"))
+    def check(): Unit = {
+      mv.refresh()
+      val got = mv.read().select("grp", "cnt", "sum_d")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.getDecimal(2)).map(_.toPlainString).orNull))
+        .toSeq.sortBy(_._1)
+      val want = src.read().groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          sum("d").cast("decimal(38,2)").as("sum_d"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.getDecimal(2)).map(_.toPlainString).orNull))
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"view $got != recompute $want")
+    }
+    src.withRetry() { t => t.insert(df(Seq(
+      (1L, "a", "10.25"), (2L, "a", "0.75"), (3L, "b", "99999999.99"),
+      (4L, "c", null)))) }
+    check() // initial fold: a=11.00, b big, c NULL (all-null addends)
+    src.withRetry() { t => t.update(Seq(2L),
+      d => d.withColumn("d",
+        lit(dec("100.00")).cast("decimal(12,2)"))) } // in-group update
+    src.withRetry() { t => t.insert(df(Seq((5L, "b", "-99999999.99"))))}
+    check() // b cancels to exactly 0.00 (nn=2 -> 0.00, not NULL)
+    src.withRetry() { t => t.delete(Seq(3L, 5L)) }
+    check() // b's addends all gone -> group dies
+    src.withRetry() { t => t.update(Seq(1L),
+      d => d.withColumn("d", lit(null).cast("decimal(12,2)"))) }
+    src.withRetry() { t => t.update(Seq(2L),
+      d => d.withColumn("d", lit(null).cast("decimal(12,2)"))) }
+    check() // a's last non-null addend dies -> sum_d back to SQL NULL
+  }
+
   test("sum columns must be integral; group columns must exist") {
     val srcDir = Files.createTempDirectory("graft_mv_bad_").toUri.toString
     val src = VersionedTable.create(spark, srcDir, StructType(Seq(

@@ -77,6 +77,64 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal sums rewrite fresh AND stale (nn-gated, type-exact)") {
+    val srcRoot = Files.createTempDirectory("graft_mvrw_dsrc_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvrw_dview_").toUri.toString
+    def dec(s: String) = new java.math.BigDecimal(s).setScale(2)
+    import spark.implicits._
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.map { case (i, g, v) =>
+        (i, g, if (v == null) null else dec(v)) }.toDF("obj_id", "g", "d")
+        .withColumn("d", col("d").cast("decimal(12,2)"))
+    val src = VersionedTable.create(spark, srcRoot,
+      df(Nil).schema)
+    src.withRetry() { t => t.insert(df(Seq(
+      (1L, "a", "10.25"), (2L, "a", "0.75"), (3L, "b", "5.00"),
+      (4L, "c", null)))) }
+    val mv = MaterializedAggView.create(spark, viewRoot, src,
+      groupCols = Seq("g"), sumCols = Seq("d"))
+    mv.refresh()
+    MvRewriteRule.invalidateCache()
+    def q(): DataFrame = srcDf(srcRoot).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("d").as("sd"))
+      .orderBy(col("g").asc_nulls_first)
+    val expected = withRewrite(on = false)(q().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot), "fresh decimal rewrite did not fire")
+      val got = q().collect().toSeq
+      assert(got == expected, s"$got != $expected")
+      // the rewritten Sum's TYPE matches the direct plan's exactly
+      assert(q().schema("sd").dataType ==
+        org.apache.spark.sql.types.DecimalType(22, 2))
+    }
+    // stale: two missed commits — an insert and a kill of c's only
+    // row (nn gating: a's sum nets, c's group dies)
+    src.withRetry() { t => t.insert(df(Seq((5L, "a", "-11.00")))) }
+    src.withRetry() { t => t.delete(Seq(4L)) }
+    MvRewriteRule.invalidateCache()
+    val expected2 = withRewrite(on = false)(q().collect().toSeq)
+    withRewrite(on = true) {
+      val plan = q().queryExecution.optimizedPlan.treeString
+      assert(plan.contains(canon(viewRoot)) && plan.contains("Union"),
+        s"stale decimal rewrite did not fire:\n$plan")
+      assert(q().collect().toSeq == expected2)
+    }
+    // an all-null-addend group under the STALE path reads sum NULL:
+    // kill a's remaining non-null addends across the missed interval
+    src.withRetry() { t => t.update(Seq(1L),
+      d => d.withColumn("d", lit(null).cast("decimal(12,2)"))) }
+    src.withRetry() { t => t.delete(Seq(2L, 5L)) }
+    MvRewriteRule.invalidateCache()
+    val expected3 = withRewrite(on = false)(q().collect().toSeq)
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot))
+      val got = q().collect().toSeq
+      assert(got == expected3, s"$got != $expected3")
+      assert(got.find(_.getString(0) == "a").exists(_.isNullAt(2)),
+        "cancelled decimal sum must read back as SQL NULL")
+    }
+  }
+
   test("rollup compensation: grouping by a subset re-aggregates the view") {
     val (_, srcRoot, viewRoot) = fixture()
     def q(): DataFrame = srcDf(srcRoot).groupBy("g2")
