@@ -405,7 +405,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("vacuum", "compact", "materialize", "restore",
-        "create_mv", "refresh_mv")
+        "create_mv", "refresh_mv", "mv_status", "list_mvs", "drop_mv",
+        "set_partitioning", "set_clustering", "set_unique_ids",
+        "set_bloom_filters", "add_constraint", "drop_constraint",
+        "show_constraints", "tag", "delete_tag", "list_tags",
+        "create_ann_index", "refresh_ann_index", "drop_ann_index",
+        "ann_search")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 
