@@ -45,6 +45,23 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
+      } finally if (name.contains("stream")) {
+        // every bench streaming execution replays into a FRESH temp
+        // checkpoint, so its state-store providers are one-shot — but
+        // Spark's provider cache retains them (RocksDB native handles
+        // + periodic maintenance) for the whole JVM. Across a full
+        // bench (~40 streaming executions x 8 partitions x up to 4
+        // stores) the accumulation degraded later streaming runs
+        // 2-3x; unloading after each run restores isolated-run
+        // behavior (untimed: outside the nanoTime window, and the
+        // next run re-creates its own providers inside its own time,
+        // exactly like a fresh JVM would)
+        // private[sql] at the Scala level, public in bytecode
+        try {
+          val cls = Class.forName(
+            "org.apache.spark.sql.execution.streaming.state.StateStore$")
+          cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+        } catch { case _: Throwable => () }
       }
     }
 

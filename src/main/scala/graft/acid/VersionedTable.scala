@@ -2488,14 +2488,19 @@ final class Instance(val spark: SparkSession, val root: String,
     * [[IdBloom]] hashing is a pure function of (value, geometry), so
     * a distributed build equals a serial one. Returned as `#fb:` ustat
     * entries ready to merge into the txn's file stats. */
-  private def fileBlooms(staged: Seq[String], pcols: Seq[String],
+  private[acid] def fileBlooms(staged: Seq[String], pcols0: Seq[String],
       mBits: Int): Map[String, Map[String, UStat]] = {
-    val byName: Map[String, String] =
-      staged.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
     val paths = staged.map(f => new Path(dataDir, f).toString)
     val k = IdBloom.DefaultK
+    val raw = spark.read.parquet(paths: _*)
+    // partition-path columns (and legacy files from before a column
+    // was added) are not IN the files: bloom only what's present —
+    // absence is always just "no veto"
+    val present = raw.columns.toSet
+    val pcols = pcols0.filter(present)
+    if (pcols.isEmpty) return Map.empty
     val nCols = pcols.length
-    val built = spark.read.parquet(paths: _*)
+    val built = raw
       .select(input_file_name() +: pcols.map(col): _*)
       .rdd.mapPartitions { it =>
         val acc = scala.collection.mutable.HashMap
@@ -2517,14 +2522,25 @@ final class Instance(val spark: SparkSession, val root: String,
       }
       .reduceByKey(_.unionInPlace(_))
       .collect()
-    built.groupBy(_._1._1).flatMap { case (name, entries) =>
-      byName.get(name).map { rel =>
-        rel -> entries.map { case ((_, i), b) =>
-          (BloomKeyPrefix + pcols(i)) ->
-            UStat('F', b.toBase64, k.toString, 0L)
-        }.toMap
-      }
-    }
+    val byFile: Map[String, Map[Int, IdBloom]] = built
+      .groupBy(_._1._1)
+      .map { case (n, es) => n -> es.map { case ((_, i), b) => i -> b }.toMap }
+    // files absent from the built map hold NO non-null value for that
+    // column (empty rewrite part files, all-null columns, pre-evolution
+    // files read as null) — an EMPTY bloom is the SOUND entry for them:
+    // equality/IN never matches NULL, so vetoing every probe is exact.
+    // Without it a zero-row rewrite file would be kept by every point
+    // predicate forever (no entry = no veto).
+    val sharedEmpty = IdBloom.empty(mBits.toLong, k).toBase64
+    staged.map { rel =>
+      val name = rel.substring(rel.lastIndexOf('/') + 1)
+      val found = byFile.getOrElse(name, Map.empty)
+      rel -> pcols.indices.map { i =>
+        (BloomKeyPrefix + pcols(i)) -> UStat('F',
+          found.get(i).map(_.toBase64).getOrElse(sharedEmpty),
+          k.toString, 0L)
+      }.toMap
+    }.toMap
   }
 
   /** Driver-side single-file parquet write through Spark's OWN
@@ -5609,6 +5625,26 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       val rest = us - "obj_id"
       if (rest.nonEmpty) addedFileStats(f) = rest
     }
+    // declared per-file blooms for the replacement files too — the
+    // streaming sink and SQL row-level rewrites adopt staged files
+    // through here, and a rewritten file silently dropping out of the
+    // bloom index would erode point-predicate skipping commit by
+    // commit (same reasoning as the footer stats above)
+    val bloomPcols = inst.conf.fileBloomCols.distinct.flatMap { c =>
+      StructType.fromDDL(ddl).fields.find(_.name == c)
+        .filter(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               StringType | BinaryType => true
+          case _ => false
+        })
+        .map(_ => ren.getOrElse(c, c))
+    }
+    if (bloomPcols.nonEmpty && staged.nonEmpty)
+      inst.fileBlooms(staged, bloomPcols, inst.conf.fileBloomBits)
+        .foreach { case (f, entries) =>
+          addedFileStats(f) = addedFileStats.getOrElse(f, Map.empty) ++
+            entries
+        }
     retire(scanned)
     added ++= staged
     // segmented snapshot: scanned checkpoint-covered files' id ranges

@@ -111,6 +111,42 @@ class FileBloomSpec extends AnyFunSuite {
     assert(dsv2(withB).filter(col("uname") <=> lit(null)).count() == 1)
   }
 
+  test("streaming epochs and row-level rewrites build blooms too") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_fbloom_s_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_fbloom_ck_").toString
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("obj_id", "uname", "score")
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .option("bloomFilters", "uname") // sink option declares the col
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (0 until 6).foreach { c =>
+      mem.addData((c * 100L, s"s${c * 100}", 0L)); drain()
+    }
+    assert(inst.tableStateAt(inst.latestVersion).numFiles == 6L)
+    val q1 = dsv2(inst).filter(col("uname") === "s300")
+    assert(plannedFiles(q1) <= 1, s"streamed files lack blooms")
+    assert(q1.count() == 1)
+    // a row-level SQL-style rewrite (CoW update) re-stages its file:
+    // the replacement must re-enter the bloom index under the conf
+    val inst2 = VersionedTable.open(spark, dir,
+      EngineConf(fileBloomCols = Seq("uname")))
+    inst2.withRetry() { t => t.update(Seq(300L),
+      d => d.withColumn("uname", lit("s300x"))) }
+    val q2 = dsv2(inst2).filter(col("uname") === "s300x")
+    assert(plannedFiles(q2) <= 1 && q2.count() == 1)
+    // the OLD value now lives nowhere: everything pruned
+    val q3 = dsv2(inst2).filter(col("uname") === "s300")
+    assert(plannedFiles(q3) == 0 && q3.count() == 0)
+  }
+
   test("blooms survive checkpoints, restore, and the SQL catalog face") {
     // tight checkpoint interval: the fold must carry #fb entries
     val inst = seeded(EngineConf(fileBloomCols = Seq("uname"),
