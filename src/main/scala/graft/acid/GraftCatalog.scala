@@ -552,7 +552,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val parts = dotted.split('.')
     val ident = Identifier.of(parts.dropRight(1), parts.last)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    VersionedTable.open(SparkSession.active, tablePath(ident).toString)
+    // thread the persisted bloom spec into the conf so catalog-driven
+    // rewrites (CALL system.compact above all — it re-stages every
+    // live file) KEEP the bloom index instead of silently dropping it
+    VersionedTable.open(SparkSession.active, tablePath(ident).toString,
+      EngineConf(fileBloomCols = readBloomFilters(ident)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)))
   }
 
   /** Catalog-level CROSS-TABLE transaction front door: one [[Txn]] per

@@ -183,5 +183,12 @@ class FileBloomSpec extends AnyFunSuite {
       .mode("append").save()
     val sq2 = spark.sql(s"SELECT * FROM $cat.ns.b WHERE uname = 'u9000'")
     assert(plannedFiles(sq2) <= 1 && sq2.count() == 1)
+    // CALL system.compact re-stages every live file: the bloom index
+    // must survive the rewrite (openInstance threads the spec)
+    spark.sql(s"CALL $cat.system.compact('ns.b', target_files => 2)")
+    val sq3 = spark.sql(s"SELECT * FROM $cat.ns.b WHERE uname = 'u307'")
+    assert(plannedFiles(sq3) <= 1 && sq3.count() == 1)
+    val sq4 = spark.sql(s"SELECT * FROM $cat.ns.b WHERE uname = 'nope'")
+    assert(plannedFiles(sq4) == 0 && sq4.count() == 0)
   }
 }
