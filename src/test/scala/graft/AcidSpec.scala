@@ -2142,7 +2142,14 @@ class AcidSpec extends AnyFunSuite {
   }
 
   test("commit lock: hot-key writers serialize exactly; lock releases after use") {
-    val conf = graft.acid.EngineConf(commitLock = true)
+    // generous acquisition timeout: 12 increments serialize through ONE
+    // lock, and under full-suite parallel load a single locked
+    // read+upsert can take seconds — the default 30 s lets the LAST
+    // waiter time out spuriously (observed twice in r12 full runs;
+    // never isolated). The semantics under test (exact serialization,
+    // release-after-use) don't involve the timeout at all.
+    val conf = graft.acid.EngineConf(commitLock = true,
+      commitLockTimeoutMs = 300000L)
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
       conf)
     val t0 = inst.begin()
