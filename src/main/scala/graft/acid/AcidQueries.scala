@@ -541,7 +541,8 @@ object AcidQueries {
     // corpus, CALL refresh_ann_index after the second insert folds the
     // churn, then CALL ann_search at FULL probe — exact brute force,
     // hash-gated against DuckDB's brute-force top-3 over the whole
-    // corpus. The $indexes metadata table is asserted in CatalogSpec.
+    // corpus. The $indexes metadata table is asserted in
+    // IvfIndexSpec's SQL-front-door test.
     "q79_ann_sql" -> Q(
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
       "FROM embeddings), " +
