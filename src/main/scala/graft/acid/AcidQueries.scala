@@ -573,11 +573,17 @@ object AcidQueries {
     // float/double sums, which stay refused), is maintained through a
     // post-refresh churn commit + second refresh, and the aggregate
     // against the SOURCE silently reads it (plan-checked). The decimal
-    // source column derives from an integer key, so both engines'
-    // decimals are bit-exact (no double->decimal rounding ties).
+    // source column derives from an integer key, so the sum is an
+    // integer well under 2^53 — the final projection casts it to
+    // DOUBLE (exact here) because DECIMAL(38,2) output columns hash
+    // differently across engines' parquet writers (round-12 red: the
+    // values were cell-identical but fixed_len_byte_array(16) vs
+    // DuckDB's decimal canonicalized differently in the driver's
+    // hash). The DECIMAL storage + rewrite machinery is unchanged
+    // and spec-covered; only the KEY's output type is driver-stable.
     "q81_decimal_mv" -> Q(
       "SELECT o_orderstatus, COUNT(*) AS cnt, " +
-      "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DECIMAL(38,2)) " +
+      "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) " +
       "AS sum_dec " +
       "FROM orders WHERE NOT (o_orderkey % 5 = 0) " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
@@ -615,7 +621,7 @@ object AcidQueries {
       val q = spark.read.format("graft").option("path", srcTmp).load()
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
-          sum("dec_ck").cast("decimal(38,2)").as("sum_dec"))
+          sum("dec_ck").cast("double").as("sum_dec"))
         .orderBy("o_orderstatus")
       val plan = q.queryExecution.optimizedPlan.treeString
       if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
