@@ -124,19 +124,38 @@ object Bench {
     // key ABOVE the canary ratio. Measured after the timing loop, each
     // key back-to-back (isolated), so the round-robin loop's medians
     // stay untouched and the artifact carries both views.
+    def isolatedMedians(keys: Seq[String]): Seq[(String, Double)] =
+      keys.flatMap { k =>
+        SparkEntry.queries.get(k).map { q =>
+          val xs = (1 to 5).map(_ => once(k, Q.noOracle(q))).filter(_ >= 0)
+          k -> (if (xs.isEmpty) -1.0 else median(xs))
+        }
+      }
     val canaryJson =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) ""
       else {
-        val canaryKeys = Seq("q17_arithmetic", "q13_percentile", "q02_filter")
-        val entries = canaryKeys.flatMap { k =>
-          SparkEntry.queries.get(k).map { q =>
-            val xs = (1 to 5).map(_ => once(k, Q.noOracle(q))).filter(_ >= 0)
-            k -> (if (xs.isEmpty) -1.0 else median(xs))
-          }
-        }
+        val entries = isolatedMedians(
+          Seq("q17_arithmetic", "q13_percentile", "q02_filter"))
         if (entries.isEmpty) ""
         else entries.map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString(""","canary":{""", ",", "}")
+      }
+    // FS-PLANE canary: the CPU canaries above are pure relational
+    // paths and cannot arbitrate a filesystem/metadata-plane host
+    // shift (the r12 ACID/MV drift moved 1.1-1.6x while CPU canaries
+    // were bit-identical). q30_acid_scenario is a multi-commit ACID
+    // lifecycle untouched since round 6 and FLAT across r11→r12 —
+    // if it moves with the ACID tail, the shift is the host's
+    // FS/metadata plane; if the tail moves and this stays flat, the
+    // regression is real code cost. Isolated n=5 after the timing
+    // loop, exactly like the CPU canaries.
+    val fsCanaryJson =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) ""
+      else {
+        val entries = isolatedMedians(Seq("q30_acid_scenario"))
+        if (entries.isEmpty) ""
+        else entries.map { case (k, v) => f""""$k":$v%.3f""" }
+          .mkString(""","canary_fs":{""", ",", "}")
       }
     val recallJson =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) ""
@@ -190,7 +209,7 @@ object Bench {
       if (streamWarmup.isEmpty) ""
       else streamWarmup.map { case (k, v) => f""""$k":$v%.3f""" }
         .mkString(""","stream_warmup":{""", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$recallJson%s$warmupJson%s}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$fsCanaryJson%s$recallJson%s$warmupJson%s}""")
     spark.stop()
   }
 }

@@ -96,8 +96,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     // via CALL set_unique_ids must not accept duplicate obj_ids just
     // because the writer came through .option("path", ...). Explicit
     // options still win (the caller asked for that behavior by name).
+    // The file is probed and read ONCE per resolution, not per key:
+    // four separate exists+open round-trips per getTable would be four
+    // object-store RPCs on every table open at scale.
+    val catalogJson =
+      GraftTableSource.readCatalogJson(SparkSession.active, root)
     def catalogSpec(key: String): Option[String] =
-      GraftTableSource.readCatalogSpec(SparkSession.active, root, key)
+      catalogJson.flatMap(GraftTableSource.specField(_, key))
     new GraftTable(root, v, StructType.fromDDL(inst.stateAt(v)._2),
       timeTraveled = options.containsKey("versionAsOf") ||
         options.containsKey("timestampAsOf"),
@@ -121,18 +126,25 @@ private[acid] object GraftTableSource {
     * by the catalog and the path-based provider so both front doors
     * honor the same recorded table specs. */
   def readCatalogSpec(spark: SparkSession, root: String,
-      key: String): Option[String] = {
+      key: String): Option[String] =
+    readCatalogJson(spark, root).flatMap(specField(_, key))
+
+  /** The raw `_catalog.json` body, read in ONE exists+open round-trip
+    * (callers extract multiple fields from it via [[specField]]). */
+  def readCatalogJson(spark: SparkSession, root: String): Option[String] = {
     val p = new Path(root, "_catalog.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      (s""""$key":"([^"]*)"""").r.findFirstMatchIn(s)
-        .map(_.group(1)).filter(_.nonEmpty)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
     }
   }
+
+  def specField(json: String, key: String): Option[String] =
+    (s""""$key":"([^"]*)"""").r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty)
 
   def resolveVersion(inst: Instance, options: CaseInsensitiveStringMap): Long =
     (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf"))) match {

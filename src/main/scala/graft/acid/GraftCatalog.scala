@@ -236,6 +236,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitionBy: Seq[String], clusterBy: Seq[String],
       uniqueIds: Boolean = false,
       bloomFilters: Seq[String] = Nil): Unit = {
+    // the spec serializes as comma-joined values inside a "..." json
+    // string and reads back with a [^"]* regex — a column name
+    // carrying a quote, backslash, comma or control char would corrupt
+    // the file or split wrongly on read. Refuse it loudly at write
+    // time (same contract the _ivf.json writer enforces via esc/unesc;
+    // here the names also live in paths and SQL, so a safe charset is
+    // the honest surface rather than escaping).
+    (partitionBy ++ clusterBy ++ bloomFilters).foreach { c =>
+      require(!c.exists(ch => ch == '"' || ch == '\\' || ch == ',' ||
+          ch < ' '),
+        s"column name '$c' cannot be recorded in _catalog.json: " +
+        "quotes, backslashes, commas and control characters are not " +
+        "supported in partition/cluster/bloom spec columns")
+    }
     val p = new Path(tablePath(ident), "_catalog.json")
     if (partitionBy.isEmpty && clusterBy.isEmpty && !uniqueIds &&
         bloomFilters.isEmpty) {

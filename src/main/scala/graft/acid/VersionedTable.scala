@@ -2500,19 +2500,41 @@ final class Instance(val spark: SparkSession, val root: String,
     val pcols = pcols0.filter(present)
     if (pcols.isEmpty) return Map.empty
     val nCols = pcols.length
+    // resolve input_file_name() back to the dataDir-RELATIVE staged
+    // path, not the basename: Spark's dynamic-partition writer reuses
+    // the same part-file name across partition directories within one
+    // task, and basename keying would union colliding files' blooms —
+    // sound, but it silently degrades point pruning exactly on
+    // partitioned tables. Basename stays the fallback when the suffix
+    // match fails (URI-encoding surprises), preserving the old sound
+    // over-approximation rather than dropping the entry.
+    val relsByName: Map[String, Seq[String]] =
+      staged.groupBy(r => r.substring(r.lastIndexOf('/') + 1))
     val built = raw
       .select(input_file_name() +: pcols.map(col): _*)
       .rdd.mapPartitions { it =>
         val acc = scala.collection.mutable.HashMap
           .empty[(String, Int), IdBloom]
-        it.foreach { r =>
-          val p = r.getString(0)
+        val resolved = scala.collection.mutable.HashMap.empty[String, String]
+        def keyOf(p: String): String = resolved.getOrElseUpdate(p, {
           val name = p.substring(p.lastIndexOf('/') + 1)
+          relsByName.get(name) match {
+            case Some(Seq(only)) => only
+            case Some(many) =>
+              val decoded =
+                try new java.net.URI(p).getPath catch { case _: Exception => p }
+              many.find(r => decoded.endsWith("/" + r) || p.endsWith("/" + r))
+                .getOrElse(name)
+            case None => name
+          }
+        })
+        it.foreach { r =>
+          val key = keyOf(r.getString(0))
           var i = 0
           while (i < nCols) {
             if (!r.isNullAt(i + 1))
               IdBloom.hashValue(r.get(i + 1)).foreach { h =>
-                acc.getOrElseUpdate((name, i),
+                acc.getOrElseUpdate((key, i),
                   IdBloom.empty(mBits.toLong, k)).add(h)
               }
             i += 1
@@ -2534,7 +2556,9 @@ final class Instance(val spark: SparkSession, val root: String,
     val sharedEmpty = IdBloom.empty(mBits.toLong, k).toBase64
     staged.map { rel =>
       val name = rel.substring(rel.lastIndexOf('/') + 1)
-      val found = byFile.getOrElse(name, Map.empty)
+      // rel-path key first; basename only as the executor's own
+      // fallback key (suffix match failed there — union semantics)
+      val found = byFile.getOrElse(rel, byFile.getOrElse(name, Map.empty))
       rel -> pcols.indices.map { i =>
         (BloomKeyPrefix + pcols(i)) -> UStat('F',
           found.get(i).map(_.toBase64).getOrElse(sharedEmpty),
@@ -3831,11 +3855,19 @@ final class Instance(val spark: SparkSession, val root: String,
         }
       // claim temps from crashed TAGGERS (same lifecycle as publish
       // temps: never claimed, invisible to tags() — the .tag suffix
-      // filter skips them — reclaimable past the grace)
+      // filter skips them — reclaimable past the grace). A tag may
+      // legally be NAMED '.tmp-foo' (the tag charset allows leading
+      // dots), so its claim file '.tmp-foo.tag' shares the temp
+      // prefix — the sweep must spare anything carrying the .tag
+      // suffix (claim temps never do: they end in a uuid fragment)
+      // and its ChecksumFileSystem sidecar '..tmp-foo.tag.crc'.
       if (fs.exists(tagsDir))
         fs.listStatus(tagsDir)
-          .filter(e => e.isFile && (e.getPath.getName.startsWith(".tmp-") ||
-            e.getPath.getName.startsWith("..tmp-")))
+          .filter { e =>
+            val n = e.getPath.getName
+            e.isFile && (n.startsWith(".tmp-") || n.startsWith("..tmp-")) &&
+            !n.endsWith(".tag") && !n.endsWith(".tag.crc")
+          }
           .foreach { e =>
             if (e.getModificationTime < cutoff) {
               fs.delete(e.getPath, false); removed += 1
@@ -3973,22 +4005,30 @@ final class Instance(val spark: SparkSession, val root: String,
   private def tagFile(name: String) = new Path(tagsDir, name + ".tag")
 
   /** Atomically bind `target` to `body` via [[EngineConf.claimer]];
-    * false = already claimed. */
-  private def claimSmallFile(target: Path, body: Array[Byte]): Boolean =
+    * false = already claimed. ONLY already-exists maps to false — a
+    * transient store failure must propagate, not masquerade as a lost
+    * race (tagVersion would report "tag already exists" for a tag
+    * that was silently never recorded). */
+  private def claimSmallFile(target: Path, body: Array[Byte]): Boolean = {
+    def lostRace: PartialFunction[Throwable, Boolean] = {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
     if (!conf.claimer.needsTemp) {
       try conf.claimer.claim(fs, null, target, body)
-      catch { case _: java.io.IOException => false }
+      catch lostRace
     } else {
       val tmp = new Path(target.getParent,
         s".tmp-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(body) finally out.close()
       try conf.claimer.claim(fs, tmp, target, body)
-      catch { case _: java.io.IOException => false }
+      catch lostRace
       finally {
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
       }
     }
+  }
 
   /** Move every legacy `_tags.json` entry to its own claim file, then
     * drop the json. Idempotent and race-tolerant: concurrent migrators
@@ -4003,8 +4043,22 @@ final class Instance(val spark: SparkSession, val root: String,
       if (!fs.exists(tagFile(n)))
         claimSmallFile(tagFile(n), v.toString.getBytes("UTF-8"))
     }
-    try fs.delete(new Path(root, "_tags.json"), false)
-    catch { case _: java.io.IOException => () }
+    // the json MUST go once its entries are migrated: tags() reads the
+    // union, so a surviving json would resurrect names deleteTag just
+    // removed (the per-tag file is gone, the legacy entry is not) —
+    // over-protective for vacuum, but the API would report a deletion
+    // that is not effective. Surface the failure instead of swallowing.
+    val json = new Path(root, "_tags.json")
+    val gone =
+      try fs.delete(json, false) || !fs.exists(json)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"migrated legacy tags but could not remove $json — a " +
+          "surviving legacy file would resurrect deleted tag names", e)
+      }
+    if (!gone) throw new java.io.IOException(
+      s"migrated legacy tags but $json still exists — a surviving " +
+      "legacy file would resurrect deleted tag names")
   }
 
   /** Current tags (name -> version): the `_tags/` claim files, plus

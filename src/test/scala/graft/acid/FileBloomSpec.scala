@@ -2,6 +2,8 @@ package graft.acid
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
@@ -190,5 +192,50 @@ class FileBloomSpec extends AnyFunSuite {
     assert(plannedFiles(sq3) <= 1 && sq3.count() == 1)
     val sq4 = spark.sql(s"SELECT * FROM $cat.ns.b WHERE uname = 'nope'")
     assert(plannedFiles(sq4) == 0 && sq4.count() == 0)
+  }
+
+  test("partitioned insert: colliding basenames get per-file blooms") {
+    // Spark's dynamic-partition writer reuses one part-file NAME
+    // across the partition directories a task writes — basename-keyed
+    // blooms would union the colliding files (sound but pruning-dead
+    // exactly on partitioned tables). The build keys by the
+    // dataDir-relative path, so each partition's file keeps its own
+    // surgical bloom and a point probe plans ONE file.
+    val dir = Files.createTempDirectory("graft_fbloomp_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("uname", StringType))),
+      EngineConf(fileBloomCols = Seq("uname")))
+    val rows = (0 until 80).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"user_${i * 2654435761L}")
+    }
+    inst.withRetry() { t => t.insertPartitioned(
+      rows.toDF("obj_id", "lang", "uname").repartition(1), Seq("lang")) }
+    // the premise: one task wrote BOTH partition dirs, so the two
+    // staged files collide on basename (else this test proves nothing)
+    // partitions nest inside the txn's staging subdir:
+    // data/t<tsn>-…/lang=…/part-….parquet
+    val dataRoot = new java.io.File(new java.net.URI(dir)).toPath
+      .resolve("data")
+    val parts = java.nio.file.Files.walk(dataRoot).iterator().asScala
+      .map(_.toFile)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        f.getParentFile.getName.startsWith("lang="))
+      .toArray
+    assert(parts.length == 2, s"expected 2 partition files, got ${parts.length}")
+    assert(parts.map(_.getName).distinct.length == 1,
+      "dynamic-partition writer no longer reuses basenames; " +
+      "pick a different collision fixture")
+    // a value living only in lang=en must prune to exactly 1 file —
+    // under basename-unioned blooms both files pass the veto
+    val probe = rows.find(_._2 == "en").get._3
+    val q = dsv2(inst).filter(col("uname") === probe)
+    assert(plannedFiles(q) == 1,
+      s"expected the bloom veto to prune to 1 of 2 files")
+    assert(q.collect().map(_.getString(2)).toSeq == Seq(probe))
+    // soundness across both partitions
+    assert(dsv2(inst).filter(col("uname").isin(
+      rows.map(_._3).take(6): _*)).count() == 6)
   }
 }

@@ -175,4 +175,26 @@ class TagSpec extends AnyFunSuite {
     assert(spark.sql(s"CALL $cat.system.list_tags('ns.t')").count() == 0)
     assert(spark.sql(s"SELECT * FROM $cat.ns.`t$$tags`").count() == 0)
   }
+
+  test("a tag literally named '.tmp-…' survives the orphan sweep") {
+    // the tag charset permits a leading dot, so '.tmp-pin' is a legal
+    // NAME whose claim file '.tmp-pin.tag' shares the crashed-tagger
+    // temp prefix — the sweep must spare .tag-suffixed files or a
+    // grace-0 vacuum silently unpins the snapshot and reclaims
+    // history the user believes tagged
+    val t = fresh()
+    t.withRetry() { x => x.insert(Seq((1L, 10L), (2L, 20L))
+      .toDF("obj_id", "value")) }
+    val pinned = t.tagVersion(".tmp-pin")
+    (0 until 4).foreach { i =>
+      t.withRetry() { x => x.update(Seq(1L),
+        df => df.withColumn("value", lit(100L + i))) }
+    }
+    t.vacuum(retainVersions = 1) // grace 0: the sweep runs NOW
+    assert(t.tags == Map(".tmp-pin" -> pinned),
+      "the sweep deleted a live tag's claim file")
+    assert(t.snapshotByTag(".tmp-pin").orderBy("obj_id").collect()
+      .map(_.getLong(1)).toSeq == Seq(10L, 20L))
+    assert(t.deleteTag(".tmp-pin"))
+  }
 }
