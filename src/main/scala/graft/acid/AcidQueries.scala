@@ -587,7 +587,28 @@ object AcidQueries {
       "AS sum_dec " +
       "FROM orders WHERE NOT (o_orderkey % 5 = 0) " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus")(
-      (s, dir) => decimalMvScenario(s, dir)))
+      (s, dir) => decimalMvScenario(s, dir)),
+
+    // STALE-TOLERANT rewrite over a JOIN view: after the refresh, BOTH
+    // the fact (a delete) and the dim (a brand move) commit — the
+    // aggregate over the join graph still reads the view, compensated
+    // read-side with the refresh's own inclusion–exclusion union
+    // (ΔF⨝D + F⨝ΔD − ΔF⨝ΔD, snapshots semi-join-restricted). The
+    // scenario throws unless the plan carries BOTH the view scan and
+    // the compensation Union. The oracle replays the churn in SQL
+    // over the raw parquet; avg is the same IEEE division of exact
+    // integer sums on both sides.
+    "q82_stale_star_mv" -> Q(
+      "SELECT p_brand, COUNT(*) AS cnt, " +
+      "CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln, " +
+      "CAST(SUM(l_linenumber) AS DOUBLE) / " +
+      "CAST(COUNT(l_linenumber) AS DOUBLE) AS avg_ln " +
+      "FROM lineitem JOIN (SELECT p_partkey, " +
+      "CASE WHEN p_partkey % 10 = 0 THEN 'Brand#MOVED' ELSE p_brand END " +
+      "AS p_brand FROM part) p ON l_partkey = p_partkey " +
+      "WHERE NOT (l_linenumber >= 5) " +
+      "GROUP BY p_brand ORDER BY p_brand")(
+      (s, dir) => staleStarMvScenario(s, dir)))
 
   /** Decimal-sum MV lifecycle (q81): orders with
     * `dec_ck = CAST(o_custkey AS DECIMAL(18,2))`, per-status
@@ -627,6 +648,77 @@ object AcidQueries {
       if (!plan.contains(new org.apache.hadoop.fs.Path(viewTmp).toString))
         throw new IllegalStateException(
           s"decimal MV rewrite did not fire; plan:\n$plan")
+      q
+    } finally before match {
+      case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)
+      case None => spark.conf.unset(MvRewriteRule.EnabledKey)
+    }
+  }
+
+  /** Stale JOIN-view rewrite E2E (q82): lineitem ⨝ part view grouped
+    * by p_brand, refreshed once — then the fact deletes every
+    * l_linenumber >= 5 row AND the dim moves every p_partkey % 10 == 0
+    * part to a new brand (a dim-side group move that re-aggregates all
+    * matching fact rows), with NO further refresh. The aggregate over
+    * the join graph must still read the view, compensated read-side
+    * with the inclusion–exclusion union over the two changed relations
+    * — plan-checked for the view root AND the Union, loud failure
+    * otherwise. */
+  def staleStarMvScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Engine.table(spark, dir, "lineitem")
+      .select(monotonically_increasing_id().as("obj_id"),
+        col("l_partkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"))
+    val pt = graft.Engine.table(spark, dir, "part")
+      .select(col("p_partkey").as("obj_id"), col("p_partkey"),
+        col("p_brand"))
+    def mk(tag: String, df: DataFrame): Instance = {
+      val root = Files.createTempDirectory(s"graft_q82_$tag").toUri.toString
+      val i = VersionedTable.create(spark, root, df.schema)
+      val t = i.begin(); t.insert(df); i.commit(t); i
+    }
+    val fact = mk("fact", li); val part = mk("part", pt)
+    val viewRoot = Files.createTempDirectory("graft_q82_view_").toUri.toString
+    MaterializedAggView.create(spark, viewRoot, fact,
+      groupCols = Seq("p_brand"), sumCols = Seq("l_linenumber"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(part, "l_partkey", "p_partkey")))
+      .refresh() // watermarks pin here — and never advance
+    // missed commit on the FACT: delete every l_linenumber >= 5 row
+    val t2 = fact.begin()
+    t2.deleteMatching(fact.read()
+      .filter(col("l_linenumber") >= 5).select("obj_id"))
+    fact.commit(t2)
+    // missed commit on the DIM: a group move (brand re-assignment)
+    val t3 = part.begin()
+    t3.merge(part.read().filter(col("p_partkey") % 10 === 0)
+      .select(col("obj_id"), lit("Brand#MOVED").as("nb")),
+      matchedUpdate = Map("p_brand" -> col("s.nb")),
+      insertUnmatched = false)
+    part.commit(t3)
+    MvRewriteRule.invalidateCache()
+    val before = spark.conf.getOption(MvRewriteRule.EnabledKey)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try {
+      val f = spark.read.format("graft").option("path", fact.root).load()
+      val p = spark.read.format("graft").option("path", part.root).load()
+      val q = f.join(p, f("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_linenumber").as("sum_ln"),
+          avg("l_linenumber").as("avg_ln"))
+        .orderBy("p_brand")
+      // forcing optimizedPlan pins the (rewritten) plan; the conf
+      // restore below cannot un-rewrite it
+      val plan = q.queryExecution.optimizedPlan.treeString
+      if (!plan.contains(new org.apache.hadoop.fs.Path(viewRoot).toString))
+        throw new IllegalStateException(
+          s"stale star MV rewrite did not fire (no view scan); plan:\n$plan")
+      if (!plan.contains("Union"))
+        throw new IllegalStateException(
+          "stale star MV rewrite fired without the compensation union — " +
+          s"exact-match path on a stale view?; plan:\n$plan")
       q
     } finally before match {
       case Some(v) => spark.conf.set(MvRewriteRule.EnabledKey, v)

@@ -43,10 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *    relation's pinned version EXACTLY, and — for join views — whose
   *    per-dimension watermarks equal each dim relation's pinned
   *    version (the view then reflects precisely the snapshots the
-  *    query would scan; fresher disqualifies). A PLAIN view staler by
-  *    up to [[MvRewriteRule.MaxStalenessKey]] commits is still used,
-  *    compensated read-side with the refresh's own signed delta fold
-  *    — see [[tryMatchStale]]; sum-shaped aggregates only;
+  *    query would scan; fresher disqualifies). A view staler by up to
+  *    [[MvRewriteRule.MaxStalenessKey]] commits per relation is still
+  *    used, compensated read-side with the refresh's own signed delta
+  *    fold (plain: one weighted delta; join/star: the
+  *    inclusion–exclusion union over up to TWO changed relations) —
+  *    see [[tryMatchStale]]; sum-shaped aggregates only;
   *  - for join views, the query's join graph matches the view's: the
   *    same set of relations (fact + every dim, each once) and a
   *    factKey = dimKey equi-conjunct per dimension — no extra
@@ -190,7 +192,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       leaves.find(l => canon(l._2.tableRoot) == db.root).getOrElse(fail()))
     if ((factLeaf +: dimLeaves).distinct.size != leaves.size) fail()
     cand.dims.zip(dimLeaves).foreach { case (db, dl) =>
-      if (dl._2.tableVersion != db.wm) fail() }
+      // a dim pinned BEFORE the view's dim watermark is unanswerable
+      // (the view is FRESHER than the query's snapshot — no signed
+      // fold can retract changes it already absorbed); a dim pinned
+      // AFTER it routes to the stale-compensated path below
+      if (dl._2.tableVersion < db.wm) fail() }
+    if (cand.dims.zip(dimLeaves)
+        .exists { case (db, dl) => dl._2.tableVersion > db.wm })
+      return tryMatchStale(agg, leaves, conds, cand)
     def relLeaf(rel: Int): DataSourceV2Relation =
       if (rel == 0) factLeaf._1 else dimLeaves(rel - 1)._1
 
@@ -507,12 +516,22 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * refresh's merge-delete; global aggregates skip the filter — an
     * emptied table still answers `count(*) = 0` / `sum = NULL`.
     *
-    * Plain (fact-only) views only: a stale star view would need the
-    * full inclusion–exclusion algebra read-side per query. Scale: the
-    * compensated plan costs the view scan + O(missed churn) delta
-    * files — with the staleness bound it is strictly cheaper than the
-    * fact scan it replaces whenever the view is, which is the same
-    * economics as the refresh itself. A vacuum that reclaims the
+    * JOIN/STAR views compensate with the refresh's own
+    * inclusion–exclusion identity applied READ-SIDE over the missed
+    * interval per relation (MaterializedView.scala refresh():
+    * `Δ(Π r) = Σ_{∅≠S⊆changed} (−1)^{|S|+1} Π_{r∈S} Δr ⨝ Π_{r∉S}
+    * r_pinned`, every not-in-term snapshot SEMI-JOIN restricted to the
+    * keys the term's deltas can match) — capped at TWO changed
+    * relations (≤ 3 union terms): the refresh materializes wider
+    * shapes with localCheckpoint, and the optimizer must never launch
+    * a job, so past the cap the rewrite falls back to the source join.
+    * Filtered join views stay refused (same as the exact path).
+    *
+    * Scale: the compensated plan costs the view scan + O(missed
+    * churn) delta files per changed relation — with the staleness
+    * bound it is strictly cheaper than the fact scan (or the fact ⨝
+    * dims shuffle) it replaces whenever the view is, which is the
+    * same economics as the refresh itself. A vacuum that reclaims an
     * interval's pre-images between candidate lookup and execution
     * fails the read loudly (FileNotFound), never silently. */
   private def tryMatchStale(agg: Aggregate,
@@ -538,9 +557,29 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (maxStale <= 0 || cand.staleBy > maxStale) fail()
     val resolver = conf.resolver
     val d = cand.d
-    if (cand.dims.nonEmpty || leaves.size != 1) fail()
-    val factLeaf = leaves.head
-    if (canon(factLeaf._2.tableRoot) != cand.srcRoot) fail()
+
+    // ---- leaf alignment (same as the exact path) ---------------------
+    val factLeaf = leaves.find(l => canon(l._2.tableRoot) == cand.srcRoot)
+      .getOrElse(fail())
+    val dimLeaves = cand.dims.map(db =>
+      leaves.find(l => canon(l._2.tableRoot) == db.root).getOrElse(fail()))
+    if ((factLeaf +: dimLeaves).distinct.size != leaves.size) fail()
+
+    // ---- per-relation staleness (0 = fact) ---------------------------
+    val pins: Seq[Long] =
+      cand.srcVersion +: dimLeaves.map(_._2.tableVersion)
+    val wms: Seq[Long] = cand.wmLast +: cand.dims.map(_.wm)
+    val stales = pins.lazyZip(wms).map(_ - _)
+    // fresher-than-pinned is unanswerable; staler than the bound falls
+    // back to the source scan (refresh the view instead)
+    if (stales.exists(s => s < 0 || s > maxStale)) fail()
+    val changed: Seq[Int] = stales.indices.filter(stales(_) > 0)
+    if (changed.isEmpty) fail() // exactly fresh — the exact path's job
+    // read-side width cap: 2 changed relations = ≤ 3 union terms. The
+    // refresh materializes wider inclusion–exclusion shapes with
+    // localCheckpoint; the optimizer must never launch a job, so past
+    // the cap the source join is the honest plan.
+    if (changed.size > 2) fail()
 
     // pre-screen BEFORE any manifest read or nested analyzer pass:
     // untranslatable shapes (min/max/distinct/filter) over a stale
@@ -556,7 +595,32 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (!agg.aggregateExpressions.forall(sumShaped)) fail()
 
+    // ---- join-key conditions (same contract as the exact path) -------
+    def attrIn(rel: DataSourceV2Relation, name: String): AttributeReference =
+      rel.output.collectFirst {
+        case a: AttributeReference if resolver(a.name, name) => a
+      }.getOrElse(fail())
+    val keyPairs = cand.dims.zip(dimLeaves).map { case (db, dl) =>
+      (attrIn(factLeaf._1, db.factKey), attrIn(dl._1, db.dimKey)) }
+    def isKeyCond(e: Expression): Boolean = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        keyPairs.exists { case (fk, dk) =>
+          (a.exprId == fk.exprId && b.exprId == dk.exprId) ||
+          (a.exprId == dk.exprId && b.exprId == fk.exprId) }
+      case _ => false
+    }
+    keyPairs.foreach { case (fk, dk) =>
+      if (!conds.exists {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          (a.exprId == fk.exprId && b.exprId == dk.exprId) ||
+          (a.exprId == dk.exprId && b.exprId == fk.exprId)
+        case _ => false
+      }) fail()
+    }
+    val nonKey = conds.filterNot(isKeyCond)
+
     // ---- WHERE compatibility (same contract as the exact path) ------
+    if (cand.dims.nonEmpty && d.where.isDefined) fail()
     val whereConjs: Seq[Expression] = d.where match {
       case None => Nil
       case Some(sql) =>
@@ -569,25 +633,28 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           case _ => fail()
         }
     }
-    if (!whereConjs.forall(wc => conds.exists(_.semanticEquals(wc)))) fail()
-    val residual = conds.filterNot(c => whereConjs.exists(_.semanticEquals(c)))
+    if (!whereConjs.forall(wc => nonKey.exists(_.semanticEquals(wc)))) fail()
+    val residual = nonKey.filterNot(c => whereConjs.exists(_.semanticEquals(c)))
     if (!residual.forall(_.deterministic)) fail()
 
     // ---- compensated child: view(wm) ∪ shape(Δ(wm, pinned]) ----------
     // The view snapshot is pinned at the candidate's view version and
-    // the delta at the watermark THAT version recorded — a concurrent
+    // the delta at the watermarks THAT version recorded — a concurrent
     // refresh between lookup and execution cannot skew the pair.
     import org.apache.spark.sql.functions.{col, expr => sqlExpr, lit, when}
     val srcInst = VersionedTable.open(spark, cand.srcRoot)
+    val insts: Seq[Instance] =
+      srcInst +: cand.dims.map(db => VersionedTable.open(spark, db.root))
     // re-check the vacuum horizon at MATCH time (candidates are cached
-    // up to 10s): a vacuum that reclaimed (wm, pinned] pre-images after
-    // candidate compute must fall back to the source scan, not build a
-    // delta over missing files. The residual window (vacuum between
-    // here and execution) fails loudly with FileNotFound — and NOTE:
+    // up to 10s): a vacuum that reclaimed a changed relation's
+    // (wm, pinned] pre-images after candidate compute must fall back
+    // to the source scan, not build a delta over missing files. The
+    // residual window (vacuum between here and execution) fails loudly
+    // with FileNotFound — and NOTE:
     // spark.sql.files.ignoreMissingFiles=true would turn that loud
     // failure into silently dropped compensation rows; compensated
     // reads require it off (the default).
-    if (cand.wmLast < srcInst.vacuumHorizon) fail()
+    changed.foreach(r => if (wms(r) < insts(r).vacuumHorizon) fail())
     val partialCols: Seq[Column] =
       d.groupCols.map(col) ++ (col("cnt") +:
         d.sumCols.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))))
@@ -596,9 +663,87 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // explain output, and the same scan path the exact rewrite uses
     val viewDf = spark.read.format("graft").option("path", cand.root)
       .option("versionAsOf", cand.version).load().select(partialCols: _*)
-    val delta0 = srcInst.weightedDelta(cand.wmLast, cand.srcVersion,
-      alignToHead = true)
-    val deltaF = d.where.fold(delta0)(p => delta0.filter(sqlExpr(p)))
+    // signed rows over the missed interval, view-named + weight `_w`.
+    // Column names here are the view's CREATE-TIME logical names —
+    // valid against each relation's pinned snapshot because the
+    // candidate passed renameStable (a renamed column disqualified it).
+    val groupRel: Seq[Int] = d.groupRels.map(_.map(_.toInt))
+      .getOrElse(Seq.fill(d.groupCols.size)(0))
+    val sumRel: Seq[Int] = d.sumRels.map(_.map(_.toInt))
+      .getOrElse(Seq.fill(d.sumCols.size)(0))
+    if (cand.dims.nonEmpty && (groupRel.size != d.groupCols.size ||
+        sumRel.size != d.sumCols.size)) fail()
+    val relOfC: Map[String, Int] =
+      (d.groupCols.zip(groupRel) ++ d.sumCols.zip(sumRel)).toMap
+    val weightedRows: org.apache.spark.sql.DataFrame =
+      if (cand.dims.isEmpty) {
+        val delta0 = srcInst.weightedDelta(cand.wmLast, cand.srcVersion,
+          alignToHead = true)
+        d.where.fold(delta0)(p => delta0.filter(sqlExpr(p)))
+      } else {
+        // READ-SIDE inclusion–exclusion over the changed relations —
+        // the refresh's own identity (MaterializedView.scala refresh):
+        //   Δ(Π r) = Σ_{∅≠S⊆changed} (−1)^{|S|+1} ·
+        //            Π_{r∈S} Δr(wm_r, pin_r] ⨝ Π_{r∉S} r@pin_r
+        // with every snapshot factor SEMI-JOIN restricted to the keys
+        // the term's deltas can actually match (lossless for an inner
+        // join), so each term reads O(churn) + key-restricted
+        // snapshots, never a full star join.
+        def ownedCols(r: Int): Seq[String] =
+          (d.groupCols ++ d.sumCols).distinct.filter(relOfC(_) == r)
+        def keysOf(r: Int): Seq[String] =
+          if (r == 0) cand.dims.map(_.factKey)
+          else Seq(cand.dims(r - 1).dimKey)
+        def normalized(df: org.apache.spark.sql.DataFrame, r: Int,
+            w: Option[Column]): org.apache.spark.sql.DataFrame =
+          df.select(((ownedCols(r) ++ keysOf(r)).distinct.map(col) :+
+            w.getOrElse(col("_w")).as(s"_w$r")): _*)
+        def starJoin(fact: org.apache.spark.sql.DataFrame,
+            dims: Seq[org.apache.spark.sql.DataFrame],
+            sign: Long): org.apache.spark.sql.DataFrame = {
+          var j = fact.alias("R0")
+          cand.dims.zipWithIndex.foreach { case (db, i) =>
+            j = j.join(dims(i).alias(s"R${i + 1}"),
+              col(s"R0.${db.factKey}") === col(s"R${i + 1}.${db.dimKey}"))
+          }
+          val outs = (d.groupCols ++ d.sumCols).distinct.map(c =>
+            col(s"R${relOfC(c)}.$c").as(c))
+          val w = (0 to cand.dims.size).map(r => col(s"R$r._w$r"))
+            .reduce(_ * _) * lit(sign)
+          j.select((outs :+ w.as("_w")): _*)
+        }
+        val dRel: Map[Int, org.apache.spark.sql.DataFrame] =
+          changed.map(r => r -> normalized(
+            insts(r).weightedDelta(wms(r), pins(r), alignToHead = true),
+            r, None)).toMap
+        def snapOf(r: Int): org.apache.spark.sql.DataFrame =
+          normalized(insts(r).snapshot(pins(r)), r, Some(lit(1L)))
+        val terms = (1 until (1 << changed.size)).map { m =>
+          val s = changed.indices.collect {
+            case j if (m & (1 << j)) != 0 => changed(j) }.toSet
+          val sign = if (s.size % 2 == 1) 1L else -1L
+          val fact0 =
+            if (s(0)) dRel(0)
+            else s.toSeq.sorted.filter(_ > 0).foldLeft(snapOf(0)) { (f, r) =>
+              val i = r - 1
+              val probe = dRel(r)
+                .select(col(cand.dims(i).dimKey).as(s"_k$i")).distinct()
+              f.join(probe,
+                col(cand.dims(i).factKey) === col(s"_k$i"), "left_semi")
+            }
+          val dimDfs = cand.dims.indices.map { i =>
+            if (s(i + 1)) dRel(i + 1)
+            else {
+              val probe = fact0
+                .select(col(cand.dims(i).factKey).as(s"_k$i")).distinct()
+              snapOf(i + 1).join(probe,
+                col(cand.dims(i).dimKey) === col(s"_k$i"), "left_semi")
+            }
+          }
+          starJoin(fact0, dimDfs, sign)
+        }
+        terms.reduce(_.unionByName(_))
+      }
     // per-column STORED partial type (long, or DECIMAL(38, s) for
     // decimal sources) from the view's own schema: the compensation
     // partials must union against the view columns type-exactly
@@ -606,25 +751,38 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       cand.schema.fields.collectFirst {
         case f if f.name == s"sum_$c" => f.dataType
       }.getOrElse(LongType)
-    val deltaDf = deltaF.select(
+    val deltaDf = weightedRows.select(
       (d.groupCols.map(col) ++ (col("_w").as("cnt") +:
         d.sumCols.flatMap(c => Seq(
           (col(c).cast(sumStore(c)) * col("_w")).cast(sumStore(c))
             .as(s"sum_$c"),
           when(col(c).isNotNull, col("_w")).otherwise(lit(0L))
             .as(s"nn_$c"))))): _*)
-    val unionPlan = viewDf.unionByName(deltaDf).queryExecution.analyzed
+    // the fragment splices into an ALREADY-OPTIMIZING plan, so the
+    // analysis-only nodes the DataFrame build leaves behind must go
+    // here: SubqueryAlias (the star join's R0/R1/… disambiguators) and
+    // Deduplicate (the semi-join key probes' distinct()) have no
+    // physical strategy — the optimizer batches that normally remove
+    // them ran before this rule fired
+    val unionPlan =
+      org.apache.spark.sql.catalyst.optimizer.ReplaceDeduplicateWithAggregate(
+        org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+          viewDf.unionByName(deltaDf).queryExecution.analyzed))
     def uAttr(name: String): AttributeReference =
       unionPlan.output.collectFirst {
         case a: AttributeReference if resolver(a.name, name) => a
       }.getOrElse(fail())
 
+    // def-column index of a query attribute, honoring the OWNING
+    // relation (two relations may both have a column of the name)
+    def relLeaf(rel: Int): DataSourceV2Relation =
+      if (rel == 0) factLeaf._1 else dimLeaves(rel - 1)._1
     def groupIdx(a: AttributeReference): Option[Int] =
       d.groupCols.indices.find(j => resolver(d.groupCols(j), a.name) &&
-        factLeaf._1.outputSet.contains(a))
+        relLeaf(groupRel(j)).outputSet.contains(a))
     def sumIdx(a: AttributeReference): Option[Int] =
       d.sumCols.indices.find(j => resolver(d.sumCols(j), a.name) &&
-        factLeaf._1.outputSet.contains(a))
+        relLeaf(sumRel(j)).outputSet.contains(a))
 
     def remapGroupOnly(e: Expression): Expression = e.transformUp {
       case a: AttributeReference => groupIdx(a) match {
@@ -795,19 +953,22 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           val marks = vInst.appTxnsAt(vv)
           val app = "mv:" + canon(vr)
           val wm = marks.getOrElse(app, -1L)
-          val isJoinView =
-            d.dimSources.getOrElse(d.dimSource.toSeq).nonEmpty
-          // plain views may lag the pinned version: tryMatchStale
-          // compensates read-side with weightedDelta(wmLast, version]
-          // — but only when the view has completed at least one
-          // refresh (wm >= 0; a never-refreshed view would "compensate"
-          // an empty scan with a full-history fold — result-correct but
-          // strictly worse than the plan it replaces) and when that
-          // interval's pre-images are still inside the vacuum horizon
-          // (a reclaimed interval has no incremental answer; bound
-          // enforcement against the session's maxStaleness happens at
-          // match time so cached candidates survive conf changes)
-          val staleOk = !isJoinView && wm >= 0 && wm < version &&
+          // views may lag the pinned version: tryMatchStale compensates
+          // read-side with the refresh's own signed fold (plain:
+          // weightedDelta(wmLast, version]; join/star: the
+          // inclusion–exclusion union over the changed relations) —
+          // but only when the view has completed at least one refresh
+          // (wm >= 0; a never-refreshed view would "compensate" an
+          // empty scan with a full-history fold — result-correct but
+          // strictly worse than the plan it replaces) and when the
+          // fact interval's pre-images are still inside the vacuum
+          // horizon (a reclaimed interval has no incremental answer;
+          // per-DIM staleness, the width cap, and the dims' horizons
+          // are only checkable at match time — the query's dim pins
+          // live in its leaves — as is bound enforcement against the
+          // session's maxStaleness, so cached candidates survive conf
+          // changes)
+          val staleOk = wm >= 0 && wm < version &&
             wm >= inst.vacuumHorizon
           if (wm != version && !staleOk) None
           else {
@@ -898,10 +1059,12 @@ object MvRewriteRule {
   val NdvSubstituteKey = "spark.graft.mv.rewrite.ndvSubstitute"
 
   /** Bounded-staleness knob for the read-side-compensated rewrite
-    * ([[MvRewriteRule.tryMatchStale]]): a plain view whose watermark
-    * lags the query's pinned fact version by up to this many commits
-    * is still used, compensated with `view ⊕ weightedDelta(wm,
-    * pinned)` — RESULT-IDENTICAL (the compensation is the refresh's
+    * ([[MvRewriteRule.tryMatchStale]]): a view whose watermark lags
+    * the query's pinned version by up to this many commits — PER
+    * RELATION for join/star views, at most two relations changed — is
+    * still used, compensated with `view ⊕ Δ(wm, pinned]` (the plain
+    * weighted delta, or the star inclusion–exclusion union) —
+    * RESULT-IDENTICAL (the compensation is the refresh's
     * own signed fold applied read-side), so it shares [[EnabledKey]]
     * rather than needing a second correctness opt-in. 0 disables
     * stale compensation (exact freshness required, the pre-r11

@@ -433,19 +433,120 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(!scansView(filtered, viewRoot))
     }
     // DIM churn staleness: moving a customer makes the view stale on
-    // that dimension alone — the rewrite must fall back until refresh
+    // that dimension alone — the rewrite still fires, compensated
+    // read-side with the inclusion–exclusion delta (ΔD ⨝ F_pinned),
+    // and stays answer-identical through the group move
     val t = cust.begin()
     t.merge(spark.createDataFrame(Seq((1L, "west"))).toDF("obj_id", "nr"),
       matchedUpdate = Map("region" -> col("s.nr")), insertUnmatched = false)
     cust.commit(t)
     MvRewriteRule.invalidateCache()
     withRewrite(on = true) {
-      assert(!scansView(q(), viewRoot), "stale dim must disable the rewrite")
+      val expectedStale = withRewrite(on = false)(q().collect().toSeq)
+      assert(scansView(q(), viewRoot),
+        "stale dim must compensate, not disable")
+      assert(q().queryExecution.optimizedPlan.treeString.contains("Union"),
+        "dim-stale rewrite fired without the compensation union")
+      assert(q().collect().toSeq == expectedStale)
+      // with staleness disabled the pre-r13 behavior returns
+      spark.conf.set(MvRewriteRule.MaxStalenessKey, "0")
+      try assert(!scansView(q(), viewRoot))
+      finally spark.conf.unset(MvRewriteRule.MaxStalenessKey)
       mv.refresh()
       MvRewriteRule.invalidateCache()
       assert(scansView(q(), viewRoot))
+      assert(q().queryExecution.optimizedPlan.treeString
+        .indexOf("Union") < 0, "refreshed view must rewrite exactly")
       assert(q().collect().toSeq ==
         withRewrite(on = false)(q().collect().toSeq))
+    }
+  }
+
+  test("stale star view: read-side inclusion–exclusion over changed " +
+      "relations; width cap and fresher-dim refusals") {
+    val factRoot = Files.createTempDirectory("graft_mvst_f_").toUri.toString
+    val custRoot = Files.createTempDirectory("graft_mvst_d1_").toUri.toString
+    val prodRoot = Files.createTempDirectory("graft_mvst_d2_").toUri.toString
+    val viewRoot = Files.createTempDirectory("graft_mvst_sv_").toUri.toString
+    def mk(root: String, df: DataFrame): Instance = {
+      val i = VersionedTable.create(spark, root, df.schema)
+      val t = i.begin(); t.insert(df); i.commit(t); i
+    }
+    val fact = mk(factRoot, spark.createDataFrame(Seq(
+      (100L, 1L, 10L, 5L), (101L, 1L, 11L, 7L), (102L, 2L, 10L, 11L)))
+      .toDF("obj_id", "cust", "prod", "amount"))
+    val cust = mk(custRoot, spark.createDataFrame(Seq((1L, "east"), (2L, "west")))
+      .toDF("obj_id", "region"))
+    val prod = mk(prodRoot, spark.createDataFrame(Seq((10L, "toys"), (11L, "tools")))
+      .toDF("obj_id", "category"))
+    val mv = MaterializedAggView.create(spark, viewRoot, fact,
+      groupCols = Seq("region", "category"), sumCols = Seq("amount"),
+      dimJoins = Seq(
+        MaterializedAggView.DimJoin(cust, "cust", "obj_id"),
+        MaterializedAggView.DimJoin(prod, "prod", "obj_id")))
+    mv.refresh()
+    def q(): DataFrame = {
+      val fd = srcDf(factRoot); val cd = srcDf(custRoot)
+      val pd = srcDf(prodRoot)
+      fd.join(cd, fd("cust") === cd("obj_id"))
+        .join(pd, fd("prod") === pd("obj_id"))
+        .groupBy("region", "category")
+        .agg(count(lit(1)).as("cnt"), sum("amount").as("sa"),
+          avg("amount").as("aa"))
+        .orderBy("region", "category")
+    }
+    def assertCompensated(): Unit = {
+      MvRewriteRule.invalidateCache()
+      withRewrite(on = true) {
+        val expected = withRewrite(on = false)(q().collect().toSeq)
+        assert(scansView(q(), viewRoot), "stale star rewrite did not fire")
+        assert(q().queryExecution.optimizedPlan.treeString.contains("Union"),
+          "stale star rewrite fired without the compensation union")
+        assert(q().collect().toSeq == expected)
+      }
+    }
+    // FACT stale alone: delete one row + insert another (one commit)
+    fact.withRetry() { t =>
+      t.delete(Seq(101L))
+      t.insert(spark.createDataFrame(Seq((103L, 2L, 11L, 3L)))
+        .toDF("obj_id", "cust", "prod", "amount"))
+    }
+    assertCompensated()
+    // FACT + ONE dim stale (2 changed sides, 3 union terms): a dim
+    // group move re-aggregates every matching fact row read-side
+    cust.withRetry() { t =>
+      t.merge(spark.createDataFrame(Seq((1L, "west"))).toDF("obj_id", "nr"),
+        matchedUpdate = Map("region" -> col("s.nr")), insertUnmatched = false)
+    }
+    assertCompensated()
+    // FACT + BOTH dims stale (3 changed sides): past the read-side
+    // width cap — fall back to the source join, still correct
+    prod.withRetry() { t =>
+      t.merge(spark.createDataFrame(Seq((10L, "games"))).toDF("obj_id", "nc"),
+        matchedUpdate = Map("category" -> col("s.nc")), insertUnmatched = false)
+    }
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      assert(!scansView(q(), viewRoot),
+        "3 changed relations must not rewrite read-side")
+    }
+    // refresh absorbs everything; dim pinned BEFORE the view's dim
+    // watermark (time travel) is fresher-than-query: unanswerable
+    mv.refresh()
+    MvRewriteRule.invalidateCache()
+    withRewrite(on = true) {
+      assert(scansView(q(), viewRoot))
+      assert(q().collect().toSeq ==
+        withRewrite(on = false)(q().collect().toSeq))
+      val fd = srcDf(factRoot)
+      val cdOld = spark.read.format("graft").option("path", custRoot)
+        .option("versionAsOf", 1).load()
+      val pd = srcDf(prodRoot)
+      val tt = fd.join(cdOld, fd("cust") === cdOld("obj_id"))
+        .join(pd, fd("prod") === pd("obj_id"))
+        .groupBy("region", "category").agg(sum("amount").as("sa"))
+      assert(!scansView(tt, viewRoot),
+        "a dim pinned before the view's watermark must not rewrite")
     }
   }
 
