@@ -209,9 +209,16 @@ private[acid] object GraftTableSource {
     * mapping, the schema, and the driver's session timezone — never a
     * scan or instance. */
   def sidecarPred(filters: Array[sources.Filter],
-      renames: Map[String, String], tableSchema: StructType)
+      renames: Map[String, String], tableSchema: StructType,
+      dataDir: String,
+      hconf: org.apache.spark.util.SerializableConfiguration)
       : CheckpointStore.CkptRow => Boolean = {
     val tz = SQLConf.get.sessionLocalTimeZone // captured on the driver
+    // spilled-bloom pointers resolve on the EXECUTOR: the closure
+    // carries only the dataDir string + a serializable conf, and the
+    // sidecar loads once per JVM (VersionedTable.fbCache)
+    val resolve: String => Option[String] =
+      ptr => VersionedTable.loadBloomSidecar(dataDir, ptr, () => hconf.value)
     r => {
       val parts = partPairs(r.file).toMap
       filters.forall { f =>
@@ -244,7 +251,8 @@ private[acid] object GraftTableSource {
             // side-file rows carry the #fb: entries like any ustat
             val bi = r.uCols.indexOf(VersionedTable.BloomKeyPrefix + pc)
             bi < 0 || bloomMayMatch(f, VersionedTable.UStat(
-              r.uKinds(bi).head, r.uMins(bi), r.uMaxs(bi), r.uNulls(bi)))
+              r.uKinds(bi).head, r.uMins(bi), r.uMaxs(bi), r.uNulls(bi)),
+              resolve)
           }
         }
       }
@@ -287,13 +295,23 @@ private[acid] object GraftTableSource {
     * `#fb:` bloom PROVES every probed value absent — blooms have no
     * false negatives, so a veto can only drop dead IO. Anything
     * unexpected (wrong kind, corrupt base64, unhashable literal type,
-    * null member) keeps the file. */
-  def bloomMayMatch(flt: sources.Filter, u: VersionedTable.UStat)
-      : Boolean = {
+    * null member, unresolvable spill pointer) keeps the file.
+    * `resolve` maps a spilled `@fb-…#idx` pointer to its base64 bits
+    * (None = no veto) — large commits move their bitsets to an `fb-`
+    * sidecar and leave pointers in the ustats
+    * ([[EngineConf.fileBloomInlineMax]]). */
+  def bloomMayMatch(flt: sources.Filter, u: VersionedTable.UStat,
+      resolve: String => Option[String]): Boolean = {
     if (u.kind != 'F') return true // a colliding user column, not a bloom
-    lazy val bloom: Option[IdBloom] =
-      try Some(IdBloom.fromBase64(u.min, u.max.toInt))
-      catch { case scala.util.control.NonFatal(_) => None }
+    lazy val bloom: Option[IdBloom] = {
+      val b64 =
+        if (VersionedTable.isBloomPointer(u.min)) resolve(u.min)
+        else Some(u.min)
+      b64.flatMap { s =>
+        try Some(IdBloom.fromBase64(s, u.max.toInt))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
     def mayContain(v: Any): Boolean = IdBloom.hashValue(v) match {
       case Some(h) => bloom.forall(_.contains(h))
       case None => true
@@ -1417,9 +1435,11 @@ private[acid] final class GraftScan(root: String, version: Long,
               state.fileStats.get(rel).flatMap(_.get(pc))
                 .forall(GraftTableSource.ustatMayMatch(f, _))) &&
             // per-file bloom veto for equality/IN on declared columns
+            // (spilled pointers resolve through the instance's own fs)
             state.fileStats.get(rel)
               .flatMap(_.get(VersionedTable.BloomKeyPrefix + pc))
-              .forall(GraftTableSource.bloomMayMatch(f, _))
+              .forall(GraftTableSource.bloomMayMatch(f, _,
+                inst.resolveBloomPointer))
         }
       }
     }
@@ -1433,7 +1453,9 @@ private[acid] final class GraftScan(root: String, version: Long,
         val driverPart = state.inlineFiles.filter(driverPred)
         val distPart = inst.sidecarSurvivorsStatus(sc)(
           GraftTableSource.sidecarPred(allFilters, state.renames,
-            tableSchema))
+            tableSchema, inst.dataDir.toString,
+            new org.apache.spark.util.SerializableConfiguration(
+              SparkSession.active.sessionState.newHadoopConf())))
         sidecarStatusMemo = distPart.map { case (f, sz, mt, _) =>
           f -> (sz, mt) }.toMap
         sidecarRowsMemo = distPart.collect { case (f, _, _, n) if n >= 0L =>

@@ -579,6 +579,95 @@ object VersionedTable {
     payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
   }
 
+  /** Spilled-bloom sidecar payload (`fb-` names): the (file, column,
+    * base64-bits) triples a large commit's blooms moved out of its
+    * delta manifest ([[EngineConf.fileBloomInlineMax]]). Same
+    * flat-arrays-plus-crc shape as the dv sidecars — but unlike dvs,
+    * blooms are VETO-ONLY, so every read failure (torn file, bad crc,
+    * missing sidecar) degrades to None = "no veto": pruning lost,
+    * answers never. Pointer ustats (`@<name>#<idx>`, ~30 bytes)
+    * replace the base64 in the manifest and ride every stat surface —
+    * checkpoints, segmented side files, restore — unchanged. */
+  private[acid] def fbToJson(rows: Seq[(String, String, String)]): String = {
+    def arrS(xs: Seq[String]) =
+      xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val payload =
+      s"""{"files":${arrS(rows.map(_._1))},""" +
+      s""""cols":${arrS(rows.map(_._2))},""" +
+      s""""blooms":${arrS(rows.map(_._3))}}"""
+    payload.dropRight(1) + s""","crc":${crc32(payload)}}"""
+  }
+
+  /** The blooms array of an fb sidecar; None on ANY damage (see
+    * [[fbToJson]] — veto-only, so None means "keep the file"). The
+    * `"blooms":[` anchor cannot occur inside a JSON string here (raw
+    * quotes are esc'd), and base64 payloads carry no brackets/quotes,
+    * so the split-based parse is exact. */
+  private[acid] def fbFromJson(text: String): Option[Array[String]] = {
+    val ci = text.lastIndexOf(",\"crc\":")
+    if (ci < 0 || !text.endsWith("}")) return None
+    val declared = text.substring(ci + 7, text.length - 1)
+    if (declared.isEmpty || !declared.forall(_.isDigit)) return None
+    if (crc32(text.substring(0, ci) + "}") != declared.toLong) return None
+    val bi = text.indexOf("\"blooms\":[")
+    if (bi < 0) return None
+    val end = text.indexOf(']', bi)
+    if (end < 0) return None
+    val inner = text.substring(bi + 10, end)
+    if (inner.isEmpty) Some(Array.empty)
+    else Some(inner.split(',').map(s =>
+      s.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+
+  private[acid] def isBloomPointer(min: String): Boolean =
+    min.startsWith("@fb-")
+
+  /** Sidecar NAME a pointer references ("" when not a pointer). */
+  private[acid] def bloomPointerName(min: String): String = {
+    val h = min.indexOf('#')
+    if (!isBloomPointer(min) || h < 0) "" else min.substring(1, h)
+  }
+
+  // JVM-wide cache of loaded fb sidecars (absolute path -> blooms),
+  // shared by the driver skip loop and the segmented executors' mirror.
+  // Crude bound: veto-only data, so a full clear costs pruning on the
+  // next probe, never answers.
+  private val fbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** Resolve a `@<name>#<idx>` pointer to its base64 bits; None on any
+    * failure (missing/torn sidecar, bad index) = "no veto". */
+  private[acid] def loadBloomSidecar(dataDir: String, pointer: String,
+      conf: () => org.apache.hadoop.conf.Configuration): Option[String] = {
+    val h = pointer.indexOf('#')
+    if (!isBloomPointer(pointer) || h < 0) return None
+    val idx =
+      try pointer.substring(h + 1).toInt
+      catch { case _: NumberFormatException => return None }
+    val p = new Path(dataDir, pointer.substring(1, h))
+    val key = p.toString
+    var arr = fbCache.get(key)
+    if (arr == null) {
+      arr = try {
+        val fs = p.getFileSystem(conf())
+        val in = fs.open(p)
+        val text = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var r = in.read(buf)
+          while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+          bytes.toString("UTF-8")
+        } finally in.close()
+        fbFromJson(text).orNull
+      } catch { case scala.util.control.NonFatal(_) => null }
+      if (arr != null) {
+        if (fbCache.size > 64) fbCache.clear()
+        fbCache.put(key, arr)
+      }
+    }
+    if (arr == null || idx < 0 || idx >= arr.length) None else Some(arr(idx))
+  }
+
   /** Cross-table commit decision record: the ONE object whose atomic
     * claim decides every participating table's pointer manifest at
     * once (the multi-table analog of the reference's single WAL commit
@@ -1007,6 +1096,18 @@ final case class EngineConf(
     // structure over block state (free_info.rs:84-194).
     fileBloomCols: Seq[String] = Nil,
     fileBloomBits: Int = 1 << 16,
+    // bloom entries above which a COMMIT's blooms spill from the
+    // inline delta manifest to ONE crc'd `fb-` sidecar in dataDir
+    // (pointer ustats replace the base64 payloads). Inline, a bulk
+    // load writes (files x declared columns) x fileBloomBits/8 bytes
+    // of base64 into a single JSON manifest on the driver — a
+    // 10k-file insert with one bloom column is ~110 MB of manifest;
+    // spilled, the manifest carries ~30-byte pointers and the bitsets
+    // land once, off the metadata plane. Small commits stay inline
+    // (no extra file, no extra read). Blooms are VETO-ONLY, so a
+    // missing/unreadable sidecar degrades to "no veto" — pruning
+    // lost, answers never.
+    fileBloomInlineMax: Int = 32,
     // OPT-IN post-commit auto-maintenance (Delta's autoCompact
     // analog): once a successful commit leaves the snapshot with >=
     // autoCompactFiles live files, the committer immediately folds
@@ -2554,7 +2655,7 @@ final class Instance(val spark: SparkSession, val root: String,
     // Without it a zero-row rewrite file would be kept by every point
     // predicate forever (no entry = no veto).
     val sharedEmpty = IdBloom.empty(mBits.toLong, k).toBase64
-    staged.map { rel =>
+    val inline: Map[String, Map[String, UStat]] = staged.map { rel =>
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       // rel-path key first; basename only as the executor's own
       // fallback key (suffix match failed there — union semantics)
@@ -2565,7 +2666,47 @@ final class Instance(val spark: SparkSession, val root: String,
           k.toString, 0L)
       }.toMap
     }.toMap
+    // SPILL past the inline cap: a bulk load's (files x columns)
+    // base64 bitsets would otherwise ride the delta manifest's JSON on
+    // the driver — (entries x fileBloomBits/8) bytes in ONE metadata
+    // object. Past [[EngineConf.fileBloomInlineMax]] entries the
+    // payloads land once in a crc'd `fb-` sidecar (dv-sidecar shape)
+    // and ~30-byte `@<name>#<idx>` pointers take their place in the
+    // ustats, riding every stat surface (checkpoints, side files,
+    // restore) unchanged. Veto-only: a reader that cannot resolve a
+    // pointer keeps the file.
+    val totalEntries = inline.valuesIterator.map(_.size).sum
+    if (totalEntries <= conf.fileBloomInlineMax) inline
+    else {
+      val rows: Seq[(String, String, UStat)] = inline.toSeq.sortBy(_._1)
+        .flatMap { case (f, m) =>
+          m.toSeq.sortBy(_._1).map { case (c, u) => (f, c, u) } }
+      val name = writeBloomSidecar(rows.map { case (f, c, u) =>
+        (f, c, u.min) })
+      rows.zipWithIndex.groupBy(_._1._1).map { case (f, es) =>
+        f -> es.map { case ((_, c, u), i) =>
+          c -> u.copy(min = s"@$name#$i")
+        }.toMap
+      }
+    }
   }
+
+  /** Land one commit's spilled blooms as a crc'd sidecar in dataDir
+    * (same flat lifecycle as dv sidecars; swept by vacuum once no
+    * retained manifest points into it). */
+  private[acid] def writeBloomSidecar(
+      rows: Seq[(String, String, String)]): String = {
+    val name = s"fb-${java.util.UUID.randomUUID().toString.take(12)}.json"
+    val out = fs.create(new Path(dataDir, name), false)
+    try out.write(VersionedTable.fbToJson(rows).getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  /** Driver-side pointer resolution through this table's own fs. */
+  private[acid] def resolveBloomPointer(pointer: String): Option[String] =
+    VersionedTable.loadBloomSidecar(dataDir.toString, pointer,
+      () => fs.getConf)
 
   /** Driver-side single-file parquet write through Spark's OWN
     * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
@@ -3886,6 +4027,33 @@ final class Instance(val spark: SparkSession, val root: String,
             fs.delete(e.getPath, false); removed += 1
           }
         }
+      // spilled-bloom sidecars (`fb-` names, also flat in dataDir):
+      // referenced iff some retained manifest's fileStats carries a
+      // pointer into them. The reference set is computable on the
+      // driver only while EVERY retained checkpoint is INLINE — a
+      // segmented one keeps its fileStats in parquet side files, so
+      // that round SKIPS the fb sweep entirely (blooms are veto-only:
+      // keeping an orphan costs bytes, deleting a live one would cost
+      // pruning — and this sweep must prove, not guess).
+      if ((ckpt :: tail ::: above.toList).forall(_.ckptRef.isEmpty)) {
+        val fbRefs: Set[String] =
+          (ckpt :: tail ::: above.toList)
+            .iterator
+            .flatMap(_.fileStats.valuesIterator.flatMap(_.valuesIterator))
+            .collect {
+              case u if u.kind == 'F' &&
+                  VersionedTable.isBloomPointer(u.min) =>
+                VersionedTable.bloomPointerName(u.min)
+            }.toSet
+        fs.listStatus(dataDir)
+          .filter(e => e.isFile && e.getPath.getName.startsWith("fb-"))
+          .foreach { e =>
+            if (!fbRefs.contains(e.getPath.getName) &&
+                e.getModificationTime < cutoff) {
+              fs.delete(e.getPath, false); removed += 1
+            }
+          }
+      }
       // membership of a listed file in the horizon checkpoint's fold:
       // inline checkpoints fold into windowKeep directly; a SEGMENTED
       // checkpoint is probed in bounded batches against the side files

@@ -194,6 +194,68 @@ class FileBloomSpec extends AnyFunSuite {
     assert(plannedFiles(sq4) == 0 && sq4.count() == 0)
   }
 
+  test("bulk commits spill blooms to an fb- sidecar: bounded manifest, " +
+      "same pruning, vacuum sweeps orphans") {
+    val dir = Files.createTempDirectory("graft_fbspill_").toUri.toString
+    val inst = VersionedTable.create(spark, dir, schema,
+      EngineConf(fileBloomCols = Seq("uname"), fileBloomInlineMax = 4,
+        orphanGraceMs = 0L))
+    // ONE commit staging 12 files -> 12 bloom entries > the cap of 4:
+    // the bitsets must land in a sidecar, not the delta manifest
+    val rows = (0 until 480).map { i =>
+      (i.toLong, s"uname_${i * 2654435761L % 100000}", i % 7L)
+    }
+    inst.withRetry() { t => t.insert(
+      rows.toDF("obj_id", "uname", "score").repartition(12)) }
+    val root = new java.io.File(new java.net.URI(dir)).toPath
+    val fbFiles = root.resolve("data").toFile.listFiles()
+      .filter(_.getName.startsWith("fb-"))
+    assert(fbFiles.length == 1, s"expected 1 fb sidecar, got ${fbFiles.length}")
+    // bounded manifest: 12 inline blooms at 2^16 bits would be ~130 KB
+    // of base64; with pointers the delta manifest stays small
+    val mf = root.resolve("_manifests").toFile.listFiles()
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .maxBy(f => f.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    val manifestText = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(mf.length < 20000,
+      s"delta manifest not bounded: ${mf.length} bytes")
+    assert(manifestText.contains("@fb-"),
+      "spilled manifest carries no bloom pointers")
+    // pruning unchanged through the pointer indirection (driver path)
+    val probe = rows.head._2
+    val q = dsv2(inst).filter(col("uname") === probe)
+    assert(plannedFiles(q) <= 2, "bloom veto lost through the spill")
+    assert(q.count() == rows.count(_._2 == probe))
+    // absent value: every file vetoed
+    val q0 = dsv2(inst).filter(col("uname") === "nope")
+    assert(plannedFiles(q0) == 0 && q0.count() == 0)
+    // an UNREFERENCED sidecar (orphaned by a crashed writer) is swept
+    // past the grace; the referenced one survives
+    val orphan = new java.io.File(root.resolve("data").toFile,
+      "fb-orphan000000.json")
+    java.nio.file.Files.writeString(orphan.toPath,
+      VersionedTable.fbToJson(Seq(("x", "c", "AAAA"))))
+    inst.vacuum(retainVersions = 10)
+    assert(!orphan.exists, "orphaned fb sidecar not swept")
+    assert(fbFiles.head.exists, "referenced fb sidecar wrongly swept")
+    assert(plannedFiles(dsv2(inst).filter(col("uname") === probe)) <= 2)
+    // SEGMENTED table: pointers ride the checkpoint side files and
+    // resolve on the executors (the distributed skip mirror)
+    val dir2 = Files.createTempDirectory("graft_fbspill_seg_").toUri.toString
+    val seg = VersionedTable.create(spark, dir2, schema,
+      EngineConf(fileBloomCols = Seq("uname"), fileBloomInlineMax = 4,
+        checkpointInterval = 2, checkpointInlineFiles = 0))
+    seg.withRetry() { t => t.insert(
+      rows.toDF("obj_id", "uname", "score").repartition(12)) }
+    seg.withRetry() { t => t.insert(
+      Seq((9000L, "u9000", 0L)).toDF("obj_id", "uname", "score")) }
+    val qs = dsv2(seg).filter(col("uname") === probe)
+    assert(plannedFiles(qs) <= 2,
+      "bloom veto lost through segmented side files + spill")
+    assert(qs.count() == rows.count(_._2 == probe))
+  }
+
   test("partitioned insert: colliding basenames get per-file blooms") {
     // Spark's dynamic-partition writer reuses one part-file NAME
     // across the partition directories a task writes — basename-keyed
