@@ -1,0 +1,74 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement aid: runs ONE registry key and prints
+  * every Spark job it launched (job id, duration, first stage name /
+  * description) so lifecycle scenarios' cost can be attributed to the
+  * specific actions inside them. Usage:
+  *   runMain graft.Profile <key> [sfDir]
+  * Respects SPARK_GRAFT_CPUS. Runs the key twice (warmup + measured). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val key = args(0)
+    val sfDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.acid.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = SparkEntry.queries(key)
+
+    // warmup run (JIT/classloading), unlistened
+    val tw0 = System.nanoTime()
+    q(spark, sfDir).write.format("noop").mode("overwrite").save()
+    System.err.println(f"[profile] warmup: ${(System.nanoTime()-tw0)/1e9}%.3f s")
+
+    val starts = new ConcurrentHashMap[Int, (Long, String)]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(js.stageInfos.headOption.map(_.name))
+          .getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), desc))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+          rows.add((je.jobId, (System.nanoTime() - t0) / 1e9, desc))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    q(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(500) // let listener events drain
+    import scala.jdk.CollectionConverters._
+    val all = rows.asScala.toSeq.sortBy(_._1)
+    val jobSum = all.map(_._2).sum
+    println(f"[profile] $key wall=$wall%.3f s, jobs=${all.size}, jobTimeSum=$jobSum%.3f s, driverGap=${wall - jobSum}%.3f s")
+    all.foreach { case (id, d, desc) =>
+      println(f"  job $id%4d  $d%7.3f s  ${desc.take(140)}")
+    }
+    // aggregate by description for a compact view
+    println("[profile] by description:")
+    all.groupBy(_._3).map { case (d, xs) => (xs.map(_._2).sum, xs.size, d) }
+      .toSeq.sortBy(-_._1).foreach { case (s, n, d) =>
+        println(f"  $s%7.3f s  x$n%-3d  ${d.take(120)}")
+      }
+    spark.stop()
+  }
+}
