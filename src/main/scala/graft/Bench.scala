@@ -28,6 +28,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the UI is off, so the SQLAdaptiveExecutionUpdate events AQE
+      // posts per plan update have no consumer — but their 'formatted'
+      // explain string (spark.sql.ui.explainMode default) is still
+      // built EAGERLY on the driver at every stage materialization,
+      // measured ~20% of wall on multi-commit MV lifecycles (driver
+      // thread dumps: AdaptiveSparkPlanExec.onUpdatePlan ->
+      // QueryExecution.explainString). 'simple' keeps the event (and
+      // any attached listener working) at a fraction of the cost.
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,8 +91,18 @@ object Bench {
         n -> t
       }
 
+    // per-sample trace on stderr (the JSON line carries medians only):
+    // a key whose samples degrade monotonically across rounds exposes
+    // in-bench state accumulation — the instrument that caught the r12
+    // streaming provider-cache saga, kept on permanently
     val samples: Seq[Seq[(String, Double)]] =
-      (1 to runs).map(_ => selected.map { case (n, q) => n -> once(n, q) })
+      (1 to runs).map { r =>
+        selected.map { case (n, q) =>
+          val t = once(n, q)
+          System.err.println(f"[bench] run $r $n: $t%.3f s")
+          n -> t
+        }
+      }
 
     // a query that failed in ANY run reports the -1 sentinel (not a
     // median over partial data), so the JSON is machine-distinguishable

@@ -37,6 +37,13 @@ object Engine {
       // in the parquet spec)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // AQE builds the SQLAdaptiveExecutionUpdate event's explain
+      // string EAGERLY at every plan update; with the UI off the
+      // 'formatted' default (O(plan) per stage materialization, driver
+      // thread dumps showed ~20% of multi-commit lifecycle wall) has
+      // no consumer — 'simple' keeps the event at a fraction of the
+      // cost. Overridable like any conf for UI-on deployments.
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

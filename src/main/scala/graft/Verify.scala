@@ -15,6 +15,15 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the UI is off, so the SQLAdaptiveExecutionUpdate events AQE
+      // posts per plan update have no consumer — but their 'formatted'
+      // explain string (spark.sql.ui.explainMode default) is still
+      // built EAGERLY on the driver at every stage materialization,
+      // measured ~20% of wall on multi-commit MV lifecycles (driver
+      // thread dumps: AdaptiveSparkPlanExec.onUpdatePlan ->
+      // QueryExecution.explainString). 'simple' keeps the event (and
+      // any attached listener working) at a fraction of the cost.
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1271,6 +1271,31 @@ final class Instance(val spark: SparkSession, val root: String,
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%020d.json")
   private val headPath = new Path(manifestDir, "_head")
 
+  /** Parsed-manifest cache. Safe because a version's PARSED view never
+    * changes: manifests are content-atomic (link/rename publish),
+    * never rewritten, never deleted (see [[resolveHead]]), and a
+    * multiRef decision is terminal once resolved
+    * ([[resolveMultiDecision]] memoizes it, and the neutered copy is
+    * what lands here). Entries are shared read-only — the one consumer
+    * that widens a manifest's ObjSummary folds into a COPY (see
+    * [[commit]]). Bounded LRU: lifecycle paths re-read the same
+    * manifests many times (state folds, conflict windows, watermark
+    * walks) — the JSON re-parse was a measured driver hotspot at
+    * fixture scale (thread dumps: fromJson under computeStateAt), and
+    * on an object store every avoided re-read is one fewer RPC. */
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[java.lang.Long, Manifest](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.lang.Long, Manifest]): Boolean =
+          size > 128
+      })
+
+  /** Test hook: the RPC-contract specs count COLD manifest opens
+    * through a wrapping FS — they drop the cache so their bounds keep
+    * pinning the uncached read discipline. */
+  private[graft] def dropManifestCacheForTest(): Unit = manifestCache.clear()
+
   /** Read + parse a manifest. [[publish]] is content-atomic (link /
     * rename of a fully-written temp file), so a racing writer can
     * never expose partial content — but manifests written by pre-link
@@ -1279,6 +1304,14 @@ final class Instance(val spark: SparkSession, val root: String,
     * PERSISTENT failure is surfaced — that is real bit-rot (R30), not
     * a racing writer. */
   private[graft] def readManifest(v: Long): Manifest = {
+    val hit = manifestCache.get(java.lang.Long.valueOf(v))
+    if (hit != null) return hit
+    val m = readManifestUncached(v)
+    manifestCache.put(java.lang.Long.valueOf(v), m)
+    m
+  }
+
+  private def readManifestUncached(v: Long): Manifest = {
     var attempt = 0
     while (true) {
       val text =
@@ -2519,9 +2552,17 @@ final class Instance(val spark: SparkSession, val root: String,
       }
     localRows match {
       case Some((rows, schema)) =>
-        writeLocalParquet(new Path(out,
-          s"part-00000-${java.util.UUID.randomUUID()}.parquet"),
-          rows, schema)
+        val name = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
+        writeLocalParquet(new Path(out, name), rows, schema)
+        // the rows are already on the driver: record their obj_ids so
+        // recordStagedObjects skips its read-back job (physical name
+        // is always "obj_id" — the primary key is exempt from column
+        // mapping, same assumption stagedIdsDf makes). A null id falls
+        // back to the job path rather than guessing.
+        val idIdx = schema.fieldNames.indexOf("obj_id")
+        if (idIdx >= 0 && schema(idIdx).dataType == LongType &&
+            rows.forall(!_.isNullAt(idIdx)))
+          txn.stagedLocalIds(s"$sub/$name") = rows.map(_.getLong(idIdx)).toSeq
       case None =>
         if (partitionBy.isEmpty) df.write.parquet(out)
         else df.write.partitionBy(partitionBy: _*).parquet(out)
@@ -4735,6 +4776,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // obj-id (min, max) per staged file, read from parquet footers at
   // write time; published to the manifest at commit for point-op pruning
   private[acid] val addedStats = mutable.Map[String, (Long, Long)]()
+  // obj_ids of files staged through the LOCAL fast path (driver-side
+  // parquet write of a <= fastPathRows LocalRelation): already on the
+  // driver, so recordStagedObjects can skip its read-back job — one
+  // fewer Spark job per small commit (MV watermark rides, single-row
+  // upserts, small streaming epochs)
+  private[acid] val stagedLocalIds = mutable.Map[String, Seq[Long]]()
   // secondary cluster-column ranges per staged file (multi-column
   // compact) — the manifest's colStats delta
   private[acid] val addedColStats =
@@ -5123,6 +5170,14 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * driver nor the manifest ever holds O(batch) ids. The limit-probe
     * costs the same single job the old collect did. */
   private def recordStagedObjects(staged: Seq[String]): Unit = {
+    // LOCAL-fast-path batches carry their ids driver-side already
+    // (bounded by fastPathRows per file): no read-back job needed —
+    // the spill guard still bounds the accumulated literal set
+    if (staged.forall(stagedLocalIds.contains)) {
+      objects ++= staged.flatMap(stagedLocalIds)
+      spillObjectsIfNeeded()
+      return
+    }
     val idsDf = inst.stagedIdsDf(staged)
     val th = inst.conf.objectListThreshold
     val probe = idsDf.limit(th + 1).collect().map(_.getLong(0))
@@ -5508,17 +5563,28 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     // while the conflict summary records another
     val src = source.persist()
     try {
-      val dup = src.groupBy("obj_id").count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"merge source has duplicate obj_id ${dup.head.getLong(0)}: " +
-          "a target row may match at most one source row")
+      // ONE probe job serves both guards: the per-key counts (dup
+      // rejection) re-aggregate into the global key bounds in the same
+      // pass — previously two full passes over the source (a dup-check
+      // shuffle, then a bounds aggregate). The duplicate id itself is
+      // only recomputed on the failure path, which may pay a second
+      // (doomed) pass for its error message.
+      val probe = src.groupBy("obj_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_c"))
+        .agg(org.apache.spark.sql.functions.min(col("obj_id")),
+          org.apache.spark.sql.functions.max(col("obj_id")),
+          org.apache.spark.sql.functions.max(col("_c"))).collect()(0)
+      if (probe.isNullAt(0)) return // empty source: no-op
+      if (probe.getLong(2) > 1L) {
+        val dup = src.groupBy("obj_id").count()
+          .filter(col("count") > 1).limit(1).collect()
+        throw new IllegalArgumentException(
+          s"requirement failed: merge source has duplicate obj_id " +
+            s"${dup.head.getLong(0)}: " +
+            "a target row may match at most one source row")
+      }
+      val lo = probe.getLong(0); val hi = probe.getLong(1)
       val keys = src.select("obj_id")
-      val bounds = keys.agg(
-        org.apache.spark.sql.functions.min(col("obj_id")),
-        org.apache.spark.sql.functions.max(col("obj_id"))).collect()(0)
-      if (bounds.isNullAt(0)) return // empty source: no-op
-      val lo = bounds.getLong(0); val hi = bounds.getLong(1)
       val (_, ddl, _) = localState()
       val tCols = StructType.fromDDL(ddl).fieldNames.toSeq
       val cand = candidateFilesRange(lo, hi)

@@ -106,6 +106,33 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Hyperplane margins m[j] = <v, plane_j> — the shared input of the
+    * signature, the probe list, and the calibration tagger. */
+  private def lshMargins(v: Column, dim: Int, nPlanes: Int): Column =
+    array(planes(nPlanes, dim).map { w =>
+      val wl = array(w.map(lit): _*)
+      aggregate(zip_with(v, wl, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  private def bitOf(i: Column): Column =
+    pow(lit(2.0), i.cast("double")).cast("long")
+
+  /** Signature bucket from a margins array (one fold). */
+  private def lshSigOf(m: Column, nPlanes: Int): Column =
+    aggregate(
+      zip_with(m, sequence(lit(0), lit(nPlanes - 1)),
+        (x, i) => when(x > 0, bitOf(i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Bit values of the `flipPlanes` lowest-|margin| planes, in margin
+    * order (struct sort: margin first, index breaks ties). */
+  private def lshLowBits(m: Column, nPlanes: Int, flipPlanes: Int): Column =
+    transform(
+      slice(array_sort(zip_with(m, sequence(lit(0), lit(nPlanes - 1)),
+        (x, i) => struct(abs(x).as("a"), i.as("i")))), 1, flipPlanes),
+      r => bitOf(r.getField("i")))
+
   /** QUERY-DIRECTED multi-probe bucket list (Lv et al., VLDB'07, the
     * standard multi-probe LSH technique): beside the query's own
     * signature bucket, probe the buckets reached by flipping subsets
@@ -136,24 +163,12 @@ object Similarity {
     // duplicate the margins subtree ~|probes| times and melt codegen
     // (the first cut of this function cost ~14 s of janino time per
     // plan); this form keeps the tree linear in nPlanes + |probes|
-    val m = array(planes(nPlanes, dim).map { w =>
-      val wl = array(w.map(lit): _*)
-      aggregate(zip_with(v, wl, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    def bitOf(i: Column): Column =
-      pow(lit(2.0), i.cast("double")).cast("long")
+    val m = lshMargins(v, dim, nPlanes)
     // signature: one fold over (margin, index) pairs
-    val sig = aggregate(
-      zip_with(m, sequence(lit(0), lit(nPlanes - 1)),
-        (x, i) => when(x > 0, bitOf(i)).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    val sig = lshSigOf(m, nPlanes)
     // bit values of the flipPlanes lowest-|margin| planes (struct sort
     // orders by field position: margin first, index breaks ties)
-    val low = transform(
-      slice(array_sort(zip_with(m, sequence(lit(0), lit(nPlanes - 1)),
-        (x, i) => struct(abs(x).as("a"), i.as("i")))), 1, flipPlanes),
-      r => bitOf(r.getField("i")))
+    val low = lshLowBits(m, nPlanes, flipPlanes)
     // static subset spec (1-based positions into `low`); the probe
     // buckets fold each subset's bits into sig by XOR
     val subsets: Seq[Seq[Int]] =
@@ -182,19 +197,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(cosine(s, col("qv"), col("v")), 4).as("cs")))
-  }
-
-  /** Strict top-1 agreement of `approx` with `exact` over one query
-    * set — the calibration metric ([[annTop1LshTargeted]]), the same
-    * number Bench's recall row and ScaleSpec's gates report. */
-  private def recall1Counts(exact: DataFrame,
-      approx: DataFrame): (Long, Long) = {
-    val e = exact.select(col("vec_id"), col("neighbor_id").as("_en"))
-    val a = approx.select(col("vec_id"), col("neighbor_id").as("_an"))
-    val total = e.count()
-    val hits = e.join(a, Seq("vec_id")).filter(col("_en") === col("_an"))
-      .count()
-    (hits, total)
   }
 
   /** One-sided Wilson lower bound (default z = 1.28 ≈ 80%): the
@@ -237,23 +239,62 @@ object Similarity {
   def annTop1LshTargeted(all: DataFrame, queries: DataFrame, dim: Int,
       targetRecall: Double = 0.9, nPlanes: Int = 6,
       sampleQueries: Int = 16): DataFrame = {
+    val s = all.sparkSession
     val ladder: Seq[(Int, Int)] = Seq(
       (math.min(4, nPlanes), 2), (math.min(5, nPlanes), 3),
       (nPlanes, 3), (nPlanes, 4), (nPlanes, nPlanes))
       .map { case (fp, mf) => (fp, math.min(mf, fp)) }.distinct
     val sample = calibrationSample(all, sampleQueries)
-    val exactS = annTop1(all, sample).localCheckpoint()
+    // ONE corpus pass calibrates the WHOLE ladder (previously: the
+    // exact anchor plus one full corpus re-scan per rung — bucket
+    // signatures recomputed 4x for the same answers). Each (sample
+    // query, corpus vector) pair is scored once — the same flops the
+    // exact anchor alone paid — and tagged with its bucket-diff
+    // geometry: k = planes flipped between the query's signature and
+    // the vector's bucket, p = the deepest flipped plane's 1-based
+    // rank in the query's |margin| order. Rung (fp, mf) probes exactly
+    // the buckets {sig XOR S : S ⊆ fp lowest-margin planes, |S| <= mf},
+    // so the pair is a rung candidate iff k = 0 OR (p <= fp AND
+    // k <= mf) — every rung's top-1 AND the exact one fall out of one
+    // partial-aggregatable grouped max.
+    val mq = lshMargins(col("qv"), dim, nPlanes)
+    val qside = sample
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .withColumn("_sig", lshSigOf(mq, nPlanes))
+      .withColumn("_low", lshLowBits(mq, nPlanes, nPlanes))
+    // bucket computed BEFORE the join: once per corpus vector, not per
+    // (query x vector) pair
+    val corpus = all.withColumn("_bkt", lshBucket(col("v"), dim, nPlanes))
+    val pairs = corpus.join(broadcast(qside), col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        struct(round(cosine(s, col("qv"), col("v")), 4).as("cs"),
+          (-col("vec_id")).as("nn")).as("_st"),
+        col("_sig").bitwiseXOR(col("_bkt")).as("_d"), col("_low"))
+      .withColumn("_k", expr("bit_count(_d)"))
+      .withColumn("_p", aggregate(sequence(lit(1), lit(nPlanes)), lit(0),
+        (acc, j) => when(
+          col("_d").bitwiseAND(element_at(col("_low"), j)) =!= 0L,
+          greatest(acc, j)).otherwise(acc)))
+    val aggCols = max(col("_st")).as("_exact") +:
+      ladder.init.zipWithIndex.map { case ((fp, mf), i) =>
+        max(when(col("_k") === 0 ||
+          (col("_p") <= fp && col("_k") <= mf), col("_st"))).as(s"_r$i")
+      }
+    // row layout: (qid, _exact, _r0.._r3) — bounded by sampleQueries
+    val rows = pairs.groupBy("qid").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    val n = rows.length.toLong
     var measured = -1.0
-    val chosen = ladder.init.find { case (fp, mf) =>
-      val (hits, n) =
-        recall1Counts(exactS, annTop1Lsh(all, sample, dim, nPlanes, fp, mf))
+    val chosen = ladder.init.zipWithIndex.find { case (_, i) =>
+      val hits = rows.count { r => !r.isNullAt(2 + i) &&
+        r.getStruct(2 + i).getLong(1) == r.getStruct(1).getLong(1) }.toLong
       measured = if (n == 0) 1.0 else hits.toDouble / n
       // LCB, not the raw ratio: on a locality-free corpus the ladder
       // correctly escalates to the full-probe rung (= exact answers —
       // the honest outcome when the data gives LSH nothing to
       // exploit); on clustered corpora it stops early
       wilsonLcb(hits, n) >= targetRecall
-    }.getOrElse(ladder.last)
+    }.map(_._1).getOrElse(ladder.last)
     lastLshCalibration = (chosen._1, chosen._2,
       if (chosen == ladder.last) 1.0 else measured)
     // the full-probe rung visits every bucket — identical answers to
@@ -269,20 +310,60 @@ object Similarity {
   def annTop1IvfTargeted(all: DataFrame, queries: DataFrame, dim: Int,
       targetRecall: Double = 0.9, nCells: Int = 16,
       sampleQueries: Int = 16): DataFrame = {
+    val s = all.sparkSession
     val ladder = Seq(4, 8, 12, nCells).filter(_ <= nCells).distinct
     val sample = calibrationSample(all, sampleQueries)
-    val exactS = annTop1(all, sample).localCheckpoint()
     // ONE training for the whole ladder: every rung probes the same
     // index, only nProbe changes
     val cents = trainIvfCentroids(all, dim, nCells, iters = 3,
       trainSample = 4096, distributedTrain = false)
+    val centroids: Array[(Int, Seq[Double])] =
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    // ONE corpus pass calibrates the WHOLE ladder (previously: the
+    // exact anchor plus one partial corpus re-scan — and one corpus
+    // cell re-assignment — per rung). The corpus cell is the SAME
+    // greatest(struct(cs, cell)) argmax [[ivfQuery]] assigns; the
+    // query side ranks ALL cells by (cs desc, cell asc) exactly like
+    // ivfQuery's probe window, and array_position of the pair's
+    // corpus cell in that ranking is its minimal nProbe — rung hit
+    // iff rank <= nProbe, so every rung's top-1 and the exact one
+    // fall out of one grouped max.
+    def nearestCell(v: Column): Column = {
+      val scored = centroids.map { case (c, w) =>
+        struct(cosine(s, v, array(w.map(lit): _*)).as("cs"),
+          lit(c).as("cell"))
+      }
+      if (scored.length == 1) scored.head("cell")
+      else greatest(scored.toIndexedSeq: _*)("cell")
+    }
+    val ranked = transform(array_sort(array(centroids.map { case (c, w) =>
+        struct((-cosine(s, col("qv"), array(w.map(lit): _*))).as("nc"),
+          lit(c).as("cell")) }.toIndexedSeq: _*)),
+      x => x.getField("cell"))
+    val qside = sample.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .withColumn("_cells", ranked)
+    // cell assigned BEFORE the join: once per corpus vector, not per
+    // (query x vector) pair
+    val corpus = all.withColumn("_cell", nearestCell(col("v")))
+    val pairs = corpus.join(broadcast(qside), col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        struct(round(cosine(s, col("qv"), col("v")), 4).as("cs"),
+          (-col("vec_id")).as("nn")).as("_st"),
+        array_position(col("_cells"), col("_cell")).as("_r"))
+    val aggCols = max(col("_st")).as("_exact") +:
+      ladder.zipWithIndex.map { case (p, i) =>
+        max(when(col("_r") <= p, col("_st"))).as(s"_r$i") }
+    // row layout: (qid, _exact, _r0..) — bounded by sampleQueries
+    val rows = pairs.groupBy("qid").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    val n = rows.length.toLong
     var measured = -1.0
-    val chosen = ladder.find { p =>
-      val (hits, n) = recall1Counts(exactS,
-        annTop1Ivf(all, sample, dim, nCells, p, centroids0 = Some(cents)))
+    val chosen = ladder.zipWithIndex.find { case (_, i) =>
+      val hits = rows.count { r => !r.isNullAt(2 + i) &&
+        r.getStruct(2 + i).getLong(1) == r.getStruct(1).getLong(1) }.toLong
       measured = if (n == 0) 1.0 else hits.toDouble / n
       wilsonLcb(hits, n) >= targetRecall
-    }.getOrElse(nCells)
+    }.map(_._1).getOrElse(nCells)
     lastIvfCalibration = (chosen, measured)
     annTop1Ivf(all, queries, dim, nCells, chosen, centroids0 = Some(cents))
   }

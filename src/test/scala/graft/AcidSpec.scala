@@ -1359,7 +1359,11 @@ class AcidSpec extends AnyFunSuite {
     }
     val opens = graft.acid.CountingManifestFs.manifestOpens
 
-    // ranged history: exactly the asked manifests, zero prefix reads
+    // ranged history: exactly the asked manifests, zero prefix reads.
+    // The parsed-manifest cache is dropped first: these bounds pin the
+    // COLD read discipline (what a fresh reader pays on an object
+    // store), which the cache would otherwise hide.
+    inst.dropManifestCacheForTest()
     opens.set(0)
     val h = inst.history(50, 55).collect()
     assert(h.map(_.getLong(0)).sorted.toSeq == (50L to 55L))
@@ -1367,6 +1371,7 @@ class AcidSpec extends AnyFunSuite {
 
     // changes: ONE checkpoint walk seeds the pre-image schema, then one
     // read per version — O(interval + range), not O(range * interval)
+    inst.dropManifestCacheForTest()
     opens.set(0)
     val feed = inst.changes(44, 54)
     val expected = conf.checkpointInterval + (54 - 44) + 1
