@@ -415,9 +415,13 @@ final class MaterializedAggView private (
             }
             // truncate + insert in ONE commit: stale groups (dead in
             // the lost interval) must not linger, and the saturated
-            // truncate summary conflicts with any rival merge
+            // truncate summary conflicts with any rival merge.
+            // No isEmpty pre-probe: that ran the whole fold a second
+            // time — writeStaged drops zero-row part files (an
+            // all-empty fold keeps one empty part, so the commit still
+            // publishes and the watermark still advances)
             t.truncate()
-            if (!full.isEmpty) t.insert(full)
+            t.insert(full)
           }
           lastRefreshMode = if (initial) "initial" else "rebuild"
           return head

@@ -2581,7 +2581,7 @@ final class Instance(val spark: SparkSession, val root: String,
         else Nil
       }
     }
-    val staged = leaves(new Path(out), sub)
+    val staged0 = leaves(new Path(out), sub)
     // per-file stats from the parquet FOOTER — a driver-side metadata
     // read (no Spark job), the same way lakehouse formats derive file
     // skipping stats at write time: obj_id's primary range index PLUS
@@ -2593,14 +2593,41 @@ final class Instance(val spark: SparkSession, val root: String,
     // serially.
     val statCols: Set[String] =
       VersionedTable.statLeafCols(df0.schema, conf, ren) -- partitionBy
-    pooledMap(staged)(f => f -> footerAllStats(new Path(dataDir, f), statCols))
-      .foreach { case (f, us) =>
-        us.get("obj_id").flatMap(_.longRange)
-          .filter { case (lo, hi) => lo <= hi }
-          .foreach(txn.addedStats(f) = _)
-        val rest = us - "obj_id" // primary index already carries it
-        if (rest.nonEmpty) txn.addedFileStats(f) = rest
-      }
+    val allStats =
+      pooledMap(staged0)(f => f -> footerAllStats(new Path(dataDir, f), statCols))
+    // ZERO-ROW part files (an empty fold, a rewrite that kept nothing,
+    // an empty post-AQE partition) are reclaimed HERE, not staged: they
+    // contribute nothing to any read, but each would ride the manifest,
+    // the stats index, the bloom build and every downstream scan's file
+    // list forever. This also makes "write an empty result" a natural
+    // no-op, so callers never pay an isEmpty pre-probe that runs the
+    // whole plan a second time (the fold/join executes ONCE, in the
+    // write job). Row counts come from the footers just read — the
+    // RowsKey pseudo-stat is exact block metadata, present for every
+    // parquet file.
+    val (live0, dead0) = allStats.partition { case (_, us) =>
+      us.get(VersionedTable.RowsKey).flatMap(_.longRange)
+        .forall(_._2 > 0L)
+    }
+    // an ALL-empty write keeps one empty part: an empty INSERT must
+    // still stage (and therefore publish) a commit exactly as it
+    // always did — version numbering and refresh watermarks depend on
+    // the commit existing (MvRewriteSpec pins the empty-table case)
+    val (live, dead) =
+      if (live0.isEmpty && dead0.nonEmpty) (dead0.take(1), dead0.drop(1))
+      else (live0, dead0)
+    dead.foreach { case (f, _) =>
+      try fs.delete(new Path(dataDir, f), false)
+      catch { case _: java.io.IOException => () } // orphan sweep backstop
+    }
+    val staged = live.map(_._1)
+    live.foreach { case (f, us) =>
+      us.get("obj_id").flatMap(_.longRange)
+        .filter { case (lo, hi) => lo <= hi }
+        .foreach(txn.addedStats(f) = _)
+      val rest = us - "obj_id" // primary index already carries it
+      if (rest.nonEmpty) txn.addedFileStats(f) = rest
+    }
     // per-file bloom filters for the declared columns: ONE bounded
     // pass over the just-written files (O(new data), never the
     // table), landed as reserved `#fb:<physCol>` ustat entries so
@@ -4410,7 +4437,10 @@ final class Instance(val spark: SparkSession, val root: String,
     val masks = resolveDvs(st.dvs, masked)
     val survivors = viewOf(masked, st.ddl, masks, st.renames)
     val rewritten =
-      if (survivors.isEmpty) Nil else writeStaged(survivors, txn)
+      // no isEmpty pre-probe (it ran the whole plan twice):
+      // writeStaged drops zero-row part files, so an empty result
+      // stages nothing
+      writeStaged(survivors, txn)
     // removal of the masked files drops their dv entries in the fold;
     // no clear markers needed (and none published, so the change feed
     // classifies this as the file rewrite it is)
@@ -5617,8 +5647,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
             }
           }
           val rewrite = kept.unionByName(afterDelete.select(assigned: _*))
-          val rewritten = if (rewrite.isEmpty) Nil
-            else inst.writeStaged(rewrite, this)
+          // no isEmpty pre-probe: the join/union executes ONCE, in
+          // the write job — writeStaged drops zero-row part files
+          val rewritten = inst.writeStaged(rewrite, this)
           retire(hit.toSeq.map(relativize))
           added ++= rewritten
         }
@@ -5627,7 +5658,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         val unmatched = if (snap == null) src
           else src.join(snap.select("obj_id"), Seq("obj_id"), "left_anti")
         val inserts = unmatched.select(tCols.map(col): _*)
-        if (!inserts.isEmpty) insert(inserts)
+        insert(inserts) // empty anti-join stages nothing (no pre-probe)
       }
       // conflict tracking over the full source key set (a superset of
       // the rows actually modified — conservative, never unsound);
@@ -5671,8 +5702,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         if (hit.nonEmpty) {
           val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
           val survivors = touched.join(keys, Seq("obj_id"), "left_anti")
-          val rewritten = if (survivors.isEmpty) Nil
-            else inst.writeStaged(survivors, this)
+          // no isEmpty pre-probe: the anti join executes ONCE, in
+          // the write job — writeStaged drops zero-row part files
+          val rewritten = inst.writeStaged(survivors, this)
           retire(hit.toSeq.map(relativize))
           added ++= rewritten
         }
@@ -5700,8 +5732,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       if (hit.nonEmpty) {
         val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
         val survivors = idReject(touched, ids)
-        val rewritten = if (survivors.isEmpty) Nil
-          else inst.writeStaged(survivors, this)
+        // no isEmpty pre-probe — writeStaged drops zero-row parts
+        val rewritten = inst.writeStaged(survivors, this)
         retire(hit.toSeq.map(relativize))
         added ++= rewritten
       }
@@ -5817,7 +5849,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       val updated = transform(current)
         .select(StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq: _*)
       deleteMoR(ids)
-      if (!updated.isEmpty) insert(updated)
+      insert(updated) // empty update stages nothing (no pre-probe)
     }
     objects ++= ids
     spillObjectsIfNeeded()

@@ -174,25 +174,71 @@ final class IvfIndex private[operators] (
     * default: a streaming sink advancing the index every epoch must
     * not pay a ladder of measurement jobs per micro-batch. */
   def calibrate(sampleQueries: Int = 16): Seq[(Int, Long, Long)] = {
-    val corpus = assign.read()
-      .select(col("obj_id").as(idCol), col("v").as(vecCol))
-    val sample = corpus
-      .orderBy(Sampling.splitBucket(col(idCol), Int.MaxValue).desc,
-        col(idCol).desc)
-      .limit(sampleQueries).localCheckpoint()
-    val exact = search(sample, nCells)
-      .select(col("vec_id"), col("neighbor_id").as("_en"))
-      .localCheckpoint()
-    val n = exact.count()
     val ladder =
       Iterator.iterate(1)(_ * 2).takeWhile(_ < nCells).toSeq
-    val measured = ladder.map { p =>
-      val got = search(sample, p)
-        .select(col("vec_id"), col("neighbor_id").as("_an"))
-      val hits = exact.join(got, Seq("vec_id"))
-        .filter(col("_en") === col("_an")).count()
-      (p, hits, n)
-    }
+    val measured: Seq[(Int, Long, Long)] =
+      if (nCells <= IvfIndex.PlanCells) {
+        // ONE scored pass over the STORED assignments calibrates the
+        // whole curve (previously: the exact full-probe anchor plus
+        // one partition-pruned search per rung — ~2x the corpus read
+        // and a ladder of count jobs). Each (sample query, corpus row)
+        // pair is tagged with the 1-based rank of the row's stored
+        // cell in the query's cell ranking (the same nanvl'd
+        // (cs desc, cell asc) order queryProbes uses), so rung nProbe
+        // reaches the pair iff rank <= nProbe — every rung's top-1 and
+        // the exact one fall out of one grouped max. Literal-plan
+        // regime only; the broadcast regime (huge nCells) keeps the
+        // per-rung ladder below.
+        val corpus = assign.read().select(col("obj_id"),
+          col("v").cast("array<double>").as("v"), col("cell"))
+        val sample = corpus
+          .orderBy(Sampling.splitBucket(col("obj_id"), Int.MaxValue).desc,
+            col("obj_id").desc)
+          .limit(sampleQueries)
+        val ranked = transform(array_sort(array(
+          centroids.zipWithIndex.map { case (w, c) =>
+            struct((-nanvl(Similarity.cosine(spark, col("qv"),
+              array(w.toSeq.map(lit): _*)),
+              lit(Double.NegativeInfinity))).as("nc"),
+              lit(c).as("cell"))
+          }.toIndexedSeq: _*)), x => x.getField("cell"))
+        val qside = sample.select(col("obj_id").as("qid"), col("v").as("qv"))
+          .withColumn("_cells", ranked)
+        val pairs = corpus.join(broadcast(qside), col("obj_id") =!= col("qid"))
+          .select(col("qid"),
+            struct(round(Similarity.cosine(spark, col("qv"), col("v")), 4)
+              .as("cs"), (-col("obj_id")).as("nn")).as("_st"),
+            array_position(col("_cells"), col("cell")).as("_r"))
+        val aggCols = max(col("_st")).as("_exact") +:
+          ladder.zipWithIndex.map { case (p, i) =>
+            max(when(col("_r") <= p, col("_st"))).as(s"_r$i") }
+        val rows = pairs.groupBy("qid").agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val n = rows.length.toLong
+        ladder.zipWithIndex.map { case (p, i) =>
+          val hits = rows.count { r => !r.isNullAt(2 + i) &&
+            r.getStruct(2 + i).getLong(1) == r.getStruct(1).getLong(1) }
+          (p, hits.toLong, n)
+        }
+      } else {
+        val corpus = assign.read()
+          .select(col("obj_id").as(idCol), col("v").as(vecCol))
+        val sample = corpus
+          .orderBy(Sampling.splitBucket(col(idCol), Int.MaxValue).desc,
+            col(idCol).desc)
+          .limit(sampleQueries).localCheckpoint()
+        val exact = search(sample, nCells)
+          .select(col("vec_id"), col("neighbor_id").as("_en"))
+          .localCheckpoint()
+        val n = exact.count()
+        ladder.map { p =>
+          val got = search(sample, p)
+            .select(col("vec_id"), col("neighbor_id").as("_an"))
+          val hits = exact.join(got, Seq("vec_id"))
+            .filter(col("_en") === col("_an")).count()
+          (p, hits, n)
+        }
+      }
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     IvfIndex.writeMeta(fs, rootP, dim, nCells, centroids, sourceRoot,
