@@ -2513,7 +2513,13 @@ final class Instance(val spark: SparkSession, val root: String,
     }
 
   private[acid] def writeStaged(df0: DataFrame, txn: Txn,
-      partitionBy0: Seq[String] = Nil): Seq[String] = {
+      partitionBy0: Seq[String] = Nil,
+      // observe the staged obj_ids ON the write job itself (insert
+      // paths): the id list the txn must record rides the write as an
+      // observed metric instead of costing a separate read-back pass
+      // over the just-written files — see [[CappedIdSet]]
+      observeIds: Boolean = false): Seq[String] = {
+    txn.pendingObservedIds = None // never serve a stale batch's ids
     // CHECK constraints ride the write job itself: every staged row —
     // inserts, CoW rewrite survivors with their updated values, merge
     // outputs — passes the throwing validator before any file lands
@@ -2564,8 +2570,27 @@ final class Instance(val spark: SparkSession, val root: String,
             rows.forall(!_.isNullAt(idIdx)))
           txn.stagedLocalIds(s"$sub/$name") = rows.map(_.getLong(idIdx)).toSeq
       case None =>
-        if (partitionBy.isEmpty) df.write.parquet(out)
-        else df.write.partitionBy(partitionBy: _*).parquet(out)
+        val obs =
+          if (observeIds && df.columns.contains("obj_id"))
+            Some(new org.apache.spark.sql.Observation(
+              s"graft-ids-$sub"))
+          else None
+        val dfW = obs.fold(df)(o => df.observe(o,
+          udaf(new CappedIdSet(conf.objectListThreshold),
+            org.apache.spark.sql.Encoders.LONG)(col("obj_id"))
+            .as("ids")))
+        if (partitionBy.isEmpty) dfW.write.parquet(out)
+        else dfW.write.partitionBy(partitionBy: _*).parquet(out)
+        // Some(ids) = exact distinct list (<= threshold);
+        // Some(null) = overflowed (caller builds the bloom summary);
+        // sorted in the aggregator, so recording is deterministic
+        txn.pendingObservedIds = obs.map(o =>
+          o.get.get("ids").orNull match {
+            case null => null
+            case xs: scala.collection.Seq[_] =>
+              xs.asInstanceOf[scala.collection.Seq[Long]].toArray
+            case xs: Array[Long] => xs
+          })
     }
     // recursive listing: a partitioned write nests k=v dirs, and the
     // relative path (with its k=v segments) IS how the manifest carries
@@ -4812,6 +4837,12 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
   // fewer Spark job per small commit (MV watermark rides, single-row
   // upserts, small streaming epochs)
   private[acid] val stagedLocalIds = mutable.Map[String, Seq[Long]]()
+  // hand-off from the LAST writeStaged(observeIds = true) to
+  // recordStagedObjects: Some(ids) = exact distinct ids observed ON
+  // the write job; Some(null) = batch overflowed objectListThreshold
+  // (build the bloom summary); None = no observation (job failed
+  // before the metric, or a non-observing writeStaged ran since)
+  private[acid] var pendingObservedIds: Option[Array[Long]] = None
   // secondary cluster-column ranges per staged file (multi-column
   // compact) — the manifest's colStats delta
   private[acid] val addedColStats =
@@ -5133,7 +5164,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * at extreme scale a min/max+bloom summary would replace it. */
   def insert(df: DataFrame): Unit = {
     adoptSchema(df) // validate BEFORE staging any data
-    val staged = inst.writeStaged(df, this)
+    val staged = inst.writeStaged(df, this, observeIds = true)
     assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
@@ -5200,6 +5231,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * driver nor the manifest ever holds O(batch) ids. The limit-probe
     * costs the same single job the old collect did. */
   private def recordStagedObjects(staged: Seq[String]): Unit = {
+    val observed = pendingObservedIds
+    pendingObservedIds = None
     // LOCAL-fast-path batches carry their ids driver-side already
     // (bounded by fastPathRows per file): no read-back job needed —
     // the spill guard still bounds the accumulated literal set
@@ -5208,11 +5241,25 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
       spillObjectsIfNeeded()
       return
     }
-    val idsDf = inst.stagedIdsDf(staged)
-    val th = inst.conf.objectListThreshold
-    val probe = idsDf.limit(th + 1).collect().map(_.getLong(0))
-    if (probe.length <= th) { objects ++= probe; spillObjectsIfNeeded() }
-    else mergeSummary(inst.buildSummary(idsDf))
+    observed match {
+      // ids observed ON the write job itself ([[CappedIdSet]]): the
+      // exact distinct list while it fits the threshold — zero extra
+      // jobs, zero re-reads of the staged files
+      case Some(ids) if ids != null =>
+        objects ++= ids; spillObjectsIfNeeded()
+      // overflowed: only batches past the threshold pay the bounded
+      // distributed summary pass (as they always did)
+      case Some(_) =>
+        mergeSummary(inst.buildSummary(inst.stagedIdsDf(staged)))
+      // no observation (job path not taken / metric unavailable):
+      // the original read-back probe
+      case None =>
+        val idsDf = inst.stagedIdsDf(staged)
+        val th = inst.conf.objectListThreshold
+        val probe = idsDf.limit(th + 1).collect().map(_.getLong(0))
+        if (probe.length <= th) { objects ++= probe; spillObjectsIfNeeded() }
+        else mergeSummary(inst.buildSummary(idsDf))
+    }
   }
 
   private[acid] def mergeSummary(s: ObjSummary): Unit =
@@ -5527,7 +5574,7 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     require(!partitionBy.contains("obj_id"),
       "obj_id cannot be a partition column (footer stats need it in-file)")
     adoptSchema(df) // validate BEFORE staging any data
-    val staged = inst.writeStaged(df, this, partitionBy)
+    val staged = inst.writeStaged(df, this, partitionBy, observeIds = true)
     assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
