@@ -228,7 +228,31 @@ object Bench {
       if (streamWarmup.isEmpty) ""
       else streamWarmup.map { case (k, v) => f""""$k":$v%.3f""" }
         .mkString(""","stream_warmup":{""", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$fsCanaryJson%s$recallJson%s$warmupJson%s}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$fsCanaryJson%s$recallJson%s$warmupJson%s}"""
+    println(fullLine)
+    // telemetry contract repair (additive): the full line above is
+    // ~5 KB and the round driver captures only the LAST 2000 chars of
+    // the run's output, so since round 1 it has never parsed a single
+    // bench artifact (BENCH_r*.json "parsed": null, PERF per_query
+    // empty). Two additive channels fix that without touching the
+    // primary line or the timing methodology:
+    //  1. the COMPLETE line is also written to a JSON file artifact
+    //     (per-query medians machine-readable regardless of tail size);
+    //  2. a COMPACT summary line (no 120-key dict — total, failures,
+    //     canaries, recall) is printed LAST so it always fits whole
+    //     inside the tail window.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_QUERIES.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile).toAbsolutePath
+      java.nio.file.Files.write(p,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] per-query JSON written to $p")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$fsCanaryJson%s$recallJson%s}""")
     spark.stop()
   }
 }

@@ -35,6 +35,12 @@ object Profile {
       // any attached listener working) at a fraction of the cost.
       .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
+    // measurement aid: A/B a conf change without editing the session
+    // builders — SPARK_GRAFT_CONF="k=v;k=v" applied on top
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("ERROR")
     val q = SparkEntry.queries(key)
 
@@ -60,9 +66,47 @@ object Profile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // in-process stack sampler (SPARK_GRAFT_SAMPLER=1): every 25 ms,
+    // record the most-interesting frame of every non-idle thread —
+    // attributes driver-gap time (AQE planning, codegen, manifest IO)
+    // that an external jstack cannot reliably catch on a forked JVM
+    val samplerOn = sys.env.get("SPARK_GRAFT_SAMPLER").contains("1")
+    val sampleCtr = new ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = samplerOn
+    val sampler = new Thread(() => {
+      try {
+        while (sampling) {
+          val all = Thread.getAllStackTraces
+          all.forEach { (t, frames) =>
+            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+              val fs = frames.map(f => s"${f.getClassName}.${f.getMethodName}")
+              val idle = Seq("epoll", "EPoll", "socketAccept", "accept0",
+                ".park", "readBytes", "waitForProcess", "Watch",
+                "available0", "waitForReference", "getAllStackTraces",
+                "dumpThreads")
+              if (!idle.exists(fs.head.contains)) {
+                val intr = fs.find(f => f.contains("graft") ||
+                  f.contains("catalyst") || f.contains("spark.sql") ||
+                  f.contains("janino") || f.contains("codehaus") ||
+                  f.contains("parquet") || f.contains("hadoop"))
+                  .getOrElse(fs.head)
+                sampleCtr.merge(intr, 1, (a, b) => a + b)
+              }
+            }
+          }
+          Thread.sleep(25)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[profile] sampler died: $e")
+      } finally System.err.println(
+        s"[profile] sampler exit, entries=${sampleCtr.size}")
+    })
+    sampler.setDaemon(true)
+    if (samplerOn) sampler.start()
     val t0 = System.nanoTime()
     q(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    sampling = false
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(500) // let listener events drain
     import scala.jdk.CollectionConverters._
@@ -71,6 +115,12 @@ object Profile {
     println(f"[profile] $key wall=$wall%.3f s, jobs=${all.size}, jobTimeSum=$jobSum%.3f s, driverGap=${wall - jobSum}%.3f s")
     all.foreach { case (id, d, desc) =>
       println(f"  job $id%4d  $d%7.3f s  ${desc.take(140)}")
+    }
+    if (samplerOn) {
+      println("[profile] busy-frame samples (25 ms):")
+      import scala.jdk.CollectionConverters._
+      sampleCtr.asScala.toSeq.sortBy(-_._2.intValue).take(30)
+        .foreach { case (f, n) => println(f"  $n%5d  $f") }
     }
     // aggregate by description for a compact view
     println("[profile] by description:")

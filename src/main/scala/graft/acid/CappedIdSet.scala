@@ -58,13 +58,16 @@ final class CappedIdSet(cap: Int)
     }
 
   override def bufferEncoder: Encoder[CappedIdSet.Buf] =
-    Encoders.javaSerialization[CappedIdSet.Buf]
+    Encoders.kryo[CappedIdSet.Buf]
   override def outputEncoder: Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()
 }
 
 object CappedIdSet {
-  /** Mutable per-task buffer; kryo-serialized between merge sites. */
+  /** Mutable per-task buffer, kryo-serialized between merge sites —
+    * kryo writes a HashSet[java.lang.Long] as element varints (close
+    * to 8 bytes/id), where java serialization paid the boxed-object
+    * graph overhead (~10x) on every per-partition merge payload. */
   final class Buf extends Serializable {
     var overflowed: Boolean = false
     var ids: java.util.HashSet[java.lang.Long] =

@@ -394,6 +394,7 @@ final class MaterializedAggView private (
           tooManySides) {
         val full = fullFold(head, headDs, gNow, sNow, mNow, xNow, nNow)
         try {
+          JobLabel(view.spark, "mv:snapshot-fold") {
           view.withRetry() { t =>
             // same stale-watermark + fence discipline as the
             // incremental path: the fold is valid only against the
@@ -422,6 +423,7 @@ final class MaterializedAggView private (
             // publishes and the watermark still advances)
             t.truncate()
             t.insert(full)
+          }
           }
           lastRefreshMode = if (initial) "initial" else "rebuild"
           return head
@@ -475,22 +477,45 @@ final class MaterializedAggView private (
             whereF(source.weightedDelta(last, head, alignToHead = true)),
             0, None)
           val dFact =
-            if (ckptDeltas && head > last) dFact0.localCheckpoint()
+            if (ckptDeltas && head > last)
+              JobLabel(view.spark, "mv:delta-ckpt")(dFact0.localCheckpoint())
             else dFact0
           val dDims: Seq[DataFrame] = dimJoins.indices.map { i =>
             val d = ctx.normalized(dimJoins(i).dim.weightedDelta(
               lastDs(i), headDs(i), alignToHead = true), i + 1, None)
-            if (ckptDeltas && headDs(i) > lastDs(i)) d.localCheckpoint()
+            if (ckptDeltas && headDs(i) > lastDs(i))
+              JobLabel(view.spark, "mv:delta-ckpt")(d.localCheckpoint())
             else d
           }
           val fSnap = ctx.normalized(
             whereF(source.snapshot(head)), 0, Some(1L))
-          def dimSnap(i: Int): DataFrame = ctx.normalized(
-            dimJoins(i).dim.snapshot(headDs(i)), i + 1, Some(1L))
+          // memoized per refresh: a dim snapshot appears in up to
+          // 2^(k-1) terms — one shared DataFrame keeps the relations
+          // canonically identical, so the file listing happens once
+          // and Spark's exchange reuse can kick in across terms
+          val dimSnapMemo =
+            scala.collection.mutable.Map.empty[Int, DataFrame]
+          def dimSnap(i: Int): DataFrame =
+            dimSnapMemo.getOrElseUpdate(i, ctx.normalized(
+              dimJoins(i).dim.snapshot(headDs(i)), i + 1, Some(1L)))
           val changed: Seq[Int] =
             (if (head > last) Seq(0) else Nil) ++
             dimJoins.indices.collect {
               case i if headDs(i) > lastDs(i) => i + 1 }
+          // stats-driven restriction floor: a quiet side's snapshot is
+          // semi-join restricted to the keys the term's deltas can
+          // match — O(churn) reads at scale — but each restriction
+          // costs a distinct-probe exchange + broadcast per term,
+          // pure overhead when the manifest's footer row counts bound
+          // the whole snapshot under mvSemiRestrictMinRows (driver
+          // metadata; lossless either way for an inner join — the
+          // unmatched extra rows drop in the join itself)
+          def tiny(r: Instance, v: Long): Boolean =
+            r.approxRowBound(v)
+              .exists(_ <= r.conf.mvSemiRestrictMinRows)
+          val factTiny = tiny(source, head)
+          val dimTiny = dimJoins.indices.map(i =>
+            tiny(dimJoins(i).dim, headDs(i)))
           val terms = (1 until (1 << changed.size)).map { m =>
             val s = changed.indices.collect {
               case j if (m & (1 << j)) != 0 => changed(j) }.toSet
@@ -499,6 +524,7 @@ final class MaterializedAggView private (
             // restricted to keys each in-term dim delta can match
             val fact0 =
               if (s(0)) dFact
+              else if (factTiny) fSnap
               else s.toSeq.sorted.filter(_ > 0).foldLeft(fSnap) { (f, r) =>
                 val i = r - 1
                 val probe = dDims(i)
@@ -510,6 +536,7 @@ final class MaterializedAggView private (
             // restricted to the fact component's join keys
             val dimDfs = dimJoins.indices.map { i =>
               if (s(i + 1)) dDims(i)
+              else if (dimTiny(i)) dimSnap(i)
               else {
                 val probe = fact0
                   .select(col(dimJoins(i).factKey).as(s"_k$i")).distinct()
@@ -529,7 +556,8 @@ final class MaterializedAggView private (
       // it so the file-restricted scans don't re-run per consumer, and
       // the lineage stays bounded
       val weightedShared =
-        if (mmCols.isEmpty) weighted else weighted.localCheckpoint()
+        if (mmCols.isEmpty) weighted
+        else JobLabel(view.spark, "mv:delta-ckpt")(weighted.localCheckpoint())
       val baseAggs: Seq[Column] =
         sum(col("_w")).as("cnt") +:
         sumCols.flatMap(c => Seq(

@@ -980,6 +980,22 @@ object VersionedTable {
     new Instance(spark, path, conf)
 }
 
+/** Spark job labels for the engine's internal actions ("label your
+  * jobs": the UI — and the graft.Profile by-description table — can
+  * then attribute lifecycle cost to the specific engine phase instead
+  * of an anonymous stage name). Thread-local, nesting-aware: an outer
+  * caller's label (e.g. merge-rewrite) wins over the generic inner one
+  * (stage-write), so the most specific attribution survives. */
+private[acid] object JobLabel {
+  def apply[T](spark: SparkSession, desc: String,
+      keepOuter: Boolean = false)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    if (!(keepOuter && prev != null)) sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+}
+
 /** Typed engine configuration (reference: 15 typed parameters in
   * src/system/config.rs:149-164 — the subset that survives the
   * Spark-first narrowing; buffer/WAL sizing maps to Spark memory and
@@ -1172,6 +1188,18 @@ final case class EngineConf(
     // falls back to the bounded snapshot rebuild (same fallback as
     // mvRebuildMaxInterval). Default 5 = at most 31 terms.
     mvMaxChangedSides: Int = 5,
+    // STATS-DRIVEN planner floor for the star-delta's quiet-side
+    // restriction: a quiet relation's snapshot in an incremental
+    // refresh term is SEMI-JOIN restricted to the keys the term's
+    // deltas can match — O(churn) reads at scale — but the probe
+    // (distinct + exchange + broadcast) costs 2-3 Spark stages per
+    // term, which is pure overhead when the whole snapshot is smaller
+    // than one shuffle partition. Below this row bound (from manifest
+    // footer counts, a driver-side metadata read; lossless either way
+    // for an inner join) the term scans the snapshot directly. Any
+    // production table exceeds this instantly, so at 100 TB every
+    // term stays key-restricted.
+    mvSemiRestrictMinRows: Long = 65536L,
     // OPT-IN append-time id-uniqueness: plain INSERTs (batch and
     // streaming-append epochs) probe their staged ids against the
     // snapshot (candidate-file pruned) and within the batch, failing
@@ -1209,6 +1237,7 @@ final case class EngineConf(
   require(fastPathRows >= 0, s"fastPathRows must be >= 0")
   require(mvRebuildMaxInterval >= 1, s"mvRebuildMaxInterval must be >= 1")
   require(mvMaxChangedSides >= 1, s"mvMaxChangedSides must be >= 1")
+  require(mvSemiRestrictMinRows >= 0, s"mvSemiRestrictMinRows must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -1484,6 +1513,32 @@ final class Instance(val spark: SparkSession, val root: String,
     val st = computeStateAt(v)
     stateMemo = (v, st)
     st
+  }
+
+  /** Upper bound on `snapshot(v)`'s row count from MANIFEST metadata
+    * alone — the per-file footer row counts every staged file records
+    * ([[VersionedTable.RowsKey]]); deletion vectors only shrink the
+    * true count, so the sum stays an upper bound. None when the state
+    * is segmented (a table that outgrew the inline manifest is big by
+    * construction) or any live file predates the row-count stat.
+    * Driver-side metadata only — never a Spark job. Feeds stats-driven
+    * planner choices (e.g. the star-delta's quiet-side restriction):
+    * a false None costs a harmless extra restriction, never rows. */
+  private[graft] def approxRowBound(v: Long): Option[Long] = {
+    val st = tableStateAt(v)
+    if (st.sidecar.isDefined) None
+    else {
+      var sum = 0L
+      val it = st.inlineFiles.iterator
+      while (it.hasNext) {
+        val f = it.next()
+        st.fileStats.get(f).flatMap(_.get(VersionedTable.RowsKey)) match {
+          case Some(u) => sum += u.min.toLong
+          case None => return None
+        }
+      }
+      Some(sum)
+    }
   }
 
   private def computeStateAt(v: Long): TableState = {
@@ -2576,11 +2631,11 @@ final class Instance(val spark: SparkSession, val root: String,
               s"graft-ids-$sub"))
           else None
         val dfW = obs.fold(df)(o => df.observe(o,
-          udaf(new CappedIdSet(conf.objectListThreshold),
-            org.apache.spark.sql.Encoders.LONG)(col("obj_id"))
-            .as("ids")))
-        if (partitionBy.isEmpty) dfW.write.parquet(out)
-        else dfW.write.partitionBy(partitionBy: _*).parquet(out)
+          cappedIdUdaf(col("obj_id")).as("ids")))
+        JobLabel(spark, "graft:stage-write", keepOuter = true) {
+          if (partitionBy.isEmpty) dfW.write.parquet(out)
+          else dfW.write.partitionBy(partitionBy: _*).parquet(out)
+        }
         // Some(ids) = exact distinct list (<= threshold);
         // Some(null) = overflowed (caller builds the bloom summary);
         // sorted in the aggregator, so recording is deterministic
@@ -2641,7 +2696,10 @@ final class Instance(val spark: SparkSession, val root: String,
     val (live, dead) =
       if (live0.isEmpty && dead0.nonEmpty) (dead0.take(1), dead0.drop(1))
       else (live0, dead0)
-    dead.foreach { case (f, _) =>
+    // deletes ride the same bounded pool as the footer reads: a wide
+    // partitioned write can stage (tasks x partitions) empty parts,
+    // and each delete is a metadata RPC on an object store
+    pooledMap(dead) { case (f, _) =>
       try fs.delete(new Path(dataDir, f), false)
       catch { case _: java.io.IOException => () } // orphan sweep backstop
     }
@@ -2961,6 +3019,15 @@ final class Instance(val spark: SparkSession, val root: String,
         parts.map(_.pos).foldLeft(GraftBitmap.empty)(_ union _))
     }.toMap
   }
+
+  /** The capped distinct-id collector as a reusable column function —
+    * built ONCE per instance: `udaf(...)` derives its input/buffer/
+    * output encoders through runtime reflection (ScalaReflection
+    * mirror walks), which showed up as real driver time when every
+    * staged write and merge probe re-derived them. */
+  private[acid] lazy val cappedIdUdaf =
+    udaf(new CappedIdSet(conf.objectListThreshold),
+      org.apache.spark.sql.Encoders.LONG)
 
   /** Map driver-side metadata reads over a bounded thread pool,
     * preserving input order (manifest reads, parquet footers — each a
@@ -5640,18 +5707,40 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     // while the conflict summary records another
     val src = source.persist()
     try {
-      // ONE probe job serves both guards: the per-key counts (dup
+      // ONE probe job serves three guards: the per-key counts (dup
       // rejection) re-aggregate into the global key bounds in the same
       // pass — previously two full passes over the source (a dup-check
-      // shuffle, then a bounds aggregate). The duplicate id itself is
-      // only recomputed on the failure path, which may pay a second
+      // shuffle, then a bounds aggregate) — and the same pass collects
+      // the conflict-tracking id list (capped at objectListThreshold,
+      // null on overflow), which used to cost its own limit-probe job
+      // at the end of the merge. The duplicate id itself is only
+      // recomputed on the failure path, which may pay a second
       // (doomed) pass for its error message.
-      val probe = src.groupBy("obj_id")
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_c"))
-        .agg(org.apache.spark.sql.functions.min(col("obj_id")),
-          org.apache.spark.sql.functions.max(col("obj_id")),
-          org.apache.spark.sql.functions.max(col("_c"))).collect()(0)
+      val th = inst.conf.objectListThreshold
+      val probe = JobLabel(inst.spark, "graft:merge-probe+source-fold") {
+        src.groupBy("obj_id")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_c"))
+          .agg(org.apache.spark.sql.functions.min(col("obj_id")),
+            org.apache.spark.sql.functions.max(col("obj_id")),
+            org.apache.spark.sql.functions.max(col("_c")),
+            org.apache.spark.sql.functions.sum(
+              when(col("obj_id").isNull, col("_c")).otherwise(lit(0L))),
+            inst.cappedIdUdaf(col("obj_id"))).collect()(0)
+      }
       if (probe.isNullAt(0)) return // empty source: no-op
+      // exact distinct id list from the probe pass (the groupBy already
+      // deduplicated); null = overflowed past the threshold. A source
+      // with null obj_ids (no internal caller produces one) keeps the
+      // legacy limit-probe recording below, whose unboxing spelled
+      // nulls as 0L — exact behavioral compatibility.
+      val srcIds: Array[Long] =
+        if (probe.getLong(3) > 0L) null
+        else probe.get(4) match {
+          case null => null
+          case xs: scala.collection.Seq[_] =>
+            xs.asInstanceOf[scala.collection.Seq[Long]].toArray
+          case xs: Array[Long] => xs
+        }
       if (probe.getLong(2) > 1L) {
         val dup = src.groupBy("obj_id").count()
           .filter(col("count") > 1).limit(1).collect()
@@ -5674,8 +5763,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
           .withColumn("_file", input_file_name())
       val mutates = matchedDelete.isDefined || matchedUpdate.nonEmpty
       if (snap != null && mutates) {
-        val hit = snap.join(keys, Seq("obj_id"), "left_semi")
-          .select("_file").distinct().collect().map(_.getString(0))
+        val hit = JobLabel(inst.spark, "graft:merge-hit-files") {
+          snap.join(keys, Seq("obj_id"), "left_semi")
+            .select("_file").distinct().collect().map(_.getString(0))
+        }
         if (hit.nonEmpty) {
           val touched = inst.viewOf(hit.toSeq.map(relativize), ddl, masks, localRen)
           val kept = touched.join(keys, Seq("obj_id"), "left_anti")
@@ -5696,7 +5787,9 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
           val rewrite = kept.unionByName(afterDelete.select(assigned: _*))
           // no isEmpty pre-probe: the join/union executes ONCE, in
           // the write job — writeStaged drops zero-row part files
-          val rewritten = inst.writeStaged(rewrite, this)
+          val rewritten = JobLabel(inst.spark, "graft:merge-rewrite") {
+            inst.writeStaged(rewrite, this)
+          }
           retire(hit.toSeq.map(relativize))
           added ++= rewritten
         }
@@ -5705,17 +5798,24 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         val unmatched = if (snap == null) src
           else src.join(snap.select("obj_id"), Seq("obj_id"), "left_anti")
         val inserts = unmatched.select(tCols.map(col): _*)
-        insert(inserts) // empty anti-join stages nothing (no pre-probe)
+        // empty anti-join stages nothing (no pre-probe)
+        JobLabel(inst.spark, "graft:merge-insert")(insert(inserts))
       }
       // conflict tracking over the full source key set (a superset of
       // the rows actually modified — conservative, never unsound);
       // insert() already recorded the inserted ids, but ids only ever
-      // widen the conflict set, so double-recording is harmless
+      // widen the conflict set, so double-recording is harmless. The
+      // id list rode the probe job above — no extra pass unless it
+      // overflowed the threshold (then the bounded bloom summary pays
+      // one, as it always did) or carried nulls (legacy limit-probe).
       if (mutates) {
-        val th = inst.conf.objectListThreshold
-        val probe = keys.limit(th + 1).collect().map(_.getLong(0))
-        if (probe.length <= th) { objects ++= probe; spillObjectsIfNeeded() }
-        else mergeSummary(inst.buildSummary(keys))
+        if (srcIds != null) { objects ++= srcIds; spillObjectsIfNeeded() }
+        else if (probe.getLong(3) > 0L) {
+          val legacy = keys.limit(th + 1).collect().map(_.getLong(0))
+          if (legacy.length <= th) {
+            objects ++= legacy; spillObjectsIfNeeded()
+          } else mergeSummary(inst.buildSummary(keys))
+        } else mergeSummary(inst.buildSummary(keys))
       }
     } finally src.unpersist()
   }
