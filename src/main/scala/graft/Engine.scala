@@ -44,10 +44,28 @@ object Engine {
       // no consumer — 'simple' keeps the event at a fraction of the
       // cost. Overridable like any conf for UI-on deployments.
       .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.hadoop.fs.file.impl", localFsImpl)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", localAbsFsImpl)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** file:// implementations for the session builders: without the
+    * libhadoop native library (absent here, and in most containers)
+    * Hadoop's local FS FORKS a `chmod` per create/mkdirs (measured
+    * 9 ms / 4 ms per call) and an `ls` per first permission read —
+    * 30-50% of streaming-key wall and a steady slice of every ACID
+    * commit in driver profiles. [[graft.acid.BareLocalFileSystem]] is
+    * the stock checksummed local FS with the permission forks removed
+    * (meaningless bits on a single-user scratch volume; identical
+    * rename/durability semantics). Object-store schemes never touch
+    * this; override via SPARK_GRAFT_LOCAL_FS_IMPL / _ABS for plain
+    * Hadoop behavior. */
+  def localFsImpl: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS_IMPL",
+    classOf[graft.acid.BareLocalFileSystem].getName)
+  def localAbsFsImpl: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS_ABS",
+    classOf[graft.acid.BareLocalFs].getName)
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

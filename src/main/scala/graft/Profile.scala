@@ -34,6 +34,11 @@ object Profile {
       // QueryExecution.explainString). 'simple' keeps the event (and
       // any attached listener working) at a fraction of the cost.
       .config("spark.sql.ui.explainMode", "simple")
+      // no-fork local FS (see Engine.localFsImpl: chmod/ls forks
+      // removed; env-overridable)
+      .config("spark.hadoop.fs.file.impl", graft.Engine.localFsImpl)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        graft.Engine.localAbsFsImpl)
       .getOrCreate()
     // measurement aid: A/B a conf change without editing the session
     // builders — SPARK_GRAFT_CONF="k=v;k=v" applied on top
@@ -85,11 +90,17 @@ object Profile {
                 "available0", "waitForReference", "getAllStackTraces",
                 "dumpThreads")
               if (!idle.exists(fs.head.contains)) {
-                val intr = fs.find(f => f.contains("graft") ||
+                val intr0 = fs.find(f => f.contains("graft") ||
                   f.contains("catalyst") || f.contains("spark.sql") ||
                   f.contains("janino") || f.contains("codehaus") ||
                   f.contains("parquet") || f.contains("hadoop"))
                   .getOrElse(fs.head)
+                // fork/exec frames: name the non-Shell caller too
+                val intr =
+                  if (!intr0.contains("hadoop.util.Shell")) intr0
+                  else intr0 + " <- " + fs.find(f =>
+                    !f.contains("hadoop.util.Shell") &&
+                    !f.contains("java.lang.Process")).getOrElse("?")
                 sampleCtr.merge(intr, 1, (a, b) => a + b)
               }
             }

@@ -24,6 +24,11 @@ object Verify {
       // QueryExecution.explainString). 'simple' keeps the event (and
       // any attached listener working) at a fraction of the cost.
       .config("spark.sql.ui.explainMode", "simple")
+      // no-fork local FS (see Engine.localFsImpl: chmod/ls forks
+      // removed; env-overridable)
+      .config("spark.hadoop.fs.file.impl", graft.Engine.localFsImpl)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        graft.Engine.localAbsFsImpl)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -716,14 +716,29 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           changed.map(r => r -> normalized(
             insts(r).weightedDelta(wms(r), pins(r), alignToHead = true),
             r, None)).toMap
+        // memoized: a snapshot factor appears in up to 2^(k-1) terms —
+        // one shared relation (one file listing, reusable scan)
+        val snapMemo =
+          scala.collection.mutable.Map
+            .empty[Int, org.apache.spark.sql.DataFrame]
         def snapOf(r: Int): org.apache.spark.sql.DataFrame =
-          normalized(insts(r).snapshot(pins(r)), r, Some(lit(1L)))
+          snapMemo.getOrElseUpdate(r,
+            normalized(insts(r).snapshot(pins(r)), r, Some(lit(1L))))
+        // same stats-driven restriction floor as the refresh's own
+        // delta (MaterializedView.scala): a snapshot the manifest row
+        // counts bound under mvSemiRestrictMinRows skips the per-term
+        // key probe — lossless for an inner join, and the probe's
+        // distinct+exchange is pure overhead at that size
+        def tinySnap(r: Int): Boolean =
+          insts(r).approxRowBound(pins(r))
+            .exists(_ <= insts(r).conf.mvSemiRestrictMinRows)
         val terms = (1 until (1 << changed.size)).map { m =>
           val s = changed.indices.collect {
             case j if (m & (1 << j)) != 0 => changed(j) }.toSet
           val sign = if (s.size % 2 == 1) 1L else -1L
           val fact0 =
             if (s(0)) dRel(0)
+            else if (tinySnap(0)) snapOf(0)
             else s.toSeq.sorted.filter(_ > 0).foldLeft(snapOf(0)) { (f, r) =>
               val i = r - 1
               val probe = dRel(r)
@@ -733,6 +748,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             }
           val dimDfs = cand.dims.indices.map { i =>
             if (s(i + 1)) dRel(i + 1)
+            else if (tinySnap(i + 1)) snapOf(i + 1)
             else {
               val probe = fact0
                 .select(col(cand.dims(i).factKey).as(s"_k$i")).distinct()
