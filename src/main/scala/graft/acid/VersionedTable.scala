@@ -1200,6 +1200,14 @@ final case class EngineConf(
     // production table exceeds this instantly, so at 100 TB every
     // term stays key-restricted.
     mvSemiRestrictMinRows: Long = 65536L,
+    // fused-bloom scale gate: a bloom-enabled staged batch whose exact
+    // footer row count is at or under this builds its per-file blooms
+    // on the bounded driver pool (one projected Group read per file,
+    // fused with the footer-stats pass — zero Spark jobs); bigger
+    // batches keep the distributed read-back pass, whose one extra
+    // read is amortized by the batch it covers. Bit-identical output
+    // either way.
+    fileBloomLocalRows: Long = 65536L,
     // OPT-IN append-time id-uniqueness: plain INSERTs (batch and
     // streaming-append epochs) probe their staged ids against the
     // snapshot (candidate-file pruned) and within the batch, failing
@@ -1238,6 +1246,7 @@ final case class EngineConf(
   require(mvRebuildMaxInterval >= 1, s"mvRebuildMaxInterval must be >= 1")
   require(mvMaxChangedSides >= 1, s"mvMaxChangedSides must be >= 1")
   require(mvSemiRestrictMinRows >= 0, s"mvSemiRestrictMinRows must be >= 0")
+  require(fileBloomLocalRows >= 0, s"fileBloomLocalRows must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -2725,12 +2734,20 @@ final class Instance(val spark: SparkSession, val root: String,
                StringType | BinaryType => true
           case _ => false
         })))
-    if (bloomPcols.nonEmpty && staged.nonEmpty)
-      fileBlooms(staged, bloomPcols, conf.fileBloomBits).foreach {
-        case (f, entries) =>
+    if (bloomPcols.nonEmpty && staged.nonEmpty) {
+      // exact batch row count from the footers just read — feeds the
+      // fused local bloom path's scale gate
+      val rowCounts = live.map(_._2.get(VersionedTable.RowsKey)
+        .flatMap(_.longRange).map(_._1))
+      val stagedRows =
+        if (rowCounts.forall(_.isDefined)) Some(rowCounts.flatten.sum)
+        else None
+      fileBlooms(staged, bloomPcols, conf.fileBloomBits, stagedRows)
+        .foreach { case (f, entries) =>
           txn.addedFileStats(f) =
             txn.addedFileStats.getOrElse(f, Map.empty) ++ entries
-      }
+        }
+    }
     staged
   }
 
@@ -2741,7 +2758,110 @@ final class Instance(val spark: SparkSession, val root: String,
     * a distributed build equals a serial one. Returned as `#fb:` ustat
     * entries ready to merge into the txn's file stats. */
   private[acid] def fileBlooms(staged: Seq[String], pcols0: Seq[String],
-      mBits: Int): Map[String, Map[String, UStat]] = {
+      mBits: Int, totalRows: Option[Long] = None)
+      : Map[String, Map[String, UStat]] = {
+    val k = IdBloom.DefaultK
+    // METADATA-LATENCY fused path: when the caller's footer stats
+    // bound the whole staged batch under fileBloomLocalRows, build the
+    // blooms on the SAME bounded driver pool that just read the
+    // footers — a projected parquet Group read per file, zero Spark
+    // jobs (previously every bloom-enabled write paid a read-back
+    // job over its own batch). Bit-identical to the distributed build:
+    // INT32/INT64 hash as their long value and BINARY as its bytes,
+    // exactly [[IdBloom.hashValue]]'s canonicalization. Any surprise
+    // (read error, non-primitive shape) falls back to the distributed
+    // pass; big batches always take it — at scale the read-back is
+    // amortized by the batch it covers.
+    val localBuilt: Option[(Seq[String], Map[String, Map[Int, IdBloom]])] =
+      if (totalRows.exists(_ <= conf.fileBloomLocalRows))
+        localFileBlooms(staged, pcols0, mBits)
+      else None
+    localBuilt match {
+      case Some((pcolsL, byFileL)) =>
+        if (pcolsL.isEmpty) Map.empty
+        else fileBloomEntries(staged, pcolsL, byFileL, mBits)
+      case None => fileBloomsDistributed(staged, pcols0, mBits)
+    }
+  }
+
+  /** Driver-pooled bloom build for metadata-small batches: per file, a
+    * projected Group read of the declared columns. Returns the present
+    * column list (union across footers, order of `pcols0`) and per-file
+    * blooms indexed by position in that list — the exact shape the
+    * distributed pass produces — or None to fall back. */
+  private def localFileBlooms(staged: Seq[String], pcols0: Seq[String],
+      mBits: Int): Option[(Seq[String], Map[String, Map[Int, IdBloom]])] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
+    val k = IdBloom.DefaultK
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val perFile: Seq[(String, Map[String, IdBloom], Set[String])] =
+      pooledMap(staged) { rel =>
+        val p = new Path(dataDir, rel)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, hconf)
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val schema = try fr.getFooter.getFileMetaData.getSchema
+          finally fr.close()
+        val cols: Seq[(String,
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName)] =
+          pcols0.filter(schema.containsField).flatMap { c =>
+            val t = schema.getType(schema.getFieldIndex(c))
+            if (!t.isPrimitive) None
+            else t.asPrimitiveType.getPrimitiveTypeName match {
+              case INT32 | INT64 | BINARY =>
+                Some(c -> t.asPrimitiveType.getPrimitiveTypeName)
+              case _ => None
+            }
+          }
+        if (cols.isEmpty) (rel, Map.empty[String, IdBloom], Set.empty[String])
+        else {
+          val proj = new org.apache.parquet.schema.MessageType(
+            "graft_bloom_projection",
+            cols.map { case (c, _) =>
+              schema.getType(schema.getFieldIndex(c)) }: _*)
+          val rconf = new org.apache.hadoop.conf.Configuration(hconf)
+          rconf.set(
+            org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            proj.toString)
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(
+              new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+            .withConf(rconf).build()
+          val acc = scala.collection.mutable.HashMap.empty[String, IdBloom]
+          try {
+            var g = reader.read()
+            while (g != null) {
+              var i = 0
+              while (i < cols.length) {
+                if (g.getFieldRepetitionCount(i) > 0) {
+                  val h = cols(i)._2 match {
+                    case INT64 => g.getLong(i, 0)
+                    case INT32 => g.getInteger(i, 0).toLong
+                    case _ => IdBloom.hashBytes(g.getBinary(i, 0).getBytes)
+                  }
+                  acc.getOrElseUpdate(cols(i)._1,
+                    IdBloom.empty(mBits.toLong, k)).add(h)
+                }
+                i += 1
+              }
+              g = reader.read()
+            }
+          } finally reader.close()
+          (rel, acc.toMap, cols.map(_._1).toSet)
+        }
+      }
+    val presentUnion: Set[String] = perFile.flatMap(_._3).toSet
+    val pcols = pcols0.filter(presentUnion)
+    val byFile: Map[String, Map[Int, IdBloom]] = perFile.map {
+      case (rel, m, _) =>
+        rel -> pcols.zipWithIndex.flatMap { case (c, i) =>
+          m.get(c).map(i -> _) }.toMap
+    }.toMap
+    Some((pcols, byFile))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def fileBloomsDistributed(staged: Seq[String],
+      pcols0: Seq[String], mBits: Int): Map[String, Map[String, UStat]] = {
     val paths = staged.map(f => new Path(dataDir, f).toString)
     val k = IdBloom.DefaultK
     val raw = spark.read.parquet(paths: _*)
@@ -2799,6 +2919,15 @@ final class Instance(val spark: SparkSession, val root: String,
     val byFile: Map[String, Map[Int, IdBloom]] = built
       .groupBy(_._1._1)
       .map { case (n, es) => n -> es.map { case ((_, i), b) => i -> b }.toMap }
+    fileBloomEntries(staged, pcols, byFile, mBits)
+  }
+
+  /** Shared tail of both bloom builds: per-(file, column) `#fb:` ustat
+    * entries, with the inline-cap sidecar spill. */
+  private def fileBloomEntries(staged: Seq[String], pcols: Seq[String],
+      byFile: Map[String, Map[Int, IdBloom]], mBits: Int)
+      : Map[String, Map[String, UStat]] = {
+    val k = IdBloom.DefaultK
     // files absent from the built map hold NO non-null value for that
     // column (empty rewrite part files, all-null columns, pre-evolution
     // files read as null) — an EMPTY bloom is the SOUND entry for them:
@@ -6106,12 +6235,19 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         })
         .map(_ => ren.getOrElse(c, c))
     }
-    if (bloomPcols.nonEmpty && staged.nonEmpty)
-      inst.fileBlooms(staged, bloomPcols, inst.conf.fileBloomBits)
+    if (bloomPcols.nonEmpty && staged.nonEmpty) {
+      val rowCounts = stagedStats.map(_._2.get(VersionedTable.RowsKey)
+        .flatMap(_.longRange).map(_._1))
+      val stagedRows =
+        if (rowCounts.forall(_.isDefined)) Some(rowCounts.flatten.sum)
+        else None
+      inst.fileBlooms(staged, bloomPcols, inst.conf.fileBloomBits,
+          stagedRows)
         .foreach { case (f, entries) =>
           addedFileStats(f) = addedFileStats.getOrElse(f, Map.empty) ++
             entries
         }
+    }
     retire(scanned)
     added ++= staged
     // segmented snapshot: scanned checkpoint-covered files' id ranges

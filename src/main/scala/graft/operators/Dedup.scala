@@ -179,13 +179,30 @@ object Dedup {
     // would take |n*tau - k| < 1e-9 ≠ 0 to fool it, impossible for
     // doc sizes < ~1e8 at rational taus).
     def overlapCeil(n: Column): Column = ceil(n * lit(tau) - lit(1e-9))
+    // the prefix carries (n = set size, p = 1-based rank of s within
+    // the doc under the global order) so the candidate join can apply
+    // two EXACTNESS-PRESERVING prunes before the distinct+verify:
+    //  - length-ratio: jac >= tau implies |A∩B| <= min and |A∪B| >=
+    //    max, so min(n_a, n_b) >= tau * max(n_a, n_b);
+    //  - positional (PPJoin): jac >= tau iff overlap >= ceil(tau/(1+
+    //    tau) * (n_a+n_b)). For the pair's FIRST common element under
+    //    the global order, nothing before its positions intersects, so
+    //    overlap <= min(n_a-p_a, n_b-p_b) + 1 — a qualifying pair's
+    //    first-common-element row always passes, and the pair survives
+    //    the ANY-row-passes distinct. Rows for later shared elements
+    //    may be pruned, which only removes duplicate collisions.
+    // Both prunes cut the candidate-pair set the exact verify must
+    // merge-intersect — the dominant cost — and drop no true pair.
     val prefix =
       if (!orderByDf) {
         // sh is sorted ascending: its first L elements ARE the prefix
-        // under the hash-asc global order
+        // under the hash-asc global order (posexplode rank = position
+        // in the full sorted set)
         val L = (size(col("sh")) - overlapCeil(size(col("sh")))
           + lit(1)).cast("int")
-        ds.select(col("id"), explode(slice(col("sh"), lit(1), L)).as("s"))
+        ds.select(col("id"), size(col("sh")).as("n"),
+            posexplode(slice(col("sh"), lit(1), L)).as(Seq("p0", "s")))
+          .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("s"))
       } else {
         // carry the set size through the explode so ranking needs only
         // ONE window function (row_number); n as a second windowed
@@ -197,18 +214,26 @@ object Dedup {
         // self-join below; without a cut each side re-runs the whole
         // explode -> dfreq-join -> window chain (4-5 subtree
         // evaluations end to end). localCheckpoint materializes the
-        // narrow (id, s) prefix once — same bounded-lineage pattern
-        // as Instance.changes()
+        // narrow (id, n, p, s) prefix once — same bounded-lineage
+        // pattern as Instance.changes()
         ex.join(dfreq, "s")
           .withColumn("pos", row_number().over(
             Window.partitionBy("id").orderBy(col("df"), col("s"))))
           .filter(col("pos") <= col("n") - overlapCeil(col("n")) + lit(1))
-          .select("id", "s")
+          .select(col("id"), col("n"), col("pos").as("p"), col("s"))
           .localCheckpoint()
       }
-    val cand = prefix.select(col("id").as("id_a"), col("s"))
-      .join(prefix.select(col("id").as("id_b"), col("s")), "s")
+    val needed = ceil((col("n_a") + col("n_b")) * lit(tau / (1.0 + tau))
+      - lit(1e-9))
+    val cand = prefix.select(col("id").as("id_a"), col("n").as("n_a"),
+        col("p").as("p_a"), col("s"))
+      .join(prefix.select(col("id").as("id_b"), col("n").as("n_b"),
+        col("p").as("p_b"), col("s")), "s")
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(tau) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .filter(least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
+        + lit(1) >= needed)
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, ds, tau)
   }

@@ -58,6 +58,22 @@ class FileBloomSpec extends AnyFunSuite {
   private def dsv2(inst: Instance): DataFrame =
     spark.read.format("graft").option("path", inst.root).load()
 
+  test("local fused bloom build is bit-identical to the distributed pass") {
+    val inst = seeded(EngineConf(fileBloomCols = Seq("uname", "score")))
+    val files = inst.tableStateAt(inst.latestVersion).inlineFiles.take(8)
+    val cols = Seq("uname", "score")
+    // same staged files through both builders: the driver-pooled Group
+    // read (row count under the gate) and the distributed read-back
+    // job (gate withheld) must produce byte-identical #fb: entries —
+    // the soundness of every later probe rests on equal hashing
+    val local = inst.fileBlooms(files, cols, inst.conf.fileBloomBits,
+      totalRows = Some(8L * 40))
+    val dist = inst.fileBlooms(files, cols, inst.conf.fileBloomBits,
+      totalRows = None)
+    assert(local.nonEmpty)
+    assert(local == dist)
+  }
+
   test("point predicates on a bloom column prune >90% of files") {
     val inst = seeded(EngineConf(fileBloomCols = Seq("uname"),
       fileBloomBits = 1 << 14))
