@@ -555,9 +555,31 @@ final class MaterializedAggView private (
       // per min/max/ndv column (the netting pass below): materialize
       // it so the file-restricted scans don't re-run per consumer, and
       // the lineage stays bounded
+      // single-extremum/ndv no-sum views fold base + candidates from
+      // ONE materialized netting pass (sharedPerValue below) — the raw
+      // delta then has a single consumer and needs no checkpoint
+      val singleNet = sumCols.isEmpty && mmCols.size == 1
       val weightedShared =
-        if (mmCols.isEmpty) weighted
+        if (mmCols.isEmpty || singleNet) weighted
         else JobLabel(view.spark, "mv:delta-ckpt")(weighted.localCheckpoint())
+      // single-extremum/ndv views with no sum columns (the COUNT +
+      // MIN/MAX or COUNT + NDV shape): the per-(group, value) netting
+      // pass below already carries every delta row's weight, so the
+      // base count FOLDS FROM IT — Σ over a group's value-nets is the
+      // group's Σ_w (values netting to 0 contribute 0 either way, and
+      // a group whose every value cancels is equivalently absent: its
+      // base row would be cnt=0 with no candidate activity, which the
+      // delta filter drops). One materialized netting pass replaces
+      // two full scans of the delta. Views with sums keep the raw
+      // base scan (the weighted sum needs the un-netted rows).
+      val sharedPerValue: Option[DataFrame] =
+        if (singleNet)
+          Some(JobLabel(view.spark, "mv:delta-net")(weightedShared
+            .groupBy((groupCols :+ mmCols.head).distinct.map(col): _*)
+            .agg(sum(col("_w")).as("_net"))
+            .filter(col("_net") =!= 0L)
+            .localCheckpoint()))
+        else None
       val baseAggs: Seq[Column] =
         sum(col("_w")).as("cnt") +:
         sumCols.flatMap(c => Seq(
@@ -570,10 +592,13 @@ final class MaterializedAggView private (
             .cast(sumStore(c)).as(s"sum_$c"),
           sum(when(col(c).isNotNull, col("_w")).otherwise(lit(0L)))
             .as(s"nn_$c")))
-      val base = weightedShared
-        .groupBy(groupCols.map(col): _*)
-        .agg(baseAggs.head, baseAggs.tail: _*)
-        .withColumn("obj_id", xxhash64(groupCols.map(col): _*))
+      val base = (sharedPerValue match {
+        case Some(pv) => pv.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("_net")).as("cnt"))
+        case None => weightedShared
+          .groupBy(groupCols.map(col): _*)
+          .agg(baseAggs.head, baseAggs.tail: _*)
+      }).withColumn("obj_id", xxhash64(groupCols.map(col): _*))
       // inserted/deleted extremum candidates of the interval, from the
       // NETTED per-(group, value) multiplicities — NOT the raw signed
       // rows: a value inserted and deleted in SEPARATE commits of one
@@ -587,10 +612,10 @@ final class MaterializedAggView private (
       // the true insert candidates (merge's least/greatest input and
       // the unmatched-INSERT value); net < 0 the true death detectors.
       val withCand = mmCols.foldLeft(base) { (acc, c) =>
-        val perValue = weightedShared
+        val perValue = sharedPerValue.getOrElse(weightedShared
           .groupBy((groupCols :+ c).distinct.map(col): _*)
           .agg(sum(col("_w")).as("_net"))
-          .filter(col("_net") =!= 0L)
+          .filter(col("_net") =!= 0L))
         val candAggs: Seq[Column] =
           (if (minCols.contains(c)) Seq(
             min(when(col("_net") > 0, col(c))).as(s"min_$c"),
