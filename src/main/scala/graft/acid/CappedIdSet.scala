@@ -29,9 +29,17 @@ final class CappedIdSet(cap: Int)
 
   override def reduce(b: CappedIdSet.Buf, id: java.lang.Long)
       : CappedIdSet.Buf = {
-    if (!b.overflowed && id != null) {
-      b.ids.add(id.longValue)
-      if (b.ids.size > cap) { b.overflowed = true; b.ids = null }
+    // a NULL id flips to the fallback path ([[finish]] returns null)
+    // instead of being silently skipped: the legacy read-back probe
+    // recorded null ids (as 0L via unboxing), and the fallback's
+    // distributed summary does the same — an id silently missing from
+    // the conflict set would be the one unsound outcome
+    if (!b.overflowed) {
+      if (id == null) { b.overflowed = true; b.ids = null }
+      else {
+        b.ids.add(id.longValue)
+        if (b.ids.size > cap) { b.overflowed = true; b.ids = null }
+      }
     }
     b
   }

@@ -1345,7 +1345,15 @@ final class Instance(val spark: SparkSession, val root: String,
     val hit = manifestCache.get(java.lang.Long.valueOf(v))
     if (hit != null) return hit
     val m = readManifestUncached(v)
-    manifestCache.put(java.lang.Long.valueOf(v), m)
+    // SIZE-weighted admission: the LRU bound is entry COUNT, but a
+    // large-table checkpoint manifest carries the full inline file
+    // list + per-file stats — 128 of those could pin hundreds of MB of
+    // parsed state on the driver. Wide manifests stay uncached (the
+    // state fold memoizes the FOLDED TableState separately, so the
+    // hot lifecycle paths lose nothing); delta manifests — the ones
+    // re-read many times per commit window — always fit.
+    if (m.allFiles.size + m.added.size <= 4096)
+      manifestCache.put(java.lang.Long.valueOf(v), m)
     m
   }
 
@@ -2582,7 +2590,15 @@ final class Instance(val spark: SparkSession, val root: String,
       // paths): the id list the txn must record rides the write as an
       // observed metric instead of costing a separate read-back pass
       // over the just-written files — see [[CappedIdSet]]
-      observeIds: Boolean = false): Seq[String] = {
+      observeIds: Boolean = false,
+      // INSERT paths keep one empty part when the whole batch is empty
+      // (an empty INSERT must still publish a commit — version
+      // numbering and refresh watermarks depend on it); rewrite paths
+      // (merge, delete survivors, compaction, dv materialization)
+      // stage NOTHING when empty, so each all-empty rewrite stops
+      // accreting an empty part file the table carries to every later
+      // scan until compaction
+      keepEmptyPart: Boolean = false): Seq[String] = {
     txn.pendingObservedIds = None // never serve a stale batch's ids
     // CHECK constraints ride the write job itself: every staged row —
     // inserts, CoW rewrite survivors with their updated values, merge
@@ -2698,12 +2714,11 @@ final class Instance(val spark: SparkSession, val root: String,
       us.get(VersionedTable.RowsKey).flatMap(_.longRange)
         .forall(_._2 > 0L)
     }
-    // an ALL-empty write keeps one empty part: an empty INSERT must
-    // still stage (and therefore publish) a commit exactly as it
-    // always did — version numbering and refresh watermarks depend on
-    // the commit existing (MvRewriteSpec pins the empty-table case)
+    // an ALL-empty INSERT keeps one empty part (see keepEmptyPart);
+    // all-empty rewrites reclaim every part
     val (live, dead) =
-      if (live0.isEmpty && dead0.nonEmpty) (dead0.take(1), dead0.drop(1))
+      if (keepEmptyPart && live0.isEmpty && dead0.nonEmpty)
+        (dead0.take(1), dead0.drop(1))
       else (live0, dead0)
     // deletes ride the same bounded pool as the footer reads: a wide
     // partitioned write can stage (tasks x partitions) empty parts,
@@ -5360,7 +5375,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * at extreme scale a min/max+bloom summary would replace it. */
   def insert(df: DataFrame): Unit = {
     adoptSchema(df) // validate BEFORE staging any data
-    val staged = inst.writeStaged(df, this, observeIds = true)
+    val staged = inst.writeStaged(df, this, observeIds = true,
+      keepEmptyPart = true)
     assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
@@ -5770,7 +5786,8 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     require(!partitionBy.contains("obj_id"),
       "obj_id cannot be a partition column (footer stats need it in-file)")
     adoptSchema(df) // validate BEFORE staging any data
-    val staged = inst.writeStaged(df, this, partitionBy, observeIds = true)
+    val staged = inst.writeStaged(df, this, partitionBy,
+      observeIds = true, keepEmptyPart = true)
     assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
