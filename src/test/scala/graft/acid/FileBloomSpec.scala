@@ -72,6 +72,29 @@ class FileBloomSpec extends AnyFunSuite {
       totalRows = None)
     assert(local.nonEmpty)
     assert(local == dist)
+
+    // INT32-backed physical types too (int/short parquet columns hash
+    // through Group.getInteger on the local path vs the row path's
+    // Integer/Short unboxing — must stay bit-identical)
+    import org.apache.spark.sql.types.{IntegerType, ShortType}
+    val schema32 = StructType(Seq(
+      StructField("obj_id", LongType, nullable = false),
+      StructField("iv", IntegerType),
+      StructField("sv", ShortType)))
+    val dir32 = Files.createTempDirectory("graft_fbloom32_").toUri.toString
+    val inst32 = VersionedTable.create(spark, dir32, schema32,
+      EngineConf(fileBloomCols = Seq("iv", "sv")))
+    val rows32 = (0 until 50).map(i =>
+      (i.toLong, i * 7919, (i % 97).toShort))
+    inst32.withRetry() { t =>
+      t.insert(rows32.toDF("obj_id", "iv", "sv").coalesce(2)) }
+    val files32 = inst32.tableStateAt(inst32.latestVersion).inlineFiles
+    val local32 = inst32.fileBlooms(files32, Seq("iv", "sv"),
+      inst32.conf.fileBloomBits, totalRows = Some(50L))
+    val dist32 = inst32.fileBlooms(files32, Seq("iv", "sv"),
+      inst32.conf.fileBloomBits, totalRows = None)
+    assert(local32.nonEmpty)
+    assert(local32 == dist32)
   }
 
   test("point predicates on a bloom column prune >90% of files") {
