@@ -254,7 +254,9 @@ object Bench {
       java.nio.file.Files.write(p,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] per-query JSON written to $p")
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // never let the artifact write kill the run before the compact
+      // line prints (an InvalidPathException is not an IOException)
       System.err.println(s"[bench] could not write $outFile: $e")
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","failed":$failed,"runs":$runs,"sf":"$sfDir"$filtered%s$canaryJson%s$fsCanaryJson%s$recallJson%s}""")

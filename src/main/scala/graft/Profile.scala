@@ -42,10 +42,11 @@ object Profile {
       .getOrCreate()
     // measurement aid: A/B a conf change without editing the session
     // builders — SPARK_GRAFT_CONF="k=v;k=v" applied on top
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(';').filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("ERROR")
     val q = SparkEntry.queries(key)
 

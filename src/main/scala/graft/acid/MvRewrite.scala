@@ -728,10 +728,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         // delta (MaterializedView.scala): a snapshot the manifest row
         // counts bound under mvSemiRestrictMinRows skips the per-term
         // key probe — lossless for an inner join, and the probe's
-        // distinct+exchange is pure overhead at that size
-        def tinySnap(r: Int): Boolean =
-          insts(r).approxRowBound(pins(r))
-            .exists(_ <= insts(r).conf.mvSemiRestrictMinRows)
+        // distinct+exchange is pure overhead at that size. Hoisted out
+        // of the 2^k-term loop (each bound walks the state's file
+        // stats, and this runs inside the analyzer rule).
+        val tinySnapOf: Map[Int, Boolean] =
+          (0 to cand.dims.size).map(r => r ->
+            insts(r).approxRowBound(pins(r))
+              .exists(_ <= insts(r).conf.mvSemiRestrictMinRows)).toMap
+        def tinySnap(r: Int): Boolean = tinySnapOf(r)
         val terms = (1 until (1 << changed.size)).map { m =>
           val s = changed.indices.collect {
             case j if (m & (1 << j)) != 0 => changed(j) }.toSet

@@ -1208,6 +1208,11 @@ final case class EngineConf(
     // read is amortized by the batch it covers. Bit-identical output
     // either way.
     fileBloomLocalRows: Long = 65536L,
+    // parsed-manifest cache admission bound: manifests carrying more
+    // file entries than this (large-table checkpoints) stay uncached
+    // so the 128-entry LRU can never pin hundreds of MB of parsed
+    // state on the driver; delta manifests always fit
+    manifestCacheMaxFiles: Int = 4096,
     // OPT-IN append-time id-uniqueness: plain INSERTs (batch and
     // streaming-append epochs) probe their staged ids against the
     // snapshot (candidate-file pruned) and within the batch, failing
@@ -1247,6 +1252,7 @@ final case class EngineConf(
   require(mvMaxChangedSides >= 1, s"mvMaxChangedSides must be >= 1")
   require(mvSemiRestrictMinRows >= 0, s"mvSemiRestrictMinRows must be >= 0")
   require(fileBloomLocalRows >= 0, s"fileBloomLocalRows must be >= 0")
+  require(manifestCacheMaxFiles >= 0, s"manifestCacheMaxFiles must be >= 0")
 }
 
 /** Conflict = another transaction committed the same objects after this
@@ -1352,7 +1358,7 @@ final class Instance(val spark: SparkSession, val root: String,
     // state fold memoizes the FOLDED TableState separately, so the
     // hot lifecycle paths lose nothing); delta manifests — the ones
     // re-read many times per commit window — always fit.
-    if (m.allFiles.size + m.added.size <= 4096)
+    if (m.allFiles.size + m.added.size <= conf.manifestCacheMaxFiles)
       manifestCache.put(java.lang.Long.valueOf(v), m)
     m
   }
@@ -2775,7 +2781,6 @@ final class Instance(val spark: SparkSession, val root: String,
   private[acid] def fileBlooms(staged: Seq[String], pcols0: Seq[String],
       mBits: Int, totalRows: Option[Long] = None)
       : Map[String, Map[String, UStat]] = {
-    val k = IdBloom.DefaultK
     // METADATA-LATENCY fused path: when the caller's footer stats
     // bound the whole staged batch under fileBloomLocalRows, build the
     // blooms on the SAME bounded driver pool that just read the
@@ -2809,66 +2814,68 @@ final class Instance(val spark: SparkSession, val root: String,
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
     val k = IdBloom.DefaultK
     val hconf = spark.sparkContext.hadoopConfiguration
-    val perFile: Seq[(String, Map[String, IdBloom], Set[String])] =
-      pooledMap(staged) { rel =>
-        val p = new Path(dataDir, rel)
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(p, hconf)
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val schema = try fr.getFooter.getFileMetaData.getSchema
-          finally fr.close()
-        val cols: Seq[(String,
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName)] =
-          pcols0.filter(schema.containsField).flatMap { c =>
-            val t = schema.getType(schema.getFieldIndex(c))
-            if (!t.isPrimitive) None
-            else t.asPrimitiveType.getPrimitiveTypeName match {
-              case INT32 | INT64 | BINARY =>
-                Some(c -> t.asPrimitiveType.getPrimitiveTypeName)
-              case _ => None
-            }
-          }
-        if (cols.isEmpty) (rel, Map.empty[String, IdBloom], Set.empty[String])
-        else {
-          val proj = new org.apache.parquet.schema.MessageType(
-            "graft_bloom_projection",
-            cols.map { case (c, _) =>
-              schema.getType(schema.getFieldIndex(c)) }: _*)
-          val rconf = new org.apache.hadoop.conf.Configuration(hconf)
-          rconf.set(
-            org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-            proj.toString)
-          val reader = org.apache.parquet.hadoop.ParquetReader
-            .builder(
-              new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
-            .withConf(rconf).build()
-          val acc = scala.collection.mutable.HashMap.empty[String, IdBloom]
-          try {
-            var g = reader.read()
-            while (g != null) {
-              var i = 0
-              while (i < cols.length) {
-                if (g.getFieldRepetitionCount(i) > 0) {
-                  val h = cols(i)._2 match {
-                    case INT64 => g.getLong(i, 0)
-                    case INT32 => g.getInteger(i, 0).toLong
-                    case _ => IdBloom.hashBytes(g.getBinary(i, 0).getBytes)
-                  }
-                  acc.getOrElseUpdate(cols(i)._1,
-                    IdBloom.empty(mBits.toLong, k)).add(h)
-                }
-                i += 1
-              }
-              g = reader.read()
-            }
-          } finally reader.close()
-          (rel, acc.toMap, cols.map(_._1).toSet)
+    // ONE footer read serves the whole batch: files staged by a single
+    // write share the written schema, so the projection is computed
+    // once (a divergent file would fail GroupReadSupport's
+    // compatibility check and land in the NonFatal fallback below —
+    // the distributed pass, which handles mixed schemas)
+    val p0 = new Path(dataDir, staged.head)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p0, hconf))
+    val schema = try fr.getFooter.getFileMetaData.getSchema
+      finally fr.close()
+    val cols: Seq[(String,
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName)] =
+      pcols0.filter(schema.containsField).flatMap { c =>
+        val t = schema.getType(schema.getFieldIndex(c))
+        if (!t.isPrimitive) None
+        else t.asPrimitiveType.getPrimitiveTypeName match {
+          case INT32 | INT64 | BINARY =>
+            Some(c -> t.asPrimitiveType.getPrimitiveTypeName)
+          case _ => None
         }
       }
-    val presentUnion: Set[String] = perFile.flatMap(_._3).toSet
-    val pcols = pcols0.filter(presentUnion)
+    if (cols.isEmpty) return Some((Nil, Map.empty))
+    val proj = new org.apache.parquet.schema.MessageType(
+      "graft_bloom_projection",
+      cols.map { case (c, _) =>
+        schema.getType(schema.getFieldIndex(c)) }: _*)
+    val rconf = new org.apache.hadoop.conf.Configuration(hconf)
+    rconf.set(
+      org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      proj.toString)
+    val perFile: Seq[(String, Map[String, IdBloom])] =
+      pooledMap(staged) { rel =>
+        val p = new Path(dataDir, rel)
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+          .withConf(rconf).build()
+        val acc = scala.collection.mutable.HashMap.empty[String, IdBloom]
+        try {
+          var g = reader.read()
+          while (g != null) {
+            var i = 0
+            while (i < cols.length) {
+              if (g.getFieldRepetitionCount(i) > 0) {
+                val h = cols(i)._2 match {
+                  case INT64 => g.getLong(i, 0)
+                  case INT32 => g.getInteger(i, 0).toLong
+                  case _ => IdBloom.hashBytes(g.getBinary(i, 0).getBytes)
+                }
+                acc.getOrElseUpdate(cols(i)._1,
+                  IdBloom.empty(mBits.toLong, k)).add(h)
+              }
+              i += 1
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+        (rel, acc.toMap)
+      }
+    val pcols = pcols0.filter(cols.map(_._1).toSet)
     val byFile: Map[String, Map[Int, IdBloom]] = perFile.map {
-      case (rel, m, _) =>
+      case (rel, m) =>
         rel -> pcols.zipWithIndex.flatMap { case (c, i) =>
           m.get(c).map(i -> _) }.toMap
     }.toMap
@@ -5373,10 +5380,16 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
     * from the guarded id set (and the input runs exactly once). The id
     * list itself is driver-side metadata — bounded by transaction size;
     * at extreme scale a min/max+bloom summary would replace it. */
-  def insert(df: DataFrame): Unit = {
+  def insert(df: DataFrame): Unit = insert(df, keepEmptyPart = true)
+
+  /** `keepEmptyPart = false` is for callers whose COMMIT does not
+    * depend on this batch staging anything (merge's unmatched-insert
+    * leg: the rewrite/marks publish the txn regardless) — an all-empty
+    * batch then stages nothing instead of accreting an empty part. */
+  private[acid] def insert(df: DataFrame, keepEmptyPart: Boolean): Unit = {
     adoptSchema(df) // validate BEFORE staging any data
     val staged = inst.writeStaged(df, this, observeIds = true,
-      keepEmptyPart = true)
+      keepEmptyPart = keepEmptyPart)
     assertUniqueIds(staged)
     added ++= staged
     recordStagedObjects(staged)
@@ -5944,8 +5957,10 @@ final class Txn private[acid] (inst: Instance, val tsn: Long,
         val unmatched = if (snap == null) src
           else src.join(snap.select("obj_id"), Seq("obj_id"), "left_anti")
         val inserts = unmatched.select(tCols.map(col): _*)
-        // empty anti-join stages nothing (no pre-probe)
-        JobLabel(inst.spark, "graft:merge-insert")(insert(inserts))
+        // empty anti-join stages nothing (no pre-probe, no empty part:
+        // a merge's commit publishes via its rewrite/marks regardless)
+        JobLabel(inst.spark, "graft:merge-insert")(
+          insert(inserts, keepEmptyPart = false))
       }
       // conflict tracking over the full source key set (a superset of
       // the rows actually modified — conservative, never unsound);
