@@ -2151,10 +2151,13 @@ class AcidSpec extends AnyFunSuite {
     // lock, and under full-suite parallel load a single locked
     // read+upsert can take seconds — the default 30 s lets the LAST
     // waiter time out spuriously (observed twice in r12 full runs;
-    // never isolated). The semantics under test (exact serialization,
-    // release-after-use) don't involve the timeout at all.
+    // never isolated; 300 s ALSO tripped once in an r14 full run whose
+    // host window ran compute 40% slow — 12 queued commits x ~25 s).
+    // The semantics under test (exact serialization, release-after-use)
+    // don't involve the timeout at all, so it is set beyond any
+    // plausible load stall.
     val conf = graft.acid.EngineConf(commitLock = true,
-      commitLockTimeoutMs = 300000L)
+      commitLockTimeoutMs = 1800000L)
     val inst = VersionedTable.create(spark, freshDir(), AcidQueries.schema,
       conf)
     val t0 = inst.begin()
